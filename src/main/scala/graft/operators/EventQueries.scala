@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import graft.functions.Exact._
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregations over the `events` table (SURVEY.md §2.9).
+  *
+  * Spark's `window()`/`session_window()` work identically on static frames
+  * and streams, so these queries ARE the streaming semantics, verified
+  * against a batch SQL oracle; `graft.streaming.EventsStream` runs the same
+  * aggregations through `readStream` + watermark (tested in ScalaTest, not
+  * oracle-able by construction). At scale the tumbling/sliding aggregations
+  * are partial-aggregated before the shuffle on (window, key).
+  */
+object EventQueries {
+
+  val defs: Seq[GQuery] = Seq(
+
+    GQuery(
+      "q_events_tumbling",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+          .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+          .orderBy("hour_start", "event_type"),
+      Some(s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+              |$countStarSql AS n, ${sumMoneySql("value")} AS sum_value
+              |FROM ${Tables.eventsOracleFrom} e
+              |GROUP BY hour_start, event_type ORDER BY hour_start, event_type""".stripMargin)
+    ),
+
+    GQuery(
+      // 1h windows sliding every 30min: each event lands in exactly two
+      // windows — the oracle reproduces that with two shifted buckets.
+      "q_events_sliding",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+          .select(col("window.start").as("win_start"), col("n"), col("sum_value"))
+          .orderBy("win_start"),
+      Some(s"""WITH buckets AS (
+              |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start, value
+              |  FROM ${Tables.eventsOracleFrom} e
+              |  UNION ALL
+              |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS win_start, value
+              |  FROM ${Tables.eventsOracleFrom} e)
+              |SELECT win_start, $countStarSql AS n, ${sumMoneySql("value")} AS sum_value
+              |FROM buckets GROUP BY win_start ORDER BY win_start""".stripMargin)
+    ),
+
+    GQuery(
+      // Session windows, 30-minute inactivity gap, keyed by user. Spark's
+      // session_window end = last event + gap; the oracle sessionizes via
+      // the classic lag/cumulative-sum trick (new session when gap >= 30m,
+      // matching Spark's half-open [start, last+gap) merge rule).
+      "q_events_session",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("sum_value"))
+          .select(
+            col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events"), col("sum_value"))
+          .orderBy("user_id", "session_start"),
+      Some(s"""WITH e AS (
+              |  SELECT user_id, ts, value,
+              |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              |           >= INTERVAL '30 minutes'
+              |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              |         THEN 1 ELSE 0 END AS is_new
+              |  FROM ${Tables.eventsOracleFrom} e0),
+              |s AS (
+              |  SELECT user_id, ts, value,
+              |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              |  FROM e)
+              |SELECT user_id, MIN(ts) AS session_start,
+              |MAX(ts) + INTERVAL '30 minutes' AS session_end,
+              |$countStarSql AS n_events, ${sumMoneySql("value")} AS sum_value
+              |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,457 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import graft.functions.Exact._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator library over the star schema (SURVEY.md §7
+  * Phase 3): filters, every join shape, hash aggregation, grouping sets,
+  * window functions, top-k, set ops, scalar functions.
+  *
+  * Scale notes (100 TB): every query here is a declarative DataFrame plan —
+  * Catalyst pushes filters/projections into the parquet scan, picks
+  * broadcast-hash joins for the dimension tables we explicitly hint with
+  * `broadcast()`, and sort-merge for fact⋈fact; aggregations are partial
+  * (map-side combine) before the shuffle. Nothing below collects to the
+  * driver or iterates rows.
+  */
+object RelationalQueries {
+
+  val defs: Seq[GQuery] = Seq(
+
+    // ---- scan + filter + projection (predicate pushdown) ----------------
+    GQuery(
+      "q_filter_pushdown",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+            col("l_quantity") > 45)
+          .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate")
+          .orderBy("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate")
+      },
+      Some("""SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice, l_shipdate
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_quantity > 45
+             |ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice, l_shipdate""".stripMargin)
+    ),
+
+    // ---- hash aggregation, TPC-H Q1 flavor (cents-exact) -----------------
+    GQuery(
+      "q1_pricing_summary",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sumGrid(col("l_quantity"), 100L).as("sum_qty"),
+            sumGrid(col("l_extendedprice"), 100L).as("sum_base_price"),
+            sumGrid(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L).as("sum_disc_price"),
+            sumGrid(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 1000000L).as("sum_charge"),
+            avgGrid(col("l_quantity"), 100L).as("avg_qty"),
+            avgGrid(col("l_extendedprice"), 100L).as("avg_price"),
+            avgGrid(col("l_discount"), 100L).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |${sumGridSql("l_quantity", 100L)} AS sum_qty,
+              |${sumGridSql("l_extendedprice", 100L)} AS sum_base_price,
+              |${sumGridSql("l_extendedprice*(1.0-l_discount)", 10000L)} AS sum_disc_price,
+              |${sumGridSql("l_extendedprice*(1.0-l_discount)*(1.0+l_tax)", 1000000L)} AS sum_charge,
+              |${avgGridSql("l_quantity", 100L)} AS avg_qty,
+              |${avgGridSql("l_extendedprice", 100L)} AS avg_price,
+              |${avgGridSql("l_discount", 100L)} AS avg_disc,
+              |$countStarSql AS count_order
+              |FROM lineitem
+              |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+
+    // ---- broadcast equi-join chain over dimensions ------------------------
+    GQuery(
+      "q_join_broadcast",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val n = broadcast(Tables.nation(s, dir))
+        val r = broadcast(Tables.region(s, dir))
+        c.join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("n_customers"), sumMoney(col("c_acctbal")).as("sum_acctbal"))
+          .orderBy("r_name", "n_name")
+      },
+      Some(s"""SELECT r_name, n_name, $countStarSql AS n_customers,
+              |${sumMoneySql("c_acctbal")} AS sum_acctbal
+              |FROM customer JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)
+    ),
+
+    // ---- large shuffle (sort-merge) join: orders ⋈ lineitem ---------------
+    GQuery(
+      "q_join_shuffle",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_items"),
+            countDistinct(col("o_orderkey")).as("n_orders"),
+            sumGrid(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, $countStarSql AS n_items,
+              |CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+              |${sumGridSql("l_extendedprice*(1.0-l_discount)", 10000L)} AS revenue
+              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // ---- outer join keeping unmatched build rows --------------------------
+    GQuery(
+      "q_join_left",
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+        val l = Tables.lineitem(s, dir)
+        p.join(l, p("p_partkey") === l("l_partkey"), "left")
+          .groupBy("p_partkey", "p_brand")
+          .agg(
+            count(col("l_orderkey")).as("n_lineitems"),
+            (coalesce(sum(grid(col("l_quantity"), 100L)), lit(0L)).cast("double") / 100.0).as("sum_qty"))
+          .orderBy("p_partkey")
+      },
+      Some(s"""SELECT p_partkey, p_brand, CAST(COUNT(l_orderkey) AS BIGINT) AS n_lineitems,
+              |CAST(COALESCE(SUM(${gridSql("l_quantity", 100L)}), 0) AS DOUBLE)/CAST(100 AS DOUBLE) AS sum_qty
+              |FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+              |GROUP BY p_partkey, p_brand ORDER BY p_partkey""".stripMargin)
+    ),
+
+    // ---- semi / anti joins -------------------------------------------------
+    GQuery(
+      "q_join_semi",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+    GQuery(
+      // Customers who never placed an urgent order (anti join with a
+      // pushed-down filter on the probe side).
+      "q_join_anti",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+             |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // ---- equi + range (residual band predicate) join ----------------------
+    GQuery(
+      "q_join_range",
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+        val l = Tables.lineitem(s, dir)
+        p.join(
+            l,
+            p("p_partkey") === l("l_partkey") &&
+              l("l_quantity") >= p("p_size") - 5 && l("l_quantity") <= p("p_size") + 5)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"), avgGrid(col("l_quantity"), 100L).as("avg_qty"))
+          .orderBy("p_brand")
+      },
+      Some(s"""SELECT p_brand, $countStarSql AS n, ${avgGridSql("l_quantity", 100L)} AS avg_qty
+              |FROM part JOIN lineitem ON p_partkey = l_partkey
+              |AND l_quantity >= p_size - 5 AND l_quantity <= p_size + 5
+              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+    ),
+
+    // ---- distinct / count distinct / approx ---------------------------------
+    GQuery(
+      "q_distinct",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select("l_returnflag", "l_linestatus")
+          .distinct()
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    ),
+    GQuery(
+      "q_count_distinct",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+              |CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps, $countStarSql AS n
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+    GQuery(
+      // HLL++ sketch — algorithm-specific estimates can't match DuckDB's
+      // approx_count_distinct, so no oracle (driver records rows-only).
+      "q_approx_distinct",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+          .orderBy("l_returnflag"),
+      None
+    ),
+
+    // ---- grouping sets -------------------------------------------------------
+    GQuery(
+      "q_rollup",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), sumMoney(col("l_extendedprice")).as("sum_price"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+            col("n"), col("sum_price"))
+          .orderBy("rf", "ls"),
+      Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+              |$countStarSql AS n, ${sumMoneySql("l_extendedprice")} AS sum_price
+              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+              |ORDER BY rf, ls""".stripMargin)
+    ),
+    GQuery(
+      "q_cube",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("sum_price"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+            col("n"), col("sum_price"))
+          .orderBy("st", "pri"),
+      Some(s"""SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS pri,
+              |$countStarSql AS n, ${sumMoneySql("o_totalprice")} AS sum_price
+              |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+              |ORDER BY st, pri""".stripMargin)
+    ),
+
+    // ---- window functions ------------------------------------------------------
+    GQuery(
+      "q_window_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+          .orderBy("o_orderpriority", "rnk")
+      },
+      Some("""SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+             |  FROM orders) t
+             |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin)
+    ),
+    GQuery(
+      "q_window_running",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, dir)
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            (sum(grid(col("o_totalprice"), 100L)).over(w).cast("double") / 100.0)
+              .as("running_spend"))
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      },
+      Some(s"""SELECT o_custkey, o_orderkey, o_orderdate,
+              |CAST(SUM(${gridSql("o_totalprice", 100L)}) OVER (PARTITION BY o_custkey
+              |  ORDER BY o_orderdate, o_orderkey
+              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/CAST(100 AS DOUBLE)
+              |  AS running_spend
+              |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)
+    ),
+    GQuery(
+      "q_window_lag",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .select(
+            col("user_id"), col("event_id"), col("value"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+          .orderBy("user_id", "event_id")
+      },
+      Some(s"""SELECT user_id, event_id, value,
+              |lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+              |epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+              |FROM ${Tables.eventsOracleFrom} e ORDER BY user_id, event_id""".stripMargin)
+    ),
+
+    // ---- top-k (TakeOrderedAndProject) --------------------------------------
+    GQuery(
+      "q_topk",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey", "l_linenumber", "l_extendedprice")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+          .limit(15),
+      Some("""SELECT l_orderkey, l_partkey, l_linenumber, l_extendedprice FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_partkey, l_linenumber
+             |LIMIT 15""".stripMargin)
+    ),
+
+    // ---- set operations -------------------------------------------------------
+    GQuery(
+      "q_union",
+      (s, dir) =>
+        Tables.nation(s, dir).select(col("n_name").as("name"))
+          .union(Tables.region(s, dir).select(col("r_name").as("name")))
+          .distinct()
+          .orderBy("name"),
+      Some("""SELECT n_name AS name FROM nation UNION SELECT r_name AS name FROM region
+             |ORDER BY name""".stripMargin)
+    ),
+    GQuery(
+      // Customers with an open (P) order but no finished (F) order.
+      "q_except",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("custkey"))
+          .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey")))
+          .orderBy("custkey")
+      },
+      Some("""SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+             |EXCEPT SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+             |ORDER BY custkey""".stripMargin)
+    ),
+    GQuery(
+      "q_intersect",
+      (s, dir) =>
+        Tables.customer(s, dir).select(col("c_custkey").as("custkey"))
+          .intersect(Tables.orders(s, dir).select(col("o_custkey").as("custkey")))
+          .orderBy("custkey"),
+      Some("""SELECT c_custkey AS custkey FROM customer
+             |INTERSECT SELECT o_custkey AS custkey FROM orders ORDER BY custkey""".stripMargin)
+    ),
+
+    // ---- scalar function suites -------------------------------------------------
+    GQuery(
+      "q_string_funcs",
+      (s, dir) =>
+        Tables.part(s, dir)
+          .select(
+            col("p_partkey"),
+            lower(col("p_name")).as("name_lower"),
+            length(col("p_name")).cast("long").as("name_len"),
+            substring(col("p_type"), 1, 5).as("type_prefix"),
+            concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
+            levenshtein(col("p_brand"), lit("Brand#10")).cast("long").as("brand_dist"),
+            regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, lower(p_name) AS name_lower,
+             |CAST(length(p_name) AS BIGINT) AS name_len,
+             |substr(p_type, 1, 5) AS type_prefix,
+             |concat(p_brand, '-', p_type) AS brand_type,
+             |CAST(levenshtein(p_brand, 'Brand#10') AS BIGINT) AS brand_dist,
+             |regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel
+             |FROM part ORDER BY p_partkey""".stripMargin)
+    ),
+    GQuery(
+      "q_date_funcs",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("y"),
+            quarter(col("o_orderdate")).cast("long").as("q"),
+            month(col("o_orderdate")).cast("long").as("m"),
+            dayofmonth(col("o_orderdate")).cast("long").as("d"),
+            date_trunc("month", col("o_orderdate")).as("month_start"),
+            datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y,
+             |CAST(quarter(o_orderdate) AS BIGINT) AS q,
+             |CAST(month(o_orderdate) AS BIGINT) AS m,
+             |CAST(day(o_orderdate) AS BIGINT) AS d,
+             |date_trunc('month', o_orderdate) AS month_start,
+             |CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+    GQuery(
+      "q_math_funcs",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") < 100)
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            abs(col("l_quantity") - 25.0).as("qty_dev"),
+            sqrt(col("l_quantity")).as("qty_sqrt"),
+            floor(col("l_extendedprice") / 1000.0).cast("long").as("price_k_floor"),
+            ceil(col("l_extendedprice") / 1000.0).cast("long").as("price_k_ceil"),
+            pmod(col("l_orderkey"), lit(7)).cast("long").as("key_mod"),
+            (col("l_quantity") * col("l_quantity")).as("qty_sq"))
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity", "qty_sq"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |abs(l_quantity - 25.0) AS qty_dev, sqrt(l_quantity) AS qty_sqrt,
+             |CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k_floor,
+             |CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_k_ceil,
+             |CAST(l_orderkey % 7 AS BIGINT) AS key_mod,
+             |l_quantity * l_quantity AS qty_sq
+             |FROM lineitem WHERE l_orderkey < 100
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, qty_sq""".stripMargin)
+    ),
+
+    // ---- JSON extraction over events.props ---------------------------------------
+    GQuery(
+      "q_json_extract",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .orderBy("event_id"),
+      Some(s"""SELECT event_id,
+              |CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS BIGINT) AS k
+              |FROM events ORDER BY event_id""".stripMargin)
+    ),
+
+    // ---- as-of join (most recent error at-or-before each event, per user) -------
+    GQuery(
+      "q_asof_join",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .withColumn(
+            "last_error_us",
+            last(when(col("event_type") === "error", unix_micros(col("ts"))), ignoreNulls = true).over(w))
+          .select("user_id", "event_id", "event_type", "last_error_us")
+          .orderBy("user_id", "event_id")
+      },
+      Some(s"""SELECT user_id, event_id, event_type,
+              |last_value(CASE WHEN event_type = 'error' THEN epoch_us(ts) END IGNORE NULLS)
+              |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_us
+              |FROM ${Tables.eventsOracleFrom} e ORDER BY user_id, event_id""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import graft.functions.Exact._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (builder mandate: language-ID,
+  * quality scoring, token counting, document fingerprinting).
+  *
+  * All are narrow per-row projections + one final sort — map-only at scale
+  * (no shuffle except the output sort, which a real pipeline wouldn't carry).
+  * Built-in higher-order functions (`transform`/`filter`/`aggregate`) keep
+  * everything in codegen; no UDFs.
+  */
+object TextQueries {
+
+  /** Whitespace tokens, shared by every text op. Spark `split` and DuckDB
+    * `string_split` agree on single-space splitting (empties preserved).
+    */
+  private val toksCol = "split(text, ' ')"
+  private val toksSql = "string_split(text, ' ')"
+
+  /** Tiny per-language marker-word lists for the n-gram/stopword heuristic
+    * language ID. Deterministic scoring with a fixed tie order — correctness
+    * here means "matches the documented algorithm" (the oracle runs the same
+    * scoring), not linguistic accuracy.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est"))
+
+  private def markerArr(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  val defs: Seq[GQuery] = Seq(
+
+    GQuery(
+      "text_tokens",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            expr(s"size($toksCol)").cast("long").as("n_tokens"),
+            expr(s"size(array_distinct($toksCol))").cast("long").as("n_uniq_tokens"),
+            expr("size(regexp_extract_all(text, '[a-z]+', 0))").cast("long").as("n_word_tokens"),
+            length(col("text")).cast("long").as("len"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+              |CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_uniq_tokens,
+              |CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+              |CAST(length(text) AS BIGINT) AS len
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    GQuery(
+      // Quality scoring: length stats, stopword ratio, type-token ratio.
+      // All ratios are divisions of identical integers → bit-exact doubles.
+      "text_quality",
+      (s, dir) => {
+        val en = markerArr(langMarkers.head._2)
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            expr(s"size($toksCol)").cast("long").as("n_tokens"),
+            (length(regexp_replace(col("text"), " ", "")).cast("double") /
+              expr(s"size($toksCol)").cast("double")).as("avg_word_len"),
+            (expr(s"size(filter($toksCol, t -> array_contains(array($en), t)))").cast("double") /
+              expr(s"size($toksCol)").cast("double")).as("stopword_ratio"),
+            (expr(s"size(array_distinct($toksCol))").cast("double") /
+              expr(s"size($toksCol)").cast("double")).as("type_token_ratio"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val en = markerArr(langMarkers.head._2)
+        s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens,
+           |CAST(length(replace(text, ' ', '')) AS DOUBLE)/CAST(len($toksSql) AS DOUBLE) AS avg_word_len,
+           |CAST(len(list_filter($toksSql, t -> list_contains([${en}], t))) AS DOUBLE)
+           |  /CAST(len($toksSql) AS DOUBLE) AS stopword_ratio,
+           |CAST(len(list_distinct($toksSql)) AS DOUBLE)/CAST(len($toksSql) AS DOUBLE) AS type_token_ratio
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    GQuery(
+      // Marker-word language ID with deterministic argmax tie order
+      // (es > de > fr > en on strict-greater comparisons).
+      "text_langid",
+      (s, dir) => {
+        val scores = langMarkers.map { case (lang, ws) =>
+          lang -> s"size(filter($toksCol, t -> array_contains(array(${markerArr(ws)}), t)))"
+        }.toMap
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"), col("lang").as("lang_actual"),
+            expr(
+              s"""CASE WHEN ${scores("es")} > greatest(${scores("en")}, ${scores("de")}, ${scores("fr")}) THEN 'es'
+                 |WHEN ${scores("de")} > greatest(${scores("en")}, ${scores("fr")}) THEN 'de'
+                 |WHEN ${scores("fr")} > ${scores("en")} THEN 'fr'
+                 |ELSE 'en' END""".stripMargin).as("lang_pred"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val scores = langMarkers.map { case (lang, ws) =>
+          lang -> s"len(list_filter($toksSql, t -> list_contains([${markerArr(ws)}], t)))"
+        }.toMap
+        s"""SELECT doc_id, lang AS lang_actual,
+           |CASE WHEN ${scores("es")} > greatest(${scores("en")}, ${scores("de")}, ${scores("fr")}) THEN 'es'
+           |WHEN ${scores("de")} > greatest(${scores("en")}, ${scores("fr")}) THEN 'de'
+           |WHEN ${scores("fr")} > ${scores("en")} THEN 'fr'
+           |ELSE 'en' END AS lang_pred
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    GQuery(
+      // Rolling polynomial fingerprint over the token stream: fold
+      // acc = (acc*31 + md5int(token)) mod 1e9+7. Order-sensitive (left
+      // fold on both engines), collision-resistant enough for dup grouping.
+      "text_fingerprint",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            expr(
+              s"""aggregate(
+                 |  transform($toksCol, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)),
+                 |  CAST(0 AS BIGINT),
+                 |  (acc, x) -> pmod(acc * 31 + x, 1000000007))""".stripMargin).as("fingerprint"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |list_reduce(
+              |  list_prepend(CAST(0 AS BIGINT),
+              |    list_transform($toksSql, t -> ${md5IntSql("t")})),
+              |  (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+              |FROM documents ORDER BY doc_id""".stripMargin)
+    )
+  )
+}
