@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video travel as opaque `binary` payloads
+  * with typed metadata; decode / feature-extraction runs per partition.
+  *
+  * The actual codec work is STUBBED (this container has no image/audio
+  * libraries): `FakeCodec` derives deterministic pseudo-features from the
+  * payload bytes. Everything around the stub is the real Spark shape a
+  * 100 TB media pipeline needs:
+  *   - payloads as `BinaryType` columns (never strings — no re-encoding)
+  *   - `Dataset[T]` with case-class encoders across the decode boundary
+  *   - `mapPartitions` so per-partition codec initialization amortizes
+  *     (the expensive part of real decoders), with partition sizing left
+  *     to `spark.sql.files.maxPartitionBytes` at the scan
+  *   - feature output as flat columns, re-joinable by asset id
+  */
+object Multimodal {
+
+  /** An opaque media asset: id + raw bytes + declared container format. */
+  case class Asset(asset_id: Long, payload: Array[Byte], format: String)
+
+  /** Extracted features. With a real codec, width/height/duration come from
+    * the container headers; here they are a deterministic function of bytes.
+    */
+  case class AssetFeatures(
+      asset_id: Long,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      mean_byte: Double,
+      head_hex: String)
+
+  /** STUB decoder — stands in for e.g. libjpeg/ffmpeg binding. Deterministic:
+    * features depend only on payload bytes, so tests can assert exact values.
+    */
+  private[operators] object FakeCodec {
+    def init(): FakeCodec.type = this // models expensive per-partition setup
+    def decode(a: Asset): AssetFeatures = {
+      val n = a.payload.length
+      val h0 = if (n > 0) a.payload(0) & 0xff else 0
+      val h1 = if (n > 1) a.payload(1) & 0xff else 0
+      val mean =
+        if (n == 0) 0.0
+        else a.payload.foldLeft(0L)((acc, b) => acc + (b & 0xff)).toDouble / n
+      AssetFeatures(
+        asset_id = a.asset_id,
+        n_bytes = n.toLong,
+        width = 16 * (h0 + 1), // ??? real impl: parse container header
+        height = 9 * (h1 + 1), // ??? real impl: parse container header
+        mean_byte = mean,
+        head_hex = a.payload.take(8).map(b => f"${b & 0xff}%02x").mkString)
+    }
+  }
+
+  /** Decode a DataFrame of (asset_id: long, payload: binary, format: string)
+    * into per-asset features. Runs as one `mapPartitions` pass: codec init
+    * once per partition, then a streaming map — no per-row setup, no
+    * driver-side collection, embarrassingly parallel over input splits.
+    */
+  def decodeFeatures(assets: DataFrame): Dataset[AssetFeatures] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(
+        col("asset_id").cast("long"),
+        col("payload").cast("binary"),
+        col("format").cast("string"))
+      .as[Asset]
+      .mapPartitions { it =>
+        val codec = FakeCodec.init()
+        it.map(codec.decode)
+      }
+  }
+
+  /** Wrap `documents` as a fake asset table (text bytes as payload) — the
+    * test-data stand-in for a real media table.
+    */
+  def documentsAsAssets(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(spark, dir).select(
+      col("doc_id").as("asset_id"),
+      col("text").cast("binary").as("payload"),
+      lit("text/plain").as("format"))
+}

@@ -1,7 +1,47 @@
 package graft.operators
 
-import graft.GQuery
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.functions._
 
+/** Multimodal-column queries: binary payloads with metadata extraction.
+  * `multimodal_features` is pure column algebra (oracle-able); the
+  * mapPartitions decode path lives in [[Multimodal]] and registers as a
+  * rows-only query (a Scala codec stub has no SQL equivalent by design).
+  */
 object MultimodalQueries {
-  val defs: Seq[GQuery] = Seq.empty
+
+  val defs: Seq[GQuery] = Seq(
+
+    // Payload metadata via built-in binary functions — stays in codegen.
+    GQuery(
+      "multimodal_features",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id").as("asset_id"),
+            col("text").cast("binary").as("payload"))
+          .select(
+            col("asset_id"),
+            length(col("payload")).cast("long").as("n_bytes"),
+            sha2(col("payload"), 256).as("sha256_hex"),
+            lower(hex(substring(col("payload"), 1, 8))).as("head_hex"))
+          .orderBy("asset_id"),
+      Some("""SELECT doc_id AS asset_id,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |sha256(text) AS sha256_hex,
+             |lower(hex(encode(substring(text, 1, 8)))) AS head_hex
+             |FROM documents ORDER BY asset_id""".stripMargin)
+    ),
+
+    // Stubbed per-partition decode (real plumbing, fake codec — see
+    // Multimodal.FakeCodec). No SQL oracle: rows-only check + unit test.
+    GQuery(
+      "multimodal_decode",
+      (s, dir) =>
+        Multimodal.decodeFeatures(Multimodal.documentsAsAssets(s, dir))
+          .toDF()
+          .orderBy("asset_id"),
+      None
+    )
+  )
 }

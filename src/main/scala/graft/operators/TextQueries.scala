@@ -114,6 +114,23 @@ object TextQueries {
     ),
 
     GQuery(
+      // Corpus term frequency: explode → partial-aggregated count → top 25.
+      // The canonical text shuffle: map-side combine keeps the explode
+      // output from ever hitting the wire unaggregated.
+      "text_term_freq",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(explode(expr(toksCol)).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("token"))
+          .limit(25),
+      Some(s"""SELECT token, $countStarSql AS tf FROM (
+              |  SELECT unnest($toksSql) AS token FROM documents) t
+              |GROUP BY token ORDER BY tf DESC, token LIMIT 25""".stripMargin)
+    ),
+
+    GQuery(
       // Rolling polynomial fingerprint over the token stream: fold
       // acc = (acc*31 + md5int(token)) mod 1e9+7. Order-sensitive (left
       // fold on both engines), collision-resistant enough for dup grouping.

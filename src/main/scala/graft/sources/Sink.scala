@@ -1,0 +1,121 @@
+package graft.sources
+
+import graft.operators.Convert
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.io.{BufferedInputStream, File, FileInputStream, FileOutputStream}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** The converter surface: the reference app's contract re-expressed as a
+  * library call (SURVEY.md §7 Phase 2).
+  *
+  * Reference semantics ported:
+  *  - input size guard, default 1024 MB (O10, /root/reference/app.py:21,227-231)
+  *  - processing timeout, default 600 s    (O9, app.py:22,111-112)
+  *  - output table named "Extract"         (O6, app.py:118)
+  *  - type widening + sanitize projections (O4/O5 via Convert.pipeline)
+  *  - zip artifact of the output           (O11, app.py:54-65)
+  *
+  * The Hyper binary sink itself is unreachable on the JVM (tableauhyperapi is
+  * Python/C++); per BASELINE.json the engine writes through DataFrameWriter —
+  * parquet here, with `jdbcShaped` exposing the same pipeline aimed at a JDBC
+  * connector (batchsize ↔ the reference's 10k-row inserter chunks,
+  * app.py:23,128-131). NOT ported: the reference's manual GC (O12,
+  * app.py:138-145) — Spark's unified memory manager + spill replaces it.
+  */
+object Sink {
+
+  final case class ConvertOptions(
+      table: String = "Extract",
+      maxInputMb: Long = 1024,
+      timeoutSeconds: Long = 600,
+      zipArtifact: Boolean = false)
+
+  final case class ConvertResult(outputPath: String, rows: Long, zipPath: Option[String])
+
+  class InputTooLargeException(mb: Long, limit: Long)
+      extends IllegalArgumentException(s"input is $mb MB, limit $limit MB")
+  class ConversionTimeoutException(s: Long)
+      extends RuntimeException(s"conversion exceeded $s s")
+
+  private def dirSizeBytes(path: String): Long = {
+    def walk(f: File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    walk(new File(path))
+  }
+
+  /** Convert one Parquet input to the sink format: guard → normalize →
+    * sanitize → write. The write is a distributed parquet job; the timeout
+    * cancels the job group (the Spark analog of the reference's wall-clock
+    * abort, which killed a single-threaded loop).
+    */
+  def convertParquet(
+      spark: SparkSession,
+      inputPath: String,
+      outputDir: String,
+      opts: ConvertOptions = ConvertOptions()): ConvertResult = {
+    val sizeBytes = dirSizeBytes(inputPath)
+    if (sizeBytes > (opts.maxInputMb << 20))
+      throw new InputTooLargeException(sizeBytes >> 20, opts.maxInputMb)
+
+    val groupId = s"graft-convert-${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(groupId, s"convert $inputPath", interruptOnCancel = true)
+    val timer = new java.util.Timer(true)
+    @volatile var timedOut = false
+    timer.schedule(new java.util.TimerTask {
+      def run(): Unit = { timedOut = true; spark.sparkContext.cancelJobGroup(groupId) }
+    }, opts.timeoutSeconds * 1000)
+
+    val out = s"$outputDir/${opts.table}"
+    try {
+      val converted = Convert.pipeline(spark.read.parquet(inputPath))
+      converted.write.mode(SaveMode.Overwrite).parquet(out)
+      val rows = spark.read.parquet(out).count()
+      val zip = if (opts.zipArtifact) Some(zipDirectory(out, s"$out.zip")) else None
+      ConvertResult(out, rows, zip)
+    } catch {
+      case e: Throwable if timedOut => throw new ConversionTimeoutException(opts.timeoutSeconds)
+      case e: Throwable             => throw e
+    } finally {
+      timer.cancel()
+      spark.sparkContext.clearJobGroup()
+    }
+  }
+
+  /** The same converted frame aimed at a JDBC sink (BASELINE.json
+    * spark_approach: "write via JDBC/connector"): every column nullable
+    * (app.py:122), inserts chunked by `batchsize` exactly like the
+    * reference's 10k-row Inserter batches. Caller supplies url/credentials;
+    * no JDBC driver ships in this offline image, so this path is exercised
+    * only through its plan, not a live database.
+    */
+  def jdbcShaped(df: DataFrame, url: String, table: String, batchSize: Int = 10000) =
+    Convert.pipeline(df).write
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize)
+      .option("isolationLevel", "NONE")
+
+  /** O11: DEFLATE the sink output, streamed file-by-file (app.py:54-65). */
+  def zipDirectory(dir: String, zipPath: String): String = {
+    val zos = new ZipOutputStream(new FileOutputStream(zipPath))
+    try {
+      val base = new File(dir)
+      def add(f: File, prefix: String): Unit =
+        if (f.isFile) {
+          zos.putNextEntry(new ZipEntry(prefix + f.getName))
+          val in = new BufferedInputStream(new FileInputStream(f))
+          try {
+            val buf = new Array[Byte](1 << 16)
+            Iterator.continually(in.read(buf)).takeWhile(_ >= 0)
+              .foreach(n => if (n > 0) zos.write(buf, 0, n))
+          } finally in.close()
+          zos.closeEntry()
+        } else Option(f.listFiles()).getOrElse(Array.empty)
+          .foreach(c => add(c, prefix + f.getName + "/"))
+      Option(base.listFiles()).getOrElse(Array.empty).foreach(add(_, ""))
+      zipPath
+    } finally zos.close()
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.Multimodal
+
+/** Multimodal decode plumbing: binary payloads through mapPartitions with
+  * the deterministic stub codec (FIXTURES-independent — exact values).
+  */
+class MultimodalSpec extends SparkSpec {
+
+  test("decodeFeatures produces deterministic features from payload bytes") {
+    import spark.implicits._
+    val assets = Seq(
+      (1L, "abc".getBytes("UTF-8"), "text/plain"),
+      (2L, Array.empty[Byte], "application/octet-stream"))
+      .toDF("asset_id", "payload", "format")
+    val out = Multimodal.decodeFeatures(assets).collect().sortBy(_.asset_id)
+
+    val a = out(0)
+    assert(a.n_bytes == 3)
+    assert(a.width == 16 * (97 + 1)) // 'a' = 0x61 = 97
+    assert(a.height == 9 * (98 + 1)) // 'b' = 0x62 = 98
+    assert(a.mean_byte == (97 + 98 + 99) / 3.0)
+    assert(a.head_hex == "616263")
+
+    val b = out(1)
+    assert(b.n_bytes == 0 && b.width == 16 && b.height == 9 && b.mean_byte == 0.0)
+    assert(b.head_hex == "")
+  }
+
+  test("decode runs distributed over partitions and covers the asset table") {
+    val assets = Multimodal.documentsAsAssets(spark, sfDir).repartition(4)
+    val out = Multimodal.decodeFeatures(assets)
+    assert(out.rdd.getNumPartitions == 4)
+    assert(out.count() == 500)
+  }
+}
