@@ -26,16 +26,24 @@ object Bench {
     catch { case _: Throwable => () }
 
     val headline = SparkEntry.registry.filter(_.bench)
+    // A failed query must be visible in the JSON, not silently summed as a
+    // near-zero elapsed: it reports its elapsed NEGATED (distinguishable from
+    // any success) and lands in the "errors" object; only successes count
+    // toward the headline total.
     val results = headline.map { q =>
       val t0 = System.nanoTime()
-      try q.build(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { q.build(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      val secs = (System.nanoTime() - t0) / 1e9
+      (q.name, if (err.isDefined) -secs else secs, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,11 +37,23 @@ object Tables {
     * sides agree on the value. Integer `div` avoids double-rounding drift.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    // Scope the legacy conf to schema resolution: parquet schema conversion
+    // consults it eagerly inside spark.read.parquet(), and the physical scan
+    // captures its own SQLConf snapshot at planning, so restoring the prior
+    // value here cannot flip an events frame already built — and later reads
+    // of OTHER nanos-typed parquet in the same session fail loudly again.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      spark.read
+        .parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** Oracle-side (DuckDB) equivalent of [[events]]: a derived-table SQL

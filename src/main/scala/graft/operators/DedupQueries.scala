@@ -202,7 +202,8 @@ object DedupQueries {
               |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
               |  ${VectorOps.cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
               |FROM e a JOIN e b ON a.vec_id < b.vec_id
-              |ORDER BY cos DESC, vec_a, vec_b LIMIT 50""".stripMargin)
+              |ORDER BY cos DESC, vec_a, vec_b LIMIT 50""".stripMargin),
+      bench = false // O(n²) verification baseline — the benched scale path is ann_lsh_buckets/ann_ivf_topk
     )
   )
 }

@@ -68,15 +68,15 @@ object EventQueries {
             col("n_events"), col("sum_value"))
           .orderBy("user_id", "session_start"),
       Some(s"""WITH e AS (
-              |  SELECT user_id, ts, value,
+              |  SELECT user_id, ts, event_id, value,
               |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
               |           >= INTERVAL '30 minutes'
               |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               |         THEN 1 ELSE 0 END AS is_new
               |  FROM ${Tables.eventsOracleFrom} e0),
               |s AS (
-              |  SELECT user_id, ts, value,
-              |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              |  SELECT user_id, ts, event_id, value,
+              |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
               |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
               |  FROM e)
               |SELECT user_id, MIN(ts) AS session_start,

@@ -37,11 +37,14 @@ object Sink {
   class ConversionTimeoutException(s: Long)
       extends RuntimeException(s"conversion exceeded $s s")
 
-  private def dirSizeBytes(path: String): Long = {
-    def walk(f: File): Long =
-      if (f.isFile) f.length()
-      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
-    walk(new File(path))
+  /** Input size through Hadoop's FileSystem API so the O10 guard holds on any
+    * scheme (s3a://, hdfs://, file://) — a java.io.File walk would silently
+    * return 0 for non-local URIs and bypass the limit on real deployments.
+    */
+  private def dirSizeBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.getContentSummary(p).getLength
   }
 
   /** Convert one Parquet input to the sink format: guard → normalize →
@@ -54,7 +57,7 @@ object Sink {
       inputPath: String,
       outputDir: String,
       opts: ConvertOptions = ConvertOptions()): ConvertResult = {
-    val sizeBytes = dirSizeBytes(inputPath)
+    val sizeBytes = dirSizeBytes(spark, inputPath)
     if (sizeBytes > (opts.maxInputMb << 20))
       throw new InputTooLargeException(sizeBytes >> 20, opts.maxInputMb)
 
