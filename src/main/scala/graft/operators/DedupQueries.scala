@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GQuery, Tables}
 import graft.functions.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -16,47 +17,67 @@ import org.apache.spark.sql.expressions.Window
   * for small-side verification and as the oracle baseline for the ANN paths
   * (SimilarityQueries).
   *
-  * Hashing parity: md5 is the one hash both engines share, so MinHash uses
-  * lexicographic min over salted md5 hex strings and SimHash derives its 32
-  * bits from md5 nibbles (see Exact.md5Int for the integer variant).
+  * Cost discipline (the round-1 bench showed these dominate): each expensive
+  * subexpression is materialized by its own projection exactly once per row —
+  * `split(text)` before shingling, one `md5` per shingle before min-hashing /
+  * bit-voting, one `array_intersect` per candidate pair. Catalyst's
+  * CollapseProject keeps the stages separate because each alias is referenced
+  * more than once downstream; inlining them (round 1) re-evaluated the split
+  * per lambda element and the md5 up to 32× per shingle.
+  *
+  * Hashing parity: md5 is the one hash both engines share. The k MinHash
+  * values are non-overlapping 4-hex-char windows of the single per-shingle
+  * digest (lexicographic min of hex == numeric min), and SimHash derives its
+  * 32 bits from the same digest's nibbles.
   */
 object DedupQueries {
 
   // ---- shared shingle fragments (word 3-shingles over space tokens) -------
   // Docs have >= 10 tokens at every SF, so the shingle sequence is never
   // empty (Spark `sequence(0, n-3)` would go descending on n < 3).
-  private val shinglesSpark =
-    "array_distinct(transform(sequence(0, size(split(text, ' ')) - 3), " +
-      "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1], ' ', split(text, ' ')[i+2])))"
+  private val shingleExpr =
+    "array_distinct(transform(sequence(0, size(toks) - 3), " +
+      "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"
+
+  /** documents → (doc_id, sh): tokenize once, then shingle from the tokens. */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), expr(shingleExpr).as("sh"))
 
   private val shinglesDuck =
     """t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
       |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t0)""".stripMargin
 
-  // MinHash: k=9 salted-md5 min-hashes, banded 3x3 for LSH.
-  private val K = 9
-  private val BANDS = 3
+  // MinHash: k=8 hashes from non-overlapping 4-hex-char windows of ONE md5
+  // per shingle, banded 4x2 for LSH (threshold ~ (1/4)^(1/2) = 0.5, below the
+  // 0.6 verification cut).
+  private val K = 8
+  private val BANDS = 4
   private val R = K / BANDS
 
-  private def minhashSpark(i: Int) = s"array_min(transform(sh, x -> md5(concat(x, '#$i'))))"
+  private def minhashSpark(i: Int) =
+    s"array_min(transform(shh, h -> substring(h, ${1 + 4 * i}, 4)))"
   private def minhashDuck(i: Int) =
-    s"list_aggregate(list_transform(sh, x -> md5(x || '#$i')), 'min')"
+    s"list_aggregate(list_transform(shh, h -> substring(h, ${1 + 4 * i}, 4)), 'min')"
 
   private def bandSpark(j: Int) =
-    s"md5(concat(${(0 until R).map(r => minhashSpark(j * R + r)).mkString(", ")}))"
+    s"md5(concat(${(0 until R).map(r => s"m${j * R + r}").mkString(", ")}))"
   private def bandDuck(j: Int) =
-    s"md5(${(0 until R).map(r => minhashDuck(j * R + r)).mkString(" || ")})"
+    s"md5(${(0 until R).map(r => s"m${j * R + r}").mkString(" || ")})"
 
-  // SimHash: bit b of the 32-bit signature comes from md5 hex nibble b/4,
-  // bit position 3-(b%4); each shingle votes ±1 per bit.
-  private def voteSpark(b: Int): String = {
-    val p = b / 4; val s = 1 << (3 - b % 4)
-    s"(((locate(substring(md5(x), ${p + 1}, 1), '0123456789abcdef') - 1) div $s) % 2) * 2 - 1"
-  }
+  // SimHash: bit b of the 32-bit signature comes from hex nibble b/4 of the
+  // per-shingle digest `h`, bit position 3-(b%4); each shingle votes ±1.
+  // The nibble value n{p} is decoded once per digest (a projection below);
+  // the four votes it feeds are then pure integer bit math.
+  private def nibbleSpark(p: Int): String =
+    s"locate(substring(h, ${p + 1}, 1), '0123456789abcdef') - 1"
+  private def nibbleDuck(p: Int): String =
+    s"strpos('0123456789abcdef', substring(h, ${p + 1}, 1)) - 1"
   private def voteDuck(b: Int): String = {
     val p = b / 4; val s = 1 << (3 - b % 4)
-    s"(((strpos('0123456789abcdef', substring(md5(x), ${p + 1}, 1)) - 1) // $s) % 2) * 2 - 1"
+    s"((n$p // $s) % 2) * 2 - 1"
   }
 
   val defs: Seq[GQuery] = Seq(
@@ -78,9 +99,11 @@ object DedupQueries {
     GQuery(
       "dedup_minhash_lsh",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-          .select(col("doc_id"), expr(shinglesSpark).as("sh"))
-        val bands = docs.select(
+        val docs = shingled(s, dir)
+        val sig = docs
+          .select(col("doc_id"), expr("transform(sh, x -> md5(x))").as("shh"))
+          .select(col("doc_id") +: (0 until K).map(i => expr(minhashSpark(i)).as(s"m$i")): _*)
+        val bands = sig.select(
           col("doc_id"),
           explode(array((0 until BANDS).map(j =>
             struct(lit(j).as("bi"), expr(bandSpark(j)).as("bh"))): _*)).as("b"))
@@ -94,41 +117,51 @@ object DedupQueries {
         val shA = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
         val shB = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
         cand.join(shA, "doc_a").join(shB, "doc_b")
+          .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
           .withColumn("jac",
-            expr("CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE) / " +
-              "CAST(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)) AS DOUBLE)"))
+            expr("CAST(inter AS DOUBLE) / CAST(size(sh_a) + size(sh_b) - inter AS DOUBLE)"))
           .filter(col("jac") >= 0.6)
           .select("doc_a", "doc_b", "jac")
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""WITH $shinglesDuck,
-              |sig AS (SELECT doc_id, sh,
-              |  ${(0 until BANDS).map(j => s"${bandDuck(j)} AS band_$j").mkString(", ")}
-              |  FROM s),
+              |hh AS (SELECT doc_id, list_transform(sh, x -> md5(x)) AS shh FROM s),
+              |sig AS (SELECT doc_id,
+              |  ${(0 until K).map(i => s"${minhashDuck(i)} AS m$i").mkString(", ")}
+              |  FROM hh),
               |bands AS (${(0 until BANDS)
-                .map(j => s"SELECT doc_id, $j AS bi, band_$j AS bh FROM sig")
+                .map(j => s"SELECT doc_id, $j AS bi, ${bandDuck(j)} AS bh FROM sig")
                 .mkString(" UNION ALL ")}),
               |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-              |  FROM bands x JOIN bands y ON x.bi = y.bi AND x.bh = y.bh AND x.doc_id < y.doc_id)
+              |  FROM bands x JOIN bands y ON x.bi = y.bi AND x.bh = y.bh AND x.doc_id < y.doc_id),
+              |pairs AS (SELECT doc_a, doc_b,
+              |  len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS la, len(b.sh) AS lb
+              |  FROM cand JOIN s a ON a.doc_id = doc_a JOIN s b ON b.doc_id = doc_b)
               |SELECT doc_a, doc_b,
-              |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-              |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jac
-              |FROM cand JOIN s a ON a.doc_id = doc_a JOIN s b ON b.doc_id = doc_b
-              |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-              |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.6
+              |  CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jac
+              |FROM pairs
+              |WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.6
               |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
-    // ---- SimHash signatures (explode → one-pass partial-aggregated votes) --
+    // ---- SimHash signatures (per-row array fold — no explode, no shuffle) --
+    // The whole signature is computed inside one projection chain: hash each
+    // shingle once, decode each hex nibble once into an int array, then fold
+    // the 32 ±1 vote sums per document with `aggregate`. Integer sums are
+    // order-independent, so this matches the oracle's unnest+GROUP BY shape
+    // bit-for-bit while keeping the corpus pass entirely map-side; the only
+    // shuffle left is the (tiny, per-signature) cluster-size window.
     GQuery(
       "dedup_simhash",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-          .select(col("doc_id"), expr(shinglesSpark).as("sh"))
-        val ex = docs.select(col("doc_id"), explode(col("sh")).as("x"))
-        val votes = ex.groupBy("doc_id").agg(
-          sum(expr(voteSpark(0))).as("v0"),
-          (1 until 32).map(b => sum(expr(voteSpark(b))).as(s"v$b")): _*)
+        val nibs = shingled(s, dir)
+          .select(col("doc_id"), expr("transform(sh, x -> md5(x))").as("shh"))
+          .select(col("doc_id") +: (0 until 8).map(p =>
+            expr(s"transform(shh, h -> ${nibbleSpark(p)})").as(s"n$p")): _*)
+        val votes = nibs.select(col("doc_id") +: (0 until 32).map { b =>
+          val p = b / 4; val s2 = 1 << (3 - b % 4)
+          expr(s"aggregate(n$p, CAST(0 AS BIGINT), (acc, n) -> acc + ((n div $s2) % 2) * 2 - 1)").as(s"v$b")
+        }: _*)
         val sigExpr = (0 until 32)
           .map(b => s"CASE WHEN v$b > 0 THEN '1' ELSE '0' END")
           .mkString("concat(", ", ", ")")
@@ -145,7 +178,10 @@ object DedupQueries {
           .mkString("concat(", ", ", ")")
         s"""WITH $shinglesDuck,
            |ex AS (SELECT doc_id, unnest(sh) AS x FROM s),
-           |votes AS (SELECT doc_id, $voteCols FROM ex GROUP BY doc_id),
+           |exh AS (SELECT doc_id, md5(x) AS h FROM ex),
+           |exn AS (SELECT doc_id,
+           |  ${(0 until 8).map(p => s"${nibbleDuck(p)} AS n$p").mkString(", ")} FROM exh),
+           |votes AS (SELECT doc_id, $voteCols FROM exn GROUP BY doc_id),
            |sigs AS (SELECT doc_id, $sigExpr AS simhash FROM votes)
            |SELECT doc_id, simhash,
            |  CAST(COUNT(*) OVER (PARTITION BY simhash) AS BIGINT) AS cluster_size
@@ -154,32 +190,48 @@ object DedupQueries {
     ),
 
     // ---- character 5-gram Jaccard with prefix blocking ----------------------
+    // Candidates-first: pair doc_ids on the cheap 32-char block key alone,
+    // then build the (expensive, ~|text| per row) distinct 5-gram sets ONLY
+    // for docs that survived into a candidate pair (left-semi pushdown). At
+    // fleet scale the feature compute runs over the candidate subset, not the
+    // corpus — the corpus pays one substring + shuffle-by-block.
     GQuery(
       "dedup_ngram_jaccard",
       (s, dir) => {
-        val docs = Tables.documents(s, dir).select(
-          col("doc_id"),
-          substring(col("text"), 1, 32).as("blk"),
-          expr("array_distinct(transform(sequence(1, length(text) - 4), " +
-            "i -> substring(text, i, 5)))").as("ng"))
-        docs.as("a")
-          .join(docs.as("b"), col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-          .select(
-            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            expr("CAST(size(array_intersect(a.ng, b.ng)) AS DOUBLE) / " +
-              "CAST(size(a.ng) + size(b.ng) - size(array_intersect(a.ng, b.ng)) AS DOUBLE)").as("jac"))
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 32).as("blk"), col("text"))
+        val keys = base.select(col("doc_id"), col("blk"))
+        val pairs = keys.as("a")
+          .join(keys.as("b"), col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        val need = pairs.select(col("doc_a").as("doc_id"))
+          .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+        val ngt = base.join(need, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            expr("array_distinct(transform(sequence(1, length(text) - 4), " +
+              "i -> substring(text, i, 5)))").as("ng"))
+        pairs
+          .join(ngt.select(col("doc_id").as("doc_a"), col("ng").as("ng_a")), "doc_a")
+          .join(ngt.select(col("doc_id").as("doc_b"), col("ng").as("ng_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            expr("size(array_intersect(ng_a, ng_b))").as("inter"),
+            expr("size(ng_a) + size(ng_b)").as("stot"))
+          .withColumn("jac",
+            expr("CAST(inter AS DOUBLE) / CAST(stot - inter AS DOUBLE)"))
           .filter(col("jac") >= 0.7)
+          .select("doc_a", "doc_b", "jac")
           .orderBy("doc_a", "doc_b")
       },
       Some("""WITH d AS (SELECT doc_id, substring(text, 1, 32) AS blk,
              |  list_distinct(list_transform(range(1, length(text) - 3),
-             |    i -> substring(text, i, 5))) AS ng FROM documents)
-             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |  CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
-             |  CAST(len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)) AS DOUBLE) AS jac
-             |FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
-             |WHERE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE) /
-             |  CAST(len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)) AS DOUBLE) >= 0.7
+             |    i -> substring(text, i, 5))) AS ng FROM documents),
+             |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  len(list_intersect(a.ng, b.ng)) AS inter, len(a.ng) + len(b.ng) AS stot
+             |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b,
+             |  CAST(inter AS DOUBLE) / CAST(stot - inter AS DOUBLE) AS jac
+             |FROM pairs
+             |WHERE CAST(inter AS DOUBLE) / CAST(stot - inter AS DOUBLE) >= 0.7
              |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
