@@ -18,17 +18,24 @@ import graft.Tables
   */
 object VectorOps {
 
-  /** Spark-side: embeddings with the vector as Array[Double] plus its norm. */
-  def normalized(spark: SparkSession, dir: String): DataFrame =
+  /** Spark-side: embeddings with the vector as Array[Double] plus its norm.
+    * Registers [[DotProduct]] first — every vector query chains from here, so
+    * downstream `expr("graft_dot(...)")` always resolves.
+    */
+  def normalized(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     Tables.embeddings(spark, dir)
       .select(
         col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr(s"sqrt(${dotExpr("v", "v")})"))
+  }
 
-  /** Spark SQL fragment: sequential-fold dot product of two array columns. */
-  def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"
+  /** Spark SQL fragment: sequential-fold dot product of two array columns
+    * (the codegen'd [[DotProduct]] expression — same fold order as the
+    * composable `aggregate(zip_with(...))` form it replaced).
+    */
+  def dotExpr(a: String, b: String): String = s"graft_dot($a, $b)"
 
   def cosCol(a: String, b: String, nrmA: String, nrmB: String): Column =
     expr(s"${dotExpr(a, b)} / ($nrmA * $nrmB)")

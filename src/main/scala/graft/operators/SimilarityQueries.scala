@@ -52,7 +52,7 @@ object SimilarityQueries {
     planeWeights(p, DIMS).map(w => s"CAST($w AS DOUBLE)").mkString("[", ", ", "]")
 
   private def projSpark(p: Int): String =
-    s"aggregate(zip_with(v, ${weightsArraySpark(p)}, (x, w) -> x * w), CAST(0 AS DOUBLE), (acc, t) -> acc + t)"
+    s"graft_dot(v, ${weightsArraySpark(p)})"
   private def projDuck(p: Int): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> v[i] * (${weightsArrayDuck(p)})[i])), (acc, t) -> acc + t)"
 
