@@ -1,0 +1,288 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import graft.functions.Exact._
+import org.apache.spark.sql.functions._
+
+/** Second-wave relational operators (round 2): pivot/unpivot, grouping sets
+  * and scalar subqueries through the SQL entry point, exact percentiles,
+  * min_by/max_by, deterministic hash sampling, TPC-H-style multi-join
+  * analytics, skew-salted joins, conditional aggregation, and array
+  * aggregation.
+  *
+  * Scale notes (100 TB): the multi-join queries broadcast every dimension
+  * side explicitly and leave fact⋈fact to sort-merge + AQE; the salted join
+  * demonstrates the standard hot-key mitigation (explode the build side by a
+  * salt factor so one skewed key spreads over SALT reducers) while producing
+  * results identical to the plain join, which is exactly what its oracle
+  * checks. Sampling is a deterministic hash filter — it pushes to the scan,
+  * needs no shuffle and no RNG state, and picks the same rows on any cluster
+  * topology (Spark sample() would not be oracle-checkable).
+  */
+object AdvancedQueries {
+
+  private val SALT = 8
+
+  /** Deterministic total-order sort key for min_by/max_by: cents * 10^10 +
+    * orderkey fits a BIGINT up to ~9e8 orders at cent precision (DuckDB
+    * arg_max can't order by a struct, so ties must fold into one scalar).
+    */
+  private val orderSortKey =
+    "CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey"
+
+  /** Dual-engine SQL (runs verbatim on Spark SQL and DuckDB). */
+  private val groupingSetsSql: String =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS pri,
+       |$countStarSql AS n, ${sumMoneySql("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       |ORDER BY st, pri""".stripMargin
+
+  private val scalarSubquerySql: String =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       |WHERE o_totalprice > 1.5 * (SELECT ${avgGridSql("o_totalprice", 100L)} FROM orders)
+       |ORDER BY o_orderkey""".stripMargin
+
+  val defs: Seq[GQuery] = Seq(
+
+    // ---- pivot: one row per priority, one count column per status ----------
+    GQuery(
+      "q_pivot",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P")) // explicit values: no discovery job
+          .agg(count(lit(1)))
+          .select(
+            col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("n_f"),
+            coalesce(col("O"), lit(0L)).as("n_o"),
+            coalesce(col("P"), lit(0L)).as("n_p"))
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+             |CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+             |CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // ---- unpivot (melt wide metrics to long) --------------------------------
+    GQuery(
+      "q_unpivot",
+      (s, dir) =>
+        Tables.part(s, dir)
+          .select(
+            col("p_partkey"),
+            col("p_size").cast("double").as("size"),
+            col("p_retailprice").as("retailprice"))
+          .unpivot(
+            Array(col("p_partkey")),
+            Array(col("size"), col("retailprice")),
+            "metric", "val")
+          .orderBy("p_partkey", "metric"),
+      Some("""SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+             |UNION ALL
+             |SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val FROM part
+             |ORDER BY p_partkey, metric""".stripMargin)
+    ),
+
+    // ---- explicit grouping sets via the SQL entry point ---------------------
+    // The same ANSI text runs verbatim on both engines — exercising
+    // spark.sql() + temp-view catalog as an API surface of its own.
+    GQuery(
+      "q_grouping_sets",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        s.sql(groupingSetsSql)
+      },
+      Some(groupingSetsSql)
+    ),
+
+    // ---- uncorrelated scalar subquery ---------------------------------------
+    GQuery(
+      "q_scalar_subquery",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        s.sql(scalarSubquerySql)
+      },
+      Some(scalarSubquerySql)
+    ),
+
+    // ---- exact interpolated percentiles -------------------------------------
+    // Grid-snapped to cents first: endpoints are then integer-valued doubles
+    // and the interpolation fractions are {0, .25, .5, .75}, so every product
+    // is exact and Spark `percentile` == DuckDB `quantile_cont` bit-for-bit
+    // regardless of each engine's interpolation formula shape.
+    GQuery(
+      "q_percentiles",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            (expr(s"percentile(${gridSql("l_quantity", 100L)}, 0.25)") / 100.0).as("p25"),
+            (expr(s"percentile(${gridSql("l_quantity", 100L)}, 0.50)") / 100.0).as("p50"),
+            (expr(s"percentile(${gridSql("l_quantity", 100L)}, 0.75)") / 100.0).as("p75"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+              |quantile_cont(${gridSql("l_quantity", 100L)}, 0.25)/100.0 AS p25,
+              |quantile_cont(${gridSql("l_quantity", 100L)}, 0.50)/100.0 AS p50,
+              |quantile_cont(${gridSql("l_quantity", 100L)}, 0.75)/100.0 AS p75,
+              |$countStarSql AS n
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // ---- min_by / max_by with a deterministic composite key -----------------
+    GQuery(
+      "q_minmax_by",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy("o_orderstatus")
+          .agg(
+            expr(s"max_by(o_orderkey, $orderSortKey)").as("max_order"),
+            expr(s"min_by(o_orderkey, $orderSortKey)").as("min_order"),
+            (max(grid(col("o_totalprice"), 100L)).cast("double") / 100.0).as("max_price"),
+            (min(grid(col("o_totalprice"), 100L)).cast("double") / 100.0).as("min_price"))
+          .orderBy("o_orderstatus"),
+      Some(s"""SELECT o_orderstatus,
+              |arg_max(o_orderkey, $orderSortKey) AS max_order,
+              |arg_min(o_orderkey, $orderSortKey) AS min_order,
+              |CAST(MAX(${gridSql("o_totalprice", 100L)}) AS DOUBLE)/100.0 AS max_price,
+              |CAST(MIN(${gridSql("o_totalprice", 100L)}) AS DOUBLE)/100.0 AS min_price
+              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    ),
+
+    // ---- deterministic 1-in-10 hash sample ----------------------------------
+    GQuery(
+      "q_sample_hash",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .filter(pmod(md5Int(col("o_orderkey").cast("string")), lit(10)) === 0)
+          .agg(count(lit(1)).as("n_sampled"), sumMoney(col("o_totalprice")).as("sum_price")),
+      Some(s"""SELECT $countStarSql AS n_sampled, ${sumMoneySql("o_totalprice")} AS sum_price
+              |FROM orders WHERE ${md5IntSql("CAST(o_orderkey AS VARCHAR)")} % 10 = 0""".stripMargin)
+    ),
+
+    // ---- TPC-H Q3 flavor: shipping-priority top revenue ----------------------
+    GQuery(
+      "q_tpch_q3",
+      (s, dir) => {
+        val c = broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"))
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+        val l = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy("l_orderkey", "o_orderdate")
+          .agg(sumGrid(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, o_orderdate,
+              |${sumGridSql("l_extendedprice*(1.0-l_discount)", 10000L)} AS revenue
+              |FROM customer JOIN orders ON c_custkey = o_custkey
+              |JOIN lineitem ON o_orderkey = l_orderkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |AND o_orderdate < TIMESTAMP '1995-03-15'
+              |AND l_shipdate > TIMESTAMP '1995-03-15'
+              |GROUP BY l_orderkey, o_orderdate
+              |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin)
+    ),
+
+    // ---- TPC-H Q5 flavor: 6-way join, local supplier volume ------------------
+    GQuery(
+      "q_tpch_q5",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        val l = Tables.lineitem(s, dir)
+        val sup = broadcast(Tables.supplier(s, dir))
+        val n = broadcast(Tables.nation(s, dir))
+        val r = broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA"))
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .join(sup, l("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
+          .join(n, sup("s_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sumGrid(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name,
+              |${sumGridSql("l_extendedprice*(1.0-l_discount)", 10000L)} AS revenue
+              |FROM customer JOIN orders ON c_custkey = o_custkey
+              |JOIN lineitem ON o_orderkey = l_orderkey
+              |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              |JOIN nation ON s_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |WHERE r_name = 'ASIA'
+              |AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+    ),
+
+    // ---- skew-salted join (same answer as the plain join it mitigates) -------
+    GQuery(
+      "q_join_salted",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+          .withColumn("salt", pmod(col("l_orderkey") + col("l_linenumber"), lit(SALT)))
+        val o = Tables.orders(s, dir)
+          .withColumn("salt", explode(array((0 until SALT).map(i => lit(i)): _*)))
+        o.join(l, o("o_orderkey") === l("l_orderkey") && o("salt") === l("salt"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"), sumGrid(col("l_extendedprice"), 100L).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, $countStarSql AS n_items,
+              |${sumGridSql("l_extendedprice", 100L)} AS sum_price
+              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // ---- conditional (filtered) aggregation ----------------------------------
+    GQuery(
+      "q_conditional_agg",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            count(when(col("l_quantity") > 25, 1)).as("n_heavy"),
+            count(when(col("l_discount") >= 0.05, 1)).as("n_discounted"),
+            sumGrid(when(col("l_discount") >= 0.05, col("l_extendedprice")).otherwise(lit(0.0)), 100L)
+              .as("disc_rev"),
+            (max(when(col("l_quantity") > 25, grid(col("l_extendedprice"), 100L)))
+              .cast("double") / 100.0).as("max_heavy_price"))
+          .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+              |CAST(COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS BIGINT) AS n_heavy,
+              |CAST(COUNT(CASE WHEN l_discount >= 0.05 THEN 1 END) AS BIGINT) AS n_discounted,
+              |${sumGridSql("CASE WHEN l_discount >= 0.05 THEN l_extendedprice ELSE 0 END", 100L)} AS disc_rev,
+              |CAST(MAX(CASE WHEN l_quantity > 25 THEN ${gridSql("l_extendedprice", 100L)} END) AS DOUBLE)/100.0
+              |  AS max_heavy_price
+              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    ),
+
+    // ---- array aggregation (order-canonicalized for the hash compare) --------
+    GQuery(
+      "q_array_agg",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") <= 100)
+          .groupBy("l_orderkey")
+          .agg(
+            concat_ws(",", sort_array(collect_list(col("l_linenumber").cast("string"))))
+              .as("linenums"),
+            concat_ws(",", sort_array(collect_set(col("l_returnflag")))).as("flags"),
+            count(lit(1)).as("n"))
+          .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+             |array_to_string(list_sort(list_transform(list(l_linenumber), x -> CAST(x AS VARCHAR))), ',') AS linenums,
+             |array_to_string(list_sort(list_distinct(list(l_returnflag))), ',') AS flags,
+             |CAST(COUNT(*) AS BIGINT) AS n
+             |FROM lineitem WHERE l_orderkey <= 100
+             |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+    )
+  )
+}

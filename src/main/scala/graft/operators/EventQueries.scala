@@ -83,6 +83,55 @@ object EventQueries {
               |MAX(ts) + INTERVAL '30 minutes' AS session_end,
               |$countStarSql AS n_events, ${sumMoneySql("value")} AS sum_value
               |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)
+    ),
+
+    GQuery(
+      // Funnel: users whose first view precedes their first click precedes
+      // their first purchase. One hash-agg pass (conditional MIN per stage),
+      // no self-joins — at scale this is a single shuffle on user_id with
+      // map-side partial MINs.
+      "q_events_funnel",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+            min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+          .filter(col("t_view") < col("t_click") && col("t_click") < col("t_purchase"))
+          .orderBy("user_id"),
+      Some(s"""WITH f AS (SELECT user_id,
+              |  MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+              |  MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+              |  MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+              |  FROM ${Tables.eventsOracleFrom} e GROUP BY user_id)
+              |SELECT user_id, t_view, t_click, t_purchase FROM f
+              |WHERE t_view < t_click AND t_click < t_purchase
+              |ORDER BY user_id""".stripMargin)
+    ),
+
+    GQuery(
+      // Day-over-day retention: users active on day d who return on d+1.
+      // distinct (user, day) first — the self-join then runs on the reduced
+      // activity table, shuffled once by user_id.
+      "q_events_retention",
+      (s, dir) => {
+        val days = Tables.events(s, dir)
+          .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .distinct()
+        days.as("a")
+          .join(days.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("b.day") === col("a.day") + expr("INTERVAL 1 DAY"))
+          .groupBy(col("a.day").as("day"))
+          .agg(countDistinct(col("a.user_id")).as("retained"))
+          .orderBy("day")
+      },
+      Some(s"""WITH d AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+              |  FROM ${Tables.eventsOracleFrom} e)
+              |SELECT a.day AS day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS retained
+              |FROM d a JOIN d b ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+              |GROUP BY a.day ORDER BY day""".stripMargin)
     )
   )
 }

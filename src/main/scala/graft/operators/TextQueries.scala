@@ -151,6 +151,44 @@ object TextQueries {
               |    list_transform($toksSql, t -> ${md5IntSql("t")})),
               |  (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
               |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    GQuery(
+      // Per-doc top term by a rational tf-idf variant: score = tf * N / df.
+      // Avoiding ln() keeps the score an exact small-integer product/quotient
+      // — both engines' libm log() could differ in the last ulp and flip
+      // ranks. Classic two-pass shape: tf shuffles by (doc, token), df by
+      // token with map-side combine; the doc-count scalar is broadcast.
+      "text_top_terms",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toks = docs.select(col("doc_id"), explode(expr(toksCol)).as("token"))
+        val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df = toks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+        val nd = docs.agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+        tf.join(df, "token").crossJoin(broadcast(nd))
+          .withColumn("score",
+            col("tf").cast("double") * col("n_docs").cast("double") / col("df").cast("double"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("token").as("top_token"), col("score"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+              |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+              |  FROM tk GROUP BY doc_id, token),
+              |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+              |  FROM (SELECT DISTINCT doc_id, token FROM tk) GROUP BY token),
+              |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+              |sc AS (SELECT tf.doc_id, tf.token,
+              |  CAST(tf.tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+              |  FROM tf JOIN df USING (token) CROSS JOIN nd),
+              |r AS (SELECT doc_id, token, score,
+              |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn FROM sc)
+              |SELECT doc_id, token AS top_token, score FROM r WHERE rn = 1
+              |ORDER BY doc_id""".stripMargin)
     )
   )
 }
