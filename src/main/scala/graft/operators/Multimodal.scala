@@ -75,6 +75,37 @@ object Multimodal {
       }
   }
 
+  /** One sampled "frame" of a media payload. With a real codec, frames come
+    * from the container's frame index; the stub slices the byte stream.
+    */
+  case class Frame(asset_id: Long, frame_idx: Int, n_bytes: Long, frame_hash: String)
+
+  /** Frame sampling: split each payload into fixed-size chunks and keep every
+    * `stride`-th one — the video-pipeline shape (decode container → sample
+    * frames → per-frame features). A flatMap generator, so output cardinality
+    * is data-dependent and the work stays fully partition-parallel; frames
+    * re-join to their asset by id. Hashing is per-frame md5 (hex), matching
+    * the engine's cross-engine hash primitive.
+    */
+  def sampleFrames(assets: DataFrame, frameSize: Int = 256, stride: Int = 2): Dataset[Frame] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(
+        col("asset_id").cast("long"),
+        col("payload").cast("binary"),
+        col("format").cast("string"))
+      .as[Asset]
+      .flatMap { a =>
+        val md = java.security.MessageDigest.getInstance("MD5") // per-asset init, reused across its frames
+        a.payload.grouped(frameSize).zipWithIndex.collect {
+          case (chunk, i) if i % stride == 0 =>
+            Frame(a.asset_id, i, chunk.length.toLong,
+              md.digest(chunk).map(b => f"$b%02x").mkString)
+        }
+      }
+  }
+
   /** Wrap `documents` as a fake asset table (text bytes as payload) — the
     * test-data stand-in for a real media table.
     */

@@ -42,6 +42,18 @@ object MultimodalQueries {
           .toDF()
           .orderBy("asset_id"),
       None
+    ),
+
+    // Frame sampling (video-pipeline shape): payload → strided fixed-size
+    // chunks via flatMap. No SQL oracle (byte-slicing a BLOB isn't portably
+    // expressible); deterministic values asserted in MultimodalSpec.
+    GQuery(
+      "multimodal_frames",
+      (s, dir) =>
+        Multimodal.sampleFrames(Multimodal.documentsAsAssets(s, dir))
+          .toDF()
+          .orderBy("asset_id", "frame_idx"),
+      None
     )
   )
 }

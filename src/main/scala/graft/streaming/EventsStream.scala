@@ -52,20 +52,72 @@ object EventsStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour_start"), col("event_type"), col("n"))
 
+  /** Streaming sessionization: the same `session_window` call as the batch
+    * `q_events_session` query (which hash-matches the DuckDB oracle), run
+    * incrementally with merging session state per user.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** Streaming exact dedup: watermarked dropDuplicates on the event key.
+    * This is the streaming face of dedup_exact — state holds one entry per
+    * key inside the watermark horizon, so memory is bounded by churn, not by
+    * stream length. (A training-data ingest pipeline runs exactly this shape
+    * to make document ingestion idempotent.)
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  /** Custom incremental state via mapGroupsWithState: per-user running event
+    * count and last-seen timestamp — the escape hatch for state machines that
+    * windowed aggregation can't express (builder mandate §2.9). State is one
+    * (count, lastTs) pair per user: O(users), not O(events).
+    */
+  def userRunningCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    events
+      .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long])
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          val (n0, last0) = state.getOption.getOrElse((0L, Long.MinValue))
+          var n = n0
+          var last = last0
+          rows.foreach { case (_, ts) => n += 1; if (ts > last) last = ts }
+          state.update((n, last))
+          (user, n, last)
+      }
+      .toDF("user_id", "n_events", "last_ts_us")
+  }
+
   /** Drain the whole (bounded) source once with Trigger.AvailableNow into an
     * in-memory sink and return the materialized result — the test harness
-    * for the streaming path. `complete` output mode because watermark-close
-    * semantics on a bounded replay would hold back the final windows.
+    * for the streaming paths. `complete`/`update` output modes because
+    * watermark-close semantics on a bounded replay would hold back the final
+    * windows.
     */
-  def runTumblingOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
-    val q = tumblingCounts(readEvents(spark, dir))
-      .writeStream
+  def runOnce(result: DataFrame, queryName: String, mode: String): DataFrame = {
+    val spark = result.sparkSession
+    val q = result.writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  def runTumblingOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    runOnce(tumblingCounts(readEvents(spark, dir)), queryName, "complete")
 }

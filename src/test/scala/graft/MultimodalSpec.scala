@@ -33,4 +33,25 @@ class MultimodalSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions == 4)
     assert(out.count() == 500)
   }
+
+  test("sampleFrames slices payloads deterministically with stride") {
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](600)(i => (i % 251).toByte) // 3 chunks of 256/256/88
+    val assets = Seq((7L, payload, "video/fake")).toDF("asset_id", "payload", "format")
+    val frames = Multimodal.sampleFrames(assets, frameSize = 256, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    // chunks 0,1,2 exist; stride 2 keeps 0 and 2
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(frames.map(_.n_bytes).toSeq == Seq(256L, 88L))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected0 = md.digest(payload.take(256)).map(b => f"$b%02x").mkString
+    assert(frames(0).frame_hash == expected0)
+  }
+
+  test("sampleFrames over the asset table keeps every frame joinable by id") {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.documentsAsAssets(spark, sfDir), frameSize = 64, stride = 2)
+    val perAsset = frames.groupBy("asset_id").count()
+    assert(perAsset.count() == 500) // every asset produced >= 1 sampled frame
+  }
 }

@@ -22,4 +22,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("streaming session windows equal batch session windows") {
+    val streamed = EventsStream.runOnce(
+      EventsStream.sessionCounts(EventsStream.readEvents(spark, sfDir)),
+      "stream_session_test", "complete")
+      .orderBy("user_id", "session_start")
+      .collect()
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
+      .orderBy("user_id", "session_start")
+      .collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("streaming dropDuplicates removes repeated keys within the watermark") {
+    val deduped = EventsStream.runOnce(
+      EventsStream.dedupedEvents(EventsStream.readEvents(spark, sfDir)),
+      "stream_dedup_test", "append")
+    val batchDistinct = Tables.events(spark, sfDir)
+      .select("event_id").distinct().count()
+    assert(deduped.count() == batchDistinct)
+  }
+
+  test("mapGroupsWithState running counts equal batch per-user counts") {
+    val streamed = EventsStream.runOnce(
+      EventsStream.userRunningCounts(EventsStream.readEvents(spark, sfDir)),
+      "stream_state_test", "update")
+      .orderBy("user_id")
+      .collect()
+    val batch = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max(unix_micros(col("ts"))).as("last_ts_us"))
+      .orderBy("user_id")
+      .collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
