@@ -42,6 +42,12 @@ object AdvancedQueries {
        |WHERE o_totalprice > 1.5 * (SELECT ${avgGridSql("o_totalprice", 100L)} FROM orders)
        |ORDER BY o_orderkey""".stripMargin
 
+  private val correlatedSubquerySql: String =
+    """SELECT p_partkey, p_brand, p_retailprice FROM part p
+      |WHERE p_retailprice = (SELECT MAX(p2.p_retailprice) FROM part p2
+      |                       WHERE p2.p_brand = p.p_brand)
+      |ORDER BY p_partkey""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
 
     // ---- pivot: one row per priority, one count column per status ----------
@@ -105,6 +111,18 @@ object AdvancedQueries {
         s.sql(scalarSubquerySql)
       },
       Some(scalarSubquerySql)
+    ),
+
+    // ---- correlated scalar subquery (Catalyst rewrites to a left outer
+    // aggregate join; double equality is safe — both sides compare the exact
+    // stored parquet value against a MAX of such values) ---------------------
+    GQuery(
+      "q_correlated_subquery",
+      (s, dir) => {
+        Tables.part(s, dir).createOrReplaceTempView("part")
+        s.sql(correlatedSubquerySql)
+      },
+      Some(correlatedSubquerySql)
     ),
 
     // ---- exact interpolated percentiles -------------------------------------

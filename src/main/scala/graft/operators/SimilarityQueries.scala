@@ -150,6 +150,45 @@ object SimilarityQueries {
               |ORDER BY q_id, rank""".stripMargin)
     ),
 
+    // ---- embedding near-dup at scale: LSH bucket equi-join → exact cosine ---
+    // The scale path for dedup_embedding_pairs: candidates come from an
+    // equi-join on a 4-bit hyperplane signature (similar vectors collide),
+    // so the pair space is the sum of per-bucket squares, not n²; only
+    // candidates pay the exact graft_dot re-rank, and the top pairs by
+    // cosine surface as near-dup suspects. (The synthetic embeddings are
+    // near-random — max pairwise cos ≈ 0.5 — so a top-k report is the
+    // honest output; a fixed threshold would select nothing or noise.)
+    GQuery(
+      "dedup_embedding_lsh",
+      (s, dir) => {
+        val e = VectorOps.normalized(s, dir)
+        val sigExpr = (0 until 4)
+          .map(p => s"CASE WHEN ${projSpark(p)} > 0 THEN '1' ELSE '0' END")
+          .mkString("concat(", ", ", ")")
+        val sig = e.select(col("vec_id"), col("v"), col("nrm"), expr(sigExpr).as("bucket"))
+        sig.as("a")
+          .join(sig.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+          .select(
+            col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            VectorOps.cosCol("a.v", "b.v", "a.nrm", "b.nrm").as("cos"))
+          .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+          .limit(20)
+      },
+      Some {
+        val sigExpr = (0 until 4)
+          .map(p => s"CASE WHEN ${projDuck(p)} > 0 THEN '1' ELSE '0' END")
+          .mkString("concat(", ", ", ")")
+        s"""WITH ${VectorOps.normalizedSql},
+           |sig AS (SELECT vec_id, v, nrm, $sigExpr AS bucket FROM e),
+           |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |  ${VectorOps.cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
+           |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+           |SELECT vec_a, vec_b, cos FROM pairs
+           |ORDER BY cos DESC, vec_a, vec_b LIMIT 20""".stripMargin
+      }
+    ),
+
     // ---- random-hyperplane LSH bucketing ------------------------------------
     GQuery(
       "ann_lsh_buckets",
