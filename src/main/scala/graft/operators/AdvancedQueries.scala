@@ -48,6 +48,11 @@ object AdvancedQueries {
       |                       WHERE p2.p_brand = p.p_brand)
       |ORDER BY p_partkey""".stripMargin
 
+  private val inSubquerySql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
 
     // ---- pivot: one row per priority, one count column per status ----------
@@ -123,6 +128,42 @@ object AdvancedQueries {
         s.sql(correlatedSubquerySql)
       },
       Some(correlatedSubquerySql)
+    ),
+
+    // ---- IN subquery (plans as a left-semi join) ----------------------------
+    GQuery(
+      "q_in_subquery",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        Tables.customer(s, dir).createOrReplaceTempView("customer")
+        s.sql(inSubquerySql)
+      },
+      Some(inSubquerySql)
+    ),
+
+    // ---- event-time range window frame (trailing 7-day spend per customer) --
+    // Both engines order by integer epoch seconds (floored from µs), so the
+    // frame boundary arithmetic is exact; ties inside one second all fall in
+    // each other's range frame, making the sum order-independent.
+    GQuery(
+      "q_window_range",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").cast("timestamp").cast("long")) // NTZ→LTZ is identity under the UTC session tz
+          .rangeBetween(-7L * 86400, 0)
+        Tables.orders(s, dir)
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            (sum(grid(col("o_totalprice"), 100L)).over(w).cast("double") / 100.0)
+              .as("spend_7d"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some(s"""SELECT o_custkey, o_orderkey, o_orderdate,
+              |CAST(SUM(${gridSql("o_totalprice", 100L)}) OVER (PARTITION BY o_custkey
+              |  ORDER BY epoch_us(o_orderdate) // 1000000
+              |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0 AS spend_7d
+              |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
     ),
 
     // ---- exact interpolated percentiles -------------------------------------

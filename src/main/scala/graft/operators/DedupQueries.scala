@@ -39,11 +39,17 @@ object DedupQueries {
     "array_distinct(transform(sequence(0, size(toks) - 3), " +
       "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"
 
-  /** documents → (doc_id, sh): tokenize once, then shingle from the tokens. */
-  private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  /** docs (needs doc_id, text) → (doc_id, sh): tokenize once, then shingle
+    * from the tokens. Takes the frame so callers can pre-filter the corpus
+    * before the shingle compute.
+    */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), expr(shingleExpr).as("sh"))
+
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    shingled(Tables.documents(s, dir))
 
   private val shinglesDuck =
     """t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -108,14 +114,26 @@ object DedupQueries {
           explode(array((0 until BANDS).map(j =>
             struct(lit(j).as("bi"), expr(bandSpark(j)).as("bh"))): _*)).as("b"))
           .select(col("doc_id"), col("b.bi").as("bi"), col("b.bh").as("bh"))
+        // localCheckpoint materializes the (tiny) candidate set once: the
+        // corpus-wide band join runs a single time instead of once per
+        // downstream branch — the "persist the survivors" step of a real
+        // dedup pipeline.
         val cand = bands.as("x")
           .join(bands.as("y"),
             col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh") &&
               col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
           .distinct()
-        val shA = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-        val shB = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+          .localCheckpoint()
+        // candidates-first: re-derive shingles only for docs that appear in
+        // a candidate pair (the corpus-wide pass above fed the bands; the
+        // exact-Jaccard verification touches just the survivors)
+        val need = cand.select(col("doc_a").as("doc_id"))
+          .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+        val shNeed = shingled(
+          Tables.documents(s, dir).join(need, Seq("doc_id"), "left_semi"))
+        val shA = shNeed.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val shB = shNeed.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
         cand.join(shA, "doc_a").join(shB, "doc_b")
           .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
           .withColumn("jac",

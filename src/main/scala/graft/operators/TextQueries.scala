@@ -163,8 +163,12 @@ object TextQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val toks = docs.select(col("doc_id"), explode(expr(toksCol)).as("token"))
+        // df derives from tf (already one row per (doc, token)) — the corpus
+        // is exploded and shuffled once, not twice; localCheckpoint stops the
+        // tf subtree re-running for the df branch and the final join
         val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        val df = toks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+          .localCheckpoint()
+        val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
         val nd = docs.agg(count(lit(1)).as("n_docs"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("score").desc, col("token"))
@@ -179,8 +183,7 @@ object TextQueries {
       Some(s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
               |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
               |  FROM tk GROUP BY doc_id, token),
-              |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
-              |  FROM (SELECT DISTINCT doc_id, token FROM tk) GROUP BY token),
+              |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
               |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
               |sc AS (SELECT tf.doc_id, tf.token,
               |  CAST(tf.tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
