@@ -323,6 +323,69 @@ object AdvancedQueries {
               |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
 
+    // ---- exact second moments: mean/variance/stddev from integer sums -------
+    // Built-in var_samp/stddev differ across engines (Welford vs textbook
+    // accumulation order), so both sides aggregate exact integer s1/s2/n on
+    // the cent grid and apply the SAME double expression tree; every double
+    // op (and sqrt) is correctly rounded, so results are bit-identical.
+    GQuery(
+      "q_stats_exact",
+      (s, dir) => {
+        val c = grid(col("l_quantity"), 100L)
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(sum(c).as("s1"), sum(c * c).as("s2"), count(lit(1)).as("n"))
+          .select(
+            col("l_returnflag"),
+            (col("s1").cast("double") / col("n").cast("double") / 100.0).as("mean_qty"),
+            (((col("s2").cast("double") -
+              col("s1").cast("double") * col("s1").cast("double") / col("n").cast("double")) /
+              (col("n") - 1).cast("double")) / 10000.0).as("var_qty"),
+            (sqrt((col("s2").cast("double") -
+              col("s1").cast("double") * col("s1").cast("double") / col("n").cast("double")) /
+              (col("n") - 1).cast("double")) / 100.0).as("stddev_qty"),
+            col("n"))
+          .orderBy("l_returnflag")
+      },
+      Some {
+        val g = gridSql("l_quantity", 100L)
+        s"""WITH m AS (SELECT l_returnflag,
+           |  CAST(SUM($g) AS BIGINT) AS s1,
+           |  CAST(SUM($g * $g) AS BIGINT) AS s2,
+           |  $countStarSql AS n
+           |  FROM lineitem GROUP BY l_returnflag)
+           |SELECT l_returnflag,
+           |  CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE)/100.0 AS mean_qty,
+           |  ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))
+           |    /CAST(n - 1 AS DOUBLE))/10000.0 AS var_qty,
+           |  sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))
+           |    /CAST(n - 1 AS DOUBLE))/100.0 AS stddev_qty,
+           |  n
+           |FROM m ORDER BY l_returnflag""".stripMargin
+      }
+    ),
+
+    // ---- custom typed Aggregator: bounded top-k ids per group ---------------
+    // Same answer as a window row_number() <= 3 plan, but the UDAF keeps at
+    // most k pairs per partial buffer — O(k) state and shuffle per group.
+    GQuery(
+      "q_topk_aggregator",
+      (s, dir) => {
+        val top3 = udaf(graft.functions.TopKAgg(3))
+        Tables.orders(s, dir)
+          .groupBy("o_orderpriority")
+          .agg(top3(grid(col("o_totalprice"), 100L), col("o_orderkey")).as("top3_orders"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""WITH r AS (SELECT o_orderpriority, o_orderkey,
+              |  row_number() OVER (PARTITION BY o_orderpriority
+              |    ORDER BY ${gridSql("o_totalprice", 100L)} DESC, o_orderkey) AS rn
+              |  FROM orders)
+              |SELECT o_orderpriority,
+              |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn) AS top3_orders
+              |FROM r WHERE rn <= 3 GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
     // ---- array aggregation (order-canonicalized for the hash compare) --------
     GQuery(
       "q_array_agg",
