@@ -100,6 +100,55 @@ object Sink {
       .option("batchsize", batchSize)
       .option("isolationLevel", "NONE")
 
+  /** Incremental partitioned load with dynamic partition overwrite: only the
+    * partitions present in `df` are replaced; the rest of the table is
+    * untouched. This is the idempotent-retry shape of a fleet-scale ETL —
+    * reprocessing one day/status re-writes exactly that directory.
+    */
+  def writePartitioned(df: DataFrame, outputPath: String, partitionCol: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try Convert.pipeline(df).write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(outputPath)
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes / targetMb) files, optionally sorted so min/max row-group
+    * stats tighten for later predicate pushdown. The standard maintenance
+    * pass after high-frequency incremental appends — at 100 TB, scan cost is
+    * dominated by file count and stats quality, not raw bytes.
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetMb: Int = 128,
+      sortCols: Seq[String] = Nil): Long = {
+    val bytes = dirSizeBytes(spark, path)
+    val nFiles = math.max(1L, (bytes + (targetMb.toLong << 20) - 1) / (targetMb.toLong << 20))
+    val df = spark.read.parquet(path)
+    val arranged =
+      if (sortCols.nonEmpty)
+        df.repartition(nFiles.toInt)
+          .sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(nFiles.toInt)
+    val tmp = s"$path.compact-tmp"
+    arranged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // atomic-ish swap via rename (same filesystem)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    nFiles
+  }
+
   /** O11: DEFLATE the sink output, streamed file-by-file (app.py:54-65). */
   def zipDirectory(dir: String, zipPath: String): String = {
     val zos = new ZipOutputStream(new FileOutputStream(zipPath))

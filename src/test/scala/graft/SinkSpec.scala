@@ -41,4 +41,35 @@ class SinkSpec extends SparkSpec {
     // plan-level check only — no JDBC driver in the offline image
     assert(w != null)
   }
+
+  test("writePartitioned overwrites only the partitions present in the frame") {
+    import org.apache.spark.sql.functions._
+    val out = s"${Files.createTempDirectory("graft-dyn").toString}/orders"
+    val orders = Tables.orders(spark, sfDir)
+    Sink.writePartitioned(orders, out, "o_orderstatus")
+    val full = spark.read.parquet(out).count()
+    assert(full == orders.count())
+
+    // re-write ONLY the F partition with a filtered slice; O and P survive
+    val fOnly = orders.filter(col("o_orderstatus") === "F").limit(10)
+    Sink.writePartitioned(fOnly, out, "o_orderstatus")
+    val after = spark.read.parquet(out)
+    assert(after.filter(col("o_orderstatus") === "F").count() == 10)
+    assert(after.filter(col("o_orderstatus") =!= "F").count() ==
+      orders.filter(col("o_orderstatus") =!= "F").count())
+  }
+
+  test("compact rewrites many small files into the target count, data intact") {
+    val dir = s"${Files.createTempDirectory("graft-compact").toString}/li"
+    val li = Tables.lineitem(spark, sfDir)
+    li.repartition(16).write.parquet(dir)
+    def files(d: String) = Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(dir) == 16)
+    Sink.compact(spark, dir, targetMb = 512, sortCols = Seq("l_shipdate"))
+    assert(files(dir) == 1) // sf0.001 lineitem << 512 MB
+    val re = spark.read.parquet(dir)
+    assert(re.count() == li.count())
+    assert(re.columns.toSeq == li.columns.toSeq)
+  }
 }
