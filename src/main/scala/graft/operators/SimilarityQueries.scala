@@ -189,6 +189,45 @@ object SimilarityQueries {
       }
     ),
 
+    // ---- clustering step: per-cell stats of the IVF assignment --------------
+    // One k-means-style assignment iteration reported as cell populations +
+    // mean cosine-to-centroid. Cosines are bit-identical on both engines, so
+    // snapping to a 1e-9 grid before summing makes the mean exact (double
+    // sums would be partition-order-dependent).
+    GQuery(
+      "ann_cell_stats",
+      (s, dir) => {
+        val e = VectorOps.normalized(s, dir)
+        val seeds = broadcast(
+          e.filter(col("vec_id") < N_SEEDS)
+            .select(col("vec_id").as("seed_id"), col("v").as("sv"), col("nrm").as("sn")))
+        val aw = Window.partitionBy("vec_id").orderBy(col("scos").desc, col("seed_id"))
+        val assign = e.join(seeds)
+          .select(col("vec_id"), col("seed_id"),
+            VectorOps.cosCol("v", "sv", "nrm", "sn").as("scos"))
+          .withColumn("rn", row_number().over(aw))
+          .filter(col("rn") === 1)
+        assign.groupBy("seed_id")
+          .agg(
+            count(lit(1)).as("n_members"),
+            (sum(round(col("scos") * 1e9).cast("long")).cast("double") / 1e9 /
+              count(lit(1)).cast("double")).as("avg_cos"))
+          .orderBy("seed_id")
+      },
+      Some(s"""WITH ${VectorOps.normalizedSql},
+              |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
+              |assign0 AS (SELECT e.vec_id, seeds.seed_id,
+              |  ${VectorOps.cosSql("e.v", "seeds.sv", "e.nrm", "seeds.sn")} AS scos,
+              |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              |    ${VectorOps.cosSql("e.v", "seeds.sv", "e.nrm", "seeds.sn")} DESC, seeds.seed_id) AS rn
+              |  FROM e CROSS JOIN seeds),
+              |assign AS (SELECT vec_id, seed_id, scos FROM assign0 WHERE rn = 1)
+              |SELECT seed_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+              |  CAST(SUM(CAST(round(scos * 1000000000) AS BIGINT)) AS DOUBLE)/1000000000
+              |    /CAST(COUNT(*) AS DOUBLE) AS avg_cos
+              |FROM assign GROUP BY seed_id ORDER BY seed_id""".stripMargin)
+    ),
+
     // ---- random-hyperplane LSH bucketing ------------------------------------
     GQuery(
       "ann_lsh_buckets",

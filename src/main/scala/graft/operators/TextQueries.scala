@@ -192,6 +192,62 @@ object TextQueries {
               |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn FROM sc)
               |SELECT doc_id, token AS top_token, score FROM r WHERE rn = 1
               |ORDER BY doc_id""".stripMargin)
+    ),
+
+    GQuery(
+      // Canonical text normalization (the step before any dedup/fingerprint
+      // in a curation pipeline): lowercase, strip non-alphanumerics, collapse
+      // runs of spaces, trim — plus the md5 of the canonical form.
+      "text_normalize",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            trim(regexp_replace(
+              regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+              .as("norm_text"))
+          .select(col("doc_id"), col("norm_text"), md5(col("norm_text")).as("norm_md5"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, norm_text, md5(norm_text) AS norm_md5 FROM (
+             |  SELECT doc_id, trim(regexp_replace(
+             |    regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+             |  FROM documents) t ORDER BY doc_id""".stripMargin)
+    ),
+
+    GQuery(
+      // The full curation pass as ONE declarative plan: quality filter
+      // (length + stopword floor) → exact dedup on content hash (keep lowest
+      // doc_id) → survivors. At fleet scale this is a filtered scan, one
+      // hash shuffle on the content digest, and a semi join back — no pass
+      // touches the corpus twice.
+      "pipeline_curate",
+      (s, dir) => {
+        val en = markerArr(langMarkers.head._2)
+        val base = Tables.documents(s, dir).select(
+          col("doc_id"), col("lang"), col("text"),
+          expr(s"size($toksCol)").cast("long").as("n_tokens"),
+          expr(s"size(filter($toksCol, t -> array_contains(array($en), t)))")
+            .cast("long").as("n_stop"))
+        val quality = base.filter(col("n_tokens") >= 30 && col("n_stop") >= 1)
+        val keep = quality.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        quality.join(keep, Seq("doc_id"), "left_semi")
+          .select("doc_id", "lang", "n_tokens")
+          .orderBy("doc_id")
+      },
+      Some {
+        val en = markerArr(langMarkers.head._2)
+        s"""WITH base AS (SELECT doc_id, lang, text,
+           |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_filter($toksSql, t -> list_contains([$en], t))) AS BIGINT) AS n_stop
+           |  FROM documents),
+           |quality AS (SELECT * FROM base WHERE n_tokens >= 30 AND n_stop >= 1),
+           |keep AS (SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text))
+           |SELECT doc_id, lang, n_tokens FROM quality
+           |WHERE doc_id IN (SELECT doc_id FROM keep)
+           |ORDER BY doc_id""".stripMargin
+      }
     )
   )
 }
