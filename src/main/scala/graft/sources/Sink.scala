@@ -37,6 +37,26 @@ object Sink {
   class ConversionTimeoutException(s: Long)
       extends RuntimeException(s"conversion exceeded $s s")
 
+  /** O13 parity (app.py:163-174): the reference buckets failures into
+    * memory / timeout / schema / other with user-facing messages. Same
+    * taxonomy over the JVM/Spark exception surface — callers log the label,
+    * the original exception stays attached as the cause.
+    */
+  def classifyError(e: Throwable): String = e match {
+    case _: OutOfMemoryError => "memory"
+    case _: ConversionTimeoutException => "timeout"
+    case _: InputTooLargeException => "input-too-large"
+    case t if causeChain(t).exists(_.isInstanceOf[OutOfMemoryError]) => "memory"
+    case t if causeChain(t).exists { c =>
+      val m = Option(c.getMessage).getOrElse("")
+      m.contains("Schema") || m.contains("schema") || m.contains("CANNOT_MERGE")
+    } => "schema"
+    case _ => "other"
+  }
+
+  private def causeChain(t: Throwable): Seq[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
   /** Input size through Hadoop's FileSystem API so the O10 guard holds on any
     * scheme (s3a://, hdfs://, file://) — a java.io.File walk would silently
     * return 0 for non-local URIs and bypass the limit on real deployments.

@@ -100,6 +100,19 @@ object EventsStream {
       .toDF("user_id", "n_events", "last_ts_us")
   }
 
+  /** Stream-static enrichment join: the unbounded events stream joined to a
+    * small static dimension (re-read per micro-batch, broadcast by the
+    * planner). The standard shape for attaching slowly-changing reference
+    * data to a live stream without stream-stream state.
+    */
+  def enrichedCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(dim, "event_type")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("category"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("category"), col("n"))
+
   /** Drain the whole (bounded) source once with Trigger.AvailableNow into an
     * in-memory sink and return the materialized result — the test harness
     * for the streaming paths. `complete`/`update` output modes because

@@ -42,6 +42,15 @@ class SinkSpec extends SparkSpec {
     assert(w != null)
   }
 
+  test("classifyError maps the reference's O13 taxonomy") {
+    assert(Sink.classifyError(new OutOfMemoryError()) == "memory")
+    assert(Sink.classifyError(new Sink.ConversionTimeoutException(600)) == "timeout")
+    assert(Sink.classifyError(new Sink.InputTooLargeException(2048, 1024)) == "input-too-large")
+    assert(Sink.classifyError(new RuntimeException(
+      "wrap", new IllegalStateException("Schema mismatch on column x"))) == "schema")
+    assert(Sink.classifyError(new RuntimeException("boom")) == "other")
+  }
+
   test("writePartitioned overwrites only the partitions present in the frame") {
     import org.apache.spark.sql.functions._
     val out = s"${Files.createTempDirectory("graft-dyn").toString}/orders"

@@ -48,6 +48,27 @@ class StreamingSpec extends SparkSpec {
     assert(deduped.count() == batchDistinct)
   }
 
+  test("stream-static join enrichment equals the batch join") {
+    import spark.implicits._
+    val dim = Seq(
+      ("view", "passive"), ("click", "active"), ("purchase", "active"),
+      ("signup", "active"), ("error", "ops")).toDF("event_type", "category")
+    val streamed = EventsStream.runOnce(
+      EventsStream.enrichedCounts(EventsStream.readEvents(spark, sfDir), dim),
+      "stream_enrich_test", "complete")
+      .orderBy("hour_start", "category")
+      .collect()
+    val batch = Tables.events(spark, sfDir)
+      .join(dim, "event_type")
+      .groupBy(window(col("ts"), "1 hour"), col("category"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("category"), col("n"))
+      .orderBy("hour_start", "category")
+      .collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("mapGroupsWithState running counts equal batch per-user counts") {
     val streamed = EventsStream.runOnce(
       EventsStream.userRunningCounts(EventsStream.readEvents(spark, sfDir)),
