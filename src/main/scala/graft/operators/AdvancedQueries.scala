@@ -130,6 +130,71 @@ object AdvancedQueries {
       Some(correlatedSubquerySql)
     ),
 
+    // ---- full outer join (both unmatched sides survive) ---------------------
+    // P-status and F-status per-customer spend have disjoint-ish key sets;
+    // full outer keeps customers present in either.
+    GQuery(
+      "q_join_full",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val p = o.filter(col("o_orderstatus") === "P").groupBy(col("o_custkey").as("ck_p"))
+          .agg(sumMoney(col("o_totalprice")).as("spend_p"))
+        val f = o.filter(col("o_orderstatus") === "F").groupBy(col("o_custkey").as("ck_f"))
+          .agg(sumMoney(col("o_totalprice")).as("spend_f"))
+        p.join(f, col("ck_p") === col("ck_f"), "full")
+          .select(
+            coalesce(col("ck_p"), col("ck_f")).as("custkey"),
+            coalesce(col("spend_p"), lit(0.0)).as("spend_p"),
+            coalesce(col("spend_f"), lit(0.0)).as("spend_f"))
+          .orderBy("custkey")
+      },
+      Some(s"""WITH p AS (SELECT o_custkey AS ck_p, ${sumMoneySql("o_totalprice")} AS spend_p
+              |  FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey),
+              |f AS (SELECT o_custkey AS ck_f, ${sumMoneySql("o_totalprice")} AS spend_f
+              |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+              |SELECT COALESCE(ck_p, ck_f) AS custkey,
+              |COALESCE(spend_p, 0.0) AS spend_p, COALESCE(spend_f, 0.0) AS spend_f
+              |FROM p FULL OUTER JOIN f ON ck_p = ck_f ORDER BY custkey""".stripMargin)
+    ),
+
+    // ---- explicit cross join (cartesian of two tiny dimensions) -------------
+    GQuery(
+      "q_join_cross",
+      (s, dir) =>
+        Tables.nation(s, dir).select(col("n_name"))
+          .crossJoin(Tables.region(s, dir).select(col("r_name")))
+          .select(concat(col("n_name"), lit("/"), col("r_name")).as("pair"))
+          .orderBy("pair"),
+      Some("""SELECT concat(n_name, '/', r_name) AS pair
+             |FROM nation CROSS JOIN region ORDER BY pair""".stripMargin)
+    ),
+
+    // ---- first_value / nth_value window functions ---------------------------
+    GQuery(
+      "q_window_firstlast",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        Tables.orders(s, dir)
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            first(col("o_orderkey")).over(w).as("first_order"),
+            last(col("o_orderkey")).over(w).as("last_order"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |first_value(o_orderkey) OVER w AS first_order,
+             |last_value(o_orderkey) OVER w AS last_order,
+             |nth_value(o_orderkey, 2) OVER w AS second_order
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    ),
+
     // ---- IN subquery (plans as a left-semi join) ----------------------------
     GQuery(
       "q_in_subquery",
