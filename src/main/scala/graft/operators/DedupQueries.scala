@@ -105,10 +105,18 @@ object DedupQueries {
     GQuery(
       "dedup_minhash_lsh",
       (s, dir) => {
-        val docs = shingled(s, dir)
-        val sig = docs
-          .select(col("doc_id"), expr("transform(sh, x -> md5(x))").as("shh"))
+        // Signature path skips array_distinct: the min over a multiset of
+        // hashes equals the min over its set, and dedup only matters for the
+        // Jaccard set sizes below. localCheckpoint materializes the 8-column
+        // signature table once, so the band self-join doesn't re-run the
+        // corpus tokenize+md5 pass per side.
+        val sig = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"),
+            expr("transform(sequence(0, size(toks) - 3), " +
+              "i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))").as("shh"))
           .select(col("doc_id") +: (0 until K).map(i => expr(minhashSpark(i)).as(s"m$i")): _*)
+          .localCheckpoint()
         val bands = sig.select(
           col("doc_id"),
           explode(array((0 until BANDS).map(j =>
