@@ -106,6 +106,34 @@ object Multimodal {
       }
   }
 
+  /** Resize: produce a downsampled payload (every `factor`-th byte — with a
+    * real codec this is the decode→scale→re-encode hop) plus before/after
+    * sizes. Runs as the same mapPartitions shape as decode so codec init
+    * amortizes; output payloads stay binary end to end.
+    */
+  case class Resized(asset_id: Long, payload: Array[Byte], orig_bytes: Long, new_bytes: Long)
+
+  def resize(assets: DataFrame, factor: Int = 4): Dataset[Resized] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(
+        col("asset_id").cast("long"),
+        col("payload").cast("binary"),
+        col("format").cast("string"))
+      .as[Asset]
+      .mapPartitions { it =>
+        val codec = FakeCodec.init()
+        it.map { a =>
+          val down = a.payload.indices.collect {
+            case i if i % factor == 0 => a.payload(i) // ??? real impl: codec.scale(...)
+          }.toArray
+          identity(codec) // codec would drive the real scaling kernel
+          Resized(a.asset_id, down, a.payload.length.toLong, down.length.toLong)
+        }
+      }
+  }
+
   /** Wrap `documents` as a fake asset table (text bytes as payload) — the
     * test-data stand-in for a real media table.
     */

@@ -48,6 +48,15 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(0).frame_hash == expected0)
   }
 
+  test("resize downsamples payloads deterministically and keeps them binary") {
+    import spark.implicits._
+    val assets = Seq((3L, Array.tabulate[Byte](10)(_.toByte), "image/fake"))
+      .toDF("asset_id", "payload", "format")
+    val out = Multimodal.resize(assets, factor = 4).collect().head
+    assert(out.payload.toSeq == Seq[Byte](0, 4, 8))
+    assert(out.orig_bytes == 10 && out.new_bytes == 3)
+  }
+
   test("sampleFrames over the asset table keeps every frame joinable by id") {
     val frames = Multimodal.sampleFrames(
       Multimodal.documentsAsAssets(spark, sfDir), frameSize = 64, stride = 2)
