@@ -130,6 +130,47 @@ object AdvancedQueries {
       Some(correlatedSubquerySql)
     ),
 
+    // ---- map construction/access functions ----------------------------------
+    // The oracle states the expected values directly (DuckDB's MAP access
+    // semantics differ by version); the Spark side actually exercises
+    // map()/element access/map_keys/size.
+    GQuery(
+      "q_map_funcs",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            expr("map('status', o_orderstatus, 'priority', o_orderpriority)").as("m"))
+          .select(
+            col("o_orderkey"),
+            expr("m['status']").as("status_val"),
+            expr("concat_ws(',', sort_array(map_keys(m)))").as("keys"),
+            expr("size(m)").cast("long").as("n_entries"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderstatus AS status_val,
+             |'priority,status' AS keys, CAST(2 AS BIGINT) AS n_entries
+             |FROM orders ORDER BY o_orderkey""".stripMargin)
+    ),
+
+    // ---- null-handling scalar functions --------------------------------------
+    GQuery(
+      "q_null_funcs",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") <= 200)
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            expr("nullif(l_returnflag, 'N')").as("rf_nullable"),
+            expr("coalesce(nullif(l_returnflag, 'N'), 'none')").as("rf_filled"),
+            expr("CAST(isnull(nullif(l_returnflag, 'N')) AS BOOLEAN)").as("was_n"))
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |NULLIF(l_returnflag, 'N') AS rf_nullable,
+             |COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS rf_filled,
+             |NULLIF(l_returnflag, 'N') IS NULL AS was_n
+             |FROM lineitem WHERE l_orderkey <= 200
+             |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin)
+    ),
+
     // ---- full outer join (both unmatched sides survive) ---------------------
     // P-status and F-status per-customer spend have disjoint-ish key sets;
     // full outer keeps customers present in either.
