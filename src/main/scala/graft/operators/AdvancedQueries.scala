@@ -387,6 +387,45 @@ object AdvancedQueries {
               |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
     ),
 
+    // ---- merge/upsert: apply a changeset to a snapshot -----------------------
+    // The CDC shape (MERGE INTO) as pure DataFrame algebra: anti join drops
+    // deletes, left join + coalesce applies updates, union appends inserts.
+    // One shuffle on the merge key serves all three. The changeset here is
+    // derived deterministically from the snapshot so the oracle can mirror it.
+    GQuery(
+      "q_merge_upsert",
+      (s, dir) => {
+        val snap = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        val upd = snap.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") + 1000.0).as("new_price"))
+        val del = snap.filter(pmod(col("o_orderkey"), lit(100)) === 1)
+          .select(col("o_orderkey").as("del_key"))
+        val ins = snap.filter(pmod(col("o_orderkey"), lit(100)) === 2)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"), lit("I").as("o_orderstatus"))
+        snap
+          .join(del, col("o_orderkey") === col("del_key"), "left_anti")
+          .join(upd, Seq("o_orderkey"), "left")
+          .select(col("o_orderkey"), col("o_custkey"),
+            coalesce(col("new_price"), col("o_totalprice")).as("o_totalprice"),
+            col("o_orderstatus"))
+          .union(ins)
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH snap AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+             |upd AS (SELECT o_orderkey, o_totalprice + 1000.0 AS new_price
+             |  FROM snap WHERE o_orderkey % 100 = 0),
+             |del AS (SELECT o_orderkey FROM snap WHERE o_orderkey % 100 = 1),
+             |ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_totalprice,
+             |  'I' AS o_orderstatus FROM snap WHERE o_orderkey % 100 = 2),
+             |kept AS (SELECT s.o_orderkey, s.o_custkey,
+             |  COALESCE(u.new_price, s.o_totalprice) AS o_totalprice, s.o_orderstatus
+             |  FROM snap s LEFT JOIN upd u ON s.o_orderkey = u.o_orderkey
+             |  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM del))
+             |SELECT * FROM kept UNION ALL SELECT * FROM ins ORDER BY o_orderkey""".stripMargin)
+    ),
+
     // ---- skew-salted join (same answer as the plain join it mitigates) -------
     GQuery(
       "q_join_salted",
