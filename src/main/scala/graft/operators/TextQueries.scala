@@ -195,6 +195,34 @@ object TextQueries {
     ),
 
     GQuery(
+      // BPE-style pre-tokenization count: the GPT-2 pre-tokenizer shape
+      // (space-attached letter runs / digit runs / punctuation runs / space
+      // runs) without the contraction cases. Both regex engines (Java,
+      // DuckDB's RE2) use leftmost-first alternation, so the split — and the
+      // count — agree. The practical "how many tokens is this corpus"
+      // estimator when no tokenizer model ships with the engine.
+      "text_bpe_tokens",
+      (s, dir) => {
+        val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            expr(s"size(regexp_extract_all(text, '$pat', 0))").cast("long").as("n_bpe_tokens"),
+            (length(col("text")).cast("double") /
+              expr(s"size(regexp_extract_all(text, '$pat', 0))").cast("double"))
+              .as("chars_per_token"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS BIGINT)
+             |  AS n_bpe_tokens,
+             |CAST(length(text) AS DOUBLE) /
+             |CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS DOUBLE)
+             |  AS chars_per_token
+             |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    GQuery(
       // Canonical text normalization (the step before any dedup/fingerprint
       // in a curation pipeline): lowercase, strip non-alphanumerics, collapse
       // runs of spaces, trim — plus the md5 of the canonical form.
