@@ -86,6 +86,69 @@ object DedupQueries {
     s"((n$p // $s) % 2) * 2 - 1"
   }
 
+  /** MinHash+LSH near-dup pairs (doc_a, doc_b, jac >= 0.6), shared by the
+    * pair report and the cluster closure. Signature path skips
+    * array_distinct (a no-op under min-of-hashes) and materializes the
+    * 8-column signature table once (localCheckpoint), so the band self-join
+    * doesn't re-run the corpus tokenize+md5 pass per side; exact-Jaccard
+    * shingles are re-derived only for docs surviving into a candidate pair.
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        expr("transform(sequence(0, size(toks) - 3), " +
+          "i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))").as("shh"))
+      .select(col("doc_id") +: (0 until K).map(i => expr(minhashSpark(i)).as(s"m$i")): _*)
+      .localCheckpoint()
+    val bands = sig.select(
+      col("doc_id"),
+      explode(array((0 until BANDS).map(j =>
+        struct(lit(j).as("bi"), expr(bandSpark(j)).as("bh"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.bi").as("bi"), col("b.bh").as("bh"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint()
+    val need = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shNeed = shingled(
+      Tables.documents(s, dir).join(need, Seq("doc_id"), "left_semi"))
+    val shA = shNeed.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = shNeed.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+      .withColumn("jac",
+        expr("CAST(inter AS DOUBLE) / CAST(size(sh_a) + size(sh_b) - inter AS DOUBLE)"))
+      .filter(col("jac") >= 0.6)
+      .select("doc_a", "doc_b", "jac")
+  }
+
+  /** DuckDB twin of [[minhashPairs]]: CTE chain ending in `jac_pairs`
+    * (doc_a, doc_b, jac). Splice after WITH / WITH RECURSIVE.
+    */
+  private val minhashPairsCte: String =
+    s"""$shinglesDuck,
+       |hh AS (SELECT doc_id, list_transform(sh, x -> md5(x)) AS shh FROM s),
+       |sig AS (SELECT doc_id,
+       |  ${(0 until K).map(i => s"${minhashDuck(i)} AS m$i").mkString(", ")}
+       |  FROM hh),
+       |bands AS (${(0 until BANDS)
+        .map(j => s"SELECT doc_id, $j AS bi, ${bandDuck(j)} AS bh FROM sig")
+        .mkString(" UNION ALL ")}),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.bi = y.bi AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |pairs0 AS (SELECT doc_a, doc_b,
+       |  len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS la, len(b.sh) AS lb
+       |  FROM cand JOIN s a ON a.doc_id = doc_a JOIN s b ON b.doc_id = doc_b),
+       |jac_pairs AS (SELECT doc_a, doc_b,
+       |  CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jac
+       |  FROM pairs0
+       |  WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.6)""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
 
     // ---- exact dedup: group-identical text, keep lowest doc_id ------------
@@ -104,70 +167,57 @@ object DedupQueries {
     // ---- MinHash + LSH near-dup: band join → candidates → exact Jaccard ---
     GQuery(
       "dedup_minhash_lsh",
-      (s, dir) => {
-        // Signature path skips array_distinct: the min over a multiset of
-        // hashes equals the min over its set, and dedup only matters for the
-        // Jaccard set sizes below. localCheckpoint materializes the 8-column
-        // signature table once, so the band self-join doesn't re-run the
-        // corpus tokenize+md5 pass per side.
-        val sig = Tables.documents(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .select(col("doc_id"),
-            expr("transform(sequence(0, size(toks) - 3), " +
-              "i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))").as("shh"))
-          .select(col("doc_id") +: (0 until K).map(i => expr(minhashSpark(i)).as(s"m$i")): _*)
-          .localCheckpoint()
-        val bands = sig.select(
-          col("doc_id"),
-          explode(array((0 until BANDS).map(j =>
-            struct(lit(j).as("bi"), expr(bandSpark(j)).as("bh"))): _*)).as("b"))
-          .select(col("doc_id"), col("b.bi").as("bi"), col("b.bh").as("bh"))
-        // localCheckpoint materializes the (tiny) candidate set once: the
-        // corpus-wide band join runs a single time instead of once per
-        // downstream branch — the "persist the survivors" step of a real
-        // dedup pipeline.
-        val cand = bands.as("x")
-          .join(bands.as("y"),
-            col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-          .localCheckpoint()
-        // candidates-first: re-derive shingles only for docs that appear in
-        // a candidate pair (the corpus-wide pass above fed the bands; the
-        // exact-Jaccard verification touches just the survivors)
-        val need = cand.select(col("doc_a").as("doc_id"))
-          .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-        val shNeed = shingled(
-          Tables.documents(s, dir).join(need, Seq("doc_id"), "left_semi"))
-        val shA = shNeed.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-        val shB = shNeed.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-        cand.join(shA, "doc_a").join(shB, "doc_b")
-          .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
-          .withColumn("jac",
-            expr("CAST(inter AS DOUBLE) / CAST(size(sh_a) + size(sh_b) - inter AS DOUBLE)"))
-          .filter(col("jac") >= 0.6)
-          .select("doc_a", "doc_b", "jac")
-          .orderBy("doc_a", "doc_b")
-      },
-      Some(s"""WITH $shinglesDuck,
-              |hh AS (SELECT doc_id, list_transform(sh, x -> md5(x)) AS shh FROM s),
-              |sig AS (SELECT doc_id,
-              |  ${(0 until K).map(i => s"${minhashDuck(i)} AS m$i").mkString(", ")}
-              |  FROM hh),
-              |bands AS (${(0 until BANDS)
-                .map(j => s"SELECT doc_id, $j AS bi, ${bandDuck(j)} AS bh FROM sig")
-                .mkString(" UNION ALL ")}),
-              |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-              |  FROM bands x JOIN bands y ON x.bi = y.bi AND x.bh = y.bh AND x.doc_id < y.doc_id),
-              |pairs AS (SELECT doc_a, doc_b,
-              |  len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS la, len(b.sh) AS lb
-              |  FROM cand JOIN s a ON a.doc_id = doc_a JOIN s b ON b.doc_id = doc_b)
-              |SELECT doc_a, doc_b,
-              |  CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jac
-              |FROM pairs
-              |WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.6
+      (s, dir) => minhashPairs(s, dir).orderBy("doc_a", "doc_b"),
+      Some(s"""WITH $minhashPairsCte
+              |SELECT doc_a, doc_b, jac FROM jac_pairs
               |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // ---- dedup clusters: connected components over the near-dup graph -------
+    // Pairs alone don't dedup a corpus — transitive closure does (a~b, b~c
+    // ⇒ one cluster). Label propagation to the minimum doc_id: each round
+    // every vertex takes min(own label, neighbors' labels); rounds needed =
+    // graph diameter (near-dup clusters are tiny, so 2-4). Each round is one
+    // join + min-aggregate — the standard iterative-DataFrame shape, with
+    // the (small) label frame checkpointed per round to keep lineage flat.
+    // Oracle: the same closure via DuckDB's WITH RECURSIVE.
+    GQuery(
+      "dedup_clusters",
+      (s, dir) => {
+        val pairs = minhashPairs(s, dir).select("doc_a", "doc_b").localCheckpoint()
+        val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+          .toDF("a", "b")
+        var labels = edges.select(col("a").as("v")).distinct()
+          .withColumn("lbl", col("v")).localCheckpoint()
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 20) {
+          val prop = edges.join(labels, edges("b") === labels("v"))
+            .select(edges("a").as("v"), col("lbl"))
+            .union(labels)
+            .groupBy("v").agg(min("lbl").as("new_lbl"))
+          val joined = labels.join(prop, "v").localCheckpoint()
+          changed = joined.filter(col("new_lbl") < col("lbl")).count()
+          labels = joined.select(col("v"), col("new_lbl").as("lbl")).localCheckpoint()
+          iter += 1
+        }
+        labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsCte,
+              |edges AS (SELECT doc_a AS a, doc_b AS b FROM jac_pairs
+              |  UNION SELECT doc_b, doc_a FROM jac_pairs),
+              |verts AS (SELECT DISTINCT a AS v FROM edges),
+              |reach(v, r) AS (
+              |  SELECT v, v FROM verts
+              |  UNION
+              |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v),
+              |comp AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
+              |SELECT doc_id, cluster_id,
+              |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+              |FROM comp ORDER BY doc_id""".stripMargin)
     ),
 
     // ---- SimHash signatures (per-row array fold — no explode, no shuffle) --
