@@ -1,0 +1,52 @@
+package graft
+
+/** Physical-plan regression guard: the properties that make these plans
+  * scale (pushdown, broadcast dims, partial aggregation, codegen) must
+  * survive future edits — the same checks as the round-2 manual audit.
+  * Note AQE legitimately turns small shuffle joins into broadcasts at test
+  * scale, so fact⋈fact queries assert "some hash join", not SMJ.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("filters and projections push into the parquet scan") {
+    val p = plan("q_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey"), p)
+    assert(!p.contains("l_comment"), "projection not pruned")
+  }
+
+  test("dimension joins broadcast") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+    assert(plan("q_tpch_q3").contains("BroadcastHashJoin"))
+    assert(plan("q_tpch_q5").contains("BroadcastHashJoin"))
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle") {
+    val p = plan("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("ANN brute force broadcasts the query side, never the corpus") {
+    val p = plan("ann_bruteforce_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("graft_dot projections stay inside whole-stage codegen") {
+    // AQE prints codegen markers only on the final (post-execution) plan
+    val df = SparkEntry.queries("ann_lsh_buckets")(spark, sfDir)
+    df.collect() // count() would execute a different QueryExecution
+    val p = df.queryExecution.executedPlan.toString
+    val dotLine = p.linesIterator.find(_.contains("graft_dot")).getOrElse("")
+    assert(dotLine.contains("*("), p)
+  }
+
+  test("no accidental cartesian products in the dedup joins") {
+    for (q <- Seq("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+    }
+  }
+}
