@@ -86,6 +86,36 @@ object DedupQueries {
     s"((n$p // $s) % 2) * 2 - 1"
   }
 
+  /** SimHash ±1 vote sums per document (doc_id, v0..v31): hash each shingle
+    * once, decode each hex nibble once into an int array, then fold the 32
+    * sums with `aggregate` — entirely map-side (no explode, no shuffle).
+    * Integer sums are order-independent, so this matches the oracle's
+    * unnest+GROUP BY shape bit-for-bit. Shared by the signature report and
+    * the hamming-block pair search.
+    */
+  private def simhashVotes(s: SparkSession, dir: String): DataFrame = {
+    val nibs = shingled(s, dir)
+      .select(col("doc_id"), expr("transform(sh, x -> md5(x))").as("shh"))
+      .select(col("doc_id") +: (0 until 8).map(p =>
+        expr(s"transform(shh, h -> ${nibbleSpark(p)})").as(s"n$p")): _*)
+    nibs.select(col("doc_id") +: (0 until 32).map { b =>
+      val p = b / 4; val s2 = 1 << (3 - b % 4)
+      expr(s"aggregate(n$p, CAST(0 AS BIGINT), (acc, n) -> acc + ((n div $s2) % 2) * 2 - 1)").as(s"v$b")
+    }: _*)
+  }
+
+  /** DuckDB twin of [[simhashVotes]]: CTE chain ending in `votes`. */
+  private val simhashVotesCte: String = {
+    val voteCols = (0 until 32)
+      .map(b => s"SUM(${voteDuck(b)}) AS v$b").mkString(", ")
+    s"""$shinglesDuck,
+       |ex AS (SELECT doc_id, unnest(sh) AS x FROM s),
+       |exh AS (SELECT doc_id, md5(x) AS h FROM ex),
+       |exn AS (SELECT doc_id,
+       |  ${(0 until 8).map(p => s"${nibbleDuck(p)} AS n$p").mkString(", ")} FROM exh),
+       |votes AS (SELECT doc_id, $voteCols FROM exn GROUP BY doc_id)""".stripMargin
+  }
+
   /** MinHash+LSH near-dup pairs (doc_a, doc_b, jac >= 0.6), shared by the
     * pair report and the cluster closure. Signature path skips
     * array_distinct (a no-op under min-of-hashes) and materializes the
@@ -230,38 +260,71 @@ object DedupQueries {
     GQuery(
       "dedup_simhash",
       (s, dir) => {
-        val nibs = shingled(s, dir)
-          .select(col("doc_id"), expr("transform(sh, x -> md5(x))").as("shh"))
-          .select(col("doc_id") +: (0 until 8).map(p =>
-            expr(s"transform(shh, h -> ${nibbleSpark(p)})").as(s"n$p")): _*)
-        val votes = nibs.select(col("doc_id") +: (0 until 32).map { b =>
-          val p = b / 4; val s2 = 1 << (3 - b % 4)
-          expr(s"aggregate(n$p, CAST(0 AS BIGINT), (acc, n) -> acc + ((n div $s2) % 2) * 2 - 1)").as(s"v$b")
-        }: _*)
         val sigExpr = (0 until 32)
           .map(b => s"CASE WHEN v$b > 0 THEN '1' ELSE '0' END")
           .mkString("concat(", ", ", ")")
-        votes.select(col("doc_id"), expr(sigExpr).as("simhash"))
+        simhashVotes(s, dir).select(col("doc_id"), expr(sigExpr).as("simhash"))
           .withColumn("cluster_size",
             count(lit(1)).over(Window.partitionBy("simhash")).cast("long"))
           .orderBy("doc_id")
       },
       Some {
-        val voteCols = (0 until 32)
-          .map(b => s"SUM(${voteDuck(b)}) AS v$b").mkString(", ")
         val sigExpr = (0 until 32)
           .map(b => s"CASE WHEN v$b > 0 THEN '1' ELSE '0' END")
           .mkString("concat(", ", ", ")")
-        s"""WITH $shinglesDuck,
-           |ex AS (SELECT doc_id, unnest(sh) AS x FROM s),
-           |exh AS (SELECT doc_id, md5(x) AS h FROM ex),
-           |exn AS (SELECT doc_id,
-           |  ${(0 until 8).map(p => s"${nibbleDuck(p)} AS n$p").mkString(", ")} FROM exh),
-           |votes AS (SELECT doc_id, $voteCols FROM exn GROUP BY doc_id),
+        s"""WITH $simhashVotesCte,
            |sigs AS (SELECT doc_id, $sigExpr AS simhash FROM votes)
            |SELECT doc_id, simhash,
            |  CAST(COUNT(*) OVER (PARTITION BY simhash) AS BIGINT) AS cluster_size
            |FROM sigs ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    // ---- SimHash near-dup pairs: 8-bit block LSH → hamming verification -----
+    // The hamming-space analog of MinHash banding: a pair within hamming
+    // distance 3 of a 32-bit signature must agree exactly on at least one of
+    // four 8-bit blocks (pigeonhole), so candidates come from an equi-join
+    // on (block index, block bits) and only candidates pay the
+    // bit_count(xor) check. Reported as deterministic top-20 closest pairs.
+    GQuery(
+      "dedup_simhash_pairs",
+      (s, dir) => {
+        val sigBits = (0 until 32)
+          .map(b => s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+          .mkString(" + ")
+        val sigs = simhashVotes(s, dir)
+          .select(col("doc_id"), expr(sigBits).as("sig"))
+          .localCheckpoint() // tiny (one long per doc); block self-join reuses it
+        val blocks = sigs.select(
+          col("doc_id"), col("sig"),
+          explode(array((0 until 4).map(j =>
+            struct(lit(j).as("bi"), expr(s"(sig div ${1L << (8 * j)}) % 256").as("bb"))): _*)).as("b"))
+          .select(col("doc_id"), col("sig"), col("b.bi").as("bi"), col("b.bb").as("bb"))
+        blocks.as("x")
+          .join(blocks.as("y"),
+            col("x.bi") === col("y.bi") && col("x.bb") === col("y.bb") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            expr("bit_count(x.sig ^ y.sig)").cast("long").as("hamming"))
+          .distinct()
+          .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+          .limit(20)
+      },
+      Some {
+        val sigBits = (0 until 32)
+          .map(b => s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+          .mkString(" + ")
+        s"""WITH $simhashVotesCte,
+           |sigs AS (SELECT doc_id, $sigBits AS sig FROM votes),
+           |blocks AS (${(0 until 4)
+            .map(j => s"SELECT doc_id, sig, $j AS bi, (sig // ${1L << (8 * j)}) % 256 AS bb FROM sigs")
+            .mkString(" UNION ALL ")}),
+           |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           |  CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+           |  FROM blocks x JOIN blocks y
+           |  ON x.bi = y.bi AND x.bb = y.bb AND x.doc_id < y.doc_id)
+           |SELECT doc_a, doc_b, hamming FROM pairs
+           |ORDER BY hamming, doc_a, doc_b LIMIT 20""".stripMargin
       }
     ),
 
