@@ -161,11 +161,22 @@ object Sink {
       else df.repartition(nFiles.toInt)
     val tmp = s"$path.compact-tmp"
     arranged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    // atomic-ish swap via rename (same filesystem)
+    // guard before the destructive swap: the rewrite must carry every row
+    val before = df.count()
+    val after = spark.read.parquet(tmp).count()
+    if (after != before) {
+      val fs0 = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs0.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      throw new IllegalStateException(s"compact row mismatch: $before -> $after")
+    }
+    // swap via rename (same filesystem); tmp still holds the data if the
+    // delete succeeds but the rename doesn't
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path)))
+      throw new IllegalStateException(s"compact swap failed; data preserved at $tmp")
     nFiles
   }
 
