@@ -69,6 +69,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming checkpoint makes re-runs idempotent (exactly-once resume)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    def drainOnce(): Unit = {
+      val q = EventsStream.dedupedEvents(EventsStream.readEvents(spark, sfDir))
+        .select("event_id", "user_id", "event_type")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainOnce()
+    val n1 = spark.read.parquet(s"$base/out").count()
+    drainOnce() // same checkpoint: source offsets committed, nothing re-emitted
+    val n2 = spark.read.parquet(s"$base/out").count()
+    assert(n1 > 0 && n2 == n1, s"expected idempotent resume, got $n1 then $n2")
+  }
+
   test("mapGroupsWithState running counts equal batch per-user counts") {
     val streamed = EventsStream.runOnce(
       EventsStream.userRunningCounts(EventsStream.readEvents(spark, sfDir)),
