@@ -113,6 +113,36 @@ object EventsStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("hour_start"), col("category"), col("n"))
 
+  /** foreachBatch sink: route each micro-batch through a writer Spark has no
+    * native streaming sink for — here a dynamic-partition-overwrite parquet
+    * load keyed by event day. Re-processing a batch overwrites exactly its
+    * partitions, so the sink stays idempotent under retries; this is the
+    * escape hatch for JDBC/MERGE-style destinations at fleet scale.
+    */
+  def runForeachBatchPartitioned(
+      spark: SparkSession, dir: String, outPath: String, checkpoint: String): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try {
+      val q = readEvents(spark, dir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch
+            .withColumn("day", date_trunc("day", col("ts")))
+            .write.mode("overwrite").partitionBy("day").parquet(outPath)
+          ()
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Drain the whole (bounded) source once with Trigger.AvailableNow into an
     * in-memory sink and return the materialized result — the test harness
     * for the streaming paths. `complete`/`update` output modes because

@@ -90,6 +90,16 @@ class StreamingSpec extends SparkSpec {
     assert(n1 > 0 && n2 == n1, s"expected idempotent resume, got $n1 then $n2")
   }
 
+  test("foreachBatch sink lands every event in its day partition") {
+    val base = java.nio.file.Files.createTempDirectory("graft-feb").toString
+    EventsStream.runForeachBatchPartitioned(spark, sfDir, s"$base/out", s"$base/ckpt")
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == Tables.events(spark, sfDir).count())
+    val days = new java.io.File(s"$base/out").listFiles()
+      .count(_.getName.startsWith("day="))
+    assert(days >= 1)
+  }
+
   test("mapGroupsWithState running counts equal batch per-user counts") {
     val streamed = EventsStream.runOnce(
       EventsStream.userRunningCounts(EventsStream.readEvents(spark, sfDir)),
