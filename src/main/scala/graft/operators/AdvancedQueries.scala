@@ -210,6 +210,32 @@ object AdvancedQueries {
              |FROM nation CROSS JOIN region ORDER BY pair""".stripMargin)
     ),
 
+    // ---- ranking statistics: percent_rank / cume_dist / ntile ---------------
+    // All three are pure functions of (rank, partition size) over a total
+    // order (orderkey unique), so the doubles are identical divisions of
+    // identical integers on both engines.
+    GQuery(
+      "q_window_rank_stats",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority").orderBy("o_orderkey")
+        Tables.orders(s, dir)
+          .select(
+            col("o_orderpriority"), col("o_orderkey"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"),
+            ntile(4).over(w).cast("long").as("quartile"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+             |percent_rank() OVER w AS pr,
+             |cume_dist() OVER w AS cd,
+             |CAST(ntile(4) OVER w AS BIGINT) AS quartile
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+             |ORDER BY o_orderpriority, o_orderkey""".stripMargin)
+    ),
+
     // ---- first_value / nth_value window functions ---------------------------
     GQuery(
       "q_window_firstlast",

@@ -45,15 +45,27 @@ object MultimodalQueries {
     ),
 
     // Frame sampling (video-pipeline shape): payload → strided fixed-size
-    // chunks via flatMap. No SQL oracle (byte-slicing a BLOB isn't portably
-    // expressible); deterministic values asserted in MultimodalSpec.
+    // chunks via flatMap. Oracle-able because the test corpus is pure ASCII
+    // (verified at every SF), so byte slices equal char slices and DuckDB's
+    // md5(substring(...)) reproduces the per-frame digest exactly.
     GQuery(
       "multimodal_frames",
       (s, dir) =>
         Multimodal.sampleFrames(Multimodal.documentsAsAssets(s, dir))
           .toDF()
+          .select(
+            col("asset_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            col("n_bytes"), col("frame_hash"))
           .orderBy("asset_id", "frame_idx"),
-      None
+      Some("""WITH idx AS (SELECT doc_id, text,
+             |  unnest(range(0, CAST(ceil(length(text)/256.0) AS BIGINT))) AS fi
+             |  FROM documents)
+             |SELECT doc_id AS asset_id, CAST(fi AS BIGINT) AS frame_idx,
+             |  CAST(length(substring(text, fi*256 + 1, 256)) AS BIGINT) AS n_bytes,
+             |  md5(substring(text, fi*256 + 1, 256)) AS frame_hash
+             |FROM idx WHERE fi % 2 = 0
+             |ORDER BY asset_id, frame_idx""".stripMargin)
     )
   )
 }
