@@ -34,14 +34,30 @@ object MultimodalQueries {
     ),
 
     // Stubbed per-partition decode (real plumbing, fake codec — see
-    // Multimodal.FakeCodec). No SQL oracle: rows-only check + unit test.
+    // Multimodal.FakeCodec). Oracle-able despite the Scala codec: the stub's
+    // features are deterministic byte arithmetic, and the ASCII corpus makes
+    // bytes == ascii codes in SQL.
     GQuery(
       "multimodal_decode",
       (s, dir) =>
         Multimodal.decodeFeatures(Multimodal.documentsAsAssets(s, dir))
           .toDF()
+          .select(
+            col("asset_id"), col("n_bytes"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("mean_byte"), col("head_hex"))
           .orderBy("asset_id"),
-      None
+      Some("""SELECT doc_id AS asset_id,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |CAST(16 * (ascii(substring(text, 1, 1)) + 1) AS BIGINT) AS width,
+             |CAST(9 * (CASE WHEN length(text) > 1 THEN ascii(substring(text, 2, 1)) ELSE 0 END + 1)
+             |  AS BIGINT) AS height,
+             |CAST(list_aggregate(list_transform(range(1, length(text) + 1),
+             |    i -> ascii(substring(text, i, 1))), 'sum') AS DOUBLE)
+             |  / CAST(octet_length(encode(text)) AS DOUBLE) AS mean_byte,
+             |lower(hex(encode(substring(text, 1, 8)))) AS head_hex
+             |FROM documents ORDER BY asset_id""".stripMargin)
     ),
 
     // Frame sampling (video-pipeline shape): payload → strided fixed-size
