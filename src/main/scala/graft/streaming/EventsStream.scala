@@ -33,15 +33,36 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Unbounded view of the events table: readStream + ns→µs conversion. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Unbounded view of the events table: readStream + ns→µs conversion.
+    * No conf mutation here — the explicit schema defers everything to the
+    * scan, which resolves the nanos type when the query STARTS; callers wrap
+    * start()/awaitTermination() in [[withNanosLongConf]] instead.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
     // glob rather than literal file path: the streaming file source derives
     // its basePath from the non-glob prefix, and basePath must be a directory
     spark.readStream
       .schema(rawSchema)
       .parquet(s"$dir/events.parque[t]")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Run `f` (which must start AND await the streaming query) with the
+    * nanos-as-long legacy conf set, restoring the prior value afterwards —
+    * the same set/restore discipline as Tables.events. A streaming query
+    * clones the session conf when it starts, so scoping around
+    * start()/awaitTermination() is sufficient, and any later nanos-typed
+    * parquet read in this session fails loudly again instead of silently
+    * yielding longs.
+    */
+  def withNanosLongConf[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try f
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   /** The streaming transform: watermarked hourly tumbling counts per type. */
@@ -78,26 +99,70 @@ object EventsStream {
   /** Custom incremental state via mapGroupsWithState: per-user running event
     * count and last-seen timestamp — the escape hatch for state machines that
     * windowed aggregation can't express (builder mandate §2.9). State is one
-    * (count, lastTs) pair per user: O(users), not O(events).
+    * (count, lastTs) pair per user, and — crucially for a long-running
+    * stream — it is EVICTED via EventTimeTimeout once a user has been idle
+    * past `idleTimeoutMs` of event time: the store holds only users active
+    * inside the idle horizon, O(active users), not O(all users ever seen).
+    * An evicted user's final tally is emitted with `evicted = true`.
     */
-  def userRunningCounts(events: DataFrame): DataFrame = {
+  def userRunningCounts(events: DataFrame, idleTimeoutMs: Long = 2 * 3600 * 1000L): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupState
+    // the watermarked `ts` attribute itself must reach the stateful operator
+    // (a derived unix_micros(ts) column would drop the watermark metadata),
+    // so the µs conversion happens inside the state function
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
     events
-      .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long])
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp])
       .groupByKey(_._1)
-      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](
-        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
-        case (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
-          val (n0, last0) = state.getOption.getOrElse((0L, Long.MinValue))
-          var n = n0
-          var last = last0
-          rows.foreach { case (_, ts) => n += 1; if (ts > last) last = ts }
-          state.update((n, last))
-          (user, n, last)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long, Boolean)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        case (user: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (n, last) = state.get
+            state.remove()
+            (user, n, last, true)
+          } else {
+            val (n0, last0) = state.getOption.getOrElse((0L, Long.MinValue))
+            var n = n0
+            var last = last0
+            rows.foreach { case (_, t) => n += 1; val ts = micros(t); if (ts > last) last = ts }
+            state.update((n, last))
+            // timeout must sit above the current watermark (Spark rejects
+            // timestamps already expired); idle users evict on the first
+            // batch after the watermark passes last-seen + idle horizon
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs + 1, last / 1000 + idleTimeoutMs))
+            (user, n, last, false)
+          }
       }
-      .toDF("user_id", "n_events", "last_ts_us")
+      .toDF("user_id", "n_events", "last_ts_us", "evicted")
+  }
+
+  /** Watermarked stream-stream interval join: each purchase attributed to
+    * the same user's views in the preceding hour. Both sides carry
+    * watermarks and the join condition bounds purchase_ts to
+    * [view_ts, view_ts + 1h], so Spark can expire state on BOTH sides: a
+    * buffered view is dropped once the purchase watermark passes
+    * view_ts + 1h, a buffered purchase once the view watermark passes its
+    * ts — state is O(events inside the watermark horizon), not O(stream).
+    */
+  def viewPurchaseAttribution(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    views.join(purchases,
+      expr("user_id = p_user_id AND purchase_ts >= view_ts " +
+        "AND purchase_ts <= view_ts + interval 1 hour"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"))
   }
 
   /** Stream-static enrichment join: the unbounded events stream joined to a
@@ -124,7 +189,7 @@ object EventsStream {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
-    try {
+    try withNanosLongConf(spark) {
       val q = readEvents(spark, dir)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -149,16 +214,27 @@ object EventsStream {
     * watermark-close semantics on a bounded replay would hold back the final
     * windows.
     */
-  def runOnce(result: DataFrame, queryName: String, mode: String): DataFrame = {
+  def runOnce(result: DataFrame, queryName: String, mode: String): DataFrame =
+    runOnceWithProgress(result, queryName, mode)._1
+
+  /** runOnce + the final StreamingQueryProgress, so tests can assert state
+    * bounds (numRowsTotal) after the drain.
+    */
+  def runOnceWithProgress(
+      result: DataFrame,
+      queryName: String,
+      mode: String): (DataFrame, org.apache.spark.sql.streaming.StreamingQueryProgress) = {
     val spark = result.sparkSession
-    val q = result.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    withNanosLongConf(spark) {
+      val q = result.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (spark.table(queryName), q.lastProgress)
+    }
   }
 
   def runTumblingOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =

@@ -72,7 +72,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming checkpoint makes re-runs idempotent (exactly-once resume)") {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    def drainOnce(): Unit = {
+    def drainOnce(): Unit = EventsStream.withNanosLongConf(spark) {
       val q = EventsStream.dedupedEvents(EventsStream.readEvents(spark, sfDir))
         .select("event_id", "user_id", "event_type")
         .writeStream.format("parquet")
@@ -100,10 +100,16 @@ class StreamingSpec extends SparkSpec {
     assert(days >= 1)
   }
 
-  test("mapGroupsWithState running counts equal batch per-user counts") {
-    val streamed = EventsStream.runOnce(
+  test("mapGroupsWithState running counts equal batch per-user counts; state bounded") {
+    // Update mode can emit a user several times (per-batch updates plus a
+    // final evicted tally), so compare each user's LAST tally — max(n_events)
+    // — against the batch totals.
+    val (table, progress) = EventsStream.runOnceWithProgress(
       EventsStream.userRunningCounts(EventsStream.readEvents(spark, sfDir)),
       "stream_state_test", "update")
+    val streamed = table
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("last_ts_us").as("last_ts_us"))
       .orderBy("user_id")
       .collect()
     val batch = Tables.events(spark, sfDir)
@@ -113,5 +119,47 @@ class StreamingSpec extends SparkSpec {
       .collect()
     assert(streamed.nonEmpty)
     assert(streamed.toSeq == batch.toSeq)
+    // EventTimeTimeout bound: the store never holds more than the users
+    // active inside the idle horizon — at most every distinct user, fewer
+    // once evictions fire.
+    val distinctUsers = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    val stateRows = progress.stateOperators.headOption.map(_.numRowsTotal).getOrElse(-1L)
+    assert(stateRows >= 0 && stateRows <= distinctUsers,
+      s"state rows $stateRows exceeds distinct users $distinctUsers")
+  }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = EventsStream.runOnce(
+      EventsStream.viewPurchaseAttribution(EventsStream.readEvents(spark, sfDir)),
+      "stream_ssjoin_test", "append")
+      .orderBy("user_id", "view_id", "purchase_id")
+      .collect()
+    val ev = Tables.events(spark, sfDir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val batch = views.join(purchases,
+      expr("user_id = p_user_id AND purchase_ts >= view_ts " +
+        "AND purchase_ts <= view_ts + interval 1 hour"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"))
+      .orderBy("user_id", "view_id", "purchase_id")
+      .collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("streaming helpers restore the nanosAsLong conf after the drain") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    EventsStream.runOnce(
+      EventsStream.tumblingCounts(EventsStream.readEvents(spark, sfDir)),
+      "stream_conf_scope_test", "complete")
+    // getOption reports the conf's default ("false") even when unset — the
+    // leak being guarded against is the value remaining "true"
+    assert(spark.conf.getOption(key).forall(_ != "true"),
+      "nanosAsLong leaked into the session after a streaming drain")
   }
 }
