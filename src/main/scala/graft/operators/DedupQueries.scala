@@ -63,6 +63,11 @@ object DedupQueries {
   private val BANDS = 4
   private val R = K / BANDS
 
+  /** Max docs per n-gram block; larger blocks are skipped (see
+    * dedup_ngram_jaccard's comment for the recall trade).
+    */
+  private val NGRAM_BLOCK_CAP = 64
+
   private def minhashSpark(i: Int) =
     s"array_min(transform(shh, h -> substring(h, ${1 + 4 * i}, 4)))"
   private def minhashDuck(i: Int) =
@@ -117,15 +122,35 @@ object DedupQueries {
   }
 
   /** MinHash+LSH near-dup pairs (doc_a, doc_b, jac >= 0.6), shared by the
-    * pair report and the cluster closure. Signature path skips
-    * array_distinct (a no-op under min-of-hashes) and materializes the
-    * 8-column signature table once (localCheckpoint), so the band self-join
-    * doesn't re-run the corpus tokenize+md5 pass per side; exact-Jaccard
-    * shingles are re-derived only for docs surviving into a candidate pair.
+    * pair report and the cluster closure.
+    *
+    * Exact duplicates are collapsed BEFORE banding: d identical copies of a
+    * document agree on every band, so banding them all would enumerate
+    * ~d²/2 candidate pairs each paying band-dedup plus an exact-Jaccard
+    * shingle compare — and exact copies are the single most common duplicate
+    * on a crawl corpus, so this blowup is the dominant cost at fleet scale.
+    * Instead one representative per distinct text (min doc_id — the
+    * dedup_exact shape) runs MinHash + LSH, and member pairs re-expand
+    * afterwards at O(1) each: same-text pairs are jac-1.0 by definition,
+    * and a member inherits its representative's similarity to other groups
+    * because equal texts have equal shingle sets. Output is identical to
+    * banding every document (identical signatures ⇒ identical collisions).
+    *
+    * Signature path skips array_distinct (a no-op under min-of-hashes) and
+    * materializes the 8-column signature table once (localCheckpoint), so
+    * the band self-join doesn't re-run the corpus tokenize+md5 pass per
+    * side; exact-Jaccard shingles are re-derived only for representatives
+    * surviving into a candidate pair.
     */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+  private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
+    val members = docs.select(col("doc_id"), md5(col("text")).as("text_md5"))
+    // one representative text per content hash; first(text) is well-defined
+    // (all texts in a group are identical) and partial-aggregates map-side
+    val reps = docs
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("rep_id"), first(col("text")).as("text"))
+    val sig = reps
+      .select(col("rep_id").as("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         expr("transform(sequence(0, size(toks) - 3), " +
           "i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))").as("shh"))
@@ -145,16 +170,81 @@ object DedupQueries {
       .localCheckpoint()
     val need = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val shNeed = shingled(
-      Tables.documents(s, dir).join(need, Seq("doc_id"), "left_semi"))
+    val shNeed = shingled(docs.join(need, Seq("doc_id"), "left_semi"))
     val shA = shNeed.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val shB = shNeed.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(shA, "doc_a").join(shB, "doc_b")
+    val repPairs = cand.join(shA, "doc_a").join(shB, "doc_b")
       .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
       .withColumn("jac",
         expr("CAST(inter AS DOUBLE) / CAST(size(sh_a) + size(sh_b) - inter AS DOUBLE)"))
       .filter(col("jac") >= 0.6)
-      .select("doc_a", "doc_b", "jac")
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"), col("jac"))
+    // membership map: every doc_id → its group's representative
+    val groupOf = members
+      .join(reps.select(col("text_md5"), col("rep_id")), "text_md5")
+      .select(col("doc_id"), col("rep_id"))
+    // (1) intra-group: exact duplicates are near-dup pairs with jac = 1.0
+    //     (identical distinct-shingle sets), emitted without any banding
+    val intra = members.as("x")
+      .join(members.as("y"),
+        col("x.text_md5") === col("y.text_md5") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("jac"))
+    // (2) cross-group: every member pair across two near-dup groups carries
+    //     the representatives' jaccard
+    val cross = repPairs
+      .join(groupOf.select(col("rep_id").as("rep_a"), col("doc_id").as("da")), "rep_a")
+      .join(groupOf.select(col("rep_id").as("rep_b"), col("doc_id").as("db")), "rep_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jac"))
+    intra.union(cross)
+  }
+
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(Tables.documents(s, dir))
+
+  /** Min-label propagation over an undirected pair list, with PLUGGABLE
+    * per-round materialization — the knob that makes the iterative loop
+    * fleet-safe. `localCheckpoint` blocks live only on executors: lose one
+    * executor mid-loop on a 1000-node cluster and the whole job dies. The
+    * registered query therefore runs with [[reliableCheckpoint]] (durable
+    * files under the SparkContext checkpoint dir — HDFS/object store on a
+    * real deployment); tests may pass `_.localCheckpoint(false)` for speed.
+    * Each round costs exactly ONE action: the checkpoint is marked lazily
+    * and the convergence count() both materializes it and reads the
+    * changed-row count (the previous shape paid an eager checkpoint job
+    * PLUS a count per round).
+    */
+  private[graft] def propagateLabels(
+      pairs: DataFrame,
+      checkpoint: DataFrame => DataFrame): DataFrame = {
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("a", "b")
+    var labels = checkpoint(
+      edges.select(col("a").as("v")).distinct().withColumn("lbl", col("v")))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = edges.join(labels, edges("b") === labels("v"))
+        .select(edges("a").as("v"), col("lbl"))
+        .union(labels)
+        .groupBy("v").agg(min("lbl").as("new_lbl"))
+      val joined = checkpoint(labels.join(prop, "v"))
+      changed = joined.filter(col("new_lbl") < col("lbl")).count()
+      labels = joined.select(col("v"), col("new_lbl").as("lbl"))
+      iter += 1
+    }
+    labels
+  }
+
+  /** Durable per-round materialization through the SparkContext checkpoint
+    * dir (set to a temp dir when unset — a deployment points it at
+    * HDFS/S3). Lazy (`eager = false`): the caller's next action writes it.
+    */
+  private[graft] def reliableCheckpoint(s: SparkSession): DataFrame => DataFrame = {
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-label-ckpt").toString)
+    df => df.checkpoint(eager = false)
   }
 
   /** DuckDB twin of [[minhashPairs]]: CTE chain ending in `jac_pairs`
@@ -207,31 +297,16 @@ object DedupQueries {
     // Pairs alone don't dedup a corpus — transitive closure does (a~b, b~c
     // ⇒ one cluster). Label propagation to the minimum doc_id: each round
     // every vertex takes min(own label, neighbors' labels); rounds needed =
-    // graph diameter (near-dup clusters are tiny, so 2-4). Each round is one
-    // join + min-aggregate — the standard iterative-DataFrame shape, with
-    // the (small) label frame checkpointed per round to keep lineage flat.
+    // graph diameter (near-dup clusters are tiny, so 2-4). The registered
+    // query runs with a RELIABLE checkpoint (see propagateLabels) so a
+    // fleet deployment survives executor loss mid-loop.
     // Oracle: the same closure via DuckDB's WITH RECURSIVE.
     GQuery(
       "dedup_clusters",
       (s, dir) => {
         val pairs = minhashPairs(s, dir).select("doc_a", "doc_b").localCheckpoint()
-        val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-          .toDF("a", "b")
-        var labels = edges.select(col("a").as("v")).distinct()
-          .withColumn("lbl", col("v")).localCheckpoint()
-        var changed = 1L
-        var iter = 0
-        while (changed > 0 && iter < 20) {
-          val prop = edges.join(labels, edges("b") === labels("v"))
-            .select(edges("a").as("v"), col("lbl"))
-            .union(labels)
-            .groupBy("v").agg(min("lbl").as("new_lbl"))
-          val joined = labels.join(prop, "v").localCheckpoint()
-          changed = joined.filter(col("new_lbl") < col("lbl")).count()
-          labels = joined.select(col("v"), col("new_lbl").as("lbl")).localCheckpoint()
-          iter += 1
-        }
-        labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+        propagateLabels(pairs, reliableCheckpoint(s))
+          .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
           .withColumn("cluster_size",
             count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
           .orderBy("doc_id")
@@ -328,24 +403,54 @@ object DedupQueries {
       }
     ),
 
-    // ---- character 5-gram Jaccard with prefix blocking ----------------------
-    // Candidates-first: pair doc_ids on the cheap 32-char block key alone,
-    // then build the (expensive, ~|text| per row) distinct 5-gram sets ONLY
-    // for docs that survived into a candidate pair (left-semi pushdown). At
-    // fleet scale the feature compute runs over the candidate subset, not the
-    // corpus — the corpus pays one substring + shuffle-by-block.
+    // ---- character 5-gram Jaccard with content-derived blocking -------------
+    // Block key = MINIMUM md5 over the doc's character 5-grams (MinHash with
+    // k=1, same md5-parity discipline as the shingle pipeline above). Unlike
+    // a raw text prefix, the key is content-derived and uniform: boilerplate
+    // corpora (license headers, templated pages) share prefixes but NOT
+    // their min-hashed 5-gram, so no mega-block forms — and two docs with
+    // 5-gram Jaccard j land in the same block with probability j, exactly
+    // the candidates the >= 0.7 verification wants. A block-size cap (64)
+    // guards the residual degenerate case (e.g. a corpus of identical
+    // boilerplate where collapsing is dedup_exact's job, not this query's):
+    // oversized blocks are SKIPPED, not split — documented recall trade, the
+    // pairs inside them are recoverable by exact dedup + minhash.
+    // Candidates-first still holds: the corpus-wide pass pays one
+    // md5-per-5-gram map + one shuffle by block key; the (memory-heavy)
+    // distinct 5-gram SETS are built only for docs surviving into a
+    // candidate pair (left-semi pushdown).
     GQuery(
       "dedup_ngram_jaccard",
       (s, dir) => {
-        val base = Tables.documents(s, dir)
-          .select(col("doc_id"), substring(col("text"), 1, 32).as("blk"), col("text"))
-        val keys = base.select(col("doc_id"), col("blk"))
+        // the key derivation is compute-bound (one md5 per byte position —
+        // ~32× amplification over the raw bytes), so parallelism must come
+        // from row count, not byte-based file splits: repartition to the
+        // cluster's cores before the map stage — one pass of the raw text
+        // through the shuffle buys full-width md5 throughput
+        val docs = Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("text"))
+        // explode → codegen'd md5 → map-side partial min, NOT
+        // array_min(transform(.., md5)): the higher-order form evaluates
+        // md5 in an interpreted lambda, and the equi-join's inferred
+        // isnotnull(blk) constraint pushes that whole expression into a
+        // second (single-threaded) evaluation at the file scan; on the
+        // aggregate shape the constraint lands on the agg output and the
+        // shuffle carries one partial-min row per (doc, partition)
+        val keys = docs
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("g"))
+          .groupBy("doc_id").agg(min(md5(col("g"))).as("blk"))
+          .withColumn("blk_n", count(lit(1)).over(Window.partitionBy("blk")))
+          .filter(col("blk_n") <= lit(NGRAM_BLOCK_CAP))
+          .select("doc_id", "blk")
+          .localCheckpoint() // one md5 pass total: the key table (2 cols/doc) is read by both join sides and the semi-join pushdown
         val pairs = keys.as("a")
           .join(keys.as("b"), col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         val need = pairs.select(col("doc_a").as("doc_id"))
           .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-        val ngt = base.join(need, Seq("doc_id"), "left_semi")
+        val ngt = docs.join(need, Seq("doc_id"), "left_semi")
           .select(col("doc_id"),
             expr("array_distinct(transform(sequence(1, length(text) - 4), " +
               "i -> substring(text, i, 5)))").as("ng"))
@@ -361,9 +466,14 @@ object DedupQueries {
           .select("doc_a", "doc_b", "jac")
           .orderBy("doc_a", "doc_b")
       },
-      Some("""WITH d AS (SELECT doc_id, substring(text, 1, 32) AS blk,
+      Some(s"""WITH d0 AS (SELECT doc_id,
+             |  list_aggregate(list_transform(range(1, length(text) - 3),
+             |    i -> md5(substring(text, i, 5))), 'min') AS blk,
              |  list_distinct(list_transform(range(1, length(text) - 3),
              |    i -> substring(text, i, 5))) AS ng FROM documents),
+             |d1 AS (SELECT doc_id, blk, ng,
+             |  COUNT(*) OVER (PARTITION BY blk) AS blk_n FROM d0),
+             |d AS (SELECT doc_id, blk, ng FROM d1 WHERE blk_n <= $NGRAM_BLOCK_CAP),
              |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |  len(list_intersect(a.ng, b.ng)) AS inter, len(a.ng) + len(b.ng) AS stot
              |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id)

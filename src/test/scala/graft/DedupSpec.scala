@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.DedupQueries
+import org.apache.spark.sql.DataFrame
+
+/** Dedup internals on synthetic corpora the driver test data can't produce:
+  * the sf documents table has NO exact duplicates (dedup_exact emits one row
+  * per doc), so the exact-dup collapse inside minhashPairs and the member
+  * re-expansion need their own fixture with real duplicate groups.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  /** Reference implementation of the banded-MinHash near-dup semantics —
+    * per-document banding with NO exact-dup collapse: a pair is reported iff
+    * it collides in >= 1 of the 4 bands AND exact shingle Jaccard >= 0.6.
+    * This is the contract minhashPairs must preserve while collapsing.
+    */
+  private def refPairs(docs: Seq[(Long, String)]): Set[(Long, Long, Double)] = {
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    def sig(t: String): Seq[String] = {
+      val hs = t.split(" ").sliding(3).map(w => md5hex(w.mkString(" "))).toSeq
+      (0 until 8).map(i => hs.map(_.substring(4 * i, 4 * i + 4)).min)
+    }
+    def bandKeys(t: String): Seq[String] = {
+      val m = sig(t)
+      (0 until 4).map(j => md5hex(m(2 * j) + m(2 * j + 1)))
+    }
+    (for {
+      (ia, ta) <- docs
+      (ib, tb) <- docs
+      if ia < ib
+      if bandKeys(ta).zip(bandKeys(tb)).exists { case (x, y) => x == y }
+      sa = shingles(ta)
+      sb = shingles(tb)
+      inter = sa.intersect(sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter)
+      if jac >= 0.6
+    } yield (ia, ib, jac)).toSet
+  }
+
+  test("minhashPairs with exact-dup collapse matches per-document banding semantics") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val aNear = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    val other = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, a), (2L, a), (3L, a), // exact-duplicate group of 3
+      (4L, aNear), (5L, aNear),  // exact-duplicate group of 2, near-dup of the first
+      (6L, other),
+      (7L, "completely different words entirely unrelated content goes here for control"))
+    val got = DedupQueries.minhashPairs(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = refPairs(docs)
+    assert(got == want, s"got $got\nwant $want")
+    // the collapse must still surface intra-group pairs at jac 1.0
+    assert(Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+      .forall(p => got.contains((p._1, p._2, 1.0))), got)
+    // cross-group expansion is all-or-nothing: if the representatives pair,
+    // every member pair (3×2) must appear with the same jaccard
+    val crossAB = got.filter { case (x, y, _) => x <= 3 && y >= 4 && y <= 5 }
+    assert(crossAB.isEmpty || crossAB.size == 6, crossAB)
+  }
+
+  test("propagateLabels finds connected components under both checkpointers") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 10L), (5L, 6L), (7L, 8L), (8L, 9L))
+      .toDF("doc_a", "doc_b")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 7L)
+    val checkpointers: Seq[DataFrame => DataFrame] = Seq(
+      DedupQueries.reliableCheckpoint(spark),         // fleet path: durable files
+      df => df.localCheckpoint(false))                // test path: executor blocks
+    for (ckpt <- checkpointers) {
+      val got = DedupQueries.propagateLabels(pairs, ckpt)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, got)
+    }
+  }
+}

@@ -49,4 +49,13 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
     }
   }
+
+  test("ngram candidate generation is an equi-join on the content block key") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the blk = blk self-join must plan as a hash-partitioned equi-join
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("blk")), p)
+  }
 }
