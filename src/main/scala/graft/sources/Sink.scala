@@ -91,9 +91,14 @@ object Sink {
 
     val out = s"$outputDir/${opts.table}"
     try {
+      // row count rides on the write itself via an observed metric — no
+      // second scan of input or output (O8 progress accounting, app.py:133-136)
+      val obs = new org.apache.spark.sql.Observation(s"graft-convert-rows-${System.nanoTime()}")
       val converted = Convert.pipeline(spark.read.parquet(inputPath))
+        .observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
       converted.write.mode(SaveMode.Overwrite).parquet(out)
-      val rows = spark.read.parquet(out).count()
+      val rows = obs.get("rows").asInstanceOf[Long]
       val zip = if (opts.zipArtifact) Some(zipDirectory(out, s"$out.zip")) else None
       ConvertResult(out, rows, zip)
     } catch {
@@ -108,17 +113,25 @@ object Sink {
   /** The same converted frame aimed at a JDBC sink (BASELINE.json
     * spark_approach: "write via JDBC/connector"): every column nullable
     * (app.py:122), inserts chunked by `batchsize` exactly like the
-    * reference's 10k-row Inserter batches. Caller supplies url/credentials;
-    * no JDBC driver ships in this offline image, so this path is exercised
-    * only through its plan, not a live database.
+    * reference's 10k-row Inserter batches (app.py:23,128-131). Caller
+    * supplies url/credentials and, when the driver doesn't self-register
+    * through DriverManager, its class name. Executed end-to-end against
+    * embedded Derby (the JDBC driver shipped with Spark) in SinkSpec.
     */
-  def jdbcShaped(df: DataFrame, url: String, table: String, batchSize: Int = 10000) =
-    Convert.pipeline(df).write
+  def jdbcShaped(
+      df: DataFrame,
+      url: String,
+      table: String,
+      batchSize: Int = 10000,
+      driver: Option[String] = None) = {
+    val w = Convert.pipeline(df).write
       .format("jdbc")
       .option("url", url)
       .option("dbtable", table)
       .option("batchsize", batchSize)
       .option("isolationLevel", "NONE")
+    driver.fold(w)(d => w.option("driver", d))
+  }
 
   /** Incremental partitioned load with dynamic partition overwrite: only the
     * partitions present in `df` are replaced; the rest of the table is

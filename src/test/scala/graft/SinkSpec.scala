@@ -36,10 +36,32 @@ class SinkSpec extends SparkSpec {
     }
   }
 
-  test("jdbcShaped writer carries batchsize and pipeline schema") {
-    val w = Sink.jdbcShaped(Tables.lineitem(spark, sfDir), "jdbc:test://x", "Extract")
-    // plan-level check only — no JDBC driver in the offline image
-    assert(w != null)
+  test("jdbcShaped inserts into embedded Derby and reads back widened rows") {
+    // Derby ships in /opt/spark/jars (derby + derbyshared + derbytools),
+    // so the declared write path runs against a live database: chunked
+    // inserts (batchsize 500 over 6000 rows ⇒ 12 inserter round-trips,
+    // the reference's 10k-row Inserter shape), then a read-back.
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    val li = Tables.lineitem(spark, sfDir)
+    Sink.jdbcShaped(li, url, "graft_extract", batchSize = 500, driver = Some(driver))
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .save()
+    val back = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", "graft_extract")
+      .option("driver", driver)
+      .load()
+    assert(back.count() == 6000)
+    // O5 widening survives the round-trip: ints → BIGINT → LongType
+    assert(back.schema("l_linenumber").dataType == LongType)
+    assert(back.schema("l_orderkey").dataType == LongType)
+    // O4 sanitize: numeric columns are never null after the pipeline
+    assert(back.filter(back("l_quantity").isNull).count() == 0)
+    // value spot-check against the source
+    val srcSum = li.agg(org.apache.spark.sql.functions.sum("l_orderkey")).first.getLong(0)
+    val backSum = back.agg(org.apache.spark.sql.functions.sum("l_orderkey")).first.getLong(0)
+    assert(srcSum == backSum)
   }
 
   test("classifyError maps the reference's O13 taxonomy") {
