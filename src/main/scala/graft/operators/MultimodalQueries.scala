@@ -82,6 +82,30 @@ object MultimodalQueries {
              |  md5(substring(text, fi*256 + 1, 256)) AS frame_hash
              |FROM idx WHERE fi % 2 = 0
              |ORDER BY asset_id, frame_idx""".stripMargin)
+    ),
+
+    // Resize (stub downsample: every 4th byte, binary in/out via
+    // mapPartitions — the decode→scale→re-encode hop of a real codec).
+    // Oracle-able like the other stubs: the ASCII corpus makes the strided
+    // byte selection a strided char selection, and md5 over the downsampled
+    // payload matches DuckDB's md5 over the re-assembled string.
+    GQuery(
+      "multimodal_resize",
+      (s, dir) =>
+        Multimodal.resize(Multimodal.documentsAsAssets(s, dir))
+          .toDF()
+          .select(
+            col("asset_id"),
+            md5(col("payload")).as("payload_md5"),
+            col("orig_bytes"), col("new_bytes"))
+          .orderBy("asset_id"),
+      Some("""SELECT doc_id AS asset_id,
+             |md5(list_aggregate(list_transform(
+             |  list_filter(range(1, length(text) + 1), i -> (i - 1) % 4 = 0),
+             |  i -> substring(text, i, 1)), 'string_agg', '')) AS payload_md5,
+             |CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+             |CAST((length(text) + 3) // 4 AS BIGINT) AS new_bytes
+             |FROM documents ORDER BY asset_id""".stripMargin)
     )
   )
 }

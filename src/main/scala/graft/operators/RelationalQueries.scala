@@ -452,6 +452,54 @@ object RelationalQueries {
               |  OVER (PARTITION BY user_id ORDER BY ts, event_id
               |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_us
               |FROM ${Tables.eventsOracleFrom} e ORDER BY user_id, event_id""".stripMargin)
+    ),
+
+    // ---- TRUE two-table as-of join: fact ⋈ latest snapshot at-or-before ---------
+    // The canonical shape (each purchase matched to the user's most recent
+    // error state), oracled against DuckDB's NATIVE `ASOF LEFT JOIN`.
+    // Implementation is union-window: tag snapshot rows 0 and fact rows 1,
+    // sort (ts, tag) within each key so a same-instant snapshot precedes
+    // the fact ("at or before"), carry the last non-null snapshot id
+    // forward. Scale trade: ONE shuffle by key + a linear per-key scan,
+    // independent of how many snapshots each fact skips over — a range
+    // join (fact.ts BETWEEN snap.ts AND next_snap.ts) can prune better
+    // when snapshots are sparse and indexed, but explodes on hot keys with
+    // many snapshot updates; the union-window form has no such blowup, so
+    // it is the fleet-scale default.
+    GQuery(
+      "q_asof_join_snapshot",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        // unique snapshot per (user, instant): ties collapse deterministically
+        val errs = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max("event_id").as("err_id"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val tagged = errs
+          .select(col("user_id"), col("ts"), lit(0).as("tag"),
+            col("err_id"), lit(null).cast("long").as("event_id"))
+          .unionByName(purch.select(col("user_id"), col("ts"), lit(1).as("tag"),
+            lit(null).cast("long").as("err_id"), col("event_id")))
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("tag"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged
+          .withColumn("asof_err_id", last(col("err_id"), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("asof_err_id"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH ev AS (SELECT * FROM ${Tables.eventsOracleFrom} e),
+              |errs AS (SELECT user_id, ts, MAX(event_id) AS err_id
+              |  FROM ev WHERE event_type = 'error' GROUP BY user_id, ts),
+              |purch AS (SELECT user_id, ts, event_id
+              |  FROM ev WHERE event_type = 'purchase')
+              |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+              |  e.err_id AS asof_err_id
+              |FROM purch p ASOF LEFT JOIN errs e
+              |  ON p.user_id = e.user_id AND p.ts >= e.ts
+              |ORDER BY event_id""".stripMargin)
     )
   )
 }

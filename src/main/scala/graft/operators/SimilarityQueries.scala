@@ -56,25 +56,84 @@ object SimilarityQueries {
   private def projDuck(p: Int): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> v[i] * (${weightsArrayDuck(p)})[i])), (acc, t) -> acc + t)"
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** Exact top-k per query vector (q_id, rank, cand_id, cos) — the recall
+    * ground truth. Broadcast query side; corpus scanned once, never shuffled.
+    */
+  private def bruteforceTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = VectorOps.normalized(s, dir)
+    val q = broadcast(
+      e.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val scored = e.join(q, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select("q_id", "rank", "cand_id", "cos")
+  }
+
+  /** IVF top-k per query vector (same schema as [[bruteforceTopk]]). */
+  private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = VectorOps.normalized(s, dir)
+    val seeds = broadcast(
+      e.filter(col("vec_id") < N_SEEDS)
+        .select(col("vec_id").as("seed_id"), col("v").as("sv"), col("nrm").as("sn")))
+    val aw = Window.partitionBy("vec_id")
+      .orderBy(col("scos").desc, col("seed_id"))
+    val assign = e.join(seeds)
+      .select(col("vec_id"), col("v"), col("nrm"), col("seed_id"),
+        VectorOps.cosCol("v", "sv", "nrm", "sn").as("scos"))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") === 1)
+      .select("vec_id", "v", "nrm", "seed_id")
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val pw = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("seed_id"))
+    val probes = q.join(seeds)
+      .select(col("q_id"), col("qv"), col("qn"), col("seed_id"),
+        VectorOps.cosCol("qv", "sv", "qn", "sn").as("pcos"))
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= N_PROBE)
+      .select("q_id", "qv", "qn", "seed_id")
+    val cand = probes.join(assign, "seed_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
+      .distinct()
+    val rw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    cand.withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select("q_id", "rank", "cand_id", "cos")
+  }
+
+  /** Top-20 LSH-bucketed near-dup pairs (vec_a, vec_b, cos) — the
+    * dedup_embedding_lsh result set.
+    */
+  private def lshTopPairs(s: SparkSession, dir: String): DataFrame = {
+    val e = VectorOps.normalized(s, dir)
+    val sigExpr = (0 until 4)
+      .map(p => s"CASE WHEN ${projSpark(p)} > 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")")
+    val sig = e.select(col("vec_id"), col("v"), col("nrm"), expr(sigExpr).as("bucket"))
+    sig.as("a")
+      .join(sig.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        VectorOps.cosCol("a.v", "b.v", "a.nrm", "b.nrm").as("cos"))
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
   val defs: Seq[GQuery] = Seq(
 
     // ---- brute-force exact top-k (baseline) --------------------------------
     GQuery(
       "ann_bruteforce_topk",
-      (s, dir) => {
-        val e = VectorOps.normalized(s, dir)
-        val q = broadcast(
-          e.filter(col("vec_id") < N_QUERIES)
-            .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
-        val scored = e.join(q, col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("cand_id"),
-            VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
-        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
-        scored.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= TOP_K)
-          .select("q_id", "rank", "cand_id", "cos")
-          .orderBy("q_id", "rank")
-      },
+      (s, dir) => bruteforceTopk(s, dir).orderBy("q_id", "rank"),
       Some(s"""WITH ${VectorOps.normalizedSql},
               |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
               |scored AS (SELECT q.q_id, e.vec_id AS cand_id,
@@ -90,42 +149,7 @@ object SimilarityQueries {
     // ---- IVF: coarse-quantize to seeds, probe nearest cells, re-rank -------
     GQuery(
       "ann_ivf_topk",
-      (s, dir) => {
-        val e = VectorOps.normalized(s, dir)
-        val seeds = broadcast(
-          e.filter(col("vec_id") < N_SEEDS)
-            .select(col("vec_id").as("seed_id"), col("v").as("sv"), col("nrm").as("sn")))
-        // corpus→cell assignment: one pass, argmax cosine to seed
-        val aw = Window.partitionBy("vec_id")
-          .orderBy(col("scos").desc, col("seed_id"))
-        val assign = e.join(seeds)
-          .select(col("vec_id"), col("v"), col("nrm"), col("seed_id"),
-            VectorOps.cosCol("v", "sv", "nrm", "sn").as("scos"))
-          .withColumn("rn", row_number().over(aw))
-          .filter(col("rn") === 1)
-          .select("vec_id", "v", "nrm", "seed_id")
-        // query→probe list: nprobe nearest cells
-        val q = e.filter(col("vec_id") < N_QUERIES)
-          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-        val pw = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("seed_id"))
-        val probes = q.join(seeds)
-          .select(col("q_id"), col("qv"), col("qn"), col("seed_id"),
-            VectorOps.cosCol("qv", "sv", "qn", "sn").as("pcos"))
-          .withColumn("rn", row_number().over(pw))
-          .filter(col("rn") <= N_PROBE)
-          .select("q_id", "qv", "qn", "seed_id")
-        // exact re-rank inside probed cells only
-        val cand = probes.join(assign, "seed_id")
-          .filter(col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("cand_id"),
-            VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
-          .distinct()
-        val rw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
-        cand.withColumn("rank", row_number().over(rw).cast("long"))
-          .filter(col("rank") <= TOP_K)
-          .select("q_id", "rank", "cand_id", "cos")
-          .orderBy("q_id", "rank")
-      },
+      (s, dir) => ivfTopk(s, dir).orderBy("q_id", "rank"),
       Some(s"""WITH ${VectorOps.normalizedSql},
               |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
               |assign0 AS (SELECT e.vec_id, e.v, e.nrm, seeds.seed_id,
@@ -160,21 +184,7 @@ object SimilarityQueries {
     // honest output; a fixed threshold would select nothing or noise.)
     GQuery(
       "dedup_embedding_lsh",
-      (s, dir) => {
-        val e = VectorOps.normalized(s, dir)
-        val sigExpr = (0 until 4)
-          .map(p => s"CASE WHEN ${projSpark(p)} > 0 THEN '1' ELSE '0' END")
-          .mkString("concat(", ", ", ")")
-        val sig = e.select(col("vec_id"), col("v"), col("nrm"), expr(sigExpr).as("bucket"))
-        sig.as("a")
-          .join(sig.as("b"),
-            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-          .select(
-            col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-            VectorOps.cosCol("a.v", "b.v", "a.nrm", "b.nrm").as("cos"))
-          .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
-          .limit(20)
-      },
+      (s, dir) => lshTopPairs(s, dir),
       Some {
         val sigExpr = (0 until 4)
           .map(p => s"CASE WHEN ${projDuck(p)} > 0 THEN '1' ELSE '0' END")
@@ -251,6 +261,100 @@ object SimilarityQueries {
            |  CAST(COUNT(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_size
            |FROM sigs ORDER BY vec_id""".stripMargin
       }
+    ),
+
+    // ---- recall of the approximate indexes vs the exact baseline ------------
+    // An approximate index without a recall number is unshippable: this
+    // registers the measurement itself as a verified query. Per query
+    // vector, recall@10 of IVF against brute-force top-10; plus one row
+    // (q_id = -1) for the LSH pair path — the fraction of its top-20
+    // near-dup pairs that appear in the exact top-50 pair baseline. Both
+    // comparisons are joins over deterministic result sets, so the recall
+    // values themselves hash-match the oracle. bench=false: the ground
+    // truth embeds the O(n²) exact pair scan by construction (a recall
+    // audit is an offline validation job, not a production query).
+    GQuery(
+      "ann_recall",
+      (s, dir) => {
+        val bf = bruteforceTopk(s, dir).select("q_id", "cand_id")
+        val ivf = ivfTopk(s, dir).select("q_id", "cand_id")
+        val ivfRows = bf.select(col("q_id")).distinct()
+          .join(bf.join(ivf, Seq("q_id", "cand_id"))
+            .groupBy("q_id").agg(count(lit(1)).as("hits")), Seq("q_id"), "left")
+          .select(lit("ivf").as("method"), col("q_id"),
+            coalesce(col("hits"), lit(0L)).as("n_hits"))
+          .withColumn("recall", col("n_hits").cast("double") / TOP_K)
+        val e = VectorOps.normalized(s, dir)
+        val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+        val bfPairs = a.join(b, col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            VectorOps.cosCol("va", "vb", "na", "nb").as("cos"))
+          .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+          .limit(50)
+          .select("vec_a", "vec_b")
+        val lshRow = lshTopPairs(s, dir).select("vec_a", "vec_b")
+          .join(bfPairs, Seq("vec_a", "vec_b"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit("lsh_pairs").as("method"), lit(-1L).as("q_id"), col("n_hits"))
+          .withColumn("recall", col("n_hits").cast("double") / 20)
+        ivfRows.unionByName(lshRow).orderBy("method", "q_id")
+      },
+      Some {
+        val lshSig = (0 until 4)
+          .map(p => s"CASE WHEN ${projDuck(p)} > 0 THEN '1' ELSE '0' END")
+          .mkString("concat(", ", ", ")")
+        s"""WITH ${VectorOps.normalizedSql},
+           |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
+           |bscored AS (SELECT q.q_id, e.vec_id AS cand_id,
+           |  ${VectorOps.cosSql("q.qv", "e.v", "q.qn", "e.nrm")} AS cos
+           |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+           |bf AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+           |  FROM bscored) WHERE rank <= $TOP_K),
+           |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
+           |assign0 AS (SELECT e.vec_id, e.v, e.nrm, seeds.seed_id,
+           |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |    ${VectorOps.cosSql("e.v", "seeds.sv", "e.nrm", "seeds.sn")} DESC, seeds.seed_id) AS rn
+           |  FROM e CROSS JOIN seeds),
+           |assign AS (SELECT vec_id, v, nrm, seed_id FROM assign0 WHERE rn = 1),
+           |probes0 AS (SELECT q.q_id, q.qv, q.qn, seeds.seed_id,
+           |  row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |    ${VectorOps.cosSql("q.qv", "seeds.sv", "q.qn", "seeds.sn")} DESC, seeds.seed_id) AS rn
+           |  FROM q CROSS JOIN seeds),
+           |probes AS (SELECT q_id, qv, qn, seed_id FROM probes0 WHERE rn <= $N_PROBE),
+           |icand AS (SELECT DISTINCT probes.q_id, assign.vec_id AS cand_id,
+           |  ${VectorOps.cosSql("probes.qv", "assign.v", "probes.qn", "assign.nrm")} AS cos
+           |  FROM probes JOIN assign ON probes.seed_id = assign.seed_id
+           |  WHERE assign.vec_id <> probes.q_id),
+           |ivf AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+           |  FROM icand) WHERE rank <= $TOP_K),
+           |ivf_hits AS (SELECT bf.q_id, COUNT(*) AS hits FROM bf
+           |  JOIN ivf ON bf.q_id = ivf.q_id AND bf.cand_id = ivf.cand_id
+           |  GROUP BY bf.q_id),
+           |qids AS (SELECT DISTINCT q_id FROM bf),
+           |ivf_rows AS (SELECT 'ivf' AS method, qids.q_id,
+           |  CAST(COALESCE(hits, 0) AS BIGINT) AS n_hits,
+           |  CAST(COALESCE(hits, 0) AS DOUBLE) / $TOP_K AS recall
+           |  FROM qids LEFT JOIN ivf_hits ON qids.q_id = ivf_hits.q_id),
+           |lsig AS (SELECT vec_id, v, nrm, $lshSig AS bucket FROM e),
+           |lsh AS (SELECT vec_a, vec_b FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |  ${VectorOps.cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
+           |  FROM lsig a JOIN lsig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |  ORDER BY cos DESC, vec_a, vec_b LIMIT 20)),
+           |bfp AS (SELECT vec_a, vec_b FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |  ${VectorOps.cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
+           |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |  ORDER BY cos DESC, vec_a, vec_b LIMIT 50)),
+           |lsh_row AS (SELECT 'lsh_pairs' AS method, CAST(-1 AS BIGINT) AS q_id,
+           |  CAST(COUNT(*) AS BIGINT) AS n_hits, CAST(COUNT(*) AS DOUBLE) / 20 AS recall
+           |  FROM lsh JOIN bfp ON lsh.vec_a = bfp.vec_a AND lsh.vec_b = bfp.vec_b)
+           |SELECT method, q_id, n_hits, recall FROM ivf_rows
+           |UNION ALL SELECT method, q_id, n_hits, recall FROM lsh_row
+           |ORDER BY method, q_id""".stripMargin
+      },
+      bench = false // embeds the O(n²) exact-pair ground truth — an offline audit, not a serving path
     )
   )
 }
