@@ -132,6 +132,43 @@ object EventQueries {
               |SELECT a.day AS day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS retained
               |FROM d a JOIN d b ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
               |GROUP BY a.day ORDER BY day""".stripMargin)
+    ),
+
+    // ---- view→purchase attribution (interval join) ---------------------------
+    // The oracle-paired BATCH TWIN of EventsStream.viewPurchaseAttribution:
+    // StreamingSpec asserts stream == batch on this exact join, and this
+    // entry asserts batch == DuckDB — closing the verification loop for the
+    // stream-stream path the same way tumbling/session windows are closed.
+    // Plan: hash equi-join on user_id with the time range as a join filter;
+    // no inequality-only join, no cartesian.
+    GQuery(
+      "q_events_attribution",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"))
+        views.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") >= col("view_ts") &&
+            col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("user_id"), col("view_id"), col("purchase_id"),
+            unix_micros(col("view_ts")).as("view_ts_us"),
+            unix_micros(col("purchase_ts")).as("purchase_ts_us"))
+          .orderBy("user_id", "view_id", "purchase_id")
+      },
+      Some(s"""WITH ev AS (SELECT * FROM ${Tables.eventsOracleFrom} e),
+              |v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+              |  FROM ev WHERE event_type = 'view'),
+              |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+              |  FROM ev WHERE event_type = 'purchase')
+              |SELECT v.user_id AS user_id, view_id, purchase_id,
+              |  epoch_us(view_ts) AS view_ts_us, epoch_us(purchase_ts) AS purchase_ts_us
+              |FROM v JOIN p ON v.user_id = p.user_id
+              |  AND purchase_ts >= view_ts AND purchase_ts <= view_ts + INTERVAL 1 HOUR
+              |ORDER BY v.user_id, view_id, purchase_id""".stripMargin)
     )
   )
 }

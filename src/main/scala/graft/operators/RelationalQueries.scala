@@ -216,6 +216,44 @@ object RelationalQueries {
       None
     ),
 
+    // ---- KMV distinct sketch: a DETERMINISTIC cardinality estimator ----------
+    // HLL (q_approx_distinct above) is rows-only because its registers are
+    // engine-specific; the K-minimum-values sketch is fully oracle-able:
+    // both engines agree bit-for-bit on md5, so the k smallest distinct
+    // hash values — and the estimate (k-1) · 2^52 / kth_prefix, computed in
+    // exact integer arithmetic on the hash's first 13 hex digits — are
+    // identical. Scale path: distinct-shuffle of 32-char digests, then
+    // TakeOrderedAndProject (per-partition top-k, O(k) merge at the
+    // driver); a production variant replaces the distinct+sort with a
+    // bounded min-k TreeSet Aggregator (map-side combinable, one pass, no
+    // distinct shuffle) — the TopKAgg pattern in functions/.
+    GQuery(
+      "q_kmv_distinct",
+      (s, dir) => {
+        val k = 64
+        val kth = Tables.lineitem(s, dir)
+          .select(md5(col("l_orderkey").cast("string")).as("h")).distinct()
+          .orderBy("h").limit(k)
+          .agg(count(lit(1)).cast("long").as("k"), max(col("h")).as("kth"))
+          .select(col("k"),
+            expr("CAST(conv(substring(kth, 1, 13), 16, 10) AS BIGINT)").as("kth_prefix"))
+          .select(col("k"), col("kth_prefix"),
+            expr(s"(CAST(${k - 1} AS BIGINT) * CAST(${1L << 52} AS BIGINT)) div kth_prefix")
+              .as("est_distinct"))
+        val exact = Tables.lineitem(s, dir)
+          .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        kth.crossJoin(exact) // 1 row × 1 row
+      },
+      Some(s"""WITH h AS (SELECT DISTINCT md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem),
+              |topk AS (SELECT h FROM h ORDER BY h LIMIT 64),
+              |kth AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+              |  CAST(('0x' || substring(MAX(h), 1, 13)) AS BIGINT) AS kth_prefix FROM topk),
+              |ex AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact FROM lineitem)
+              |SELECT k, kth_prefix,
+              |  (CAST(63 AS BIGINT) * ${1L << 52}) // kth_prefix AS est_distinct, n_exact
+              |FROM kth, ex""".stripMargin)
+    ),
+
     // ---- grouping sets -------------------------------------------------------
     GQuery(
       "q_rollup",
