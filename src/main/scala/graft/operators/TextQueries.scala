@@ -3,6 +3,7 @@ package graft.operators
 import graft.{GQuery, Tables}
 import graft.functions.Exact._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators over `documents` (builder mandate: language-ID,
   * quality scoring, token counting, document fingerprinting).
@@ -276,6 +277,83 @@ object TextQueries {
            |WHERE doc_id IN (SELECT doc_id FROM keep)
            |ORDER BY doc_id""".stripMargin
       }
+    ),
+
+    // ---- benchmark decontamination: shared word 8-grams ----------------------
+    // The standard training-data hygiene pass: find training docs whose text
+    // overlaps an evaluation/benchmark set by at least one word 8-gram (the
+    // n-gram-containment rule used by most published decontamination
+    // pipelines). The "benchmark" here is a deterministic slice of the
+    // corpus (doc_id % 10 == 0) standing in for an external eval set.
+    // Scale shape: the benchmark side is SMALL by definition — its distinct
+    // 8-gram digests broadcast; the corpus side is one tokenize + explode
+    // map pass into a broadcast hash join, so the corpus is never shuffled.
+    // Grams join on md5 digests (fixed 32-char keys, not raw 8-gram text).
+    GQuery(
+      "pipeline_decontaminate",
+      (s, dir) => {
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(toks) - 8), " +
+              "i -> md5(concat_ws(' ', slice(toks, i + 1, 8))))")).as("g"))
+        val docs = Tables.documents(s, dir)
+        val bench = broadcast(
+          grams(docs.filter(col("doc_id") % 10 === 0))
+            .select(col("doc_id").as("bench_doc_id"), col("g")).distinct())
+        grams(docs.filter(col("doc_id") % 10 =!= 0))
+          .distinct()
+          .join(bench, "g")
+          .groupBy(col("doc_id").as("train_doc_id"), col("bench_doc_id"))
+          .agg(count(lit(1)).as("n_shared_8grams"))
+          .orderBy("train_doc_id", "bench_doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |  range(1, len(toks) - 6),
+             |  i -> md5(array_to_string(toks[i:i+7], ' '))))) AS g FROM toks),
+             |bench AS (SELECT DISTINCT doc_id AS bench_doc_id, g FROM grams WHERE doc_id % 10 = 0),
+             |train AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0)
+             |SELECT train.doc_id AS train_doc_id, bench_doc_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_shared_8grams
+             |FROM train JOIN bench ON train.g = bench.g
+             |GROUP BY train.doc_id, bench_doc_id
+             |ORDER BY train_doc_id, bench_doc_id""".stripMargin)
+    ),
+
+    // ---- balanced dataset mixing: downsample to the smallest stratum ---------
+    // Domain/language rebalancing, the deterministic way: rank each doc
+    // within its language by md5(doc_id) (a stable pseudo-random order both
+    // engines reproduce) and keep the first min-stratum-count docs per
+    // language — every language ends up with exactly the same number of
+    // docs. One window shuffle by lang + a broadcast of the 1-row min
+    // count; no data-dependent randomness, so re-runs and the oracle agree
+    // exactly. (Rate-based mixes are the same shape with a per-stratum
+    // threshold instead of the global min.)
+    GQuery(
+      "pipeline_mix",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            md5(col("doc_id").cast("string")).as("r"))
+        val minN = broadcast(
+          d.groupBy("lang").agg(count(lit(1)).as("n"))
+            .agg(min(col("n")).as("min_n")))
+        val w = Window.partitionBy("lang").orderBy("r", "doc_id")
+        d.withColumn("rk", row_number().over(w).cast("long"))
+          .crossJoin(minN) // 1-row broadcast
+          .filter(col("rk") <= col("min_n"))
+          .select(col("lang"), col("doc_id"), col("rk"))
+          .orderBy("lang", "doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS r FROM documents),
+             |m AS (SELECT MIN(n) AS min_n FROM
+             |  (SELECT COUNT(*) AS n FROM d GROUP BY lang)),
+             |rk AS (SELECT doc_id, lang,
+             |  CAST(row_number() OVER (PARTITION BY lang ORDER BY r, doc_id) AS BIGINT) AS rk
+             |  FROM d)
+             |SELECT lang, doc_id, rk FROM rk, m WHERE rk <= min_n
+             |ORDER BY lang, doc_id""".stripMargin)
     )
   )
 }
