@@ -413,6 +413,72 @@ object AdvancedQueries {
               |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
     ),
 
+    // ---- TPC-H Q10 flavor: returned-item revenue per customer, top 20 --------
+    // Fact⋈fact (orders⋈lineitem) left to AQE; nation broadcast. The
+    // group-by keys include the (wide) customer attributes — the standard
+    // "aggregate then decorate" alternative of grouping by key only and
+    // re-joining attributes costs a second join; at these widths grouping
+    // by all keys is the cheaper single-shuffle plan.
+    GQuery(
+      "q_tpch_q10",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        val n = broadcast(Tables.nation(s, dir))
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_mktsegment", "n_name")
+          .agg(sumGrid(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, c_mktsegment, n_name,
+              |${sumGridSql("l_extendedprice*(1.0-l_discount)", 10000L)} AS revenue
+              |FROM customer JOIN orders ON c_custkey = o_custkey
+              |JOIN lineitem ON o_orderkey = l_orderkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |WHERE l_returnflag = 'R'
+              |AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+              |GROUP BY c_custkey, c_name, c_mktsegment, n_name
+              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+    ),
+
+    // ---- TPC-H Q18 flavor: large-volume orders ("big buyers") ----------------
+    // HAVING over a fact aggregate, then decorate with two joins. Quantities
+    // are integer-valued, so the per-order sum is exact as BIGINT on both
+    // engines; the aggregate runs partial→final before the (small) survivor
+    // set joins back to orders/customer.
+    GQuery(
+      "q_tpch_q18",
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir)
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .filter(col("sum_qty") > 300)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        o.join(big, o("o_orderkey") === big("l_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("o_totalprice_cents"),
+            col("sum_qty"))
+          .orderBy(col("o_totalprice_cents").desc, col("o_orderkey"))
+      },
+      Some(s"""WITH big AS (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+              |  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+              |SELECT c_custkey, c_name, o_orderkey,
+              |  epoch_us(o_orderdate) AS o_orderdate_us,
+              |  CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents, sum_qty
+              |FROM orders JOIN big ON o_orderkey = l_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |ORDER BY o_totalprice_cents DESC, o_orderkey""".stripMargin)
+    ),
+
     // ---- merge/upsert: apply a changeset to a snapshot -----------------------
     // The CDC shape (MERGE INTO) as pure DataFrame algebra: anti join drops
     // deletes, left join + coalesce applies updates, union appends inserts.
