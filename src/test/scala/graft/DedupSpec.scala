@@ -66,6 +66,39 @@ class DedupSpec extends SparkSpec {
     assert(crossAB.isEmpty || crossAB.size == 6, crossAB)
   }
 
+  test("propagateLabels matches union-find on random graphs") {
+    import spark.implicits._
+    // reference: weighted-quickunion union-find, labels = min doc_id per
+    // component — the ground truth the distributed loop must reproduce
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      verts.map(v => v -> find(v)).toMap
+    }
+    // fixed-seed random graphs: chains, stars, and cycles arise naturally
+    val rnd = new scala.util.Random(42)
+    val ckpt = (df: org.apache.spark.sql.DataFrame) => df.localCheckpoint(false)
+    for (trial <- 1 to 8) {
+      val n = 2 + rnd.nextInt(25)
+      val pairs = Seq.fill(1 + rnd.nextInt(30)) {
+        val a = rnd.nextInt(n).toLong
+        val b = (a + 1 + rnd.nextInt(n - 1)) % n // guaranteed != a
+        (math.min(a, b), math.max(a, b))
+      }.distinct
+      val got = DedupQueries.propagateLabels(pairs.toDF("doc_a", "doc_b"), ckpt)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(pairs), s"trial $trial pairs $pairs:\n$got\nvs ${unionFind(pairs)}")
+    }
+  }
+
   test("propagateLabels finds connected components under both checkpointers") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 10L), (5L, 6L), (7L, 8L), (8L, 9L))

@@ -50,6 +50,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("decontamination broadcasts the benchmark grams, never shuffles the corpus") {
+    val p = plan("pipeline_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("TPC-H q10/q18 keep dimension broadcasts and partial aggregation") {
+    val p10 = plan("q_tpch_q10")
+    assert(p10.contains("BroadcastHashJoin"), p10)
+    val p18 = plan("q_tpch_q18")
+    assert("HashAggregate".r.findAllIn(p18).size >= 2, p18) // partial + final on quantity sum
+  }
+
   test("ngram candidate generation is an equi-join on the content block key") {
     val p = plan("dedup_ngram_jaccard")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
