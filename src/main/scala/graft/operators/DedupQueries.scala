@@ -99,7 +99,11 @@ object DedupQueries {
     * the hamming-block pair search.
     */
   private def simhashVotes(s: SparkSession, dir: String): DataFrame = {
-    val nibs = shingled(s, dir)
+    // compute-bound map stage (one md5 per shingle + 8 nibble decodes):
+    // spread rows across cores first — a small hot file is one byte-split,
+    // which would leave the whole hash pass on a single task
+    val nibs = shingled(
+      Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism))
       .select(col("doc_id"), expr("transform(sh, x -> md5(x))").as("shh"))
       .select(col("doc_id") +: (0 until 8).map(p =>
         expr(s"transform(shh, h -> ${nibbleSpark(p)})").as(s"n$p")): _*)
