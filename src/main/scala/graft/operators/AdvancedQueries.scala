@@ -642,6 +642,69 @@ object AdvancedQueries {
              |CAST(COUNT(*) AS BIGINT) AS n
              |FROM lineitem WHERE l_orderkey <= 100
              |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+    ),
+
+    // ---- one-pass column profiler (data-quality pass) ------------------------
+    // The profiling job every ingest pipeline runs first: row count, per-
+    // column non-null count, exact distinct count, and min/max — computed
+    // in ONE scan (a single multi-distinct aggregate; Spark plans it as one
+    // expand + shuffle, not one job per column) and pivoted long. min/max
+    // are emitted in engine-stable representations (strings for strings,
+    // integer values / epoch micros rendered as digits) so the hash compare
+    // can't trip on float/date formatting.
+    GQuery(
+      "q_profile_columns",
+      (s, dir) => {
+        val wide = Tables.lineitem(s, dir).agg(
+          count(lit(1)).as("n"),
+          count(col("l_returnflag")).as("rf_nn"),
+          countDistinct(col("l_returnflag")).as("rf_nd"),
+          min(col("l_returnflag")).as("rf_min"), max(col("l_returnflag")).as("rf_max"),
+          count(col("l_quantity")).as("q_nn"),
+          countDistinct(col("l_quantity")).as("q_nd"),
+          expr("CAST(CAST(MIN(l_quantity) AS BIGINT) AS STRING)").as("q_min"),
+          expr("CAST(CAST(MAX(l_quantity) AS BIGINT) AS STRING)").as("q_max"),
+          count(col("l_orderkey")).as("k_nn"),
+          countDistinct(col("l_orderkey")).as("k_nd"),
+          expr("CAST(MIN(l_orderkey) AS STRING)").as("k_min"),
+          expr("CAST(MAX(l_orderkey) AS STRING)").as("k_max"),
+          count(col("l_shipdate")).as("d_nn"),
+          countDistinct(col("l_shipdate")).as("d_nd"),
+          expr("CAST(unix_micros(CAST(MIN(l_shipdate) AS TIMESTAMP)) AS STRING)").as("d_min"),
+          expr("CAST(unix_micros(CAST(MAX(l_shipdate) AS TIMESTAMP)) AS STRING)").as("d_max"))
+        wide.select(explode(expr(
+          """array(
+            |named_struct('column_name', 'l_orderkey',  'n_rows', n, 'n_nonnull', k_nn,  'n_distinct', k_nd,  'min_repr', k_min,  'max_repr', k_max),
+            |named_struct('column_name', 'l_quantity',  'n_rows', n, 'n_nonnull', q_nn,  'n_distinct', q_nd,  'min_repr', q_min,  'max_repr', q_max),
+            |named_struct('column_name', 'l_returnflag','n_rows', n, 'n_nonnull', rf_nn, 'n_distinct', rf_nd, 'min_repr', rf_min, 'max_repr', rf_max),
+            |named_struct('column_name', 'l_shipdate',  'n_rows', n, 'n_nonnull', d_nn,  'n_distinct', d_nd,  'min_repr', d_min,  'max_repr', d_max))""".stripMargin)).as("p"))
+          .select("p.*")
+          .orderBy("column_name")
+      },
+      Some("""WITH w AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(COUNT(l_returnflag) AS BIGINT) AS rf_nn,
+             |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS rf_nd,
+             |  MIN(l_returnflag) AS rf_min, MAX(l_returnflag) AS rf_max,
+             |  CAST(COUNT(l_quantity) AS BIGINT) AS q_nn,
+             |  CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS q_nd,
+             |  CAST(CAST(MIN(l_quantity) AS BIGINT) AS VARCHAR) AS q_min,
+             |  CAST(CAST(MAX(l_quantity) AS BIGINT) AS VARCHAR) AS q_max,
+             |  CAST(COUNT(l_orderkey) AS BIGINT) AS k_nn,
+             |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS k_nd,
+             |  CAST(MIN(l_orderkey) AS VARCHAR) AS k_min,
+             |  CAST(MAX(l_orderkey) AS VARCHAR) AS k_max,
+             |  CAST(COUNT(l_shipdate) AS BIGINT) AS d_nn,
+             |  CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) AS d_nd,
+             |  CAST(epoch_us(MIN(l_shipdate)) AS VARCHAR) AS d_min,
+             |  CAST(epoch_us(MAX(l_shipdate)) AS VARCHAR) AS d_max
+             |  FROM lineitem)
+             |SELECT column_name, n_rows, n_nonnull, n_distinct, min_repr, max_repr FROM (
+             |  SELECT 'l_orderkey' AS column_name, n AS n_rows, k_nn AS n_nonnull,
+             |    k_nd AS n_distinct, k_min AS min_repr, k_max AS max_repr FROM w
+             |  UNION ALL SELECT 'l_quantity', n, q_nn, q_nd, q_min, q_max FROM w
+             |  UNION ALL SELECT 'l_returnflag', n, rf_nn, rf_nd, rf_min, rf_max FROM w
+             |  UNION ALL SELECT 'l_shipdate', n, d_nn, d_nd, d_min, d_max FROM w)
+             |ORDER BY column_name""".stripMargin)
     )
   )
 }

@@ -355,6 +355,85 @@ object SimilarityQueries {
            |ORDER BY method, q_id""".stripMargin
       },
       bench = false // embeds the O(n²) exact-pair ground truth — an offline audit, not a serving path
+    ),
+
+    // ---- one full k-means (Lloyd) iteration, grid-exact ----------------------
+    // The clustering step a vector pipeline actually iterates: assign →
+    // recompute centroids → reassign, reported as per-cell populations
+    // before/after. Scale shape: assignment is a broadcast of the (small)
+    // centroid set against the corpus — the corpus is scanned, never
+    // shuffled, except one (seed_id, dim)-keyed partial-aggregated shuffle
+    // for the centroid sums. Determinism: centroid components are exact
+    // integer sums on a 1e-9 grid divided back out (double sums would be
+    // partition-order-dependent), and both engines then evaluate the same
+    // double expression tree for the new cosines, so assignments can't
+    // flip between Spark and the oracle.
+    GQuery(
+      "ann_kmeans_iter",
+      (s, dir) => {
+        val e = VectorOps.normalized(s, dir)
+        val seeds = broadcast(
+          e.filter(col("vec_id") < N_SEEDS)
+            .select(col("vec_id").as("seed_id"), col("v").as("sv"), col("nrm").as("sn")))
+        val aw = Window.partitionBy("vec_id").orderBy(col("scos").desc, col("seed_id"))
+        val assign = e.join(seeds)
+          .select(col("vec_id"), col("v"), col("seed_id"),
+            VectorOps.cosCol("v", "sv", "nrm", "sn").as("scos"))
+          .withColumn("rn", row_number().over(aw))
+          .filter(col("rn") === 1)
+          .select("vec_id", "v", "seed_id")
+        val nOld = assign.groupBy("seed_id").agg(count(lit(1)).as("n_before"))
+        val cent = assign
+          .select(col("seed_id"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("seed_id", "pos")
+          .agg(sum(round(col("x") * 1e9).cast("long")).as("sx"), count(lit(1)).as("nd"))
+          .select(col("seed_id"),
+            struct(col("pos"),
+              (col("sx").cast("double") / 1e9 / col("nd").cast("double")).as("cv")).as("pc"))
+          .groupBy("seed_id")
+          .agg(expr("transform(sort_array(collect_list(pc)), p -> p.cv)").as("c"))
+          .withColumn("cn", expr(s"sqrt(${VectorOps.dotExpr("c", "c")})"))
+        val rw = Window.partitionBy("vec_id").orderBy(col("ncos").desc, col("seed_id"))
+        val nNew = e.join(broadcast(cent))
+          .select(col("vec_id"), col("seed_id"),
+            expr(s"${VectorOps.dotExpr("v", "c")} / (nrm * cn)").as("ncos"))
+          .withColumn("rn", row_number().over(rw))
+          .filter(col("rn") === 1)
+          .groupBy("seed_id").agg(count(lit(1)).as("n_after"))
+        nOld.join(nNew, Seq("seed_id"), "full")
+          .select(col("seed_id"),
+            coalesce(col("n_before"), lit(0L)).as("n_before"),
+            coalesce(col("n_after"), lit(0L)).as("n_after"))
+          .orderBy("seed_id")
+      },
+      Some(s"""WITH ${VectorOps.normalizedSql},
+              |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
+              |assign0 AS (SELECT e.vec_id, e.v, seeds.seed_id,
+              |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              |    ${VectorOps.cosSql("e.v", "seeds.sv", "e.nrm", "seeds.sn")} DESC, seeds.seed_id) AS rn
+              |  FROM e CROSS JOIN seeds),
+              |assign AS (SELECT vec_id, v, seed_id FROM assign0 WHERE rn = 1),
+              |n_old AS (SELECT seed_id, CAST(COUNT(*) AS BIGINT) AS n_before
+              |  FROM assign GROUP BY seed_id),
+              |dims AS (SELECT seed_id, unnest(range(1, 65)) AS pos, v FROM assign),
+              |sums AS (SELECT seed_id, pos,
+              |  CAST(SUM(CAST(round(v[pos] * 1000000000) AS BIGINT)) AS BIGINT) AS sx,
+              |  CAST(COUNT(*) AS BIGINT) AS nd
+              |  FROM dims GROUP BY seed_id, pos),
+              |cent AS (SELECT seed_id,
+              |  list(CAST(sx AS DOUBLE) / 1000000000 / CAST(nd AS DOUBLE) ORDER BY pos) AS c
+              |  FROM sums GROUP BY seed_id),
+              |cent2 AS (SELECT seed_id, c, sqrt(${VectorOps.dotSql("c", "c")}) AS cn FROM cent),
+              |re0 AS (SELECT e.vec_id, cent2.seed_id,
+              |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              |    ${VectorOps.dotSql("e.v", "cent2.c")} / (e.nrm * cent2.cn) DESC, cent2.seed_id) AS rn
+              |  FROM e CROSS JOIN cent2),
+              |n_new AS (SELECT seed_id, CAST(COUNT(*) AS BIGINT) AS n_after
+              |  FROM re0 WHERE rn = 1 GROUP BY seed_id)
+              |SELECT COALESCE(n_old.seed_id, n_new.seed_id) AS seed_id,
+              |  COALESCE(n_before, 0) AS n_before, COALESCE(n_after, 0) AS n_after
+              |FROM n_old FULL OUTER JOIN n_new ON n_old.seed_id = n_new.seed_id
+              |ORDER BY seed_id""".stripMargin)
     )
   )
 }
