@@ -644,6 +644,27 @@ object AdvancedQueries {
              |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
     ),
 
+    // ---- fixed-width value histogram -----------------------------------------
+    // Distribution profiling (the complement of q_profile_columns' scalar
+    // stats): bin order values into $25k buckets on the exact cents grid —
+    // integer floor-division, so bucket boundaries can't drift between
+    // engines. One partial-aggregated shuffle on the bin key.
+    GQuery(
+      "q_histogram",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(expr("CAST(round(o_totalprice * 100) AS BIGINT) div 2500000").as("bin"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"))
+          .select(col("bin"), (col("bin") * 25000).as("bin_low_dollars"), col("n"))
+          .orderBy("bin"),
+      Some("""SELECT bin, bin * 25000 AS bin_low_dollars, n FROM (
+             |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 2500000 AS bin,
+             |    CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM orders GROUP BY 1)
+             |ORDER BY bin""".stripMargin)
+    ),
+
     // ---- one-pass column profiler (data-quality pass) ------------------------
     // The profiling job every ingest pipeline runs first: row count, per-
     // column non-null count, exact distinct count, and min/max — computed

@@ -165,6 +165,30 @@ object EventsStream {
         col("view_ts"), col("purchase_ts"))
   }
 
+  /** LEFT OUTER variant of [[viewPurchaseAttribution]]: views with no
+    * purchase inside the hour still emit (null purchase columns) — but only
+    * once the watermark passes view_ts + 1 h, when Spark can prove no match
+    * can still arrive. On a bounded replay, unmatched views near stream end
+    * whose expiry the final watermark never passes are withheld — the price
+    * of correct outer semantics on an unbounded stream (asserted in
+    * StreamingSpec).
+    */
+  def viewPurchaseAttributionOuter(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    views.join(purchases,
+      expr("user_id = p_user_id AND purchase_ts >= view_ts " +
+        "AND purchase_ts <= view_ts + interval 1 hour"),
+      "left_outer")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"))
+  }
+
   /** Stream-static enrichment join: the unbounded events stream joined to a
     * small static dimension (re-read per micro-batch, broadcast by the
     * planner). The standard shape for attaching slowly-changing reference

@@ -119,13 +119,15 @@ class StreamingSpec extends SparkSpec {
       .collect()
     assert(streamed.nonEmpty)
     assert(streamed.toSeq == batch.toSeq)
-    // EventTimeTimeout bound: the store never holds more than the users
-    // active inside the idle horizon — at most every distinct user, fewer
-    // once evictions fire.
+    // EventTimeTimeout bound: users idle past the horizon are EVICTED when
+    // the final no-data batch advances the watermark — the store must end
+    // holding exactly the non-evicted users, strictly fewer than all users.
     val distinctUsers = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    val evictedUsers = table.filter(col("evicted")).select("user_id").distinct().count()
     val stateRows = progress.stateOperators.headOption.map(_.numRowsTotal).getOrElse(-1L)
-    assert(stateRows >= 0 && stateRows <= distinctUsers,
-      s"state rows $stateRows exceeds distinct users $distinctUsers")
+    assert(evictedUsers > 0, "no evictions fired — EventTimeTimeout not exercised")
+    assert(stateRows == distinctUsers - evictedUsers,
+      s"state rows $stateRows != $distinctUsers users - $evictedUsers evicted")
   }
 
   test("stream-stream interval join equals the batch interval join") {
@@ -149,6 +151,37 @@ class StreamingSpec extends SparkSpec {
       .collect()
     assert(streamed.nonEmpty)
     assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("stream-stream LEFT OUTER join: inner part exact, unmatched views watermark-gated") {
+    val streamed = EventsStream.runOnce(
+      EventsStream.viewPurchaseAttributionOuter(EventsStream.readEvents(spark, sfDir)),
+      "stream_ssjoin_outer_test", "append")
+    val ev = Tables.events(spark, sfDir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val batchOuter = views.join(purchases,
+      expr("user_id = p_user_id AND purchase_ts >= view_ts " +
+        "AND purchase_ts <= view_ts + interval 1 hour"), "left_outer")
+    // matched rows are not watermark-gated: they must equal the batch inner part
+    val sInner = streamed.filter(col("purchase_id").isNotNull)
+      .orderBy("user_id", "view_id", "purchase_id").collect()
+    val bInner = batchOuter.filter(col("purchase_id").isNotNull)
+      .select(streamed.columns.map(col): _*)
+      .orderBy("user_id", "view_id", "purchase_id").collect()
+    assert(sInner.nonEmpty && sInner.toSeq == bInner.toSeq)
+    // unmatched views emit ONLY after the watermark proves no match can
+    // arrive — the emitted set must be a nonempty subset of the batch's
+    // unmatched views (rows near stream end stay withheld)
+    val sNull = streamed.filter(col("purchase_id").isNull)
+      .select("view_id").collect().map(_.getLong(0)).toSet
+    val bNull = batchOuter.filter(col("purchase_id").isNull)
+      .select("view_id").collect().map(_.getLong(0)).toSet
+    assert(sNull.nonEmpty, "no unmatched views emitted — outer path not exercised")
+    assert(sNull.subsetOf(bNull), s"streamed emitted non-unmatched views: ${sNull -- bNull}")
   }
 
   test("streaming helpers restore the nanosAsLong conf after the drain") {
