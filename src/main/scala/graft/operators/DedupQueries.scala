@@ -141,7 +141,7 @@ object DedupQueries {
     * banding every document (identical signatures ⇒ identical collisions).
     *
     * Signature path skips array_distinct (a no-op under min-of-hashes) and
-    * materializes the 8-column signature table once (localCheckpoint), so
+    * materializes the 8-column signature table once (persist, see Materialize), so
     * the band self-join doesn't re-run the corpus tokenize+md5 pass per
     * side; exact-Jaccard shingles are re-derived only for representatives
     * surviving into a candidate pair.
@@ -159,7 +159,7 @@ object DedupQueries {
         expr("transform(sequence(0, size(toks) - 3), " +
           "i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))").as("shh"))
       .select(col("doc_id") +: (0 until K).map(i => expr(minhashSpark(i)).as(s"m$i")): _*)
-      .localCheckpoint()
+      .transform(Materialize(_))
     val bands = sig.select(
       col("doc_id"),
       explode(array((0 until BANDS).map(j =>
@@ -171,7 +171,7 @@ object DedupQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      .localCheckpoint()
+      .transform(Materialize(_))
     val need = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val shNeed = shingled(docs.join(need, Seq("doc_id"), "left_semi"))
@@ -308,7 +308,7 @@ object DedupQueries {
     GQuery(
       "dedup_clusters",
       (s, dir) => {
-        val pairs = minhashPairs(s, dir).select("doc_a", "doc_b").localCheckpoint()
+        val pairs = Materialize(minhashPairs(s, dir).select("doc_a", "doc_b"))
         propagateLabels(pairs, reliableCheckpoint(s))
           .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
           .withColumn("cluster_size",
@@ -373,7 +373,7 @@ object DedupQueries {
           .mkString(" + ")
         val sigs = simhashVotes(s, dir)
           .select(col("doc_id"), expr(sigBits).as("sig"))
-          .localCheckpoint() // tiny (one long per doc); block self-join reuses it
+          .transform(Materialize(_)) // tiny (one long per doc); block self-join reuses it
         val blocks = sigs.select(
           col("doc_id"), col("sig"),
           explode(array((0 until 4).map(j =>
@@ -448,7 +448,7 @@ object DedupQueries {
           .withColumn("blk_n", count(lit(1)).over(Window.partitionBy("blk")))
           .filter(col("blk_n") <= lit(NGRAM_BLOCK_CAP))
           .select("doc_id", "blk")
-          .localCheckpoint() // one md5 pass total: the key table (2 cols/doc) is read by both join sides and the semi-join pushdown
+          .transform(Materialize(_)) // one md5 pass total: the key table (2 cols/doc) is read by both join sides and the semi-join pushdown
         val pairs = keys.as("a")
           .join(keys.as("b"), col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

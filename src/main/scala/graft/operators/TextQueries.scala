@@ -165,10 +165,10 @@ object TextQueries {
         val docs = Tables.documents(s, dir)
         val toks = docs.select(col("doc_id"), explode(expr(toksCol)).as("token"))
         // df derives from tf (already one row per (doc, token)) — the corpus
-        // is exploded and shuffled once, not twice; localCheckpoint stops the
+        // is exploded and shuffled once, not twice; Materialize (persist) stops the
         // tf subtree re-running for the df branch and the final join
         val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-          .localCheckpoint()
+          .transform(Materialize(_))
         val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
         val nd = docs.agg(count(lit(1)).as("n_docs"))
         val w = org.apache.spark.sql.expressions.Window
