@@ -149,10 +149,13 @@ object DedupQueries {
   private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
     val members = docs.select(col("doc_id"), md5(col("text")).as("text_md5"))
     // one representative text per content hash; first(text) is well-defined
-    // (all texts in a group are identical) and partial-aggregates map-side
-    val reps = docs
+    // (all texts in a group are identical) and partial-aggregates map-side.
+    // Materialized: the signature pipeline, the membership map, and both
+    // cross-expansion sides all read it — without the cache the text
+    // groupBy re-runs once per branch.
+    val reps = Materialize(docs
       .groupBy(md5(col("text")).as("text_md5"))
-      .agg(min(col("doc_id")).as("rep_id"), first(col("text")).as("text"))
+      .agg(min(col("doc_id")).as("rep_id"), first(col("text")).as("text")))
     val sig = reps
       .select(col("rep_id").as("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
