@@ -134,6 +134,36 @@ object EventQueries {
               |GROUP BY a.day ORDER BY day""".stripMargin)
     ),
 
+    // ---- time-series gap fill -------------------------------------------------
+    // Resampling with explicit zeros: hourly event counts joined onto a
+    // generated complete hour spine, so silent hours surface as n = 0
+    // instead of missing rows (monitoring and training-curriculum jobs both
+    // need the dense form). The spine generates from the aggregate's own
+    // min/max — a 1-row bound frame exploded driver-free and broadcast into
+    // the left join; the only corpus shuffle is the hourly aggregation.
+    GQuery(
+      "q_events_gapfill",
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+          .agg(count(lit(1)).as("n"))
+        val spine = hourly
+          .agg(min("hour_start").as("lo"), max("hour_start").as("hi"))
+          .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour_start"))
+        spine.join(hourly, Seq("hour_start"), "left")
+          .select(col("hour_start"), coalesce(col("n"), lit(0L)).as("n_events"))
+          .orderBy("hour_start")
+      },
+      Some(s"""WITH hourly AS (SELECT date_trunc('hour', ts) AS hour_start,
+              |  CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM ${Tables.eventsOracleFrom} e GROUP BY 1),
+              |b AS (SELECT MIN(hour_start) AS lo, MAX(hour_start) AS hi FROM hourly),
+              |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start FROM b)
+              |SELECT spine.hour_start AS hour_start, COALESCE(n, 0) AS n_events
+              |FROM spine LEFT JOIN hourly ON spine.hour_start = hourly.hour_start
+              |ORDER BY spine.hour_start""".stripMargin)
+    ),
+
     // ---- view→purchase attribution (interval join) ---------------------------
     // The oracle-paired BATCH TWIN of EventsStream.viewPurchaseAttribution:
     // StreamingSpec asserts stream == batch on this exact join, and this
