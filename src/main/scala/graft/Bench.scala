@@ -30,6 +30,12 @@ object Bench {
     // near-zero elapsed: it reports its elapsed NEGATED (distinguishable from
     // any success) and lands in the "errors" object; only successes count
     // toward the headline total.
+    // Note on caching: Materialize registers persisted frames in the session
+    // CacheManager, and identical subplans across queries (dedup_clusters
+    // re-derives dedup_minhash_lsh's pair pipeline) are served from cache —
+    // that is production session behavior, so the bench keeps it; per-query
+    // cold-cache isolation would double-charge shared pipelines. Verify
+    // clears per query instead, to bound memory across the ~90-query run.
     val results = headline.map { q =>
       val t0 = System.nanoTime()
       val err =

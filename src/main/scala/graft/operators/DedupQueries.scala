@@ -248,10 +248,24 @@ object DedupQueries {
     * HDFS/S3). Lazy (`eager = false`): the caller's next action writes it.
     */
   private[graft] def reliableCheckpoint(s: SparkSession): DataFrame => DataFrame = {
-    if (s.sparkContext.getCheckpointDir.isEmpty)
+    if (s.sparkContext.getCheckpointDir.isEmpty) {
+      // a local temp dir is only a valid checkpoint target in local mode —
+      // on a cluster each executor would write to ITS OWN disk and the
+      // files would be unreadable from anywhere else; fail loudly instead
+      require(s.sparkContext.isLocal,
+        "no checkpoint dir set: call sparkContext.setCheckpointDir with an " +
+          "HDFS/object-store path before running dedup_clusters on a cluster")
       s.sparkContext.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft-label-ckpt").toString)
-    df => df.checkpoint(eager = false)
+    }
+    // persist BEFORE the lazy checkpoint (per RDD.checkpoint's own guidance):
+    // the caller's action populates the cache and the checkpoint-write job
+    // reads cached partitions instead of recomputing the round's join from
+    // scratch. Checkpoint files from completed rounds are not auto-deleted
+    // (spark.cleaner cleanCheckpoints is best-effort and off by default) —
+    // a recurring fleet job should clean its checkpoint dir between runs.
+    df => df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .checkpoint(eager = false)
   }
 
   /** DuckDB twin of [[minhashPairs]]: CTE chain ending in `jac_pairs`
@@ -434,7 +448,12 @@ object DedupQueries {
         // from row count, not byte-based file splits: repartition to the
         // cluster's cores before the map stage — one pass of the raw text
         // through the shuffle buys full-width md5 throughput
+        // guard: texts under 5 chars have no 5-grams — without the filter,
+        // Spark's sequence(1, negative) runs DESCENDING and produces garbage
+        // block keys where the DuckDB twin (empty range → NULL key) would
+        // exclude the doc entirely
         val docs = Tables.documents(s, dir)
+          .filter(length(col("text")) >= 5)
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), col("text"))
         // explode → codegen'd md5 → map-side partial min, NOT

@@ -144,9 +144,9 @@ object EventQueries {
     GQuery(
       "q_events_gapfill",
       (s, dir) => {
-        val hourly = Tables.events(s, dir)
+        val hourly = Materialize(Tables.events(s, dir)
           .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
-          .agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n")))
         val spine = hourly
           .agg(min("hour_start").as("lo"), max("hour_start").as("hi"))
           .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour_start"))

@@ -237,8 +237,12 @@ object RelationalQueries {
           .agg(count(lit(1)).cast("long").as("k"), max(col("h")).as("kth"))
           .select(col("k"),
             expr("CAST(conv(substring(kth, 1, 13), 16, 10) AS BIGINT)").as("kth_prefix"))
+          // fewer than k distinct values ⇒ the sketch saw everything: the
+          // exact count IS the estimate (the (k-1)/kth formula is only
+          // defined when the k-th minimum is a real order statistic)
           .select(col("k"), col("kth_prefix"),
-            expr(s"(CAST(${k - 1} AS BIGINT) * CAST(${1L << 52} AS BIGINT)) div kth_prefix")
+            expr(s"CASE WHEN k < $k THEN k ELSE " +
+              s"(CAST(${k - 1} AS BIGINT) * CAST(${1L << 52} AS BIGINT)) div kth_prefix END")
               .as("est_distinct"))
         val exact = Tables.lineitem(s, dir)
           .agg(countDistinct(col("l_orderkey")).as("n_exact"))
@@ -250,7 +254,9 @@ object RelationalQueries {
               |  CAST(('0x' || substring(MAX(h), 1, 13)) AS BIGINT) AS kth_prefix FROM topk),
               |ex AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact FROM lineitem)
               |SELECT k, kth_prefix,
-              |  (CAST(63 AS BIGINT) * ${1L << 52}) // kth_prefix AS est_distinct, n_exact
+              |  CASE WHEN k < 64 THEN k
+              |       ELSE (CAST(63 AS BIGINT) * ${1L << 52}) // kth_prefix END AS est_distinct,
+              |  n_exact
               |FROM kth, ex""".stripMargin)
     ),
 

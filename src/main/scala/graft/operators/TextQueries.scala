@@ -294,6 +294,10 @@ object TextQueries {
       (s, dir) => {
         def grams(df: org.apache.spark.sql.DataFrame) = df
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          // guard: docs under 8 tokens have no 8-grams — without the filter,
+          // Spark's sequence(0, negative) runs DESCENDING and slice(toks, 0, 8)
+          // throws; DuckDB's range is simply empty for them
+          .filter(size(col("toks")) >= 8)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(0, size(toks) - 8), " +
               "i -> md5(concat_ws(' ', slice(toks, i + 1, 8))))")).as("g"))
