@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Short-input edge cases the driver corpus can't produce (its docs all
+  * have >= 10 tokens): sub-5-char texts and sub-8-token docs must be
+  * EXCLUDED by the n-gram queries — not crash the job (Spark's
+  * sequence(a, negative) runs descending) and not diverge from DuckDB's
+  * empty-range exclusion. Runs the registered queries against a synthetic
+  * documents.parquet shaped like the test data.
+  */
+class EdgeCorpusSpec extends SparkSpec {
+
+  private lazy val edgeDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-edge").toString
+    val long1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    Seq(
+      (1L, "abc", "en", "src0", 3L),                       // < 5 chars: no 5-gram key
+      (2L, "one two three", "en", "src0", 13L),            // 3 tokens: no 8-gram
+      (3L, long1, "en", "src1", long1.length.toLong),
+      (4L, long1, "en", "src1", long1.length.toLong),      // near/exact dup of 3
+      (10L, long1 + " extra", "en", "src2", 0L))           // doc_id % 10 == 0: benchmark slice
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedup_ngram_jaccard excludes sub-5-char texts instead of crashing") {
+    val out = SparkEntry.queries("dedup_ngram_jaccard")(spark, edgeDir).collect()
+    // doc 1 can never appear; docs 3/4 are identical → jaccard 1.0 pair
+    assert(!out.exists(r => r.getLong(0) == 1L || r.getLong(1) == 1L))
+    assert(out.exists(r => r.getLong(0) == 3L && r.getLong(1) == 4L))
+  }
+
+  test("pipeline_decontaminate skips sub-8-token docs instead of crashing") {
+    val out = SparkEntry.queries("pipeline_decontaminate")(spark, edgeDir).collect()
+    // doc 2 (3 tokens) must not appear on either side; docs 3/4 share all
+    // their 8-grams with benchmark doc 10 (its prefix)
+    assert(!out.exists(r => r.getLong(0) == 2L))
+    assert(out.exists(r => r.getLong(0) == 3L && r.getLong(1) == 10L))
+    assert(out.exists(r => r.getLong(0) == 4L && r.getLong(1) == 10L))
+  }
+}
