@@ -52,14 +52,31 @@ object ConvertQueries {
     GQuery(
       "meta_rowcount",
       (s, dir) => {
-        // O2: count(*) per table — Catalyst serves this from parquet footer
-        // statistics (no column scan), the distributed analog of app.py:94.
-        Tables.all
-          .map { t =>
-            Tables.table(s, dir, t).agg(count(lit(1)).as("n")).select(lit(t).as("tbl"), col("n"))
-          }
-          .reduce(_ union _)
-          .orderBy("tbl")
+        // O2 (app.py:94): row counts from parquet FOOTER METADATA — no row
+        // group is read and no executor job runs, exactly the reference's
+        // pq_file.metadata.num_rows. Goes through the Hadoop FS + parquet
+        // footer reader so it works on any scheme (s3a://, hdfs://); cost
+        // is one footer read per file, independent of data volume — the
+        // V1 parquet source has no count pushdown, so the df.count()
+        // formulation this replaces scanned every row group.
+        import org.apache.hadoop.fs.Path
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        val conf = s.sparkContext.hadoopConfiguration
+        val rows = Tables.all.map { t =>
+          val p = new Path(s"$dir/$t.parquet")
+          val fs = p.getFileSystem(conf)
+          val files = if (fs.getFileStatus(p).isDirectory)
+            fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
+          else Array(p)
+          val n = files.map { f =>
+            val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+            try r.getRecordCount finally r.close()
+          }.sum
+          (t, n)
+        }
+        import s.implicits._
+        rows.toDF("tbl", "n").orderBy("tbl")
       },
       Some(
         Tables.all
