@@ -231,8 +231,12 @@ object RelationalQueries {
       "q_kmv_distinct",
       (s, dir) => {
         val k = 64
+        // distinct BEFORE hashing: the shuffle carries 8-byte keys instead
+        // of 32-char digests and md5 runs once per distinct value, not per
+        // row (identical result — equal keys hash equally)
         val kth = Tables.lineitem(s, dir)
-          .select(md5(col("l_orderkey").cast("string")).as("h")).distinct()
+          .select(col("l_orderkey")).distinct()
+          .select(md5(col("l_orderkey").cast("string")).as("h"))
           .orderBy("h").limit(k)
           .agg(count(lit(1)).cast("long").as("k"), max(col("h")).as("kth"))
           .select(col("k"),
@@ -248,7 +252,8 @@ object RelationalQueries {
           .agg(countDistinct(col("l_orderkey")).as("n_exact"))
         kth.crossJoin(exact) // 1 row × 1 row
       },
-      Some(s"""WITH h AS (SELECT DISTINCT md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem),
+      Some(s"""WITH h AS (SELECT md5(CAST(l_orderkey AS VARCHAR)) AS h
+              |  FROM (SELECT DISTINCT l_orderkey FROM lineitem)),
               |topk AS (SELECT h FROM h ORDER BY h LIMIT 64),
               |kth AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
               |  CAST(('0x' || substring(MAX(h), 1, 13)) AS BIGINT) AS kth_prefix FROM topk),
