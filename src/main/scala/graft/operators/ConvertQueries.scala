@@ -66,9 +66,18 @@ object ConvertQueries {
         val rows = Tables.all.map { t =>
           val p = new Path(s"$dir/$t.parquet")
           val fs = p.getFileSystem(conf)
-          val files = if (fs.getFileStatus(p).isDirectory)
-            fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet")).map(_.getPath)
-          else Array(p)
+          // recursive listing: partitioned layouts (day=.../part-*.parquet)
+          // nest data files below the table root — a shallow listStatus
+          // would silently count 0
+          val files: Array[Path] = if (fs.getFileStatus(p).isDirectory) {
+            val it = fs.listFiles(p, true)
+            val buf = Array.newBuilder[Path]
+            while (it.hasNext) {
+              val st = it.next()
+              if (st.getPath.getName.endsWith(".parquet")) buf += st.getPath
+            }
+            buf.result()
+          } else Array(p)
           val n = files.map { f =>
             val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
             try r.getRecordCount finally r.close()

@@ -146,8 +146,15 @@ object DedupQueries {
     * side; exact-Jaccard shingles are re-derived only for representatives
     * surviving into a candidate pair.
     */
-  private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
-    val members = docs.select(col("doc_id"), md5(col("text")).as("text_md5"))
+  private[graft] def minhashPairs(docsIn: DataFrame): DataFrame = {
+    // docs under 3 tokens have no shingles: per-document banding can never
+    // pair them (and DuckDB's empty shingle list agrees), so the collapse
+    // must not emit intra-group jac-1.0 pairs for short exact dups either —
+    // filter them out up front. The members map is read by three branches
+    // (both intra sides + membership), hence materialized.
+    val docs = docsIn.filter(size(split(col("text"), " ")) >= 3)
+    val members = Materialize(
+      docs.select(col("doc_id"), md5(col("text")).as("text_md5")))
     // one representative text per content hash; first(text) is well-defined
     // (all texts in a group are identical) and partial-aggregates map-side.
     // Materialized: the signature pipeline, the membership map, and both
@@ -230,16 +237,32 @@ object DedupQueries {
       edges.select(col("a").as("v")).distinct().withColumn("lbl", col("v")))
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    val maxIter = 20
+    while (changed > 0 && iter < maxIter) {
+      // one edge hop...
       val prop = edges.join(labels, edges("b") === labels("v"))
         .select(edges("a").as("v"), col("lbl"))
         .union(labels)
         .groupBy("v").agg(min("lbl").as("new_lbl"))
-      val joined = checkpoint(labels.join(prop, "v"))
+      // ...then pointer halving: follow each vertex's label to THAT
+      // vertex's label (labels are min-ids, so chasing only shrinks them).
+      // Hop distance doubles per round — convergence in O(log diameter)
+      // rounds instead of O(diameter), so the iteration cap covers any
+      // realistic component (2^20 diameter) rather than silently capping
+      // long chains.
+      val short = prop.as("x")
+        .join(prop.select(col("v").as("lv"), col("new_lbl").as("llbl")),
+          col("x.new_lbl") === col("lv"), "left")
+        .select(col("x.v").as("v"),
+          coalesce(col("llbl"), col("x.new_lbl")).as("new_lbl"))
+      val joined = checkpoint(labels.join(short, "v"))
       changed = joined.filter(col("new_lbl") < col("lbl")).count()
       labels = joined.select(col("v"), col("new_lbl").as("lbl"))
       iter += 1
     }
+    // a silent cap would return plausible-but-wrong clusters; fail loudly
+    require(changed == 0,
+      s"label propagation did not converge in $maxIter rounds")
     labels
   }
 

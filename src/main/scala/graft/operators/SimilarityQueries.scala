@@ -75,20 +75,35 @@ object SimilarityQueries {
       .select("q_id", "rank", "cand_id", "cos")
   }
 
-  /** IVF top-k per query vector (same schema as [[bruteforceTopk]]). */
-  private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
-    val e = VectorOps.normalized(s, dir)
-    val seeds = broadcast(
+  /** Broadcast seed set (seed_id, sv, sn) shared by IVF, cell stats, and
+    * the k-means iteration.
+    */
+  private def seedSet(e: DataFrame): DataFrame =
+    broadcast(
       e.filter(col("vec_id") < N_SEEDS)
         .select(col("vec_id").as("seed_id"), col("v").as("sv"), col("nrm").as("sn")))
+
+  /** Corpus → nearest-seed assignment (vec_id, v, nrm, seed_id, scos): one
+    * broadcast pass, argmax cosine with seed_id tiebreak — the single
+    * definition the IVF index, the cell stats, and the k-means iteration
+    * all build on.
+    */
+  private def assignToSeeds(e: DataFrame, seeds: DataFrame): DataFrame = {
     val aw = Window.partitionBy("vec_id")
       .orderBy(col("scos").desc, col("seed_id"))
-    val assign = e.join(seeds)
+    e.join(seeds)
       .select(col("vec_id"), col("v"), col("nrm"), col("seed_id"),
         VectorOps.cosCol("v", "sv", "nrm", "sn").as("scos"))
       .withColumn("rn", row_number().over(aw))
       .filter(col("rn") === 1)
-      .select("vec_id", "v", "nrm", "seed_id")
+      .select("vec_id", "v", "nrm", "seed_id", "scos")
+  }
+
+  /** IVF top-k per query vector (same schema as [[bruteforceTopk]]). */
+  private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = VectorOps.normalized(s, dir)
+    val seeds = seedSet(e)
+    val assign = assignToSeeds(e, seeds).select("vec_id", "v", "nrm", "seed_id")
     val q = e.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val pw = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("seed_id"))
@@ -208,15 +223,7 @@ object SimilarityQueries {
       "ann_cell_stats",
       (s, dir) => {
         val e = VectorOps.normalized(s, dir)
-        val seeds = broadcast(
-          e.filter(col("vec_id") < N_SEEDS)
-            .select(col("vec_id").as("seed_id"), col("v").as("sv"), col("nrm").as("sn")))
-        val aw = Window.partitionBy("vec_id").orderBy(col("scos").desc, col("seed_id"))
-        val assign = e.join(seeds)
-          .select(col("vec_id"), col("seed_id"),
-            VectorOps.cosCol("v", "sv", "nrm", "sn").as("scos"))
-          .withColumn("rn", row_number().over(aw))
-          .filter(col("rn") === 1)
+        val assign = assignToSeeds(e, seedSet(e))
         assign.groupBy("seed_id")
           .agg(
             count(lit(1)).as("n_members"),
@@ -276,13 +283,15 @@ object SimilarityQueries {
     GQuery(
       "ann_recall",
       (s, dir) => {
+        // one pass over the ground truth: left join against IVF and count
+        // the matched side — a separate q_id spine would evaluate the
+        // whole brute-force pipeline a second time
         val bf = bruteforceTopk(s, dir).select("q_id", "cand_id")
-        val ivf = ivfTopk(s, dir).select("q_id", "cand_id")
-        val ivfRows = bf.select(col("q_id")).distinct()
-          .join(bf.join(ivf, Seq("q_id", "cand_id"))
-            .groupBy("q_id").agg(count(lit(1)).as("hits")), Seq("q_id"), "left")
-          .select(lit("ivf").as("method"), col("q_id"),
-            coalesce(col("hits"), lit(0L)).as("n_hits"))
+        val ivf = ivfTopk(s, dir)
+          .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+        val ivfRows = bf.join(ivf, Seq("q_id", "cand_id"), "left")
+          .groupBy("q_id").agg(count(col("hit")).as("n_hits"))
+          .select(lit("ivf").as("method"), col("q_id"), col("n_hits"))
           .withColumn("recall", col("n_hits").cast("double") / TOP_K)
         val e = VectorOps.normalized(s, dir)
         val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
@@ -372,16 +381,7 @@ object SimilarityQueries {
       "ann_kmeans_iter",
       (s, dir) => {
         val e = VectorOps.normalized(s, dir)
-        val seeds = broadcast(
-          e.filter(col("vec_id") < N_SEEDS)
-            .select(col("vec_id").as("seed_id"), col("v").as("sv"), col("nrm").as("sn")))
-        val aw = Window.partitionBy("vec_id").orderBy(col("scos").desc, col("seed_id"))
-        val assign = e.join(seeds)
-          .select(col("vec_id"), col("v"), col("seed_id"),
-            VectorOps.cosCol("v", "sv", "nrm", "sn").as("scos"))
-          .withColumn("rn", row_number().over(aw))
-          .filter(col("rn") === 1)
-          .select("vec_id", "v", "seed_id")
+        val assign = assignToSeeds(e, seedSet(e)).select("vec_id", "v", "seed_id")
         val nOld = assign.groupBy("seed_id").agg(count(lit(1)).as("n_before"))
         val cent = assign
           .select(col("seed_id"), posexplode(col("v")).as(Seq("pos", "x")))

@@ -150,20 +150,8 @@ object EventsStream {
     * view_ts + 1h, a buffered purchase once the view watermark passes its
     * ts — state is O(events inside the watermark horizon), not O(stream).
     */
-  def viewPurchaseAttribution(events: DataFrame): DataFrame = {
-    val views = events.filter(col("event_type") === "view")
-      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
-      .withWatermark("view_ts", "1 hour")
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
-        col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", "1 hour")
-    views.join(purchases,
-      expr("user_id = p_user_id AND purchase_ts >= view_ts " +
-        "AND purchase_ts <= view_ts + interval 1 hour"))
-      .select(col("user_id"), col("view_id"), col("purchase_id"),
-        col("view_ts"), col("purchase_ts"))
-  }
+  def viewPurchaseAttribution(events: DataFrame): DataFrame =
+    attributionJoin(events, "inner")
 
   /** LEFT OUTER variant of [[viewPurchaseAttribution]]: views with no
     * purchase inside the hour still emit (null purchase columns) — but only
@@ -173,7 +161,13 @@ object EventsStream {
     * of correct outer semantics on an unbounded stream (asserted in
     * StreamingSpec).
     */
-  def viewPurchaseAttributionOuter(events: DataFrame): DataFrame = {
+  def viewPurchaseAttributionOuter(events: DataFrame): DataFrame =
+    attributionJoin(events, "left_outer")
+
+  /** One body for both variants so the window/watermark/condition can never
+    * drift between the inner and outer paths.
+    */
+  private def attributionJoin(events: DataFrame, joinType: String): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "1 hour")
@@ -184,7 +178,7 @@ object EventsStream {
     views.join(purchases,
       expr("user_id = p_user_id AND purchase_ts >= view_ts " +
         "AND purchase_ts <= view_ts + interval 1 hour"),
-      "left_outer")
+      joinType)
       .select(col("user_id"), col("view_id"), col("purchase_id"),
         col("view_ts"), col("purchase_ts"))
   }
