@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Multi-format source/sink surface: parquet, ORC, CSV, JSON through one
   * call. The reference reads exactly one format (Parquet, app.py:93) and
@@ -46,4 +46,32 @@ object MultiFormat {
       case "parquet" => spark.read.schema(schema).parquet(path)
       case other     => throw new IllegalArgumentException(s"unsupported format: $other")
     }
+
+  /** Quarantined ingest for semi-structured sources: malformed records land
+    * whole in a `_corrupt_record` column instead of failing the job — at
+    * fleet scale one bad line in a 100 TB load must not kill it, and the
+    * quarantine column is what lets a later pass re-parse or discard the
+    * bad rows with full provenance.
+    */
+  def readQuarantined(
+      spark: SparkSession, path: String, format: String, schema: StructType): DataFrame = {
+    val full = StructType(schema.fields :+ StructField("_corrupt_record", StringType))
+    val r = spark.read.schema(full)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("timestampFormat", tsFormat)
+    format match {
+      case "csv"  => r.option("header", "true").csv(path)
+      case "json" => r.json(path)
+      case other  => throw new IllegalArgumentException(s"quarantine read is for csv/json, not $other")
+    }
+  }
+
+  /** Schema-evolution read: parquet written by successive pipeline versions
+    * (columns added over time) reads as the merged superset, with rows from
+    * older files null in the new columns — `mergeSchema` reconciles the
+    * footers so an additive schema change never requires a rewrite.
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

@@ -21,6 +21,8 @@ class EdgeCorpusSpec extends SparkSpec {
       (2L, "one two three", "en", "src0", 13L),            // 3 tokens: no 8-gram
       (3L, long1, "en", "src1", long1.length.toLong),
       (4L, long1, "en", "src1", long1.length.toLong),      // near/exact dup of 3
+      (5L, "tiny doc", "en", "src3", 8L),                  // 2-token exact dups:
+      (6L, "tiny doc", "en", "src3", 8L),                  //   no shingles ⇒ never pair
       (10L, long1 + " extra", "en", "src2", 0L))           // doc_id % 10 == 0: benchmark slice
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -32,6 +34,16 @@ class EdgeCorpusSpec extends SparkSpec {
     // doc 1 can never appear; docs 3/4 are identical → jaccard 1.0 pair
     assert(!out.exists(r => r.getLong(0) == 1L || r.getLong(1) == 1L))
     assert(out.exists(r => r.getLong(0) == 3L && r.getLong(1) == 4L))
+  }
+
+  test("dedup_minhash_lsh never pairs sub-3-token exact duplicates") {
+    // per-document banding can't pair shingle-less docs (and neither can
+    // the DuckDB oracle), so the exact-dup collapse must not emit their
+    // intra-group jac-1.0 pairs either
+    val out = SparkEntry.queries("dedup_minhash_lsh")(spark, edgeDir).collect()
+    assert(!out.exists(r => r.getLong(0) == 5L || r.getLong(1) == 6L), out.toSeq)
+    assert(out.exists(r => r.getLong(0) == 3L && r.getLong(1) == 4L &&
+      r.getDouble(2) == 1.0), out.toSeq)
   }
 
   test("pipeline_decontaminate skips sub-8-token docs instead of crashing") {
