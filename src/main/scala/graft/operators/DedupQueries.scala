@@ -237,30 +237,24 @@ object DedupQueries {
       edges.select(col("a").as("v")).distinct().withColumn("lbl", col("v")))
     var changed = 1L
     var iter = 0
-    val maxIter = 20
+    // one-hop propagation needs diameter+1 rounds; near-dup components are
+    // shallow (diameter 2-4), and 50 covers any plausible chain. The cap
+    // exists to bound a pathological input, and hitting it FAILS below —
+    // a silent cap would return plausible-but-wrong clusters. (Pointer
+    // halving would converge in O(log d) rounds but costs an extra
+    // label-table self-join EVERY round; for shallow graphs the plain loop
+    // is strictly cheaper.)
+    val maxIter = 50
     while (changed > 0 && iter < maxIter) {
-      // one edge hop...
       val prop = edges.join(labels, edges("b") === labels("v"))
         .select(edges("a").as("v"), col("lbl"))
         .union(labels)
         .groupBy("v").agg(min("lbl").as("new_lbl"))
-      // ...then pointer halving: follow each vertex's label to THAT
-      // vertex's label (labels are min-ids, so chasing only shrinks them).
-      // Hop distance doubles per round — convergence in O(log diameter)
-      // rounds instead of O(diameter), so the iteration cap covers any
-      // realistic component (2^20 diameter) rather than silently capping
-      // long chains.
-      val short = prop.as("x")
-        .join(prop.select(col("v").as("lv"), col("new_lbl").as("llbl")),
-          col("x.new_lbl") === col("lv"), "left")
-        .select(col("x.v").as("v"),
-          coalesce(col("llbl"), col("x.new_lbl")).as("new_lbl"))
-      val joined = checkpoint(labels.join(short, "v"))
+      val joined = checkpoint(labels.join(prop, "v"))
       changed = joined.filter(col("new_lbl") < col("lbl")).count()
       labels = joined.select(col("v"), col("new_lbl").as("lbl"))
       iter += 1
     }
-    // a silent cap would return plausible-but-wrong clusters; fail loudly
     require(changed == 0,
       s"label propagation did not converge in $maxIter rounds")
     labels
