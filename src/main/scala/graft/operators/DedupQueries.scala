@@ -151,10 +151,10 @@ object DedupQueries {
     // pair them (and DuckDB's empty shingle list agrees), so the collapse
     // must not emit intra-group jac-1.0 pairs for short exact dups either —
     // filter them out up front. The members map is read by three branches
-    // (both intra sides + membership), hence materialized.
+    // but stays unmaterialized: it is one md5 per doc over a plain scan,
+    // cheaper to recompute than the extra materialization action.
     val docs = docsIn.filter(size(split(col("text"), " ")) >= 3)
-    val members = Materialize(
-      docs.select(col("doc_id"), md5(col("text")).as("text_md5")))
+    val members = docs.select(col("doc_id"), md5(col("text")).as("text_md5"))
     // one representative text per content hash; first(text) is well-defined
     // (all texts in a group are identical) and partial-aggregates map-side.
     // Materialized: the signature pipeline, the membership map, and both
