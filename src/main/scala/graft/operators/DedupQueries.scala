@@ -331,6 +331,106 @@ object DedupQueries {
               |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    // ---- incremental dedup: new batch vs existing corpus --------------------
+    // THE shape that matters at 100 TB: a daily batch is deduped against
+    // the standing corpus without ever re-pairing the corpus with itself —
+    // the band join is batch×corpus only, so daily cost is proportional to
+    // the batch, not the archive. Each batch doc gets a verdict:
+    // 'exact_dup' (md5 hit in the corpus), 'near_dup' (band collision +
+    // jaccard >= 0.6 against a corpus doc), or 'keep', with the matched
+    // corpus doc as evidence. In production the corpus side's signatures
+    // are a precomputed index bucketed by band hash (written once, appended
+    // per batch); here they derive inline from the same table, split at the
+    // top-20%-of-ids boundary to simulate the arriving batch.
+    GQuery(
+      "dedup_incremental",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val thr = broadcast(d.agg(
+          expr("CAST((max(doc_id) + 1) * 4 div 5 AS BIGINT)").as("thr")))
+        val dt = d.crossJoin(thr) // 1-row bound
+        val corpus = dt.filter(col("doc_id") < col("thr")).select("doc_id", "text")
+        val batch = dt.filter(col("doc_id") >= col("thr")).select("doc_id", "text")
+        // exact membership: corpus content-hash set (small digests, built once)
+        val corpusHash = corpus
+          .groupBy(md5(col("text")).as("text_md5")).agg(min("doc_id").as("m_exact"))
+        val exact = batch.select(col("doc_id"), md5(col("text")).as("text_md5"))
+          .join(corpusHash, Seq("text_md5"))
+          .select("doc_id", "m_exact")
+        // near: signatures for ALL docs once (matches the oracle's shape),
+        // banded, then batch-side bands join corpus-side bands only
+        val sigAll = Materialize(d
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"),
+            expr("transform(sequence(0, size(toks) - 3), " +
+              "i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))").as("shh"))
+          .select(col("doc_id") +: (0 until K).map(i => expr(minhashSpark(i)).as(s"m$i")): _*))
+        val bandsAll = sigAll.select(
+          col("doc_id"),
+          explode(array((0 until BANDS).map(j =>
+            struct(lit(j).as("bi"), expr(bandSpark(j)).as("bh"))): _*)).as("b"))
+          .select(col("doc_id"), col("b.bi").as("bi"), col("b.bh").as("bh"))
+          .crossJoin(thr)
+        val cand = bandsAll.filter(col("doc_id") >= col("thr")).as("x")
+          .join(bandsAll.filter(col("doc_id") < col("thr")).as("y"),
+            col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh"))
+          .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("c_id"))
+          .distinct()
+        val shAll = shingled(d)
+        val near = cand
+          .join(shAll.select(col("doc_id"), col("sh").as("sh_b")), "doc_id")
+          .join(shAll.select(col("doc_id").as("c_id"), col("sh").as("sh_c")), "c_id")
+          .withColumn("inter", expr("size(array_intersect(sh_b, sh_c))"))
+          .withColumn("jac",
+            expr("CAST(inter AS DOUBLE) / CAST(size(sh_b) + size(sh_c) - inter AS DOUBLE)"))
+          .filter(col("jac") >= 0.6)
+          .groupBy("doc_id").agg(min("c_id").as("m_near"))
+        batch.select("doc_id")
+          .join(exact, Seq("doc_id"), "left")
+          .join(near, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("m_exact").isNotNull, "exact_dup")
+              .when(col("m_near").isNotNull, "near_dup")
+              .otherwise("keep").as("verdict"),
+            coalesce(col("m_exact"), col("m_near")).as("match_doc_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $shinglesDuck,
+              |t AS (SELECT (MAX(doc_id) + 1) * 4 // 5 AS thr FROM documents),
+              |corpus AS (SELECT doc_id, text FROM documents, t WHERE doc_id < thr),
+              |batch AS (SELECT doc_id, text FROM documents, t WHERE doc_id >= thr),
+              |ch AS (SELECT md5(text) AS text_md5, MIN(doc_id) AS m_exact
+              |  FROM corpus GROUP BY 1),
+              |bh0 AS (SELECT doc_id, md5(text) AS text_md5 FROM batch),
+              |exact AS (SELECT bh0.doc_id, m_exact FROM bh0 JOIN ch USING (text_md5)),
+              |hh AS (SELECT doc_id, list_transform(sh, x -> md5(x)) AS shh FROM s),
+              |sig AS (SELECT doc_id,
+              |  ${(0 until K).map(i => s"${minhashDuck(i)} AS m$i").mkString(", ")}
+              |  FROM hh),
+              |bandsAll AS (${(0 until BANDS)
+               .map(j => s"SELECT doc_id, $j AS bi, ${bandDuck(j)} AS bh FROM sig")
+               .mkString(" UNION ALL ")}),
+              |cand AS (SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS c_id
+              |  FROM bandsAll x JOIN bandsAll y ON x.bi = y.bi AND x.bh = y.bh, t
+              |  WHERE x.doc_id >= thr AND y.doc_id < thr),
+              |pairs0 AS (SELECT cand.doc_id, c_id,
+              |  len(list_intersect(b.sh, c.sh)) AS inter,
+              |  len(b.sh) AS lb, len(c.sh) AS lc
+              |  FROM cand JOIN s b ON b.doc_id = cand.doc_id
+              |  JOIN s c ON c.doc_id = cand.c_id),
+              |near AS (SELECT doc_id, MIN(c_id) AS m_near FROM pairs0
+              |  WHERE CAST(inter AS DOUBLE) / CAST(lb + lc - inter AS DOUBLE) >= 0.6
+              |  GROUP BY doc_id)
+              |SELECT b.doc_id AS doc_id,
+              |  CASE WHEN m_exact IS NOT NULL THEN 'exact_dup'
+              |       WHEN m_near IS NOT NULL THEN 'near_dup'
+              |       ELSE 'keep' END AS verdict,
+              |  COALESCE(m_exact, m_near) AS match_doc_id
+              |FROM batch b LEFT JOIN exact ON b.doc_id = exact.doc_id
+              |LEFT JOIN near ON b.doc_id = near.doc_id
+              |ORDER BY doc_id""".stripMargin)
+    ),
+
     // ---- dedup clusters: connected components over the near-dup graph -------
     // Pairs alone don't dedup a corpus — transitive closure does (a~b, b~c
     // ⇒ one cluster). Label propagation to the minimum doc_id: each round
