@@ -101,9 +101,13 @@ object DedupQueries {
   private def simhashVotes(s: SparkSession, dir: String): DataFrame = {
     // compute-bound map stage (one md5 per shingle + 8 nibble decodes):
     // spread rows across cores first — a small hot file is one byte-split,
-    // which would leave the whole hash pass on a single task
+    // which would leave the whole hash pass on a single task. Sub-3-token
+    // docs are excluded: they have no shingles (ANSI toks[i] would throw),
+    // and the oracle's unnest-of-empty drops them from the vote table too.
     val nibs = shingled(
-      Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism))
+      Tables.documents(s, dir)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .repartition(s.sparkContext.defaultParallelism))
       .select(col("doc_id"), expr("transform(sh, x -> md5(x))").as("shh"))
       .select(col("doc_id") +: (0 until 8).map(p =>
         expr(s"transform(shh, h -> ${nibbleSpark(p)})").as(s"n$p")): _*)
@@ -358,8 +362,12 @@ object DedupQueries {
           .join(corpusHash, Seq("text_md5"))
           .select("doc_id", "m_exact")
         // near: signatures for ALL docs once (matches the oracle's shape),
-        // banded, then batch-side bands join corpus-side bands only
-        val sigAll = Materialize(d
+        // banded, then batch-side bands join corpus-side bands only.
+        // Sub-3-token docs carry no shingles: ANSI-mode toks[i] would throw
+        // on them, and the oracle's empty shingle list can never reach the
+        // 0.6 jaccard cut anyway — they flow through the exact path only.
+        val dSig = d.filter(size(split(col("text"), " ")) >= 3)
+        val sigAll = Materialize(dSig
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .select(col("doc_id"),
             expr("transform(sequence(0, size(toks) - 3), " +
@@ -376,7 +384,7 @@ object DedupQueries {
             col("x.bi") === col("y.bi") && col("x.bh") === col("y.bh"))
           .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("c_id"))
           .distinct()
-        val shAll = shingled(d)
+        val shAll = shingled(dSig)
         val near = cand
           .join(shAll.select(col("doc_id"), col("sh").as("sh_b")), "doc_id")
           .join(shAll.select(col("doc_id").as("c_id"), col("sh").as("sh_c")), "c_id")

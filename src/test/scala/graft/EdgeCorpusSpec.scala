@@ -46,6 +46,15 @@ class EdgeCorpusSpec extends SparkSpec {
       r.getDouble(2) == 1.0), out.toSeq)
   }
 
+  test("dedup_incremental flags the batch doc that near-matches the corpus") {
+    // threshold = (10+1)*4 div 5 = 8 ⇒ batch = {10}, corpus = {1..6};
+    // doc 10 extends the duplicated long text ⇒ near_dup against doc 3
+    val out = SparkEntry.queries("dedup_incremental")(spark, edgeDir).collect()
+    assert(out.length == 1, out.toSeq)
+    val r = out.head
+    assert(r.getLong(0) == 10L && r.getString(1) == "near_dup" && r.getLong(2) == 3L, r)
+  }
+
   test("pipeline_decontaminate skips sub-8-token docs instead of crashing") {
     val out = SparkEntry.queries("pipeline_decontaminate")(spark, edgeDir).collect()
     // doc 2 (3 tokens) must not appear on either side; docs 3/4 share all
