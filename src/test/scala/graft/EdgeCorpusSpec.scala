@@ -55,6 +55,20 @@ class EdgeCorpusSpec extends SparkSpec {
     assert(r.getLong(0) == 10L && r.getString(1) == "near_dup" && r.getLong(2) == 3L, r)
   }
 
+  test("every documents-only query survives the short-doc corpus") {
+    // the full text/dedup/multimodal surface must tolerate degenerate docs
+    // (ANSI array indexing turns silent garbage into runtime throws); this
+    // sweep would have caught the dedup_incremental crash before release
+    val docQueries = SparkEntry.registry.map(_.name).filter(n =>
+      n.startsWith("text_") || n.startsWith("multimodal_") ||
+        n.startsWith("pipeline_") ||
+        (n.startsWith("dedup_") && !n.contains("embedding")))
+    for (name <- docQueries) {
+      val rows = SparkEntry.queries(name)(spark, edgeDir).collect()
+      assert(rows != null, name) // reaching here means no throw
+    }
+  }
+
   test("pipeline_decontaminate skips sub-8-token docs instead of crashing") {
     val out = SparkEntry.queries("pipeline_decontaminate")(spark, edgeDir).collect()
     // doc 2 (3 tokens) must not appear on either side; docs 3/4 share all
