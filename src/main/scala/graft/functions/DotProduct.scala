@@ -73,7 +73,11 @@ case class DotProduct(left: Expression, right: Expression)
   * built-in (stays inside whole-stage codegen, unlike a Scala UDF).
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    // k=8 windows of 4 hex chars — the engine's MinHash geometry
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinhashWindows(exprs(0), 8, 4), "built-in")
+  }
 }

@@ -27,8 +27,9 @@ import org.apache.spark.sql.expressions.Window
   *
   * Hashing parity: md5 is the one hash both engines share. The k MinHash
   * values are non-overlapping 4-hex-char windows of the single per-shingle
-  * digest (lexicographic min of hex == numeric min), and SimHash derives its
-  * 32 bits from the same digest's nibbles.
+  * digest (lexicographic min of hex == numeric min — computed in ONE array
+  * pass by the codegen'd graft_minhash expression, functions/MinhashWindows),
+  * and SimHash derives its 32 bits from the same digest's nibbles.
   */
 object DedupQueries {
 
@@ -68,8 +69,6 @@ object DedupQueries {
     */
   private val NGRAM_BLOCK_CAP = 64
 
-  private def minhashSpark(i: Int) =
-    s"array_min(transform(shh, h -> substring(h, ${1 + 4 * i}, 4)))"
   private def minhashDuck(i: Int) =
     s"list_aggregate(list_transform(shh, h -> substring(h, ${1 + 4 * i}, 4)), 'min')"
 
@@ -151,6 +150,7 @@ object DedupQueries {
     * surviving into a candidate pair.
     */
   private[graft] def minhashPairs(docsIn: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docsIn.sparkSession)
     // docs under 3 tokens have no shingles: per-document banding can never
     // pair them (and DuckDB's empty shingle list agrees), so the collapse
     // must not emit intra-group jac-1.0 pairs for short exact dups either —
@@ -172,7 +172,8 @@ object DedupQueries {
       .select(col("doc_id"),
         expr("transform(sequence(0, size(toks) - 3), " +
           "i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))").as("shh"))
-      .select(col("doc_id") +: (0 until K).map(i => expr(minhashSpark(i)).as(s"m$i")): _*)
+      .select(col("doc_id"), expr("graft_minhash(shh)").as("mh"))
+      .select(col("doc_id") +: (0 until K).map(i => col("mh").getItem(i).as(s"m$i")): _*)
       .transform(Materialize(_))
     val bands = sig.select(
       col("doc_id"),
@@ -349,6 +350,7 @@ object DedupQueries {
     GQuery(
       "dedup_incremental",
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         val thr = broadcast(d.agg(
           expr("CAST((max(doc_id) + 1) * 4 div 5 AS BIGINT)").as("thr")))
@@ -372,7 +374,8 @@ object DedupQueries {
           .select(col("doc_id"),
             expr("transform(sequence(0, size(toks) - 3), " +
               "i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))").as("shh"))
-          .select(col("doc_id") +: (0 until K).map(i => expr(minhashSpark(i)).as(s"m$i")): _*))
+          .select(col("doc_id"), expr("graft_minhash(shh)").as("mh"))
+          .select(col("doc_id") +: (0 until K).map(i => col("mh").getItem(i).as(s"m$i")): _*))
         val bandsAll = sigAll.select(
           col("doc_id"),
           explode(array((0 until BANDS).map(j =>

@@ -1,5 +1,63 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, expr}
+
+/** graft_minhash: the fused one-pass window-minima expression must be
+  * bit-identical to the composable 8× array_min(transform(substring))
+  * form it replaced, on realistic digests and on edge shapes (empty
+  * array, null elements, short strings).
+  */
+class MinhashWindowsSpec extends SparkSpec {
+
+  test("graft_minhash equals the composable array_min form") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = (1 to 50).map { i =>
+      (i.toLong, (1 to (i % 7) + 1).map(j => s"token$i-$j word").mkString(" "))
+    }.toDF("id", "text")
+    val digests = docs.selectExpr("id",
+      "transform(split(text, ' '), t -> md5(t)) AS shh")
+    val fused = digests.selectExpr("id", "graft_minhash(shh) AS mh")
+      .selectExpr("id" +: (0 until 8).map(i => s"mh[$i] AS m$i"): _*)
+    val composable = digests.selectExpr("id" +:
+      (0 until 8).map(i => s"array_min(transform(shh, h -> substring(h, ${1 + 4 * i}, 4))) AS m$i"): _*)
+    assert(fused.orderBy("id").collect().toSeq ==
+      composable.orderBy("id").collect().toSeq)
+  }
+
+  test("graft_minhash edge shapes: empty array, nulls, short digests") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Seq(
+      (1L, Seq.empty[String]),           // → 8 nulls (like array_min of empty)
+      (2L, Seq(null.asInstanceOf[String], "0123456789abcdef0123456789abcdef")),
+      (3L, Seq("abc")))                  // shorter than one window → nulls
+      .toDF("id", "shh")
+    val out = rows.selectExpr("id", "graft_minhash(shh) AS mh")
+      .orderBy("id").collect()
+    assert(out(0).getSeq[String](1).forall(_ == null))
+    assert(out(1).getSeq[String](1).head == "0123")
+    assert(out(2).getSeq[String](1).forall(_ == null))
+  }
+
+  test("graft_minhash codegens when not collapsed into a lambda projection") {
+    graft.functions.GraftFunctions.register(spark)
+    // CollapseProject merges it with the digest transform in the dedup
+    // pipeline, and higher-order lambdas force that merged projection to
+    // interpreted mode — the fusion win there is the single array pass.
+    // Isolated past an exchange (its input already materialized), the
+    // expression itself must participate in whole-stage codegen.
+    val df = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "transform(split(text, ' '), t -> md5(t)) AS shh")
+      .repartition(2)
+      .selectExpr("graft_minhash(shh) AS mh")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("graft_minhash")).getOrElse("")
+    assert(line.contains("*("), p) // inside a WholeStageCodegen span
+  }
+}
+
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.functions._
 
