@@ -21,8 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // bound cache growth across the ~90-query run (Materialize persists
-      // multi-branch frames per query and has no per-query lifecycle hook)
+      // bound cache growth across the ~90-query run: release the frames
+      // Materialize tracked for this session (also dropping the registry's
+      // references), then clear any stragglers persisted outside it
+      graft.operators.Materialize.releaseAll(spark)
       spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -240,6 +240,12 @@ object DedupQueries {
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("a", "b")
     var labels = checkpoint(
       edges.select(col("a").as("v")).distinct().withColumn("lbl", col("v")))
+    // the round's full (persisted) frame, kept so the PREVIOUS round can be
+    // unpersisted once the new round has materialized: round N+1 reads only
+    // round N's output, and a reliable checkpoint has already written round
+    // N+1 to durable files by the time count() returns, so dropping round
+    // N's cached blocks can never force a recompute past the checkpoint
+    var prevRound: DataFrame = labels
     var changed = 1L
     var iter = 0
     // one-hop propagation needs diameter+1 rounds; near-dup components are
@@ -257,11 +263,16 @@ object DedupQueries {
         .groupBy("v").agg(min("lbl").as("new_lbl"))
       val joined = checkpoint(labels.join(prop, "v"))
       changed = joined.filter(col("new_lbl") < col("lbl")).count()
+      prevRound.unpersist(blocking = false)
+      prevRound = joined
       labels = joined.select(col("v"), col("new_lbl").as("lbl"))
       iter += 1
     }
     require(changed == 0,
       s"label propagation did not converge in $maxIter rounds")
+    // the final round stays persisted (the caller's downstream plan reads
+    // it); register it for session-scoped cleanup via Materialize.releaseAll
+    Materialize.track(prevRound)
     labels
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Fault-tolerant multi-branch materialization.
@@ -17,11 +17,42 @@ import org.apache.spark.storage.StorageLevel
   * the cache rather than racing to compute it. MEMORY_AND_DISK: these
   * frames are small (digests/keys, not corpus text), spill is the safety
   * valve, not the norm.
+  *
+  * Lifecycle: every persisted frame is tracked per session, and
+  * [[releaseAll]] unpersists everything a session has accumulated — the
+  * cleanup hook for long-lived sessions that invoke many builders
+  * (Verify calls it after every query; a production caller should call it
+  * once the query's results are materialized downstream). Without it the
+  * cached frames stay registered in the session CacheManager for the
+  * session's lifetime.
   */
-private[operators] object Materialize {
+private[graft] object Materialize {
+  private val tracked =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+
   def apply(df: DataFrame): DataFrame = {
     df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
+    track(df)
+  }
+
+  /** Record an already-persisted frame for session-scoped release. */
+  def track(df: DataFrame): DataFrame = {
+    tracked
+      .computeIfAbsent(df.sparkSession,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
+      .add(df)
     df
+  }
+
+  /** Unpersist every frame this session materialized through this object.
+    * Non-blocking: the block eviction proceeds asynchronously. Safe to call
+    * at any point after the downstream results are materialized; frames
+    * rebuilt later simply re-persist.
+    */
+  def releaseAll(spark: SparkSession): Unit = {
+    val q = tracked.remove(spark)
+    if (q != null) q.forEach(df => { df.unpersist(blocking = false); () })
   }
 }

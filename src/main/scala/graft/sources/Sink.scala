@@ -92,7 +92,12 @@ object Sink {
     val out = s"$outputDir/${opts.table}"
     try {
       // row count rides on the write itself via an observed metric — no
-      // second scan of input or output (O8 progress accounting, app.py:133-136)
+      // second scan of input or output (O8 progress accounting, app.py:133-136).
+      // Caveat: the metric counts rows FED to the writer; under speculative
+      // execution or stage retries on a real cluster it can over-count vs
+      // rows actually committed. That matches the reference's progress
+      // semantics (a UI counter, not an audit) — a run that needs exact
+      // committed counts should read the output back instead.
       val obs = new org.apache.spark.sql.Observation(s"graft-convert-rows-${System.nanoTime()}")
       val converted = Convert.pipeline(spark.read.parquet(inputPath))
         .observe(obs, org.apache.spark.sql.functions.count(
