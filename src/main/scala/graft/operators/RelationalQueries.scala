@@ -549,6 +549,43 @@ object RelationalQueries {
               |FROM purch p ASOF LEFT JOIN errs e
               |  ON p.user_id = e.user_id AND p.ts >= e.ts
               |ORDER BY event_id""".stripMargin)
+    ),
+
+    // ---- the SAME as-of join through the native operator --------------------
+    // graft.plans.AsofJoin: custom LogicalPlan + SparkStrategy + SparkPlan
+    // (registered via SparkSessionExtensions / Asof.register). Children are
+    // hash-clustered by key and sorted (key, time) — EnsureRequirements
+    // plans one exchange + sort per side — then each partition merges in a
+    // single forward pass holding ONE buffered snapshot row: no null-padded
+    // union, no window buffer, no candidate explosion. Same oracle as
+    // q_asof_join_snapshot (DuckDB native ASOF LEFT JOIN); the differential
+    // spec asserts row-identical output to the union-window form.
+    GQuery(
+      "q_asof_join_native",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val errs = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max("event_id").as("err_id"))
+          .select(col("user_id").as("e_user_id"), col("ts").as("e_ts"), col("err_id"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        graft.plans.Asof.join(purch, errs,
+            Seq("user_id"), Seq("e_user_id"), "ts", "e_ts")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("err_id").as("asof_err_id"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH ev AS (SELECT * FROM ${Tables.eventsOracleFrom} e),
+              |errs AS (SELECT user_id, ts, MAX(event_id) AS err_id
+              |  FROM ev WHERE event_type = 'error' GROUP BY user_id, ts),
+              |purch AS (SELECT user_id, ts, event_id
+              |  FROM ev WHERE event_type = 'purchase')
+              |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+              |  e.err_id AS asof_err_id
+              |FROM purch p ASOF LEFT JOIN errs e
+              |  ON p.user_id = e.user_id AND p.ts >= e.ts
+              |ORDER BY event_id""".stripMargin)
     )
   )
 }

@@ -1,0 +1,84 @@
+package graft
+
+import graft.plans.{Asof, AsofJoin}
+import org.apache.spark.sql.GraftInternalAccess
+import org.apache.spark.sql.functions._
+
+/** The native as-of join operator (graft.plans.AsofJoin): semantics on
+  * edge corpora, differential equality with the union-window form on real
+  * data, plan shape, and the SparkSessionExtensions registration path.
+  */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def l4 = Seq(
+    (1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"), (3L, 7L, "p4"))
+    .toDF("k", "t", "pv")
+  private def r4 = Seq(
+    (1L, 8L, "s8"), (1L, 15L, "s15"), (1L, 20L, "s20"), (2L, 6L, "s6"), (4L, 1L, "sx"))
+    .toDF("rk", "rt", "sv")
+
+  test("as-of picks latest at-or-before per key; unmatched rows null-pad") {
+    val got = Asof.join(l4, r4, Seq("k"), Seq("rk"), "t", "rt")
+      .select("k", "t", "pv", "sv").orderBy("k", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    // t=20 matches the EQUAL-timestamp snapshot (at-or-before includes ties);
+    // k=2's only snapshot is later than nothing — s6 at rt=6 > t=5 → null;
+    // k=3 has no snapshots at all → null (and proves lastMatch resets on key change)
+    assert(got.toSeq == Seq(
+      (1L, 10L, "p1", "s8"), (1L, 20L, "p2", "s20"),
+      (2L, 5L, "p3", null), (3L, 7L, "p4", null)))
+  }
+
+  test("null keys and null times never match; left rows still emit") {
+    val l = Seq((Some(1L), Some(10L), "a"), (None, Some(10L), "b"), (Some(1L), None, "c"))
+      .toDF("k", "t", "pv")
+    val r = Seq((Some(1L), Some(5L), "m"), (None, Some(1L), "nk"), (Some(1L), None, "nt"))
+      .toDF("rk", "rt", "sv")
+    val got = Asof.join(l, r, Seq("k"), Seq("rk"), "t", "rt")
+      .select("pv", "sv").orderBy("pv")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("a", "m"), ("b", null), ("c", null)))
+  }
+
+  test("native as-of equals the union-window form on the events table") {
+    val native = SparkEntry.registry.find(_.name == "q_asof_join_native").get
+      .build(spark, sfDir).collect()
+    val unionWindow = SparkEntry.registry.find(_.name == "q_asof_join_snapshot").get
+      .build(spark, sfDir).collect()
+    assert(native.nonEmpty)
+    assert(native.toSeq == unionWindow.toSeq)
+  }
+
+  test("plan: AsofJoinExec with one exchange+sort per side, no window/union") {
+    val df = Asof.join(l4, r4, Seq("k"), Seq("rk"), "t", "rt")
+    df.collect() // finalize AQE
+    // keep only the final adaptive plan — the "== Initial Plan ==" section
+    // repeats every node and would double the counts
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("AsofJoin"))
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("Union"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2)
+    assert("Sort \\[".r.findAllIn(plan).size == 2)
+  }
+
+  test("SparkSessionExtensions path plans the node without runtime registration") {
+    // a fresh child session gets a FRESH (empty) experimental-strategies
+    // list but keeps the extensions the suite's builder injected — so
+    // planning a hand-built AsofJoin node here proves the extensions path
+    val s2 = spark.newSession()
+    assert(!s2.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+    import s2.implicits._
+    val l = Seq((1L, 10L, "x")).toDF("k", "t", "pv")
+    val r = Seq((1L, 9L, "m")).toDF("rk", "rt", "sv")
+    val lp = l.queryExecution.analyzed
+    val rp = r.queryExecution.analyzed
+    def a(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    val df = GraftInternalAccess.ofRows(s2,
+      AsofJoin(lp, rp, Seq(a(lp, "k")), Seq(a(rp, "rk")), a(lp, "t"), a(rp, "rt")))
+    assert(df.select("pv", "sv").collect().map(r => (r.getString(0), r.getString(1)))
+      .toSeq == Seq(("x", "m")))
+  }
+}

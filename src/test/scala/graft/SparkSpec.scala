@@ -18,5 +18,8 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // the whole suite runs through the library's SparkSessionExtensions
+    // entry point — the same wiring a spark.sql.extensions deployment gets
+    .withExtensions(new graft.plans.GraftExtensions)
     .getOrCreate()
 }
