@@ -726,6 +726,82 @@ object AdvancedQueries {
              |  UNION ALL SELECT 'l_returnflag', n, rf_nn, rf_nd, rf_min, rf_max FROM w
              |  UNION ALL SELECT 'l_shipdate', n, d_nn, d_nd, d_min, d_max FROM w)
              |ORDER BY column_name""".stripMargin)
+    ),
+
+    // ---- referential-integrity audit: orphaned foreign keys ------------------
+    // The data-quality gate every warehouse load runs: count fact rows whose
+    // FK has no match in the dimension. Each check is ONE pass over the fact
+    // with the dimension's (distinct, tiny) key column broadcast — no fact
+    // shuffle, no second scan for the total: the left join's null side
+    // yields the orphan count and count(*) the total in the same aggregate.
+    // At 100 TB the fact scans dominate and parallelize embarrassingly;
+    // the four dimension key sets stay broadcast-small by definition.
+    GQuery(
+      "q_referential_orphans",
+      (s, dir) => {
+        def fk(name: String, fact: org.apache.spark.sql.DataFrame, fkCol: String,
+               dim: org.apache.spark.sql.DataFrame, pkCol: String) =
+          fact.select(col(fkCol))
+            .join(broadcast(dim.select(col(pkCol)).distinct()),
+              col(fkCol) === col(pkCol), "left")
+            .agg(count(lit(1)).as("total"),
+              count(when(col(pkCol).isNull, 1)).as("orphans"))
+            .select(lit(name).as("fk_check"), col("total"), col("orphans"))
+        fk("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
+            Tables.orders(s, dir), "o_orderkey")
+          .unionByName(fk("lineitem->part", Tables.lineitem(s, dir), "l_partkey",
+            Tables.part(s, dir), "p_partkey"))
+          .unionByName(fk("lineitem->supplier", Tables.lineitem(s, dir), "l_suppkey",
+            Tables.supplier(s, dir), "s_suppkey"))
+          .unionByName(fk("orders->customer", Tables.orders(s, dir), "o_custkey",
+            Tables.customer(s, dir), "c_custkey"))
+          .orderBy("fk_check")
+      },
+      Some("""SELECT * FROM (
+             |SELECT 'lineitem->orders' AS fk_check, CAST(COUNT(*) AS BIGINT) AS total,
+             |  CAST(COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT) AS orphans
+             |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |UNION ALL
+             |SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT),
+             |  CAST(COUNT(CASE WHEN p.p_partkey IS NULL THEN 1 END) AS BIGINT)
+             |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+             |UNION ALL
+             |SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT),
+             |  CAST(COUNT(CASE WHEN s.s_suppkey IS NULL THEN 1 END) AS BIGINT)
+             |FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |UNION ALL
+             |SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT),
+             |  CAST(COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT)
+             |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+             |ORDER BY fk_check""".stripMargin)
+    ),
+
+    // ---- stratified sampling: per-stratum deterministic rates ----------------
+    // Unlike q_sample_hash's single global rate, each stratum gets its own:
+    // keep 1-in-2 'F' orders, 1-in-5 'O', 1-in-10 'P' — the downsample-the-
+    // majority-class shape. Same md5-bucket discipline (deterministic,
+    // scan-pushable filter, no RNG state, identical rows on any topology);
+    // the summary proves the per-stratum rates landed.
+    GQuery(
+      "q_sample_stratified",
+      (s, dir) => {
+        val bucket = pmod(md5Int(col("o_orderkey").cast("string")), lit(10))
+        val keepUnder = when(col("o_orderstatus") === "F", 5)
+          .when(col("o_orderstatus") === "O", 2).otherwise(1)
+        Tables.orders(s, dir)
+          .filter(bucket < keepUnder)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sumMoney(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, $countStarSql AS n_sampled,
+              |  ${sumMoneySql("o_totalprice")} AS sum_price
+              |FROM orders
+              |WHERE ${md5IntSql("CAST(o_orderkey AS VARCHAR)")} % 10 <
+              |  CASE WHEN o_orderstatus = 'F' THEN 5
+              |       WHEN o_orderstatus = 'O' THEN 2 ELSE 1 END
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     )
   )
 }

@@ -670,6 +670,30 @@ object DedupQueries {
               |FROM e a JOIN e b ON a.vec_id < b.vec_id
               |ORDER BY cos DESC, vec_a, vec_b LIMIT 50""".stripMargin),
       bench = false // O(n²) verification baseline — the benched scale path is ann_lsh_buckets/ann_ivf_topk
+    ),
+
+    // ---- duplication profile: group-size histogram --------------------------
+    // The first number a dedup run reports: how much of the corpus is
+    // duplicated, and in what shape (many pairs vs few mega-groups decides
+    // whether exact collapse or near-dup banding dominates the savings).
+    // Two aggregations: one content-hash shuffle over the corpus (the
+    // dedup_exact shape), then a shuffle of one row per GROUP — at fleet
+    // scale the second input is orders of magnitude smaller than the first.
+    GQuery(
+      "q_dup_group_stats",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy(md5(col("text")).as("text_md5"))
+          .agg(count(lit(1)).as("group_size"))
+          .groupBy(col("group_size"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(col("group_size")).as("n_docs"))
+          .orderBy("group_size"),
+      Some("""SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+             |  CAST(SUM(group_size) AS BIGINT) AS n_docs
+             |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS group_size
+             |      FROM documents GROUP BY md5(text))
+             |GROUP BY group_size ORDER BY group_size""".stripMargin)
     )
   )
 }

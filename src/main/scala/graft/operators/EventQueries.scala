@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GQuery, Tables}
 import graft.functions.Exact._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time windowed aggregations over the `events` table (SURVEY.md §2.9).
@@ -199,6 +200,56 @@ object EventQueries {
               |FROM v JOIN p ON v.user_id = p.user_id
               |  AND purchase_ts >= view_ts AND purchase_ts <= view_ts + INTERVAL 1 HOUR
               |ORDER BY v.user_id, view_id, purchase_id""".stripMargin)
+    ),
+
+    // ---- hourly anomaly detection: 2-sigma vs the trailing 24 hours ---------
+    // Ops-monitoring shape: flag hours whose event count exceeds the
+    // trailing-24h mean by 2 standard deviations. The trailing window is a
+    // RANGE frame over the integer hour index, so silent hours correctly
+    // shrink the window rather than shifting it (rows-frames would slide
+    // over gaps). The 2-sigma test runs in EXACT integer arithmetic —
+    // z > 2  ⇔  dev := n·W − S > 0  ∧  dev² > 4·(W·Q − S²)  with W/S/Q the
+    // window's count/sum/sum-of-squares — so both engines decide every
+    // boundary case identically, no float thresholds anywhere. One shuffle
+    // (hourly pre-aggregate), then a window over the tiny hour spine.
+    GQuery(
+      "q_events_anomaly",
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("hr").rangeBetween(-24, -1)
+        hourly
+          .withColumn("win_hours", count(col("n")).over(w))
+          .withColumn("win_events", sum(col("n")).over(w))
+          .withColumn("win_sq", sum(col("n") * col("n")).over(w))
+          .filter(col("win_hours") >= 5)
+          .withColumn("dev", col("n") * col("win_hours") - col("win_events"))
+          .select(col("event_type"), col("hr"), col("n"),
+            col("win_hours"), col("win_events"),
+            (col("dev") > 0 &&
+              col("dev") * col("dev") >
+                lit(4) * (col("win_hours") * col("win_sq") -
+                  col("win_events") * col("win_events"))).as("is_anomaly"))
+          .orderBy("event_type", "hr")
+      },
+      Some(s"""WITH hourly AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+              |  CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM ${Tables.eventsOracleFrom} e GROUP BY event_type, hr),
+              |win AS (SELECT event_type, hr, n,
+              |  CAST(COUNT(n) OVER tw AS BIGINT) AS win_hours,
+              |  CAST(SUM(n) OVER tw AS BIGINT) AS win_events,
+              |  CAST(SUM(n*n) OVER tw AS BIGINT) AS win_sq
+              |  FROM hourly
+              |  WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+              |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+              |SELECT event_type, hr, n, win_hours, win_events,
+              |  (n*win_hours - win_events > 0 AND
+              |   (n*win_hours - win_events)*(n*win_hours - win_events) >
+              |     4*(win_hours*win_sq - win_events*win_events)) AS is_anomaly
+              |FROM win WHERE win_hours >= 5
+              |ORDER BY event_type, hr""".stripMargin)
     )
   )
 }

@@ -358,6 +358,45 @@ object TextQueries {
              |  FROM d)
              |SELECT lang, doc_id, rk FROM rk, m WHERE rk <= min_n
              |ORDER BY lang, doc_id""".stripMargin)
+    ),
+
+    // ---- token-budget batch packing ------------------------------------------
+    // Sequence-packing for training: docs in a fixed order (doc_id) are
+    // packed per language into consecutive batches of ~2000 tokens — batch
+    // index = floor(tokens-before-this-doc / budget), the standard
+    // prefix-sum formulation (a doc overflowing a boundary starts the next
+    // batch; no doc is split). Entirely one window shuffle by lang + the
+    // per-batch re-aggregate; deterministic, so rerun- and oracle-stable.
+    // At fleet scale the order key would be a pre-assigned shard/sequence
+    // id — the plan shape (window prefix-sum, no driver loop) is the point.
+    GQuery(
+      "pipeline_pack_batches",
+      (s, dir) => {
+        val budget = 2000L
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        toks
+          .withColumn("tok_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .withColumn("batch_id", (col("tok_before") / budget).cast("long"))
+          .groupBy(col("lang"), col("batch_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("batch_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("lang", "batch_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+             |c AS (SELECT doc_id, lang, n_tok,
+             |  COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+             |  FROM t)
+             |SELECT lang, CAST(tok_before AS BIGINT) // 2000 AS batch_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_tok) AS BIGINT) AS batch_tokens,
+             |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             |FROM c GROUP BY lang, batch_id ORDER BY lang, batch_id""".stripMargin)
     )
   )
 }
