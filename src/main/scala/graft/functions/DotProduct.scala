@@ -73,11 +73,27 @@ case class DotProduct(left: Expression, right: Expression)
   * built-in (stays inside whole-stage codegen, unlike a Scala UDF).
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+
+  /** The library's native functions as SparkSessionExtensions function
+    * descriptions — one list feeding both [[register]] (runtime) and
+    * `graft.plans.GraftExtensions` (conf-time).
+    */
+  val descriptions: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
     // k=8 windows of 4 hex chars — the engine's MinHash geometry
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash", exprs => MinhashWindows(exprs(0), 8, 4), "built-in")
-  }
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinhashWindows].getName, "graft_minhash"),
+      (exprs: Seq[Expression]) => MinhashWindows(exprs(0), 8, 4)))
+
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (ident, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(ident.funcName, builder, "built-in")
+    }
 }

@@ -164,12 +164,16 @@ object AsofJoinStrategy extends SparkStrategy {
 
 /** `spark.sql.extensions` entry point: configure
   * `spark.sql.extensions=graft.plans.GraftExtensions` and every session in
-  * the deployment plans as-of joins natively. (The test suite's shared
-  * session is built through this path.)
+  * the deployment plans as-of joins natively AND resolves the library's
+  * native functions (graft_dot, graft_minhash) without any per-session
+  * register call. (The test suite's shared session is built through this
+  * path; `GraftFunctions.register` remains the runtime alternative.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+    graft.functions.GraftFunctions.descriptions.foreach(ext.injectFunction)
+  }
 }
 
 /** User API for the native as-of join. */

@@ -88,13 +88,31 @@ object EventsStream {
         col("n_events"))
 
   /** Streaming exact dedup: watermarked dropDuplicates on the event key.
-    * This is the streaming face of dedup_exact — state holds one entry per
-    * key inside the watermark horizon, so memory is bounded by churn, not by
-    * stream length. (A training-data ingest pipeline runs exactly this shape
-    * to make document ingestion idempotent.)
+    * This is the streaming face of dedup_exact, with EXACT whole-stream
+    * semantics: a duplicate is dropped no matter how far apart the copies
+    * arrive. That exactness has a price the caller must know about —
+    * because `event_id` alone is the state key and the event-time column is
+    * not part of it, the watermark CANNOT evict dedup state (Spark only
+    * cleans dropDuplicates state when the watermark column is among the
+    * keys), so the store grows with distinct keys for the stream's
+    * lifetime. Correct default for bounded replays and modest key spaces;
+    * for an unbounded 100 TB ingest use [[dedupedEventsBounded]].
     */
   def dedupedEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  /** Bounded-state stream dedup: `dropDuplicatesWithinWatermark` keeps one
+    * state entry per key only until the watermark passes the first
+    * sighting's event time + delay, then evicts — memory is O(keys inside
+    * the watermark horizon), not O(stream). The semantics trade: copies
+    * arriving FARTHER apart than the watermark delay are no longer
+    * collapsed. That is the right contract for ingest idempotence at fleet
+    * scale, where duplicates come from bounded retry/redelivery windows
+    * (at-least-once sources re-deliver within minutes, not days) and the
+    * key space grows without bound.
+    */
+  def dedupedEventsBounded(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("event_id")
 
   /** Custom incremental state via mapGroupsWithState: per-user running event
     * count and last-seen timestamp — the escape hatch for state machines that

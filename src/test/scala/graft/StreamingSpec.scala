@@ -184,6 +184,39 @@ class StreamingSpec extends SparkSpec {
     assert(sNull.subsetOf(bNull), s"streamed emitted non-unmatched views: ${sNull -- bNull}")
   }
 
+  test("dropDuplicatesWithinWatermark: dups collapse, state evicts past the horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val mem = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val deduped = EventsStream.dedupedEventsBounded(
+      mem.toDF.toDF("event_id", "ts"))
+    val q = deduped.writeStream.format("memory")
+      .queryName("stream_dwm_test").outputMode("append").start()
+    try {
+      mem.addData((1L, t(0)), (1L, t(0)), (2L, t(0))) // in-batch dup collapses
+      q.processAllAvailable()
+      mem.addData((3L, t(10))) // watermark → 09:00, keys 1/2 expire (t0 + 1h)
+      q.processAllAvailable()
+      mem.addData((1L, t(10))) // re-arrival BEYOND the horizon re-emits: the
+      q.processAllAvailable() //  documented bounded-state semantics trade
+      val out = spark.table("stream_dwm_test")
+        .select("event_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(out == Seq(1L, 1L, 2L, 3L))
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows <= 2, s"state not evicted: $stateRows rows held")
+    } finally q.stop()
+  }
+
+  test("bounded stream dedup equals batch distinct on the events replay") {
+    val streamed = EventsStream.runOnce(
+      EventsStream.dedupedEventsBounded(EventsStream.readEvents(spark, sfDir))
+        .select("event_id"),
+      "stream_dwm_events_test", "append").count()
+    val batch = Tables.events(spark, sfDir).select("event_id").distinct().count()
+    assert(streamed == batch && streamed > 0)
+  }
+
   test("streaming helpers restore the nanosAsLong conf after the drain") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     spark.conf.unset(key)
