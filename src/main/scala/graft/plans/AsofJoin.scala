@@ -162,6 +162,58 @@ object AsofJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Filter pushdown through [[AsofJoin]] — the optimizer half of the custom
+  * operator. Catalyst's PushDownPredicates cannot see through an unknown
+  * logical node, so without this rule every predicate above an as-of join
+  * runs AFTER the merge, and none of it reaches the parquet scan. The rule
+  * splits a conjunctive filter: conjuncts referencing only left-side
+  * columns move below the join (they can't change which right row a
+  * surviving left row matches — matching depends only on the left row
+  * itself); conjuncts on the join KEYS are additionally mirrored to the
+  * right side through the key mapping (a right row whose key matches no
+  * surviving left key can never be emitted — with one subtlety: mirroring
+  * must not make the filter right-REMOVING for keys the left side still
+  * has, which key-equality predicates never do). Everything else — right
+  * payload predicates (they'd turn matched rows into unmatched instead of
+  * removing them) and non-deterministic conjuncts — stays above the join.
+  * Left-outer semantics are preserved exactly; the payoff is pushed
+  * predicates reaching both scans (PlanAuditSpec pins this).
+  */
+object AsofFilterPushdown extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeMap, AttributeSet}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, j: AsofJoin) =>
+      val conjuncts = splitConjuncts(cond)
+      val (pushable, keep) = conjuncts.partition(c =>
+        c.deterministic && c.references.subsetOf(j.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        // left→right key attribute translation for conjuncts that touch
+        // only KEY columns: those also bound which right groups can match
+        val keyMap = AttributeMap(j.leftKeys.zip(j.rightKeys).collect {
+          case (lk: Attribute, rk: Attribute) => lk -> rk
+        })
+        val leftKeySet = AttributeSet(keyMap.keys)
+        val mirrored = pushable
+          .filter(_.references.subsetOf(leftKeySet))
+          .map(_.transform { case a: Attribute => keyMap(a) })
+        val newLeft = Filter(pushable.reduce(And), j.left)
+        val newRight =
+          if (mirrored.isEmpty) j.right else Filter(mirrored.reduce(And), j.right)
+        val pushed = j.copy(left = newLeft, right = newRight)
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+      splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+}
+
 /** `spark.sql.extensions` entry point: configure
   * `spark.sql.extensions=graft.plans.GraftExtensions` and every session in
   * the deployment plans as-of joins natively AND resolves the library's
@@ -172,6 +224,7 @@ object AsofJoinStrategy extends SparkStrategy {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => AsofFilterPushdown)
     graft.functions.GraftFunctions.descriptions.foreach(ext.injectFunction)
   }
 }
@@ -186,6 +239,8 @@ object Asof {
     val em = spark.experimental
     if (!em.extraStrategies.contains(AsofJoinStrategy))
       em.extraStrategies = em.extraStrategies :+ AsofJoinStrategy
+    if (!em.extraOptimizations.contains(AsofFilterPushdown))
+      em.extraOptimizations = em.extraOptimizations :+ AsofFilterPushdown
   }
 
   /** Left as-of backward join: for each left row, the right row with the

@@ -63,6 +63,49 @@ class AsofJoinSpec extends SparkSpec {
     assert("Sort \\[".r.findAllIn(plan).size == 2)
   }
 
+  test("filter pushdown: left-only and key conjuncts sink below the join") {
+    val df = Asof.join(l4, r4, Seq("k"), Seq("rk"), "t", "rt")
+      .filter(col("k") === 1L && col("t") > 5L && col("sv").isNotNull)
+    // semantics first: pushdown must not change the result
+    val got = df.select("k", "t", "pv", "sv").orderBy("t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq == Seq((1L, 10L, "p1", "s8"), (1L, 20L, "p2", "s20")))
+    // plan: inspect with ConvertToLocalRelation excluded — otherwise the
+    // pushed filters are eagerly evaluated INTO the local relations and the
+    // Filter nodes this test wants to see vanish (which is itself proof the
+    // pushdown landed below the join)
+    val key = "spark.sql.optimizer.excludedRules"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+    try {
+      val opt = Asof.join(l4, r4, Seq("k"), Seq("rk"), "t", "rt")
+        .filter(col("k") === 1L && col("t") > 5L && col("sv").isNotNull)
+        .queryExecution.optimizedPlan
+      val below = opt.collect { case j: AsofJoin => j }.head
+      // the key conjunct mirrors to the right side; t > 5 stays left-only
+      assert(below.left.toString.contains("Filter"), s"no left filter:\n$opt")
+      assert(below.right.toString.contains("Filter"), s"no mirrored right filter:\n$opt")
+      val above = opt.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.child.isInstanceOf[AsofJoin] => f
+      }
+      assert(above.nonEmpty && above.head.condition.references.map(_.name).toSet == Set("sv"))
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("filter pushdown reaches the parquet scan below an as-of join") {
+    val q = SparkEntry.registry.find(_.name == "q_asof_join_native").get
+      .build(spark, sfDir).filter(col("user_id") === 7L)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // both scans of the events file must carry the pushed user_id predicate
+    val pushed = "PushedFilters: \\[[^\\]]*EqualTo\\(user_id,7\\)".r.findAllIn(plan).size
+    assert(pushed >= 2, s"user_id predicate did not reach both scans:\n$plan")
+  }
+
   test("SparkSessionExtensions path plans the node without runtime registration") {
     // a fresh child session gets a FRESH (empty) experimental-strategies
     // list but keeps the extensions the suite's builder injected — so
