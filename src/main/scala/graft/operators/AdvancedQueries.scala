@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GQuery, Tables}
 import graft.functions.Exact._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Second-wave relational operators (round 2): pivot/unpivot, grouping sets
@@ -726,6 +727,82 @@ object AdvancedQueries {
              |  UNION ALL SELECT 'l_returnflag', n, rf_nn, rf_nd, rf_min, rf_max FROM w
              |  UNION ALL SELECT 'l_shipdate', n, d_nn, d_nd, d_min, d_max FROM w)
              |ORDER BY column_name""".stripMargin)
+    ),
+
+    // ---- TPC-H Q7 flavor: cross-nation trade volume by ship year -------------
+    // The deepest join tree in the registry: lineitem ⋈ orders ⋈ customer ⋈
+    // supplier ⋈ nation ⋈ nation. Every dimension (customer, supplier, two
+    // nation copies) broadcasts; the only big-table work is one pass over
+    // lineitem and a fact⋈fact join to orders that AQE sizes. The nation
+    // pair filter lands post-broadcast-join but pre-aggregate, so the
+    // shuffled aggregate carries only the two surviving nation pairs.
+    GQuery(
+      "q_tpch_q7",
+      (s, dir) => {
+        val n1 = broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+        val n2 = broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+        val sup = broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"))
+        val cus = broadcast(Tables.customer(s, dir).select("c_custkey", "c_nationkey"))
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(cus, col("o_custkey") === col("c_custkey"))
+          .join(n1, col("s_nationkey") === col("s_nk"))
+          .join(n2, col("c_nationkey") === col("c_nk"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("ship_year"))
+          .agg(sumGrid(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L)
+            .as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy("supp_nation", "cust_nation", "ship_year")
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              |  CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+              |  ${sumGridSql("l_extendedprice * (1.0 - l_discount)", 10000L)} AS revenue,
+              |  $countStarSql AS n_items
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+              |GROUP BY supp_nation, cust_nation, ship_year
+              |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin)
+    ),
+
+    // ---- SCD2 interval build: snapshots → validity ranges --------------------
+    // The warehouse dimension-build shape: each user's error-state
+    // snapshots become [valid_from, valid_to) intervals via lead() — the
+    // row is current until the next snapshot supersedes it (null = still
+    // current). One window shuffle by user; at fleet scale this is the
+    // nightly SCD2 rebuild that the as-of join then consumes, and the two
+    // queries share the same deduped snapshot source.
+    GQuery(
+      "q_scd2_intervals",
+      (s, dir) => {
+        val snaps = Tables.events(s, dir)
+          .filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max("event_id").as("err_id"))
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        snaps
+          .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(w))
+          .select(col("user_id"), col("err_id"),
+            unix_micros(col("ts")).as("valid_from_us"), col("valid_to_us"),
+            col("valid_to_us").isNull.as("is_current"))
+          .orderBy("user_id", "valid_from_us")
+      },
+      Some(s"""WITH snaps AS (SELECT user_id, ts, MAX(event_id) AS err_id
+              |  FROM ${Tables.eventsOracleFrom} e
+              |  WHERE event_type = 'error' GROUP BY user_id, ts)
+              |SELECT user_id, err_id, epoch_us(ts) AS valid_from_us,
+              |  lead(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to_us,
+              |  lead(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+              |FROM snaps ORDER BY user_id, valid_from_us""".stripMargin)
     ),
 
     // ---- referential-integrity audit: orphaned foreign keys ------------------

@@ -63,6 +63,14 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p18).size >= 2, p18) // partial + final on quantity sum
   }
 
+  test("TPC-H q7 broadcasts all four dimensions; no cartesian anywhere") {
+    val p = plan("q_tpch_q7")
+    // supplier, customer, nation×2 all ride broadcast joins; the only
+    // non-broadcast join is the lineitem⋈orders fact join
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ngram candidate generation is an equi-join on the content block key") {
     val p = plan("dedup_ngram_jaccard")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
