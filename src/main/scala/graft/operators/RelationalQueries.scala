@@ -586,6 +586,37 @@ object RelationalQueries {
               |FROM purch p ASOF LEFT JOIN errs e
               |  ON p.user_id = e.user_id AND p.ts >= e.ts
               |ORDER BY event_id""".stripMargin)
+    ),
+
+    // ---- INNER variant: only purchases that HAVE a preceding error state ----
+    // Same operator with inner semantics (unmatched facts drop instead of
+    // null-padding) — DuckDB's plain ASOF JOIN is the oracle.
+    GQuery(
+      "q_asof_join_inner",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val errs = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max("event_id").as("err_id"))
+          .select(col("user_id").as("e_user_id"), col("ts").as("e_ts"), col("err_id"))
+        val purch = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        graft.plans.Asof.join(purch, errs,
+            Seq("user_id"), Seq("e_user_id"), "ts", "e_ts", inner = true)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("err_id").as("asof_err_id"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH ev AS (SELECT * FROM ${Tables.eventsOracleFrom} e),
+              |errs AS (SELECT user_id, ts, MAX(event_id) AS err_id
+              |  FROM ev WHERE event_type = 'error' GROUP BY user_id, ts),
+              |purch AS (SELECT user_id, ts, event_id
+              |  FROM ev WHERE event_type = 'purchase')
+              |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+              |  e.err_id AS asof_err_id
+              |FROM purch p ASOF JOIN errs e
+              |  ON p.user_id = e.user_id AND p.ts >= e.ts
+              |ORDER BY event_id""".stripMargin)
     )
   )
 }

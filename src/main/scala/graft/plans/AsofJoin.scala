@@ -40,13 +40,16 @@ case class AsofJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    isInner: Boolean = false) extends BinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
     "as-of join needs at least one equi-key and matching key arity")
 
+  // inner drops unmatched left rows, so the right side is never null-padded
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    if (isInner) left.output ++ right.output
+    else left.output ++ right.output.map(_.withNullability(true))
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
@@ -65,11 +68,13 @@ case class AsofJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    isInner: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    if (isInner) left.output ++ right.output
+    else left.output ++ right.output.map(_.withNullability(true))
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -96,6 +101,7 @@ case class AsofJoinExec(
     val rKeys = rightKeys
     val lTime = leftTime
     val rTime = rightTime
+    val inner = isInner
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // per-partition construction: codegen'd projections/orderings are
       // built on the executor, nothing codegen'd crosses the wire
@@ -137,7 +143,7 @@ case class AsofJoinExec(
         }
       }
 
-      lIter.map { l =>
+      lIter.flatMap { l =>
         val lk = lKeyProj(l)
         if (curKey == null || keyOrd.compare(lk, curKey) != 0) {
           curKey = lk.copy()
@@ -147,7 +153,9 @@ case class AsofJoinExec(
           val lt = lTimeProj(l)
           if (!lt.isNullAt(0)) advanceRight(curKey, lt)
         }
-        resultProj(joined(l, if (lastMatch != null) lastMatch else nullRight))
+        if (lastMatch != null) Some(resultProj(joined(l, lastMatch)))
+        else if (inner) None // inner: unmatched left rows drop
+        else Some(resultProj(joined(l, nullRight)))
       }
     }
   }
@@ -156,8 +164,8 @@ case class AsofJoinExec(
 /** Plans [[AsofJoin]] as [[AsofJoinExec]]; everything else falls through. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, inner) =>
+      AsofJoinExec(lk, rk, lt, rt, inner, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -243,10 +251,11 @@ object Asof {
       em.extraOptimizations = em.extraOptimizations :+ AsofFilterPushdown
   }
 
-  /** Left as-of backward join: for each left row, the right row with the
+  /** As-of backward join: for each left row, the right row with the
     * greatest `rightTimeCol` at-or-before `leftTimeCol` within the same
-    * `leftOn`/`rightOn` key group (nulls when none). Column names must be
-    * unambiguous in their respective frames; rename the right side's
+    * `leftOn`/`rightOn` key group. Left-outer by default (unmatched left
+    * rows null-pad); `inner = true` drops them instead. Column names must
+    * be unambiguous in their respective frames; rename the right side's
     * columns first if the two frames share names.
     */
   def join(
@@ -255,7 +264,8 @@ object Asof {
       leftOn: Seq[String],
       rightOn: Seq[String],
       leftTimeCol: String,
-      rightTimeCol: String): DataFrame = {
+      rightTimeCol: String,
+      inner: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val lp = left.queryExecution.analyzed
@@ -267,6 +277,6 @@ object Asof {
     GraftInternalAccess.ofRows(spark,
       AsofJoin(lp, rp,
         leftOn.map(attr(lp, _)), rightOn.map(attr(rp, _)),
-        attr(lp, leftTimeCol), attr(rp, rightTimeCol)))
+        attr(lp, leftTimeCol), attr(rp, rightTimeCol), inner))
   }
 }

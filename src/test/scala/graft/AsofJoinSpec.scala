@@ -30,6 +30,19 @@ class AsofJoinSpec extends SparkSpec {
       (2L, 5L, "p3", null), (3L, 7L, "p4", null)))
   }
 
+  test("inner as-of drops unmatched left rows and keeps exact matches") {
+    val got = Asof.join(l4, r4, Seq("k"), Seq("rk"), "t", "rt", inner = true)
+      .select("k", "t", "pv", "sv").orderBy("k", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq == Seq((1L, 10L, "p1", "s8"), (1L, 20L, "p2", "s20")))
+    // inner result == left-outer result minus the null-padded rows
+    val outer = Asof.join(l4, r4, Seq("k"), Seq("rk"), "t", "rt")
+      .filter(col("sv").isNotNull)
+      .select("k", "t", "pv", "sv").orderBy("k", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq == outer.toSeq)
+  }
+
   test("null keys and null times never match; left rows still emit") {
     val l = Seq((Some(1L), Some(10L), "a"), (None, Some(10L), "b"), (Some(1L), None, "c"))
       .toDF("k", "t", "pv")
@@ -104,6 +117,48 @@ class AsofJoinSpec extends SparkSpec {
     // both scans of the events file must carry the pushed user_id predicate
     val pushed = "PushedFilters: \\[[^\\]]*EqualTo\\(user_id,7\\)".r.findAllIn(plan).size
     assert(pushed >= 2, s"user_id predicate did not reach both scans:\n$plan")
+  }
+
+  test("randomized differential: operator equals an in-memory reference model") {
+    // seeded generator → reproducible corpora with the nasty shapes: tied
+    // timestamps, duplicate right rows, null keys/times, one-sided keys
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val nL = 50 + rnd.nextInt(150)
+      val nR = 50 + rnd.nextInt(150)
+      def key() = if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(12).toLong)
+      def time() = if (rnd.nextInt(25) == 0) None else Some(rnd.nextInt(40).toLong)
+      val lRows = (1 to nL).map(i => (i.toLong, key(), time()))
+      val rRows = (1 to nR).map(i => (i.toLong + 1000, key(), time()))
+      val l = lRows.toDF("lid", "k", "t")
+      val r = rRows.toDF("rid", "rk", "rt")
+      val got = Asof.join(l, r, Seq("k"), Seq("rk"), "t", "rt")
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .sortBy(identity).toSeq
+      // reference model: per left row, right rows with equal (non-null) key
+      // and rt <= t; latest rt wins, ties broken by the SAME total order the
+      // operator's sort sees — (rt, then arbitrary-but-fixed rid) — so pin
+      // tie determinism by collapsing ties to max rid, and do the same to
+      // the operator output before comparing
+      val expected = lRows.map { case (lid, k, t) =>
+        val m = for {
+          kk <- k.toSeq; tt <- t.toSeq
+          (rid, rk, rt) <- rRows
+          if rk.contains(kk) && rt.exists(_ <= tt)
+        } yield (rt.get, rid)
+        (lid, if (m.isEmpty) -1L else m.max._2)
+      }.sortBy(identity)
+      // collapse operator tie choice identically: map each matched rid to
+      // the max rid sharing its (key, time) on the right
+      val bestOfTie = rRows.collect { case (rid, Some(rk), Some(rt)) => ((rk, rt), rid) }
+        .groupBy(_._1).map { case (kt, xs) => kt -> xs.map(_._2).max }
+      val rByIds = rRows.collect { case (rid, Some(rk), Some(rt)) => rid -> ((rk, rt)) }.toMap
+      val gotCanon = got.map { case (lid, rid) =>
+        (lid, if (rid == -1L) -1L else bestOfTie(rByIds(rid)))
+      }.sortBy(identity)
+      assert(gotCanon == expected, s"trial $trial: mismatch")
+    }
   }
 
   test("SparkSessionExtensions path plans the node without runtime registration") {
