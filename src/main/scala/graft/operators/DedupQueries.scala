@@ -159,16 +159,25 @@ object DedupQueries {
     // cheaper to recompute than the extra materialization action.
     val docs = docsIn.filter(size(split(col("text"), " ")) >= 3)
     val members = docs.select(col("doc_id"), md5(col("text")).as("text_md5"))
-    // one representative text per content hash; first(text) is well-defined
-    // (all texts in a group are identical) and partial-aggregates map-side.
+    // one representative per content hash — computed WITHOUT shuffling any
+    // text: only (digest, doc_id) pairs pass through the groupBy shuffle,
+    // and the representatives' texts come from semi-joining the corpus back
+    // on rep_id. Locally (and whenever the distinct-digest table fits the
+    // broadcast threshold) that semi join broadcasts, so the corpus text is
+    // never shuffled at all; past broadcast range AQE degrades it to the
+    // same one text shuffle the old group-the-text shape always paid.
     // Materialized: the signature pipeline, the membership map, and both
-    // cross-expansion sides all read it — without the cache the text
-    // groupBy re-runs once per branch.
-    val reps = Materialize(docs
-      .groupBy(md5(col("text")).as("text_md5"))
-      .agg(min(col("doc_id")).as("rep_id"), first(col("text")).as("text")))
-    val sig = reps
-      .select(col("rep_id").as("doc_id"), split(col("text"), " ").as("toks"))
+    // cross-expansion sides all read it.
+    val repIds = Materialize(members
+      .groupBy(col("text_md5")).agg(min(col("doc_id")).as("rep_id")))
+    // hash-heavy signature pass: spread the representative texts across
+    // cores first — a single-file corpus is one byte split, which would
+    // leave the whole shingle+md5 pass on one task
+    val repDocs = docs
+      .join(repIds.select(col("rep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .repartition(docsIn.sparkSession.sparkContext.defaultParallelism)
+    val sig = repDocs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         expr("transform(sequence(0, size(toks) - 3), " +
           "i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))").as("shh"))
@@ -200,7 +209,7 @@ object DedupQueries {
       .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"), col("jac"))
     // membership map: every doc_id → its group's representative
     val groupOf = members
-      .join(reps.select(col("text_md5"), col("rep_id")), "text_md5")
+      .join(repIds, "text_md5")
       .select(col("doc_id"), col("rep_id"))
     // (1) intra-group: exact duplicates are near-dup pairs with jac = 1.0
     //     (identical distinct-shingle sets), emitted without any banding
@@ -380,7 +389,10 @@ object DedupQueries {
         // on them, and the oracle's empty shingle list can never reach the
         // 0.6 jaccard cut anyway — they flow through the exact path only.
         val dSig = d.filter(size(split(col("text"), " ")) >= 3)
+        // hash-heavy pass over a single-file corpus: spread rows first
+        // (one byte split would pin the shingle+md5 stage to one task)
         val sigAll = Materialize(dSig
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("doc_id"), split(col("text"), " ").as("toks"))
           .select(col("doc_id"),
             expr("transform(sequence(0, size(toks) - 3), " +
