@@ -805,6 +805,74 @@ object AdvancedQueries {
               |FROM snaps ORDER BY user_id, valid_from_us""".stripMargin)
     ),
 
+    // ---- incremental aggregate maintenance: merge partials, never rescan ----
+    // The nightly-ETL shape: history's aggregate is already materialized;
+    // today's batch aggregates alone, and the two PARTIAL states merge
+    // (counts add, exact cent-sums add, mins/maxes fold) without touching
+    // history's raw rows again. The oracle computes the direct full
+    // aggregate — the hash match IS the proof that merge == rescan, which
+    // only holds because the per-row state is on the exact integer grid
+    // (float partial sums would drift per partitioning). At 100 TB this is
+    // the difference between scanning one day and scanning the archive.
+    GQuery(
+      "q_agg_merge",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val bucket = pmod(md5Int(col("o_orderkey").cast("string")), lit(10))
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("o_orderstatus"))
+            .agg(count(lit(1)).as("n"),
+              sum(grid(col("o_totalprice"), 100L)).as("cents"),
+              min(grid(col("o_totalprice"), 100L)).as("min_cents"),
+              max(grid(col("o_totalprice"), 100L)).as("max_cents"))
+        val history = partial(o.filter(bucket =!= 0))
+        val today = partial(o.filter(bucket === 0))
+        history.unionByName(today)
+          .groupBy(col("o_orderstatus"))
+          .agg(sum(col("n")).as("n"),
+            (sum(col("cents")).cast("double") / 100.0).as("sum_price"),
+            min(col("min_cents")).as("min_cents"),
+            max(col("max_cents")).as("max_cents"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, $countStarSql AS n,
+              |  ${sumMoneySql("o_totalprice")} AS sum_price,
+              |  MIN(${gridSql("o_totalprice", 100L)}) AS min_cents,
+              |  MAX(${gridSql("o_totalprice", 100L)}) AS max_cents
+              |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    ),
+
+    // ---- graph analytics: triangle census of the co-purchase graph ----------
+    // Parts are adjacent when some order contains both; triangles are the
+    // classic clustering signal (and the classic distributed-join workout).
+    // Edge build: one self-join of the (order, part) projection on the
+    // order key with p_a < p_b, then DISTINCT — at fleet scale hot orders
+    // explode quadratically in items-per-order, so real deployments cap
+    // basket size first (the same skew discipline as q_join_salted).
+    // Triangle census: edges³ via two hash joins, each edge oriented
+    // a < b < c so every triangle counts exactly once.
+    GQuery(
+      "q_graph_triangles",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val edges = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+        val tri = edges.as("e1")
+          .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+          .join(edges.as("e3"),
+            col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+          .agg(count(lit(1)).as("n_triangles"))
+        edges.agg(count(lit(1)).as("n_edges")).crossJoin(tri) // two 1-row frames
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |edges AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk)
+             |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+             |    edges e1 JOIN edges e2 ON e1.b = e2.a
+             |    JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b) AS n_triangles""".stripMargin)
+    ),
+
     // ---- referential-integrity audit: orphaned foreign keys ------------------
     // The data-quality gate every warehouse load runs: count fact rows whose
     // FK has no match in the dimension. Each check is ONE pass over the fact
