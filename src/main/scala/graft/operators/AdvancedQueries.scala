@@ -751,8 +751,8 @@ object AdvancedQueries {
           .join(cus, col("o_custkey") === col("c_custkey"))
           .join(n1, col("s_nationkey") === col("s_nk"))
           .join(n2, col("c_nationkey") === col("c_nk"))
-          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+            (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
           .groupBy(col("supp_nation"), col("cust_nation"),
             year(col("l_shipdate")).as("ship_year"))
           .agg(sumGrid(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L)
@@ -768,8 +768,8 @@ object AdvancedQueries {
               |JOIN customer ON o_custkey = c_custkey
               |JOIN nation n1 ON s_nationkey = n1.n_nationkey
               |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-              |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-              |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+              |WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+              |   OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
               |GROUP BY supp_nation, cust_nation, ship_year
               |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin)
     ),

@@ -88,6 +88,12 @@ case class AsofJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
     copy(left = newLeft, right = newRight)
@@ -102,6 +108,8 @@ case class AsofJoinExec(
     val lTime = leftTime
     val rTime = rightTime
     val inner = isInner
+    val outRows = longMetric("numOutputRows")
+    val matchedRows = longMetric("numMatchedRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // per-partition construction: codegen'd projections/orderings are
       // built on the executor, nothing codegen'd crosses the wire
@@ -153,9 +161,11 @@ case class AsofJoinExec(
           val lt = lTimeProj(l)
           if (!lt.isNullAt(0)) advanceRight(curKey, lt)
         }
-        if (lastMatch != null) Some(resultProj(joined(l, lastMatch)))
-        else if (inner) None // inner: unmatched left rows drop
-        else Some(resultProj(joined(l, nullRight)))
+        if (lastMatch != null) {
+          outRows += 1; matchedRows += 1
+          Some(resultProj(joined(l, lastMatch)))
+        } else if (inner) None // inner: unmatched left rows drop
+        else { outRows += 1; Some(resultProj(joined(l, nullRight))) }
       }
     }
   }
