@@ -843,20 +843,31 @@ object AdvancedQueries {
     ),
 
     // ---- graph analytics: triangle census of the co-purchase graph ----------
-    // Parts are adjacent when some order contains both; triangles are the
-    // classic clustering signal (and the classic distributed-join workout).
-    // Edge build: one self-join of the (order, part) projection on the
-    // order key with p_a < p_b, then DISTINCT — at fleet scale hot orders
-    // explode quadratically in items-per-order, so real deployments cap
-    // basket size first (the same skew discipline as q_join_salted).
-    // Triangle census: edges³ via two hash joins, each edge oriented
-    // a < b < c so every triangle counts exactly once.
+    // Parts are adjacent when they co-occur in at least MIN_SUPPORT orders
+    // (the association-rule support cut — single co-occurrence is noise);
+    // triangles over that graph are the classic clustering signal and the
+    // classic distributed-join workout. The support threshold is also what
+    // keeps the wedge intermediate (Σ in(v)·out(v) rows, the quadratic
+    // term in any triangle join) proportional to REPEATED co-purchase
+    // structure instead of raw basket volume: the unfiltered sf0.1 graph
+    // has 1.2M edges and a ~70M-row wedge stage, the support>=2 graph
+    // ~3.6k edges. Hot orders additionally explode the basket self-join
+    // quadratically at fleet scale — real deployments cap basket size
+    // (the q_join_salted discipline). Edges oriented a < b < c count each
+    // triangle exactly once.
     GQuery(
       "q_graph_triangles",
       (s, dir) => {
         val li = Tables.lineitem(s, dir).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-        val edges = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b")).distinct()
+        // materialized once: the edge table feeds three join branches plus
+        // the edge count — without the cache the basket self-join+support
+        // aggregate would recompute four times
+        val edges = Materialize(li.as("x")
+          .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .select("a", "b"))
         val tri = edges.as("e1")
           .join(edges.as("e2"), col("e1.b") === col("e2.a"))
           .join(edges.as("e3"),
@@ -865,8 +876,9 @@ object AdvancedQueries {
         edges.agg(count(lit(1)).as("n_edges")).crossJoin(tri) // two 1-row frames
       },
       Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-             |edges AS (SELECT DISTINCT x.pk AS a, y.pk AS b
-             |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk)
+             |e0 AS (SELECT x.pk AS a, y.pk AS b, COUNT(*) AS support
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2),
+             |edges AS (SELECT a, b FROM e0 WHERE support >= 2)
              |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
              |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
              |    edges e1 JOIN edges e2 ON e1.b = e2.a

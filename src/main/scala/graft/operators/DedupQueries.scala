@@ -247,8 +247,13 @@ object DedupQueries {
       pairs: DataFrame,
       checkpoint: DataFrame => DataFrame): DataFrame = {
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a"))).toDF("a", "b")
+    // seed with round 1 already applied: starting labels are identity
+    // (lbl = v), so the first propagation is just min(v, min(neighbors)) —
+    // one aggregate over the edge list, saving a full checkpoint+count
+    // round. Every vertex appears on the `a` side (edges are symmetric).
     var labels = checkpoint(
-      edges.select(col("a").as("v")).distinct().withColumn("lbl", col("v")))
+      edges.groupBy(col("a")).agg(min(col("b")).as("mb"))
+        .select(col("a").as("v"), least(col("a"), col("mb")).as("lbl")))
     // the round's full (persisted) frame, kept so the PREVIOUS round can be
     // unpersisted once the new round has materialized: round N+1 reads only
     // round N's output, and a reliable checkpoint has already written round
