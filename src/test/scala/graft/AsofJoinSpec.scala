@@ -161,6 +161,40 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("bucketed+sorted layout elides the as-of join's exchanges entirely") {
+    // the scale capstone: because the exec DECLARES its distribution and
+    // ordering needs instead of shuffling imperatively, a nightly job that
+    // bucket-sorts both tables by (key, time) pays ZERO exchanges at query
+    // time — EnsureRequirements sees satisfied requirements and plans only
+    // the merge
+    val tmp = java.nio.file.Files.createTempDirectory("graft-asof-bkt").toString
+    spark.sql("DROP TABLE IF EXISTS asof_purch_bkt")
+    spark.sql("DROP TABLE IF EXISTS asof_errs_bkt")
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .write.bucketBy(4, "user_id").sortBy("user_id", "ts")
+      .option("path", s"$tmp/p").saveAsTable("asof_purch_bkt")
+    ev.filter(col("event_type") === "error")
+      .groupBy(col("user_id"), col("ts")).agg(max("event_id").as("err_id"))
+      .select(col("user_id").as("e_user_id"), col("ts").as("e_ts"), col("err_id"))
+      .write.bucketBy(4, "e_user_id").sortBy("e_user_id", "e_ts")
+      .option("path", s"$tmp/e").saveAsTable("asof_errs_bkt")
+    val j = Asof.join(spark.table("asof_purch_bkt"), spark.table("asof_errs_bkt"),
+      Seq("user_id"), Seq("e_user_id"), "ts", "e_ts")
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("AsofJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), s"exchanges not elided:\n$plan")
+    // and the result still matches the shuffled path on the raw tables
+    val expected = SparkEntry.registry.find(_.name == "q_asof_join_native").get
+      .build(spark, sfDir).count()
+    val got = j.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("err_id").as("asof_err_id"))
+      .count()
+    assert(got == expected)
+  }
+
   test("SparkSessionExtensions path plans the node without runtime registration") {
     // a fresh child session gets a FRESH (empty) experimental-strategies
     // list but keeps the extensions the suite's builder injected — so
