@@ -689,6 +689,58 @@ object DedupQueries {
       bench = false // O(n²) verification baseline — the benched scale path is ann_lsh_buckets/ann_ivf_topk
     ),
 
+    // ---- edit-distance near-dup: the last similarity family -----------------
+    // Levenshtein verification catches what set-based measures miss:
+    // small in-place edits (typo fixes, number substitutions) that barely
+    // move the shingle set but matter for "same document, revised". Blocking
+    // reuses the content-derived min-md5 5-gram key (an edit changes at
+    // most 5 grams' worth of minimum candidates, so near-identical docs
+    // almost always share the key); only blocked pairs pay the O(len²)
+    // dynamic-programming distance, and the relative cut (<= 10% of the
+    // longer text) keeps the verdict length-invariant. Both engines ship
+    // the same classic DP levenshtein, so the distance is oracle-exact.
+    GQuery(
+      "dedup_edit_distance",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .filter(length(col("text")) >= 5)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("text"))
+        val keys = docs
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")).as("g"))
+          .groupBy("doc_id").agg(min(md5(col("g"))).as("blk"))
+          .withColumn("blk_n", count(lit(1)).over(Window.partitionBy("blk")))
+          .filter(col("blk_n") <= lit(NGRAM_BLOCK_CAP))
+          .select("doc_id", "blk")
+        val pairs = keys.as("a")
+          .join(keys.as("b"), col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        pairs
+          .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+          .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+            greatest(length(col("text_a")), length(col("text_b"))).cast("long").as("max_len"))
+          .filter(col("edit_dist") * 10 <= col("max_len"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH d0 AS (SELECT doc_id, text,
+             |  list_aggregate(list_transform(range(1, length(text) - 3),
+             |    i -> md5(substring(text, i, 5))), 'min') AS blk
+             |  FROM documents WHERE length(text) >= 5),
+             |d1 AS (SELECT doc_id, text, blk,
+             |  COUNT(*) OVER (PARTITION BY blk) AS blk_n FROM d0),
+             |d AS (SELECT doc_id, text, blk FROM d1 WHERE blk_n <= $NGRAM_BLOCK_CAP),
+             |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+             |  CAST(greatest(length(a.text), length(b.text)) AS BIGINT) AS max_len
+             |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b, edit_dist, max_len FROM pairs
+             |WHERE edit_dist * 10 <= max_len
+             |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
     // ---- duplication profile: group-size histogram --------------------------
     // The first number a dedup run reports: how much of the corpus is
     // duplicated, and in what shape (many pairs vs few mega-groups decides
