@@ -852,13 +852,25 @@ object AdvancedQueries {
     // structure instead of raw basket volume: the unfiltered sf0.1 graph
     // has 1.2M edges and a ~70M-row wedge stage, the support>=2 graph
     // ~3.6k edges. Hot orders additionally explode the basket self-join
-    // quadratically at fleet scale — real deployments cap basket size
-    // (the q_join_salted discipline). Edges oriented a < b < c count each
-    // triangle exactly once.
+    // quadratically at fleet scale, BEFORE the support cut can prune
+    // anything: a single 10k-item mega-basket emits k(k-1)/2 ≈ 5·10⁷ pair
+    // rows on its own. So baskets are capped at MAX_BASKET items first
+    // (same discipline as dedup_ngram_jaccard's 64-doc block cap): the
+    // self-join is then bounded at MAX_BASKET²/2 rows per order — a
+    // documented recall trade (mega-baskets are catalog-sweep noise for
+    // co-purchase affinity anyway). 32 is above every test SF's max basket
+    // (17 at sf0.1), so the oracle result is unchanged here. Edges oriented
+    // a < b < c count each triangle exactly once.
     GQuery(
       "q_graph_triangles",
       (s, dir) => {
-        val li = Tables.lineitem(s, dir).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val MaxBasket = 32
+        val li0 = Tables.lineitem(s, dir).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        // basket-size cap: groupBy, semi-join, and the pair self-join all
+        // hash-partition on ok, so AQE reuses one exchange across the three
+        val small = li0.groupBy(col("ok")).agg(count(lit(1)).as("basket_n"))
+          .filter(col("basket_n") <= MaxBasket).select("ok")
+        val li = li0.join(small, Seq("ok"), "left_semi")
         // materialized once: the edge table feeds three join branches plus
         // the edge count — without the cache the basket self-join+support
         // aggregate would recompute four times
@@ -875,7 +887,9 @@ object AdvancedQueries {
           .agg(count(lit(1)).as("n_triangles"))
         edges.agg(count(lit(1)).as("n_edges")).crossJoin(tri) // two 1-row frames
       },
-      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      Some("""WITH li0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |li AS (SELECT * FROM li0 WHERE ok IN
+             |  (SELECT ok FROM li0 GROUP BY ok HAVING COUNT(*) <= 32)),
              |e0 AS (SELECT x.pk AS a, y.pk AS b, COUNT(*) AS support
              |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2),
              |edges AS (SELECT a, b FROM e0 WHERE support >= 2)

@@ -763,6 +763,82 @@ object DedupQueries {
              |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS group_size
              |      FROM documents GROUP BY md5(text))
              |GROUP BY group_size ORDER BY group_size""".stripMargin)
+    ),
+
+    // ---- cross-document exact-substring dedup --------------------------------
+    // The published substring-granularity shape (shared long verbatim runs
+    // across documents — quotations, templated passages, partial copies)
+    // that whole-doc hashing and MinHash both miss at low overall Jaccard.
+    // Each doc's distinct word-8-gram md5 digests (the
+    // pipeline_decontaminate machinery, corpus-vs-corpus instead of
+    // corpus-vs-benchmark); docs sharing >= MIN_SHARED digests are flagged
+    // with a containment score shared/min(|A|,|B|) — containment, not
+    // Jaccard, because a short doc wholly embedded in a long one should
+    // score ~1.0. Scale discipline mirrors the LSH banding cut:
+    //   * the pair generation is a digest EQUI-join (pinned by
+    //     PlanAuditSpec), never a cartesian;
+    //   * digests are pre-filtered to doc-frequency in [2, cap]: df=1 grams
+    //     can't form a pair (drops ~95% of the join input here), and
+    //     df>cap grams are boilerplate whose pairs a cap-free join would
+    //     explode quadratically (5k docs sharing one license-header gram =
+    //     12.5M pair rows from one digest). Docs pairing ONLY through
+    //     boilerplate are the documented recall trade — those runs are
+    //     corpus-wide template text, not copying.
+    // One explode+md5 map pass, one digest-frequency shuffle, one equi-join
+    // shuffle on digest, one (a,b) re-aggregate: all keys content-derived
+    // and uniform, no driver loop, no all-pairs stage anywhere.
+    GQuery(
+      "dedup_substring",
+      (s, dir) => {
+        val MinShared = 3
+        // one digest pass total: frequency filter, both join sides, and the
+        // per-doc gram counts all read the same 2-col (doc, digest) table
+        val grams = Materialize(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), split(col("text"), " ").as("toks"))
+            // docs under 8 tokens have no 8-grams (sequence(0, negative)
+            // runs DESCENDING — same guard as pipeline_decontaminate)
+            .filter(size(col("toks")) >= 8)
+            .repartition(s.sparkContext.defaultParallelism)
+            .select(col("doc_id"), explode(expr(
+              "array_distinct(transform(sequence(0, size(toks) - 8), " +
+                "i -> md5(concat_ws(' ', slice(toks, i + 1, 8)))))")).as("g")))
+        val keep = grams.groupBy(col("g"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= lit(NGRAM_BLOCK_CAP))
+          .select("g")
+        val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        val gf = grams.join(keep, Seq("g"), "left_semi")
+        gf.as("x")
+          .join(gf.as("y"), col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("shared_8grams"))
+          .filter(col("shared_8grams") >= MinShared)
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_grams").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n_grams").as("nb")), "doc_b")
+          // plain double division of identical integers is bit-exact on
+          // both engines (the text_quality discipline) — no rounding needed
+          .select(col("doc_a"), col("doc_b"), col("shared_8grams"),
+            (col("shared_8grams").cast("double") / least(col("na"), col("nb")).cast("double"))
+              .as("containment"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              |grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              |  range(1, len(toks) - 6), i -> md5(array_to_string(toks[i:i+7], ' '))))) AS g
+              |  FROM toks),
+              |keep AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) BETWEEN 2 AND $NGRAM_BLOCK_CAP),
+              |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams GROUP BY doc_id),
+              |gf AS (SELECT doc_id, grams.g FROM grams JOIN keep ON grams.g = keep.g),
+              |pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+              |    CAST(COUNT(*) AS BIGINT) AS shared_8grams
+              |  FROM gf x JOIN gf y ON x.g = y.g AND x.doc_id < y.doc_id
+              |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+              |SELECT doc_a, doc_b, shared_8grams,
+              |  CAST(shared_8grams AS DOUBLE) / CAST(least(sa.n_grams, sb.n_grams) AS DOUBLE) AS containment
+              |FROM pairs JOIN sizes sa ON pairs.doc_a = sa.doc_id
+              |JOIN sizes sb ON pairs.doc_b = sb.doc_id
+              |ORDER BY doc_a, doc_b""".stripMargin)
     )
   )
 }

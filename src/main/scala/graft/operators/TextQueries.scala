@@ -397,6 +397,71 @@ object TextQueries {
              |  CAST(SUM(n_tok) AS BIGINT) AS batch_tokens,
              |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
              |FROM c GROUP BY lang, batch_id ORDER BY lang, batch_id""".stripMargin)
+    ),
+
+    // ---- PII redaction -------------------------------------------------------
+    // The scrub every public curation pipeline (C4/RefinedWeb-style) runs
+    // before training: emails, NANP phone numbers, and IPv4 addresses are
+    // replaced with typed placeholder tokens, and per-doc match counts are
+    // reported so the redaction rate is auditable. Pure per-row projection —
+    // map-only, embarrassingly parallel, no shuffle except the output sort a
+    // real pipeline wouldn't carry. The synthetic corpus contains no digits,
+    // so PII tokens are first embedded DETERMINISTICALLY from doc_id
+    // (identical expression in the oracle) — the regexes are thereby
+    // exercised against real matches, including docs carrying 2–3 PII kinds
+    // at once, not vacuously against a corpus with zero hits.
+    // Regex subset chosen to mean the same thing in Java (Spark) and RE2
+    // (DuckDB): character classes, bounded repetition, \b, non-capturing
+    // groups. DuckDB's regexp_replace needs the 'g' flag to match Spark's
+    // replace-all semantics.
+    GQuery(
+      "pipeline_redact_pii",
+      (s, dir) => {
+        val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+        val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val raw = Tables.documents(s, dir).select(
+          col("doc_id"),
+          concat(
+            col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@example.com now"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" call 415-555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+                lit(".0."), ((col("doc_id") * 7) % 256).cast("string"))).otherwise(lit("")))
+            .as("raw"))
+        raw.select(
+            col("doc_id"),
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("raw"), emailPat, "<EMAIL>"),
+                phonePat, "<PHONE>"),
+              ipPat, "<IP>").as("redacted"),
+            // column-function form, NOT expr(s"…'$pat'…"): the SQL parser
+            // would unescape \. and \d inside the interpolated literal
+            size(regexp_extract_all(col("raw"), lit(emailPat), lit(0))).cast("long").as("n_emails"),
+            size(regexp_extract_all(col("raw"), lit(phonePat), lit(0))).cast("long").as("n_phones"),
+            size(regexp_extract_all(col("raw"), lit(ipPat), lit(0))).cast("long").as("n_ips"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (SELECT doc_id, text
+             |  || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+             |  || CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+             |  || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+             |  AS raw FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(raw,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+             |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(raw, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+             |  CAST(len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
+             |FROM raw ORDER BY doc_id""".stripMargin)
     )
   )
 }

@@ -244,6 +244,41 @@ object EventsStream {
     }
   }
 
+  /** Streaming as-of enrichment — the standard production shape for
+    * "attach the dimension version that was current AT THE EVENT'S TIME":
+    * each micro-batch is enriched through the NATIVE as-of join
+    * (`graft.plans.Asof`, §2.13) inside `foreachBatch` against a static
+    * SCD2 dimension, then appended to the sink. Per-batch application is
+    * exactly equivalent to one batch as-of join because the as-of lookup
+    * is per-left-row against a fixed right side — StreamingSpec asserts
+    * that equivalence. At scale the dimension refreshes per trigger (a
+    * re-read inside foreachBatch) and the custom exec's one-exchange-
+    * per-side plan runs per micro-batch.
+    *
+    * `dim` must carry `dimKeyCol` (join key, renamed so it doesn't clash
+    * with the stream's `user_id`) and `dimTimeCol` (µs version timestamp).
+    */
+  def runAsofEnriched(
+      spark: SparkSession, dir: String, outPath: String, checkpoint: String,
+      dim: DataFrame, dimKeyCol: String, dimTimeCol: String): Unit =
+    withNanosLongConf(spark) {
+      val q = readEvents(spark, dir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.plans.Asof.join(
+            batch.toDF(), dim,
+            leftOn = Seq("user_id"), rightOn = Seq(dimKeyCol),
+            leftTimeCol = "ts_us", rightTimeCol = dimTimeCol)
+            .write.mode("append").parquet(outPath)
+          ()
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
   /** Drain the whole (bounded) source once with Trigger.AvailableNow into an
     * in-memory sink and return the materialized result — the test harness
     * for the streaming paths. `complete`/`update` output modes because

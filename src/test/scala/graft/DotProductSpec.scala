@@ -96,6 +96,19 @@ class DotProductSpec extends SparkSpec {
     assert(withNull.collect().head.isNullAt(0))
   }
 
+  test("native functions resolve in SQL via the extensions path alone") {
+    // newSession() keeps the GraftExtensions wiring but drops any temp
+    // functions earlier tests registered — SQL resolution here proves the
+    // spark.sql.extensions deployment path, not a register() side effect
+    val fresh = spark.newSession()
+    val row = fresh.sql(
+      "SELECT graft_dot(array(1d, 2d), array(3d, 4d)) AS d, " +
+        "graft_minhash(array(md5('hello world'), md5('world hello'))) AS mh")
+      .collect().head
+    assert(row.getDouble(0) == 11.0)
+    assert(row.getSeq[String](1).length == 8) // k=8 minhash windows
+  }
+
   test("graft_dot stays inside whole-stage codegen") {
     // A local relation would be constant-folded before planning, so check the
     // real parquet-backed path every vector query uses.

@@ -79,4 +79,14 @@ class PlanAuditSpec extends SparkSpec {
       (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
         l.contains("BroadcastHashJoin")) && l.contains("blk")), p)
   }
+
+  test("substring-dedup pair generation is an equi-join on the gram digest") {
+    val p = plan("dedup_substring")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the g = g self-join must plan as a hash equi-join on the digest, with
+    // the doc_id < doc_id orientation as a join condition, not a cross
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("g#")), p)
+  }
 }

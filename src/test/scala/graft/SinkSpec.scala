@@ -90,6 +90,36 @@ class SinkSpec extends SparkSpec {
       orders.filter(col("o_orderstatus") =!= "F").count())
   }
 
+  test("DataSourceV2 connector round-trips converted rows in batchsize chunks") {
+    // the modern-connector half of "write via JDBC/connector": full V2
+    // batch write (WriteBuilder → DataWriter → commit messages) and batch
+    // read (ScanBuilder → InputPartition) through GraftSinkProvider
+    import graft.sources.GraftMemorySink
+    import graft.operators.Convert
+    GraftMemorySink.clear("v2rt")
+    val src = Convert.pipeline(spark.read.parquet(s"$sfDir/region.parquet"))
+    def write(mode: String) = src.write
+      .format("graft.sources.GraftSinkProvider")
+      .option("name", "v2rt").option("batchsize", "2")
+      .mode(mode).save()
+    write("append")
+    // O6: the stored schema is all-nullable, like the reference's DDL
+    assert(GraftMemorySink.schemaOf("v2rt").get.fields.forall(_.nullable))
+    // O7: rows arrived in batchsize-bounded chunks (>= ceil(n/2) of them)
+    val n = src.count()
+    assert(GraftMemorySink.chunksOf("v2rt") >= (n + 1) / 2)
+    // V2 read path round-trip: same rows, widened types intact
+    val back = spark.read.format("graft.sources.GraftSinkProvider")
+      .option("name", "v2rt").load()
+    assert(back.schema("r_regionkey").dataType == LongType)
+    assert(back.orderBy("r_regionkey").collect().toSeq ==
+      src.orderBy("r_regionkey").collect().toSeq)
+    // SupportsTruncate: overwrite replaces instead of doubling
+    write("overwrite")
+    assert(GraftMemorySink.rows("v2rt").length == n)
+    GraftMemorySink.clear("v2rt")
+  }
+
   test("compact rewrites many small files into the target count, data intact") {
     val dir = s"${Files.createTempDirectory("graft-compact").toString}/li"
     val li = Tables.lineitem(spark, sfDir)

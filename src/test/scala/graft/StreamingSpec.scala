@@ -217,6 +217,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed > 0)
   }
 
+  test("foreachBatch as-of enrichment equals the one-shot batch as-of join") {
+    // the production shape closing §2.13 into §2.9: every micro-batch is
+    // enriched through the NATIVE as-of exec against the SCD2 dimension
+    // that q_scd2_intervals builds (and the oracle hash-verifies)
+    val dim = SparkEntry.queries("q_scd2_intervals")(spark, sfDir)
+      .select(col("user_id").as("dim_user_id"), col("err_id"), col("valid_from_us"))
+    val base = java.nio.file.Files.createTempDirectory("graft-asof-feb").toString
+    EventsStream.runAsofEnriched(spark, sfDir, s"$base/out", s"$base/ckpt",
+      dim, "dim_user_id", "valid_from_us")
+    val batchLeft = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val batch = graft.plans.Asof.join(batchLeft, dim,
+      Seq("user_id"), Seq("dim_user_id"), "ts_us", "valid_from_us")
+    val cols = batch.columns.map(col).toSeq
+    val streamed = spark.read.parquet(s"$base/out")
+      .select(cols: _*).orderBy(cols: _*).collect()
+    val direct = batch.orderBy(cols: _*).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == direct.toSeq)
+  }
+
   test("streaming helpers restore the nanosAsLong conf after the drain") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     spark.conf.unset(key)
