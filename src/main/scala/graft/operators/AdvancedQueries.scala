@@ -323,6 +323,29 @@ object AdvancedQueries {
               |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     ),
 
+    // ---- approximate percentiles: the profiler-style scale path -------------
+    // q_percentiles above sorts every group's values (exact `percentile` is
+    // a full per-group sort — the 100 TB plan you'd veto); this is the same
+    // report via approx_percentile (Greenwald-Khanna, accuracy 10000 ⇒
+    // ε = 1/10000 rank error), a ONE-pass mergeable-sketch aggregate. No
+    // oracle — GK sketch states are engine-specific (DuckDB's approx
+    // quantile is t-digest) — so rows-only, with q_percentiles as the
+    // oracle-paired witness: the q_approx_distinct/q_kmv_distinct pattern.
+    GQuery(
+      "q_percentiles_approx",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("p"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"),
+            col("p")(0).as("p25"), col("p")(1).as("p50"), col("p")(2).as("p75"),
+            col("n"))
+          .orderBy("l_returnflag"),
+      None
+    ),
+
     // ---- min_by / max_by with a deterministic composite key -----------------
     GQuery(
       "q_minmax_by",
@@ -478,6 +501,139 @@ object AdvancedQueries {
               |FROM orders JOIN big ON o_orderkey = l_orderkey
               |JOIN customer ON o_custkey = c_custkey
               |ORDER BY o_totalprice_cents DESC, o_orderkey""".stripMargin)
+    ),
+
+    // ---- TPC-H Q13 flavor: order-count distribution INCLUDING zeros ----------
+    // The outer-join-then-aggregate reporting shape: customers LEFT OUTER
+    // JOIN orders, so customers with no (qualifying) orders survive with
+    // c_count = 0 — the classic trap is writing the order filter in WHERE
+    // (which silently turns the outer join inner and drops the zero bucket);
+    // it must live in the JOIN condition. Filter stand-in: the test schema
+    // has no o_comment, so the "special requests" predicate becomes an
+    // o_orderpriority selection (urgent orders only — selective enough that
+    // zero-order customers exist at every test SF, keeping the zero bucket
+    // exercisable) — same plan shape, same zero-bucket semantics. Scale:
+    // one shuffle on c_custkey for join+first aggregate
+    // (COUNT over the join output partial-aggregates map-side); the second
+    // aggregate's input is one row per customer and its key space (distinct
+    // order counts) is tiny.
+    GQuery(
+      "q_tpch_q13",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).select("c_custkey")
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey", "o_orderkey")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some(s"""SELECT c_count, $countStarSql AS custdist FROM (
+              |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+              |  FROM customer LEFT OUTER JOIN orders
+              |    ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+              |  GROUP BY c_custkey)
+              |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin)
+    ),
+
+    // ---- TPC-H Q21 flavor: semi + anti join against the same fact ------------
+    // "Suppliers who kept orders waiting": the multi-exists shape — a row
+    // qualifies only if ANOTHER supplier contributed to the same order
+    // (EXISTS ⇒ left-semi) and NO other supplier was also at fault
+    // (NOT EXISTS ⇒ left-anti). Fault stand-in: the test schema has no
+    // l_receiptdate/l_commitdate, so "kept waiting" becomes l_returnflag =
+    // 'R' — a pure-lineitem predicate, preserving the original's property
+    // that both subqueries scan only lineitem. Scale: all three lineitem
+    // legs join on l_orderkey — equi-joins (the suppkey inequality rides as
+    // a join residual, never a cartesian), co-partitioned on the same key so
+    // AQE can reuse one exchange of the probe side; supplier broadcasts;
+    // semi/anti build sides carry two narrow columns only.
+    GQuery(
+      "q_tpch_q21",
+      (s, dir) => {
+        val l1 = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_suppkey")
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey")
+        val l2 = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+        val l3 = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"))
+        val sup = broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name"))
+        l1.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(l2,
+            col("l_orderkey") === col("l2_orderkey") &&
+              col("l_suppkey") =!= col("l2_suppkey"),
+            "left_semi")
+          .join(l3,
+            col("l_orderkey") === col("l3_orderkey") &&
+              col("l_suppkey") =!= col("l3_suppkey"),
+            "left_anti")
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+      },
+      Some(s"""WITH l1 AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+              |SELECT s_name, $countStarSql AS numwait
+              |FROM l1 JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |WHERE EXISTS (SELECT 1 FROM lineitem l2
+              |  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+              |AND NOT EXISTS (SELECT 1 FROM lineitem l3
+              |  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              |  AND l3.l_returnflag = 'R')
+              |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)
+    ),
+
+    // ---- TPC-H Q22 flavor: dormant high-balance customers --------------------
+    // The "global scalar threshold + anti-join" reporting shape: customers
+    // whose balance exceeds the positive-balance average AND who have no
+    // urgent orders, grouped by segment (market segment stands in for the
+    // schema-absent phone country code; the urgent-order anti-join stands
+    // in for "no orders at all", which is vacuous on this synthetic data).
+    // Determinism: the above-average test is exact integer arithmetic —
+    // cents·n > Σcents cross-multiplies away the division, so no float
+    // boundary can flip a customer between engines. Scale: the threshold
+    // is a 1-row broadcast (scalar subquery); the anti-join build side
+    // carries only urgent orders' custkeys; one aggregate shuffle on the
+    // (tiny) segment key space.
+    GQuery(
+      "q_tpch_q22",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).select(
+          col("c_custkey"), col("c_mktsegment"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+        val thr = broadcast(
+          c.filter(col("cents") > 0)
+            .agg(sum(col("cents")).as("s_cents"), count(lit(1)).as("n_pos")))
+        val urgent = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
+        c.crossJoin(thr) // 1-row broadcast
+          .filter(col("cents") * col("n_pos") > col("s_cents"))
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("numcust"), sum(col("cents")).as("tot_cents"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""WITH c AS (SELECT c_custkey, c_mktsegment,
+              |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+              |thr AS (SELECT CAST(SUM(cents) AS BIGINT) AS s_cents,
+              |    CAST(COUNT(*) AS BIGINT) AS n_pos FROM c WHERE cents > 0)
+              |SELECT c_mktsegment, $countStarSql AS numcust,
+              |  CAST(SUM(cents) AS BIGINT) AS tot_cents
+              |FROM c, thr
+              |WHERE cents * n_pos > s_cents
+              |  AND NOT EXISTS (SELECT 1 FROM orders
+              |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     ),
 
     // ---- merge/upsert: apply a changeset to a snapshot -----------------------
@@ -729,6 +885,50 @@ object AdvancedQueries {
              |ORDER BY column_name""".stripMargin)
     ),
 
+    // ---- column profiler, scale path: single pass, no Expand -----------------
+    // q_profile_columns above is the exact witness, but Catalyst plans its
+    // multi-COUNT(DISTINCT) via Expand — every scan row is multiplied by the
+    // number of distinct aggregates (4×) before the shuffle, which is the
+    // plan you least want at 100 TB (measured: the most expensive benched
+    // query at sf0.1). This is the same profile computed the way a 100 TB
+    // profiler must: approx_count_distinct (HLL++, rsd = 0.01 ⇒ ±1% typical
+    // error, fixed ~24 KB sketch per column) replaces countDistinct, so the
+    // whole profile is ONE partial-aggregated scan pass — no Expand, no row
+    // multiplication, sketches merge map-side. No oracle (HLL registers are
+    // engine-specific — the q_approx_distinct/q_kmv_distinct precedent);
+    // the exact query above is the oracle-paired witness of the semantics.
+    GQuery(
+      "q_profile_columns_approx",
+      (s, dir) => {
+        val wide = Tables.lineitem(s, dir).agg(
+          count(lit(1)).as("n"),
+          count(col("l_returnflag")).as("rf_nn"),
+          approx_count_distinct(col("l_returnflag"), 0.01).as("rf_nd"),
+          min(col("l_returnflag")).as("rf_min"), max(col("l_returnflag")).as("rf_max"),
+          count(col("l_quantity")).as("q_nn"),
+          approx_count_distinct(col("l_quantity"), 0.01).as("q_nd"),
+          expr("CAST(CAST(MIN(l_quantity) AS BIGINT) AS STRING)").as("q_min"),
+          expr("CAST(CAST(MAX(l_quantity) AS BIGINT) AS STRING)").as("q_max"),
+          count(col("l_orderkey")).as("k_nn"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("k_nd"),
+          expr("CAST(MIN(l_orderkey) AS STRING)").as("k_min"),
+          expr("CAST(MAX(l_orderkey) AS STRING)").as("k_max"),
+          count(col("l_shipdate")).as("d_nn"),
+          approx_count_distinct(col("l_shipdate"), 0.01).as("d_nd"),
+          expr("CAST(unix_micros(CAST(MIN(l_shipdate) AS TIMESTAMP)) AS STRING)").as("d_min"),
+          expr("CAST(unix_micros(CAST(MAX(l_shipdate) AS TIMESTAMP)) AS STRING)").as("d_max"))
+        wide.select(explode(expr(
+          """array(
+            |named_struct('column_name', 'l_orderkey',  'n_rows', n, 'n_nonnull', k_nn,  'approx_distinct', k_nd,  'min_repr', k_min,  'max_repr', k_max),
+            |named_struct('column_name', 'l_quantity',  'n_rows', n, 'n_nonnull', q_nn,  'approx_distinct', q_nd,  'min_repr', q_min,  'max_repr', q_max),
+            |named_struct('column_name', 'l_returnflag','n_rows', n, 'n_nonnull', rf_nn, 'approx_distinct', rf_nd, 'min_repr', rf_min, 'max_repr', rf_max),
+            |named_struct('column_name', 'l_shipdate',  'n_rows', n, 'n_nonnull', d_nn,  'approx_distinct', d_nd,  'min_repr', d_min,  'max_repr', d_max))""".stripMargin)).as("p"))
+          .select("p.*")
+          .orderBy("column_name")
+      },
+      None
+    ),
+
     // ---- TPC-H Q7 flavor: cross-nation trade volume by ship year -------------
     // The deepest join tree in the registry: lineitem ⋈ orders ⋈ customer ⋈
     // supplier ⋈ nation ⋈ nation. Every dimension (customer, supplier, two
@@ -854,10 +1054,11 @@ object AdvancedQueries {
     // ~3.6k edges. Hot orders additionally explode the basket self-join
     // quadratically at fleet scale, BEFORE the support cut can prune
     // anything: a single 10k-item mega-basket emits k(k-1)/2 ≈ 5·10⁷ pair
-    // rows on its own. So baskets are capped at MAX_BASKET items first
-    // (same discipline as dedup_ngram_jaccard's 64-doc block cap): the
-    // self-join is then bounded at MAX_BASKET²/2 rows per order — a
-    // documented recall trade (mega-baskets are catalog-sweep noise for
+    // rows on its own. So baskets LARGER than MAX_BASKET items are DROPPED
+    // ENTIRELY first (not truncated — a 33-item basket contributes no
+    // edges at all; same discipline as dedup_ngram_jaccard's 64-doc block
+    // cap): the self-join is then bounded at MAX_BASKET²/2 rows per order —
+    // a documented recall trade (mega-baskets are catalog-sweep noise for
     // co-purchase affinity anyway). 32 is above every test SF's max basket
     // (17 at sf0.1), so the oracle result is unchanged here. Edges oriented
     // a < b < c count each triangle exactly once.

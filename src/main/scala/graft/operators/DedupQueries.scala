@@ -352,6 +352,37 @@ object DedupQueries {
              |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin)
     ),
 
+    // ---- keep-latest dedup: one survivor per key by recency ----------------
+    // The CDC/compaction twin of dedup_exact: instead of "keep lowest id
+    // among identical payloads", keep each key's MOST RECENT record — the
+    // snapshot read every mutable-upstream ingest (orders, user profiles)
+    // runs before anything else. row_number over (key, recency DESC) with a
+    // unique-id tiebreak, so the survivor is total-order deterministic.
+    // Scale: one hash shuffle on the key; Spark plans the rn=1 filter as
+    // WindowGroupLimit (per-partition top-1 before the sort spills), so
+    // state per key is O(1), not O(versions) — the same plan shape a
+    // 100 TB compaction job wants.
+    GQuery(
+      "dedup_keep_latest",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey").as("latest_orderkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("latest_date_us"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("latest_cents"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey AS latest_orderkey,
+             |  epoch_us(o_orderdate) AS latest_date_us,
+             |  CAST(round(o_totalprice * 100) AS BIGINT) AS latest_cents
+             |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+             |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)
+    ),
+
     // ---- MinHash + LSH near-dup: band join → candidates → exact Jaccard ---
     GQuery(
       "dedup_minhash_lsh",

@@ -124,6 +124,58 @@ object SimilarityQueries {
       .select("q_id", "rank", "cand_id", "cos")
   }
 
+  /** Persist the IVF inverted file `partitionBy(cell)` — the 100 TB index
+    * layout (SURVEY §8): the corpus-side assignment is computed ONCE and
+    * written so each cell is its own partition directory, which turns every
+    * later probe into a PARTITION-PRUNED scan (only the nprobe probed
+    * cells' files are opened — the inverted-file scan reduction realized at
+    * the storage layer, not just in the join). PartitionBucketSpec pins the
+    * pruning.
+    */
+  def writeIvfIndex(s: SparkSession, dir: String, path: String): Unit = {
+    val e = VectorOps.normalized(s, dir)
+    assignToSeeds(e, seedSet(e))
+      .select(col("vec_id"), col("v"), col("nrm"), col("seed_id").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Same result as `ann_ivf_topk`, but candidates come from the PERSISTED
+    * index: the probed cell ids (≤ nprobe · n_queries of them — a bounded
+    * control-plane list, collected like a broadcast would be) become an
+    * `isin` literal on the partition column, so the file source statically
+    * prunes to the probed cells before a single corpus byte is read.
+    */
+  def ivfTopkFromIndex(s: SparkSession, dir: String, path: String): DataFrame = {
+    val e = VectorOps.normalized(s, dir)
+    val seeds = seedSet(e)
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val pw = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("seed_id"))
+    val probes = q.join(seeds)
+      .select(col("q_id"), col("qv"), col("qn"), col("seed_id"),
+        VectorOps.cosCol("qv", "sv", "qn", "sn").as("pcos"))
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= N_PROBE)
+      .select(col("q_id"), col("qv"), col("qn"), col("seed_id").as("cell"))
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    // partition-value inference reads small cell ids back as INT — match
+    // the literals to that type (INT literals ⇒ no cast in the predicate ⇒
+    // clean static pruning), then widen the column for the LONG probe join
+    val assign = s.read.parquet(path)
+      .filter(col("cell").isin(probedCells.map(c => c.toInt: Any): _*))
+      .withColumn("cell", col("cell").cast("long"))
+    val cand = probes.join(assign, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
+      .distinct()
+    val rw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    cand.withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select("q_id", "rank", "cand_id", "cos")
+  }
+
   /** Top-20 LSH-bucketed near-dup pairs (vec_a, vec_b, cos) — the
     * dedup_embedding_lsh result set.
     */

@@ -402,8 +402,9 @@ object TextQueries {
     // ---- PII redaction -------------------------------------------------------
     // The scrub every public curation pipeline (C4/RefinedWeb-style) runs
     // before training: emails, NANP phone numbers, and IPv4 addresses are
-    // replaced with typed placeholder tokens, and per-doc match counts are
-    // reported so the redaction rate is auditable. Pure per-row projection —
+    // replaced with typed placeholder tokens, and per-doc REPLACEMENT counts
+    // (each pattern counted on the text as it stands at its stage of the
+    // replace chain) are reported so the redaction rate is auditable. Pure per-row projection —
     // map-only, embarrassingly parallel, no shuffle except the output sort a
     // real pipeline wouldn't carry. The synthetic corpus contains no digits,
     // so PII tokens are first embedded DETERMINISTICALLY from doc_id
@@ -434,18 +435,22 @@ object TextQueries {
               concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
                 lit(".0."), ((col("doc_id") * 7) % 256).cast("string"))).otherwise(lit("")))
             .as("raw"))
+        // each count runs against the text AS IT EXISTS at that stage of the
+        // sequential replace chain (email → phone → IP), so every count is
+        // the number of replacements actually performed — a dotted-quad
+        // inside an already-redacted email can no longer be counted as an
+        // IP that was never replaced. Catalyst's subexpression elimination
+        // evaluates each stage once despite the textual repetition.
+        val afterEmail = regexp_replace(col("raw"), emailPat, "<EMAIL>")
+        val afterPhone = regexp_replace(afterEmail, phonePat, "<PHONE>")
         raw.select(
             col("doc_id"),
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(col("raw"), emailPat, "<EMAIL>"),
-                phonePat, "<PHONE>"),
-              ipPat, "<IP>").as("redacted"),
+            regexp_replace(afterPhone, ipPat, "<IP>").as("redacted"),
             // column-function form, NOT expr(s"…'$pat'…"): the SQL parser
             // would unescape \. and \d inside the interpolated literal
             size(regexp_extract_all(col("raw"), lit(emailPat), lit(0))).cast("long").as("n_emails"),
-            size(regexp_extract_all(col("raw"), lit(phonePat), lit(0))).cast("long").as("n_phones"),
-            size(regexp_extract_all(col("raw"), lit(ipPat), lit(0))).cast("long").as("n_ips"))
+            size(regexp_extract_all(afterEmail, lit(phonePat), lit(0))).cast("long").as("n_phones"),
+            size(regexp_extract_all(afterPhone, lit(ipPat), lit(0))).cast("long").as("n_ips"))
           .orderBy("doc_id")
       },
       Some("""WITH raw AS (SELECT doc_id, text
@@ -459,8 +464,14 @@ object TextQueries {
              |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
              |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
              |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-             |  CAST(len(regexp_extract_all(raw, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
-             |  CAST(len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
+             |  CAST(len(regexp_extract_all(
+             |    regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+             |  CAST(len(regexp_extract_all(
+             |    regexp_replace(regexp_replace(raw,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
              |FROM raw ORDER BY doc_id""".stripMargin)
     )
   )

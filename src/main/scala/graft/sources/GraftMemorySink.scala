@@ -7,6 +7,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -35,24 +36,43 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * through the parquet/JDBC paths above.
   */
 object GraftMemorySink {
-  private final case class Stored(schema: StructType, rows: Array[Seq[Any]], chunks: Long)
+  private final case class Stored(
+      schema: StructType, rows: Array[Seq[Any]], chunks: Long,
+      epochs: Set[Long] = Set.empty)
   private val tables = TrieMap.empty[String, Stored]
 
   def schemaOf(name: String): Option[StructType] = tables.get(name).map(_.schema)
   def rows(name: String): Seq[Seq[Any]] = tables.get(name).map(_.rows.toSeq).getOrElse(Seq.empty)
   /** Number of batchsize-chunks the last committed write arrived in (O7). */
   def chunksOf(name: String): Long = tables.get(name).map(_.chunks).getOrElse(0L)
+  /** Streaming epochs committed to this table (exactly-once evidence). */
+  def epochsOf(name: String): Set[Long] = tables.get(name).map(_.epochs).getOrElse(Set.empty)
   def clear(name: String): Unit = tables.remove(name)
 
-  private[sources] def commit(
+  /** @param epoch streaming epoch id, if this commit came from a streaming
+    *              write — a replayed epoch (micro-batch retry) is dropped,
+    *              making the streaming sink idempotent per epoch.
+    */
+  private[graft] def commit(
       name: String, schema: StructType, rows: Array[Seq[Any]],
-      chunks: Long, truncate: Boolean): Unit =
+      chunks: Long, truncate: Boolean, epoch: Option[Long] = None): Unit =
     tables.synchronized {
       val prev = if (truncate) None else tables.get(name)
+      if (epoch.exists(e => prev.exists(_.epochs.contains(e)))) return
+      // a second append must carry the same schema: silently replacing the
+      // stored schema while keeping old rows would surface much later as a
+      // ClassCastException in some reader far from the cause
+      prev.foreach { p =>
+        require(p.schema == schema,
+          s"graft-memory table '$name' already holds rows with schema " +
+            s"${p.schema.simpleString}; append with ${schema.simpleString} " +
+            "is not allowed (truncate first or match the schema)")
+      }
       tables.put(name, Stored(
         schema,
         prev.map(_.rows).getOrElse(Array.empty) ++ rows,
-        prev.map(_.chunks).getOrElse(0L) + chunks))
+        prev.map(_.chunks).getOrElse(0L) + chunks,
+        prev.map(_.epochs).getOrElse(Set.empty) ++ epoch))
     }
 }
 
@@ -73,11 +93,16 @@ class GraftSinkProvider extends TableProvider {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new GraftSinkTable(
-      GraftSinkTable.tableName(new CaseInsensitiveStringMap(properties)),
-      schema,
-      properties.getOrDefault("batchsize", "10000").toInt)
+      properties: java.util.Map[String, String]): Table = {
+    // look options up case-INsensitively: DataFrameWriter hands this method
+    // the case-sensitive map, so a plain properties.get("batchsize") would
+    // silently ignore .option("batchSize", ...)
+    val opts = new CaseInsensitiveStringMap(properties)
+    val bs = Option(opts.get("batchsize")).getOrElse("10000")
+    require(bs.matches("\\d{1,9}") && bs.toInt > 0,
+      s"graft-memory sink option 'batchsize' must be a positive integer, got '$bs'")
+    new GraftSinkTable(GraftSinkTable.tableName(opts), schema, bs.toInt)
+  }
 }
 
 private object GraftSinkTable {
@@ -100,7 +125,8 @@ private class GraftSinkTable(tableName: String, dataSchema: StructType, batchSiz
   override def schema(): StructType = storedSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
-      TableCapability.BATCH_WRITE, TableCapability.BATCH_READ, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.BATCH_READ, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -109,6 +135,8 @@ private class GraftSinkTable(tableName: String, dataSchema: StructType, batchSiz
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new GraftBatchWrite(
           tableName, storedSchema, batchSize, doTruncate)
+        override def toStreaming: StreamingWrite = new GraftStreamingWrite(
+          tableName, storedSchema, batchSize)
       }
     }
 
@@ -142,26 +170,63 @@ private class GraftBatchWrite(
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
+/** The chunking writer shared by the batch and streaming write paths (O7:
+  * rows leave the executor in batchsize chunks either way).
+  */
+private class GraftChunkingWriter(schema: StructType, batchSize: Int)
+    extends DataWriter[InternalRow] {
+  private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
+  private val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Seq[Any]]]
+  private var buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+
+  override def write(row: InternalRow): Unit = {
+    // convert eagerly: the InternalRow is reused by the caller
+    buf += toScala(row).asInstanceOf[org.apache.spark.sql.Row].toSeq
+    if (buf.length >= batchSize) { chunks += buf.toArray; buf = buf.take(0) }
+  }
+  override def commit(): WriterCommitMessage = {
+    if (buf.nonEmpty) { chunks += buf.toArray; buf = buf.take(0) }
+    GraftChunksMessage(chunks.toArray)
+  }
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}
+
 private class GraftWriterFactory(schema: StructType, batchSize: Int)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
-      private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
-      private val chunks = scala.collection.mutable.ArrayBuffer.empty[Array[Seq[Any]]]
-      private var buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    new GraftChunkingWriter(schema, batchSize)
+}
 
-      override def write(row: InternalRow): Unit = {
-        // convert eagerly: the InternalRow is reused by the caller
-        buf += toScala(row).asInstanceOf[org.apache.spark.sql.Row].toSeq
-        if (buf.length >= batchSize) { chunks += buf.toArray; buf = buf.take(0) }
-      }
-      override def commit(): WriterCommitMessage = {
-        if (buf.nonEmpty) { chunks += buf.toArray; buf = buf.take(0) }
-        GraftChunksMessage(chunks.toArray)
-      }
-      override def abort(): Unit = ()
-      override def close(): Unit = ()
-    }
+private class GraftStreamingWriterFactory(schema: StructType, batchSize: Int)
+    extends StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new GraftChunkingWriter(schema, batchSize)
+}
+
+/** Streaming half of the connector (§2.9 ∩ §2.2): each micro-batch commits
+  * through the same chunked message channel as the batch path, tagged with
+  * its epoch id — `GraftMemorySink.commit` drops replayed epochs, so a
+  * micro-batch retry after a failure does NOT double-append (the
+  * exactly-once discipline a plain `foreachBatch` parquet append lacks).
+  */
+private class GraftStreamingWrite(tableName: String, schema: StructType, batchSize: Int)
+    extends StreamingWrite {
+
+  // a named top-level factory: an anonymous one would capture the
+  // (non-serializable) outer StreamingWrite and fail task serialization
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(schema, batchSize)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val chunks = messages.collect { case m: GraftChunksMessage => m.chunks }.flatten
+    GraftMemorySink.commit(
+      tableName, schema, chunks.flatten, chunks.length.toLong,
+      truncate = false, epoch = Some(epochId))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 private final case class GraftRowsPartition(rows: Array[Seq[Any]]) extends InputPartition

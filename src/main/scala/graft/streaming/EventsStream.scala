@@ -255,6 +255,14 @@ object EventsStream {
     * re-read inside foreachBatch) and the custom exec's one-exchange-
     * per-side plan runs per micro-batch.
     *
+    * Exactly-once caveat: the parquet append below is NOT idempotent — if a
+    * micro-batch fails after the write and is retried, its rows land twice.
+    * Fine for this bounded AvailableNow demo; a production foreachBatch
+    * keys the output by `batchId` (partition-overwrite or MERGE on it) so
+    * replays rewrite rather than duplicate — or writes through an
+    * epoch-deduplicating V2 streaming sink (`GraftSinkProvider` shows the
+    * pattern: commits tagged with the epoch id, replayed epochs dropped).
+    *
     * `dim` must carry `dimKeyCol` (join key, renamed so it doesn't clash
     * with the stream's `user_id`) and `dimTimeCol` (µs version timestamp).
     */

@@ -62,7 +62,9 @@ class EdgeCorpusSpec extends SparkSpec {
     val docQueries = SparkEntry.registry.map(_.name).filter(n =>
       n.startsWith("text_") || n.startsWith("multimodal_") ||
         n.startsWith("pipeline_") ||
-        (n.startsWith("dedup_") && !n.contains("embedding")))
+        (n.startsWith("dedup_") && !n.contains("embedding") &&
+          // keep-latest dedups ORDERS (CDC snapshot), not documents
+          n != "dedup_keep_latest"))
     for (name <- docQueries) {
       val rows = SparkEntry.queries(name)(spark, edgeDir).collect()
       assert(rows != null, name) // reaching here means no throw

@@ -36,6 +36,44 @@ class PartitionBucketSpec extends SparkSpec {
     assert(read.count() == expected)
   }
 
+  test("persisted IVF index: probe scans only probed cells, top-k unchanged") {
+    // SURVEY §8's ANN scale claim, pinned: the inverted file written
+    // partitionBy(cell) must let the nprobe query prune to probed cells at
+    // the FILE SOURCE, and the pruned probe must return exactly ann_ivf_topk
+    import graft.operators.SimilarityQueries
+    val path = s"$tmp/ivf_index"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, path)
+    val partsOnDisk = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("cell="))
+    assert(partsOnDisk > 4, s"expected >4 cell partitions, got $partsOnDisk")
+
+    val probed = SimilarityQueries.ivfTopkFromIndex(spark, sfDir, path)
+    probed.collect() // finalize the adaptive plan before inspecting it
+    // AQE hides scans inside query stages (leaf nodes to collect()) — walk
+    // through AdaptiveSparkPlanExec/QueryStageExec explicitly
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case f: FileSourceScanExec => Seq(f) }.flatten ++
+        p.collect { case a: AdaptiveSparkPlanExec => scans(a.executedPlan) }.flatten ++
+        p.collect { case q: QueryStageExec => scans(q.plan) }.flatten
+    val scanOfIndex = scans(probed.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("ivf_index")))
+    assert(scanOfIndex.nonEmpty, probed.queryExecution.executedPlan.toString)
+    // static partition pruning: the isin literal lands in PartitionFilters
+    // and strictly fewer partition directories than exist are read
+    assert(scanOfIndex.head.metadata("PartitionFilters").contains("cell"),
+      scanOfIndex.head.metadata("PartitionFilters"))
+    val partsRead = scanOfIndex.head.selectedPartitions.partitionCount
+    assert(partsRead >= 1 && partsRead < partsOnDisk,
+      s"read $partsRead of $partsOnDisk cell partitions — no pruning")
+
+    val direct = SparkEntry.queries("ann_ivf_topk")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    assert(probed.orderBy(cols: _*).collect().toSeq ==
+      direct.orderBy(cols: _*).collect().toSeq)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
     spark.sql("DROP TABLE IF EXISTS lineitem_bkt")

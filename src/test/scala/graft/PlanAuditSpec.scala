@@ -80,6 +80,37 @@ class PlanAuditSpec extends SparkSpec {
         l.contains("BroadcastHashJoin")) && l.contains("blk")), p)
   }
 
+  test("TPC-H q13 keeps the outer join outer (zero-order customers survive)") {
+    val p = plan("q_tpch_q13")
+    // the priority filter must ride the join condition, not a WHERE that
+    // would let the optimizer rewrite LeftOuter → Inner
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"), p)
+    val zero = SparkEntry.queries("q_tpch_q13")(spark, sfDir)
+      .filter("c_count = 0").collect()
+    assert(zero.nonEmpty && zero.head.getLong(1) > 0,
+      "zero-order customer bucket missing")
+  }
+
+  test("TPC-H q21 plans semi + anti as equi-joins on l_orderkey, no cartesian") {
+    val p = plan("q_tpch_q21")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("approx profiler is a single pass: no Expand, exact witness has one") {
+    val approx = plan("q_profile_columns_approx")
+    assert(!approx.contains("Expand"), approx)
+    // sketches merge map-side (partial HLL) and exactly one exchange moves
+    // the fixed-size sketch buffers, not rows
+    assert(approx.contains("partial_approx_count_distinct"), approx)
+    assert("Exchange".r.findAllIn(approx).size == 1, approx)
+    // the exact multi-distinct witness DOES expand — that asymmetry is the
+    // point of the scale variant; pin it so a future rewrite of either
+    // keeps the pair honest
+    assert(plan("q_profile_columns").contains("Expand"))
+  }
+
   test("substring-dedup pair generation is an equi-join on the gram digest") {
     val p = plan("dedup_substring")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

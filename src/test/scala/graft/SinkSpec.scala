@@ -120,6 +120,77 @@ class SinkSpec extends SparkSpec {
     GraftMemorySink.clear("v2rt")
   }
 
+  test("V2 connector streaming write: chunked epoch commits, replays dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.GraftMemorySink
+    import spark.implicits._
+    GraftMemorySink.clear("v2stream")
+    val mem = MemoryStream[Long](spark)
+    val ckpt = Files.createTempDirectory("graft-v2s").toString
+    val q = mem.toDF.toDF("v").writeStream
+      .format("graft.sources.GraftSinkProvider")
+      .option("name", "v2stream").option("batchsize", "2")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      mem.addData(1L, 2L, 3L, 4L, 5L); q.processAllAvailable()
+      mem.addData(6L, 7L); q.processAllAvailable()
+    } finally q.stop()
+    assert(GraftMemorySink.rows("v2stream").map(_.head).toSet ==
+      (1L to 7L).map(x => x: Any).toSet)
+    // O7 carried into streaming: rows arrived in batchsize-bounded chunks
+    assert(GraftMemorySink.chunksOf("v2stream") >= 4) // ceil(5/2) + ceil(2/2)
+    // both epochs committed and recorded
+    val epochs = GraftMemorySink.epochsOf("v2stream")
+    assert(epochs.size == 2, s"epochs=$epochs")
+    // a replayed epoch (micro-batch retry) must be dropped, not re-appended
+    val schema = GraftMemorySink.schemaOf("v2stream").get
+    GraftMemorySink.commit("v2stream", schema, Array(Seq(99L)), 1L,
+      truncate = false, epoch = Some(epochs.head))
+    assert(GraftMemorySink.rows("v2stream").length == 7, "replayed epoch re-appended")
+    GraftMemorySink.clear("v2stream")
+  }
+
+  test("connector options: batchSize is case-insensitive and validated") {
+    import graft.sources.GraftMemorySink
+    GraftMemorySink.clear("v2opts")
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    // camelCase spelling must not silently fall back to the 10000 default
+    src.write.format("graft.sources.GraftSinkProvider")
+      .option("name", "v2opts").option("batchSize", "2").mode("append").save()
+    assert(GraftMemorySink.chunksOf("v2opts") >= (src.count() + 1) / 2)
+    GraftMemorySink.clear("v2opts")
+    // a non-numeric value fails fast with a clear message, not a bare
+    // NumberFormatException from deep inside the provider
+    val e = intercept[Throwable] {
+      src.write.format("graft.sources.GraftSinkProvider")
+        .option("name", "v2opts").option("batchsize", "abc").mode("append").save()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("batchsize")), messages(e).mkString(" | "))
+    GraftMemorySink.clear("v2opts")
+  }
+
+  test("V2 connector append with a different schema fails fast") {
+    import graft.sources.GraftMemorySink
+    GraftMemorySink.clear("v2schema")
+    val src = spark.read.parquet(s"$sfDir/region.parquet")
+    def write(df: org.apache.spark.sql.DataFrame) = df.write
+      .format("graft.sources.GraftSinkProvider")
+      .option("name", "v2schema").mode("append").save()
+    write(src)
+    val e = intercept[Throwable] { write(src.select("r_regionkey")) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("schema")), messages(e).mkString(" | "))
+    // the failed append neither replaced the schema nor dropped rows
+    assert(GraftMemorySink.schemaOf("v2schema").get.fields.length ==
+      src.schema.fields.length)
+    assert(GraftMemorySink.rows("v2schema").length == src.count())
+    GraftMemorySink.clear("v2schema")
+  }
+
   test("compact rewrites many small files into the target count, data intact") {
     val dir = s"${Files.createTempDirectory("graft-compact").toString}/li"
     val li = Tables.lineitem(spark, sfDir)

@@ -238,6 +238,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == direct.toSeq)
   }
 
+  test("stateful dedup on the RocksDB state store equals batch distinct") {
+    // the bounded-heap state path a 100 TB streaming deployment runs on:
+    // same query, state provider swapped to RocksDB — results must be
+    // identical and the progress metrics must prove RocksDB actually held
+    // the state (provider-specific counters only RocksDB emits)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (out, progress) = EventsStream.runOnceWithProgress(
+        EventsStream.dedupedEventsBounded(EventsStream.readEvents(spark, sfDir))
+          .select("event_id"),
+        "stream_rocksdb_test", "append")
+      val batch = Tables.events(spark, sfDir).select("event_id").distinct().count()
+      assert(out.count() == batch && batch > 0)
+      val state = progress.stateOperators.head
+      assert(state.numRowsTotal > 0)
+      import scala.jdk.CollectionConverters._
+      assert(state.customMetrics.keySet.asScala.exists(_.toLowerCase.contains("rocksdb")),
+        s"no RocksDB metrics in ${state.customMetrics.keySet.asScala.mkString(",")}")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("streaming helpers restore the nanosAsLong conf after the drain") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     spark.conf.unset(key)
