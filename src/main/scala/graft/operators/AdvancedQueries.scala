@@ -54,6 +54,29 @@ object AdvancedQueries {
       |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Co-purchase edge list (a < b, support >= 2) shared by the graph
+    * queries — the capped-basket discipline documented at
+    * q_graph_triangles: baskets larger than 32 items are dropped entirely
+    * BEFORE the pair self-join (bounding it at 32²/2 rows per order), then
+    * single co-occurrences are cut. groupBy, semi-join, and the pair
+    * self-join all hash-partition on ok, so AQE reuses one exchange.
+    */
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val MaxBasket = 32
+    val li0 = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val small = li0.groupBy(col("ok")).agg(count(lit(1)).as("basket_n"))
+      .filter(col("basket_n") <= MaxBasket).select("ok")
+    val li = li0.join(small, Seq("ok"), "left_semi")
+    li.as("x")
+      .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select("a", "b")
+  }
+
   val defs: Seq[GQuery] = Seq(
 
     // ---- pivot: one row per priority, one count column per status ----------
@@ -1065,22 +1088,10 @@ object AdvancedQueries {
     GQuery(
       "q_graph_triangles",
       (s, dir) => {
-        val MaxBasket = 32
-        val li0 = Tables.lineitem(s, dir).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-        // basket-size cap: groupBy, semi-join, and the pair self-join all
-        // hash-partition on ok, so AQE reuses one exchange across the three
-        val small = li0.groupBy(col("ok")).agg(count(lit(1)).as("basket_n"))
-          .filter(col("basket_n") <= MaxBasket).select("ok")
-        val li = li0.join(small, Seq("ok"), "left_semi")
         // materialized once: the edge table feeds three join branches plus
         // the edge count — without the cache the basket self-join+support
         // aggregate would recompute four times
-        val edges = Materialize(li.as("x")
-          .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
-          .agg(count(lit(1)).as("support"))
-          .filter(col("support") >= 2)
-          .select("a", "b"))
+        val edges = Materialize(copurchaseEdges(s, dir))
         val tri = edges.as("e1")
           .join(edges.as("e2"), col("e1.b") === col("e2.a"))
           .join(edges.as("e3"),
@@ -1098,6 +1109,61 @@ object AdvancedQueries {
              |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
              |    edges e1 JOIN edges e2 ON e1.b = e2.a
              |    JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b) AS n_triangles""".stripMargin)
+    ),
+
+    // ---- PageRank (2 damped iterations) over the co-purchase graph ----------
+    // Iterative graph scoring — the importance measure next to the triangle
+    // census. ALL arithmetic is scaled-integer (scores start at 10⁶ µunits;
+    // per-neighbor contribution is score div deg; damping 0.85 applied as
+    // (85·Σ) div 100), so both engines floor identically at every step —
+    // an IEEE-double PageRank would accumulate cross-engine ulps in the
+    // sums and never hash-match. Two statically-unrolled iterations: each
+    // is one shuffle join (edges ⋈ scores on src) + one aggregate on dst —
+    // the per-round cost a real fleet PageRank pays, with the round count
+    // fixed so the plan stays a DAG (production would loop with durable
+    // checkpoints every few rounds, the dedup_clusters discipline). The
+    // undirected+degree frame is materialized once and feeds all rounds.
+    GQuery(
+      "q_pagerank_iter",
+      (s, dir) => {
+        val ed = copurchaseEdges(s, dir)
+        val und = Materialize(
+          ed.select(col("a").as("src"), col("b").as("dst"))
+            .union(ed.select(col("b").as("src"), col("a").as("dst"))))
+        val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+        var scores = deg.select(col("src").as("node"),
+          lit(1000000L).as("score"), col("deg"))
+        for (_ <- 1 to 2) {
+          val contrib = und.join(scores, col("src") === col("node"))
+            .select(col("dst"), expr("score div deg").as("c"))
+            .groupBy("dst").agg(sum(col("c")).as("contrib"))
+          scores = scores.join(contrib, col("node") === col("dst"), "left_outer")
+            .select(col("node"),
+              expr("CAST(150000 + (85 * coalesce(contrib, 0)) div 100 AS BIGINT)")
+                .as("score"),
+              col("deg"))
+        }
+        scores.select(col("node"), col("score"))
+          .orderBy(col("score").desc, col("node"))
+      },
+      Some("""WITH li0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |li AS (SELECT * FROM li0 WHERE ok IN
+             |  (SELECT ok FROM li0 GROUP BY ok HAVING COUNT(*) <= 32)),
+             |e0 AS (SELECT x.pk AS a, y.pk AS b, COUNT(*) AS c
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2),
+             |ed AS (SELECT a, b FROM e0 WHERE c >= 2),
+             |und AS (SELECT a AS src, b AS dst FROM ed UNION ALL SELECT b, a FROM ed),
+             |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY src),
+             |s0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS score, deg FROM deg),
+             |c1 AS (SELECT u.dst AS node, CAST(SUM(s.score // s.deg) AS BIGINT) AS contrib
+             |  FROM und u JOIN s0 s ON u.src = s.node GROUP BY u.dst),
+             |s1 AS (SELECT s0.node, CAST(150000 + (85 * COALESCE(c1.contrib, 0)) // 100 AS BIGINT) AS score, s0.deg
+             |  FROM s0 LEFT JOIN c1 ON s0.node = c1.node),
+             |c2 AS (SELECT u.dst AS node, CAST(SUM(s.score // s.deg) AS BIGINT) AS contrib
+             |  FROM und u JOIN s1 s ON u.src = s.node GROUP BY u.dst),
+             |s2 AS (SELECT s1.node, CAST(150000 + (85 * COALESCE(c2.contrib, 0)) // 100 AS BIGINT) AS score
+             |  FROM s1 LEFT JOIN c2 ON s1.node = c2.node)
+             |SELECT node, score FROM s2 ORDER BY score DESC, node""".stripMargin)
     ),
 
     // ---- referential-integrity audit: orphaned foreign keys ------------------

@@ -483,6 +483,38 @@ object RelationalQueries {
               |FROM events ORDER BY event_id""".stripMargin)
     ),
 
+    // ---- semi-structured round trip: nest → to_json → from_json → flatten ----
+    // The schema-on-read ETL shape q_json_extract's scalar path doesn't
+    // cover: per-order line items are packed into a NESTED json document
+    // (array of structs, sorted so the document is deterministic), parsed
+    // back with an explicit schema (from_json — never schema inference on
+    // the hot path at 100 TB), exploded, and re-aggregated. The oracle
+    // computes the same aggregate directly from lineitem: hash-equality
+    // PROVES the serialize→parse→flatten trip is lossless. One shuffle for
+    // the pack, explode is pipeline-local, one partial-agg shuffle back.
+    GQuery(
+      "q_json_explode",
+      (s, dir) => {
+        val packed = Tables.lineitem(s, dir)
+          .groupBy("l_orderkey")
+          .agg(to_json(struct(
+            col("l_orderkey").as("okey"),
+            sort_array(collect_list(struct(
+              col("l_linenumber").cast("long").as("ln"),
+              col("l_quantity").cast("long").as("qty")))).as("items"))).as("payload"))
+        val itemSchema = "STRUCT<okey: BIGINT, items: ARRAY<STRUCT<ln: BIGINT, qty: BIGINT>>>"
+        packed
+          .select(from_json(col("payload"), itemSchema, Map.empty[String, String]).as("j"))
+          .select(col("j.okey").as("o_key"), explode(col("j.items")).as("item"))
+          .groupBy("o_key")
+          .agg(count(lit(1)).as("n_items"), sum(col("item.qty")).as("sum_qty"))
+          .orderBy("o_key")
+      },
+      Some(s"""SELECT l_orderkey AS o_key, $countStarSql AS n_items,
+              |CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+              |FROM lineitem GROUP BY l_orderkey ORDER BY o_key""".stripMargin)
+    ),
+
     // ---- as-of join (most recent error at-or-before each event, per user) -------
     GQuery(
       "q_asof_join",

@@ -399,6 +399,91 @@ object TextQueries {
              |FROM c GROUP BY lang, batch_id ORDER BY lang, batch_id""".stripMargin)
     ),
 
+    // ---- repetition signals (Gopher-style quality filter inputs) -------------
+    // The repetition family of quality heuristics (duplicate-word fraction,
+    // top-word dominance, duplicate-bigram count) every curation pipeline
+    // computes before training — repetitive boilerplate is the #1 junk
+    // class n-gram dedup misses. ALL metrics are exact integer arithmetic
+    // (counts and a ×10000 integer-division ratio — no float can drift
+    // between engines). Two shuffles, both keyed on doc_id with map-side
+    // combine; at 100 TB this is the same per-doc-bounded shape as
+    // text_token_stats. Single-token docs (possible in edge corpora, not
+    // the driver data) have no bigrams: guarded empty array, LEFT join,
+    // zero-coalesce — not a crash and not a dropped doc.
+    GQuery(
+      "text_repetition",
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val words = t.select(col("doc_id"), explode(col("toks")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            sum(col("c")).as("n_words"),
+            count(lit(1)).as("n_distinct"),
+            max(col("c")).as("top_word_n"))
+        val grams = t.select(col("doc_id"), explode(expr(
+            """CASE WHEN size(toks) >= 2
+              |THEN transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))
+              |ELSE array() END""".stripMargin)).as("g2"))
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_bigrams"),
+            countDistinct(col("g2")).as("d_bigrams"))
+        words.join(grams, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_words"), col("n_distinct"), col("top_word_n"),
+            expr("(n_words - n_distinct) * 10000 div n_words").as("dup_word_permyriad"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("n_bigrams") - col("d_bigrams"), lit(0L)).as("dup_bigram_n"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |wc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok),
+             |words AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+             |  CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_word_n
+             |  FROM wc GROUP BY doc_id),
+             |ge AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             |  i -> toks[i] || ' ' || toks[i+1])) AS g2 FROM t),
+             |grams AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |  CAST(COUNT(DISTINCT g2) AS BIGINT) AS d_bigrams FROM ge GROUP BY doc_id)
+             |SELECT words.doc_id, n_words, n_distinct, top_word_n,
+             |  CAST((n_words - n_distinct) * 10000 // n_words AS BIGINT) AS dup_word_permyriad,
+             |  CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             |  CAST(COALESCE(n_bigrams - d_bigrams, 0) AS BIGINT) AS dup_bigram_n
+             |FROM words LEFT JOIN grams ON words.doc_id = grams.doc_id
+             |ORDER BY words.doc_id""".stripMargin)
+    ),
+
+    // ---- temperature-based language sampling weights -------------------------
+    // The multilingual rebalancing step (α = 0.5 temperature upsampling):
+    // each language's sampling mass ∝ n_docs^α, normalized. α = 1/2 is the
+    // deliberate choice here because IEEE sqrt is CORRECTLY ROUNDED — both
+    // engines produce the bit-identical double, which is then snapped to an
+    // integer ×10⁶ grid before the normalizing division happens in exact
+    // BIGINT arithmetic (a pow(n, 0.73)-style α would be libm-dependent and
+    // could hash-diverge). Scale: one tiny aggregate (per-language counts)
+    // + a 1-row broadcast for the total — nothing touches the corpus twice.
+    GQuery(
+      "pipeline_sample_weights",
+      (s, dir) => {
+        val n = Tables.documents(s, dir)
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        val w = n.select(col("lang"), col("n_docs"),
+          expr("CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)").as("w"))
+        val tot = broadcast(w.agg(sum(col("w")).as("tot")))
+        w.crossJoin(tot) // 1-row broadcast
+          .select(col("lang"), col("n_docs"), col("w"),
+            expr("w * 1000000 div tot").as("p_ppm"))
+          .orderBy("lang")
+      },
+      Some("""WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY lang),
+             |w AS (SELECT lang, n_docs,
+             |  CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS w FROM n),
+             |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM w)
+             |SELECT lang, n_docs, w, w * 1000000 // tot AS p_ppm
+             |FROM w, t ORDER BY lang""".stripMargin)
+    ),
+
     // ---- PII redaction -------------------------------------------------------
     // The scrub every public curation pipeline (C4/RefinedWeb-style) runs
     // before training: emails, NANP phone numbers, and IPv4 addresses are
