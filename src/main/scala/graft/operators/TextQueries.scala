@@ -484,6 +484,40 @@ object TextQueries {
              |FROM w, t ORDER BY lang""".stripMargin)
     ),
 
+    // ---- deterministic stratified train/val/test split -----------------------
+    // The 80/10/10 split every training run starts from, done the only way
+    // that survives reruns and topology changes: assignment is a PURE
+    // FUNCTION of the stable doc_id (md5 prefix mod 100 — the q_sample_hash
+    // discipline), never Spark sample()/rand(). The same doc lands in the
+    // same split on any cluster, any partitioning, any rerun — which is
+    // what makes the split auditable and the val set leak-proof against
+    // re-shuffles. Reported per lang × split so stratification is checkable
+    // (hash assignment is lang-independent ⇒ each language splits ~80/10/10
+    // without per-stratum bookkeeping). Map-only + one tiny aggregate.
+    GQuery(
+      "pipeline_split",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("lang"),
+            expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 100")
+              .as("bucket"))
+          .select(col("lang"),
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val")
+              .otherwise("test").as("split"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "split"),
+      Some("""SELECT lang,
+             |  CASE WHEN bucket < 80 THEN 'train'
+             |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs
+             |FROM (SELECT lang,
+             |  CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket
+             |  FROM documents)
+             |GROUP BY lang, split ORDER BY lang, split""".stripMargin)
+    ),
+
     // ---- PII redaction -------------------------------------------------------
     // The scrub every public curation pipeline (C4/RefinedWeb-style) runs
     // before training: emails, NANP phone numbers, and IPv4 addresses are

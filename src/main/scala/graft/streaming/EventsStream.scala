@@ -160,6 +160,33 @@ object EventsStream {
       .toDF("user_id", "n_events", "last_ts_us", "evicted")
   }
 
+  /** The [[userRunningCounts]] state machine re-expressed on Spark 4's
+    * `transformWithState` (the arbitrary-state API that supersedes
+    * mapGroupsWithState): typed `ValueState` per user, eviction via an
+    * explicit EVENT-TIME TIMER instead of GroupStateTimeout, identical
+    * output contract. Differences that matter at scale, demonstrated here:
+    * state lives in named, independently-evolvable state variables (a later
+    * version can add a ListState without migrating the count), timers are
+    * first-class (register/delete — MGWS's single implicit timeout slot
+    * becomes an explicit set, so this processor clears stale timers each
+    * batch), and the operator REQUIRES the RocksDB state store — the
+    * bounded-heap provider a 100 TB deployment runs anyway (StreamingSpec
+    * sets it for the equivalence test).
+    */
+  def userRunningCountsTws(events: DataFrame, idleTimeoutMs: Long = 2 * 3600 * 1000L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp])
+      .groupByKey(_._1)
+      .transformWithState(
+        new RunningCountProcessor(idleTimeoutMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "n_events", "last_ts_us", "evicted")
+  }
+
   /** Watermarked stream-stream interval join: each purchase attributed to
     * the same user's views in the preceding hour. Both sides carry
     * watermarks and the join condition bounds purchase_ts to
@@ -318,4 +345,55 @@ object EventsStream {
 
   def runTumblingOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
     runOnce(tumblingCounts(readEvents(spark, dir)), queryName, "complete")
+}
+
+/** transformWithState processor backing [[EventsStream.userRunningCountsTws]]:
+  * per-user (count, last-seen-µs) in one ValueState; an event-time timer at
+  * last-seen + idle horizon evicts the idle user and emits the final tally
+  * with evicted = true. Top-level class (not an anonymous closure) so task
+  * serialization ships only the timeout constant, and timers are cleared
+  * before re-registration — TWS timers are a SET, not MGWS's single slot,
+  * and a stale earlier timer would fire a premature eviction.
+  */
+class RunningCountProcessor(idleTimeoutMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, java.sql.Timestamp), (Long, Long, Long, Boolean)] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var state: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Long)](
+      "counts", org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(
+      user: Long,
+      rows: Iterator[(Long, java.sql.Timestamp)],
+      timers: TimerValues): Iterator[(Long, Long, Long, Boolean)] = {
+    val (n0, last0) = if (state.exists()) state.get() else (0L, Long.MinValue)
+    var n = n0
+    var last = last0
+    rows.foreach { case (_, t) =>
+      n += 1
+      val us = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      if (us > last) last = us
+    }
+    state.update((n, last))
+    // replace, don't accumulate: delete any timer from earlier batches,
+    // then arm the idle-eviction timer above the current watermark (the
+    // userRunningCounts discipline — an already-expired timestamp is moot)
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    getHandle.registerTimer(
+      math.max(timers.getCurrentWatermarkInMs + 1, last / 1000 + idleTimeoutMs))
+    Iterator((user, n, last, false))
+  }
+
+  override def handleExpiredTimer(
+      user: Long,
+      timers: TimerValues,
+      info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Boolean)] = {
+    val (n, last) = state.get()
+    state.clear()
+    Iterator((user, n, last, true))
+  }
 }

@@ -130,6 +130,39 @@ class StreamingSpec extends SparkSpec {
       s"state rows $stateRows != $distinctUsers users - $evictedUsers evicted")
   }
 
+  test("transformWithState running counts (RocksDB) equal MGWS semantics and batch") {
+    // the Spark 4 arbitrary-state API twin of the mapGroupsWithState test:
+    // same output contract, eviction via explicit event-time timers, state
+    // on the RocksDB provider (transformWithState requires it)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (table, _) = EventsStream.runOnceWithProgress(
+        EventsStream.userRunningCountsTws(EventsStream.readEvents(spark, sfDir)),
+        "stream_tws_test", "update")
+      val streamed = table
+        .groupBy("user_id")
+        .agg(max("n_events").as("n_events"), max("last_ts_us").as("last_ts_us"))
+        .orderBy("user_id")
+        .collect()
+      val batch = Tables.events(spark, sfDir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), max(unix_micros(col("ts"))).as("last_ts_us"))
+        .orderBy("user_id")
+        .collect()
+      assert(streamed.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq)
+      // timers fired: idle users were evicted with their final tally
+      assert(table.filter(col("evicted")).count() > 0,
+        "no eviction timer fired — event-time timers not exercised")
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = EventsStream.runOnce(
       EventsStream.viewPurchaseAttribution(EventsStream.readEvents(spark, sfDir)),
