@@ -659,6 +659,87 @@ object AdvancedQueries {
               |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     ),
 
+    // ---- TPC-H Q4 flavor: priority checking (EXISTS → semi join + agg) -------
+    // The EXISTS-then-aggregate reporting shape: orders with at least one
+    // flagged line item, counted per priority (l_returnflag = 'R' stands in
+    // for the schema-absent commit/receipt-date lateness test, as in Q21).
+    // Scale: the semi join's build side carries ONE narrow column
+    // (flagged orderkeys) and stops probing an order at its first match;
+    // the aggregate's key space is 5 priorities — partial aggregation makes
+    // the shuffle a few rows per task.
+    GQuery(
+      "q_tpch_q4",
+      (s, dir) => {
+        val flagged = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R").select("l_orderkey")
+        Tables.orders(s, dir)
+          .join(flagged, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, $countStarSql AS order_count
+              |FROM orders WHERE EXISTS (SELECT 1 FROM lineitem
+              |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+
+    // ---- TPC-H Q12 flavor: priority mix per line status ----------------------
+    // Join + conditional aggregation: every lineitem classified by its
+    // order's priority bucket (l_linestatus stands in for the
+    // schema-absent l_shipmode as the grouping). One fact⋈fact join left
+    // to AQE, then a two-key aggregate whose CASE sums ride the partial
+    // aggregation — the canonical "pivot a flag into columns" report.
+    GQuery(
+      "q_tpch_q12",
+      (s, dir) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+          .join(Tables.lineitem(s, dir).select("l_orderkey", "l_linestatus"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("l_linestatus")
+          .agg(
+            sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus,
+             |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+    ),
+
+    // ---- TPC-H Q14 flavor: promo revenue share -------------------------------
+    // Broadcast-dimension join + ratio-of-conditional-sums. Revenue snaps
+    // to the 10⁻⁴-dollar grid per row (the sumGrid discipline), both sums
+    // are exact BIGINTs, and the percentage is ONE double division of two
+    // identical integers — bit-exact on both engines, no float accumulation.
+    GQuery(
+      "q_tpch_q14",
+      (s, dir) => {
+        val p = broadcast(Tables.part(s, dir).select("p_partkey", "p_type"))
+        Tables.lineitem(s, dir)
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO",
+              grid(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L))
+              .otherwise(0L)).as("promo_cents4"),
+            sumGrid(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L)
+              .as("total_cents4"))
+          .select(col("promo_cents4"), col("total_cents4"),
+            (col("promo_cents4").cast("double") * 100.0 /
+              col("total_cents4").cast("double")).as("promo_pct"))
+      },
+      Some(s"""SELECT promo_cents4, total_cents4,
+              |  CAST(promo_cents4 AS DOUBLE) * 100.0 / CAST(total_cents4 AS DOUBLE) AS promo_pct
+              |FROM (SELECT
+              |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+              |    THEN ${gridSql("l_extendedprice*(1.0-l_discount)", 10000L)} ELSE 0 END) AS BIGINT) AS promo_cents4,
+              |  ${sumGridSql("l_extendedprice*(1.0-l_discount)", 10000L)} AS total_cents4
+              |  FROM lineitem JOIN part ON l_partkey = p_partkey)""".stripMargin)
+    ),
+
     // ---- merge/upsert: apply a changeset to a snapshot -----------------------
     // The CDC shape (MERGE INTO) as pure DataFrame algebra: anti join drops
     // deletes, left join + coalesce applies updates, union appends inserts.
