@@ -369,6 +369,64 @@ object AdvancedQueries {
       None
     ),
 
+    // ---- winsorize: rank-based 5%/95% outlier clipping -----------------------
+    // The outlier-trimming normalization step feature pipelines run before
+    // training on heavy-tailed measures. Cutoffs are RANK-SELECTED (the
+    // value at rank ceil(0.05·n) / ceil(0.95·n) within each group), not
+    // interpolated: interpolation at arbitrary fractions multiplies by a
+    // non-dyadic float and can differ between engines in the last ulp,
+    // while the value AT a rank is a lookup — ties don't matter because
+    // equal ranks under an ORDER BY q see the same q. Everything else is
+    // exact cents-grid integers. Scale: one window shuffle per group for
+    // the ranking, a tiny cutoff table broadcast back, map-side clip,
+    // partial-aggregated stats.
+    GQuery(
+      "q_winsorize",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_returnflag").as("rf"),
+          expr("CAST(round(l_quantity * 100) AS BIGINT)").as("q"))
+        val w = Window.partitionBy("rf").orderBy("q", "rf")
+        val ranked = li
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("rf")))
+        val cuts = ranked
+          .filter(col("rk") === expr("(5 * n + 99) div 100") ||
+            col("rk") === expr("(95 * n + 99) div 100"))
+          .groupBy("rf").agg(min(col("q")).as("cut_low"), max(col("q")).as("cut_high"))
+        ranked.join(broadcast(cuts), "rf")
+          .select(col("rf"), col("q"), col("cut_low"), col("cut_high"),
+            least(greatest(col("q"), col("cut_low")), col("cut_high")).as("qc"))
+          .groupBy("rf")
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("cut_low")).as("cut_low_cents"),
+            min(col("cut_high")).as("cut_high_cents"),
+            sum(when(col("q") < col("cut_low"), 1L).otherwise(0L)).as("n_clipped_low"),
+            sum(when(col("q") > col("cut_high"), 1L).otherwise(0L)).as("n_clipped_high"),
+            sum(col("q")).as("sum_cents_before"),
+            sum(col("qc")).as("sum_cents_after"))
+          .orderBy("rf")
+      },
+      Some(s"""WITH li AS (SELECT l_returnflag AS rf,
+              |    CAST(round(l_quantity * 100) AS BIGINT) AS q FROM lineitem),
+              |ranked AS (SELECT rf, q,
+              |    row_number() OVER (PARTITION BY rf ORDER BY q, rf) AS rk,
+              |    CAST(COUNT(*) OVER (PARTITION BY rf) AS BIGINT) AS n FROM li),
+              |cuts AS (SELECT rf, CAST(MIN(q) AS BIGINT) AS cut_low,
+              |    CAST(MAX(q) AS BIGINT) AS cut_high
+              |  FROM ranked WHERE rk = (5 * n + 99) // 100 OR rk = (95 * n + 99) // 100
+              |  GROUP BY rf)
+              |SELECT ranked.rf, $countStarSql AS n,
+              |  CAST(MIN(cut_low) AS BIGINT) AS cut_low_cents,
+              |  CAST(MIN(cut_high) AS BIGINT) AS cut_high_cents,
+              |  CAST(SUM(CASE WHEN q < cut_low THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+              |  CAST(SUM(CASE WHEN q > cut_high THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+              |  CAST(SUM(q) AS BIGINT) AS sum_cents_before,
+              |  CAST(SUM(least(greatest(q, cut_low), cut_high)) AS BIGINT) AS sum_cents_after
+              |FROM ranked JOIN cuts ON ranked.rf = cuts.rf
+              |GROUP BY ranked.rf ORDER BY ranked.rf""".stripMargin)
+    ),
+
     // ---- min_by / max_by with a deterministic composite key -----------------
     GQuery(
       "q_minmax_by",

@@ -33,6 +33,29 @@ object MultimodalQueries {
              |FROM documents ORDER BY asset_id""".stripMargin)
     ),
 
+    // Exact dedup on the BINARY payload (the asset-level twin of
+    // dedup_exact): group by content digest computed over bytes, keep the
+    // lowest asset id, report group size and payload size. At 100 TB this
+    // is the first pass of any media-corpus ingest — one digest per asset
+    // at the scan, one shuffle of (digest, id, size) triples, never the
+    // payloads themselves.
+    GQuery(
+      "multimodal_dedup",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id").as("asset_id"), col("text").cast("binary").as("payload"))
+          .groupBy(sha2(col("payload"), 256).as("payload_sha256"))
+          .agg(min(col("asset_id")).as("keep_asset_id"),
+            count(lit(1)).as("dup_count"),
+            max(length(col("payload"))).cast("long").as("n_bytes"))
+          .orderBy("payload_sha256"),
+      Some("""SELECT sha256(text) AS payload_sha256, MIN(doc_id) AS keep_asset_id,
+             |CAST(COUNT(*) AS BIGINT) AS dup_count,
+             |CAST(MAX(octet_length(encode(text))) AS BIGINT) AS n_bytes
+             |FROM documents GROUP BY sha256(text)
+             |ORDER BY payload_sha256""".stripMargin)
+    ),
+
     // Stubbed per-partition decode (real plumbing, fake codec — see
     // Multimodal.FakeCodec). Oracle-able despite the Scala codec: the stub's
     // features are deterministic byte arithmetic, and the ASCII corpus makes

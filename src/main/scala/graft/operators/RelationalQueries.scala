@@ -402,6 +402,51 @@ object RelationalQueries {
              |INTERSECT SELECT o_custkey AS custkey FROM orders ORDER BY custkey""".stripMargin)
     ),
 
+    // ---- MULTISET set ops: EXCEPT ALL / INTERSECT ALL ------------------------
+    // Distinct physical operators from the DISTINCT variants above: Spark
+    // plans these as a count-and-replicate aggregate (each value kept
+    // min/difference-of-multiplicities times), not a hash anti/semi join —
+    // the semantics a bag-oriented reconciliation (e.g. "orders in the
+    // ledger minus orders already posted, WITH repetition") needs. The
+    // aggregated output ends in a total-order sort with a per-row
+    // sequence number so duplicate rows hash deterministically.
+    GQuery(
+      "q_except_all",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val left = o.filter(col("o_orderstatus").isin("P", "O"))
+          .select((col("o_custkey") % 100).as("bucket"))
+        val right = o.filter(col("o_orderstatus") === "F")
+          .select((col("o_custkey") % 100).as("bucket"))
+        left.exceptAll(right)
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM (
+             |  SELECT o_custkey % 100 AS bucket FROM orders WHERE o_orderstatus IN ('P', 'O')
+             |  EXCEPT ALL
+             |  SELECT o_custkey % 100 AS bucket FROM orders WHERE o_orderstatus = 'F')
+             |GROUP BY bucket ORDER BY bucket""".stripMargin)
+    ),
+    GQuery(
+      "q_intersect_all",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val left = o.filter(col("o_orderstatus").isin("P", "O"))
+          .select((col("o_custkey") % 100).as("bucket"))
+        val right = o.filter(col("o_orderstatus") === "F")
+          .select((col("o_custkey") % 100).as("bucket"))
+        left.intersectAll(right)
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM (
+             |  SELECT o_custkey % 100 AS bucket FROM orders WHERE o_orderstatus IN ('P', 'O')
+             |  INTERSECT ALL
+             |  SELECT o_custkey % 100 AS bucket FROM orders WHERE o_orderstatus = 'F')
+             |GROUP BY bucket ORDER BY bucket""".stripMargin)
+    ),
+
     // ---- scalar function suites -------------------------------------------------
     GQuery(
       "q_string_funcs",

@@ -111,6 +111,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q_profile_columns").contains("Expand"))
   }
 
+  test("TPC-H q4 plans the EXISTS as a left-semi join; q14 broadcasts part") {
+    val p4 = plan("q_tpch_q4")
+    assert(p4.contains("LeftSemi"), p4)
+    assert(!p4.contains("CartesianProduct"), p4)
+    val p14 = plan("q_tpch_q14")
+    assert(p14.contains("BroadcastHashJoin"), p14)
+  }
+
+  test("prefix-filter dedup: every join is an equi-join, no cartesian") {
+    val p = plan("dedup_prefix_filter")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("substring-dedup pair generation is an equi-join on the gram digest") {
     val p = plan("dedup_substring")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
