@@ -742,6 +742,32 @@ object AdvancedQueries {
               |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     ),
 
+    // ---- TPC-H Q6 flavor: the canonical filtered scan-aggregate --------------
+    // No join at all: range predicates that all PUSH TO THE SCAN (shipdate
+    // window, discount band, quantity cap — `.explain` shows them in
+    // PushedFilters), then one exact-grid SUM. At 100 TB this query IS the
+    // pushdown benchmark: its cost should be IO on the pruned column set
+    // and nothing else. Discount band uses the cents grid (l_discount is
+    // 0.00-0.10 in hundredths), so the boundary comparison is integer-safe.
+    GQuery(
+      "q_tpch_q6",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .filter(expr("CAST(round(l_discount * 100) AS BIGINT) BETWEEN 2 AND 6"))
+          .filter(col("l_quantity") < 24)
+          .agg(
+            sumGrid(col("l_extendedprice") * col("l_discount"), 10000L).as("revenue_cents4"),
+            count(lit(1)).as("n_lines")),
+      Some(s"""SELECT ${sumGridSql("l_extendedprice*l_discount", 10000L)} AS revenue_cents4,
+              |$countStarSql AS n_lines
+              |FROM lineitem
+              |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+              |AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 2 AND 6
+              |AND l_quantity < 24""".stripMargin)
+    ),
+
     // ---- TPC-H Q12 flavor: priority mix per line status ----------------------
     // Join + conditional aggregation: every lineitem classified by its
     // order's priority bucket (l_linestatus stands in for the

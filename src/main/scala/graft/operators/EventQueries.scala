@@ -87,6 +87,48 @@ object EventQueries {
     ),
 
     GQuery(
+      // DYNAMIC-gap sessionization: the gap depends on the event itself
+      // (a purchase closes its session after 10 min, anything else keeps
+      // it open 30) — the per-row-gap capability fixed-gap session_window
+      // can't express and real engagement analytics need. The oracle is
+      // the running-max-end islands formulation: a session merges an event
+      // iff its ts precedes the MAX end (ts+gap) of all earlier events —
+      // with per-event gaps, lag(ts)+gap is NOT enough, the running max
+      // is what matches session_window's merge rule. Same scale shape as
+      // the fixed-gap query: one shuffle on user_id, merging session state.
+      "q_events_session_dynamic",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"),
+            when(col("event_type") === "purchase", "10 minutes")
+              .otherwise("30 minutes")))
+          .agg(count(lit(1)).as("n_events"))
+          .select(
+            col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events"))
+          .orderBy("user_id", "session_start"),
+      Some(s"""WITH e0 AS (
+              |  SELECT user_id, ts, event_id,
+              |    ts + CASE WHEN event_type = 'purchase' THEN INTERVAL '10 minutes'
+              |              ELSE INTERVAL '30 minutes' END AS end_ts
+              |  FROM ${Tables.eventsOracleFrom} e),
+              |e1 AS (
+              |  SELECT user_id, ts, event_id, end_ts,
+              |    MAX(end_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+              |  FROM e0),
+              |f AS (SELECT *, CASE WHEN prev_end IS NULL OR ts >= prev_end
+              |  THEN 1 ELSE 0 END AS is_new FROM e1),
+              |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+              |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+              |SELECT user_id, MIN(ts) AS session_start, MAX(end_ts) AS session_end,
+              |$countStarSql AS n_events
+              |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)
+    ),
+
+    GQuery(
       // Funnel: users whose first view precedes their first click precedes
       // their first purchase. One hash-agg pass (conditional MIN per stage),
       // no self-joins — at scale this is a single shuffle on user_id with

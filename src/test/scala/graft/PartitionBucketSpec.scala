@@ -74,6 +74,27 @@ class PartitionBucketSpec extends SparkSpec {
       direct.orderBy(cols: _*).collect().toSeq)
   }
 
+  test("nested struct scan prunes to the accessed subfield") {
+    // the 100 TB lever for struct-heavy schemas (multimodal metadata,
+    // event payloads): selecting meta.o_custkey must NOT read the sibling
+    // subfields from parquet (spark.sql.optimizer.nestedSchemaPruning,
+    // default on — pinned here so a conf regression can't silently
+    // quadruple scan bytes)
+    val path = s"$tmp/nested_orders"
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        struct(col("o_custkey"), col("o_totalprice"), col("o_orderpriority")).as("meta"))
+      .write.mode("overwrite").parquet(path)
+    val read = spark.read.parquet(path)
+      .select(col("o_orderkey"), col("meta.o_custkey").as("custkey"))
+    val scanLine = read.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("o_custkey"), scanLine)
+    assert(!scanLine.contains("o_totalprice") && !scanLine.contains("o_orderpriority"),
+      s"nested pruning lost: $scanLine")
+    assert(read.count() == Tables.orders(spark, sfDir).count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
     spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
