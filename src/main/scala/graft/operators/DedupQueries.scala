@@ -231,6 +231,56 @@ object DedupQueries {
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairs(Tables.documents(s, dir))
 
+  /** (doc_id, m0..mK-1) MinHash signatures for every shingle-able doc.
+    * Sub-3-token docs are excluded (no shingles); the corpus is
+    * repartitioned first — the hash-heavy pass over a single-file table
+    * would otherwise run on one task (one byte-split).
+    */
+  private[graft] def signaturesOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        expr("transform(sequence(0, size(toks) - 3), " +
+          "i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))").as("shh"))
+      .select(col("doc_id"), expr("graft_minhash(shh)").as("mh"))
+      .select(col("doc_id") +: (0 until K).map(i => col("mh").getItem(i).as(s"m$i")): _*)
+  }
+
+  /** Signatures → one (doc_id, bk) row per band, bk = "bandIdx:bandHash" —
+    * the single-column band key the persisted index buckets on.
+    */
+  private[graft] def bandKeysOf(sig: DataFrame): DataFrame =
+    sig.select(
+        col("doc_id"),
+        explode(array((0 until BANDS).map(j =>
+          struct(lit(j).as("bi"), expr(bandSpark(j)).as("bh"))): _*)).as("b"))
+      .select(col("doc_id"), concat_ws(":", col("b.bi"), col("b.bh")).as("bk"))
+
+  /** Persist the corpus-side LSH band index as a BUCKETED table — the
+    * production layout dedup_incremental's Scaladoc promises ("signatures
+    * precomputed, bucketed by band hash, written once, appended per
+    * batch"): bucketBy(bk) means a daily batch's band join co-locates with
+    * the index buckets, so the standing corpus is NEVER re-shuffled — the
+    * only exchange in the incremental join is the (small) batch side.
+    * PartitionBucketSpec pins exactly that plan. Returns the corpus/batch
+    * doc_id split bound (top 20% of ids = the simulated arriving batch).
+    */
+  def writeBandIndex(s: SparkSession, dir: String, table: String, path: String): Long = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val thr = d.agg(expr("CAST((max(doc_id) + 1) * 4 div 5 AS BIGINT)"))
+      .head.getLong(0)
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    bandKeysOf(signaturesOf(d.filter(col("doc_id") < thr)))
+      .write.mode("overwrite")
+      .bucketBy(8, "bk").sortBy("bk")
+      .option("path", path)
+      .saveAsTable(table)
+    thr
+  }
+
   /** Min-label propagation over an undirected pair list, with PLUGGABLE
     * per-round materialization — the knob that makes the iterative loop
     * fleet-safe. `localCheckpoint` blocks live only on executors: lose one
@@ -425,16 +475,7 @@ object DedupQueries {
         // on them, and the oracle's empty shingle list can never reach the
         // 0.6 jaccard cut anyway — they flow through the exact path only.
         val dSig = d.filter(size(split(col("text"), " ")) >= 3)
-        // hash-heavy pass over a single-file corpus: spread rows first
-        // (one byte split would pin the shingle+md5 stage to one task)
-        val sigAll = Materialize(dSig
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .select(col("doc_id"),
-            expr("transform(sequence(0, size(toks) - 3), " +
-              "i -> md5(concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))").as("shh"))
-          .select(col("doc_id"), expr("graft_minhash(shh)").as("mh"))
-          .select(col("doc_id") +: (0 until K).map(i => col("mh").getItem(i).as(s"m$i")): _*))
+        val sigAll = Materialize(signaturesOf(d))
         val bandsAll = sigAll.select(
           col("doc_id"),
           explode(array((0 until BANDS).map(j =>

@@ -74,6 +74,41 @@ class PartitionBucketSpec extends SparkSpec {
       direct.orderBy(cols: _*).collect().toSeq)
   }
 
+  test("persisted MinHash band index: corpus side joins from its buckets, unshuffled") {
+    // dedup_incremental's Scaladoc claim made a pinned plan (the IVF-index
+    // move applied to text dedup): the corpus band index written bucketBy(bk)
+    // must feed the batch-vs-corpus candidate join WITHOUT a corpus-side
+    // exchange, and the candidates read from the index must equal the
+    // inline-derived ones.
+    import graft.operators.DedupQueries
+    val thr = DedupQueries.writeBandIndex(spark, sfDir, "band_idx", s"$tmp/band_idx")
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val batchBands = DedupQueries.bandKeysOf(
+      DedupQueries.signaturesOf(d.filter(col("doc_id") >= thr)))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "-1") // a broadcast would bypass the bucket claim
+    try {
+      val idx = spark.table("band_idx").select(col("doc_id").as("c_id"), col("bk"))
+      val cand = batchBands.join(idx, "bk").select("doc_id", "c_id").distinct()
+      val got = cand.orderBy("doc_id", "c_id").collect()
+      val plan = cand.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head // AQE appends a double-counting section
+      assert(plan.contains("Bucketed: true"), plan)
+      // exchanges: batch side into the join + the distinct — the bucketed
+      // index side must NOT add a third
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges <= 2, s"index side shuffled ($exchanges exchanges):\n$plan")
+      // parity: the persisted index yields exactly the inline candidates
+      val all = DedupQueries.bandKeysOf(DedupQueries.signaturesOf(d))
+      val inline = all.filter(col("doc_id") >= thr)
+        .join(all.filter(col("doc_id") < thr).select(col("doc_id").as("c_id"), col("bk")), "bk")
+        .select("doc_id", "c_id").distinct()
+        .orderBy("doc_id", "c_id").collect()
+      assert(got.nonEmpty && got.toSeq == inline.toSeq)
+    } finally spark.conf.set(key, prior)
+  }
+
   test("nested struct scan prunes to the accessed subfield") {
     // the 100 TB lever for struct-heavy schemas (multimodal metadata,
     // event payloads): selecting meta.o_custkey must NOT read the sibling
