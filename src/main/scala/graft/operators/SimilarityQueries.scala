@@ -207,7 +207,10 @@ object SimilarityQueries {
       (0 until C - 1).map(c => s"WHEN $c THEN d_${j}_$c ").mkString +
       s"ELSE d_${j}_${C - 1} END)"
 
-  private def pqTopk(s: SparkSession, dir: String): DataFrame = {
+  /** The PQ building blocks: (corpus codes wide table, broadcast query
+    * distance-table) — shared by flat PQ and IVF-PQ.
+    */
+  private def pqParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val S = 8; val C = PQ_C
     val e = VectorOps.normalized(s, dir).select("vec_id", "v")
     val subs = e.select(col("vec_id"), explode(expr(
@@ -226,26 +229,68 @@ object SimilarityQueries {
       max(when(col("ss") === j && col("cid") === c, col("dist"))).as(s"d_${j}_$c")
     val dtab = broadcast(dists.filter(col("vec_id") < N_QUERIES)
       .groupBy(col("vec_id").as("q_id")).agg(dtabCols.head, dtabCols.tail: _*))
-    val adc = (0 until S).map(j => adcCase(j, C)).mkString(" + ")
+    (codes, dtab)
+  }
+
+  private def pqAdcExpr: String =
+    (0 until 8).map(j => adcCase(j, PQ_C)).mkString(" + ")
+
+  private def pqTopk(s: SparkSession, dir: String): DataFrame = {
+    val (codes, dtab) = pqParts(s, dir)
     val pairs = codes.crossJoin(dtab) // 10-row broadcast
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("cand_id"), expr(adc).as("adc"))
+      .select(col("q_id"), col("vec_id").as("cand_id"), expr(pqAdcExpr).as("adc"))
     val rw = Window.partitionBy("q_id").orderBy(col("adc"), col("cand_id"))
     pairs.withColumn("rank", row_number().over(rw).cast("long"))
       .filter(col("rank") <= TOP_K)
       .select("q_id", "rank", "cand_id", "adc")
   }
 
-  private def pqTopkSql: String = {
+  /** IVF-PQ: the composition every production vector store runs (FAISS's
+    * default index family) — IVF's coarse quantizer prunes the corpus to
+    * the nprobe nearest cells, and PQ's asymmetric distance ranks ONLY the
+    * survivors: scan work is cells/nprobe-reduced AND each survivor costs 8
+    * table lookups instead of a 64-dim dot. Both stages reuse the exact
+    * pipelines of their standalone queries (`ann_ivf_topk`'s assignment,
+    * `ann_pq_topk`'s codes + distance table), so this is pure composition —
+    * the candidates are IVF's, the ordering is PQ's.
+    */
+  private def ivfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = VectorOps.normalized(s, dir)
+    val seeds = seedSet(e)
+    val assign = assignToSeeds(e, seeds).select("vec_id", "seed_id")
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val pw = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("seed_id"))
+    val probes = q.join(seeds)
+      .select(col("q_id"), col("seed_id"),
+        VectorOps.cosCol("qv", "sv", "qn", "sn").as("pcos"))
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= N_PROBE)
+      .select("q_id", "seed_id")
+    val (codes, dtab) = pqParts(s, dir)
+    val cand = probes.join(assign, "seed_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val pairs = cand
+      .join(codes, "vec_id")
+      .join(dtab, "q_id")
+      .select(col("q_id"), col("vec_id").as("cand_id"), expr(pqAdcExpr).as("adc"))
+    val rw = Window.partitionBy("q_id").orderBy(col("adc"), col("cand_id"))
+    pairs.withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select("q_id", "rank", "cand_id", "adc")
+  }
+
+  /** Shared DuckDB CTE chain ending in `codes` + `dtab` (PQ encode). */
+  private def pqCtesSql: String = {
     val S = 8; val C = PQ_C
     def dot(a: String, b: String) = VectorOps.dotSql(a, b)
     val codeCols = (0 until S)
       .map(j => s"MAX(CASE WHEN ss = $j THEN cid END) AS code$j").mkString(", ")
     val dtabCols = (for { j <- 0 until S; c <- 0 until C } yield
       s"MAX(CASE WHEN ss = $j AND cid = $c THEN dist END) AS d_${j}_$c").mkString(", ")
-    val adc = (0 until S).map(j => adcCase(j, C)).mkString(" + ")
-    s"""WITH ${VectorOps.normalizedSql},
-       |sub AS (SELECT vec_id, ss, v[(ss * 8 + 1):(ss * 8 + 8)] AS sv
+    s"""sub AS (SELECT vec_id, ss, v[(ss * 8 + 1):(ss * 8 + 8)] AS sv
        |  FROM e, (SELECT unnest(range(0, 8)) AS ss)),
        |cent AS (SELECT vec_id AS cid, ss, sv AS cv FROM sub WHERE vec_id < $C),
        |dists AS (SELECT sub.vec_id, sub.ss, cent.cid,
@@ -256,9 +301,44 @@ object SimilarityQueries {
        |  FROM dists),
        |codes AS (SELECT vec_id, $codeCols FROM codes0 WHERE rn = 1 GROUP BY vec_id),
        |dtab AS (SELECT vec_id AS q_id, $dtabCols FROM dists
-       |  WHERE vec_id < $N_QUERIES GROUP BY vec_id),
+       |  WHERE vec_id < $N_QUERIES GROUP BY vec_id)""".stripMargin
+  }
+
+  private def pqTopkSql: String = {
+    val adc = (0 until 8).map(j => adcCase(j, PQ_C)).mkString(" + ")
+    s"""WITH ${VectorOps.normalizedSql},
+       |$pqCtesSql,
        |pairs AS (SELECT q_id, codes.vec_id AS cand_id, $adc AS adc
        |  FROM codes, dtab WHERE codes.vec_id <> q_id),
+       |ranked AS (SELECT q_id, cand_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS BIGINT) AS rank
+       |  FROM pairs)
+       |SELECT q_id, rank, cand_id, adc FROM ranked WHERE rank <= $TOP_K
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  private def ivfPqTopkSql: String = {
+    val adc = (0 until 8).map(j => adcCase(j, PQ_C)).mkString(" + ")
+    s"""WITH ${VectorOps.normalizedSql},
+       |seeds AS (SELECT vec_id AS seed_id, v AS sv0, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
+       |assign0 AS (SELECT e.vec_id, seeds.seed_id,
+       |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    ${VectorOps.cosSql("e.v", "seeds.sv0", "e.nrm", "seeds.sn")} DESC, seeds.seed_id) AS rn
+       |  FROM e CROSS JOIN seeds),
+       |assign AS (SELECT vec_id, seed_id FROM assign0 WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
+       |probes0 AS (SELECT q.q_id, seeds.seed_id,
+       |  row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |    ${VectorOps.cosSql("q.qv", "seeds.sv0", "q.qn", "seeds.sn")} DESC, seeds.seed_id) AS rn
+       |  FROM q CROSS JOIN seeds),
+       |probes AS (SELECT q_id, seed_id FROM probes0 WHERE rn <= $N_PROBE),
+       |$pqCtesSql,
+       |cand AS (SELECT DISTINCT probes.q_id, assign.vec_id
+       |  FROM probes JOIN assign ON probes.seed_id = assign.seed_id
+       |  WHERE assign.vec_id <> probes.q_id),
+       |pairs AS (SELECT cand.q_id, cand.vec_id AS cand_id, $adc AS adc
+       |  FROM cand JOIN codes ON cand.vec_id = codes.vec_id
+       |  JOIN dtab ON cand.q_id = dtab.q_id),
        |ranked AS (SELECT q_id, cand_id, adc,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS BIGINT) AS rank
        |  FROM pairs)
@@ -336,6 +416,13 @@ object SimilarityQueries {
       "ann_pq_topk",
       (s, dir) => pqTopk(s, dir).orderBy("q_id", "rank"),
       Some(pqTopkSql)
+    ),
+
+    // ---- IVF-PQ: coarse-cell pruning + PQ re-rank (the FAISS shape) ---------
+    GQuery(
+      "ann_ivfpq_topk",
+      (s, dir) => ivfPqTopk(s, dir).orderBy("q_id", "rank"),
+      Some(ivfPqTopkSql)
     ),
 
     // ---- embedding near-dup at scale: LSH bucket equi-join → exact cosine ---
