@@ -425,6 +425,82 @@ object SimilarityQueries {
       Some(ivfPqTopkSql)
     ),
 
+    // ---- measured recall for the PQ family ----------------------------------
+    // The ann_recall discipline extended to the two r7 indexes: recall@10
+    // of flat PQ and IVF-PQ against the exact brute-force top-k, per
+    // query. Everything is deterministic, so the recall numbers themselves
+    // are oracle-paired — the honesty metric ships verified, like the
+    // indexes. (≈0.2 avg on these STRUCTURELESS random embeddings — PQ
+    // codebooks have no clusters to exploit here; see PQ_C note.)
+    GQuery(
+      "ann_pq_recall",
+      (s, dir) => {
+        val bf = bruteforceTopk(s, dir).select("q_id", "cand_id")
+        def recallRows(method: String, topk: DataFrame) =
+          bf.join(topk.select(col("q_id"), col("cand_id"), lit(1).as("hit")),
+              Seq("q_id", "cand_id"), "left")
+            .groupBy("q_id").agg(count(col("hit")).as("n_hits"))
+            .select(lit(method).as("method"), col("q_id"), col("n_hits"))
+            .withColumn("recall", col("n_hits").cast("double") / TOP_K)
+        recallRows("pq", pqTopk(s, dir))
+          .unionByName(recallRows("ivfpq", ivfPqTopk(s, dir)))
+          .orderBy("method", "q_id")
+      },
+      Some {
+        val adc = (0 until 8).map(j => adcCase(j, PQ_C)).mkString(" + ")
+        s"""WITH ${VectorOps.normalizedSql},
+           |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
+           |bscored AS (SELECT q.q_id, e.vec_id AS cand_id,
+           |  ${VectorOps.cosSql("q.qv", "e.v", "q.qn", "e.nrm")} AS cos
+           |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+           |bf AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+           |  FROM bscored) WHERE rank <= $TOP_K),
+           |$pqCtesSql,
+           |ppairs AS (SELECT dtab.q_id, codes.vec_id AS cand_id, $adc AS adc
+           |  FROM codes, dtab WHERE codes.vec_id <> dtab.q_id),
+           |pq AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS rank
+           |  FROM ppairs) WHERE rank <= $TOP_K),
+           |seeds AS (SELECT vec_id AS seed_id, v AS sv0, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
+           |assign0 AS (SELECT e.vec_id, seeds.seed_id,
+           |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |    ${VectorOps.cosSql("e.v", "seeds.sv0", "e.nrm", "seeds.sn")} DESC, seeds.seed_id) AS rn
+           |  FROM e CROSS JOIN seeds),
+           |assign AS (SELECT vec_id, seed_id FROM assign0 WHERE rn = 1),
+           |probes0 AS (SELECT q.q_id, seeds.seed_id,
+           |  row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |    ${VectorOps.cosSql("q.qv", "seeds.sv0", "q.qn", "seeds.sn")} DESC, seeds.seed_id) AS rn
+           |  FROM q CROSS JOIN seeds),
+           |probes AS (SELECT q_id, seed_id FROM probes0 WHERE rn <= $N_PROBE),
+           |icand AS (SELECT DISTINCT probes.q_id, assign.vec_id
+           |  FROM probes JOIN assign ON probes.seed_id = assign.seed_id
+           |  WHERE assign.vec_id <> probes.q_id),
+           |ipairs AS (SELECT icand.q_id, icand.vec_id AS cand_id, $adc AS adc
+           |  FROM icand JOIN codes ON icand.vec_id = codes.vec_id
+           |  JOIN dtab ON icand.q_id = dtab.q_id),
+           |ivfpq AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS rank
+           |  FROM ipairs) WHERE rank <= $TOP_K),
+           |qids AS (SELECT DISTINCT q_id FROM bf),
+           |pq_hits AS (SELECT bf.q_id, COUNT(*) AS hits FROM bf
+           |  JOIN pq ON bf.q_id = pq.q_id AND bf.cand_id = pq.cand_id GROUP BY bf.q_id),
+           |ivfpq_hits AS (SELECT bf.q_id, COUNT(*) AS hits FROM bf
+           |  JOIN ivfpq ON bf.q_id = ivfpq.q_id AND bf.cand_id = ivfpq.cand_id GROUP BY bf.q_id)
+           |SELECT method, q_id, n_hits, recall FROM (
+           |  SELECT 'pq' AS method, qids.q_id,
+           |    CAST(COALESCE(hits, 0) AS BIGINT) AS n_hits,
+           |    CAST(COALESCE(hits, 0) AS DOUBLE) / $TOP_K AS recall
+           |  FROM qids LEFT JOIN pq_hits ON qids.q_id = pq_hits.q_id
+           |  UNION ALL
+           |  SELECT 'ivfpq', qids.q_id, CAST(COALESCE(hits, 0) AS BIGINT),
+           |    CAST(COALESCE(hits, 0) AS DOUBLE) / $TOP_K
+           |  FROM qids LEFT JOIN ivfpq_hits ON qids.q_id = ivfpq_hits.q_id)
+           |ORDER BY method, q_id""".stripMargin
+      },
+      bench = false // embeds the brute-force ground truth — an offline audit
+    ),
+
     // ---- embedding near-dup at scale: LSH bucket equi-join → exact cosine ---
     // The scale path for dedup_embedding_pairs: candidates come from an
     // equi-join on a 4-bit hyperplane signature (similar vectors collide),

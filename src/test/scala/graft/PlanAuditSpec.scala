@@ -119,6 +119,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p14.contains("BroadcastHashJoin"), p14)
   }
 
+  test("PQ family: flat PQ is the documented broadcast scan; IVF-PQ prunes first") {
+    // flat PQ intentionally scans every code row (compressed exhaustive
+    // scan — the documented trade), so its one nested-loop join must be
+    // the 10-row broadcast distance table, nothing larger
+    val flat = plan("ann_pq_topk")
+    assert(!flat.contains("CartesianProduct"), flat)
+    // IVF-PQ's candidate set comes from equi-joins (probes ⋈ assignment ⋈
+    // codes); the only acceptable nested loop is the tiny probes×seeds pass
+    val ivfpq = plan("ann_ivfpq_topk")
+    assert(!ivfpq.contains("CartesianProduct"), ivfpq)
+    assert(ivfpq.contains("BroadcastHashJoin"), ivfpq)
+  }
+
   test("prefix-filter dedup: every join is an equi-join, no cartesian") {
     val p = plan("dedup_prefix_filter")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
