@@ -1291,10 +1291,13 @@ object AdvancedQueries {
     GQuery(
       "q_pagerank_iter",
       (s, dir) => {
-        val ed = copurchaseEdges(s, dir)
-        val und = Materialize(
-          ed.select(col("a").as("src"), col("b").as("dst"))
-            .union(ed.select(col("b").as("src"), col("a").as("dst"))))
+        // materialize the DIRECTED edges first: union branches do NOT share
+        // common subplans in Spark, so unioning two selects over the raw
+        // pipeline would run the basket self-join + support aggregate twice
+        // (q_graph_triangles caches at the same point for the same reason)
+        val ed = Materialize(copurchaseEdges(s, dir))
+        val und = ed.select(col("a").as("src"), col("b").as("dst"))
+          .union(ed.select(col("b").as("src"), col("a").as("dst")))
         val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
         var scores = deg.select(col("src").as("node"),
           lit(1000000L).as("score"), col("deg"))

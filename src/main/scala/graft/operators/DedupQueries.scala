@@ -270,8 +270,12 @@ object DedupQueries {
     */
   def writeBandIndex(s: SparkSession, dir: String, table: String, path: String): Long = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val thr = d.agg(expr("CAST((max(doc_id) + 1) * 4 div 5 AS BIGINT)"))
-      .head.getLong(0)
+    // max() on an empty table is NULL → getLong would throw a bare NPE;
+    // fail with an actionable message instead
+    val thrRow = d.agg(expr("CAST((max(doc_id) + 1) * 4 div 5 AS BIGINT)")).head
+    require(!thrRow.isNullAt(0),
+      s"writeBandIndex: documents table under '$dir' is empty — nothing to index")
+    val thr = thrRow.getLong(0)
     s.sql(s"DROP TABLE IF EXISTS $table")
     bandKeysOf(signaturesOf(d.filter(col("doc_id") < thr)))
       .write.mode("overwrite")

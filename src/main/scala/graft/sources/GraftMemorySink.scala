@@ -38,24 +38,30 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object GraftMemorySink {
   private final case class Stored(
       schema: StructType, rows: Array[Seq[Any]], chunks: Long,
-      epochs: Set[Long] = Set.empty)
+      epochs: Set[String] = Set.empty)
   private val tables = TrieMap.empty[String, Stored]
 
   def schemaOf(name: String): Option[StructType] = tables.get(name).map(_.schema)
   def rows(name: String): Seq[Seq[Any]] = tables.get(name).map(_.rows.toSeq).getOrElse(Seq.empty)
   /** Number of batchsize-chunks the last committed write arrived in (O7). */
   def chunksOf(name: String): Long = tables.get(name).map(_.chunks).getOrElse(0L)
-  /** Streaming epochs committed to this table (exactly-once evidence). */
-  def epochsOf(name: String): Set[Long] = tables.get(name).map(_.epochs).getOrElse(Set.empty)
+  /** Streaming epochs committed to this table, as "queryId/epochId" keys
+    * (exactly-once evidence).
+    */
+  def epochsOf(name: String): Set[String] = tables.get(name).map(_.epochs).getOrElse(Set.empty)
   def clear(name: String): Unit = tables.remove(name)
 
-  /** @param epoch streaming epoch id, if this commit came from a streaming
-    *              write — a replayed epoch (micro-batch retry) is dropped,
-    *              making the streaming sink idempotent per epoch.
+  /** @param epoch "queryId/epochId" key, if this commit came from a
+    *              streaming write — a replayed epoch (micro-batch retry) is
+    *              dropped, making the streaming sink idempotent per epoch.
+    *              Keyed by query id AND epoch so a second query writing to
+    *              the same table, or the same query restarted on a fresh
+    *              checkpoint (epoch counter restarts at 0), is a legitimate
+    *              append, not a false replay.
     */
   private[graft] def commit(
       name: String, schema: StructType, rows: Array[Seq[Any]],
-      chunks: Long, truncate: Boolean, epoch: Option[Long] = None): Unit =
+      chunks: Long, truncate: Boolean, epoch: Option[String] = None): Unit =
     tables.synchronized {
       val prev = if (truncate) None else tables.get(name)
       if (epoch.exists(e => prev.exists(_.epochs.contains(e)))) return
@@ -135,8 +141,12 @@ private class GraftSinkTable(tableName: String, dataSchema: StructType, batchSiz
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new GraftBatchWrite(
           tableName, storedSchema, batchSize, doTruncate)
+        // doTruncate propagates: Complete/Update-mode streaming queries
+        // negotiate truncate through SupportsTruncate, and each epoch must
+        // then REPLACE the table — dropping the flag here would silently
+        // append every micro-batch's full result (duplicated output)
         override def toStreaming: StreamingWrite = new GraftStreamingWrite(
-          tableName, storedSchema, batchSize)
+          tableName, storedSchema, batchSize, info.queryId(), doTruncate)
       }
     }
 
@@ -211,7 +221,9 @@ private class GraftStreamingWriterFactory(schema: StructType, batchSize: Int)
   * micro-batch retry after a failure does NOT double-append (the
   * exactly-once discipline a plain `foreachBatch` parquet append lacks).
   */
-private class GraftStreamingWrite(tableName: String, schema: StructType, batchSize: Int)
+private class GraftStreamingWrite(
+    tableName: String, schema: StructType, batchSize: Int,
+    queryId: String, truncate: Boolean)
     extends StreamingWrite {
 
   // a named top-level factory: an anonymous one would capture the
@@ -221,9 +233,14 @@ private class GraftStreamingWrite(tableName: String, schema: StructType, batchSi
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val chunks = messages.collect { case m: GraftChunksMessage => m.chunks }.flatten
+    // replay keys carry the query id: epochs restart at 0 on a fresh
+    // checkpoint, and two queries may legitimately feed one table. In
+    // truncate (Complete) mode each epoch replaces the table — a replayed
+    // epoch then just overwrites with identical rows, which is idempotent
+    // without the dedup check.
     GraftMemorySink.commit(
       tableName, schema, chunks.flatten, chunks.length.toLong,
-      truncate = false, epoch = Some(epochId))
+      truncate = truncate, epoch = Some(s"$queryId/$epochId"))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()

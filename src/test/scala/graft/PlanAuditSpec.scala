@@ -132,6 +132,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(ivfpq.contains("BroadcastHashJoin"), ivfpq)
   }
 
+  test("pagerank derives the co-purchase edge table exactly once") {
+    // the directed edges are materialized BEFORE the undirected union —
+    // Spark does not deduplicate common subplans across union branches, so
+    // caching after the union would run the basket self-join + support
+    // aggregate twice. Pinned: every consumer (degree + both contribution
+    // rounds, two union branches each) reads the cache, so the final plan
+    // touches lineitem zero times — the expensive derivation happened once,
+    // inside the single materialization job.
+    // tree walk, not string match: the plan STRING prints the cached
+    // derivation inside InMemoryRelation, but InMemoryTableScanExec is a
+    // leaf of the executed tree — a collect stops there, so any
+    // FileSourceScanExec found is a genuinely re-executed scan
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n => Seq(n) }.flatten ++
+        p.collect { case a: AdaptiveSparkPlanExec => walk(a.executedPlan) }.flatten ++
+        p.collect { case q: QueryStageExec => walk(q.plan) }.flatten
+    val df = SparkEntry.queries("q_pagerank_iter")(spark, sfDir)
+    val nodes = walk(df.queryExecution.executedPlan)
+    val liScans = nodes.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => f
+    }
+    assert(liScans.isEmpty, s"lineitem re-scanned outside the cache:\n${df.queryExecution.executedPlan}")
+    assert(nodes.count(_.isInstanceOf[InMemoryTableScanExec]) >= 2,
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("prefix-filter dedup: every join is an equi-join, no cartesian") {
     val p = plan("dedup_prefix_filter")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

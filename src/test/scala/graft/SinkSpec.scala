@@ -151,6 +151,57 @@ class SinkSpec extends SparkSpec {
     GraftMemorySink.clear("v2stream")
   }
 
+  test("V2 connector streaming: Complete mode truncates per epoch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.GraftMemorySink
+    import spark.implicits._
+    GraftMemorySink.clear("v2complete")
+    val mem = MemoryStream[Long](spark)
+    val ckpt = Files.createTempDirectory("graft-v2c").toString
+    val q = mem.toDF.toDF("v")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .writeStream
+      .format("graft.sources.GraftSinkProvider")
+      .option("name", "v2complete")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    try {
+      mem.addData(1L, 2L, 3L); q.processAllAvailable()
+      mem.addData(4L, 5L); q.processAllAvailable()
+    } finally q.stop()
+    // each epoch REPLACED the table (SupportsTruncate negotiated by the
+    // Complete-mode sink): one row, the latest running total. The
+    // pre-fix behavior appended every epoch's full result — [3, 5].
+    assert(GraftMemorySink.rows("v2complete").map(_.head) == Seq(5L),
+      s"rows=${GraftMemorySink.rows("v2complete")}")
+    GraftMemorySink.clear("v2complete")
+  }
+
+  test("V2 connector streaming: fresh-checkpoint restart appends, not dropped as replay") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.GraftMemorySink
+    import spark.implicits._
+    GraftMemorySink.clear("v2restart")
+    def runOnce(vals: Seq[Long]): Unit = {
+      val mem = MemoryStream[Long](spark)
+      val ckpt = Files.createTempDirectory("graft-v2r").toString
+      val q = mem.toDF.toDF("v").writeStream
+        .format("graft.sources.GraftSinkProvider")
+        .option("name", "v2restart")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try { mem.addData(vals: _*); q.processAllAvailable() } finally q.stop()
+    }
+    // two independent query lifetimes, each committing ITS epoch 0 — keying
+    // replays by epoch id alone would silently drop the second batch
+    runOnce(Seq(1L, 2L))
+    runOnce(Seq(3L))
+    assert(GraftMemorySink.rows("v2restart").map(_.head).toSet ==
+      Set[Any](1L, 2L, 3L),
+      s"rows=${GraftMemorySink.rows("v2restart")}")
+    GraftMemorySink.clear("v2restart")
+  }
+
   test("connector options: batchSize is case-insensitive and validated") {
     import graft.sources.GraftMemorySink
     GraftMemorySink.clear("v2opts")
