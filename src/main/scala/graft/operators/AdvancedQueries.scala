@@ -824,6 +824,159 @@ object AdvancedQueries {
               |  FROM lineitem JOIN part ON l_partkey = p_partkey)""".stripMargin)
     ),
 
+    // ---- TPC-H Q17 flavor: small-quantity revenue (correlated scalar avg) ----
+    // The decorrelation stress shape: the original correlates each lineitem
+    // against `0.2 * avg(l_quantity)` OF ITS OWN PART — a correlated scalar
+    // subquery over the same fact. Spark-first decorrelation: because the
+    // correlation key is a column of the probe table itself, the per-part
+    // aggregate is a WINDOW over l_partkey — ONE scan of the (part-filtered)
+    // fact, one hash shuffle, no self-join and no cartesian (pinned in
+    // PlanAuditSpec: exactly one lineitem scan). Part filter broadcasts
+    // before the fact is touched (p_type stands in for the schema-absent
+    // p_container). Determinism: quantities are integral, so the 0.2·avg
+    // test cross-multiplies to `5·qty·n < Σqty` in BIGINT — no float
+    // boundary; revenue snaps to the cents grid and pays ONE final double
+    // division (the Q1/Q14 discipline).
+    GQuery(
+      "q_tpch_q17",
+      (s, dir) => {
+        val sel = broadcast(
+          Tables.part(s, dir)
+            .filter(col("p_brand") === "Brand#23" && col("p_type") === "MEDIUM")
+            .select("p_partkey"))
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+            grid(col("l_extendedprice"), 100L).as("cents"))
+          .join(sel, col("l_partkey") === col("p_partkey"))
+        val w = Window.partitionBy("l_partkey")
+        li.withColumn("sum_q", sum(col("qty")).over(w))
+          .withColumn("n_q", count(lit(1)).over(w))
+          .filter(col("qty") * 5 * col("n_q") < col("sum_q"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            (coalesce(sum(col("cents")), lit(0L)).cast("double") / 100.0 / 7.0)
+              .as("avg_yearly"))
+      },
+      Some(s"""WITH sel AS (SELECT p_partkey FROM part
+              |    WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'),
+              |li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+              |    ${gridSql("l_extendedprice", 100L)} AS cents
+              |  FROM lineitem JOIN sel ON l_partkey = p_partkey),
+              |wd AS (SELECT qty, cents,
+              |    CAST(SUM(qty) OVER (PARTITION BY l_partkey) AS BIGINT) AS sum_q,
+              |    CAST(COUNT(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS n_q FROM li)
+              |SELECT $countStarSql AS n_lines,
+              |  CAST(COALESCE(SUM(cents), 0) AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
+              |FROM wd WHERE qty * 5 * n_q < sum_q""".stripMargin)
+    ),
+
+    // ---- TPC-H Q2 flavor: min-cost supplier (correlated min subquery) --------
+    // The nested min-cost-supplier shape: for each part, the suppliers whose
+    // cost EQUALS the minimum cost any regional supplier offers for that
+    // part — the original's correlated `= (SELECT min(ps_supplycost) ...)`.
+    // Schema adaptation: no partsupp table, so supply cost derives from the
+    // fact — min observed unit price per (part, supplier), on the cents grid
+    // (IEEE double division then one round: identical on both engines).
+    // Spark-first decorrelation: the per-part minimum is a WINDOW over the
+    // regional cost table (one shuffle, no per-part subquery, no cartesian);
+    // the oracle keeps the textbook correlated form — both engines
+    // decorrelate to the same semantics, which is exactly the optimizer
+    // stress the shape exists to test. Dimensions (region→nation→supplier,
+    // part filter) broadcast before the fact join.
+    GQuery(
+      "q_tpch_q2",
+      (s, dir) => {
+        val esupp = broadcast(
+          Tables.supplier(s, dir)
+            .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+            .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name")))
+        val p = broadcast(
+          Tables.part(s, dir)
+            .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
+            .select("p_partkey"))
+        val cost = Tables.lineitem(s, dir)
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(grid(col("l_extendedprice") / col("l_quantity"), 100L)).as("cost_cents"))
+        val ecost = cost.join(esupp, col("l_suppkey") === col("s_suppkey"))
+        val w = Window.partitionBy("l_partkey")
+        ecost.withColumn("min_cost", min(col("cost_cents")).over(w))
+          .filter(col("cost_cents") === col("min_cost"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("l_partkey").as("p_partkey"), col("cost_cents"))
+          .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+          .limit(100)
+      },
+      Some(s"""WITH esupp AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+              |    JOIN nation ON s_nationkey = n_nationkey
+              |    JOIN region ON n_regionkey = r_regionkey
+              |    WHERE r_name = 'EUROPE'),
+              |p AS (SELECT p_partkey FROM part WHERE p_type = 'LARGE' AND p_size <= 10),
+              |cost AS (SELECT l_partkey, l_suppkey,
+              |    CAST(MIN(${gridSql("l_extendedprice/l_quantity", 100L)}) AS BIGINT) AS cost_cents
+              |  FROM lineitem JOIN p ON l_partkey = p_partkey
+              |  GROUP BY l_partkey, l_suppkey),
+              |ecost AS (SELECT cost.*, s_name, s_acctbal, n_name
+              |  FROM cost JOIN esupp ON l_suppkey = s_suppkey)
+              |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, cost_cents
+              |FROM ecost e1
+              |WHERE cost_cents = (SELECT MIN(e2.cost_cents) FROM ecost e2
+              |                    WHERE e2.l_partkey = e1.l_partkey)
+              |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100""".stripMargin)
+    ),
+
+    // ---- TPC-H Q20 flavor: nested IN with an aggregate -----------------------
+    // The nested-IN-with-aggregate shape: suppliers (in one region) whose
+    // suppkey is IN a grouped-HAVING subquery that itself restricts parts by
+    // an inner IN. Schema adaptation: no partsupp/ps_availqty, so "excess
+    // availability" becomes pairs whose shipped volume exceeds 2× the mean
+    // pair volume — the threshold is a correlated-scalar stand-in computed
+    // once and broadcast (1 row), with the comparison cross-multiplied to
+    // BIGINT (`sq·n > 2·t`) so no float boundary can flip a pair. The pairs
+    // aggregate is Materialized: it feeds both the threshold and the IN
+    // filter, and union/join branches do NOT share subplans (the pagerank
+    // lesson — without the cache the fact aggregate would run twice).
+    // Scale: part filter broadcasts into the fact scan, the IN becomes a
+    // left-semi with a one-column build side, dimensions broadcast.
+    GQuery(
+      "q_tpch_q20",
+      (s, dir) => {
+        val promo = broadcast(
+          Tables.part(s, dir).filter(col("p_type") === "PROMO").select("p_partkey"))
+        val pairs = Materialize(
+          Tables.lineitem(s, dir)
+            .join(promo, col("l_partkey") === col("p_partkey"))
+            .groupBy(col("l_suppkey"), col("l_partkey"))
+            .agg(sum(col("l_quantity").cast("long")).as("sq")))
+        val tot = broadcast(
+          pairs.agg(sum(col("sq")).as("t"), count(lit(1)).as("n")))
+        val hot = pairs.crossJoin(tot) // 1-row broadcast scalar
+          .filter(col("sq") * col("n") > lit(2) * col("t"))
+          .select("l_suppkey")
+        Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "AFRICA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .join(hot, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_name"), col("s_acctbal"), col("n_name"))
+          .orderBy("s_name")
+      },
+      Some(s"""WITH pairs AS (SELECT l_suppkey, l_partkey,
+              |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+              |  FROM lineitem
+              |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+              |  GROUP BY l_suppkey, l_partkey),
+              |tot AS (SELECT CAST(SUM(sq) AS BIGINT) AS t, $countStarSql AS n FROM pairs)
+              |SELECT s_name, s_acctbal, n_name
+              |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |WHERE r_name = 'AFRICA'
+              |  AND s_suppkey IN (SELECT l_suppkey FROM pairs, tot WHERE sq * n > 2 * t)
+              |ORDER BY s_name""".stripMargin)
+    ),
+
     // ---- merge/upsert: apply a changeset to a snapshot -----------------------
     // The CDC shape (MERGE INTO) as pure DataFrame algebra: anti join drops
     // deletes, left join + coalesce applies updates, union appends inserts.

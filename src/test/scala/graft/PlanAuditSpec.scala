@@ -162,6 +162,54 @@ class PlanAuditSpec extends SparkSpec {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("TPC-H decorrelation family: q17/q2 window-decorrelate on ONE fact scan") {
+    // the correlated-scalar shapes must NOT plan as fact self-joins: the
+    // per-group aggregate is a window over the already-filtered fact, so
+    // each query reads lineitem exactly once and nothing is cartesian
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n => Seq(n) }.flatten ++
+        p.collect { case a: AdaptiveSparkPlanExec => walk(a.executedPlan) }.flatten ++
+        p.collect { case q: QueryStageExec => walk(q.plan) }.flatten
+    for (q <- Seq("q_tpch_q17", "q_tpch_q2")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val nodes = walk(df.queryExecution.executedPlan)
+      val liScans = nodes.collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => f
+      }
+      assert(liScans.size == 1, s"$q scans lineitem ${liScans.size}× (want 1)")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+      assert(p.contains("Window"), s"$q lost the window decorrelation:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q lost the broadcast dims:\n$p")
+    }
+  }
+
+  test("TPC-H q20 reads the pairs aggregate from cache; IN plans as left-semi") {
+    // pairs feeds BOTH the scalar threshold and the IN filter — without the
+    // Materialize the fact aggregate would execute twice (branch subplans
+    // are never shared); the only lineitem scan lives inside the
+    // materialization job, so the final plan touches lineitem zero times
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n => Seq(n) }.flatten ++
+        p.collect { case a: AdaptiveSparkPlanExec => walk(a.executedPlan) }.flatten ++
+        p.collect { case q: QueryStageExec => walk(q.plan) }.flatten
+    val df = SparkEntry.queries("q_tpch_q20")(spark, sfDir)
+    val nodes = walk(df.queryExecution.executedPlan)
+    val liScans = nodes.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => f
+    }
+    assert(liScans.isEmpty,
+      s"lineitem re-scanned outside the pairs cache:\n${df.queryExecution.executedPlan}")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"IN did not plan as a semi join:\n$p")
+  }
+
   test("prefix-filter dedup: every join is an equi-join, no cartesian") {
     val p = plan("dedup_prefix_filter")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
