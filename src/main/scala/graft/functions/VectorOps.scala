@@ -31,6 +31,19 @@ object VectorOps {
       .withColumn("nrm", expr(s"sqrt(${dotExpr("v", "v")})"))
   }
 
+  /** As [[normalized]] but carrying the `label` metadata column — the
+    * filtered-ANN path ("top-k WHERE label = x") needs the predicate column
+    * next to the vector so it can push to the scan / live in the index.
+    */
+  def normalizedMeta(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr(s"sqrt(${dotExpr("v", "v")})"))
+  }
+
   /** Spark SQL fragment: sequential-fold dot product of two array columns
     * (the codegen'd [[DotProduct]] expression — same fold order as the
     * composable `aggregate(zip_with(...))` form it replaced).
@@ -46,6 +59,11 @@ object VectorOps {
   val normalizedSql: String =
     s"""e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |e AS (SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM e0)""".stripMargin
+
+  /** Oracle twin of [[normalizedMeta]]: (vec_id, label, v, nrm) as `em`. */
+  val normalizedMetaSql: String =
+    s"""em0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |em AS (SELECT vec_id, label, v, sqrt(${dotSql("v", "v")}) AS nrm FROM em0)""".stripMargin
 
   /** DuckDB fragment: the same sequential-fold dot product (1-based lists). */
   def dotSql(a: String, b: String): String =

@@ -74,6 +74,77 @@ class PartitionBucketSpec extends SparkSpec {
       direct.orderBy(cols: _*).collect().toSeq)
   }
 
+  test("filtered probe on the persisted IVF index: cell pruning AND label pushdown") {
+    // hybrid search over the index — BOTH pruning layers must appear on the
+    // SAME scan: the probed-cell isin in PartitionFilters and the metadata
+    // predicate in PushedFilters; results equal the inline filtered query
+    import graft.operators.SimilarityQueries
+    val path = s"$tmp/ivf_index_f"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, path)
+    val probed = SimilarityQueries.ivfFilteredTopkFromIndex(spark, sfDir, path)
+    probed.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case f: FileSourceScanExec => Seq(f) }.flatten ++
+        p.collect { case a: AdaptiveSparkPlanExec => scans(a.executedPlan) }.flatten ++
+        p.collect { case q: QueryStageExec => scans(q.plan) }.flatten
+    val idxScan = scans(probed.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("ivf_index_f")))
+    assert(idxScan.nonEmpty, probed.queryExecution.executedPlan.toString)
+    assert(idxScan.head.metadata("PartitionFilters").contains("cell"),
+      idxScan.head.metadata("PartitionFilters"))
+    assert(idxScan.head.metadata("PushedFilters").contains("EqualTo(label,3)"),
+      idxScan.head.metadata("PushedFilters"))
+    val direct = SparkEntry.queries("ann_filtered_topk")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    assert(probed.orderBy(cols: _*).collect().toSeq ==
+      direct.orderBy(cols: _*).collect().toSeq)
+  }
+
+  test("persisted PQ index: probe reads codes + codebook only, never raw vectors") {
+    // encode-once-probe-forever, pinned: after writePqIndex the probe's
+    // only embeddings.parquet scan is the QUERY side (vec_id < N pushed to
+    // the scan); the corpus is represented exclusively by the narrow codes
+    // table, and the ranking equals the inline ann_pq_topk exactly
+    import graft.operators.SimilarityQueries
+    val path = s"$tmp/pq_index"
+    SimilarityQueries.writePqIndex(spark, sfDir, path)
+
+    val probed = SimilarityQueries.pqTopkFromIndex(spark, sfDir, path)
+    probed.collect() // finalize the adaptive plan before inspecting it
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case f: FileSourceScanExec => Seq(f) }.flatten ++
+        p.collect { case a: AdaptiveSparkPlanExec => scans(a.executedPlan) }.flatten ++
+        p.collect { case q: QueryStageExec => scans(q.plan) }.flatten
+    val allScans = scans(probed.queryExecution.executedPlan)
+    val embScans = allScans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("embeddings")))
+    // the query side is the ONLY raw-vector scan, and its filter is pushed
+    assert(embScans.nonEmpty, probed.queryExecution.executedPlan.toString)
+    embScans.foreach { f =>
+      assert(f.metadata("PushedFilters").contains("LessThan(vec_id"),
+        s"query-side filter not pushed: ${f.metadata("PushedFilters")}")
+    }
+    // the corpus side comes from the codes table — a scan of 8 small ints,
+    // with no vector column in its read schema
+    val codeScans = allScans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("pq_index/codes")))
+    assert(codeScans.nonEmpty, probed.queryExecution.executedPlan.toString)
+    codeScans.foreach { f =>
+      val schema = f.schema.fieldNames.toSet
+      assert(!schema.contains("v") && !schema.contains("embedding"),
+        s"codes scan reads vectors: $schema")
+    }
+
+    val direct = SparkEntry.queries("ann_pq_topk")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    assert(probed.orderBy(cols: _*).collect().toSeq ==
+      direct.orderBy(cols: _*).collect().toSeq)
+  }
+
   test("persisted MinHash band index: corpus side joins from its buckets, unshuffled") {
     // dedup_incremental's Scaladoc claim made a pinned plan (the IVF-index
     // move applied to text dedup): the corpus band index written bucketBy(bk)

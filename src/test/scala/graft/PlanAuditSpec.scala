@@ -210,6 +210,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"IN did not plan as a semi join:\n$p")
   }
 
+  test("filtered ANN pushes the metadata predicate to the corpus scan") {
+    // hybrid search's scale property: the label filter must reach the
+    // parquet scan (only matching rows are decoded/assigned), not run
+    // post-assignment
+    val p = plan("ann_filtered_topk")
+    assert(p.contains("EqualTo(label,3)"), p)
+  }
+
   test("prefix-filter dedup: every join is an equi-join, no cartesian") {
     val p = plan("dedup_prefix_filter")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
