@@ -945,10 +945,14 @@ object DedupQueries {
           .groupBy(md5(col("text")).as("h"))
           .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
         // NOT materialized, deliberately: the exploded (doc, shingle) table
-        // has five consumers, but persisting it was MEASURED slower (5.2 s
-        // vs 3.7 s at sf0.1) — caching the wide exploded strings costs more
-        // than re-running the cheap tokenize+shingle map pipeline per
-        // consumer. Recompute-over-cache is the right call for map-only
+        // has five consumers, but every caching variant was MEASURED slower
+        // at sf0.1 (min-of-3, same harness): recompute strings 4.05 s;
+        // persist exploded strings 5.2 s (round 7); persist the narrow
+        // (doc_id, xxhash64) digest frame 5.34 s and recompute digests
+        // 5.65 s (round 8) — the materialization barrier (or the extra
+        // hash map-stage) costs more than re-running the cheap tokenize+
+        // shingle pipeline, whose five consumers each prune/aggregate it
+        // differently. Recompute-over-cache is the right call for map-only
         // lineage; contrast minhashPairs, whose cached signature table is
         // narrow and hash-heavy to rebuild.
         val ex = shingled(reps).select(col("doc_id"), explode(col("sh")).as("x"))
