@@ -977,6 +977,275 @@ object AdvancedQueries {
               |ORDER BY s_name""".stripMargin)
     ),
 
+    // ---- TPC-H Q8 flavor: national market share ------------------------------
+    // The deepest join tree in the suite (lineitem ⋈ part ⋈ supplier ⋈
+    // orders ⋈ customer ⋈ nation×2 ⋈ region — nation joined TWICE under
+    // different roles, the classic alias-join). Every dimension broadcasts;
+    // the only shuffles are the fact⋈fact legs (orders, customer) left to
+    // AQE. Share = Σ(nation volume)/Σ(volume) with both sums exact cents⁴
+    // BIGINTs and ONE double division per year (the Q14 ratio discipline).
+    GQuery(
+      "q_tpch_q8",
+      (s, dir) => {
+        val p = broadcast(
+          Tables.part(s, dir).filter(col("p_type") === "ECONOMY").select("p_partkey"))
+        val sup = broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"))
+        val n1 = broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("c_nk"), col("n_regionkey")))
+        val n2 = broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+        val r = broadcast(
+          Tables.region(s, dir).filter(col("r_name") === "AMERICA").select("r_regionkey"))
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(n1, col("c_nationkey") === col("c_nk"))
+          .join(r, col("n_regionkey") === col("r_regionkey"))
+          .join(n2, col("s_nationkey") === col("s_nk"))
+          .select(year(col("o_orderdate")).cast("long").as("o_year"),
+            grid(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L).as("vol"),
+            col("supp_nation"))
+          .groupBy("o_year")
+          .agg(
+            sum(when(col("supp_nation") === "NATION_5", col("vol")).otherwise(0L))
+              .as("nation_cents4"),
+            sum(col("vol")).as("total_cents4"))
+          .select(col("o_year"), col("nation_cents4"), col("total_cents4"),
+            (col("nation_cents4").cast("double") / col("total_cents4").cast("double"))
+              .as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some(s"""WITH flat AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+              |    ${gridSql("l_extendedprice*(1.0-l_discount)", 10000L)} AS vol,
+              |    n2.n_name AS supp_nation
+              |  FROM lineitem JOIN part ON p_partkey = l_partkey
+              |  JOIN supplier ON s_suppkey = l_suppkey
+              |  JOIN orders ON l_orderkey = o_orderkey
+              |  JOIN customer ON o_custkey = c_custkey
+              |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              |  JOIN region ON n1.n_regionkey = r_regionkey
+              |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+              |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+              |    AND o_orderdate < TIMESTAMP '1997-01-01')
+              |SELECT o_year,
+              |  CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol ELSE 0 END) AS BIGINT) AS nation_cents4,
+              |  CAST(SUM(vol) AS BIGINT) AS total_cents4,
+              |  CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol ELSE 0 END) AS DOUBLE)
+              |    / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+              |FROM flat GROUP BY o_year ORDER BY o_year""".stripMargin)
+    ),
+
+    // ---- TPC-H Q9 flavor: product-type profit by nation and year -------------
+    // Revenue minus supply cost per line, aggregated by supplier nation ×
+    // order year. Schema adaptation: supply cost derives from the fact as
+    // in Q2 (min unit price per (part, supplier) on the cents grid).
+    // Spark-first decorrelation (the Q17 move): the pair-keyed min is a
+    // WINDOW over the part-filtered fact — ONE lineitem scan (pinned),
+    // not an aggregate-then-join-back second scan. Scoping the min to the
+    // filtered subset is lossless: a pair's rows all share one part, so
+    // the part filter keeps or drops pairs WHOLE and the pair min is
+    // unchanged (the oracle keeps the textbook global-cost form — results
+    // are identical, which the hash check proves). Profit stays in exact
+    // cents⁴ integers: grid(revenue) − cost_cents·100·qty.
+    GQuery(
+      "q_tpch_q9",
+      (s, dir) => {
+        val red = broadcast(
+          Tables.part(s, dir).filter(col("p_name").like("%red%")).select("p_partkey"))
+        val sup = broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey"))
+        val n = broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name"))
+        val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+        val w = Window.partitionBy("l_partkey", "l_suppkey")
+        Tables.lineitem(s, dir)
+          .join(red, col("l_partkey") === col("p_partkey"))
+          .withColumn("cost_cents",
+            min(grid(col("l_extendedprice") / col("l_quantity"), 100L)).over(w))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"),
+            (grid(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L) -
+              col("cost_cents") * 100L * col("l_quantity").cast("long")).as("amount"))
+          .groupBy("n_name", "o_year")
+          .agg((sum(col("amount")).cast("double") / 10000.0).as("sum_profit"))
+          .orderBy(col("n_name"), col("o_year").desc)
+      },
+      Some(s"""WITH cost AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+              |    CAST(MIN(${gridSql("l_extendedprice/l_quantity", 100L)}) AS BIGINT) AS cost_cents
+              |  FROM lineitem GROUP BY 1, 2),
+              |flat AS (SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+              |    ${gridSql("l_extendedprice*(1.0-l_discount)", 10000L)}
+              |      - cost_cents * 100 * CAST(l_quantity AS BIGINT) AS amount
+              |  FROM lineitem JOIN part ON p_partkey = l_partkey
+              |  JOIN supplier ON s_suppkey = l_suppkey
+              |  JOIN cost ON pk = l_partkey AND sk = l_suppkey
+              |  JOIN orders ON l_orderkey = o_orderkey
+              |  JOIN nation ON s_nationkey = n_nationkey
+              |  WHERE p_name LIKE '%red%')
+              |SELECT n_name, o_year, CAST(SUM(amount) AS DOUBLE) / 10000.0 AS sum_profit
+              |FROM flat GROUP BY n_name, o_year
+              |ORDER BY n_name, o_year DESC""".stripMargin)
+    ),
+
+    // ---- TPC-H Q11 flavor: important stock (global-fraction threshold) -------
+    // Per-part supply value among one region's suppliers vs a fraction of
+    // the region total — the aggregate-vs-scalar-over-same-aggregate shape.
+    // The per-part aggregate is Materialized (it feeds both the total and
+    // the filter — the Q20/pagerank branch-sharing discipline); the
+    // threshold cross-multiplies (val·n > 2·t) so no float boundary exists.
+    // Value rides an exact grid: unit cents × integral quantity.
+    GQuery(
+      "q_tpch_q11",
+      (s, dir) => {
+        val asup = broadcast(
+          Tables.supplier(s, dir)
+            .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+            .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("s_suppkey"))
+        val pv = Materialize(
+          Tables.lineitem(s, dir)
+            .join(asup, col("l_suppkey") === col("s_suppkey"), "left_semi")
+            .groupBy("l_partkey")
+            .agg(sum(grid(col("l_extendedprice") / col("l_quantity"), 100L) *
+              col("l_quantity").cast("long")).as("val_cents")))
+        val tot = broadcast(pv.agg(sum(col("val_cents")).as("t"), count(lit(1)).as("n")))
+        pv.crossJoin(tot) // 1-row broadcast scalar
+          .filter(col("val_cents") * col("n") > lit(2) * col("t"))
+          .select(col("l_partkey").as("p_partkey"), col("val_cents"))
+          .orderBy(col("val_cents").desc, col("p_partkey"))
+      },
+      Some(s"""WITH pv AS (SELECT l_partkey,
+              |    CAST(SUM(${gridSql("l_extendedprice/l_quantity", 100L)}
+              |      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS val_cents
+              |  FROM lineitem
+              |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+              |    JOIN nation ON s_nationkey = n_nationkey
+              |    JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')
+              |  GROUP BY l_partkey),
+              |tot AS (SELECT CAST(SUM(val_cents) AS BIGINT) AS t, $countStarSql AS n FROM pv)
+              |SELECT l_partkey AS p_partkey, val_cents FROM pv, tot
+              |WHERE val_cents * n > 2 * t
+              |ORDER BY val_cents DESC, p_partkey""".stripMargin)
+    ),
+
+    // ---- TPC-H Q15 flavor: top supplier(s) by quarterly revenue --------------
+    // The view-plus-correlated-max shape: revenue per supplier over a date
+    // window, then the supplier(s) achieving the maximum. The revenue
+    // aggregate is Materialized once (it feeds the 1-row max AND the
+    // equality filter); the max broadcasts back — no window over an
+    // unpartitioned frame (which would funnel every supplier through one
+    // task at scale). Revenue is an exact cents⁴ BIGINT, so `= max` cannot
+    // float-drift.
+    GQuery(
+      "q_tpch_q15",
+      (s, dir) => {
+        val rev = Materialize(
+          Tables.lineitem(s, dir)
+            .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+            .groupBy("l_suppkey")
+            .agg(sum(grid(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L))
+              .as("total_cents4")))
+        val mx = broadcast(rev.agg(max(col("total_cents4")).as("mx")))
+        Tables.supplier(s, dir)
+          .join(rev, col("s_suppkey") === col("l_suppkey"))
+          .crossJoin(mx) // 1-row broadcast scalar
+          .filter(col("total_cents4") === col("mx"))
+          .select(col("s_suppkey"), col("s_name"), col("total_cents4"))
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH rev AS (SELECT l_suppkey,
+              |    CAST(SUM(${gridSql("l_extendedprice*(1.0-l_discount)", 10000L)}) AS BIGINT) AS total_cents4
+              |  FROM lineitem
+              |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+              |  GROUP BY l_suppkey)
+              |SELECT s_suppkey, s_name, total_cents4
+              |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+              |WHERE total_cents4 = (SELECT MAX(total_cents4) FROM rev)
+              |ORDER BY s_suppkey""".stripMargin)
+    ),
+
+    // ---- TPC-H Q16 flavor: supplier diversity per part descriptor ------------
+    // COUNT(DISTINCT supplier) per (brand, type, size) with a NOT-IN
+    // exclusion — the anti-join + multi-key distinct-aggregate shape.
+    // Schema adaptation: lineitem's (part, supplier) pairs stand in for
+    // partsupp; "complaint" suppliers become negative-balance ones. The
+    // NOT IN plans as a left-anti with a one-column broadcast build side;
+    // the distinct count shuffles once on the 3-part key.
+    GQuery(
+      "q_tpch_q16",
+      (s, dir) => {
+        val bad = broadcast(
+          Tables.supplier(s, dir).filter(col("s_acctbal") < 0).select("s_suppkey"))
+        val p = broadcast(
+          Tables.part(s, dir)
+            .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+        Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      },
+      Some(s"""SELECT p_brand, p_type, p_size,
+              |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+              |FROM lineitem JOIN part ON p_partkey = l_partkey
+              |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+              |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+              |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+              |GROUP BY p_brand, p_type, p_size
+              |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+    ),
+
+    // ---- TPC-H Q19 flavor: disjunctive predicate revenue ---------------------
+    // The OR-of-ANDs shape: three (brand, size-band, quantity-band) arms
+    // that no single-column pushdown can express. The part side broadcasts
+    // (the predicate's part columns ride the broadcast build), the OR
+    // evaluates as a join residual, and quantity bands compare integral
+    // doubles — no float boundary. One exact-grid sum out.
+    GQuery(
+      "q_tpch_q19",
+      (s, dir) => {
+        val p = broadcast(
+          Tables.part(s, dir).select("p_partkey", "p_brand", "p_size"))
+        val arm1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)
+        val arm2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)
+        val arm3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)
+        Tables.lineitem(s, dir)
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .filter(arm1 || arm2 || arm3)
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sumGrid(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L)
+              .as("revenue"))
+      },
+      Some(s"""SELECT $countStarSql AS n_lines,
+              |${sumGridSql("l_extendedprice*(1.0-l_discount)", 10000L)} AS revenue
+              |FROM lineitem JOIN part ON p_partkey = l_partkey
+              |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+              |       AND l_quantity BETWEEN 1 AND 11)
+              |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+              |       AND l_quantity BETWEEN 10 AND 20)
+              |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+              |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin)
+    ),
+
     // ---- merge/upsert: apply a changeset to a snapshot -----------------------
     // The CDC shape (MERGE INTO) as pure DataFrame algebra: anti join drops
     // deletes, left join + coalesce applies updates, union appends inserts.

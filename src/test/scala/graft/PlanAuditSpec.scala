@@ -172,7 +172,7 @@ class PlanAuditSpec extends SparkSpec {
       p.collect { case n => Seq(n) }.flatten ++
         p.collect { case a: AdaptiveSparkPlanExec => walk(a.executedPlan) }.flatten ++
         p.collect { case q: QueryStageExec => walk(q.plan) }.flatten
-    for (q <- Seq("q_tpch_q17", "q_tpch_q2")) {
+    for (q <- Seq("q_tpch_q17", "q_tpch_q2", "q_tpch_q9")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       val nodes = walk(df.queryExecution.executedPlan)
       val liScans = nodes.collect {
@@ -208,6 +208,37 @@ class PlanAuditSpec extends SparkSpec {
       s"lineitem re-scanned outside the pairs cache:\n${df.queryExecution.executedPlan}")
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("LeftSemi"), s"IN did not plan as a semi join:\n$p")
+  }
+
+  test("TPC-H q8/q9/q19 broadcast dimensions, no cartesian; q16 anti-joins the NOT IN") {
+    for (q <- Seq("q_tpch_q8", "q_tpch_q9", "q_tpch_q19")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q lost the broadcast dims:\n$p")
+    }
+    val p16 = plan("q_tpch_q16")
+    assert(p16.contains("LeftAnti"), s"NOT IN did not plan as anti join:\n$p16")
+  }
+
+  test("TPC-H q11/q15 read their Materialized aggregate from cache") {
+    // both queries consume one expensive fact aggregate from two branches
+    // (scalar threshold/max + the filter) — the q20 branch-sharing
+    // discipline: the final plan must not re-scan lineitem
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n => Seq(n) }.flatten ++
+        p.collect { case a: AdaptiveSparkPlanExec => walk(a.executedPlan) }.flatten ++
+        p.collect { case q: QueryStageExec => walk(q.plan) }.flatten
+    for (q <- Seq("q_tpch_q11", "q_tpch_q15")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val liScans = walk(df.queryExecution.executedPlan).collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => f
+      }
+      assert(liScans.isEmpty,
+        s"$q re-scans lineitem outside the cache:\n${df.queryExecution.executedPlan}")
+    }
   }
 
   test("filtered ANN pushes the metadata predicate to the corpus scan") {
