@@ -136,11 +136,41 @@ object SimilarityQueries {
     * the index scan ([[ivfFilteredTopkFromIndex]]). PartitionBucketSpec
     * pins the pruning.
     */
-  def writeIvfIndex(s: SparkSession, dir: String, path: String): Unit = {
+  def writeIvfIndex(s: SparkSession, dir: String, path: String): Unit =
+    writeIvfIndexWhere(s, dir, path, lit(true))
+
+  /** Build the index over a corpus subset (the bootstrap step of an
+    * incremental-ingest lifecycle; seeds always come from the full corpus
+    * so cell geometry is stable across later appends).
+    */
+  def writeIvfIndexWhere(
+      s: SparkSession, dir: String, path: String,
+      pred: org.apache.spark.sql.Column): Unit = {
     val e = VectorOps.normalizedMeta(s, dir)
-    assignToSeeds(e, seedSet(e))
+    assignToSeeds(e.filter(pred), seedSet(e))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("seed_id").as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Incremental index maintenance — the 100 TB ingest path: new vectors
+    * are assigned against the index's EXISTING seed set (cells never move
+    * once built) and appended into their cell partitions. No rebuild, no
+    * rewrite of standing files — each append touches only the partitions
+    * its rows land in, and probes see old + new rows identically
+    * (append-parity pinned in PartitionBucketSpec). `newRows` carries the
+    * embeddings schema (vec_id, embedding, label).
+    */
+  def appendIvfIndex(
+      s: SparkSession, dir: String, path: String, newRows: DataFrame): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    val seeds = seedSet(VectorOps.normalizedMeta(s, dir))
+    val nw = newRows
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr(s"sqrt(${VectorOps.dotExpr("v", "v")})"))
+    assignToSeeds(nw, seeds)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("seed_id").as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
   }
 
   /** Same result as `ann_ivf_topk`, but candidates come from the PERSISTED

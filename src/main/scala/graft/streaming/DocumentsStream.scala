@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.operators.DedupQueries
+
+/** Streaming document ingestion against the persisted dedup index — the
+  * production shape for "is this arriving document a near-dup of anything we
+  * already hold?".
+  *
+  * Each micro-batch of documents is MinHash-signed and banded (the exact
+  * pipeline `dedup_incremental` uses) inside `foreachBatch`, then equi-joined
+  * against the BUCKETED corpus band index (`DedupQueries.writeBandIndex`).
+  * Scale shape per trigger: the standing corpus is never re-shuffled — the
+  * index side feeds the join straight from its buckets (the plan
+  * PartitionBucketSpec pins for the batch path); the only exchange is the
+  * (small) arriving batch, and candidates per band key are bounded by that
+  * key's corpus frequency. Output: distinct (doc_id, c_id) candidate pairs
+  * appended per batch — exact-verification (Jaccard) of survivors is the
+  * same downstream step as the batch path and keys only candidate pairs.
+  *
+  * Exactly-once: the parquet append is at-least-once on micro-batch retry
+  * (same caveat as [[EventsStream.runAsofEnriched]]); production keys the
+  * write by batchId or uses the epoch-deduplicating V2 sink.
+  */
+object DocumentsStream {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** Read a parquet directory of (doc_id, text) as a bounded stream. */
+  def readDocs(spark: SparkSession, inPath: String): DataFrame =
+    spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 1) // several micro-batches, not one gulp
+      .parquet(inPath)
+
+  /** Drain `inPath` with Trigger.AvailableNow, joining every micro-batch
+    * against `indexTable` (a [[DedupQueries.writeBandIndex]] bucketed
+    * table); candidate pairs land under `outPath`.
+    */
+  def runIncrementalDedup(
+      spark: SparkSession, inPath: String, indexTable: String,
+      outPath: String, checkpoint: String): Unit = {
+    val q = readDocs(spark, inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val bands = DedupQueries.bandKeysOf(DedupQueries.signaturesOf(batch.toDF()))
+        val idx = spark.table(indexTable)
+          .select(col("doc_id").as("c_id"), col("bk"))
+        bands.join(idx, "bk")
+          .select("doc_id", "c_id").distinct()
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

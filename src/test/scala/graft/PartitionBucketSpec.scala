@@ -74,6 +74,22 @@ class PartitionBucketSpec extends SparkSpec {
       direct.orderBy(cols: _*).collect().toSeq)
   }
 
+  test("incremental IVF append: bootstrap + append probes equal the full index") {
+    // the ingest lifecycle: build the index over part of the corpus, append
+    // the remainder against the SAME seed set — probes over the incremental
+    // index must equal the inline full-corpus query (cells never move)
+    import graft.operators.SimilarityQueries
+    val path = s"$tmp/ivf_index_inc"
+    SimilarityQueries.writeIvfIndexWhere(spark, sfDir, path, col("vec_id") < 400)
+    SimilarityQueries.appendIvfIndex(spark, sfDir, path,
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") >= 400))
+    val probed = SimilarityQueries.ivfTopkFromIndex(spark, sfDir, path)
+    val direct = SparkEntry.queries("ann_ivf_topk")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    assert(probed.orderBy(cols: _*).collect().toSeq ==
+      direct.orderBy(cols: _*).collect().toSeq)
+  }
+
   test("filtered probe on the persisted IVF index: cell pruning AND label pushdown") {
     // hybrid search over the index — BOTH pruning layers must appear on the
     // SAME scan: the probed-cell isin in PartitionFilters and the metadata

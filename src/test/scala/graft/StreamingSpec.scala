@@ -271,6 +271,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == direct.toSeq)
   }
 
+  test("streaming incremental dedup joins micro-batches against the band index") {
+    // the streaming twin of dedup_incremental: arriving documents are
+    // banded per micro-batch and joined against the persisted BUCKETED
+    // corpus index — candidates must equal the inline batch derivation,
+    // and the drain must actually run in multiple micro-batches
+    import graft.operators.DedupQueries
+    import graft.streaming.DocumentsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-docstream").toString
+    val thr = DedupQueries.writeBandIndex(spark, sfDir, "band_idx_stream", s"$base/idx")
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // the simulated arriving batch, split over several files → several triggers
+    d.filter(col("doc_id") >= thr).repartition(3)
+      .write.mode("overwrite").parquet(s"$base/in")
+    DocumentsStream.runIncrementalDedup(
+      spark, s"$base/in", "band_idx_stream", s"$base/out", s"$base/ckpt")
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected several micro-batches, got $commits")
+    val got = spark.read.parquet(s"$base/out")
+      .orderBy("doc_id", "c_id").collect()
+    val all = DedupQueries.bandKeysOf(DedupQueries.signaturesOf(d))
+    val inline = all.filter(col("doc_id") >= thr)
+      .join(all.filter(col("doc_id") < thr).select(col("doc_id").as("c_id"), col("bk")), "bk")
+      .select("doc_id", "c_id").distinct()
+      .orderBy("doc_id", "c_id").collect()
+    assert(got.nonEmpty && got.toSeq == inline.toSeq)
+  }
+
   test("stateful dedup on the RocksDB state store equals batch distinct") {
     // the bounded-heap state path a 100 TB streaming deployment runs on:
     // same query, state provider swapped to RocksDB — results must be
