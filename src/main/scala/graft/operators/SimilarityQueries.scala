@@ -284,6 +284,52 @@ object SimilarityQueries {
       .select("q_id", "rank", "cand_id", "cos")
   }
 
+  /** The fully-persisted IVF-PQ serving path — both indexes on disk, the
+    * probe touching NO raw corpus vector anywhere: candidate cells
+    * partition-prune the IVF index (read as (vec_id, cell) — column
+    * pruning drops the stored vectors), survivors rank through the codes
+    * table + codebook ADC exactly as [[pqTopkFromIndex]]. The query side
+    * is the only embeddings read (vec_id < N pushed). This is the shape a
+    * 100 TB deployment actually serves: both encodes ran once, at build
+    * time; a probe's IO is probed-cell membership lists + narrow codes.
+    * Results equal the inline `ann_ivfpq_topk` (pinned with the
+    * no-raw-vector scan audit in PartitionBucketSpec).
+    */
+  def ivfPqTopkFromIndex(
+      s: SparkSession, dir: String, ivfPath: String, pqPath: String): DataFrame = {
+    val S = 8; val C = PQ_C
+    val e = VectorOps.normalized(s, dir)
+    val seeds = seedSet(e)
+    val probes = queryProbes(e, seeds).withColumnRenamed("seed_id", "cell")
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val members = s.read.parquet(ivfPath)
+      .filter(col("cell").isin(probedCells.map(c => c.toInt: Any): _*))
+      .withColumn("cell", col("cell").cast("long"))
+      .select("cell", "vec_id")
+    val cand = probes.select("q_id", "cell").join(members, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val qsubs = subvectors(
+      e.filter(col("vec_id") < N_QUERIES).select("vec_id", "v"))
+    val cents = broadcast(s.read.parquet(s"$pqPath/codebook"))
+    val qdists = qsubs.join(cents, "ss")
+      .select(col("vec_id"), col("ss"), col("cid"), expr(pqDistExpr).as("dist"))
+    val dtabCols = for { j <- 0 until S; c <- 0 until C } yield
+      max(when(col("ss") === j && col("cid") === c, col("dist"))).as(s"d_${j}_$c")
+    val dtab = broadcast(
+      qdists.groupBy(col("vec_id").as("q_id")).agg(dtabCols.head, dtabCols.tail: _*))
+    val codes = s.read.parquet(s"$pqPath/codes")
+    val pairs = cand
+      .join(codes, "vec_id")
+      .join(dtab, "q_id")
+      .select(col("q_id"), col("vec_id").as("cand_id"), expr(pqAdcExpr).as("adc"))
+    val rw = Window.partitionBy("q_id").orderBy(col("adc"), col("cand_id"))
+    pairs.withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select("q_id", "rank", "cand_id", "adc")
+  }
+
   /** Product-quantization top-k (the third ANN family, after IVF and LSH):
     * the 64-dim space splits into 8 contiguous 8-dim subspaces; each
     * subspace gets 4 seeded centroids (subvectors of vec_id < 4 — the

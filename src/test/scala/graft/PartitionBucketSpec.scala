@@ -161,6 +161,48 @@ class PartitionBucketSpec extends SparkSpec {
       direct.orderBy(cols: _*).collect().toSeq)
   }
 
+  test("persisted IVF-PQ probe: cells prune, no scan reads a raw corpus vector") {
+    // the fully-persisted serving path: IVF index supplies cell membership
+    // (partition-pruned, column-pruned to (cell, vec_id)), PQ codes rank —
+    // the ONLY vector read anywhere is the pushed-filter query side, and
+    // the ranking equals the inline ann_ivfpq_topk
+    import graft.operators.SimilarityQueries
+    val ivfPath = s"$tmp/ivfpq_ivf"
+    val pqPath = s"$tmp/ivfpq_pq"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, ivfPath)
+    SimilarityQueries.writePqIndex(spark, sfDir, pqPath)
+    val probed = SimilarityQueries.ivfPqTopkFromIndex(spark, sfDir, ivfPath, pqPath)
+    probed.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case f: FileSourceScanExec => Seq(f) }.flatten ++
+        p.collect { case a: AdaptiveSparkPlanExec => scans(a.executedPlan) }.flatten ++
+        p.collect { case q: QueryStageExec => scans(q.plan) }.flatten
+    val allScans = scans(probed.queryExecution.executedPlan)
+    // IVF index scan: partition-pruned AND column-pruned (no stored vector)
+    val idxScans = allScans.filter(
+      _.metadata.get("Location").exists(_.contains("ivfpq_ivf")))
+    assert(idxScans.nonEmpty, probed.queryExecution.executedPlan.toString)
+    idxScans.foreach { f =>
+      assert(f.metadata("PartitionFilters").contains("cell"),
+        f.metadata("PartitionFilters"))
+      assert(!f.schema.fieldNames.contains("v"),
+        s"IVF membership scan reads stored vectors: ${f.schema.fieldNames.mkString(",")}")
+    }
+    // every embeddings scan is the query side (filter pushed)
+    allScans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("embeddings")))
+      .foreach { f =>
+        assert(f.metadata("PushedFilters").contains("LessThan(vec_id"),
+          s"corpus-side raw-vector scan leaked: ${f.metadata("PushedFilters")}")
+      }
+    val direct = SparkEntry.queries("ann_ivfpq_topk")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    assert(probed.orderBy(cols: _*).collect().toSeq ==
+      direct.orderBy(cols: _*).collect().toSeq)
+  }
+
   test("persisted MinHash band index: corpus side joins from its buckets, unshuffled") {
     // dedup_incremental's Scaladoc claim made a pinned plan (the IVF-index
     // move applied to text dedup): the corpus band index written bucketBy(bk)
