@@ -181,8 +181,21 @@ object SimilarityQueries {
     */
   def ivfTopkFromIndex(s: SparkSession, dir: String, path: String): DataFrame = {
     val e = VectorOps.normalized(s, dir)
-    val seeds = seedSet(e)
-    val q = e.filter(col("vec_id") < N_QUERIES)
+    ivfProbeIndex(s, dir, path,
+      e.filter(col("vec_id") < N_QUERIES).select("vec_id", "v", "nrm"))
+  }
+
+  /** The serving entry point: probe the persisted index for an ARBITRARY
+    * query-vector frame (vec_id, v, nrm) — the registered probe above and
+    * the streaming path ([[graft.streaming.EmbeddingsStream]]) both
+    * delegate here. Per-query independence: a query's result depends only
+    * on its own probes + the index, so any batching of queries (one shot,
+    * micro-batches) yields identical per-query rows.
+    */
+  def ivfProbeIndex(
+      s: SparkSession, dir: String, path: String, queries: DataFrame): DataFrame = {
+    val seeds = seedSet(VectorOps.normalized(s, dir))
+    val q = queries
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val pw = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("seed_id"))
     val probes = q.join(seeds)
@@ -208,6 +221,32 @@ object SimilarityQueries {
     cand.withColumn("rank", row_number().over(rw).cast("long"))
       .filter(col("rank") <= TOP_K)
       .select("q_id", "rank", "cand_id", "cos")
+  }
+
+  /** Compact an IVF index after many appends — the small-file maintenance
+    * step of the ingest lifecycle: each append leaves one file per touched
+    * cell, and a year of micro-batches turns probes into
+    * thousands-of-tiny-files IO. Rewrite clusters each cell's rows into
+    * ONE file (repartition by cell, then partitionBy — every cell's rows
+    * land in a single task), written beside the index and atomically
+    * swapped via FileSystem rename, so a concurrent probe sees the old or
+    * the new layout, never a half-written one. Content — and therefore
+    * every probe result — is unchanged (pinned in PartitionBucketSpec).
+    */
+  def compactIvfIndex(s: SparkSession, path: String): Unit = {
+    val tmpPath = s"${path}__compact"
+    s.read.parquet(path)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmpPath)
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tp = new org.apache.hadoop.fs.Path(tmpPath)
+    val fs = p.getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(s"${path}__old")
+    require(fs.rename(p, old), s"compactIvfIndex: could not move $path aside")
+    require(fs.rename(tp, p), s"compactIvfIndex: could not swap $tmpPath into place")
+    fs.delete(old, true)
+    ()
   }
 
   /** The nprobe nearest cells per query (q_id, qv, qn, seed_id) — shared by

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
+
+import graft.functions.VectorOps
+import graft.operators.SimilarityQueries
+
+/** Streaming ANN serving — arriving query vectors answered from the
+  * PERSISTED IVF index per micro-batch.
+  *
+  * Each trigger normalizes its batch of query vectors and delegates to
+  * [[SimilarityQueries.ivfProbeIndex]]: the probed-cell list partition-prunes
+  * the index scan per batch, so a trigger's IO is the handful of cells its
+  * queries hit — the index itself is never re-shuffled or re-encoded.
+  * Per-query independence (a query's top-k depends only on its own probes +
+  * the static index) makes micro-batched serving EXACTLY equal to one-shot
+  * batch probing, which StreamingSpec pins.
+  *
+  * Exactly-once: the parquet append is at-least-once on retry (same caveat
+  * as [[EventsStream.runAsofEnriched]]); production keys by batchId or uses
+  * the epoch-deduplicating V2 sink.
+  */
+object EmbeddingsStream {
+
+  val vecSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Read a parquet directory of embeddings rows as a bounded stream. */
+  def readVectors(spark: SparkSession, inPath: String): DataFrame =
+    spark.readStream
+      .schema(vecSchema)
+      .option("maxFilesPerTrigger", 1) // several micro-batches, not one gulp
+      .parquet(inPath)
+
+  /** Drain `inPath` with Trigger.AvailableNow, probing `indexPath` for each
+    * micro-batch's query vectors; (q_id, rank, cand_id, cos) rows land
+    * under `outPath`.
+    */
+  def runAnnProbe(
+      spark: SparkSession, dir: String, inPath: String, indexPath: String,
+      outPath: String, checkpoint: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val q = readVectors(spark, inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val queries = batch.toDF()
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("nrm", expr(s"sqrt(${VectorOps.dotExpr("v", "v")})"))
+        SimilarityQueries.ivfProbeIndex(spark, dir, indexPath, queries)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -90,6 +90,31 @@ class PartitionBucketSpec extends SparkSpec {
       direct.orderBy(cols: _*).collect().toSeq)
   }
 
+  test("IVF index compaction: one file per cell afterwards, probe parity preserved") {
+    // appends accumulate one file per touched cell per batch; compaction
+    // must collapse each cell to a single file, atomically, without
+    // changing any probe result
+    import graft.operators.SimilarityQueries
+    val path = s"$tmp/ivf_index_cmp"
+    SimilarityQueries.writeIvfIndexWhere(spark, sfDir, path, col("vec_id") < 300)
+    SimilarityQueries.appendIvfIndex(spark, sfDir, path,
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") >= 300 && col("vec_id") < 400))
+    SimilarityQueries.appendIvfIndex(spark, sfDir, path,
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") >= 400))
+    def filesPerCell: Seq[Int] = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cell=")).toSeq
+      .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(filesPerCell.exists(_ > 1), s"appends did not fragment: $filesPerCell")
+    SimilarityQueries.compactIvfIndex(spark, path)
+    val after = filesPerCell
+    assert(after.nonEmpty && after.forall(_ == 1), s"not compacted: $after")
+    val probed = SimilarityQueries.ivfTopkFromIndex(spark, sfDir, path)
+    val direct = SparkEntry.queries("ann_ivf_topk")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    assert(probed.orderBy(cols: _*).collect().toSeq ==
+      direct.orderBy(cols: _*).collect().toSeq)
+  }
+
   test("filtered probe on the persisted IVF index: cell pruning AND label pushdown") {
     // hybrid search over the index — BOTH pruning layers must appear on the
     // SAME scan: the probed-cell isin in PartitionFilters and the metadata

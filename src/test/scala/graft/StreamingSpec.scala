@@ -299,6 +299,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == inline.toSeq)
   }
 
+  test("streaming ANN probe from the persisted index equals the batch top-k") {
+    // micro-batched serving: arriving query vectors probe the persisted
+    // IVF index per trigger; per-query independence makes the multi-batch
+    // drain exactly equal to the one-shot batch probe (= ann_ivf_topk)
+    import graft.operators.SimilarityQueries
+    import graft.streaming.EmbeddingsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-vecstream").toString
+    SimilarityQueries.writeIvfIndex(spark, sfDir, s"$base/idx")
+    Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10).repartition(3)
+      .write.mode("overwrite").parquet(s"$base/in")
+    EmbeddingsStream.runAnnProbe(
+      spark, sfDir, s"$base/in", s"$base/idx", s"$base/out", s"$base/ckpt")
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected several micro-batches, got $commits")
+    val direct = SparkEntry.queries("ann_ivf_topk")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    val got = spark.read.parquet(s"$base/out")
+      .select(cols: _*).orderBy(cols: _*).collect()
+    assert(got.nonEmpty && got.toSeq == direct.orderBy(cols: _*).collect().toSeq)
+  }
+
   test("stateful dedup on the RocksDB state store equals batch distinct") {
     // the bounded-heap state path a 100 TB streaming deployment runs on:
     // same query, state provider swapped to RocksDB — results must be
