@@ -336,7 +336,6 @@ object SimilarityQueries {
     */
   def ivfPqTopkFromIndex(
       s: SparkSession, dir: String, ivfPath: String, pqPath: String): DataFrame = {
-    val S = 8; val C = PQ_C
     val e = VectorOps.normalized(s, dir)
     val seeds = seedSet(e)
     val probes = queryProbes(e, seeds).withColumnRenamed("seed_id", "cell")
@@ -349,15 +348,7 @@ object SimilarityQueries {
     val cand = probes.select("q_id", "cell").join(members, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id").distinct()
-    val qsubs = subvectors(
-      e.filter(col("vec_id") < N_QUERIES).select("vec_id", "v"))
-    val cents = broadcast(s.read.parquet(s"$pqPath/codebook"))
-    val qdists = qsubs.join(cents, "ss")
-      .select(col("vec_id"), col("ss"), col("cid"), expr(pqDistExpr).as("dist"))
-    val dtabCols = for { j <- 0 until S; c <- 0 until C } yield
-      max(when(col("ss") === j && col("cid") === c, col("dist"))).as(s"d_${j}_$c")
-    val dtab = broadcast(
-      qdists.groupBy(col("vec_id").as("q_id")).agg(dtabCols.head, dtabCols.tail: _*))
+    val dtab = queryAdcTable(s, dir, pqPath)
     val codes = s.read.parquet(s"$pqPath/codes")
     val pairs = cand
       .join(codes, "vec_id")
@@ -496,25 +487,27 @@ object SimilarityQueries {
     * persisted codebook. Parity: codebook doubles round-trip parquet
     * exactly, so every distance is bit-identical to the inline pipeline.
     */
-  def pqTopkFromIndex(s: SparkSession, dir: String, path: String): DataFrame = {
+  /** Query-side ADC distance table against a PERSISTED codebook: only the
+    * query vectors are read (filter pushed), the 64-row codebook
+    * broadcasts. Shared by the flat and IVF-composed from-index probes.
+    */
+  private def queryAdcTable(s: SparkSession, dir: String, pqPath: String): DataFrame = {
     val S = 8; val C = PQ_C
     val qsubs = subvectors(
       VectorOps.normalized(s, dir).filter(col("vec_id") < N_QUERIES).select("vec_id", "v"))
-    val cents = broadcast(s.read.parquet(s"$path/codebook"))
+    val cents = broadcast(s.read.parquet(s"$pqPath/codebook"))
     val qdists = qsubs.join(cents, "ss")
       .select(col("vec_id"), col("ss"), col("cid"), expr(pqDistExpr).as("dist"))
     val dtabCols = for { j <- 0 until S; c <- 0 until C } yield
       max(when(col("ss") === j && col("cid") === c, col("dist"))).as(s"d_${j}_$c")
-    val dtab = broadcast(
+    broadcast(
       qdists.groupBy(col("vec_id").as("q_id")).agg(dtabCols.head, dtabCols.tail: _*))
+  }
+
+  def pqTopkFromIndex(s: SparkSession, dir: String, path: String): DataFrame = {
+    val dtab = queryAdcTable(s, dir, path)
     val codes = s.read.parquet(s"$path/codes")
-    val pairs = codes.crossJoin(dtab) // 10-row broadcast
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("cand_id"), expr(pqAdcExpr).as("adc"))
-    val rw = Window.partitionBy("q_id").orderBy(col("adc"), col("cand_id"))
-    pairs.withColumn("rank", row_number().over(rw).cast("long"))
-      .filter(col("rank") <= TOP_K)
-      .select("q_id", "rank", "cand_id", "adc")
+    adcTopk(codes, dtab)
   }
 
   private def pqAdcExpr: String =
