@@ -592,6 +592,90 @@ object TextQueries {
              |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
              |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
              |FROM raw ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- source overlap matrix (which crawls cover the same content?) -------
+    // The curation audit run before mixing corpora: pairwise shingle-
+    // vocabulary overlap between sources — high overlap means two "sources"
+    // are re-crawls/mirrors and mixing them double-counts content. Shape:
+    // distinct (shingle-digest, source) presence (one shuffle on the
+    // digest), then a digest equi-self-join whose per-digest candidate list
+    // is bounded by the SOURCE COUNT (presence rows are distinct), never by
+    // raw term frequency — so the pair space is ≤ sources²/2 per digest no
+    // matter how common the shingle, and the output is one row per source
+    // pair. Jaccard is exact integer arithmetic (permyriad div).
+    GQuery(
+      "pipeline_source_overlap",
+      (s, dir) => {
+        val ex = Tables.documents(s, dir)
+          .filter(size(split(col("text"), " ")) >= 3)
+          .select(col("source"), split(col("text"), " ").as("toks"))
+          .select(col("source"), explode(expr(
+            "array_distinct(transform(sequence(0, size(toks) - 3), " +
+              "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))")).as("g"))
+          .select(col("source"), md5(col("g")).as("h")).distinct()
+        val sz = ex.groupBy("source").agg(count(lit(1)).as("n"))
+        ex.as("a")
+          .join(ex.as("b"), col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(sz.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
+          .join(broadcast(sz.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            expr("n_shared * 10000 div (na + nb - n_shared)").as("jac_permyriad"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH t0 AS (SELECT source, string_split(text, ' ') AS toks FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 3),
+             |sh AS (SELECT source, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+             |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS g FROM t0),
+             |ex AS (SELECT DISTINCT source, md5(g) AS h FROM sh),
+             |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY source),
+             |pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+             |    CAST(COUNT(*) AS BIGINT) AS n_shared
+             |  FROM ex a JOIN ex b ON a.h = b.h AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT source_a, source_b, n_shared,
+             |  n_shared * 10000 // (sza.n + szb.n - n_shared) AS jac_permyriad
+             |FROM pairs JOIN sz sza ON source_a = sza.source
+             |JOIN sz szb ON source_b = szb.source
+             |ORDER BY source_a, source_b""".stripMargin)
+    ),
+
+    // ---- per-source corpus profile -------------------------------------------
+    // The per-provenance report a curation run keeps alongside the mix:
+    // volume, language spread, exact-duplicate burden per source. Two
+    // aggregates (per (source, text-digest), then per source) joined to the
+    // base stats on the tiny source key — everything exact integers.
+    GQuery(
+      "pipeline_source_stats",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val byText = d.groupBy(col("source"), md5(col("text")).as("h"))
+          .agg(count(lit(1)).as("n"))
+        val dup = byText.groupBy("source").agg(
+          count(lit(1)).as("n_texts"),
+          sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup_docs"))
+        d.groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .join(dup, "source")
+          .orderBy("source")
+      },
+      Some("""WITH byText AS (SELECT source, md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY 1, 2),
+             |dup AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_texts,
+             |    CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_docs
+             |  FROM byText GROUP BY source),
+             |base AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+             |  FROM documents GROUP BY source)
+             |SELECT base.source, n_docs, n_langs, sum_chars, n_texts, n_dup_docs
+             |FROM base JOIN dup ON base.source = dup.source
+             |ORDER BY base.source""".stripMargin)
     )
   )
 }
