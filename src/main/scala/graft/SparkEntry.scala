@@ -25,6 +25,7 @@ object SparkEntry {
       AdvancedQueries.defs ++
       EventQueries.defs ++
       TextQueries.defs ++
+      SearchQueries.defs ++
       DedupQueries.defs ++
       SimilarityQueries.defs ++
       MultimodalQueries.defs

@@ -1,0 +1,238 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import graft.functions.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Keyword search (BM25) and hybrid keyword+vector retrieval — the "search"
+  * serving surface next to the ANN suite (builder mandate: a training-data
+  * engine's retrieval side needs lexical ranking, not just embeddings).
+  *
+  * Scoring is BM25 with k1=1.2, b=0.75 re-expressed as EXACT integer
+  * arithmetic: the classic formulation needs ln() for IDF, and libm last-ulp
+  * drift between engines could flip ranks, so we use the Robertson rational
+  * IDF (N - df + 0.5)/(df + 0.5) = (2N - 2df + 1)/(2df + 1) and evaluate the
+  * whole per-term score as a chain of positive-integer multiplications and
+  * floor divisions (`div` in Spark, `//` in DuckDB — identical flooring on
+  * positive longs, the q_pagerank_iter discipline). Scores land on a micro
+  * (1e6) grid; sums of longs are bit-exact on both engines. Headroom: the
+  * widest intermediate is idf_micro * tfsat_micro <= (2N·1e6/3)·2.2e6, safe
+  * in int64 up to N ≈ 1e6 docs per shard; a 100 TB corpus shards the
+  * doc-id space (scores only ever compare within a query, and N/df/tt are
+  * per-shard constants folded at plan time).
+  *
+  * Scale shape: the registered inline query derives postings (term, doc_id,
+  * tf, dl) from the corpus — that derivation IS the one-time index build.
+  * The serving path is [[writeSearchIndex]]/[[bm25TopkFromIndex]]: postings
+  * persisted as a table BUCKETED BY term, so a probe (a) pushes its term
+  * list to the scan as an In filter, (b) computes per-term df by a groupBy
+  * that rides the bucketing (no exchange), and (c) never touches the raw
+  * `text` column — the only shuffle left is the tiny (q_id, doc_id) score
+  * aggregate. PartitionBucketSpec pins exactly that plan.
+  */
+object SearchQueries {
+
+  private val TOP_K = 10
+  /** Reciprocal-rank-fusion constant (Cormack et al.'s k=60). */
+  private val RRF_K = 60
+
+  /** Fixed query set: terms drawn from the synthetic corpus vocabulary.
+    * q_ids double as the query-vector ids on the hybrid path (query q's
+    * vector is embeddings.vec_id == q_id, the ANN suite's convention).
+    */
+  private val QUERY_TERMS: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "join", "fast"),
+    1L -> Seq("hash", "table", "scan"),
+    2L -> Seq("vector", "stream", "window"),
+    3L -> Seq("customer", "order", "query"))
+
+  private val N_QUERIES = QUERY_TERMS.size
+
+  private def queryTerms(s: SparkSession): DataFrame =
+    s.createDataFrame(QUERY_TERMS.flatMap { case (q, ts) => ts.map(t => (q, t)) })
+      .toDF("q_id", "term")
+
+  private def queryTermsSql: String =
+    QUERY_TERMS.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .zipWithIndex
+      .map { case ((q, t), i) =>
+        if (i == 0) s"(CAST($q AS BIGINT), '$t')" else s"($q, '$t')"
+      }
+      .mkString("q(q_id, term) AS (VALUES ", ", ", ")")
+
+  /** Per-(query, doc, term) BM25 partial score on the micro grid. Fully
+    * parenthesized; `div` token differs per engine ("div" / "//"). Inputs:
+    * tf, df, dl, n_docs, tt — all positive longs.
+    *  - avgdl_milli   = (tt*1000) div n_docs
+    *  - norm_milli    = 250 + (750*dl*1000) div avgdl_milli      ; 1-b+b*dl/avgdl
+    *  - denom_milli   = tf*1000 + (1200*norm_milli) div 1000     ; tf + k1*norm
+    *  - tfsat_micro   = (tf*2200*1000000) div denom_milli        ; tf(k1+1)/denom
+    *  - idf_micro     = ((2N-2df+1)*1000000) div (2df+1)
+    *  - score_micro   = (idf_micro * tfsat_micro) div 1000000
+    */
+  private def scoreExpr(div: String): String =
+    s"((((2*n_docs - 2*df + 1) * 1000000) $div (2*df + 1)) * " +
+      s"((tf * 2200 * 1000000) $div ((tf * 1000) + " +
+      s"((1200 * (250 + ((750 * dl * 1000) $div ((tt * 1000) $div n_docs)))) $div 1000)))) $div 1000000"
+
+  /** Rank docs per query given postings (term, doc_id, tf, dl), per-term df,
+    * and the 1-row corpus stats (n_docs, tt). Query/df/stats sides are all
+    * broadcast — the postings side is never shuffled before scoring.
+    */
+  private def bm25Rank(
+      postings: DataFrame, dfF: DataFrame, stats: DataFrame, q: DataFrame): DataFrame = {
+    val scored = postings
+      .join(broadcast(q), Seq("term"))
+      .join(broadcast(dfF), Seq("term"))
+      .crossJoin(broadcast(stats)) // 1-row bound
+      .withColumn("score_t", expr(scoreExpr("div")))
+    val aggd = scored.groupBy("q_id", "doc_id").agg(sum(col("score_t")).as("score"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+    aggd.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select("q_id", "rank", "doc_id", "score")
+  }
+
+  /** Inline postings/df/stats derivation (= the index build, run in-query so
+    * the oracle can mirror it).
+    */
+  private def bm25Inline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val postings = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+    val dfF = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("tt"))
+    bm25Rank(postings, dfF, stats, queryTerms(s))
+  }
+
+  /** Oracle CTE block ending in `ranked` (q_id, doc_id, score, rank). */
+  private def bm25Sql: String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |dlt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tt FROM documents),
+       |tft AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+       |dft AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1),
+       |$queryTermsSql,
+       |scored AS (SELECT q.q_id, tft.doc_id, ${scoreExpr("//")} AS score_t
+       |  FROM tft JOIN q USING (term) JOIN dft USING (term)
+       |  JOIN dlt ON tft.doc_id = dlt.doc_id CROSS JOIN stats),
+       |aggd AS (SELECT q_id, doc_id, CAST(SUM(score_t) AS BIGINT) AS score
+       |  FROM scored GROUP BY 1, 2),
+       |ranked AS (SELECT q_id, doc_id, score,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM aggd)""".stripMargin
+
+  // ---- persisted inverted index (the 100 TB serving layout) ---------------
+
+  /** Write the inverted index: postings (term, doc_id, tf, dl) as a table
+    * bucketed+sorted by term, plus the 1-row corpus stats beside it. Built
+    * once per corpus version; probes never re-derive anything from `text`.
+    */
+  def writeSearchIndex(s: SparkSession, dir: String, table: String, path: String): Unit = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .select("term", "doc_id", "tf", "dl")
+      .write.mode("overwrite")
+      .bucketBy(8, "term").sortBy("term")
+      .option("path", path)
+      .saveAsTable(table)
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("tt"))
+      .write.mode("overwrite").parquet(s"${path}_stats")
+  }
+
+  /** Probe the persisted index with the fixed query set: the term In-filter
+    * pushes to the postings scan, df rides the term bucketing (no exchange),
+    * and raw document text is never read. Results equal the inline query.
+    */
+  def bm25TopkFromIndex(s: SparkSession, table: String, path: String): DataFrame = {
+    val terms = QUERY_TERMS.flatMap(_._2).distinct
+    val p = s.table(table).filter(col("term").isin(terms: _*))
+    val dfF = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = s.read.parquet(s"${path}_stats")
+    bm25Rank(p, dfF, stats, queryTerms(s)).orderBy("q_id", "rank")
+  }
+
+  // ---- registry -----------------------------------------------------------
+
+  val defs: Seq[GQuery] = Seq(
+
+    GQuery(
+      "search_bm25_topk",
+      (s, dir) => bm25Inline(s, dir).orderBy("q_id", "rank"),
+      Some(s"""WITH $bm25Sql
+              |SELECT q_id, rank, doc_id, score FROM ranked WHERE rank <= $TOP_K
+              |ORDER BY q_id, rank""".stripMargin)
+    ),
+
+    // Hybrid retrieval: BM25 top-10 fused with cosine top-10 by reciprocal
+    // rank fusion — rrf = Σ_lists 1e6 div (60 + rank), pure integer so the
+    // fusion can never drift cross-engine even though the vector ranks come
+    // from double cosines (identical operation trees, the ANN parity
+    // contract). Docs in only one list get that list's contribution. The
+    // vector side broadcasts 4 query vectors against the corpus — linear
+    // scan, no corpus shuffle; at 100 TB it would swap in an index probe
+    // (ivfTopkFromIndex) without touching the fusion.
+    GQuery(
+      "search_hybrid_rrf",
+      (s, dir) => {
+        val bm = bm25Inline(s, dir)
+          .select(col("q_id"), col("doc_id"), col("rank").as("rank_t"))
+        val e = VectorOps.normalized(s, dir)
+        val q = broadcast(
+          e.filter(col("vec_id") < N_QUERIES)
+            .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+        val vw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("doc_id"))
+        val vr = e.join(q, col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("doc_id"),
+            VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
+          .withColumn("rank_v", row_number().over(vw).cast("long"))
+          .filter(col("rank_v") <= TOP_K)
+          .select("q_id", "doc_id", "rank_v")
+        val fused = bm.join(vr, Seq("q_id", "doc_id"), "full_outer")
+          .select(col("q_id"), col("doc_id"),
+            expr(s"coalesce(1000000 div ($RRF_K + rank_t), 0) + " +
+              s"coalesce(1000000 div ($RRF_K + rank_v), 0)").as("rrf_micro"))
+        val fw = Window.partitionBy("q_id").orderBy(col("rrf_micro").desc, col("doc_id"))
+        fused.withColumn("rank", row_number().over(fw).cast("long"))
+          .filter(col("rank") <= TOP_K)
+          .select("q_id", "rank", "doc_id", "rrf_micro")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $bm25Sql,
+              |bm AS (SELECT q_id, doc_id, rank AS rank_t FROM ranked WHERE rank <= $TOP_K),
+              |${VectorOps.normalizedSql},
+              |qv AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
+              |vs AS (SELECT qv.q_id, e.vec_id AS doc_id,
+              |    ${VectorOps.cosSql("qv.qv", "e.v", "qv.qn", "e.nrm")} AS cos
+              |  FROM e JOIN qv ON e.vec_id <> qv.q_id),
+              |vr0 AS (SELECT q_id, doc_id,
+              |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_v
+              |  FROM vs),
+              |vr AS (SELECT q_id, doc_id, rank_v FROM vr0 WHERE rank_v <= $TOP_K),
+              |fused AS (SELECT COALESCE(bm.q_id, vr.q_id) AS q_id,
+              |    COALESCE(bm.doc_id, vr.doc_id) AS doc_id,
+              |    COALESCE(1000000 // ($RRF_K + rank_t), 0) +
+              |    COALESCE(1000000 // ($RRF_K + rank_v), 0) AS rrf_micro
+              |  FROM bm FULL JOIN vr ON bm.q_id = vr.q_id AND bm.doc_id = vr.doc_id),
+              |franked AS (SELECT q_id, doc_id, rrf_micro,
+              |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+              |  FROM fused)
+              |SELECT q_id, rank, doc_id, rrf_micro FROM franked WHERE rank <= $TOP_K
+              |ORDER BY q_id, rank""".stripMargin)
+    )
+  )
+}

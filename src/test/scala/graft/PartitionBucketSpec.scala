@@ -284,6 +284,31 @@ class PartitionBucketSpec extends SparkSpec {
     assert(read.count() == Tables.orders(spark, sfDir).count())
   }
 
+  test("persisted inverted index: probe pushes terms, rides buckets, equals inline") {
+    // SearchQueries' serving claim, pinned: a BM25 probe against the
+    // persisted postings table must (a) push its query-term list to the
+    // postings scan as an In filter, (b) compute per-term df on the term
+    // bucketing without an exchange, (c) never open the raw documents
+    // parquet, and (d) return exactly the inline search_bm25_topk result.
+    import graft.operators.SearchQueries
+    val path = s"$tmp/search_idx"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_idx", path)
+    val probed = SearchQueries.bm25TopkFromIndex(spark, "search_idx", path)
+    val got = probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head // AQE appends a double-counting section
+    assert(plan.contains("Bucketed: true"), plan)
+    assert("PushedFilters: \\[[^\\]]*In\\(term".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("documents.parquet"), s"probe read raw documents:\n$plan")
+    // the only hash exchanges are the tiny post-scoring (q_id, doc_id)
+    // aggregate and the per-query window — the postings side adds none
+    // (df groupBy rides the bucketing; query/df/stats sides broadcast)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"postings side shuffled ($exchanges exchanges):\n$plan")
+    val inline = SparkEntry.queries("search_bm25_topk")(spark, sfDir).collect()
+    assert(got.nonEmpty && got.toSeq == inline.toSeq)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
     spark.sql("DROP TABLE IF EXISTS lineitem_bkt")

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** BM25 + hybrid retrieval semantics (SearchQueries). Exact-value parity
+  * with DuckDB is the driver's job; here we pin the ranking invariants the
+  * integer-grid scoring must uphold.
+  */
+class SearchSpec extends SparkSpec {
+
+  private lazy val bm25 = SparkEntry.queries("search_bm25_topk")(spark, sfDir).collect()
+  private lazy val hybrid = SparkEntry.queries("search_hybrid_rrf")(spark, sfDir).collect()
+
+  test("bm25 returns a full top-k per query, ranked by descending score") {
+    assert(bm25.nonEmpty)
+    val byQ = bm25.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length))
+      // scores non-increasing in rank; doc_id breaks ties ascending
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (sa, sb) = (a.getLong(3), b.getLong(3))
+          assert(sa > sb || (sa == sb && a.getLong(2) < b.getLong(2)))
+        case _ =>
+      }
+    }
+  }
+
+  test("bm25 scores are positive and docs actually contain a query term") {
+    assert(bm25.forall(_.getLong(3) > 0))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val terms = Map(
+      0L -> Set("spark", "join", "fast"), 1L -> Set("hash", "table", "scan"),
+      2L -> Set("vector", "stream", "window"), 3L -> Set("customer", "order", "query"))
+    bm25.foreach { r =>
+      assert(docs(r.getLong(2)).intersect(terms(r.getLong(0))).nonEmpty,
+        s"doc ${r.getLong(2)} ranked for q${r.getLong(0)} without any query term")
+    }
+  }
+
+  test("hybrid rrf fuses both lists: members of both outrank single-list strays") {
+    assert(hybrid.nonEmpty)
+    // every rrf value decomposes as a sum of at most two reciprocal-rank
+    // contributions on the micro grid: 1e6/(60+r), r in 1..10
+    val single = (1 to 10).map(r => 1000000L / (60 + r)).toSet
+    val valid = single ++ (for (a <- single; b <- single) yield a + b)
+    hybrid.foreach(r => assert(valid.contains(r.getLong(3)), r.toString))
+    // rank 1 per query carries at least one contribution, descending order
+    hybrid.groupBy(_.getLong(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(sorted.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+  }
+}
