@@ -28,6 +28,8 @@ object SimilarityQueries {
 
   private val N_QUERIES = 10
   private val N_SEEDS = 16
+  /** Semantic-dedup cosine threshold — see dedup_semantic's calibration note. */
+  private val SEM_TAU = 0.4
   private val N_PROBE = 4
   private val TOP_K = 10
 
@@ -1140,6 +1142,61 @@ object SimilarityQueries {
               |  COALESCE(n_before, 0) AS n_before, COALESCE(n_after, 0) AS n_after
               |FROM n_old FULL OUTER JOIN n_new ON n_old.seed_id = n_new.seed_id
               |ORDER BY seed_id""".stripMargin)
+    ),
+
+    // ---- semantic dedup (SemDeDup): cluster-scoped near-dup drop ------------
+    // The embedding-space dedup shape from Abbas et al. 2023 (SemDeDup):
+    // assign every vector to its nearest seed cell, then compare pairs ONLY
+    // within a cell and drop each vector that has a lower-id cell-mate with
+    // cosine >= τ (keeping the lowest id as the representative). The
+    // pairwise stage is an equi-join on the cell id — O(Σ cell²), never the
+    // corpus cross product; at 100 TB the cluster count scales with the
+    // corpus (k ∝ n) so cells stay bounded-size and each cell's pair block
+    // is local to one shuffle partition. Cross-cell near-dups are the
+    // documented recall trade (same as every IVF-family probe). τ = 0.4 is
+    // calibrated to the synthetic structureless embeddings (max pairwise
+    // cos ≈ 0.51 — production near-dup thresholds of ~0.95+ would fire on
+    // nothing here); the semantics under test are cell-scoping + the
+    // keep-lowest rule, which the oracle mirrors exactly.
+    GQuery(
+      "dedup_semantic",
+      (s, dir) => {
+        val e = VectorOps.normalized(s, dir)
+        val assign = assignToSeeds(e, seedSet(e)).select("vec_id", "v", "nrm", "seed_id")
+        val a = assign.select(col("seed_id"), col("vec_id").as("a_id"),
+          col("v").as("av"), col("nrm").as("an"))
+        val b = assign.select(col("seed_id"), col("vec_id").as("b_id"),
+          col("v").as("bv"), col("nrm").as("bn"))
+        val dup = a.join(b, Seq("seed_id"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("b_id"), col("a_id"),
+            VectorOps.cosCol("av", "bv", "an", "bn").as("cos"))
+          .filter(col("cos") >= SEM_TAU)
+          .groupBy("b_id").agg(min(col("a_id")).as("dup_of"))
+        assign.select("vec_id", "seed_id")
+          .join(dup, col("vec_id") === col("b_id"), "left")
+          .select(col("vec_id"),
+            when(col("dup_of").isNotNull, "drop").otherwise("keep").as("verdict"),
+            col("dup_of"), col("seed_id").as("cell"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ${VectorOps.normalizedSql},
+              |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
+              |assign0 AS (SELECT e.vec_id, e.v, e.nrm, seeds.seed_id,
+              |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              |    ${VectorOps.cosSql("e.v", "seeds.sv", "e.nrm", "seeds.sn")} DESC, seeds.seed_id) AS rn
+              |  FROM e CROSS JOIN seeds),
+              |assign AS (SELECT vec_id, v, nrm, seed_id FROM assign0 WHERE rn = 1),
+              |dup AS (SELECT b.vec_id AS b_id, MIN(a.vec_id) AS dup_of
+              |  FROM assign a JOIN assign b
+              |    ON a.seed_id = b.seed_id AND a.vec_id < b.vec_id
+              |  WHERE ${VectorOps.cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= $SEM_TAU
+              |  GROUP BY b.vec_id)
+              |SELECT assign.vec_id,
+              |  CASE WHEN dup_of IS NOT NULL THEN 'drop' ELSE 'keep' END AS verdict,
+              |  dup_of, assign.seed_id AS cell
+              |FROM assign LEFT JOIN dup ON assign.vec_id = dup.b_id
+              |ORDER BY assign.vec_id""".stripMargin)
     )
   )
 }

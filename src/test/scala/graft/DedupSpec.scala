@@ -114,4 +114,20 @@ class DedupSpec extends SparkSpec {
       assert(got == expect, got)
     }
   }
+
+  test("dedup_semantic: every vector verdicted once, dup_of is a lower id in the same cell") {
+    val rows = SparkEntry.queries("dedup_semantic")(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(rows.length == n)                       // total function of the corpus
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    val cellOf = rows.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    rows.foreach { r =>
+      val (vid, verdict) = (r.getLong(0), r.getString(1))
+      if (verdict == "drop") {
+        val rep = r.getLong(2)
+        assert(rep < vid, s"representative $rep !< dropped $vid")
+        assert(cellOf(rep) == r.getLong(3), s"$vid dup_of $rep crosses cells")
+      } else assert(r.isNullAt(2), s"keep row $vid carries dup_of")
+    }
+  }
 }
