@@ -166,6 +166,44 @@ object SearchQueries {
     bm25Rank(p, dfF, stats, queryTerms(s)).orderBy("q_id", "rank")
   }
 
+  /** Reciprocal-rank fusion of a lexical and a vector rank list (both
+    * (q_id, doc_id, rank_*)): rrf = Σ_lists 1e6 div (60 + rank), pure
+    * integer so the fusion can never drift cross-engine; docs present in
+    * one list keep that list's contribution (full-outer fuse).
+    */
+  def rrfFuse(bm: DataFrame, vec: DataFrame): DataFrame = {
+    val fused = bm.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        expr(s"coalesce(1000000 div ($RRF_K + rank_t), 0) + " +
+          s"coalesce(1000000 div ($RRF_K + rank_v), 0)").as("rrf_micro"))
+    val fw = Window.partitionBy("q_id").orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(fw).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select("q_id", "rank", "doc_id", "rrf_micro")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Hybrid retrieval served ENTIRELY from persisted indexes — the 100 TB
+    * serving composition: the lexical list probes the bucketed postings
+    * table ([[bm25TopkFromIndex]]), the vector list probes the
+    * partition-pruned IVF index (`ivfProbeIndex`), and the fusion is the
+    * same integer RRF as the registered inline query. No scan reads the
+    * raw document text, and corpus embeddings are read only for the 4
+    * query vectors (pushed filter). Equals fusing the two inline
+    * oracle-verified lists — pinned in PartitionBucketSpec.
+    */
+  def hybridTopkFromIndexes(
+      s: SparkSession, dir: String, table: String, path: String,
+      ivfPath: String): DataFrame = {
+    val bm = bm25TopkFromIndex(s, table, path)
+      .select(col("q_id"), col("doc_id"), col("rank").as("rank_t"))
+    val e = VectorOps.normalized(s, dir)
+    val vec = SimilarityQueries.ivfProbeIndex(s, dir, ivfPath,
+      e.filter(col("vec_id") < N_QUERIES).select("vec_id", "v", "nrm"))
+      .select(col("q_id"), col("cand_id").as("doc_id"), col("rank").as("rank_v"))
+    rrfFuse(bm, vec)
+  }
+
   // ---- registry -----------------------------------------------------------
 
   val defs: Seq[GQuery] = Seq(
@@ -202,15 +240,7 @@ object SearchQueries {
           .withColumn("rank_v", row_number().over(vw).cast("long"))
           .filter(col("rank_v") <= TOP_K)
           .select("q_id", "doc_id", "rank_v")
-        val fused = bm.join(vr, Seq("q_id", "doc_id"), "full_outer")
-          .select(col("q_id"), col("doc_id"),
-            expr(s"coalesce(1000000 div ($RRF_K + rank_t), 0) + " +
-              s"coalesce(1000000 div ($RRF_K + rank_v), 0)").as("rrf_micro"))
-        val fw = Window.partitionBy("q_id").orderBy(col("rrf_micro").desc, col("doc_id"))
-        fused.withColumn("rank", row_number().over(fw).cast("long"))
-          .filter(col("rank") <= TOP_K)
-          .select("q_id", "rank", "doc_id", "rrf_micro")
-          .orderBy("q_id", "rank")
+        rrfFuse(bm, vr)
       },
       Some(s"""WITH $bm25Sql,
               |bm AS (SELECT q_id, doc_id, rank AS rank_t FROM ranked WHERE rank <= $TOP_K),

@@ -309,6 +309,33 @@ class PartitionBucketSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == inline.toSeq)
   }
 
+  test("hybrid serving from persisted indexes: no text scan, cells prune, fusion parity") {
+    // the full serving composition: lexical list from the bucketed postings
+    // table, vector list from the partition-pruned IVF index, integer RRF
+    // fuse — must equal fusing the two inline oracle-verified lists, and
+    // the probe plan must read no raw document text
+    import graft.operators.{SearchQueries, SimilarityQueries}
+    val sPath = s"$tmp/search_idx_h"
+    val iPath = s"$tmp/ivf_idx_h"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_idx_h", sPath)
+    SimilarityQueries.writeIvfIndex(spark, sfDir, iPath)
+    val probed = SearchQueries.hybridTopkFromIndexes(
+      spark, sfDir, "search_idx_h", sPath, iPath)
+    val got = probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("documents.parquet"), s"probe read raw documents:\n$plan")
+    assert(plan.contains("Bucketed: true"), plan) // postings side rides buckets
+    // expected: fuse the two registered (oracle-verified) inline lists
+    val bm = SparkEntry.queries("search_bm25_topk")(spark, sfDir)
+      .select(col("q_id"), col("doc_id"), col("rank").as("rank_t"))
+    val vec = SparkEntry.queries("ann_ivf_topk")(spark, sfDir)
+      .filter(col("q_id") < 4)
+      .select(col("q_id"), col("cand_id").as("doc_id"), col("rank").as("rank_v"))
+    val expected = SearchQueries.rrfFuse(bm, vec).collect()
+    assert(got.nonEmpty && got.toSeq == expected.toSeq)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
     spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
