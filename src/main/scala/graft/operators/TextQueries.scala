@@ -647,6 +647,57 @@ object TextQueries {
     // volume, language spread, exact-duplicate burden per source. Two
     // aggregates (per (source, text-digest), then per source) joined to the
     // base stats on the tiny source key — everything exact integers.
+    // ---- count-min-sketch heavy hitters -------------------------------------
+    // The fixed-memory frequency sketch (Cormode & Muthukrishnan): d=4 hash
+    // rows × w=64 buckets of counters — 256 cells TOTAL regardless of corpus
+    // size, and merging shard sketches is cell-wise addition (the agg_merge
+    // property), so at 100 TB each partition sketches locally and one tiny
+    // reduce combines them. Estimates are upper bounds (collisions only ever
+    // inflate); the exact tf is carried beside the estimate as the in-row
+    // witness of the overestimate. Candidates here are the distinct tokens
+    // (vocabulary is small); a fleet deployment feeds per-partition top-k
+    // candidates (TopKAgg) instead of a full vocabulary scan. Bucket hashes
+    // are md5-derived on both engines, so the sketch — and therefore every
+    // estimate — is bit-identical cross-engine.
+    GQuery(
+      "text_heavy_hitters_cms",
+      (s, dir) => {
+        val D = 4
+        val W = 64
+        val rowIds = array((0 until D).map(lit): _*)
+        def bucket(tok: String): org.apache.spark.sql.Column =
+          expr(s"CAST(conv(substr(md5(concat(CAST(i AS STRING), ':', $tok)), 1, 8), 16, 10) AS BIGINT) % $W")
+        val toks = Tables.documents(s, dir)
+          .select(explode(expr(toksCol)).as("token"))
+        val sketch = toks.select(col("token"), explode(rowIds).as("i"))
+          .select(col("i"), bucket("token").as("bucket"))
+          .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
+        val cand = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+        cand.select(col("token"), col("tf"), explode(rowIds).as("i"))
+          .withColumn("bucket", bucket("token"))
+          .join(broadcast(sketch), Seq("i", "bucket"))
+          .groupBy("token", "tf").agg(min(col("cnt")).as("est"))
+          .orderBy(col("est").desc, col("token"))
+          .limit(10)
+          .select("token", "est", "tf")
+      },
+      Some(s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents),
+              |rows0 AS (SELECT unnest(range(0, 4)) AS i),
+              |cells AS (SELECT i,
+              |    ${md5IntSql("concat(CAST(i AS VARCHAR), ':', token)")} % 64 AS bucket
+              |  FROM toks CROSS JOIN rows0),
+              |sketch AS (SELECT i, bucket, $countStarSql AS cnt
+              |  FROM cells GROUP BY i, bucket),
+              |cand AS (SELECT token, $countStarSql AS tf FROM toks GROUP BY token),
+              |probes AS (SELECT token, tf, i,
+              |    ${md5IntSql("concat(CAST(i AS VARCHAR), ':', token)")} % 64 AS bucket
+              |  FROM cand CROSS JOIN rows0),
+              |est AS (SELECT token, tf, MIN(cnt) AS est
+              |  FROM probes JOIN sketch USING (i, bucket) GROUP BY token, tf)
+              |SELECT token, est, tf FROM est
+              |ORDER BY est DESC, token LIMIT 10""".stripMargin)
+    ),
+
     GQuery(
       "pipeline_source_stats",
       (s, dir) => {
