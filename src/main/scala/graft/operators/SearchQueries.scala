@@ -158,12 +158,23 @@ object SearchQueries {
     * pushes to the postings scan, df rides the term bucketing (no exchange),
     * and raw document text is never read. Results equal the inline query.
     */
-  def bm25TopkFromIndex(s: SparkSession, table: String, path: String): DataFrame = {
-    val terms = QUERY_TERMS.flatMap(_._2).distinct
+  def bm25TopkFromIndex(s: SparkSession, table: String, path: String): DataFrame =
+    bm25ProbeIndex(s, table, path, queryTerms(s))
+
+  /** The lexical serving entry point: probe the persisted index for an
+    * ARBITRARY query frame (q_id, term) — the fixed-set probe above and the
+    * streaming path ([[graft.streaming.SearchStream]]) both delegate here.
+    * The batch's distinct terms (a bounded control-plane list — queries are
+    * small by definition) become the postings scan's In filter. Per-query
+    * independence: df and the corpus stats come from the INDEX, never the
+    * batch, so any batching of queries yields identical per-query rows.
+    */
+  def bm25ProbeIndex(s: SparkSession, table: String, path: String, q: DataFrame): DataFrame = {
+    val terms = q.select("term").distinct().collect().map(_.getString(0)).toSeq
     val p = s.table(table).filter(col("term").isin(terms: _*))
     val dfF = p.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = s.read.parquet(s"${path}_stats")
-    bm25Rank(p, dfF, stats, queryTerms(s)).orderBy("q_id", "rank")
+    bm25Rank(p, dfF, stats, q).orderBy("q_id", "rank")
   }
 
   /** Reciprocal-rank fusion of a lexical and a vector rank list (both

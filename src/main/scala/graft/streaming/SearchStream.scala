@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.operators.SearchQueries
+
+/** Streaming lexical-search serving — arriving keyword queries answered from
+  * the PERSISTED inverted index per micro-batch (the BM25 twin of
+  * [[EmbeddingsStream.runAnnProbe]]).
+  *
+  * Each trigger's batch of (q_id, term) rows delegates to
+  * [[SearchQueries.bm25ProbeIndex]]: the batch's term list In-filters the
+  * bucketed postings scan, df rides the term bucketing, and the raw corpus
+  * text is never read — a trigger's IO is the probed terms' postings only.
+  * Per-query independence (df/stats come from the index, not the batch)
+  * makes micro-batched serving EXACTLY equal to one-shot batch probing,
+  * which StreamingSpec pins.
+  *
+  * Contract: a query's terms must arrive within ONE micro-batch (here one
+  * file = one query via maxFilesPerTrigger=1); terms split across triggers
+  * would score as two partial queries. Exactly-once: the parquet append is
+  * at-least-once on retry — same caveat and same remedies as the ANN probe
+  * (batchId keying or the epoch-deduplicating V2 sink).
+  */
+object SearchStream {
+
+  val querySchema: StructType = StructType(Seq(
+    StructField("q_id", LongType),
+    StructField("term", StringType)))
+
+  /** Read a parquet directory of (q_id, term) rows as a bounded stream. */
+  def readQueries(spark: SparkSession, inPath: String): DataFrame =
+    spark.readStream
+      .schema(querySchema)
+      .option("maxFilesPerTrigger", 1) // several micro-batches, not one gulp
+      .parquet(inPath)
+
+  /** Drain `inPath` with Trigger.AvailableNow, probing the persisted
+    * inverted index for each micro-batch's queries; (q_id, rank, doc_id,
+    * score) rows land under `outPath`.
+    */
+  def runBm25Probe(
+      spark: SparkSession, inPath: String, table: String, indexPath: String,
+      outPath: String, checkpoint: String): Unit = {
+    val q = readQueries(spark, inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        SearchQueries.bm25ProbeIndex(spark, table, indexPath, batch.toDF())
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -321,6 +321,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == direct.orderBy(cols: _*).collect().toSeq)
   }
 
+  test("streaming BM25 probe from the inverted index equals the batch top-k") {
+    // the lexical twin of the ANN-probe test: arriving keyword queries are
+    // served from the persisted postings table per trigger, one file = one
+    // query; the multi-batch drain must equal the one-shot inline query
+    import graft.operators.SearchQueries
+    import graft.streaming.SearchStream
+    val base = java.nio.file.Files.createTempDirectory("graft-searchstream").toString
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_idx_s", s"$base/idx")
+    val queries = Seq(
+      0L -> Seq("spark", "join", "fast"), 1L -> Seq("hash", "table", "scan"),
+      2L -> Seq("vector", "stream", "window"), 3L -> Seq("customer", "order", "query"))
+    queries.foreach { case (q, ts) =>
+      spark.createDataFrame(ts.map(t => (q, t))).toDF("q_id", "term")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    SearchStream.runBm25Probe(
+      spark, s"$base/in", "search_idx_s", s"$base/idx", s"$base/out", s"$base/ckpt")
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected several micro-batches, got $commits")
+    val direct = SparkEntry.queries("search_bm25_topk")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    val got = spark.read.parquet(s"$base/out")
+      .select(cols: _*).orderBy(cols: _*).collect()
+    assert(got.nonEmpty && got.toSeq == direct.orderBy(cols: _*).collect().toSeq)
+  }
+
   test("stateful dedup on the RocksDB state store equals batch distinct") {
     // the bounded-heap state path a 100 TB streaming deployment runs on:
     // same query, state provider swapped to RocksDB — results must be
