@@ -132,25 +132,67 @@ object SearchQueries {
 
   // ---- persisted inverted index (the 100 TB serving layout) ---------------
 
+  /** Postings (term, doc_id, tf, dl) for a (doc_id, text) frame — the one
+    * derivation the index build, the append path, and the inline registered
+    * query all share.
+    */
+  private def postingsOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .join(dl, "doc_id")
+      .select("term", "doc_id", "tf", "dl")
+  }
+
+  private def statsOf(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("tt"))
+
   /** Write the inverted index: postings (term, doc_id, tf, dl) as a table
     * bucketed+sorted by term, plus the 1-row corpus stats beside it. Built
     * once per corpus version; probes never re-derive anything from `text`.
     */
-  def writeSearchIndex(s: SparkSession, dir: String, table: String, path: String): Unit = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+  def writeSearchIndex(s: SparkSession, dir: String, table: String, path: String): Unit =
+    writeSearchIndexWhere(s, dir, table, path, lit(true))
+
+  /** As [[writeSearchIndex]] but indexing only rows matching `pred` — the
+    * bootstrap half of the ingest lifecycle test.
+    */
+  def writeSearchIndexWhere(
+      s: SparkSession, dir: String, table: String, path: String,
+      pred: org.apache.spark.sql.Column): Unit = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text")).filter(pred)
     s.sql(s"DROP TABLE IF EXISTS $table")
-    toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-      .join(dl, "doc_id")
-      .select("term", "doc_id", "tf", "dl")
+    postingsOf(docs)
       .write.mode("overwrite")
       .bucketBy(8, "term").sortBy("term")
       .option("path", path)
       .saveAsTable(table)
-    docs.agg(
-      count(lit(1)).as("n_docs"),
-      sum(size(split(col("text"), " ")).cast("long")).as("tt"))
+    statsOf(docs).write.mode("overwrite").parquet(s"${path}_stats")
+  }
+
+  /** Incremental index maintenance — the ingest path: new documents'
+    * postings are APPENDED into the bucketed table (same bucketing spec, so
+    * new files land in their term buckets; standing files are never
+    * rewritten) and the 1-row stats are advanced by cell-wise addition.
+    * Probe-side df counts postings across all segments, so after an append
+    * every probe scores EXACTLY as if the index had been built over the
+    * full corpus — bootstrap-plus-append parity is pinned in
+    * PartitionBucketSpec. `newDocs` carries (doc_id, text).
+    */
+  def appendSearchIndex(
+      s: SparkSession, table: String, path: String, newDocs: DataFrame): Unit = {
+    postingsOf(newDocs)
+      .write.mode("append")
+      .bucketBy(8, "term").sortBy("term")
+      .option("path", path)
+      .saveAsTable(table)
+    val old = s.read.parquet(s"${path}_stats").head
+    val delta = statsOf(newDocs).head
+    s.createDataFrame(Seq(
+        (old.getLong(0) + delta.getLong(0), old.getLong(1) + delta.getLong(1))))
+      .toDF("n_docs", "tt")
       .write.mode("overwrite").parquet(s"${path}_stats")
   }
 

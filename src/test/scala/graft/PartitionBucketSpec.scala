@@ -309,6 +309,24 @@ class PartitionBucketSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == inline.toSeq)
   }
 
+  test("incremental inverted-index append: bootstrap + append probes equal inline") {
+    // the ingest lifecycle for lexical search: index 80% of the corpus,
+    // append the rest — probe-side df/stats see all segments, so scores
+    // must equal the inline full-corpus query exactly
+    import graft.operators.SearchQueries
+    val path = s"$tmp/search_idx_inc"
+    val thr = Tables.documents(spark, sfDir)
+      .agg(expr("CAST((max(doc_id) + 1) * 4 div 5 AS BIGINT)")).head.getLong(0)
+    SearchQueries.writeSearchIndexWhere(
+      spark, sfDir, "search_idx_inc", path, col("doc_id") < thr)
+    SearchQueries.appendSearchIndex(spark, "search_idx_inc", path,
+      Tables.documents(spark, sfDir).filter(col("doc_id") >= thr)
+        .select(col("doc_id"), col("text")))
+    val probed = SearchQueries.bm25TopkFromIndex(spark, "search_idx_inc", path).collect()
+    val inline = SparkEntry.queries("search_bm25_topk")(spark, sfDir).collect()
+    assert(probed.nonEmpty && probed.toSeq == inline.toSeq)
+  }
+
   test("hybrid serving from persisted indexes: no text scan, cells prune, fusion parity") {
     // the full serving composition: lexical list from the bucketed postings
     // table, vector list from the partition-pruned IVF index, integer RRF
