@@ -698,6 +698,48 @@ object TextQueries {
               |ORDER BY est DESC, token LIMIT 10""".stripMargin)
     ),
 
+    // ---- tokenizer vocabulary coverage (OOV audit) --------------------------
+    // The pre-training question "how much of this corpus does the tokenizer
+    // actually cover?": derive a vocabulary (global top-16 terms — the cut
+    // is deterministic via the (tf DESC, token) order on both engines),
+    // then measure per-language token counts, out-of-vocabulary tokens,
+    // distinct OOV terms, and the OOV rate (division of identical longs ⇒
+    // bit-exact doubles). One token-stream pass + a broadcast vocabulary +
+    // one shuffle on lang — at 100 TB the vocab is a real tokenizer's fixed
+    // list (broadcast by definition) and the scan parallelizes
+    // embarrassingly.
+    GQuery(
+      "text_oov_rate",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("lang"), explode(expr(toksCol)).as("token"))
+        val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("token")).limit(16)
+          .select(col("token"), lit(1).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("token"), "left")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            count(when(col("in_vocab").isNull, 1)).as("n_oov"),
+            countDistinct(when(col("in_vocab").isNull, col("token"))).as("n_oov_terms"),
+            (count(when(col("in_vocab").isNull, 1)).cast("double") /
+              count(lit(1)).cast("double")).as("oov_rate"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH toks AS (SELECT lang, unnest($toksSql) AS token FROM documents),
+              |vocab AS (SELECT token FROM (
+              |  SELECT token, $countStarSql AS tf FROM toks GROUP BY token
+              |  ORDER BY tf DESC, token LIMIT 16)),
+              |j AS (SELECT t.lang, t.token, v.token IS NOT NULL AS in_vocab
+              |  FROM toks t LEFT JOIN vocab v ON t.token = v.token)
+              |SELECT lang, $countStarSql AS n_tokens,
+              |  CAST(COUNT(CASE WHEN NOT in_vocab THEN 1 END) AS BIGINT) AS n_oov,
+              |  CAST(COUNT(DISTINCT CASE WHEN NOT in_vocab THEN token END) AS BIGINT) AS n_oov_terms,
+              |  CAST(COUNT(CASE WHEN NOT in_vocab THEN 1 END) AS DOUBLE) /
+              |    CAST(COUNT(*) AS DOUBLE) AS oov_rate
+              |FROM j GROUP BY lang ORDER BY lang""".stripMargin)
+    ),
+
     GQuery(
       "pipeline_source_stats",
       (s, dir) => {
