@@ -96,34 +96,41 @@ object SearchQueries {
   }
 
   /** Inline postings/df/stats derivation (= the index build, run in-query so
-    * the oracle can mirror it).
+    * the oracle can mirror it). IDF/length stats are corpus-global; `pred`
+    * restricts the CANDIDATE documents only (the filtered-search contract —
+    * see [[bm25FilteredTopkFromIndex]]).
     */
-  private def bm25Inline(s: SparkSession, dir: String): DataFrame = {
+  private def bm25Inline(
+      s: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val docs = Tables.documents(s, dir)
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
-    val postings = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-      .join(dl, "doc_id")
     val dfF = toks.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(size(split(col("text"), " ")).cast("long")).as("tt"))
+    val postings = postingsOf(
+      docs.filter(pred).select(col("doc_id"), col("text"), col("lang")))
     bm25Rank(postings, dfF, stats, queryTerms(s))
   }
 
-  /** Oracle CTE block ending in `ranked` (q_id, doc_id, score, rank). */
-  private def bm25Sql: String =
+  /** Oracle CTE block ending in `ranked` (q_id, doc_id, score, rank).
+    * `candWhere` mirrors [[bm25Inline]]'s candidate predicate.
+    */
+  private def bm25Sql(candWhere: String = "TRUE"): String =
     s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
        |dlt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tt FROM documents),
+       |cand AS (SELECT doc_id FROM documents WHERE $candWhere),
        |tft AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
        |dft AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1),
        |$queryTermsSql,
        |scored AS (SELECT q.q_id, tft.doc_id, ${scoreExpr("//")} AS score_t
        |  FROM tft JOIN q USING (term) JOIN dft USING (term)
-       |  JOIN dlt ON tft.doc_id = dlt.doc_id CROSS JOIN stats),
+       |  JOIN dlt ON tft.doc_id = dlt.doc_id
+       |  JOIN cand ON tft.doc_id = cand.doc_id CROSS JOIN stats),
        |aggd AS (SELECT q_id, doc_id, CAST(SUM(score_t) AS BIGINT) AS score
        |  FROM scored GROUP BY 1, 2),
        |ranked AS (SELECT q_id, doc_id, score,
@@ -132,16 +139,18 @@ object SearchQueries {
 
   // ---- persisted inverted index (the 100 TB serving layout) ---------------
 
-  /** Postings (term, doc_id, tf, dl) for a (doc_id, text) frame — the one
-    * derivation the index build, the append path, and the inline registered
-    * query all share.
+  /** Postings (term, doc_id, tf, dl, lang) for a (doc_id, text, lang)
+    * frame — the one derivation the index build, the append path, and the
+    * inline registered queries all share. `lang` rides along as the
+    * filtered-search metadata column (the IVF index's label precedent).
     */
   private def postingsOf(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+    val dl = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
     toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
       .join(dl, "doc_id")
-      .select("term", "doc_id", "tf", "dl")
+      .select("term", "doc_id", "tf", "dl", "lang")
   }
 
   private def statsOf(docs: DataFrame): DataFrame =
@@ -162,7 +171,8 @@ object SearchQueries {
   def writeSearchIndexWhere(
       s: SparkSession, dir: String, table: String, path: String,
       pred: org.apache.spark.sql.Column): Unit = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text")).filter(pred)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang")).filter(pred)
     s.sql(s"DROP TABLE IF EXISTS $table")
     postingsOf(docs)
       .write.mode("overwrite")
@@ -179,7 +189,7 @@ object SearchQueries {
     * Probe-side df counts postings across all segments, so after an append
     * every probe scores EXACTLY as if the index had been built over the
     * full corpus — bootstrap-plus-append parity is pinned in
-    * PartitionBucketSpec. `newDocs` carries (doc_id, text).
+    * PartitionBucketSpec. `newDocs` carries (doc_id, text, lang).
     */
   def appendSearchIndex(
       s: SparkSession, table: String, path: String, newDocs: DataFrame): Unit = {
@@ -217,6 +227,25 @@ object SearchQueries {
     val dfF = p.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = s.read.parquet(s"${path}_stats")
     bm25Rank(p, dfF, stats, q).orderBy("q_id", "rank")
+  }
+
+  /** Filtered (hybrid lexical) probe: top-k among documents matching a
+    * metadata predicate — "search English docs only". IDF and length stats
+    * stay CORPUS-GLOBAL (an index property — restricting them to the
+    * filtered subset would re-rank identical candidate sets differently per
+    * filter); only the CANDIDATE postings are filtered, and the predicate
+    * pushes to the same term-pruned postings scan (PushedFilters carries
+    * both the term In-list and the lang equality — pinned in
+    * PartitionBucketSpec). Equals the inline `search_bm25_filtered`.
+    */
+  def bm25FilteredTopkFromIndex(
+      s: SparkSession, table: String, path: String, lang: String): DataFrame = {
+    val terms = QUERY_TERMS.flatMap(_._2).distinct
+    val p = s.table(table).filter(col("term").isin(terms: _*))
+    val dfF = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = s.read.parquet(s"${path}_stats")
+    bm25Rank(p.filter(col("lang") === lang), dfF, stats, queryTerms(s))
+      .orderBy("q_id", "rank")
   }
 
   /** Reciprocal-rank fusion of a lexical and a vector rank list (both
@@ -264,7 +293,21 @@ object SearchQueries {
     GQuery(
       "search_bm25_topk",
       (s, dir) => bm25Inline(s, dir).orderBy("q_id", "rank"),
-      Some(s"""WITH $bm25Sql
+      Some(s"""WITH ${bm25Sql()}
+              |SELECT q_id, rank, doc_id, score FROM ranked WHERE rank <= $TOP_K
+              |ORDER BY q_id, rank""".stripMargin)
+    ),
+
+    // Filtered lexical search: top-k among documents matching a metadata
+    // predicate ("English docs only") — the lexical twin of
+    // ann_filtered_topk. IDF/length stats stay corpus-global (an index
+    // property); only the candidate postings are filtered. The persisted
+    // twin pushes the predicate to the term-pruned postings scan
+    // (bm25FilteredTopkFromIndex, pinned in PartitionBucketSpec).
+    GQuery(
+      "search_bm25_filtered",
+      (s, dir) => bm25Inline(s, dir, col("lang") === "en").orderBy("q_id", "rank"),
+      Some(s"""WITH ${bm25Sql("lang = 'en'")}
               |SELECT q_id, rank, doc_id, score FROM ranked WHERE rank <= $TOP_K
               |ORDER BY q_id, rank""".stripMargin)
     ),
@@ -295,7 +338,7 @@ object SearchQueries {
           .select("q_id", "doc_id", "rank_v")
         rrfFuse(bm, vr)
       },
-      Some(s"""WITH $bm25Sql,
+      Some(s"""WITH ${bm25Sql()},
               |bm AS (SELECT q_id, doc_id, rank AS rank_t FROM ranked WHERE rank <= $TOP_K),
               |${VectorOps.normalizedSql},
               |qv AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),

@@ -321,10 +321,45 @@ class PartitionBucketSpec extends SparkSpec {
       spark, sfDir, "search_idx_inc", path, col("doc_id") < thr)
     SearchQueries.appendSearchIndex(spark, "search_idx_inc", path,
       Tables.documents(spark, sfDir).filter(col("doc_id") >= thr)
-        .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("text"), col("lang")))
     val probed = SearchQueries.bm25TopkFromIndex(spark, "search_idx_inc", path).collect()
     val inline = SparkEntry.queries("search_bm25_topk")(spark, sfDir).collect()
     assert(probed.nonEmpty && probed.toSeq == inline.toSeq)
+  }
+
+  test("filtered probe on the inverted index: term AND lang push to one scan") {
+    // the lexical filtered-search claim: the candidate-side postings scan
+    // carries BOTH the query-term In-list and the metadata equality in its
+    // pushed filters, and the probe equals the inline filtered query
+    import graft.operators.SearchQueries
+    val path = s"$tmp/search_idx_f"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_idx_f", path)
+    val probed = SearchQueries.bm25FilteredTopkFromIndex(
+      spark, "search_idx_f", path, "en")
+    val got = probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("documents.parquet"), s"probe read raw documents:\n$plan")
+    // the plan-string PushedFilters list truncates at 100 chars, so assert
+    // on the scan nodes: the candidate-side postings scan carries BOTH the
+    // term In-list and the lang equality in its data filters, and the term
+    // list additionally prunes BUCKETS (only the terms' hash buckets open)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case f: FileSourceScanExec => Seq(f) }.flatten ++
+        p.collect { case a: AdaptiveSparkPlanExec => scans(a.executedPlan) }.flatten ++
+        p.collect { case q: QueryStageExec => scans(q.plan) }.flatten
+    val candScan = scans(probed.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("search_idx_f")))
+      .find(_.dataFilters.exists(_.toString.contains("= en")))
+    assert(candScan.isDefined, plan)
+    assert(candScan.get.dataFilters.exists(e =>
+      e.toString.contains("INSET") || e.toString.contains("in(term")), candScan.get.dataFilters)
+    assert(candScan.get.optionalBucketSet.exists(_.cardinality() < 8),
+      "term In-list did not prune buckets")
+    val inline = SparkEntry.queries("search_bm25_filtered")(spark, sfDir).collect()
+    assert(got.nonEmpty && got.toSeq == inline.toSeq)
   }
 
   test("hybrid serving from persisted indexes: no text scan, cells prune, fusion parity") {
