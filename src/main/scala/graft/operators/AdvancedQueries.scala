@@ -380,6 +380,47 @@ object AdvancedQueries {
     // exact cents-grid integers. Scale: one window shuffle per group for
     // the ranking, a tiny cutoff table broadcast back, map-side clip,
     // partial-aggregated stats.
+    // ---- equi-depth histogram (per group) ------------------------------------
+    // The profiler's other histogram: q_histogram buckets by equal VALUE
+    // ranges; this buckets by equal ROW counts — rank-derived bucket ids
+    // (bucket = (rk-1)·8 div n + 1), so no percentile interpolation float
+    // can drift. Ties in the cents value are rank-interchangeable: any two
+    // rows the window could swap carry the SAME value, so every per-bucket
+    // aggregate (count/min/max/sum over the value) is invariant under the
+    // tie order — deterministic without a unique sort key. Windows
+    // partition by l_returnflag (the q_winsorize discipline: per-group
+    // windows shard by the key at fleet scale; a GLOBAL equi-depth at
+    // 100 TB is what q_percentiles_approx's sketch is for).
+    GQuery(
+      "q_histogram_equidepth",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_returnflag").as("rf"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+        val w = Window.partitionBy("rf").orderBy("cents")
+        li.withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("rf")))
+          .withColumn("bucket", expr("(rk - 1) * 8 div n + 1"))
+          .groupBy("rf", "bucket")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min(col("cents")).as("lo_cents"),
+            max(col("cents")).as("hi_cents"),
+            sum(col("cents")).as("sum_cents"))
+          .orderBy("rf", "bucket")
+      },
+      Some(s"""WITH li AS (SELECT l_returnflag AS rf,
+              |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+              |ranked AS (SELECT rf, cents,
+              |    row_number() OVER (PARTITION BY rf ORDER BY cents) AS rk,
+              |    CAST(COUNT(*) OVER (PARTITION BY rf) AS BIGINT) AS n FROM li),
+              |b AS (SELECT rf, cents, (rk - 1) * 8 // n + 1 AS bucket FROM ranked)
+              |SELECT rf, bucket, $countStarSql AS n_rows,
+              |  CAST(MIN(cents) AS BIGINT) AS lo_cents,
+              |  CAST(MAX(cents) AS BIGINT) AS hi_cents,
+              |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+              |FROM b GROUP BY rf, bucket ORDER BY rf, bucket""".stripMargin)
+    ),
+
     GQuery(
       "q_winsorize",
       (s, dir) => {
