@@ -669,10 +669,15 @@ object TextQueries {
           expr(s"CAST(conv(substr(md5(concat(CAST(i AS STRING), ':', $tok)), 1, 8), 16, 10) AS BIGINT) % $W")
         val toks = Tables.documents(s, dir)
           .select(explode(expr(toksCol)).as("token"))
-        val sketch = toks.select(col("token"), explode(rowIds).as("i"))
-          .select(col("i"), bucket("token").as("bucket"))
-          .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
         val cand = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+        // a cell's counter = Σ tf of the tokens hashing into it, so the
+        // sketch folds from the (token, tf) aggregate instead of 4× the
+        // raw token stream — identical cells, one explode of |vocab| rows
+        // (a true streaming ingest increments cells per arriving token;
+        // the materialized sketch is the same either way)
+        val sketch = cand.select(col("token"), col("tf"), explode(rowIds).as("i"))
+          .select(col("i"), bucket("token").as("bucket"), col("tf"))
+          .groupBy("i", "bucket").agg(sum(col("tf")).as("cnt"))
         cand.select(col("token"), col("tf"), explode(rowIds).as("i"))
           .withColumn("bucket", bucket("token"))
           .join(broadcast(sketch), Seq("i", "bucket"))
@@ -683,12 +688,12 @@ object TextQueries {
       },
       Some(s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents),
               |rows0 AS (SELECT unnest(range(0, 4)) AS i),
-              |cells AS (SELECT i,
-              |    ${md5IntSql("concat(CAST(i AS VARCHAR), ':', token)")} % 64 AS bucket
-              |  FROM toks CROSS JOIN rows0),
-              |sketch AS (SELECT i, bucket, $countStarSql AS cnt
-              |  FROM cells GROUP BY i, bucket),
               |cand AS (SELECT token, $countStarSql AS tf FROM toks GROUP BY token),
+              |cells AS (SELECT i,
+              |    ${md5IntSql("concat(CAST(i AS VARCHAR), ':', token)")} % 64 AS bucket, tf
+              |  FROM cand CROSS JOIN rows0),
+              |sketch AS (SELECT i, bucket, CAST(SUM(tf) AS BIGINT) AS cnt
+              |  FROM cells GROUP BY i, bucket),
               |probes AS (SELECT token, tf, i,
               |    ${md5IntSql("concat(CAST(i AS VARCHAR), ':', token)")} % 64 AS bucket
               |  FROM cand CROSS JOIN rows0),

@@ -62,9 +62,12 @@ class EdgeCorpusSpec extends SparkSpec {
     val docQueries = SparkEntry.registry.map(_.name).filter(n =>
       n.startsWith("text_") || n.startsWith("multimodal_") ||
         n.startsWith("pipeline_") ||
+        // lexical search reads documents only (hybrid also needs embeddings)
+        (n.startsWith("search_") && !n.contains("hybrid")) ||
         (n.startsWith("dedup_") && !n.contains("embedding") &&
-          // keep-latest dedups ORDERS (CDC snapshot), not documents
-          n != "dedup_keep_latest"))
+          // keep-latest dedups ORDERS (CDC snapshot), not documents;
+          // semantic dedup operates on the EMBEDDINGS table
+          n != "dedup_keep_latest" && n != "dedup_semantic"))
     for (name <- docQueries) {
       val rows = SparkEntry.queries(name)(spark, edgeDir).collect()
       assert(rows != null, name) // reaching here means no throw
