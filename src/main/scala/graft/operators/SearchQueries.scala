@@ -286,6 +286,47 @@ object SearchQueries {
     rrfFuse(bm, vec)
   }
 
+  /** Compact the inverted index after many appends — the small-file
+    * maintenance step mirroring `compactIvfIndex`: every append adds one
+    * file per touched bucket, and a year of micro-batches turns the term
+    * probe into thousands-of-tiny-files IO. Rewrite repartitions on the
+    * bucket column (aligning with the bucket spec, so each bucket's rows
+    * land in ONE task ⇒ one file) into a fresh bucketed table at a new
+    * path, then swaps it in via catalog rename. Content — postings rows and
+    * stats — is unchanged, so every probe result is preserved (pinned in
+    * PartitionBucketSpec). The rename window is not concurrent-safe for
+    * in-flight probes (same caveat as the IVF swap's FS rename).
+    */
+  def compactSearchIndex(s: SparkSession, table: String): Unit = {
+    // destination derives from the table's CURRENT catalog location, so a
+    // repeated compaction reads from one directory and writes to a fresh
+    // one — never overwriting its own input mid-job
+    val ident = s.sessionState.sqlParser.parseTableIdentifier(table)
+    val cur = s.sessionState.catalog.getTableMetadata(ident).location.toString
+    val dest = cur.stripSuffix("/") + "__c"
+    // partition the rewrite by the DERIVED bucket id, not the bucket
+    // column: repartition(8, term) pattern-matches the table's bucket spec,
+    // so the planner elides the shuffle while scanning file-split — rows of
+    // one bucket then straddle tasks and every task re-emits its own file
+    // per bucket (measured: 16 files instead of 8). Hashing pmod(hash(term),
+    // 8) keeps whole buckets together (same bucket ⇒ same partition key)
+    // but cannot be matched away. AQE is scoped off so its partition
+    // split/merge cannot re-break the alignment.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prior = s.conf.get(aqeKey)
+    s.conf.set(aqeKey, "false")
+    try {
+      val compacted = s.table(table).repartition(8, expr("pmod(hash(term), 8)"))
+      s.sql(s"DROP TABLE IF EXISTS ${table}__c")
+      compacted.write.mode("overwrite")
+        .bucketBy(8, "term").sortBy("term")
+        .option("path", dest)
+        .saveAsTable(s"${table}__c")
+    } finally s.conf.set(aqeKey, prior)
+    s.sql(s"DROP TABLE $table")
+    s.sql(s"ALTER TABLE ${table}__c RENAME TO $table")
+  }
+
   // ---- registry -----------------------------------------------------------
 
   val defs: Seq[GQuery] = Seq(

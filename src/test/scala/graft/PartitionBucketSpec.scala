@@ -327,6 +327,29 @@ class PartitionBucketSpec extends SparkSpec {
     assert(probed.nonEmpty && probed.toSeq == inline.toSeq)
   }
 
+  test("inverted-index compaction: one file per bucket afterwards, probe parity") {
+    // append-fragmented postings buckets (one file per bucket per append)
+    // must compact to one file per bucket with every probe result intact
+    import graft.operators.SearchQueries
+    val path = s"$tmp/search_idx_c"
+    val thr = Tables.documents(spark, sfDir)
+      .agg(expr("CAST((max(doc_id) + 1) * 4 div 5 AS BIGINT)")).head.getLong(0)
+    SearchQueries.writeSearchIndexWhere(
+      spark, sfDir, "search_idx_c", path, col("doc_id") < thr)
+    SearchQueries.appendSearchIndex(spark, "search_idx_c", path,
+      Tables.documents(spark, sfDir).filter(col("doc_id") >= thr)
+        .select(col("doc_id"), col("text"), col("lang")))
+    val before = SearchQueries.bm25TopkFromIndex(spark, "search_idx_c", path).collect()
+    def files(t: String): Array[String] = spark.table(t).inputFiles
+    assert(files("search_idx_c").length > 8, "append did not fragment buckets")
+    SearchQueries.compactSearchIndex(spark, "search_idx_c")
+    val after = files("search_idx_c")
+    assert(after.length <= 8, s"still ${after.length} files after compaction")
+    assert(after.forall(_.contains("search_idx_c__c")), "location did not move")
+    val probed = SearchQueries.bm25TopkFromIndex(spark, "search_idx_c", path).collect()
+    assert(probed.nonEmpty && probed.toSeq == before.toSeq)
+  }
+
   test("filtered probe on the inverted index: term AND lang push to one scan") {
     // the lexical filtered-search claim: the candidate-side postings scan
     // carries BOTH the query-term In-list and the metadata equality in its
