@@ -580,6 +580,31 @@ object RelationalQueries {
               |FROM ${Tables.eventsOracleFrom} e ORDER BY user_id, event_id""".stripMargin)
     ),
 
+    // ---- FORWARD as-of: next error at-or-after each event, per user -------------
+    // The other as-of direction ("what broke next"), completing the family:
+    // identical union-window discipline to the backward form but with a
+    // CURRENT ROW .. UNBOUNDED FOLLOWING frame and first_value — still ONE
+    // shuffle by key + a linear per-key scan, no blowup on keys with many
+    // candidates, so the same fleet-scale properties hold.
+    GQuery(
+      "q_asof_join_forward",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        Tables.events(s, dir)
+          .withColumn(
+            "next_error_us",
+            first(when(col("event_type") === "error", unix_micros(col("ts"))), ignoreNulls = true).over(w))
+          .select("user_id", "event_id", "event_type", "next_error_us")
+          .orderBy("user_id", "event_id")
+      },
+      Some(s"""SELECT user_id, event_id, event_type,
+              |first_value(CASE WHEN event_type = 'error' THEN epoch_us(ts) END IGNORE NULLS)
+              |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+              |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_error_us
+              |FROM ${Tables.eventsOracleFrom} e ORDER BY user_id, event_id""".stripMargin)
+    ),
+
     // ---- TRUE two-table as-of join: fact ⋈ latest snapshot at-or-before ---------
     // The canonical shape (each purchase matched to the user's most recent
     // error state), oracled against DuckDB's NATIVE `ASOF LEFT JOIN`.
