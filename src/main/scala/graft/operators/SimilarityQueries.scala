@@ -1144,6 +1144,52 @@ object SimilarityQueries {
               |ORDER BY seed_id""".stripMargin)
     ),
 
+    // ---- approximate k-NN graph (cell-scoped) -------------------------------
+    // The neighbor-graph builder feeding clustering, graph dedup, and
+    // diversity sampling: every vector's top-3 neighbors WITHIN its IVF
+    // cell (argmax-cosine assignment, the dedup_semantic scoping). Pairwise
+    // cost is O(Σ cell²) via the cell-id equi-join — the standard
+    // approximate k-NN-graph seed (NN-Descent's starting state); cross-cell
+    // neighbors are the documented recall trade, recoverable by multi-probe
+    // assignment or merge rounds. At 100 TB: k ∝ n keeps cells bounded, and
+    // each cell's block is local to one shuffle partition.
+    GQuery(
+      "ann_knn_graph",
+      (s, dir) => {
+        val e = VectorOps.normalized(s, dir)
+        val assign = assignToSeeds(e, seedSet(e)).select("vec_id", "v", "nrm", "seed_id")
+        val a = assign.select(col("seed_id"), col("vec_id"),
+          col("v").as("av"), col("nrm").as("an"))
+        val b = assign.select(col("seed_id"), col("vec_id").as("nbr_id"),
+          col("v").as("bv"), col("nrm").as("bn"))
+        val pairs = a.join(b, Seq("seed_id"))
+          .filter(col("vec_id") =!= col("nbr_id"))
+          .select(col("vec_id"), col("nbr_id"),
+            VectorOps.cosCol("av", "bv", "an", "bn").as("cos"))
+        val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
+        pairs.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select("vec_id", "rank", "nbr_id", "cos")
+          .orderBy("vec_id", "rank")
+      },
+      Some(s"""WITH ${VectorOps.normalizedSql},
+              |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
+              |assign0 AS (SELECT e.vec_id, e.v, e.nrm, seeds.seed_id,
+              |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              |    ${VectorOps.cosSql("e.v", "seeds.sv", "e.nrm", "seeds.sn")} DESC, seeds.seed_id) AS rn
+              |  FROM e CROSS JOIN seeds),
+              |assign AS (SELECT vec_id, v, nrm, seed_id FROM assign0 WHERE rn = 1),
+              |pairs AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+              |    ${VectorOps.cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
+              |  FROM assign a JOIN assign b
+              |    ON a.seed_id = b.seed_id AND a.vec_id <> b.vec_id),
+              |ranked AS (SELECT vec_id, nbr_id, cos,
+              |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS BIGINT) AS rank
+              |  FROM pairs)
+              |SELECT vec_id, rank, nbr_id, cos FROM ranked WHERE rank <= 3
+              |ORDER BY vec_id, rank""".stripMargin)
+    ),
+
     // ---- semantic dedup (SemDeDup): cluster-scoped near-dup drop ------------
     // The embedding-space dedup shape from Abbas et al. 2023 (SemDeDup):
     // assign every vector to its nearest seed cell, then compare pairs ONLY
