@@ -363,43 +363,106 @@ object SearchQueries {
     // (ivfTopkFromIndex) without touching the fusion.
     GQuery(
       "search_hybrid_rrf",
-      (s, dir) => {
-        val bm = bm25Inline(s, dir)
-          .select(col("q_id"), col("doc_id"), col("rank").as("rank_t"))
-        val e = VectorOps.normalized(s, dir)
-        val q = broadcast(
-          e.filter(col("vec_id") < N_QUERIES)
-            .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
-        val vw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("doc_id"))
-        val vr = e.join(q, col("vec_id") =!= col("q_id"))
-          .select(col("q_id"), col("vec_id").as("doc_id"),
-            VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
-          .withColumn("rank_v", row_number().over(vw).cast("long"))
-          .filter(col("rank_v") <= TOP_K)
-          .select("q_id", "doc_id", "rank_v")
-        rrfFuse(bm, vr)
-      },
+      (s, dir) => hybridInline(s, dir),
       Some(s"""WITH ${bm25Sql()},
-              |bm AS (SELECT q_id, doc_id, rank AS rank_t FROM ranked WHERE rank <= $TOP_K),
-              |${VectorOps.normalizedSql},
-              |qv AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
-              |vs AS (SELECT qv.q_id, e.vec_id AS doc_id,
-              |    ${VectorOps.cosSql("qv.qv", "e.v", "qv.qn", "e.nrm")} AS cos
-              |  FROM e JOIN qv ON e.vec_id <> qv.q_id),
-              |vr0 AS (SELECT q_id, doc_id,
-              |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_v
-              |  FROM vs),
-              |vr AS (SELECT q_id, doc_id, rank_v FROM vr0 WHERE rank_v <= $TOP_K),
-              |fused AS (SELECT COALESCE(bm.q_id, vr.q_id) AS q_id,
-              |    COALESCE(bm.doc_id, vr.doc_id) AS doc_id,
-              |    COALESCE(1000000 // ($RRF_K + rank_t), 0) +
-              |    COALESCE(1000000 // ($RRF_K + rank_v), 0) AS rrf_micro
-              |  FROM bm FULL JOIN vr ON bm.q_id = vr.q_id AND bm.doc_id = vr.doc_id),
-              |franked AS (SELECT q_id, doc_id, rrf_micro,
-              |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
-              |  FROM fused)
+              |$hybridSqlBlock
               |SELECT q_id, rank, doc_id, rrf_micro FROM franked WHERE rank <= $TOP_K
               |ORDER BY q_id, rank""".stripMargin)
+    ),
+
+    // ---- retrieval-quality audit: MRR / precision@10 per system -------------
+    // The search twin of ann_recall/ann_pq_recall: measure BOTH end-to-end
+    // systems (bm25, hybrid) against a deterministic relevance oracle — a
+    // doc is relevant to a query iff it contains >= 2 DISTINCT query terms.
+    // Metrics in exact integer arithmetic: mrr_micro = 1e6 div (rank of the
+    // first relevant hit, 0 if none in the top-10), p10_micro = hits·1e6
+    // div 10 — no IEEE mean can drift. The relevance join is
+    // broadcast-tiny; everything else reuses the two ranked lists.
+    GQuery(
+      "search_eval_mrr",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val rel = toks.distinct()
+          .join(broadcast(queryTerms(s)), Seq("term"))
+          .groupBy("q_id", "doc_id").agg(countDistinct(col("term")).as("nq"))
+          .filter(col("nq") >= 2)
+          .select(col("q_id"), col("doc_id"), lit(1).as("is_rel"))
+        val lists = bm25Inline(s, dir)
+          .select(col("q_id"), col("doc_id"), col("rank"), lit("bm25").as("system"))
+          .unionByName(hybridInline(s, dir)
+            .select(col("q_id"), col("doc_id"), col("rank"), lit("hybrid").as("system")))
+        lists.join(broadcast(rel), Seq("q_id", "doc_id"), "left")
+          .groupBy("system", "q_id")
+          .agg(
+            count(when(col("is_rel").isNotNull, 1)).as("n_rel_top10"),
+            expr("coalesce(1000000 div min(CASE WHEN is_rel IS NOT NULL THEN rank END), 0)")
+              .as("mrr_micro"),
+            expr("count(CASE WHEN is_rel IS NOT NULL THEN 1 END) * 1000000 div 10")
+              .as("p10_micro"))
+          .orderBy("system", "q_id")
+      },
+      Some(s"""WITH ${bm25Sql()},
+              |$hybridSqlBlock,
+              |rel AS (SELECT q.q_id, t.doc_id, 1 AS is_rel
+              |  FROM (SELECT DISTINCT doc_id, term FROM toks) t JOIN q USING (term)
+              |  GROUP BY q.q_id, t.doc_id HAVING COUNT(DISTINCT term) >= 2),
+              |lists AS (
+              |  SELECT q_id, doc_id, rank, 'bm25' AS system FROM ranked WHERE rank <= $TOP_K
+              |  UNION ALL
+              |  SELECT q_id, doc_id, rank, 'hybrid' AS system FROM franked WHERE rank <= $TOP_K),
+              |j AS (SELECT lists.system, lists.q_id, lists.rank, rel.is_rel
+              |  FROM lists LEFT JOIN rel
+              |    ON lists.q_id = rel.q_id AND lists.doc_id = rel.doc_id)
+              |SELECT system, q_id,
+              |  CAST(COUNT(CASE WHEN is_rel IS NOT NULL THEN 1 END) AS BIGINT) AS n_rel_top10,
+              |  CAST(COALESCE(1000000 // MIN(CASE WHEN is_rel IS NOT NULL THEN rank END), 0) AS BIGINT) AS mrr_micro,
+              |  CAST(COUNT(CASE WHEN is_rel IS NOT NULL THEN 1 END) * 1000000 // 10 AS BIGINT) AS p10_micro
+              |FROM j GROUP BY system, q_id ORDER BY system, q_id""".stripMargin),
+      bench = false // embeds both full ranked lists — an offline audit, not a serving path
     )
   )
+
+  /** Inline hybrid list: fuse the lexical and vector top-10s (the
+    * registered query and the eval audit share it).
+    */
+  private def hybridInline(s: SparkSession, dir: String): DataFrame = {
+    val bm = bm25Inline(s, dir)
+      .select(col("q_id"), col("doc_id"), col("rank").as("rank_t"))
+    val e = VectorOps.normalized(s, dir)
+    val q = broadcast(
+      e.filter(col("vec_id") < N_QUERIES)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val vw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("doc_id"))
+    val vr = e.join(q, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
+      .withColumn("rank_v", row_number().over(vw).cast("long"))
+      .filter(col("rank_v") <= TOP_K)
+      .select("q_id", "doc_id", "rank_v")
+    rrfFuse(bm, vr)
+  }
+
+  /** Oracle CTE chain for the hybrid list (assumes [[bm25Sql]]'s CTEs
+    * precede it); ends in `franked` (q_id, doc_id, rrf_micro, rank).
+    */
+  private def hybridSqlBlock: String =
+    s"""bm AS (SELECT q_id, doc_id, rank AS rank_t FROM ranked WHERE rank <= $TOP_K),
+       |${VectorOps.normalizedSql},
+       |qv AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
+       |vs AS (SELECT qv.q_id, e.vec_id AS doc_id,
+       |    ${VectorOps.cosSql("qv.qv", "e.v", "qv.qn", "e.nrm")} AS cos
+       |  FROM e JOIN qv ON e.vec_id <> qv.q_id),
+       |vr0 AS (SELECT q_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_v
+       |  FROM vs),
+       |vr AS (SELECT q_id, doc_id, rank_v FROM vr0 WHERE rank_v <= $TOP_K),
+       |fused AS (SELECT COALESCE(bm.q_id, vr.q_id) AS q_id,
+       |    COALESCE(bm.doc_id, vr.doc_id) AS doc_id,
+       |    COALESCE(1000000 // ($RRF_K + rank_t), 0) +
+       |    COALESCE(1000000 // ($RRF_K + rank_v), 0) AS rrf_micro
+       |  FROM bm FULL JOIN vr ON bm.q_id = vr.q_id AND bm.doc_id = vr.doc_id),
+       |franked AS (SELECT q_id, doc_id, rrf_micro,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+       |  FROM fused)""".stripMargin
 }
