@@ -62,8 +62,9 @@ class EdgeCorpusSpec extends SparkSpec {
     val docQueries = SparkEntry.registry.map(_.name).filter(n =>
       n.startsWith("text_") || n.startsWith("multimodal_") ||
         n.startsWith("pipeline_") ||
-        // lexical search reads documents only (hybrid also needs embeddings)
-        (n.startsWith("search_") && !n.contains("hybrid")) ||
+        // lexical search reads documents only (hybrid and the eval audit
+        // also need embeddings for the vector list)
+        (n.startsWith("search_") && !n.contains("hybrid") && !n.contains("eval")) ||
         (n.startsWith("dedup_") && !n.contains("embedding") &&
           // keep-latest dedups ORDERS (CDC snapshot), not documents;
           // semantic dedup operates on the EMBEDDINGS table
