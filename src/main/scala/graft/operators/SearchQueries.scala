@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GQuery, Tables}
+import graft.functions.Exact.countStarSql
 import graft.functions.VectorOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -53,6 +54,20 @@ object SearchQueries {
   private def queryTerms(s: SparkSession): DataFrame =
     s.createDataFrame(QUERY_TERMS.flatMap { case (q, ts) => ts.map(t => (q, t)) })
       .toDF("q_id", "term")
+
+  /** Phrase queries for `search_phrase_match`: adjacent word pairs drawn
+    * from the corpus's frequent bigrams so matches exist.
+    */
+  private val PHRASES: Seq[(Long, String, String)] = Seq(
+    (0L, "table", "hash"), (1L, "customer", "join"), (2L, "vector", "small"))
+
+  private def phraseFrame(s: SparkSession): DataFrame =
+    s.createDataFrame(PHRASES).toDF("p_id", "w1", "w2")
+
+  private def phraseSql: String =
+    PHRASES.zipWithIndex.map { case ((p, a, b), i) =>
+      if (i == 0) s"(CAST($p AS BIGINT), '$a', '$b')" else s"($p, '$a', '$b')"
+    }.mkString("ph(p_id, w1, w2) AS (VALUES ", ", ", ")")
 
   private def queryTermsSql: String =
     QUERY_TERMS.flatMap { case (q, ts) => ts.map(t => (q, t)) }
@@ -420,6 +435,49 @@ object SearchQueries {
               |  CAST(COUNT(CASE WHEN is_rel IS NOT NULL THEN 1 END) * 1000000 // 10 AS BIGINT) AS p10_micro
               |FROM j GROUP BY system, q_id ORDER BY system, q_id""".stripMargin),
       bench = false // embeds both full ranked lists — an offline audit, not a serving path
+    ),
+
+    // ---- phrase search over positional postings ------------------------------
+    // The phrase-capable index: (doc_id, pos, token) positional postings,
+    // phrase match = equi-join of the two words' postings on (doc_id,
+    // adjacency). Both engines join on pos_b = pos_a + 1 with each engine's
+    // own position base (0 vs 1), which cancels in the difference. At
+    // 100 TB the persisted form adds pos to the bucketed postings rows and
+    // probes restrict to the PHRASE WORDS' postings first (term In-list +
+    // bucket pruning, exactly the BM25 probe shape) before the adjacency
+    // join — candidates are bounded by the rarer word's df, never the
+    // corpus. Top-10 matching docs per phrase by occurrence count.
+    GQuery(
+      "search_phrase_match",
+      (s, dir) => {
+        val pos = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        val m = pos.as("a")
+          .join(broadcast(phraseFrame(s)), col("a.token") === col("w1"))
+          .join(pos.as("b"),
+            col("b.doc_id") === col("a.doc_id") &&
+              col("b.pos") === col("a.pos") + 1 && col("b.token") === col("w2"))
+          .groupBy(col("p_id"), col("a.doc_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_occ"))
+        val w = Window.partitionBy("p_id").orderBy(col("n_occ").desc, col("doc_id"))
+        m.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TOP_K)
+          .select("p_id", "rank", "doc_id", "n_occ")
+          .orderBy("p_id", "rank")
+      },
+      Some(s"""WITH pt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              |p2 AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks FROM pt),
+              |ptok AS (SELECT doc_id, pos, toks[pos] AS token FROM p2),
+              |$phraseSql,
+              |m AS (SELECT ph.p_id, a.doc_id, $countStarSql AS n_occ
+              |  FROM ptok a JOIN ph ON a.token = ph.w1
+              |  JOIN ptok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND b.token = ph.w2
+              |  GROUP BY ph.p_id, a.doc_id),
+              |ranked AS (SELECT p_id, doc_id, n_occ,
+              |  CAST(row_number() OVER (PARTITION BY p_id ORDER BY n_occ DESC, doc_id) AS BIGINT) AS rank
+              |  FROM m)
+              |SELECT p_id, rank, doc_id, n_occ FROM ranked WHERE rank <= $TOP_K
+              |ORDER BY p_id, rank""".stripMargin)
     )
   )
 
