@@ -1851,6 +1851,35 @@ object AdvancedQueries {
     // majority-class shape. Same md5-bucket discipline (deterministic,
     // scan-pushable filter, no RNG state, identical rows on any topology);
     // the summary proves the per-stratum rates landed.
+    // ---- exact-k per-group sample -------------------------------------------
+    // The third sampling shape: q_sample_hash keeps a FRACTION globally,
+    // q_sample_stratified a fraction per stratum — this keeps EXACTLY k
+    // rows per group (the "5 examples per class" eval-set builder), ranked
+    // by a content hash so the pick is deterministic, rerun- and
+    // topology-stable, and unbiased w.r.t. storage order. One per-group
+    // window (shards by the group key at fleet scale, the q_winsorize
+    // discipline); no global sort.
+    GQuery(
+      "q_sample_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy("grp").orderBy("hk", "o_orderkey")
+        Tables.orders(s, dir)
+          .select(col("o_orderpriority").as("grp"), col("o_orderkey"),
+            md5Int(col("o_orderkey").cast("string")).as("hk"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select("grp", "rank", "o_orderkey", "hk")
+          .orderBy("grp", "rank")
+      },
+      Some(s"""WITH h AS (SELECT o_orderpriority AS grp, o_orderkey,
+              |    ${md5IntSql("CAST(o_orderkey AS VARCHAR)")} AS hk FROM orders),
+              |r AS (SELECT grp, o_orderkey, hk,
+              |  CAST(row_number() OVER (PARTITION BY grp ORDER BY hk, o_orderkey) AS BIGINT) AS rank
+              |  FROM h)
+              |SELECT grp, rank, o_orderkey, hk FROM r WHERE rank <= 5
+              |ORDER BY grp, rank""".stripMargin)
+    ),
+
     GQuery(
       "q_sample_stratified",
       (s, dir) => {

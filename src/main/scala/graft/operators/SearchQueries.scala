@@ -87,7 +87,7 @@ object SearchQueries {
     *  - idf_micro     = ((2N-2df+1)*1000000) div (2df+1)
     *  - score_micro   = (idf_micro * tfsat_micro) div 1000000
     */
-  private def scoreExpr(div: String): String =
+  private[graft] def scoreExpr(div: String): String =
     s"((((2*n_docs - 2*df + 1) * 1000000) $div (2*df + 1)) * " +
       s"((tf * 2200 * 1000000) $div ((tf * 1000) + " +
       s"((1200 * (250 + ((750 * dl * 1000) $div ((tt * 1000) $div n_docs)))) $div 1000)))) $div 1000000"

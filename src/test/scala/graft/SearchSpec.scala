@@ -42,6 +42,39 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("integer BM25 score chain matches BigInt reference — no int64 overflow") {
+    // differential guard for the floor-division chain: evaluate the ACTUAL
+    // Spark expression on randomized inputs across the documented envelope
+    // (N up to 1e6 docs per shard) and compare against exact BigInt
+    // arithmetic — equality proves every intermediate stayed in int64
+    import graft.operators.SearchQueries
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(300) {
+      val n = 1L + rnd.nextInt(1000000)
+      val df = 1L + (rnd.nextLong().abs % n)
+      val dl = 1L + rnd.nextInt(10000)
+      val tf = 1L + (rnd.nextLong().abs % dl)
+      val tt = n * (1L + rnd.nextInt(10000)) // corpus tokens: N * avgdl
+      (tf, df, dl, n, tt)
+    }
+    val got = rows.toDF("tf", "df", "dl", "n_docs", "tt")
+      .withColumn("s", expr(SearchQueries.scoreExpr("div")))
+      .select("s").collect().map(_.getLong(0))
+    def ref(tf: BigInt, df: BigInt, dl: BigInt, n: BigInt, tt: BigInt): BigInt = {
+      val idf = ((n * 2 - df * 2 + 1) * 1000000) / (df * 2 + 1)
+      val avgdlM = (tt * 1000) / n
+      val normM = 250 + (dl * 750 * 1000) / avgdlM
+      val denomM = tf * 1000 + (normM * 1200) / 1000
+      val tfsat = (tf * 2200 * 1000000) / denomM
+      (idf * tfsat) / 1000000
+    }
+    rows.zip(got).foreach { case ((tf, df, dl, n, tt), s) =>
+      val expect = ref(tf, df, dl, n, tt)
+      assert(BigInt(s) == expect, s"tf=$tf df=$df dl=$dl n=$n tt=$tt: $s != $expect")
+    }
+  }
+
   test("hybrid rrf fuses both lists: members of both outrank single-list strays") {
     assert(hybrid.nonEmpty)
     // every rrf value decomposes as a sum of at most two reciprocal-rank
