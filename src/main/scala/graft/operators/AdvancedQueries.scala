@@ -1656,6 +1656,54 @@ object AdvancedQueries {
               |FROM snaps ORDER BY user_id, valid_from_us""".stripMargin)
     ),
 
+    // ---- SCD2 point-in-time lookup: facts ⋈ effective interval --------------
+    // The consumption side of q_scd2_intervals: each purchase joined to the
+    // dimension interval CONTAINING its timestamp ([from, to), null to =
+    // still current) — the point-in-time-correct dimension lookup every
+    // warehouse fact load runs. Equi-join on the user key with the interval
+    // containment as residual; intervals are disjoint per key so at most
+    // one row matches and the join cannot amplify. Same answer as the as-of
+    // backward join (q_asof_join_snapshot) by construction — this registers
+    // the interval-containment FORM a dimensional model queries with.
+    GQuery(
+      "q_scd2_lookup",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val snaps = ev.filter(col("event_type") === "error")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max("event_id").as("err_id"))
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        val dim = snaps
+          .withColumn("valid_from_us", unix_micros(col("ts")))
+          .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(w))
+          .select(col("user_id").as("d_user_id"), col("err_id"),
+            col("valid_from_us"), col("valid_to_us"))
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+          .join(dim,
+            col("user_id") === col("d_user_id") &&
+              col("ts_us") >= col("valid_from_us") &&
+              (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")),
+            "left")
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("err_id"), col("valid_from_us"))
+          .orderBy("user_id", "event_id")
+      },
+      Some(s"""WITH snaps AS (SELECT user_id, ts, MAX(event_id) AS err_id
+              |  FROM ${Tables.eventsOracleFrom} e
+              |  WHERE event_type = 'error' GROUP BY user_id, ts),
+              |dim AS (SELECT user_id AS d_user_id, err_id, epoch_us(ts) AS valid_from_us,
+              |  lead(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to_us
+              |  FROM snaps),
+              |facts AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+              |  FROM ${Tables.eventsOracleFrom} e WHERE event_type = 'purchase')
+              |SELECT f.user_id, f.event_id, f.ts_us, d.err_id, d.valid_from_us
+              |FROM facts f LEFT JOIN dim d ON f.user_id = d.d_user_id
+              |  AND f.ts_us >= d.valid_from_us
+              |  AND (d.valid_to_us IS NULL OR f.ts_us < d.valid_to_us)
+              |ORDER BY f.user_id, f.event_id""".stripMargin)
+    ),
+
     // ---- incremental aggregate maintenance: merge partials, never rescan ----
     // The nightly-ETL shape: history's aggregate is already materialized;
     // today's batch aggregates alone, and the two PARTIAL states merge

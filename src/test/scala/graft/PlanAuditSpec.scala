@@ -249,6 +249,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("EqualTo(label,3)"), p)
   }
 
+  test("BM25 broadcasts query terms and df; top-k plans as WindowGroupLimit") {
+    // the lexical-search scale contract: the postings side joins the query
+    // set and per-term df as BROADCASTS (a conf regression shuffling the
+    // postings for a 12-row query join would be invisible in results), and
+    // the rank<=k filter must reach the WindowGroupLimit operator so
+    // per-partition top-k prunes before the window shuffle
+    val p = plan("search_bm25_topk")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("prefix-filter dedup: every join is an equi-join, no cartesian") {
     val p = plan("dedup_prefix_filter")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
