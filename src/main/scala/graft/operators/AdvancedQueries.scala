@@ -1845,6 +1845,54 @@ object AdvancedQueries {
              |SELECT node, score FROM s2 ORDER BY score DESC, node""".stripMargin)
     ),
 
+    // ---- link prediction: resource-allocation index over the graph ----------
+    // The third graph op (census → scoring → PREDICTION): for node pairs
+    // two hops apart but NOT yet connected, RA(a,b) = Σ_z 1/deg(z) over
+    // common neighbors z — Adamic-Adar's 1/ln(deg) swapped for the
+    // Zhou-Lü-Zhang resource-allocation form precisely because 1/deg is
+    // exact in scaled integers (1e6 div deg) while libm ln() could drift a
+    // rank cross-engine. Wedge enumeration is the same bounded self-join
+    // the triangle census pays (support-filtered graph, capped baskets);
+    // existing edges drop via anti-join. Edges derive ONCE via Materialize
+    // (the pagerank discipline).
+    GQuery(
+      "q_link_prediction",
+      (s, dir) => {
+        val ed = Materialize(copurchaseEdges(s, dir))
+        val und = ed.select(col("a").as("src"), col("b").as("dst"))
+          .union(ed.select(col("b").as("src"), col("a").as("dst")))
+        val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+        val w = und.as("x")
+          .join(und.as("y"), col("x.dst") === col("y.src") && col("x.src") < col("y.dst"))
+          .select(col("x.src").as("wa"), col("x.dst").as("z"), col("y.dst").as("wb"))
+        val ra = w.join(deg.withColumnRenamed("src", "z"), "z")
+          .groupBy(col("wa"), col("wb"))
+          .agg(sum(expr("1000000 div deg")).as("ra_micro"),
+            count(lit(1)).as("n_common"))
+        ra.join(ed, col("wa") === col("a") && col("wb") === col("b"), "left_anti")
+          .select(col("wa").as("a"), col("wb").as("b"), col("ra_micro"), col("n_common"))
+          .orderBy(col("ra_micro").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      Some("""WITH li0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |li AS (SELECT * FROM li0 WHERE ok IN
+             |  (SELECT ok FROM li0 GROUP BY ok HAVING COUNT(*) <= 32)),
+             |e0 AS (SELECT x.pk AS a, y.pk AS b, COUNT(*) AS c
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2),
+             |ed AS (SELECT a, b FROM e0 WHERE c >= 2),
+             |und AS (SELECT a AS src, b AS dst FROM ed UNION ALL SELECT b, a FROM ed),
+             |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY src),
+             |w AS (SELECT x.src AS wa, x.dst AS z, y.dst AS wb
+             |  FROM und x JOIN und y ON x.dst = y.src AND x.src < y.dst),
+             |ra AS (SELECT wa, wb, CAST(SUM(1000000 // deg) AS BIGINT) AS ra_micro,
+             |    CAST(COUNT(*) AS BIGINT) AS n_common
+             |  FROM w JOIN deg ON w.z = deg.src GROUP BY wa, wb),
+             |cand AS (SELECT ra.wa, ra.wb, ra.ra_micro, ra.n_common FROM ra
+             |  LEFT JOIN ed ON ra.wa = ed.a AND ra.wb = ed.b WHERE ed.a IS NULL)
+             |SELECT wa AS a, wb AS b, ra_micro, n_common FROM cand
+             |ORDER BY ra_micro DESC, a, b LIMIT 20""".stripMargin)
+    ),
+
     // ---- referential-integrity audit: orphaned foreign keys ------------------
     // The data-quality gate every warehouse load runs: count fact rows whose
     // FK has no match in the dimension. Each check is ONE pass over the fact
