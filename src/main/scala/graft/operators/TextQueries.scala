@@ -34,6 +34,25 @@ object TextQueries {
 
   private def markerArr(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
+  /** Count-min sketch geometry + derivation, shared by the registered query
+    * and the streaming ingest ([[graft.streaming.DocumentsStream]]). A
+    * cell's counter = Σ tf of the tokens hashing into it, so the sketch
+    * folds from the per-batch (token, tf) aggregate — and because cells are
+    * SUMS, per-batch sketches merge by cell-wise addition into exactly the
+    * full-corpus sketch (the mergeability a 100 TB shard/stream plan needs).
+    */
+  private[graft] val cmsRowIds = array((0 until 4).map(lit): _*)
+  private[graft] val cmsBucketExpr =
+    "CAST(conv(substr(md5(concat(CAST(i AS STRING), ':', token)), 1, 8), 16, 10) AS BIGINT) % 64"
+
+  /** Sketch (i, bucket, cnt) of a frame carrying a `text` column. */
+  private[graft] def cmsSketchOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(explode(expr(toksCol)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .select(col("token"), col("tf"), explode(cmsRowIds).as("i"))
+      .select(col("i"), expr(cmsBucketExpr).as("bucket"), col("tf"))
+      .groupBy("i", "bucket").agg(sum(col("tf")).as("cnt"))
+
   val defs: Seq[GQuery] = Seq(
 
     GQuery(
@@ -662,24 +681,12 @@ object TextQueries {
     GQuery(
       "text_heavy_hitters_cms",
       (s, dir) => {
-        val D = 4
-        val W = 64
-        val rowIds = array((0 until D).map(lit): _*)
-        def bucket(tok: String): org.apache.spark.sql.Column =
-          expr(s"CAST(conv(substr(md5(concat(CAST(i AS STRING), ':', $tok)), 1, 8), 16, 10) AS BIGINT) % $W")
-        val toks = Tables.documents(s, dir)
-          .select(explode(expr(toksCol)).as("token"))
-        val cand = toks.groupBy("token").agg(count(lit(1)).as("tf"))
-        // a cell's counter = Σ tf of the tokens hashing into it, so the
-        // sketch folds from the (token, tf) aggregate instead of 4× the
-        // raw token stream — identical cells, one explode of |vocab| rows
-        // (a true streaming ingest increments cells per arriving token;
-        // the materialized sketch is the same either way)
-        val sketch = cand.select(col("token"), col("tf"), explode(rowIds).as("i"))
-          .select(col("i"), bucket("token").as("bucket"), col("tf"))
-          .groupBy("i", "bucket").agg(sum(col("tf")).as("cnt"))
-        cand.select(col("token"), col("tf"), explode(rowIds).as("i"))
-          .withColumn("bucket", bucket("token"))
+        val docs = Tables.documents(s, dir)
+        val cand = docs.select(explode(expr(toksCol)).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("tf"))
+        val sketch = cmsSketchOf(docs)
+        cand.select(col("token"), col("tf"), explode(cmsRowIds).as("i"))
+          .withColumn("bucket", expr(cmsBucketExpr))
           .join(broadcast(sketch), Seq("i", "bucket"))
           .groupBy("token", "tf").agg(min(col("cnt")).as("est"))
           .orderBy(col("est").desc, col("token"))

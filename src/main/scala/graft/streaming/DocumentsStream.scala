@@ -62,4 +62,32 @@ object DocumentsStream {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming count-min ingest: sketch each micro-batch's documents and
+    * append the per-batch cells; the standing sketch is the CELL-WISE SUM
+    * of everything appended — because CMS cells are sums, per-batch
+    * sketches merge into exactly the full-corpus sketch (pinned in
+    * StreamingSpec). This is the sketch lifecycle at 100 TB: shards/
+    * triggers sketch locally (256 cells each), one tiny reduce merges.
+    */
+  def runCmsIngest(
+      spark: SparkSession, inPath: String, outPath: String,
+      checkpoint: String): Unit = {
+    val q = readDocs(spark, inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.TextQueries.cmsSketchOf(batch.toDF())
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Merge appended per-batch sketch cells into the standing sketch. */
+  def mergedSketch(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(outPath)
+      .groupBy("i", "bucket").agg(sum(col("cnt")).as("cnt"))
 }

@@ -348,6 +348,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == direct.orderBy(cols: _*).collect().toSeq)
   }
 
+  test("streaming CMS ingest: per-batch sketches merge to the batch sketch") {
+    // the sketch-mergeability claim executed: drain documents in several
+    // micro-batches, cell-wise-sum the appended per-batch sketches, and
+    // the standing sketch must equal the one-shot full-corpus sketch
+    import graft.streaming.DocumentsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-cmsstream").toString
+    Tables.documents(spark, sfDir).select("doc_id", "text").repartition(3)
+      .write.mode("overwrite").parquet(s"$base/in")
+    DocumentsStream.runCmsIngest(spark, s"$base/in", s"$base/out", s"$base/ckpt")
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected several micro-batches, got $commits")
+    val merged = DocumentsStream.mergedSketch(spark, s"$base/out")
+      .orderBy("i", "bucket").collect()
+    val direct = graft.operators.TextQueries
+      .cmsSketchOf(Tables.documents(spark, sfDir))
+      .orderBy("i", "bucket").collect()
+    assert(merged.nonEmpty && merged.toSeq == direct.toSeq)
+  }
+
   test("stateful dedup on the RocksDB state store equals batch distinct") {
     // the bounded-heap state path a 100 TB streaming deployment runs on:
     // same query, state provider swapped to RocksDB — results must be
