@@ -446,6 +446,46 @@ object DedupQueries {
               |ORDER BY doc_a, doc_b""".stripMargin)
     ),
 
+    // ---- cross-source near-dup audit ----------------------------------------
+    // Provenance × dedup: pipeline_source_overlap answers "do these crawls
+    // share VOCABULARY"; this answers "do they share DOCUMENTS" — the
+    // near-dup pairs whose endpoints live in DIFFERENT sources, rolled up
+    // per (source, source) with the pair count and the jaccard range. The
+    // audit run before mixing corpora: a high cross-source count means one
+    // crawl mirrors another and the mixing weights double-count it. Reuses
+    // the full MinHash pipeline; the source lookup is a narrow broadcast
+    // join on doc_id, and min/max of the (cross-engine-identical) jaccard
+    // doubles are order-independent so the rollup stays hash-exact.
+    GQuery(
+      "dedup_cross_source",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val pairs = minhashPairs(d.select(col("doc_id"), col("text")))
+        val src = d.select(col("doc_id"), col("source"))
+        pairs
+          .join(broadcast(src.select(col("doc_id").as("doc_a"), col("source").as("src_1"))), "doc_a")
+          .join(broadcast(src.select(col("doc_id").as("doc_b"), col("source").as("src_2"))), "doc_b")
+          .filter(col("src_1") =!= col("src_2"))
+          .select(least(col("src_1"), col("src_2")).as("source_a"),
+            greatest(col("src_1"), col("src_2")).as("source_b"), col("jac"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("jac")).as("min_jac"), max(col("jac")).as("max_jac"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH $minhashPairsCte,
+              |src AS (SELECT doc_id, source FROM documents),
+              |xp AS (SELECT least(a.source, b.source) AS source_a,
+              |    greatest(a.source, b.source) AS source_b, jac
+              |  FROM jac_pairs j JOIN src a ON j.doc_a = a.doc_id
+              |  JOIN src b ON j.doc_b = b.doc_id
+              |  WHERE a.source <> b.source)
+              |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              |  MIN(jac) AS min_jac, MAX(jac) AS max_jac
+              |FROM xp GROUP BY source_a, source_b
+              |ORDER BY source_a, source_b""".stripMargin)
+    ),
+
     // ---- incremental dedup: new batch vs existing corpus --------------------
     // THE shape that matters at 100 TB: a daily batch is deduped against
     // the standing corpus without ever re-pairing the corpus with itself —
