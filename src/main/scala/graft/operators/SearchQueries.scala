@@ -154,18 +154,23 @@ object SearchQueries {
 
   // ---- persisted inverted index (the 100 TB serving layout) ---------------
 
-  /** Postings (term, doc_id, tf, dl, lang) for a (doc_id, text, lang)
-    * frame — the one derivation the index build, the append path, and the
-    * inline registered queries all share. `lang` rides along as the
-    * filtered-search metadata column (the IVF index's label precedent).
+  /** Postings (term, doc_id, tf, dl, lang, positions) for a (doc_id, text,
+    * lang) frame — the one derivation the index build, the append path, and
+    * the inline registered queries all share. `lang` rides along as the
+    * filtered-search metadata column (the IVF index's label precedent);
+    * `positions` (sorted token offsets) makes the index phrase-capable —
+    * BM25 probes never read it (column pruning drops it at the scan).
     */
   private def postingsOf(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
     val dl = docs.select(col("doc_id"), col("lang"),
       size(split(col("text"), " ")).cast("long").as("dl"))
-    toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    toks.groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos").cast("long"))).as("positions"))
       .join(dl, "doc_id")
-      .select("term", "doc_id", "tf", "dl", "lang")
+      .select("term", "doc_id", "tf", "dl", "lang", "positions")
   }
 
   private def statsOf(docs: DataFrame): DataFrame =
@@ -299,6 +304,31 @@ object SearchQueries {
       e.filter(col("vec_id") < N_QUERIES).select("vec_id", "v", "nrm"))
       .select(col("q_id"), col("cand_id").as("doc_id"), col("rank").as("rank_v"))
     rrfFuse(bm, vec)
+  }
+
+  /** Phrase probe against the persisted index: restrict the scan to the
+    * PHRASE WORDS' postings (term In-list + bucket pruning, the BM25 probe
+    * shape), explode their position lists, and run the adjacency equi-join
+    * on (doc_id, pos+1) — candidates bounded by the probed words' posting
+    * lists, raw text never read. Equals the inline `search_phrase_match`
+    * (pinned in PartitionBucketSpec).
+    */
+  def phraseMatchFromIndex(s: SparkSession, table: String): DataFrame = {
+    val words = PHRASES.flatMap(p => Seq(p._2, p._3)).distinct
+    val p = s.table(table).filter(col("term").isin(words: _*))
+    val pos = p.select(col("term"), col("doc_id"), explode(col("positions")).as("pos"))
+    val m = pos.as("a")
+      .join(broadcast(phraseFrame(s)), col("a.term") === col("w1"))
+      .join(pos.as("b"),
+        col("b.doc_id") === col("a.doc_id") &&
+          col("b.pos") === col("a.pos") + 1 && col("b.term") === col("w2"))
+      .groupBy(col("p_id"), col("a.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+    val w = Window.partitionBy("p_id").orderBy(col("n_occ").desc, col("doc_id"))
+    m.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select("p_id", "rank", "doc_id", "n_occ")
+      .orderBy("p_id", "rank")
   }
 
   /** Compact the inverted index after many appends — the small-file

@@ -385,6 +385,23 @@ class PartitionBucketSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == inline.toSeq)
   }
 
+  test("phrase probe on the inverted index: words prune the scan, equals inline") {
+    // the phrase-capable index claim: the probe reads only the phrase
+    // words' postings (term In-list at the scan, raw text never opened)
+    // and the adjacency join reproduces the inline positional result
+    import graft.operators.SearchQueries
+    val path = s"$tmp/search_idx_p"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_idx_p", path)
+    val probed = SearchQueries.phraseMatchFromIndex(spark, "search_idx_p")
+    val got = probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("documents.parquet"), s"probe read raw documents:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*In\\(term".r.findFirstIn(plan).isDefined, plan)
+    val inline = SparkEntry.queries("search_phrase_match")(spark, sfDir).collect()
+    assert(got.nonEmpty && got.toSeq == inline.toSeq)
+  }
+
   test("hybrid serving from persisted indexes: no text scan, cells prune, fusion parity") {
     // the full serving composition: lexical list from the bucketed postings
     // table, vector list from the partition-pruned IVF index, integer RRF
