@@ -752,6 +752,49 @@ object TextQueries {
               |FROM j GROUP BY lang ORDER BY lang""".stripMargin)
     ),
 
+    // ---- deterministic weighted interleave (training order) -----------------
+    // pipeline_mix decides HOW MANY docs per source and
+    // pipeline_sample_weights the sampling RATE — this builds the actual
+    // ORDER a trainer consumes: each source's docs are ranked by content
+    // hash (rerun-stable), given a virtual position rank·1e6 div w where
+    // w = sqrt(source size) in milli-units (the α=0.5 temperature weight;
+    // sqrt is IEEE-correctly-rounded so w is bit-exact cross-engine), and
+    // the global stream is the merge by (position, source, rank) — bigger
+    // sources advance proportionally slower, so the head of the stream
+    // interleaves sources at the temperature ratio. Per-source windows
+    // shard by source; the final total-order sort is the output contract
+    // (a trainer consumes the stream, it does not re-sort it). First 50
+    // positions registered.
+    GQuery(
+      "pipeline_interleave",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        val w = Window.partitionBy("source").orderBy("hk", "doc_id")
+        val ranked = d
+          .withColumn("hk", md5Int(col("doc_id").cast("string")))
+          .withColumn("rk", row_number().over(w).cast("long"))
+        val wt = d.groupBy("source").agg(count(lit(1)).as("n"))
+          .select(col("source"),
+            expr("CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT)").as("w_milli"))
+        ranked.join(broadcast(wt), "source")
+          .withColumn("vpos", expr("rk * 1000000 div w_milli"))
+          .orderBy("vpos", "source", "rk")
+          .limit(50)
+          .select("vpos", "source", "rk", "doc_id")
+      },
+      Some(s"""WITH h AS (SELECT doc_id, source,
+              |    ${md5IntSql("CAST(doc_id AS VARCHAR)")} AS hk FROM documents),
+              |r AS (SELECT doc_id, source, hk,
+              |  CAST(row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS BIGINT) AS rk
+              |  FROM h),
+              |wt AS (SELECT source,
+              |    CAST(round(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000) AS BIGINT) AS w_milli
+              |  FROM documents GROUP BY source)
+              |SELECT rk * 1000000 // w_milli AS vpos, r.source, rk, doc_id
+              |FROM r JOIN wt ON r.source = wt.source
+              |ORDER BY vpos, r.source, rk LIMIT 50""".stripMargin)
+    ),
+
     GQuery(
       "pipeline_source_stats",
       (s, dir) => {
