@@ -56,6 +56,46 @@ object MultimodalQueries {
              |ORDER BY payload_sha256""".stripMargin)
     ),
 
+    // WebDataset-style shard packing: assign assets to fixed-byte-budget
+    // shards by a running byte sum — the layout step that turns a media
+    // corpus into sequentially-readable training shards. Shard id =
+    // cum_bytes div budget within each source (per-source windows shard by
+    // the key; a global pack would use per-partition packing + a shard-id
+    // offset pass, the pipeline_pack_batches discipline). The report per
+    // (source, shard) carries asset count, byte total, and the id range —
+    // everything a loader needs to address a shard. Payloads never
+    // shuffle: only (id, n_bytes) pairs pass through the window.
+    GQuery(
+      "multimodal_pack_shards",
+      (s, dir) => {
+        val budget = 4096L // bytes per shard at test scale
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("asset_id")
+        Tables.documents(s, dir)
+          .select(col("doc_id").as("asset_id"), col("source"),
+            length(col("text").cast("binary")).cast("long").as("n_bytes"))
+          .withColumn("cum_bytes", sum(col("n_bytes")).over(w))
+          .withColumn("shard", expr(s"(cum_bytes - 1) div $budget"))
+          .groupBy("source", "shard")
+          .agg(count(lit(1)).as("n_assets"),
+            sum(col("n_bytes")).as("shard_bytes"),
+            min(col("asset_id")).as("first_asset"),
+            max(col("asset_id")).as("last_asset"))
+          .orderBy("source", "shard")
+      },
+      Some("""WITH a AS (SELECT doc_id AS asset_id, source,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+             |c AS (SELECT asset_id, source, n_bytes,
+             |  CAST(SUM(n_bytes) OVER (PARTITION BY source ORDER BY asset_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bytes
+             |  FROM a),
+             |sh AS (SELECT source, (cum_bytes - 1) // 4096 AS shard, asset_id, n_bytes FROM c)
+             |SELECT source, shard, CAST(COUNT(*) AS BIGINT) AS n_assets,
+             |  CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+             |  MIN(asset_id) AS first_asset, MAX(asset_id) AS last_asset
+             |FROM sh GROUP BY source, shard ORDER BY source, shard""".stripMargin)
+    ),
+
     // Stubbed per-partition decode (real plumbing, fake codec — see
     // Multimodal.FakeCodec). Oracle-able despite the Scala codec: the stub's
     // features are deterministic byte arithmetic, and the ASCII corpus makes
