@@ -213,10 +213,14 @@ object SearchQueries {
     */
   def appendSearchIndex(
       s: SparkSession, table: String, path: String, newDocs: DataFrame): Unit = {
+    // no path option on append: the CATALOG owns the table's location, and
+    // after a compaction that location has moved — re-specifying the
+    // original path would throw a location mismatch (covered in
+    // PartitionBucketSpec's compact-then-append test). `path` is only the
+    // stats anchor, which compaction never moves.
     postingsOf(newDocs)
       .write.mode("append")
       .bucketBy(8, "term").sortBy("term")
-      .option("path", path)
       .saveAsTable(table)
     val old = s.read.parquet(s"${path}_stats").head
     val delta = statsOf(newDocs).head

@@ -348,6 +348,16 @@ class PartitionBucketSpec extends SparkSpec {
     assert(after.forall(_.contains("search_idx_c__c")), "location did not move")
     val probed = SearchQueries.bm25TopkFromIndex(spark, "search_idx_c", path).collect()
     assert(probed.nonEmpty && probed.toSeq == before.toSeq)
+    // the lifecycle composes: an append AFTER a compaction must land at the
+    // table's moved location (no stale-path write), leaving probes exact.
+    // Re-append a disjoint id range by shifting ids out past the corpus.
+    val extra = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 5)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang"))
+    SearchQueries.appendSearchIndex(spark, "search_idx_c", path, extra)
+    val appended = spark.table("search_idx_c")
+      .filter(col("doc_id") >= 1000000L).select("doc_id").distinct().count()
+    assert(appended == 5, s"append after compaction lost rows: $appended")
   }
 
   test("filtered probe on the inverted index: term AND lang push to one scan") {
