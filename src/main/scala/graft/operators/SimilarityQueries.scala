@@ -1157,7 +1157,12 @@ object SimilarityQueries {
       "ann_knn_graph",
       (s, dir) => {
         val e = VectorOps.normalized(s, dir)
-        val assign = assignToSeeds(e, seedSet(e)).select("vec_id", "v", "nrm", "seed_id")
+        // materialized once: BOTH sides of the within-cell self-join read
+        // the assignment — without the cache the corpus×seeds argmax
+        // (join + window) would run twice (the q_pagerank_iter discipline:
+        // union/self-join branches do not share subplans)
+        val assign = Materialize(
+          assignToSeeds(e, seedSet(e)).select("vec_id", "v", "nrm", "seed_id"))
         val a = assign.select(col("seed_id"), col("vec_id"),
           col("v").as("av"), col("nrm").as("an"))
         val b = assign.select(col("seed_id"), col("vec_id").as("nbr_id"),
@@ -1208,7 +1213,11 @@ object SimilarityQueries {
       "dedup_semantic",
       (s, dir) => {
         val e = VectorOps.normalized(s, dir)
-        val assign = assignToSeeds(e, seedSet(e)).select("vec_id", "v", "nrm", "seed_id")
+        // materialized once: the pair self-join's two sides AND the final
+        // verdict join all read the assignment (three derivations without
+        // the cache — the q_pagerank_iter discipline)
+        val assign = Materialize(
+          assignToSeeds(e, seedSet(e)).select("vec_id", "v", "nrm", "seed_id"))
         val a = assign.select(col("seed_id"), col("vec_id").as("a_id"),
           col("v").as("av"), col("nrm").as("an"))
         val b = assign.select(col("seed_id"), col("vec_id").as("b_id"),
