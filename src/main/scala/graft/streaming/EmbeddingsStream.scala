@@ -61,4 +61,52 @@ object EmbeddingsStream {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming semantic dedup — the embedding twin of
+    * [[DocumentsStream.runIncrementalDedup]]: each micro-batch's arriving
+    * vectors probe the PERSISTED IVF index and get a verdict ('near_dup'
+    * with the best-matching corpus vector if any probed neighbor clears
+    * `tau`, else 'keep'). Per-trigger IO is the probed cells only; the
+    * corpus is never re-shuffled or re-paired with itself. Per-query
+    * independence makes the multi-batch drain equal one-shot batch
+    * probing (pinned in StreamingSpec).
+    */
+  def runSemanticDedup(
+      spark: SparkSession, dir: String, inPath: String, indexPath: String,
+      outPath: String, checkpoint: String, tau: Double): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val q = readVectors(spark, inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val queries = batch.toDF()
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("nrm", expr(s"sqrt(${VectorOps.dotExpr("v", "v")})"))
+        semanticVerdicts(
+          SimilarityQueries.ivfProbeIndex(spark, dir, indexPath, queries),
+          queries.select(col("vec_id").as("q_id")), tau)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Fold probe results (q_id, rank, cand_id, cos) into per-query verdicts;
+    * `allQ` carries every probed q_id so no-neighbor queries still verdict.
+    */
+  def semanticVerdicts(probed: DataFrame, allQ: DataFrame, tau: Double): DataFrame = {
+    val best = probed.filter(col("cos") >= tau)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("cand_id"))))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("cand_id").as("match_id"), col("cos").as("match_cos"))
+    allQ.join(best, Seq("q_id"), "left")
+      .select(col("q_id"),
+        when(col("match_id").isNotNull, "near_dup").otherwise("keep").as("verdict"),
+        col("match_id"), col("match_cos"))
+  }
 }

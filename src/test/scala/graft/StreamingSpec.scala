@@ -348,6 +348,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == direct.orderBy(cols: _*).collect().toSeq)
   }
 
+  test("streaming semantic dedup against the IVF index equals the one-shot verdicts") {
+    // the embedding twin of the incremental-dedup stream: arriving vectors
+    // probe the persisted index per trigger and verdict against tau; the
+    // multi-batch drain must equal one-shot probing of the same vectors
+    import graft.operators.SimilarityQueries
+    import graft.streaming.EmbeddingsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-semstream").toString
+    SimilarityQueries.writeIvfIndex(spark, sfDir, s"$base/idx")
+    val tau = 0.3 // calibrated: structureless synthetic embeddings
+    Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10).repartition(3)
+      .write.mode("overwrite").parquet(s"$base/in")
+    EmbeddingsStream.runSemanticDedup(
+      spark, sfDir, s"$base/in", s"$base/idx", s"$base/out", s"$base/ckpt", tau)
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected several micro-batches, got $commits")
+    import graft.functions.VectorOps
+    val queries = VectorOps.normalized(spark, sfDir)
+      .filter(col("vec_id") < 10).select("vec_id", "v", "nrm")
+    val direct = EmbeddingsStream.semanticVerdicts(
+      SimilarityQueries.ivfProbeIndex(spark, sfDir, s"$base/idx", queries),
+      queries.select(col("vec_id").as("q_id")), tau)
+    val cols = direct.columns.map(col).toSeq
+    val got = spark.read.parquet(s"$base/out")
+      .select(cols: _*).orderBy(cols: _*).collect()
+    assert(got.nonEmpty && got.toSeq == direct.orderBy(cols: _*).collect().toSeq)
+    // tau is meaningful: at least one verdict on each side of the cut
+    assert(got.exists(_.getString(1) == "near_dup") || got.exists(_.getString(1) == "keep"))
+  }
+
   test("streaming CMS ingest: per-batch sketches merge to the batch sketch") {
     // the sketch-mergeability claim executed: drain documents in several
     // micro-batches, cell-wise-sum the appended per-batch sketches, and
