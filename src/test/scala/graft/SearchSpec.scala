@@ -75,6 +75,28 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("phrase match equals a naive in-memory bigram count") {
+    // independent witness beside the DuckDB oracle: recount every phrase
+    // occurrence with a plain Scala sliding window over the collected docs
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val phrases = Map(0L -> ("table", "hash"), 1L -> ("customer", "join"),
+      2L -> ("vector", "small"))
+    val expected = phrases.toSeq.flatMap { case (p, (w1, w2)) =>
+      docs.flatMap { case (id, toks) =>
+        val n = toks.sliding(2).count {
+          case Seq(a, b) => a == w1 && b == w2
+          case _ => false
+        }
+        if (n > 0) Some((p, id, n.toLong)) else None
+      }.sortBy { case (_, id, n) => (-n, id) }.take(10)
+        .zipWithIndex.map { case ((pp, id, n), i) => (pp, i + 1L, id, n) }
+    }.toSet
+    val got = SparkEntry.queries("search_phrase_match")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("hybrid rrf fuses both lists: members of both outrank single-list strays") {
     assert(hybrid.nonEmpty)
     // every rrf value decomposes as a sum of at most two reciprocal-rank
