@@ -292,6 +292,34 @@ object EventQueries {
               |     4*(win_hours*win_sq - win_events*win_events)) AS is_anomaly
               |FROM win WHERE win_hours >= 5
               |ORDER BY event_type, hr""".stripMargin)
+    ),
+
+    // ---- behavioral sequence mining: top event-type transitions -------------
+    // The frequent-2-sequence census (what users do NEXT): lead() over each
+    // user's ts-ordered stream pairs every event with its successor, and
+    // the global transition counts rank the behavioral edges — the input
+    // to Markov funnel models and session-intent features. One window
+    // shuffle by user + one map-side-combined count; at 100 TB both shard
+    // cleanly (the heavy stream never leaves its user partition unpaired).
+    GQuery(
+      "q_events_sequences",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy("event_type", "next_type")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("event_type"), col("next_type"))
+          .limit(10)
+      },
+      Some(s"""WITH seq AS (SELECT event_type,
+              |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+              |  FROM ${Tables.eventsOracleFrom} e)
+              |SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+              |FROM seq WHERE next_type IS NOT NULL
+              |GROUP BY event_type, next_type
+              |ORDER BY n DESC, event_type, next_type LIMIT 10""".stripMargin)
     )
   )
 }
