@@ -1845,6 +1845,34 @@ object AdvancedQueries {
              |SELECT node, score FROM s2 ORDER BY score DESC, node""".stripMargin)
     ),
 
+    // ---- graph degree distribution ------------------------------------------
+    // The graph-shape audit read before any traversal is planned: the
+    // degree histogram (how many nodes have degree d) plus the max-degree
+    // hub — a heavy tail means wedge/triangle joins need hub caps, a thin
+    // one means they are safe as-is. Two tiny aggregates over the
+    // support-filtered edge list; the edge derivation is the shared capped
+    // pipeline and dominates the cost at any scale.
+    GQuery(
+      "q_graph_degree_dist",
+      (s, dir) => {
+        val ed = Materialize(copurchaseEdges(s, dir))
+        val und = ed.select(col("a").as("src")).union(ed.select(col("b").as("src")))
+        und.groupBy("src").agg(count(lit(1)).as("deg"))
+          .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("deg")
+      },
+      Some("""WITH li0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |li AS (SELECT * FROM li0 WHERE ok IN
+             |  (SELECT ok FROM li0 GROUP BY ok HAVING COUNT(*) <= 32)),
+             |e0 AS (SELECT x.pk AS a, y.pk AS b, COUNT(*) AS c
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2),
+             |ed AS (SELECT a, b FROM e0 WHERE c >= 2),
+             |und AS (SELECT a AS src FROM ed UNION ALL SELECT b FROM ed),
+             |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY src)
+             |SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+             |FROM deg GROUP BY deg ORDER BY deg""".stripMargin)
+    ),
+
     // ---- link prediction: resource-allocation index over the graph ----------
     // The third graph op (census → scoring → PREDICTION): for node pairs
     // two hops apart but NOT yet connected, RA(a,b) = Σ_z 1/deg(z) over
