@@ -294,6 +294,41 @@ object EventQueries {
               |ORDER BY event_type, hr""".stripMargin)
     ),
 
+    // ---- integer EWMA: time-decayed per-user signal --------------------------
+    // The exponentially-weighted activity signal with α = 1/2 evaluated as
+    // an ORDERED INTEGER FOLD: ewma' = (ewma + v_cents) div 2 over each
+    // user's ts-ordered values — halving is exact in integers, so both
+    // engines floor identically at every step where a float EWMA would
+    // accumulate cross-engine ulps. The per-user sequence materializes as
+    // a sorted array (bounded by per-user event count; the streaming shape
+    // of the same fold is mapGroupsWithState, already registered) and the
+    // fold is a codegen'd higher-order aggregate — one shuffle by user.
+    GQuery(
+      "q_events_ewma",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(col("user_id"),
+            struct(col("ts"), col("event_id"),
+              expr("CAST(round(value * 100) AS BIGINT)").as("cents")).as("ev"))
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(col("ev"))).as("seq"))
+          .select(col("user_id"),
+            size(col("seq")).cast("long").as("n_events"),
+            expr("aggregate(transform(seq, x -> x.cents), CAST(0 AS BIGINT), " +
+              "(acc, v) -> (acc + v) div 2)").as("ewma_cents"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH ev AS (SELECT user_id, ts, event_id,
+              |    CAST(round(value * 100) AS BIGINT) AS cents
+              |  FROM ${Tables.eventsOracleFrom} e),
+              |seqs AS (SELECT user_id, list(cents ORDER BY ts, event_id) AS seq
+              |  FROM ev GROUP BY user_id)
+              |SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
+              |  list_reduce(list_prepend(CAST(0 AS BIGINT), seq),
+              |    (acc, v) -> (acc + v) // 2) AS ewma_cents
+              |FROM seqs ORDER BY user_id""".stripMargin)
+    ),
+
     // ---- behavioral sequence mining: top event-type transitions -------------
     // The frequent-2-sequence census (what users do NEXT): lead() over each
     // user's ts-ordered stream pairs every event with its successor, and
