@@ -314,8 +314,13 @@ object EventQueries {
           .agg(sort_array(collect_list(col("ev"))).as("seq"))
           .select(col("user_id"),
             size(col("seq")).cast("long").as("n_events"),
+            // (s - pmod(s, 2)) div 2 is FLOOR(s/2) for any sign: Spark div
+            // truncates toward zero while DuckDB // floors, so the raw
+            // (acc+v) div 2 would diverge the first time a fold sum went
+            // negative (current data is non-negative; the form is safe
+            // either way and hash-identical on non-negative input)
             expr("aggregate(transform(seq, x -> x.cents), CAST(0 AS BIGINT), " +
-              "(acc, v) -> (acc + v) div 2)").as("ewma_cents"))
+              "(acc, v) -> (acc + v - pmod(acc + v, 2)) div 2)").as("ewma_cents"))
           .orderBy("user_id")
       },
       Some(s"""WITH ev AS (SELECT user_id, ts, event_id,

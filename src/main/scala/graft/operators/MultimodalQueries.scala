@@ -75,7 +75,12 @@ object MultimodalQueries {
           .select(col("doc_id").as("asset_id"), col("source"),
             length(col("text").cast("binary")).cast("long").as("n_bytes"))
           .withColumn("cum_bytes", sum(col("n_bytes")).over(w))
-          .withColumn("shard", expr(s"(cum_bytes - 1) div $budget"))
+          // greatest(..., 0): a zero-byte asset at a source's head would
+          // make cum_bytes-1 negative, where Spark div truncates toward
+          // zero but DuckDB // floors — clamp so both engines agree on any
+          // input (current corpora have no empty payloads; the guard is
+          // for the ones that do)
+          .withColumn("shard", expr(s"greatest(cum_bytes - 1, CAST(0 AS BIGINT)) div $budget"))
           .groupBy("source", "shard")
           .agg(count(lit(1)).as("n_assets"),
             sum(col("n_bytes")).as("shard_bytes"),
@@ -89,7 +94,7 @@ object MultimodalQueries {
              |  CAST(SUM(n_bytes) OVER (PARTITION BY source ORDER BY asset_id
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bytes
              |  FROM a),
-             |sh AS (SELECT source, (cum_bytes - 1) // 4096 AS shard, asset_id, n_bytes FROM c)
+             |sh AS (SELECT source, greatest(cum_bytes - 1, 0) // 4096 AS shard, asset_id, n_bytes FROM c)
              |SELECT source, shard, CAST(COUNT(*) AS BIGINT) AS n_assets,
              |  CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
              |  MIN(asset_id) AS first_asset, MAX(asset_id) AS last_asset
