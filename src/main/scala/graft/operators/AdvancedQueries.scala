@@ -1845,6 +1845,70 @@ object AdvancedQueries {
              |SELECT node, score FROM s2 ORDER BY score DESC, node""".stripMargin)
     ),
 
+    // ---- data-contract expectations (one-pass constraint report) ------------
+    // The Deequ-shape quality gate a load runs before publishing: a set of
+    // declarative constraints (null rate, domain membership, range, key
+    // uniqueness) evaluated in ONE aggregate pass per table and unpivoted
+    // to a per-check report with violation counts and a pass verdict.
+    // Uniqueness rides the same pass as a count-minus-countDistinct; no
+    // constraint adds a scan. At 100 TB each table contributes exactly one
+    // partial-aggregated pass — the report cost is the scan you were
+    // already paying to load.
+    GQuery(
+      "q_quality_expectations",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).agg(
+          count(lit(1)).as("total"),
+          count(when(col("o_custkey").isNull, 1)).as("null_custkey"),
+          count(when(!col("o_orderstatus").isin("F", "O", "P"), 1)).as("bad_status"),
+          count(when(col("o_totalprice") <= 0, 1)).as("nonpositive_price"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkey"))
+        val l = Tables.lineitem(s, dir).agg(
+          count(lit(1)).as("total"),
+          count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)).as("qty_out_of_range"),
+          count(when(col("l_shipdate").isNull, 1)).as("null_shipdate"),
+          (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("dup_linekey"))
+        val oRep = o.select(expr(
+          """stack(4,
+            |'orders.custkey_not_null', total, null_custkey,
+            |'orders.status_in_domain', total, bad_status,
+            |'orders.price_positive', total, nonpositive_price,
+            |'orders.orderkey_unique', total, dup_orderkey)
+            |AS (check, n_rows, n_violations)""".stripMargin))
+        val lRep = l.select(expr(
+          """stack(3,
+            |'lineitem.qty_in_range', total, qty_out_of_range,
+            |'lineitem.shipdate_not_null', total, null_shipdate,
+            |'lineitem.linekey_unique', total, dup_linekey)
+            |AS (check, n_rows, n_violations)""".stripMargin))
+        oRep.unionByName(lRep)
+          .select(col("check"), col("n_rows"), col("n_violations"),
+            (col("n_violations") === 0L).as("pass"))
+          .orderBy("check")
+      },
+      Some("""WITH o AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             |  CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) AS null_custkey,
+             |  CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END) AS BIGINT) AS bad_status,
+             |  CAST(COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT) AS nonpositive_price,
+             |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkey
+             |  FROM orders),
+             |l AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+             |  CAST(COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END) AS BIGINT) AS qty_out_of_range,
+             |  CAST(COUNT(CASE WHEN l_shipdate IS NULL THEN 1 END) AS BIGINT) AS null_shipdate,
+             |  CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS dup_linekey
+             |  FROM lineitem),
+             |rep AS (
+             |  SELECT 'orders.custkey_not_null' AS check, total AS n_rows, null_custkey AS n_violations FROM o
+             |  UNION ALL SELECT 'orders.status_in_domain', total, bad_status FROM o
+             |  UNION ALL SELECT 'orders.price_positive', total, nonpositive_price FROM o
+             |  UNION ALL SELECT 'orders.orderkey_unique', total, dup_orderkey FROM o
+             |  UNION ALL SELECT 'lineitem.qty_in_range', total, qty_out_of_range FROM l
+             |  UNION ALL SELECT 'lineitem.shipdate_not_null', total, null_shipdate FROM l
+             |  UNION ALL SELECT 'lineitem.linekey_unique', total, dup_linekey FROM l)
+             |SELECT "check", n_rows, n_violations, n_violations = 0 AS pass
+             |FROM rep ORDER BY "check"""".stripMargin)
+    ),
+
     // ---- graph degree distribution ------------------------------------------
     // The graph-shape audit read before any traversal is planned: the
     // degree histogram (how many nodes have degree d) plus the max-degree
