@@ -1144,6 +1144,89 @@ object SimilarityQueries {
               |ORDER BY seed_id""".stripMargin)
     ),
 
+    // ---- recall-vs-nprobe sweep: the IVF operating-curve audit --------------
+    // THE inverted-file tradeoff quantified: recall@10 at nprobe = 1/2/4
+    // against the brute-force truth, per query. The assignment, the probe
+    // ranking, and the ground truth each compute ONCE (Materialize) and
+    // the three operating points reuse them — the sweep costs one IVF run
+    // plus two extra candidate joins. Offline audit like ann_recall
+    // (embeds the O(n²) truth), unbenched by design.
+    GQuery(
+      "ann_recall_vs_nprobe",
+      (s, dir) => {
+        val e = VectorOps.normalized(s, dir)
+        val seeds = seedSet(e)
+        val assign = Materialize(
+          assignToSeeds(e, seeds).select("vec_id", "v", "nrm", "seed_id"))
+        val bf = Materialize(bruteforceTopk(s, dir).select("q_id", "cand_id"))
+        val q = e.filter(col("vec_id") < N_QUERIES)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val pw = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("seed_id"))
+        val probesAll = Materialize(
+          q.join(seeds)
+            .select(col("q_id"), col("qv"), col("qn"), col("seed_id"),
+              VectorOps.cosCol("qv", "sv", "qn", "sn").as("pcos"))
+            .withColumn("rn", row_number().over(pw)))
+        val sweep = Seq(1, 2, 4).map { np =>
+          val probes = probesAll.filter(col("rn") <= np)
+            .select("q_id", "qv", "qn", "seed_id")
+          val cand = probes.join(assign, "seed_id")
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id").as("cand_id"),
+              VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
+            .distinct()
+          val rw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+          val topk = cand.withColumn("rank", row_number().over(rw))
+            .filter(col("rank") <= TOP_K)
+            .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+          bf.join(topk, Seq("q_id", "cand_id"), "left")
+            .groupBy("q_id").agg(count(col("hit")).as("n_hits"))
+            .select(lit(np.toLong).as("nprobe"), col("q_id"), col("n_hits"))
+        }.reduce(_ unionByName _)
+        sweep.withColumn("recall", col("n_hits").cast("double") / TOP_K)
+          .orderBy("nprobe", "q_id")
+      },
+      Some {
+        def branch(np: Int): String =
+          s"""cand$np AS (SELECT DISTINCT p.q_id, assign.vec_id AS cand_id,
+             |  ${VectorOps.cosSql("p.qv", "assign.v", "p.qn", "assign.nrm")} AS cos
+             |  FROM probes0 p JOIN assign ON p.seed_id = assign.seed_id
+             |  WHERE p.rn <= $np AND assign.vec_id <> p.q_id),
+             |topk$np AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+             |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+             |  FROM cand$np) WHERE rank <= $TOP_K),
+             |rec$np AS (SELECT CAST($np AS BIGINT) AS nprobe, bf.q_id,
+             |  CAST(COUNT(t.cand_id) AS BIGINT) AS n_hits
+             |  FROM bf LEFT JOIN topk$np t ON bf.q_id = t.q_id AND bf.cand_id = t.cand_id
+             |  GROUP BY bf.q_id)""".stripMargin
+        s"""WITH ${VectorOps.normalizedSql},
+           |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
+           |bscored AS (SELECT q.q_id, e.vec_id AS cand_id,
+           |  ${VectorOps.cosSql("q.qv", "e.v", "q.qn", "e.nrm")} AS cos
+           |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+           |bf AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+           |  FROM bscored) WHERE rank <= $TOP_K),
+           |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
+           |assign0 AS (SELECT e.vec_id, e.v, e.nrm, seeds.seed_id,
+           |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |    ${VectorOps.cosSql("e.v", "seeds.sv", "e.nrm", "seeds.sn")} DESC, seeds.seed_id) AS rn
+           |  FROM e CROSS JOIN seeds),
+           |assign AS (SELECT vec_id, v, nrm, seed_id FROM assign0 WHERE rn = 1),
+           |probes0 AS (SELECT q.q_id, q.qv, q.qn, seeds.seed_id,
+           |  row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |    ${VectorOps.cosSql("q.qv", "seeds.sv", "q.qn", "seeds.sn")} DESC, seeds.seed_id) AS rn
+           |  FROM q CROSS JOIN seeds),
+           |${branch(1)},
+           |${branch(2)},
+           |${branch(4)},
+           |sweep AS (SELECT * FROM rec1 UNION ALL SELECT * FROM rec2 UNION ALL SELECT * FROM rec4)
+           |SELECT nprobe, q_id, n_hits, CAST(n_hits AS DOUBLE) / $TOP_K AS recall
+           |FROM sweep ORDER BY nprobe, q_id""".stripMargin
+      },
+      bench = false // embeds the O(n²) ground truth — an offline audit
+    ),
+
     // ---- approximate k-NN graph (cell-scoped) -------------------------------
     // The neighbor-graph builder feeding clustering, graph dedup, and
     // diversity sampling: every vector's top-3 neighbors WITHIN its IVF
