@@ -320,6 +320,55 @@ object EventsStream {
     * watermark-close semantics on a bounded replay would hold back the final
     * windows.
     */
+  /** Per-row data-contract counts for a micro-batch or a full frame. Every
+    * constraint here is PER-ROW, so batch reports merge by plain summation
+    * into exactly the full-corpus report — the property the streaming
+    * monitor rests on. Cross-row constraints (key uniqueness) are
+    * deliberately excluded: they are NOT sum-mergeable and live in the
+    * batch-only q_quality_expectations.
+    */
+  def qualityCounts(events: DataFrame): DataFrame =
+    events.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("user_id").isNull, 1)).as("null_user"),
+      count(when(!col("event_type").isin("click", "error", "purchase", "signup", "view"), 1))
+        .as("bad_type"),
+      count(when(col("value") < 0, 1)).as("negative_value"))
+
+  /** Streaming data-contract monitor: append each micro-batch's per-row
+    * constraint counts; [[mergedQuality]] sums them into the standing
+    * report (drain == one-shot pinned in StreamingSpec). The ingest-side
+    * twin of q_quality_expectations.
+    */
+  def runQualityMonitor(
+      spark: SparkSession, inPath: String, outPath: String,
+      checkpoint: String): Unit = {
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        qualityCounts(batch.toDF()).write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Sum appended per-batch reports into the standing contract report. */
+  def mergedQuality(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(outPath)
+      .agg(sum("n_rows").as("n_rows"), sum("null_user").as("null_user"),
+        sum("bad_type").as("bad_type"), sum("negative_value").as("negative_value"))
+
   def runOnce(result: DataFrame, queryName: String, mode: String): DataFrame =
     runOnceWithProgress(result, queryName, mode)._1
 

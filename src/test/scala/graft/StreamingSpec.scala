@@ -378,6 +378,24 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_.getString(1) == "near_dup") || got.exists(_.getString(1) == "keep"))
   }
 
+  test("streaming quality monitor: per-batch contract counts sum to the batch report") {
+    // per-row constraints are sum-mergeable, so draining the events in
+    // several micro-batches and summing the appended reports must equal
+    // the one-shot report over the full frame
+    val base = java.nio.file.Files.createTempDirectory("graft-qualstream").toString
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.repartition(3).write.mode("overwrite").parquet(s"$base/in")
+    EventsStream.runQualityMonitor(spark, s"$base/in", s"$base/out", s"$base/ckpt")
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected several micro-batches, got $commits")
+    val merged = EventsStream.mergedQuality(spark, s"$base/out").collect().head
+    val direct = EventsStream.qualityCounts(ev).collect().head
+    assert(merged == direct, s"merged=$merged direct=$direct")
+    assert(direct.getLong(0) > 0)
+  }
+
   test("streaming CMS ingest: per-batch sketches merge to the batch sketch") {
     // the sketch-mergeability claim executed: drain documents in several
     // micro-batches, cell-wise-sum the appended per-batch sketches, and
