@@ -1845,6 +1845,60 @@ object AdvancedQueries {
              |SELECT node, score FROM s2 ORDER BY score DESC, node""".stripMargin)
     ),
 
+    // ---- association rules: support / confidence / lift ---------------------
+    // Market-basket rule mining over the capped co-purchase baskets: for
+    // each frequent pair (support >= 2 from the shared edge pipeline),
+    // confidence(a→b) = support/c(a) and lift = support·N/(c(a)·c(b)) in
+    // MICRO-scaled integer division — ratios of exact counts, so the
+    // ranking can never drift cross-engine. Item counts derive from the
+    // same capped basket table as the pairs (one aggregate), the 1-row
+    // basket total broadcasts, and the rule join is item-keyed — no new
+    // quadratic stage beyond the bounded pair derivation. Top 20 by lift.
+    // Magnitudes: support·N·1e6 ≤ 1e5·1e7·1e6 needs care — lift is
+    // computed as (support·1e6 div c(a)) · N div c(b) to stay in int64
+    // (each factor ≤ 1e6·N), identical flooring on both engines.
+    GQuery(
+      "q_association_rules",
+      (s, dir) => {
+        val MaxBasket = 32
+        val li0 = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val small = li0.groupBy(col("ok")).agg(count(lit(1)).as("basket_n"))
+          .filter(col("basket_n") <= MaxBasket).select("ok")
+        val li = Materialize(li0.join(small, Seq("ok"), "left_semi"))
+        val nBaskets = broadcast(li.agg(countDistinct(col("ok")).as("n_baskets")))
+        val itemCnt = li.groupBy(col("pk")).agg(count(lit(1)).as("c_item"))
+        val pairs = li.as("x")
+          .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+        pairs
+          .join(broadcast(itemCnt.select(col("pk").as("a"), col("c_item").as("c_a"))), "a")
+          .join(broadcast(itemCnt.select(col("pk").as("b"), col("c_item").as("c_b"))), "b")
+          .crossJoin(nBaskets) // 1-row bound
+          .select(col("a"), col("b"), col("support"),
+            expr("(support * 1000000) div c_a").as("conf_micro"),
+            expr("((support * 1000000) div c_a) * n_baskets div c_b").as("lift_micro"))
+          .orderBy(col("lift_micro").desc, col("a"), col("b"))
+          .limit(20)
+      },
+      Some("""WITH li0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |li AS (SELECT * FROM li0 WHERE ok IN
+             |  (SELECT ok FROM li0 GROUP BY ok HAVING COUNT(*) <= 32)),
+             |nb AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_baskets FROM li),
+             |ic AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c_item FROM li GROUP BY pk),
+             |pairs AS (SELECT x.pk AS a, y.pk AS b, CAST(COUNT(*) AS BIGINT) AS support
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+             |SELECT a, b, support,
+             |  (support * 1000000) // ca.c_item AS conf_micro,
+             |  ((support * 1000000) // ca.c_item) * n_baskets // cb.c_item AS lift_micro
+             |FROM pairs JOIN ic ca ON pairs.a = ca.pk JOIN ic cb ON pairs.b = cb.pk
+             |CROSS JOIN nb
+             |ORDER BY lift_micro DESC, a, b LIMIT 20""".stripMargin)
+    ),
+
     // ---- data-contract expectations (one-pass constraint report) ------------
     // The Deequ-shape quality gate a load runs before publishing: a set of
     // declarative constraints (null rate, domain membership, range, key
