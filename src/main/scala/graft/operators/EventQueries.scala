@@ -360,6 +360,37 @@ object EventQueries {
               |FROM seq WHERE next_type IS NOT NULL
               |GROUP BY event_type, next_type
               |ORDER BY n DESC, event_type, next_type LIMIT 10""".stripMargin)
+    ),
+
+    // ---- Markov transition matrix (normalized sequences) --------------------
+    // q_events_sequences' counts normalized into per-state transition
+    // probabilities on the micro grid (n·1e6 div row total — exact
+    // integer ratio of exact counts): the full |types|² matrix a session
+    // simulator or next-event model consumes. Row totals broadcast.
+    GQuery(
+      "q_events_markov",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val t = Tables.events(s, dir)
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy("event_type", "next_type")
+          .agg(count(lit(1)).as("n"))
+        val tot = t.groupBy("event_type").agg(sum(col("n")).as("total"))
+        t.join(broadcast(tot), "event_type")
+          .select(col("event_type"), col("next_type"), col("n"),
+            expr("(n * 1000000) div total").as("p_micro"))
+          .orderBy("event_type", "next_type")
+      },
+      Some(s"""WITH seq AS (SELECT event_type,
+              |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+              |  FROM ${Tables.eventsOracleFrom} e),
+              |t AS (SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+              |tot AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total FROM t GROUP BY 1)
+              |SELECT t.event_type, next_type, n, (n * 1000000) // total AS p_micro
+              |FROM t JOIN tot ON t.event_type = tot.event_type
+              |ORDER BY t.event_type, next_type""".stripMargin)
     )
   )
 }
