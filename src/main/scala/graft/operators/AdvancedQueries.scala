@@ -1845,6 +1845,71 @@ object AdvancedQueries {
              |SELECT node, score FROM s2 ORDER BY score DESC, node""".stripMargin)
     ),
 
+    // ---- RFM segmentation (recency / frequency / monetary) ------------------
+    // The customer-segmentation read marketing runs weekly: per-customer
+    // recency (days since last order), frequency (order count), monetary
+    // (exact cents), each cut into rank-derived quintiles WITHIN the
+    // customer's nation — per-group windows shard by nation (the
+    // q_winsorize discipline; a global quintile would be a single-partition
+    // window), and the rank-derived bucket ((rk-1)·5 div n + 1) needs no
+    // percentile interpolation. Ties carry the customer key in the sort so
+    // both engines bucket identically. Output: segment sizes + exact
+    // monetary totals per (nation, r, f, m) cell.
+    GQuery(
+      "q_customer_rfm",
+      (s, dir) => {
+        val maxd = broadcast(Tables.orders(s, dir).agg(max(col("o_orderdate")).as("maxd")))
+        val cust = Tables.orders(s, dir)
+          .groupBy("o_custkey")
+          .agg(max(col("o_orderdate")).as("last_order"),
+            count(lit(1)).as("frequency"),
+            sum(grid(col("o_totalprice"), 100L)).as("monetary_cents"))
+          .crossJoin(maxd) // 1-row bound
+          .withColumn("recency_days", datediff(col("maxd"), col("last_order")).cast("long"))
+          .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+        // integer div, not double /: trunc(double(a)/double(b)) can misfloor
+        // a near-integer quotient
+        def withQuintile(df: org.apache.spark.sql.DataFrame, metric: String,
+                         out: String): org.apache.spark.sql.DataFrame = {
+          val w = Window.partitionBy("c_nationkey").orderBy(metric, "o_custkey")
+          df.withColumn("rk", row_number().over(w).cast("long"))
+            .withColumn("nn", count(lit(1)).over(Window.partitionBy("c_nationkey")))
+            .withColumn(out, expr("((rk - 1) * 5) div nn + 1"))
+            .drop("rk", "nn")
+        }
+        withQuintile(withQuintile(withQuintile(
+          cust, "recency_days", "r_q"), "frequency", "f_q"), "monetary_cents", "m_q")
+          .groupBy("c_nationkey", "r_q", "f_q", "m_q")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("monetary_cents")).as("segment_cents"))
+          .orderBy("c_nationkey", "r_q", "f_q", "m_q")
+      },
+      Some(s"""WITH maxd AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+              |cust AS (SELECT o_custkey,
+              |    MAX(o_orderdate) AS last_order, CAST(COUNT(*) AS BIGINT) AS frequency,
+              |    CAST(SUM(${gridSql("o_totalprice", 100L)}) AS BIGINT) AS monetary_cents
+              |  FROM orders GROUP BY o_custkey),
+              |cj AS (SELECT cust.*, date_diff('day', last_order, maxd) AS recency_days,
+              |    c_nationkey
+              |  FROM cust CROSS JOIN maxd
+              |  JOIN customer ON o_custkey = c_custkey),
+              |qq AS (SELECT c_nationkey, monetary_cents,
+              |  (row_number() OVER (PARTITION BY c_nationkey ORDER BY recency_days, o_custkey) - 1) * 5
+              |    // (COUNT(*) OVER (PARTITION BY c_nationkey)) + 1 AS r_q,
+              |  (row_number() OVER (PARTITION BY c_nationkey ORDER BY frequency, o_custkey) - 1) * 5
+              |    // (COUNT(*) OVER (PARTITION BY c_nationkey)) + 1 AS f_q,
+              |  (row_number() OVER (PARTITION BY c_nationkey ORDER BY monetary_cents, o_custkey) - 1) * 5
+              |    // (COUNT(*) OVER (PARTITION BY c_nationkey)) + 1 AS m_q
+              |  FROM cj)
+              |SELECT c_nationkey, CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+              |  CAST(m_q AS BIGINT) AS m_q,
+              |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+              |  CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+              |FROM qq GROUP BY c_nationkey, r_q, f_q, m_q
+              |ORDER BY c_nationkey, r_q, f_q, m_q""".stripMargin)
+    ),
+
     // ---- association rules: support / confidence / lift ---------------------
     // Market-basket rule mining over the capped co-purchase baskets: for
     // each frequent pair (support >= 2 from the shared edge pipeline),
