@@ -251,6 +251,52 @@ object SimilarityQueries {
     ()
   }
 
+  /** Cell-scoped top-3 neighbor graph (vec_id, rank, nbr_id, cos) — the
+    * registered `ann_knn_graph` and the persisted serving form share it.
+    * The assignment materializes once (both self-join sides read it).
+    */
+  private def knnGraphOf(s: SparkSession, dir: String): DataFrame = {
+    val e = VectorOps.normalized(s, dir)
+    val assign = Materialize(
+      assignToSeeds(e, seedSet(e)).select("vec_id", "v", "nrm", "seed_id"))
+    val a = assign.select(col("seed_id"), col("vec_id"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = assign.select(col("seed_id"), col("vec_id").as("nbr_id"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val pairs = a.join(b, Seq("seed_id"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        VectorOps.cosCol("av", "bv", "an", "bn").as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("vec_id", "rank", "nbr_id", "cos")
+  }
+
+  /** Persist the k-NN graph for "related items" serving: built ONCE, written
+    * `partitionBy(bucket)` (bucket = vec_id mod 16) so a point lookup
+    * statically prunes to its bucket directory — the graph is never
+    * recomputed or rescanned whole at query time. The same layout move as
+    * the IVF index, applied to the derived graph.
+    */
+  def writeKnnGraph(s: SparkSession, dir: String, path: String): Unit =
+    knnGraphOf(s, dir)
+      .withColumn("bucket", pmod(col("vec_id"), lit(16L)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Neighbors of `ids` from the persisted graph: bucket In-list prunes
+    * partitions at the file source, vec_id filter pushes into the pruned
+    * files. Equals the inline graph rows for those ids (pinned).
+    */
+  def knnNeighborsFromGraph(s: SparkSession, path: String, ids: Seq[Long]): DataFrame = {
+    val buckets = ids.map(_ % 16).distinct.sorted
+    s.read.parquet(path)
+      .filter(col("bucket").isin(buckets.map(b => b.toInt: Any): _*))
+      .filter(col("vec_id").isin(ids.map(i => i: Any): _*))
+      .select("vec_id", "rank", "nbr_id", "cos")
+      .orderBy("vec_id", "rank")
+  }
+
   /** The nprobe nearest cells per query (q_id, qv, qn, seed_id) — shared by
     * the filtered probes.
     */
@@ -1238,28 +1284,7 @@ object SimilarityQueries {
     // each cell's block is local to one shuffle partition.
     GQuery(
       "ann_knn_graph",
-      (s, dir) => {
-        val e = VectorOps.normalized(s, dir)
-        // materialized once: BOTH sides of the within-cell self-join read
-        // the assignment — without the cache the corpus×seeds argmax
-        // (join + window) would run twice (the q_pagerank_iter discipline:
-        // union/self-join branches do not share subplans)
-        val assign = Materialize(
-          assignToSeeds(e, seedSet(e)).select("vec_id", "v", "nrm", "seed_id"))
-        val a = assign.select(col("seed_id"), col("vec_id"),
-          col("v").as("av"), col("nrm").as("an"))
-        val b = assign.select(col("seed_id"), col("vec_id").as("nbr_id"),
-          col("v").as("bv"), col("nrm").as("bn"))
-        val pairs = a.join(b, Seq("seed_id"))
-          .filter(col("vec_id") =!= col("nbr_id"))
-          .select(col("vec_id"), col("nbr_id"),
-            VectorOps.cosCol("av", "bv", "an", "bn").as("cos"))
-        val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
-        pairs.withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 3)
-          .select("vec_id", "rank", "nbr_id", "cos")
-          .orderBy("vec_id", "rank")
-      },
+      (s, dir) => knnGraphOf(s, dir).orderBy("vec_id", "rank"),
       Some(s"""WITH ${VectorOps.normalizedSql},
               |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
               |assign0 AS (SELECT e.vec_id, e.v, e.nrm, seeds.seed_id,

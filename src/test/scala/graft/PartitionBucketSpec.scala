@@ -439,6 +439,37 @@ class PartitionBucketSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == expected.toSeq)
   }
 
+  test("persisted k-NN graph: point lookups prune to their buckets, rows equal inline") {
+    // the "related items" serving layout: the graph written partitionBy
+    // bucket must answer a point lookup from the matching bucket dirs only
+    import graft.operators.SimilarityQueries
+    val path = s"$tmp/knn_graph"
+    SimilarityQueries.writeKnnGraph(spark, sfDir, path)
+    val partsOnDisk = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("bucket="))
+    assert(partsOnDisk > 4, s"expected many bucket partitions, got $partsOnDisk")
+    val ids = Seq(3L, 7L)
+    val probed = SimilarityQueries.knnNeighborsFromGraph(spark, path, ids)
+    val got = probed.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case f: FileSourceScanExec => Seq(f) }.flatten ++
+        p.collect { case a: AdaptiveSparkPlanExec => scans(a.executedPlan) }.flatten ++
+        p.collect { case q: QueryStageExec => scans(q.plan) }.flatten
+    val scan = scans(probed.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("knn_graph")))
+    assert(scan.isDefined, probed.queryExecution.executedPlan.toString)
+    assert(scan.get.metadata("PartitionFilters").contains("bucket"),
+      scan.get.metadata("PartitionFilters"))
+    val partsRead = scan.get.selectedPartitions.partitionCount
+    assert(partsRead >= 1 && partsRead < partsOnDisk,
+      s"read $partsRead of $partsOnDisk bucket partitions — no pruning")
+    val inline = SparkEntry.queries("ann_knn_graph")(spark, sfDir)
+      .filter(col("vec_id").isin(ids.map(i => i: Any): _*)).collect()
+    assert(got.nonEmpty && got.toSeq == inline.toSeq)
+  }
+
   test("dynamic partition pruning: a runtime dim filter prunes the fact scan") {
     // the remaining scan lever: when the pruning value is only known at
     // RUNTIME (it comes from a filtered dimension, not a literal), the
