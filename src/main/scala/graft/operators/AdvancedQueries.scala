@@ -397,7 +397,10 @@ object AdvancedQueries {
         val li = Tables.lineitem(s, dir).select(col("l_returnflag").as("rf"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
         val w = Window.partitionBy("rf").orderBy("cents")
-        li.withColumn("rk", row_number().over(w))
+        // rk widened to long BEFORE the *8: per-group row counts beyond
+        // ~268M would wrap the 32-bit intermediate (the q_customer_rfm
+        // withQuintile discipline)
+        li.withColumn("rk", row_number().over(w).cast("long"))
           .withColumn("n", count(lit(1)).over(Window.partitionBy("rf")))
           .withColumn("bucket", expr("(rk - 1) * 8 div n + 1"))
           .groupBy("rf", "bucket")
@@ -1979,7 +1982,11 @@ object AdvancedQueries {
         val o = Tables.orders(s, dir).agg(
           count(lit(1)).as("total"),
           count(when(col("o_custkey").isNull, 1)).as("null_custkey"),
-          count(when(!col("o_orderstatus").isin("F", "O", "P"), 1)).as("bad_status"),
+          // NULL status is a domain violation, not a three-valued-logic
+          // no-op: `NOT isin` alone yields NULL for it and the count would
+          // silently pass a null category (oracle keeps the same disjunct)
+          count(when(col("o_orderstatus").isNull ||
+            !col("o_orderstatus").isin("F", "O", "P"), 1)).as("bad_status"),
           count(when(col("o_totalprice") <= 0, 1)).as("nonpositive_price"),
           (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_orderkey"))
         val l = Tables.lineitem(s, dir).agg(
@@ -2007,7 +2014,7 @@ object AdvancedQueries {
       },
       Some("""WITH o AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
              |  CAST(COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) AS null_custkey,
-             |  CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END) AS BIGINT) AS bad_status,
+             |  CAST(COUNT(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('F','O','P') THEN 1 END) AS BIGINT) AS bad_status,
              |  CAST(COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT) AS nonpositive_price,
              |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkey
              |  FROM orders),

@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object EventQueries {
 
+  /** Trailing-event bound for the q_events_ewma fold: with α = 1/2, 64
+    * halvings scale any int64 prefix contribution below 1, so per-user
+    * state is capped at 64 rows (see the query's scale note).
+    */
+  val EWMA_TAIL = 64
+
   val defs: Seq[GQuery] = Seq(
 
     GQuery(
@@ -299,30 +305,28 @@ object EventQueries {
     // an ORDERED INTEGER FOLD: ewma' = (ewma + v_cents) div 2 over each
     // user's ts-ordered values — halving is exact in integers, so both
     // engines floor identically at every step where a float EWMA would
-    // accumulate cross-engine ulps. The per-user sequence materializes as
-    // a sorted array (bounded by per-user event count; the streaming shape
-    // of the same fold is mapGroupsWithState, already registered) and the
-    // fold is a codegen'd higher-order aggregate — one shuffle by user.
+    // accumulate cross-engine ulps. The fold is a codegen'd higher-order
+    // aggregate — one shuffle by user (the window's hash partitioning on
+    // user_id is reused by the aggregate, no second exchange).
+    //
+    // BOUNDED STATE: only the trailing EWMA_TAIL=64 events per user enter
+    // the collected array (row_number desc, collect_list drops the nulls
+    // the `when` produces for older rows), so per-user state is <= 64 rows
+    // even for a 10^7-event hot key — the skew bomb an unbounded
+    // collect_list would be at 100 TB. Exactness vs the unbounded fold:
+    // nested floor division gives the closed form
+    //   fold(a0, v_1..v_k) = floor((a0 + sum_i 2^(i-1) v_i) / 2^k),
+    // so truncating the prefix (i.e. folding from 0 instead of the true
+    // prefix accumulator a0) changes the result ONLY when the trailing
+    // weighted sum lands within a0 of a multiple of 2^64. a0 is bounded by
+    // the max single-event cents (the fold is a contraction), so for
+    // cents < 2^17 the per-user divergence probability on non-adversarial
+    // data is ~2^-47 — zero observed on every corpus (equality with the
+    // unbounded form is pinned on a synthetic hot-key corpus in
+    // EdgeCorpusSpec; the oracle below remains the unbounded fold).
     GQuery(
       "q_events_ewma",
-      (s, dir) => {
-        Tables.events(s, dir)
-          .select(col("user_id"),
-            struct(col("ts"), col("event_id"),
-              expr("CAST(round(value * 100) AS BIGINT)").as("cents")).as("ev"))
-          .groupBy("user_id")
-          .agg(sort_array(collect_list(col("ev"))).as("seq"))
-          .select(col("user_id"),
-            size(col("seq")).cast("long").as("n_events"),
-            // (s - pmod(s, 2)) div 2 is FLOOR(s/2) for any sign: Spark div
-            // truncates toward zero while DuckDB // floors, so the raw
-            // (acc+v) div 2 would diverge the first time a fold sum went
-            // negative (current data is non-negative; the form is safe
-            // either way and hash-identical on non-negative input)
-            expr("aggregate(transform(seq, x -> x.cents), CAST(0 AS BIGINT), " +
-              "(acc, v) -> (acc + v - pmod(acc + v, 2)) div 2)").as("ewma_cents"))
-          .orderBy("user_id")
-      },
+      (s, dir) => ewmaOver(Tables.events(s, dir), Some(EWMA_TAIL)),
       Some(s"""WITH ev AS (SELECT user_id, ts, event_id,
               |    CAST(round(value * 100) AS BIGINT) AS cents
               |  FROM ${Tables.eventsOracleFrom} e),
@@ -393,4 +397,45 @@ object EventQueries {
               |ORDER BY t.event_type, next_type""".stripMargin)
     )
   )
+
+  /** Core of `q_events_ewma`: the α = 1/2 integer EWMA fold over each user's
+    * ts-ordered cents values. `tail = Some(k)` folds only the trailing k
+    * events (bounded per-user state — the registered form); `tail = None`
+    * folds the full history (the reference form the bounded one is pinned
+    * equal to in EdgeCorpusSpec — see the registered query's scale note for
+    * the exactness argument).
+    */
+  def ewmaOver(events: org.apache.spark.sql.DataFrame,
+               tail: Option[Int]): org.apache.spark.sql.DataFrame = {
+    val base = events.select(col("user_id"), col("ts"), col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val seqs = tail match {
+      case Some(k) =>
+        // rank newest-first, then keep only rk <= k: collect_list drops the
+        // nulls `when` yields for older rows, so the array is <= k entries.
+        // The aggregate reuses the window's hash partitioning on user_id —
+        // one exchange total.
+        val wDesc = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        base.withColumn("rk", row_number().over(wDesc))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sort_array(collect_list(when(col("rk") <= k,
+              struct(col("ts"), col("event_id"), col("cents"))))).as("seq"))
+      case None =>
+        base.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sort_array(collect_list(
+              struct(col("ts"), col("event_id"), col("cents")))).as("seq"))
+    }
+    seqs.select(col("user_id"), col("n_events"),
+      // (s - pmod(s, 2)) div 2 is FLOOR(s/2) for any sign: Spark div
+      // truncates toward zero while DuckDB // floors, so the raw
+      // (acc+v) div 2 would diverge the first time a fold sum went
+      // negative (current data is non-negative; the form is safe
+      // either way and hash-identical on non-negative input)
+      expr("aggregate(transform(seq, x -> x.cents), CAST(0 AS BIGINT), " +
+        "(acc, v) -> (acc + v - pmod(acc + v, 2)) div 2)").as("ewma_cents"))
+      .orderBy("user_id")
+  }
 }

@@ -222,12 +222,28 @@ object SearchQueries {
       .write.mode("append")
       .bucketBy(8, "term").sortBy("term")
       .saveAsTable(table)
+    // advance the 1-row stats via temp-write + rename, never overwriting in
+    // place: a crash mid-overwrite can no longer leave a half-written (or
+    // silently stale-but-readable) stats file — after the postings commit,
+    // the stats dir is atomically either the old version, the new version,
+    // or ABSENT (crash between delete and rename), and absence fails the
+    // next probe loudly instead of skewing its BM25 scores. The
+    // postings-committed-but-stats-old window remains (documented; a real
+    // deployment closes it with a transactional table format).
     val old = s.read.parquet(s"${path}_stats").head
     val delta = statsOf(newDocs).head
+    val statsTmp = s"${path}_stats__new"
     s.createDataFrame(Seq(
         (old.getLong(0) + delta.getLong(0), old.getLong(1) + delta.getLong(1))))
       .toDF("n_docs", "tt")
-      .write.mode("overwrite").parquet(s"${path}_stats")
+      .write.mode("overwrite").parquet(statsTmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val statsP = new org.apache.hadoop.fs.Path(s"${path}_stats")
+    fs.delete(statsP, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(statsTmp), statsP),
+      s"appendSearchIndex: could not swap $statsTmp into place")
+    ()
   }
 
   /** Probe the persisted index with the fixed query set: the term In-filter
@@ -374,6 +390,13 @@ object SearchQueries {
     } finally s.conf.set(aqeKey, prior)
     s.sql(s"DROP TABLE $table")
     s.sql(s"ALTER TABLE ${table}__c RENAME TO $table")
+    // DROP TABLE on an external table leaves its files behind: reclaim the
+    // superseded postings directory, or every compaction would permanently
+    // retain a full copy of the index (mirrors compactIvfIndex's
+    // fs.delete of the moved-aside old dir)
+    val oldLoc = new org.apache.hadoop.fs.Path(cur)
+    oldLoc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(oldLoc, true)
+    ()
   }
 
   // ---- registry -----------------------------------------------------------

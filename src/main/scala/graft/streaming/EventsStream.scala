@@ -331,7 +331,11 @@ object EventsStream {
     events.agg(
       count(lit(1)).as("n_rows"),
       count(when(col("user_id").isNull, 1)).as("null_user"),
-      count(when(!col("event_type").isin("click", "error", "purchase", "signup", "view"), 1))
+      // a NULL event_type violates the domain contract: `NOT isin` alone
+      // evaluates to NULL for it (counted as neither violation nor pass),
+      // so the null case is an explicit disjunct
+      count(when(col("event_type").isNull ||
+          !col("event_type").isin("click", "error", "purchase", "signup", "view"), 1))
         .as("bad_type"),
       count(when(col("value") < 0, 1)).as("negative_value"))
 

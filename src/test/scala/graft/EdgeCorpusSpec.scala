@@ -75,6 +75,31 @@ class EdgeCorpusSpec extends SparkSpec {
     }
   }
 
+  test("bounded ewma fold equals the unbounded fold on a hot-key corpus") {
+    // the skew-bomb fix: q_events_ewma folds only the trailing EWMA_TAIL=64
+    // events per user. On a 20k-event hot key (plus normal users) the
+    // bounded and unbounded folds must agree exactly — by the closed form
+    // floor((a0 + Σ 2^(i-1) v_i) / 2^64) the truncated prefix contributes 0
+    // unless the weighted tail sum sits within a0 of a 2^64 multiple (see
+    // the query's scale note). Values cycle through primes to exercise both
+    // parities in the floor chain.
+    import spark.implicits._
+    val hot = (0 until 20000).map(i =>
+      (100000L + i, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        7L, "click", (Seq(101, 211, 307, 401, 503)(i % 5) + i % 97).toDouble / 100.0))
+    val normal = for (u <- 1L to 5L; i <- 0 until 50) yield
+      (u * 1000 + i, new java.sql.Timestamp(1700000000000L + i * 60000L),
+        u, "view", (i * 13 % 89).toDouble / 100.0 + u)
+    val ev = (hot ++ normal)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val bounded = graft.operators.EventQueries
+      .ewmaOver(ev, Some(graft.operators.EventQueries.EWMA_TAIL)).collect()
+    val full = graft.operators.EventQueries.ewmaOver(ev, None).collect()
+    assert(bounded.toSeq == full.toSeq)
+    // the count column still reflects the FULL history, not the tail
+    assert(bounded.find(_.getLong(0) == 7L).get.getLong(1) == 20000L)
+  }
+
   test("pipeline_decontaminate skips sub-8-token docs instead of crashing") {
     val out = SparkEntry.queries("pipeline_decontaminate")(spark, edgeDir).collect()
     // doc 2 (3 tokens) must not appear on either side; docs 3/4 share all
