@@ -53,6 +53,115 @@ object TextQueries {
       .select(col("i"), expr(cmsBucketExpr).as("bucket"), col("tf"))
       .groupBy("i", "bucket").agg(sum(col("tf")).as("cnt"))
 
+  // ---- BPE tokenizer training (the real merge loop) -------------------------
+  // Byte-pair-encoding training as every LLM pipeline runs it: a word-
+  // frequency census, then BPE_ROUNDS iterations of (pair census over the
+  // DISTINCT words weighted by freq → most-frequent adjacent symbol pair →
+  // left-to-right greedy merge rewrite). The classic distinct-word trick is
+  // the scale story: each round's census shuffles the VOCABULARY (millions
+  // of rows at 100 TB), never the corpus — the corpus is read exactly once
+  // for the initial word census. The winning pair per round is a 1-row
+  // collect (bounded control-plane, the broadcast-equivalent pattern), and
+  // each rewritten vocabulary materializes via [[Materialize]] so round
+  // k+1's census reads a cached table instead of recomputing k rounds of
+  // lineage.
+  //
+  // Merge semantics are the canonical left-to-right greedy pass, expressed
+  // as the SAME fold on both engines (Spark `aggregate`, DuckDB
+  // `list_reduce` — see [[bpeOracleChain]]): scan the symbol list keeping
+  // an output accumulator; when the accumulator's last symbol is `lhs` and
+  // the next input is `rhs`, replace the last with `merged` — overlapping
+  // occurrences (lhs == rhs runs) resolve left-first exactly as the
+  // reference BPE implementations do, because a just-merged symbol can
+  // never equal `lhs` again in the same position. Ties in the pair census
+  // break deterministically by (n DESC, lhs, rhs) on both engines.
+
+  private[graft] val BPE_ROUNDS = 10
+
+  /** Distinct pure-letter words with frequencies and initial char symbols.
+    * `^[a-z]+$` keeps the alphabet to 26 chars (regex agrees cross-engine);
+    * chars come from an index transform, not split-on-empty, whose
+    * trailing-empty behavior differs between engines.
+    */
+  private def bpeWords0(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .select(explode(expr(toksCol)).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+
+  /** The greedy-merge rewrite of a `syms` column for one trained pair.
+    * `lhs`/`rhs`/`merged` are guaranteed `[a-z]+` (census input is), so
+    * literal splicing is safe.
+    */
+  private def bpeRewriteExpr(lhs: String, rhs: String, merged: String): String = {
+    require((lhs + rhs + merged).forall(c => c >= 'a' && c <= 'z'), "non-letter symbol")
+    "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) -> " +
+      s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$lhs' AND x = '$rhs' " +
+      s"THEN concat(slice(acc, 1, size(acc) - 1), array('$merged')) " +
+      "ELSE concat(acc, array(x)) END)"
+  }
+
+  /** Run the merge loop; returns (merge table rows, final vocabulary frame).
+    * The merge table row k is (k, lhs, rhs, merged, pair_n) — a tokenizer's
+    * merges.txt with the census count attached.
+    */
+  private[graft] def bpeTrain(
+      s: org.apache.spark.sql.SparkSession, dir: String, rounds: Int)
+      : (Seq[(Long, String, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    var words = Materialize(bpeWords0(s, dir))
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= rounds && !exhausted) {
+      val top = words
+        .select(col("freq"), explode(expr(
+          "transform(slice(syms, 1, size(syms) - 1), " +
+            "(s, i) -> struct(s AS a, element_at(syms, i + 2) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((k.toLong, a, b, a + b, n))
+        words = Materialize(words.withColumn("syms", expr(bpeRewriteExpr(a, b, a + b))))
+        k += 1
+      }
+    }
+    (merges.result(), words)
+  }
+
+  /** The K-round training chain as DuckDB CTEs (words0, census_k, top_k,
+    * words_k) — the oracle runs the IDENTICAL census order and list_reduce
+    * fold, unrolled because recursive CTEs cannot re-aggregate per round.
+    */
+  private def bpeOracleChain(rounds: Int): String = {
+    val w0 =
+      s"""toks AS (SELECT unnest($toksSql) AS w FROM documents),
+         |words0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+         |  list_transform(generate_series(1, length(w)), i -> w[i:i]) AS syms
+         |  FROM toks WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w)""".stripMargin
+    val chain = (1 to rounds).map { k =>
+      s"""census$k AS (SELECT t.pr.a AS a, t.pr.b AS b, CAST(SUM(freq) AS BIGINT) AS n
+         |  FROM words${k - 1} w, unnest([{'a': x[1], 'b': x[2]}
+         |    for x in list_zip(w.syms[:-2], w.syms[2:])]) AS t(pr)
+         |  GROUP BY 1, 2),
+         |top$k AS (SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
+         |    a || b AS merged, n AS pair_n
+         |  FROM census$k ORDER BY n DESC, a, b LIMIT 1),
+         |words$k AS (SELECT w.w, w.freq, list_reduce(
+         |    list_prepend([]::VARCHAR[], [[s] for s in w.syms]),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.lhs AND x[1] = t.rhs
+         |                THEN list_append(acc[:-2], t.merged)
+         |                ELSE list_append(acc, x[1]) END) AS syms
+         |  FROM words${k - 1} w CROSS JOIN top$k t)""".stripMargin
+    }
+    (w0 +: chain).mkString(",\n")
+  }
+
   val defs: Seq[GQuery] = Seq(
 
     GQuery(
@@ -240,6 +349,44 @@ object TextQueries {
              |CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +')) AS DOUBLE)
              |  AS chars_per_token
              |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    GQuery(
+      // The trained BPE merge table (a tokenizer's merges.txt): BPE_ROUNDS
+      // most-frequent-pair merges over the distinct-word census — see
+      // bpeTrain for the algorithm and scale notes. The oracle unrolls the
+      // identical census → top-1 → greedy-fold rounds as chained CTEs.
+      "text_bpe_merges",
+      (s, dir) => {
+        val (merges, _) = bpeTrain(s, dir, BPE_ROUNDS)
+        s.createDataFrame(merges)
+          .toDF("merge_rank", "lhs", "rhs", "merged", "pair_n")
+          .orderBy("merge_rank")
+      },
+      Some(s"""WITH ${bpeOracleChain(BPE_ROUNDS)}
+              |SELECT merge_rank, lhs, rhs, merged, pair_n FROM (
+              |${(1 to BPE_ROUNDS).map(k => s"  SELECT * FROM top$k")
+                 .mkString("\n  UNION ALL\n")})
+              |ORDER BY merge_rank""".stripMargin)
+    ),
+
+    GQuery(
+      // The subword vocabulary those merges induce: every symbol surviving
+      // in the rewritten word census, weighted by word frequency — the
+      // artifact text_oov_rate's "tokenizer vocabulary" models (single
+      // chars + the merged subwords, each with its corpus token count).
+      "text_bpe_vocab",
+      (s, dir) => {
+        val (_, words) = bpeTrain(s, dir, BPE_ROUNDS)
+        words.select(explode(col("syms")).as("sym"), col("freq"))
+          .groupBy("sym").agg(sum(col("freq")).as("n"))
+          .withColumn("is_merged", (length(col("sym")) > 1))
+          .orderBy(col("n").desc, col("sym"))
+      },
+      Some(s"""WITH ${bpeOracleChain(BPE_ROUNDS)}
+              |SELECT sym, CAST(SUM(freq) AS BIGINT) AS n, length(sym) > 1 AS is_merged
+              |FROM (SELECT unnest(syms) AS sym, freq FROM words$BPE_ROUNDS)
+              |GROUP BY sym ORDER BY n DESC, sym""".stripMargin)
     ),
 
     GQuery(
