@@ -152,6 +152,102 @@ object SearchQueries {
        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
        |  FROM aggd)""".stripMargin
 
+  // ---- sharded BM25 (the distributed-search topology) ---------------------
+  // SURVEY §11's 100 TB lexical topology made executable: the doc-id space
+  // splits into independent shards, each scoring with ITS OWN corpus stats
+  // (n_docs/tt/df are per-shard constants — no global-stats round trip),
+  // and only the per-shard TOP-K RANK LISTS cross the shard boundary
+  // (≤ K·n_queries rows of (q_id, doc_id, rank) per shard — never scores,
+  // whose per-shard normalizations aren't comparable, and never postings).
+  // The merger fuses by integer reciprocal rank (the RRF_K=60 discipline);
+  // shards partition the doc space, so each doc carries exactly one shard
+  // rank. search_sharded_agreement measures the fidelity of that merge
+  // against the single-corpus ranking — the operating number for the
+  // shard-count tradeoff.
+
+  /** Per-shard BM25 rank list over a self-contained docs frame: postings,
+    * df, and corpus stats all derive from `docs` alone.
+    */
+  private def bm25OverDocs(s: SparkSession, docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val dfF = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("tt"))
+    bm25Rank(postingsOf(docs.select("doc_id", "text", "lang")), dfF, stats, queryTerms(s))
+  }
+
+  /** Fuse per-shard rank lists (q_id, doc_id, rank): reciprocal-rank
+    * positions merge shard lists without comparing cross-shard scores.
+    */
+  private def shardFuse(lists: Seq[DataFrame]): DataFrame = {
+    val both = lists.map(_.select("q_id", "doc_id", "rank")).reduce(_ unionByName _)
+      .select(col("q_id"), col("doc_id"),
+        expr(s"1000000 div ($RRF_K + rank)").as("rrf_micro"))
+    val w = Window.partitionBy("q_id").orderBy(col("rrf_micro").desc, col("doc_id"))
+    both.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select("q_id", "rank", "doc_id", "rrf_micro")
+  }
+
+  /** The inline two-shard retrieval (doc_id parity shards). */
+  private def shardedBm25Inline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    shardFuse((0 to 1).map(i =>
+      bm25OverDocs(s, docs.filter(pmod(col("doc_id"), lit(2)) === i))))
+  }
+
+  /** One shard's oracle chain (prefixed CTEs ending in `{p}ranked`). */
+  private def bm25ShardSql(p: String, shardWhere: String): String =
+    s"""${p}docs AS (SELECT doc_id, text FROM documents WHERE $shardWhere),
+       |${p}toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM ${p}docs),
+       |${p}dlt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM ${p}docs),
+       |${p}stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tt FROM ${p}docs),
+       |${p}tft AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM ${p}toks GROUP BY 1, 2),
+       |${p}dft AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM ${p}toks GROUP BY 1),
+       |${p}scored AS (SELECT q.q_id, tft.doc_id, ${scoreExpr("//")} AS score_t
+       |  FROM ${p}tft tft JOIN q USING (term) JOIN ${p}dft dft USING (term)
+       |  JOIN ${p}dlt dlt ON tft.doc_id = dlt.doc_id CROSS JOIN ${p}stats),
+       |${p}aggd AS (SELECT q_id, doc_id, CAST(SUM(score_t) AS BIGINT) AS score
+       |  FROM ${p}scored GROUP BY 1, 2),
+       |${p}ranked AS (SELECT q_id, doc_id, score,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM ${p}aggd)""".stripMargin
+
+  /** Oracle CTE block for the fused sharded list, ending in `shfinal`.
+    * [[shardedSqlBody]] omits the query VALUES so it can compose with
+    * [[bm25Sql]] (which already defines `q`) in the agreement oracle.
+    */
+  private def shardedSql: String =
+    s"""$queryTermsSql,
+       |$shardedSqlBody""".stripMargin
+
+  private def shardedSqlBody: String =
+    s"""${bm25ShardSql("s0_", "doc_id % 2 = 0")},
+       |${bm25ShardSql("s1_", "doc_id % 2 = 1")},
+       |shfused AS (SELECT q_id, doc_id, 1000000 // ($RRF_K + rank) AS rrf_micro
+       |  FROM (SELECT q_id, doc_id, rank FROM s0_ranked WHERE rank <= $TOP_K
+       |        UNION ALL SELECT q_id, doc_id, rank FROM s1_ranked WHERE rank <= $TOP_K)),
+       |shfinal AS (SELECT q_id, doc_id, rrf_micro,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+       |  FROM shfused)""".stripMargin
+
+  /** The index-served twin of `search_sharded_rrf`: probe each half-corpus
+    * persisted index independently (each probe is the full
+    * [[bm25ProbeIndex]] plan — bucketed postings scan, term In-pushdown, df
+    * riding the bucketing with shard-local stats) and fuse the two rank
+    * lists. Equals the inline registered query (pinned in
+    * PartitionBucketSpec along with the boundary contract: the fusion
+    * consumes ≤ K rows per query per shard, rank lists, never scores).
+    */
+  def shardedBm25FromIndexes(
+      s: SparkSession, shards: Seq[(String, String)]): DataFrame =
+    shardFuse(shards.map { case (table, path) =>
+      bm25TopkFromIndex(s, table, path).select("q_id", "doc_id", "rank")
+    }).orderBy("q_id", "rank")
+
   // ---- persisted inverted index (the 100 TB serving layout) ---------------
 
   /** Postings (term, doc_id, tf, dl, lang, positions) for a (doc_id, text,
@@ -423,6 +519,41 @@ object SearchQueries {
       Some(s"""WITH ${bm25Sql("lang = 'en'")}
               |SELECT q_id, rank, doc_id, score FROM ranked WHERE rank <= $TOP_K
               |ORDER BY q_id, rank""".stripMargin)
+    ),
+
+    // Sharded retrieval: doc-parity shards score independently with
+    // shard-local stats and only their top-k rank lists reach the merger —
+    // see the sharded-BM25 section comment for the topology contract.
+    GQuery(
+      "search_sharded_rrf",
+      (s, dir) => shardedBm25Inline(s, dir).orderBy("q_id", "rank"),
+      Some(s"""WITH $shardedSql
+              |SELECT q_id, rank, doc_id, rrf_micro FROM shfinal WHERE rank <= $TOP_K
+              |ORDER BY q_id, rank""".stripMargin)
+    ),
+
+    // The sharding fidelity audit: how many of the single-corpus top-10
+    // does the shard-merged top-10 recover, per query — the measured
+    // agreement@10 that prices the rank-list-merge topology (global stats
+    // never ship, so per-shard IDF skew is the accuracy cost being
+    // measured).
+    GQuery(
+      "search_sharded_agreement",
+      (s, dir) => {
+        val g = bm25Inline(s, dir).select("q_id", "doc_id")
+        val sh = shardedBm25Inline(s, dir)
+          .select(col("q_id"), col("doc_id"), lit(1).as("m"))
+        g.join(sh, Seq("q_id", "doc_id"), "left")
+          .groupBy("q_id").agg(count(col("m")).as("n_overlap"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH ${bm25Sql()},
+              |$shardedSqlBody
+              |SELECT g.q_id, CAST(COUNT(sh.doc_id) AS BIGINT) AS n_overlap
+              |FROM (SELECT q_id, doc_id FROM ranked WHERE rank <= $TOP_K) g
+              |LEFT JOIN (SELECT q_id, doc_id FROM shfinal WHERE rank <= $TOP_K) sh
+              |  ON g.q_id = sh.q_id AND g.doc_id = sh.doc_id
+              |GROUP BY g.q_id ORDER BY g.q_id""".stripMargin)
     ),
 
     // Hybrid retrieval: BM25 top-10 fused with cosine top-10 by reciprocal

@@ -360,6 +360,31 @@ class PartitionBucketSpec extends SparkSpec {
     assert(appended == 5, s"append after compaction lost rows: $appended")
   }
 
+  test("sharded indexes: probe-and-merge equals inline, only rank lists cross") {
+    // SURVEY §11's distributed-search claim as a plan: each doc-parity
+    // half-corpus index probes independently (shard-local n_docs/tt/df —
+    // no global-stats round trip) and the merger fuses the two rank lists
+    // by reciprocal rank. Must equal the registered inline sharded query,
+    // and the boundary contract holds: a shard ships at most TOP_K rows
+    // per query — a (q_id, doc_id, rank) list, never postings or scores.
+    import graft.operators.SearchQueries
+    val shards = (0 to 1).map { i =>
+      val t = s"search_idx_sh$i"
+      val p = s"$tmp/search_idx_sh$i"
+      SearchQueries.writeSearchIndexWhere(
+        spark, sfDir, t, p, pmod(col("doc_id"), lit(2)) === i)
+      (t, p)
+    }
+    val merged = SearchQueries.shardedBm25FromIndexes(spark, shards)
+    val got = merged.collect()
+    val inline = SparkEntry.queries("search_sharded_rrf")(spark, sfDir).collect()
+    assert(got.nonEmpty && got.toSeq == inline.toSeq)
+    // the boundary bound, measured on an actual shard probe
+    val shardList = SearchQueries.bm25TopkFromIndex(spark, shards.head._1, shards.head._2)
+    val perQuery = shardList.groupBy("q_id").count().collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_.getLong(1) <= 10), perQuery.toSeq)
+  }
+
   test("filtered probe on the inverted index: term AND lang push to one scan") {
     // the lexical filtered-search claim: the candidate-side postings scan
     // carries BOTH the query-term In-list and the metadata equality in its
