@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.GQuery
+import graft.functions.Exact.countStarSql
 import graft.functions.VectorOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -295,6 +296,107 @@ object SimilarityQueries {
       .filter(col("vec_id").isin(ids.map(i => i: Any): _*))
       .select("vec_id", "rank", "nbr_id", "cos")
       .orderBy("vec_id", "rank")
+  }
+
+  /** Oracle CTE chain for the cell-scoped graph, ending in
+    * `kg` (vec_id, nbr_id, cos, rank); expects `e` and the seed convention.
+    */
+  private def knnGraphSqlChain: String =
+    s"""seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
+       |assign0 AS (SELECT e.vec_id, e.v, e.nrm, seeds.seed_id,
+       |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    ${VectorOps.cosSql("e.v", "seeds.sv", "e.nrm", "seeds.sn")} DESC, seeds.seed_id) AS rn
+       |  FROM e CROSS JOIN seeds),
+       |assign AS (SELECT vec_id, v, nrm, seed_id FROM assign0 WHERE rn = 1),
+       |gpairs AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+       |    ${VectorOps.cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
+       |  FROM assign a JOIN assign b
+       |    ON a.seed_id = b.seed_id AND a.vec_id <> b.vec_id),
+       |kg AS (SELECT vec_id, nbr_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS BIGINT) AS rank
+       |  FROM gpairs)""".stripMargin
+
+  /** Oracle CTE chain for one NN-Descent iteration over `kg`, ending in
+    * `rranked` (vec_id, nbr_id, cos, rank) — mirrors [[refineKnn]].
+    */
+  private def knnRefineSqlChain: String =
+    s"""nv AS (SELECT $countStarSql AS n_vecs FROM e),
+       |rinit AS (SELECT vec_id, nbr_id FROM (
+       |  SELECT e.vec_id,
+       |    ${graft.functions.Exact.md5IntSql(
+             "concat(CAST(e.vec_id AS VARCHAR), ':', CAST(j.j AS VARCHAR))")} % n_vecs AS nbr_id
+       |  FROM e CROSS JOIN nv CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j)
+       |  WHERE vec_id <> nbr_id),
+       |g AS (SELECT vec_id, nbr_id FROM kg WHERE rank <= 3
+       |  UNION ALL SELECT vec_id, nbr_id FROM rinit),
+       |und AS (SELECT DISTINCT vec_id, nbr_id FROM (
+       |  SELECT vec_id, nbr_id FROM g UNION ALL SELECT nbr_id, vec_id FROM g)),
+       |cand AS (SELECT DISTINCT vec_id, cand_id FROM (
+       |  SELECT vec_id, nbr_id AS cand_id FROM und
+       |  UNION ALL
+       |  SELECT x.vec_id, y.nbr_id AS cand_id FROM und x JOIN und y ON x.nbr_id = y.vec_id
+       |    WHERE x.vec_id <> y.nbr_id)),
+       |rescored AS (SELECT c.vec_id, c.cand_id AS nbr_id,
+       |    ${VectorOps.cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
+       |  FROM cand c JOIN e a ON c.vec_id = a.vec_id JOIN e b ON c.cand_id = b.vec_id),
+       |rranked AS (SELECT vec_id, nbr_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS BIGINT) AS rank
+       |  FROM rescored)""".stripMargin
+
+  /** NN-Descent's random initialization, made deterministic: 3 hash-derived
+    * neighbors per vector (md5(vec_id:j) mod n_vecs, self-edges dropped).
+    * The cell-scoped graph alone CANNOT refine itself — its edges are
+    * strictly intra-cell, so the two-hop closure never leaves the cell and
+    * one iteration is the identity (measured before this init existed:
+    * recall_micro 223333 → 223333). Random cross-cell edges are what give
+    * the local join something to explore — exactly the published
+    * algorithm's starting state.
+    */
+  private def randomInitEdges(s: SparkSession, dir: String): DataFrame = {
+    val e = VectorOps.normalized(s, dir)
+    val n = e.agg(count(lit(1)).as("n_vecs"))
+    e.select(col("vec_id")).crossJoin(broadcast(n))
+      .select(col("vec_id"), explode(array(lit(1), lit(2), lit(3))).as("j"),
+        col("n_vecs"))
+      .select(col("vec_id"),
+        pmod(graft.functions.Exact.md5Int(
+          concat(col("vec_id").cast("string"), lit(":"), col("j").cast("string"))),
+          col("n_vecs")).as("nbr_id"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+  }
+
+  /** One NN-Descent refinement iteration over a (vec_id, nbr_id) graph —
+    * the step that lifts the cell-scoped seed graph's cross-cell recall:
+    * each vector's candidate pool becomes its direct, REVERSE, and two-hop
+    * neighbors (the undirected closure NN-Descent's local join explores),
+    * re-scored exactly and re-ranked to top-3. Scale: the pool is bounded
+    * by degree² (≤ (2·6)² + 12 per vector — never corpus-quadratic), the
+    * expansion is two equi-joins on the graph edges, and the only corpus
+    * touch is the embedding fetch for the bounded candidate pairs. Further
+    * iterations compose by feeding the output back in; one iteration is
+    * registered (`ann_knn_refine`) with its recall lift measured beside it
+    * (`ann_knn_refine_recall`).
+    */
+  private def refineKnn(s: SparkSession, dir: String, g: DataFrame): DataFrame = {
+    val e = VectorOps.normalized(s, dir)
+    val und = Materialize(
+      g.select("vec_id", "nbr_id")
+        .unionByName(g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+        .distinct())
+    val twoHop = und.as("x").join(und.as("y"), col("x.nbr_id") === col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.nbr_id").as("cand_id"))
+      .filter(col("vec_id") =!= col("cand_id"))
+    val cands = und.select(col("vec_id"), col("nbr_id").as("cand_id"))
+      .unionByName(twoHop).distinct()
+    val a = e.select(col("vec_id"), col("v").as("av"), col("nrm").as("an"))
+    val b = e.select(col("vec_id").as("cand_id"), col("v").as("bv"), col("nrm").as("bn"))
+    val scored = cands.join(a, "vec_id").join(b, "cand_id")
+      .select(col("vec_id"), col("cand_id").as("nbr_id"),
+        VectorOps.cosCol("av", "bv", "an", "bn").as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("vec_id", "rank", "nbr_id", "cos")
   }
 
   /** The nprobe nearest cells per query (q_id, qv, qn, seed_id) — shared by
@@ -1286,21 +1388,80 @@ object SimilarityQueries {
       "ann_knn_graph",
       (s, dir) => knnGraphOf(s, dir).orderBy("vec_id", "rank"),
       Some(s"""WITH ${VectorOps.normalizedSql},
-              |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
-              |assign0 AS (SELECT e.vec_id, e.v, e.nrm, seeds.seed_id,
-              |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
-              |    ${VectorOps.cosSql("e.v", "seeds.sv", "e.nrm", "seeds.sn")} DESC, seeds.seed_id) AS rn
-              |  FROM e CROSS JOIN seeds),
-              |assign AS (SELECT vec_id, v, nrm, seed_id FROM assign0 WHERE rn = 1),
-              |pairs AS (SELECT a.vec_id, b.vec_id AS nbr_id,
-              |    ${VectorOps.cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
-              |  FROM assign a JOIN assign b
-              |    ON a.seed_id = b.seed_id AND a.vec_id <> b.vec_id),
-              |ranked AS (SELECT vec_id, nbr_id, cos,
-              |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS BIGINT) AS rank
-              |  FROM pairs)
-              |SELECT vec_id, rank, nbr_id, cos FROM ranked WHERE rank <= 3
+              |$knnGraphSqlChain
+              |SELECT vec_id, rank, nbr_id, cos FROM kg WHERE rank <= 3
               |ORDER BY vec_id, rank""".stripMargin)
+    ),
+
+    // One NN-Descent iteration over the cell-scoped graph — candidate pool
+    // = direct ∪ reverse ∪ two-hop neighbors, exact re-rank (see
+    // refineKnn's scale notes). The graph-ANN twin of ann_pq_trained's
+    // "train the structure, keep probes cheap" move.
+    GQuery(
+      "ann_knn_refine",
+      (s, dir) =>
+        refineKnn(s, dir, Materialize(
+          knnGraphOf(s, dir).select("vec_id", "nbr_id")
+            .unionByName(randomInitEdges(s, dir))))
+          .orderBy("vec_id", "rank"),
+      Some(s"""WITH ${VectorOps.normalizedSql},
+              |$knnGraphSqlChain,
+              |$knnRefineSqlChain
+              |SELECT vec_id, rank, nbr_id, cos FROM rranked WHERE rank <= 3
+              |ORDER BY vec_id, rank""".stripMargin)
+    ),
+
+    // The measured lift: recall of the seed graph vs the refined graph
+    // against the exact top-3 of every vector. Integer recall_micro so the
+    // audit can never drift; the all-pairs truth derivation is the
+    // documented broadcast-tiny-side exception (the ann_recall pattern) —
+    // production measures on a sampled spine instead.
+    GQuery(
+      "ann_knn_refine_recall",
+      (s, dir) => {
+        val e = VectorOps.normalized(s, dir)
+        val g = Materialize(knnGraphOf(s, dir))
+        val refined = refineKnn(s, dir,
+          Materialize(g.select("vec_id", "nbr_id")
+            .unionByName(randomInitEdges(s, dir))))
+        val a = e.select(col("vec_id"), col("v").as("av"), col("nrm").as("an"))
+        val b = e.select(col("vec_id").as("nbr_id"), col("v").as("bv"), col("nrm").as("bn"))
+        val all = a.join(b, col("vec_id") =!= col("nbr_id"))
+          .select(col("vec_id"), col("nbr_id"),
+            VectorOps.cosCol("av", "bv", "an", "bn").as("cos"))
+        val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
+        val truth = Materialize(all.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3).select("vec_id", "nbr_id"))
+        def audit(gr: DataFrame, m: String) =
+          truth.join(
+              gr.select(col("vec_id"), col("nbr_id"), lit(1).as("hit")),
+              Seq("vec_id", "nbr_id"), "left")
+            .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_truth"))
+            .select(lit(m).as("method"), col("n_hits"), col("n_truth"),
+              expr("n_hits * 1000000 div n_truth").as("recall_micro"))
+        audit(g, "cell_seed").unionByName(audit(refined, "nn_descent_1"))
+          .orderBy("method")
+      },
+      Some(s"""WITH ${VectorOps.normalizedSql},
+              |$knnGraphSqlChain,
+              |$knnRefineSqlChain,
+              |allp AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+              |    ${VectorOps.cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
+              |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+              |truth AS (SELECT vec_id, nbr_id FROM (SELECT vec_id, nbr_id,
+              |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS rank
+              |  FROM allp) WHERE rank <= 3),
+              |res AS (
+              |  SELECT 'cell_seed' AS method, CAST(COUNT(s.nbr_id) AS BIGINT) AS n_hits,
+              |    $countStarSql AS n_truth
+              |  FROM truth LEFT JOIN (SELECT vec_id, nbr_id FROM kg WHERE rank <= 3) s
+              |    ON truth.vec_id = s.vec_id AND truth.nbr_id = s.nbr_id
+              |  UNION ALL
+              |  SELECT 'nn_descent_1', CAST(COUNT(r.nbr_id) AS BIGINT), $countStarSql
+              |  FROM truth LEFT JOIN (SELECT vec_id, nbr_id FROM rranked WHERE rank <= 3) r
+              |    ON truth.vec_id = r.vec_id AND truth.nbr_id = r.nbr_id)
+              |SELECT method, n_hits, n_truth, n_hits * 1000000 // n_truth AS recall_micro
+              |FROM res ORDER BY method""".stripMargin)
     ),
 
     // ---- semantic dedup (SemDeDup): cluster-scoped near-dup drop ------------
