@@ -78,6 +78,14 @@ object TextQueries {
 
   private[graft] val BPE_ROUNDS = 10
 
+  /** Surprisal cut for pipeline_curate_lm, in milli-bits/token: calibrated
+    * on the synthetic corpus where 95% of docs score exactly 5000 (uniform
+    * token-frequency band) and the rare-token tail spans 5053..5416 — the
+    * cut keeps the body and drops the 25-doc high-surprisal tail. A real
+    * corpus recalibrates to its own band (Gopher drops both tails).
+    */
+  private val SURPRISAL_MAX_MILLI = 5050L
+
   /** Distinct pure-letter words with frequencies and initial char symbols.
     * `^[a-z]+$` keeps the alphabet to 26 chars (regex agrees cross-engine);
     * chars come from an index transform, not split-on-empty, whose
@@ -390,6 +398,46 @@ object TextQueries {
     ),
 
     GQuery(
+      // Unigram-LM surprisal quality score — the model-based filter every
+      // pipeline applies after the heuristic ones (perplexity filtering à
+      // la CCNet/Gopher, in exact integers): train unigram counts on the
+      // corpus itself, then score each doc as Σ_tokens
+      // (bit_length(total) − bit_length(tf)) — per-token this is
+      // ⌈log2⌉-grid surprisal ≈ log2(total/tf), summed as plain longs so
+      // no ln()/float can drift cross-engine (bit_length(x) =
+      // length(bin(x)) on both engines). High bits/token ⇒ rare-token
+      // gibberish; low ⇒ boilerplate repetition. Scale: one token census
+      // (map-side combined), one shuffle join of the token stream with the
+      // counts, one per-doc aggregate — the corpus is never read twice.
+      "text_surprisal",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(expr(toksCol)).as("token"))
+        val counts = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+        val total = counts.agg(sum(col("tf")).as("total"))
+        toks.join(counts, "token")
+          .crossJoin(broadcast(total)) // 1-row bound
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(expr("CAST(length(bin(total)) - length(bin(tf)) AS BIGINT)"))
+              .as("surprisal_bits"))
+          .withColumn("milli_bits_per_token",
+            expr("surprisal_bits * 1000 div n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+              |counts AS (SELECT token, $countStarSql AS tf FROM toks GROUP BY token),
+              |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM counts),
+              |per_doc AS (SELECT doc_id, $countStarSql AS n_tokens,
+              |  CAST(SUM(length(bin(total)) - length(bin(tf))) AS BIGINT) AS surprisal_bits
+              |  FROM toks JOIN counts USING (token) CROSS JOIN tot
+              |  GROUP BY doc_id)
+              |SELECT doc_id, n_tokens, surprisal_bits,
+              |  surprisal_bits * 1000 // n_tokens AS milli_bits_per_token
+              |FROM per_doc ORDER BY doc_id""".stripMargin)
+    ),
+
+    GQuery(
       // Canonical text normalization (the step before any dedup/fingerprint
       // in a curation pipeline): lowercase, strip non-alphanumerics, collapse
       // runs of spaces, trim — plus the md5 of the canonical form.
@@ -442,6 +490,64 @@ object TextQueries {
            |SELECT doc_id, lang, n_tokens FROM quality
            |WHERE doc_id IN (SELECT doc_id FROM keep)
            |ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    GQuery(
+      // pipeline_curate with the model-based filter composed in: the
+      // heuristic gates (length + stopword floor), exact dedup, AND the
+      // unigram-LM surprisal cut (counts trained on the full corpus, the
+      // text_surprisal derivation verbatim) — the filter chain a production
+      // curation pass actually runs. One extra shuffle join on token vs
+      // plain pipeline_curate; the survivors carry their score for audit.
+      "pipeline_curate_lm",
+      (s, dir) => {
+        val en = markerArr(langMarkers.head._2)
+        val base = Tables.documents(s, dir).select(
+          col("doc_id"), col("lang"), col("text"),
+          expr(s"size($toksCol)").cast("long").as("n_tokens"),
+          expr(s"size(filter($toksCol, t -> array_contains(array($en), t)))")
+            .cast("long").as("n_stop"))
+        val quality = base.filter(col("n_tokens") >= 30 && col("n_stop") >= 1)
+        val keep = quality.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(expr(toksCol)).as("token"))
+        val counts = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+        val total = counts.agg(sum(col("tf")).as("total"))
+        val lm = toks.join(counts, "token")
+          .crossJoin(broadcast(total)) // 1-row bound
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("nt"),
+            sum(expr("CAST(length(bin(total)) - length(bin(tf)) AS BIGINT)")).as("sb"))
+          .select(col("doc_id"), expr("sb * 1000 div nt").as("milli_bits_per_token"))
+        quality.join(keep, Seq("doc_id"), "left_semi")
+          .join(lm, "doc_id")
+          .filter(col("milli_bits_per_token") <= SURPRISAL_MAX_MILLI)
+          .select("doc_id", "lang", "n_tokens", "milli_bits_per_token")
+          .orderBy("doc_id")
+      },
+      Some {
+        val en = markerArr(langMarkers.head._2)
+        s"""WITH base AS (SELECT doc_id, lang, text,
+           |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_filter($toksSql, t -> list_contains([$en], t))) AS BIGINT) AS n_stop
+           |  FROM documents),
+           |quality AS (SELECT * FROM base WHERE n_tokens >= 30 AND n_stop >= 1),
+           |keep AS (SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+           |toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+           |counts AS (SELECT token, $countStarSql AS tf FROM toks GROUP BY token),
+           |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM counts),
+           |lm AS (SELECT doc_id,
+           |  (CAST(SUM(length(bin(total)) - length(bin(tf))) AS BIGINT) * 1000)
+           |    // $countStarSql AS milli_bits_per_token
+           |  FROM toks JOIN counts USING (token) CROSS JOIN tot GROUP BY doc_id)
+           |SELECT q.doc_id, lang, n_tokens, milli_bits_per_token
+           |FROM quality q JOIN lm ON q.doc_id = lm.doc_id
+           |WHERE q.doc_id IN (SELECT doc_id FROM keep)
+           |  AND milli_bits_per_token <= $SURPRISAL_MAX_MILLI
+           |ORDER BY q.doc_id""".stripMargin
       }
     ),
 
