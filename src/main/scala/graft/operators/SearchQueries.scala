@@ -274,25 +274,48 @@ object SearchQueries {
       count(lit(1)).as("n_docs"),
       sum(size(split(col("text"), " ")).cast("long")).as("tt"))
 
+  /** Postings bucket count — a TEST-SCALE default. Sizing rule (SURVEY
+    * §11): buckets ≈ corpus postings bytes / target file size (256 MB–1 GB
+    * per bucket file post-compaction), rounded to a power of two so a
+    * resharding doubles/halves cleanly; probe cost is independent of the
+    * count (the term In-list prunes to its buckets either way), so size
+    * for file-handle and compaction-task granularity, not probe speed.
+    * Probe results are invariant under the choice (pinned at a non-default
+    * size in PartitionBucketSpec); append/compaction derive the count from
+    * the catalog's bucket spec, so maintenance can never diverge from the
+    * build.
+    */
+  val POSTINGS_BUCKETS = 8
+
+  /** The table's catalog-recorded bucket count (maintenance ops follow the
+    * build, whatever size it chose).
+    */
+  private def bucketCountOf(s: SparkSession, table: String): Int =
+    s.sessionState.catalog
+      .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(POSTINGS_BUCKETS)
+
   /** Write the inverted index: postings (term, doc_id, tf, dl) as a table
     * bucketed+sorted by term, plus the 1-row corpus stats beside it. Built
     * once per corpus version; probes never re-derive anything from `text`.
     */
-  def writeSearchIndex(s: SparkSession, dir: String, table: String, path: String): Unit =
-    writeSearchIndexWhere(s, dir, table, path, lit(true))
+  def writeSearchIndex(s: SparkSession, dir: String, table: String, path: String,
+                       buckets: Int = POSTINGS_BUCKETS): Unit =
+    writeSearchIndexWhere(s, dir, table, path, lit(true), buckets)
 
   /** As [[writeSearchIndex]] but indexing only rows matching `pred` — the
     * bootstrap half of the ingest lifecycle test.
     */
   def writeSearchIndexWhere(
       s: SparkSession, dir: String, table: String, path: String,
-      pred: org.apache.spark.sql.Column): Unit = {
+      pred: org.apache.spark.sql.Column,
+      buckets: Int = POSTINGS_BUCKETS): Unit = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("lang")).filter(pred)
     s.sql(s"DROP TABLE IF EXISTS $table")
     postingsOf(docs)
       .write.mode("overwrite")
-      .bucketBy(8, "term").sortBy("term")
+      .bucketBy(buckets, "term").sortBy("term")
       .option("path", path)
       .saveAsTable(table)
     statsOf(docs).write.mode("overwrite").parquet(s"${path}_stats")
@@ -316,7 +339,7 @@ object SearchQueries {
     // stats anchor, which compaction never moves.
     postingsOf(newDocs)
       .write.mode("append")
-      .bucketBy(8, "term").sortBy("term")
+      .bucketBy(bucketCountOf(s, table), "term").sortBy("term")
       .saveAsTable(table)
     // advance the 1-row stats via temp-write + rename, never overwriting in
     // place: a crash mid-overwrite can no longer leave a half-written (or
@@ -476,11 +499,12 @@ object SearchQueries {
     val aqeKey = "spark.sql.adaptive.enabled"
     val prior = s.conf.get(aqeKey)
     s.conf.set(aqeKey, "false")
+    val nb = bucketCountOf(s, table)
     try {
-      val compacted = s.table(table).repartition(8, expr("pmod(hash(term), 8)"))
+      val compacted = s.table(table).repartition(nb, expr(s"pmod(hash(term), $nb)"))
       s.sql(s"DROP TABLE IF EXISTS ${table}__c")
       compacted.write.mode("overwrite")
-        .bucketBy(8, "term").sortBy("term")
+        .bucketBy(nb, "term").sortBy("term")
         .option("path", dest)
         .saveAsTable(s"${table}__c")
     } finally s.conf.set(aqeKey, prior)

@@ -28,7 +28,22 @@ import org.apache.spark.sql.expressions.Window
 object SimilarityQueries {
 
   private val N_QUERIES = 10
-  private val N_SEEDS = 16
+
+  /** IVF cell count — a TEST-SCALE default. Sizing rule (SURVEY §11):
+    * k ∝ √n to ~n/1000 cells so cells stay 1k–1M vectors (k-means cost vs
+    * probe selectivity trade); registered queries use the first-N_SEEDS
+    * convention so oracles stay expressible, and the index builders/probes
+    * take the count as an argument (non-default size exercised in
+    * PartitionBucketSpec).
+    */
+  val N_SEEDS = 16
+
+  /** k-NN graph partition count — a TEST-SCALE default. Sizing rule
+    * (SURVEY §11): buckets ≈ graph rows / rows-per-file target; lookups
+    * prune to one bucket regardless of the count, and graph content is
+    * invariant under it (pinned at a non-default size).
+    */
+  val KNN_BUCKETS = 16L
   /** Semantic-dedup cosine threshold — see dedup_semantic's calibration note. */
   private val SEM_TAU = 0.4
   private val N_PROBE = 4
@@ -81,9 +96,9 @@ object SimilarityQueries {
   /** Broadcast seed set (seed_id, sv, sn) shared by IVF, cell stats, and
     * the k-means iteration.
     */
-  private def seedSet(e: DataFrame): DataFrame =
+  private def seedSet(e: DataFrame, nSeeds: Int = N_SEEDS): DataFrame =
     broadcast(
-      e.filter(col("vec_id") < N_SEEDS)
+      e.filter(col("vec_id") < nSeeds)
         .select(col("vec_id").as("seed_id"), col("v").as("sv"), col("nrm").as("sn")))
 
   /** Corpus → nearest-seed assignment: one broadcast pass, argmax cosine
@@ -139,8 +154,9 @@ object SimilarityQueries {
     * the index scan ([[ivfFilteredTopkFromIndex]]). PartitionBucketSpec
     * pins the pruning.
     */
-  def writeIvfIndex(s: SparkSession, dir: String, path: String): Unit =
-    writeIvfIndexWhere(s, dir, path, lit(true))
+  def writeIvfIndex(s: SparkSession, dir: String, path: String,
+                    nSeeds: Int = N_SEEDS): Unit =
+    writeIvfIndexWhere(s, dir, path, lit(true), nSeeds)
 
   /** Build the index over a corpus subset (the bootstrap step of an
     * incremental-ingest lifecycle; seeds always come from the full corpus
@@ -148,9 +164,10 @@ object SimilarityQueries {
     */
   def writeIvfIndexWhere(
       s: SparkSession, dir: String, path: String,
-      pred: org.apache.spark.sql.Column): Unit = {
+      pred: org.apache.spark.sql.Column,
+      nSeeds: Int = N_SEEDS): Unit = {
     val e = VectorOps.normalizedMeta(s, dir)
-    assignToSeeds(e.filter(pred), seedSet(e))
+    assignToSeeds(e.filter(pred), seedSet(e, nSeeds))
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("seed_id").as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
@@ -196,8 +213,9 @@ object SimilarityQueries {
     * micro-batches) yields identical per-query rows.
     */
   def ivfProbeIndex(
-      s: SparkSession, dir: String, path: String, queries: DataFrame): DataFrame = {
-    val seeds = seedSet(VectorOps.normalized(s, dir))
+      s: SparkSession, dir: String, path: String, queries: DataFrame,
+      nSeeds: Int = N_SEEDS): DataFrame = {
+    val seeds = seedSet(VectorOps.normalized(s, dir), nSeeds)
     val q = queries
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val pw = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("seed_id"))
@@ -235,6 +253,16 @@ object SimilarityQueries {
     * swapped via FileSystem rename, so a concurrent probe sees the old or
     * the new layout, never a half-written one. Content — and therefore
     * every probe result — is unchanged (pinned in PartitionBucketSpec).
+    *
+    * DEPLOYMENT CONSTRAINT: the swap relies on atomic directory rename —
+    * true on local filesystems and HDFS, NOT on object stores (S3/GCS
+    * renames are nonatomic copies). This index is a plain parquet path
+    * with no catalog entry, so the catalog-owned location swap
+    * [[SearchQueries.compactSearchIndex]] uses is unavailable; on an
+    * object store, register the path as a catalog table first (then the
+    * catalog pointer flip is the atom) or adopt a transactional table
+    * format — rewriting this builder to require a metastore would tax the
+    * common HDFS case for the exception.
     */
   def compactIvfIndex(s: SparkSession, path: String): Unit = {
     val tmpPath = s"${path}__compact"
@@ -280,17 +308,19 @@ object SimilarityQueries {
     * recomputed or rescanned whole at query time. The same layout move as
     * the IVF index, applied to the derived graph.
     */
-  def writeKnnGraph(s: SparkSession, dir: String, path: String): Unit =
+  def writeKnnGraph(s: SparkSession, dir: String, path: String,
+                    buckets: Long = KNN_BUCKETS): Unit =
     knnGraphOf(s, dir)
-      .withColumn("bucket", pmod(col("vec_id"), lit(16L)))
+      .withColumn("bucket", pmod(col("vec_id"), lit(buckets)))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** Neighbors of `ids` from the persisted graph: bucket In-list prunes
     * partitions at the file source, vec_id filter pushes into the pruned
     * files. Equals the inline graph rows for those ids (pinned).
     */
-  def knnNeighborsFromGraph(s: SparkSession, path: String, ids: Seq[Long]): DataFrame = {
-    val buckets = ids.map(_ % 16).distinct.sorted
+  def knnNeighborsFromGraph(s: SparkSession, path: String, ids: Seq[Long],
+                            nBuckets: Long = KNN_BUCKETS): DataFrame = {
+    val buckets = ids.map(_ % nBuckets).distinct.sorted
     s.read.parquet(path)
       .filter(col("bucket").isin(buckets.map(b => b.toInt: Any): _*))
       .filter(col("vec_id").isin(ids.map(i => i: Any): _*))

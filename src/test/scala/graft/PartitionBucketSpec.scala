@@ -495,6 +495,46 @@ class PartitionBucketSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == inline.toSeq)
   }
 
+  test("index sizing is a parameter: non-default sizes keep results exact") {
+    // the sizing constants (postings buckets, knn buckets, IVF seeds) are
+    // test-scale defaults with SURVEY §11 rules attached — this pins that a
+    // resized build still serves correctly: probe results are invariant
+    // under postings/knn bucket counts, maintenance ops derive the bucket
+    // count from the catalog (never the default), and a resized IVF cell
+    // grid serves the probe contract
+    import graft.operators.{SearchQueries, SimilarityQueries}
+    // postings at 4 buckets: probe parity + catalog-derived compaction
+    val sp = s"$tmp/search_idx_nd"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_idx_nd", sp, buckets = 4)
+    val probed = SearchQueries.bm25TopkFromIndex(spark, "search_idx_nd", sp).collect()
+    val inline = SparkEntry.queries("search_bm25_topk")(spark, sfDir).collect()
+    assert(probed.nonEmpty && probed.toSeq == inline.toSeq)
+    SearchQueries.compactSearchIndex(spark, "search_idx_nd")
+    val files = spark.table("search_idx_nd").inputFiles
+    assert(files.length <= 4, s"compaction ignored the 4-bucket spec: ${files.length}")
+    assert(SearchQueries.bm25TopkFromIndex(spark, "search_idx_nd", sp)
+      .collect().toSeq == inline.toSeq)
+    // knn graph at 4 buckets: point lookups equal the inline graph rows
+    val kp = s"$tmp/knn_graph_nd"
+    SimilarityQueries.writeKnnGraph(spark, sfDir, kp, buckets = 4L)
+    val ids = Seq(3L, 7L)
+    val knnGot = SimilarityQueries.knnNeighborsFromGraph(spark, kp, ids, nBuckets = 4L)
+      .collect()
+    val knnInline = SparkEntry.queries("ann_knn_graph")(spark, sfDir)
+      .filter(col("vec_id").isin(ids.map(i => i: Any): _*)).collect()
+    assert(knnGot.nonEmpty && knnGot.toSeq == knnInline.toSeq)
+    // IVF at 8 seeds: the resized grid builds 8 cells and serves full top-k
+    val ip = s"$tmp/ivf_index_nd"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, ip, nSeeds = 8)
+    val cells = new java.io.File(ip).listFiles().count(_.getName.startsWith("cell="))
+    assert(cells == 8, s"expected 8 cells, got $cells")
+    val e = graft.functions.VectorOps.normalized(spark, sfDir)
+    val q = e.filter(col("vec_id") < 4).select("vec_id", "v", "nrm")
+    val perQuery = SimilarityQueries.ivfProbeIndex(spark, sfDir, ip, q, nSeeds = 8)
+      .groupBy("q_id").count().collect()
+    assert(perQuery.length == 4 && perQuery.forall(_.getLong(1) == 10), perQuery.toSeq)
+  }
+
   test("dynamic partition pruning: a runtime dim filter prunes the fact scan") {
     // the remaining scan lever: when the pruning value is only known at
     // RUNTIME (it comes from a filtered dimension, not a literal), the
