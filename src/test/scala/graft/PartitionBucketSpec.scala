@@ -535,6 +535,26 @@ class PartitionBucketSpec extends SparkSpec {
     assert(perQuery.length == 4 && perQuery.forall(_.getLong(1) == 10), perQuery.toSeq)
   }
 
+  test("trained-quantizer IVF index: persisted probe equals the inline trained top-k") {
+    // the quantizer IS the cell geometry: an index built with the
+    // one-Lloyd-iteration grid must be probed with the same grid, and the
+    // persisted serving path must return exactly the inline trained-IVF
+    // result (the seeded-index parity test, re-run under training)
+    import graft.operators.SimilarityQueries
+    import graft.functions.VectorOps
+    val path = s"$tmp/ivf_index_tr"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, path, trained = true)
+    val e = VectorOps.normalized(spark, sfDir)
+    val q = e.filter(col("vec_id") < 10).select("vec_id", "v", "nrm")
+    val probed = SimilarityQueries
+      .ivfProbeIndex(spark, sfDir, path, q, trained = true)
+    val inline = SimilarityQueries
+      .ivfTopkWith(spark, sfDir, SimilarityQueries.trainedSeedSetOf(spark, sfDir))
+    val cols = inline.columns.map(col).toSeq
+    val got = probed.orderBy(cols: _*).collect()
+    assert(got.nonEmpty && got.toSeq == inline.orderBy(cols: _*).collect().toSeq)
+  }
+
   test("dynamic partition pruning: a runtime dim filter prunes the fact scan") {
     // the remaining scan lever: when the pruning value is only known at
     // RUNTIME (it comes from a filtered dimension, not a literal), the
