@@ -67,8 +67,8 @@ class EdgeCorpusSpec extends SparkSpec {
         (n.startsWith("search_") && !n.contains("hybrid") && !n.contains("eval")) ||
         (n.startsWith("dedup_") && !n.contains("embedding") &&
           // keep-latest dedups ORDERS (CDC snapshot), not documents;
-          // semantic dedup operates on the EMBEDDINGS table
-          n != "dedup_keep_latest" && n != "dedup_semantic"))
+          // the semantic-dedup family operates on the EMBEDDINGS table
+          n != "dedup_keep_latest" && !n.startsWith("dedup_semantic")))
     for (name <- docQueries) {
       val rows = SparkEntry.queries(name)(spark, edgeDir).collect()
       assert(rows != null, name) // reaching here means no throw
