@@ -580,6 +580,48 @@ object SearchQueries {
               |GROUP BY g.q_id ORDER BY g.q_id""".stripMargin)
     ),
 
+    // The OTHER sharding topology, priced against rank-merge: shards ship
+    // their stats PARTIALS (n_docs, tt, per-term df — a few rows, the
+    // Elasticsearch DFS move) to be summed and broadcast back, score with
+    // the merged GLOBAL stats, and merge by score. Because every per-doc
+    // score is then identical to the single-corpus score, top-k of the
+    // unioned shard top-ks IS the global top-k — and the oracle below is
+    // deliberately the plain single-corpus BM25: the hash match is the
+    // exactness proof, not an approximation audit. Cost of exactness: one
+    // tiny control-plane round trip per query batch that pure rank-merge
+    // (search_sharded_rrf, agreement@10 = 10/9/7/9) avoids.
+    GQuery(
+      "search_sharded_exact",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val shards = (0 to 1).map(i =>
+          docs.filter(pmod(col("doc_id"), lit(2)) === i)
+            .select("doc_id", "text", "lang"))
+        val stats = shards.map(d => d.agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("tt")))
+          .reduce(_ unionByName _)
+          .agg(sum(col("n_docs")).as("n_docs"), sum(col("tt")).as("tt"))
+        val dfG = shards.map(d =>
+            d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+              .select("doc_id", "term").distinct()
+              .groupBy("term").agg(count(lit(1)).as("df")))
+          .reduce(_ unionByName _)
+          .groupBy("term").agg(sum(col("df")).as("df"))
+        val lists = shards.map(d => bm25Rank(postingsOf(d), dfG, stats, queryTerms(s)))
+        val merged = lists.reduce(_ unionByName _)
+        val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+        merged.select("q_id", "doc_id", "score")
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TOP_K)
+          .select("q_id", "rank", "doc_id", "score")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH ${bm25Sql()}
+              |SELECT q_id, rank, doc_id, score FROM ranked WHERE rank <= $TOP_K
+              |ORDER BY q_id, rank""".stripMargin)
+    ),
+
     // Hybrid retrieval: BM25 top-10 fused with cosine top-10 by reciprocal
     // rank fusion — rrf = Σ_lists 1e6 div (60 + rank), pure integer so the
     // fusion can never drift cross-engine even though the vector ranks come

@@ -284,6 +284,26 @@ object SimilarityQueries {
       .select("q_id", "rank", "cand_id", "cos")
   }
 
+  /** Sharded ANN serving: probe each half-corpus persisted index
+    * independently and merge the shard top-ks by score — cosine needs no
+    * corpus stats, so for disjoint shards with the shared full-corpus seed
+    * geometry the merge is EXACTLY the single-index probe (pinned in
+    * PartitionBucketSpec; see ann_sharded_topk for the argument).
+    */
+  def shardedIvfTopkFromIndexes(
+      s: SparkSession, dir: String, paths: Seq[String]): DataFrame = {
+    val e = VectorOps.normalized(s, dir)
+    val q = e.filter(col("vec_id") < N_QUERIES).select("vec_id", "v", "nrm")
+    val lists = paths.map(p =>
+      ivfProbeIndex(s, dir, p, q).select("q_id", "cand_id", "cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    lists.reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select("q_id", "rank", "cand_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
   /** Compact an IVF index after many appends — the small-file maintenance
     * step of the ingest lifecycle: each append leaves one file per touched
     * cell, and a year of micro-batches turns probes into
@@ -952,6 +972,76 @@ object SimilarityQueries {
     GQuery(
       "ann_ivf_topk",
       (s, dir) => ivfTopk(s, dir).orderBy("q_id", "rank"),
+      Some(s"""WITH ${VectorOps.normalizedSql},
+              |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
+              |assign0 AS (SELECT e.vec_id, e.v, e.nrm, seeds.seed_id,
+              |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              |    ${VectorOps.cosSql("e.v", "seeds.sv", "e.nrm", "seeds.sn")} DESC, seeds.seed_id) AS rn
+              |  FROM e CROSS JOIN seeds),
+              |assign AS (SELECT vec_id, v, nrm, seed_id FROM assign0 WHERE rn = 1),
+              |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
+              |probes0 AS (SELECT q.q_id, q.qv, q.qn, seeds.seed_id,
+              |  row_number() OVER (PARTITION BY q.q_id ORDER BY
+              |    ${VectorOps.cosSql("q.qv", "seeds.sv", "q.qn", "seeds.sn")} DESC, seeds.seed_id) AS rn
+              |  FROM q CROSS JOIN seeds),
+              |probes AS (SELECT q_id, qv, qn, seed_id FROM probes0 WHERE rn <= $N_PROBE),
+              |cand AS (SELECT DISTINCT probes.q_id, assign.vec_id AS cand_id,
+              |  ${VectorOps.cosSql("probes.qv", "assign.v", "probes.qn", "assign.nrm")} AS cos
+              |  FROM probes JOIN assign ON probes.seed_id = assign.seed_id
+              |  WHERE assign.vec_id <> probes.q_id),
+              |ranked AS (SELECT q_id, cand_id, cos,
+              |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+              |  FROM cand)
+              |SELECT q_id, rank, cand_id, cos FROM ranked WHERE rank <= $TOP_K
+              |ORDER BY q_id, rank""".stripMargin)
+    ),
+
+    // The ANN sharding topology — and why it's EXACT where BM25's
+    // rank-merge is not: cosine needs no corpus statistics, so per-shard
+    // scores are globally comparable for free. Shard the corpus by vec_id
+    // parity (seeds come from the full corpus, so cell geometry is
+    // identical on every shard — the writeIvfIndexWhere invariant), probe
+    // each shard independently, merge the shard top-ks by score: for
+    // disjoint shards top-k(top-k(A) ∪ top-k(B)) = top-k(A ∪ B), so the
+    // oracle below is deliberately the plain single-corpus ann_ivf_topk —
+    // the hash match IS the exactness proof. No cross-shard coordination
+    // of any kind; contrast search_sharded_exact (one stats round trip)
+    // and search_sharded_rrf (approximate, rank lists only).
+    GQuery(
+      "ann_sharded_topk",
+      (s, dir) => {
+        val e = VectorOps.normalized(s, dir)
+        val seeds = seedSet(e)
+        val q = e.filter(col("vec_id") < N_QUERIES)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val pw = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("seed_id"))
+        val probes = q.join(seeds)
+          .select(col("q_id"), col("qv"), col("qn"), col("seed_id"),
+            VectorOps.cosCol("qv", "sv", "qn", "sn").as("pcos"))
+          .withColumn("rn", row_number().over(pw))
+          .filter(col("rn") <= N_PROBE)
+          .select("q_id", "qv", "qn", "seed_id")
+        val lists = (0 to 1).map { i =>
+          val assign = assignToSeeds(
+              e.filter(pmod(col("vec_id"), lit(2)) === i), seeds)
+            .select("vec_id", "v", "nrm", "seed_id")
+          val cand = probes.join(assign, "seed_id")
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id").as("cand_id"),
+              VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
+            .distinct()
+          val rw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+          cand.withColumn("rank", row_number().over(rw))
+            .filter(col("rank") <= TOP_K)
+            .select("q_id", "cand_id", "cos")
+        }
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+        lists.reduce(_ unionByName _)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= TOP_K)
+          .select("q_id", "rank", "cand_id", "cos")
+          .orderBy("q_id", "rank")
+      },
       Some(s"""WITH ${VectorOps.normalizedSql},
               |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
               |assign0 AS (SELECT e.vec_id, e.v, e.nrm, seeds.seed_id,

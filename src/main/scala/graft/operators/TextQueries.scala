@@ -379,6 +379,49 @@ object TextQueries {
     ),
 
     GQuery(
+      // The apply side of the trainer: encode the corpus under the trained
+      // merges. The classic serving trick makes this corpus-cheap: the
+      // merge loop's final state IS the encoded DISTINCT-word table, so
+      // application is one join of the token stream against it — the K
+      // rewrite rounds never touch the corpus. Non-letter tokens fall back
+      // to char-count (the byte-fallback every real BPE ships). Output:
+      // per-doc word/subword/char counts + integer chars-per-subword, the
+      // compression ratio a tokenizer report quotes.
+      "text_bpe_encode",
+      (s, dir) => {
+        val (_, words) = bpeTrain(s, dir, BPE_ROUNDS)
+        val enc = words.select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(expr(toksCol)).as("w"))
+          .join(enc, Seq("w"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_sub"), length(col("w")).cast("long")).as("n_sub"),
+            length(col("w")).cast("long").as("n_chars"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_sub")).as("n_subwords"),
+            sum(col("n_chars")).as("n_chars"))
+          .withColumn("milli_chars_per_subword",
+            expr("CASE WHEN n_subwords = 0 THEN 0 ELSE n_chars * 1000 div n_subwords END"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${bpeOracleChain(BPE_ROUNDS)},
+              |enc AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM words$BPE_ROUNDS),
+              |toks2 AS (SELECT doc_id, unnest($toksSql) AS w FROM documents),
+              |per AS (SELECT doc_id,
+              |    COALESCE(n_sub, CAST(length(w) AS BIGINT)) AS n_sub,
+              |    CAST(length(w) AS BIGINT) AS n_chars
+              |  FROM toks2 LEFT JOIN enc USING (w))
+              |SELECT doc_id, $countStarSql AS n_words,
+              |  CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+              |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+              |  CASE WHEN SUM(n_sub) = 0 THEN 0
+              |    ELSE CAST(SUM(n_chars) AS BIGINT) * 1000 // CAST(SUM(n_sub) AS BIGINT)
+              |  END AS milli_chars_per_subword
+              |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    ),
+
+    GQuery(
       // The subword vocabulary those merges induce: every symbol surviving
       // in the rewritten word census, weighted by word frequency — the
       // artifact text_oov_rate's "tokenizer vocabulary" models (single

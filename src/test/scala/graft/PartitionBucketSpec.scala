@@ -535,6 +535,25 @@ class PartitionBucketSpec extends SparkSpec {
     assert(perQuery.length == 4 && perQuery.forall(_.getLong(1) == 10), perQuery.toSeq)
   }
 
+  test("sharded IVF indexes: probe-and-merge equals the single-index probe exactly") {
+    // the ANN twin of the sharded-BM25 lifecycle test, with a stronger
+    // contract: cosine scores are globally comparable with zero
+    // coordination, so two half-corpus indexes probed independently and
+    // merged by score must equal the registered single-corpus query
+    // row-for-row (not an agreement percentage — exact)
+    import graft.operators.SimilarityQueries
+    val paths = (0 to 1).map { i =>
+      val p = s"$tmp/ivf_shard$i"
+      SimilarityQueries.writeIvfIndexWhere(
+        spark, sfDir, p, pmod(col("vec_id"), lit(2)) === i)
+      p
+    }
+    val merged = SimilarityQueries.shardedIvfTopkFromIndexes(spark, sfDir, paths)
+    val got = merged.collect()
+    val single = SparkEntry.queries("ann_ivf_topk")(spark, sfDir).collect()
+    assert(got.nonEmpty && got.toSeq == single.toSeq)
+  }
+
   test("trained-quantizer IVF index: persisted probe equals the inline trained top-k") {
     // the quantizer IS the cell geometry: an index built with the
     // one-Lloyd-iteration grid must be probed with the same grid, and the
