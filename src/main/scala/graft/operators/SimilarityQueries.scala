@@ -220,9 +220,14 @@ object SimilarityQueries {
     * embeddings schema (vec_id, embedding, label).
     */
   def appendIvfIndex(
-      s: SparkSession, dir: String, path: String, newRows: DataFrame): Unit = {
+      s: SparkSession, dir: String, path: String, newRows: DataFrame,
+      nSeeds: Int = N_SEEDS, trained: Boolean = false): Unit = {
     graft.functions.GraftFunctions.register(s)
-    val seeds = seedSet(VectorOps.normalizedMeta(s, dir))
+    // the append must assign with the SAME quantizer the index was built
+    // with — a trained index appended against raw seeds would scatter new
+    // rows into the wrong cells (geometry is the contract, as on probes)
+    val em = VectorOps.normalizedMeta(s, dir)
+    val seeds = if (trained) trainedSeedSet(em, nSeeds) else seedSet(em, nSeeds)
     val nw = newRows
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -409,6 +414,25 @@ object SimilarityQueries {
   /** Oracle CTE chain for one NN-Descent iteration over `kg`, ending in
     * `rranked` (vec_id, nbr_id, cos, rank) — mirrors [[refineKnn]].
     */
+  /** One refinement step as CTEs: undirected closure of `inEdges`, two-hop
+    * candidate expansion, exact re-rank — ends in `rranked$sfx`.
+    */
+  private def knnRefineStepSql(inEdges: String, sfx: String): String =
+    s"""und$sfx AS (SELECT DISTINCT vec_id, nbr_id FROM (
+       |  SELECT vec_id, nbr_id FROM $inEdges UNION ALL SELECT nbr_id, vec_id FROM $inEdges)),
+       |cand$sfx AS (SELECT DISTINCT vec_id, cand_id FROM (
+       |  SELECT vec_id, nbr_id AS cand_id FROM und$sfx
+       |  UNION ALL
+       |  SELECT x.vec_id, y.nbr_id AS cand_id
+       |  FROM und$sfx x JOIN und$sfx y ON x.nbr_id = y.vec_id
+       |    WHERE x.vec_id <> y.nbr_id)),
+       |rescored$sfx AS (SELECT c.vec_id, c.cand_id AS nbr_id,
+       |    ${VectorOps.cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
+       |  FROM cand$sfx c JOIN e a ON c.vec_id = a.vec_id JOIN e b ON c.cand_id = b.vec_id),
+       |rranked$sfx AS (SELECT vec_id, nbr_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS BIGINT) AS rank
+       |  FROM rescored$sfx)""".stripMargin
+
   private def knnRefineSqlChain: String =
     s"""nv AS (SELECT $countStarSql AS n_vecs FROM e),
        |rinit AS (SELECT vec_id, nbr_id FROM (
@@ -419,19 +443,7 @@ object SimilarityQueries {
        |  WHERE vec_id <> nbr_id),
        |g AS (SELECT vec_id, nbr_id FROM kg WHERE rank <= 3
        |  UNION ALL SELECT vec_id, nbr_id FROM rinit),
-       |und AS (SELECT DISTINCT vec_id, nbr_id FROM (
-       |  SELECT vec_id, nbr_id FROM g UNION ALL SELECT nbr_id, vec_id FROM g)),
-       |cand AS (SELECT DISTINCT vec_id, cand_id FROM (
-       |  SELECT vec_id, nbr_id AS cand_id FROM und
-       |  UNION ALL
-       |  SELECT x.vec_id, y.nbr_id AS cand_id FROM und x JOIN und y ON x.nbr_id = y.vec_id
-       |    WHERE x.vec_id <> y.nbr_id)),
-       |rescored AS (SELECT c.vec_id, c.cand_id AS nbr_id,
-       |    ${VectorOps.cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
-       |  FROM cand c JOIN e a ON c.vec_id = a.vec_id JOIN e b ON c.cand_id = b.vec_id),
-       |rranked AS (SELECT vec_id, nbr_id, cos,
-       |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr_id) AS BIGINT) AS rank
-       |  FROM rescored)""".stripMargin
+       |${knnRefineStepSql("g", "")}""".stripMargin
 
   /** NN-Descent's random initialization, made deterministic: 3 hash-derived
     * neighbors per vector (md5(vec_id:j) mod n_vecs, self-edges dropped).
@@ -1604,9 +1616,12 @@ object SimilarityQueries {
               |ORDER BY vec_id, rank""".stripMargin)
     ),
 
-    // The measured lift: recall of the seed graph vs the refined graph
-    // against the exact top-3 of every vector. Integer recall_micro so the
-    // audit can never drift; the all-pairs truth derivation is the
+    // The measured convergence: recall of the seed graph, one iteration,
+    // and two iterations against the exact top-3 of every vector —
+    // "iterations compose" as an oracle-paired number, not prose.
+    // Iteration 2 consumes iteration 1's graph alone (random init is a
+    // START state only, per the published algorithm). Integer recall_micro
+    // so the audit can never drift; the all-pairs truth derivation is the
     // documented broadcast-tiny-side exception (the ann_recall pattern) —
     // production measures on a sampled spine instead.
     GQuery(
@@ -1614,9 +1629,11 @@ object SimilarityQueries {
       (s, dir) => {
         val e = VectorOps.normalized(s, dir)
         val g = Materialize(knnGraphOf(s, dir))
-        val refined = refineKnn(s, dir,
+        val refined1 = refineKnn(s, dir,
           Materialize(g.select("vec_id", "nbr_id")
             .unionByName(randomInitEdges(s, dir))))
+        val r1 = Materialize(refined1)
+        val refined2 = refineKnn(s, dir, r1.select("vec_id", "nbr_id"))
         val a = e.select(col("vec_id"), col("v").as("av"), col("nrm").as("an"))
         val b = e.select(col("vec_id").as("nbr_id"), col("v").as("bv"), col("nrm").as("bn"))
         val all = a.join(b, col("vec_id") =!= col("nbr_id"))
@@ -1632,12 +1649,16 @@ object SimilarityQueries {
             .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_truth"))
             .select(lit(m).as("method"), col("n_hits"), col("n_truth"),
               expr("n_hits * 1000000 div n_truth").as("recall_micro"))
-        audit(g, "cell_seed").unionByName(audit(refined, "nn_descent_1"))
+        audit(g, "cell_seed")
+          .unionByName(audit(r1, "nn_descent_1"))
+          .unionByName(audit(refined2, "nn_descent_2"))
           .orderBy("method")
       },
       Some(s"""WITH ${VectorOps.normalizedSql},
               |$knnGraphSqlChain,
               |$knnRefineSqlChain,
+              |g2 AS (SELECT vec_id, nbr_id FROM rranked WHERE rank <= 3),
+              |${knnRefineStepSql("g2", "2")},
               |allp AS (SELECT a.vec_id, b.vec_id AS nbr_id,
               |    ${VectorOps.cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
               |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
@@ -1652,7 +1673,11 @@ object SimilarityQueries {
               |  UNION ALL
               |  SELECT 'nn_descent_1', CAST(COUNT(r.nbr_id) AS BIGINT), $countStarSql
               |  FROM truth LEFT JOIN (SELECT vec_id, nbr_id FROM rranked WHERE rank <= 3) r
-              |    ON truth.vec_id = r.vec_id AND truth.nbr_id = r.nbr_id)
+              |    ON truth.vec_id = r.vec_id AND truth.nbr_id = r.nbr_id
+              |  UNION ALL
+              |  SELECT 'nn_descent_2', CAST(COUNT(r2.nbr_id) AS BIGINT), $countStarSql
+              |  FROM truth LEFT JOIN (SELECT vec_id, nbr_id FROM rranked2 WHERE rank <= 3) r2
+              |    ON truth.vec_id = r2.vec_id AND truth.nbr_id = r2.nbr_id)
               |SELECT method, n_hits, n_truth, n_hits * 1000000 // n_truth AS recall_micro
               |FROM res ORDER BY method""".stripMargin)
     ),
