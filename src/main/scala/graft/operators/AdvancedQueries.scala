@@ -1476,6 +1476,39 @@ object AdvancedQueries {
              |ORDER BY bin""".stripMargin)
     ),
 
+    // ---- shuffle-skew diagnostic (the pre-join key audit) --------------------
+    // The question every big-join postmortem starts with: how would this
+    // key distribute over hash partitions, and which keys are hot? Bucket
+    // the events stream's natural shuffle key (user_id) with an
+    // ENGINE-PORTABLE hash (md5 — Spark's internal Murmur and DuckDB's
+    // hash differ, so the real partitioner isn't oracle-able; the
+    // surrogate has the same balls-in-bins statistics, and the histogram +
+    // load-factor SEMANTICS are what's under test) and report per-bucket
+    // row counts with an integer load factor (1000 = perfectly uniform).
+    // The q_join_salted remediation consumes exactly this report. One
+    // map-side-combined groupBy on 32 synthetic buckets — at 100 TB the
+    // diagnostic costs 32 partials per shard, nothing more.
+    GQuery(
+      "q_skew_report",
+      (s, dir) => {
+        val b = Tables.events(s, dir)
+          .select(pmod(md5Int(col("user_id").cast("string")), lit(32L)).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+        val tot = b.agg(sum(col("n")).as("total"))
+        b.crossJoin(broadcast(tot)) // 1-row bound
+          .select(col("bucket"), col("n"),
+            expr("n * 32 * 1000 div total").as("load_milli"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH b AS (SELECT
+              |    ${md5IntSql("CAST(user_id AS VARCHAR)")} % 32 AS bucket,
+              |    $countStarSql AS n
+              |  FROM ${Tables.eventsOracleFrom} e GROUP BY 1),
+              |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM b)
+              |SELECT bucket, n, n * 32 * 1000 // total AS load_milli
+              |FROM b CROSS JOIN tot ORDER BY bucket""".stripMargin)
+    ),
+
     // ---- one-pass column profiler (data-quality pass) ------------------------
     // The profiling job every ingest pipeline runs first: row count, per-
     // column non-null count, exact distinct count, and min/max — computed

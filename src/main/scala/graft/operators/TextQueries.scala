@@ -78,6 +78,40 @@ object TextQueries {
 
   private[graft] val BPE_ROUNDS = 10
 
+  /** Unigram counts (token, tf) + the 1-row total over a docs frame — the
+    * text_surprisal training pass, shared with the persisted/streaming
+    * serving path ([[graft.streaming.DocumentsStream.runSurprisalMonitor]]).
+    */
+  private[graft] def unigramCounts(
+      docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val counts = docs.select(explode(expr(toksCol)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+    (counts, counts.agg(sum(col("tf")).as("total")))
+  }
+
+  /** Score a docs frame against TRAINED unigram counts: per-row (doc)
+    * independent once counts are fixed, so streaming micro-batches score
+    * identically to one shot (pinned in StreamingSpec). Unseen tokens take
+    * tf = 1 — max surprisal, the unigram byte-fallback; on the training
+    * corpus itself the fallback never fires and this equals the inner-join
+    * form exactly.
+    */
+  private[graft] def surprisalOf(
+      docs: org.apache.spark.sql.DataFrame,
+      counts: org.apache.spark.sql.DataFrame,
+      total: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), explode(expr(toksCol)).as("token"))
+      .join(counts, Seq("token"), "left")
+      .crossJoin(broadcast(total)) // 1-row bound
+      .select(col("doc_id"), coalesce(col("tf"), lit(1L)).as("tf"), col("total"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(expr("CAST(length(bin(total)) - length(bin(tf)) AS BIGINT)"))
+          .as("surprisal_bits"))
+      .withColumn("milli_bits_per_token",
+        expr("surprisal_bits * 1000 div n_tokens"))
+
   /** Surprisal cut for pipeline_curate_lm, in milli-bits/token: calibrated
     * on the synthetic corpus where 95% of docs score exactly 5000 (uniform
     * token-frequency band) and the rare-token tail spans 5053..5416 — the
@@ -454,19 +488,9 @@ object TextQueries {
       // counts, one per-doc aggregate — the corpus is never read twice.
       "text_surprisal",
       (s, dir) => {
-        val toks = Tables.documents(s, dir)
-          .select(col("doc_id"), explode(expr(toksCol)).as("token"))
-        val counts = toks.groupBy("token").agg(count(lit(1)).as("tf"))
-        val total = counts.agg(sum(col("tf")).as("total"))
-        toks.join(counts, "token")
-          .crossJoin(broadcast(total)) // 1-row bound
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"),
-            sum(expr("CAST(length(bin(total)) - length(bin(tf)) AS BIGINT)"))
-              .as("surprisal_bits"))
-          .withColumn("milli_bits_per_token",
-            expr("surprisal_bits * 1000 div n_tokens"))
-          .orderBy("doc_id")
+        val docs = Tables.documents(s, dir)
+        val (counts, total) = unigramCounts(docs)
+        surprisalOf(docs, counts, total).orderBy("doc_id")
       },
       Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
               |counts AS (SELECT token, $countStarSql AS tf FROM toks GROUP BY token),

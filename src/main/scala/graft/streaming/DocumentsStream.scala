@@ -90,4 +90,41 @@ object DocumentsStream {
   def mergedSketch(spark: SparkSession, outPath: String): DataFrame =
     spark.read.parquet(outPath)
       .groupBy("i", "bucket").agg(sum(col("cnt")).as("cnt"))
+
+  /** Persist the unigram-LM training artifact (token counts + 1-row total)
+    * — trained once on the standing corpus, read by every monitor trigger.
+    */
+  def writeUnigramModel(spark: SparkSession, dir: String, path: String): Unit = {
+    val (counts, total) =
+      graft.operators.TextQueries.unigramCounts(graft.Tables.documents(spark, dir))
+    counts.write.mode("overwrite").parquet(s"$path/counts")
+    total.write.mode("overwrite").parquet(s"$path/total")
+  }
+
+  /** Streaming surprisal monitor — the serving shape of the model-based
+    * quality filter: arriving documents score against the PERSISTED
+    * unigram model per trigger (scores are per-doc once the model is
+    * fixed, so any micro-batching equals the one-shot scoring — pinned in
+    * StreamingSpec against the registered text_surprisal itself when the
+    * stream replays the training corpus). Unseen tokens take tf = 1, max
+    * surprisal; a real deployment re-trains the model on a cadence and
+    * swaps the path, never the query.
+    */
+  def runSurprisalMonitor(
+      spark: SparkSession, modelPath: String, inPath: String, outPath: String,
+      checkpoint: String): Unit = {
+    val counts = spark.read.parquet(s"$modelPath/counts")
+    val total = spark.read.parquet(s"$modelPath/total")
+    val q = readDocs(spark, inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.TextQueries.surprisalOf(batch.toDF(), counts, total)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

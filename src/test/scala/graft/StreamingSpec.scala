@@ -420,6 +420,29 @@ class StreamingSpec extends SparkSpec {
     assert(merged.nonEmpty && merged.toSeq == direct.toSeq)
   }
 
+  test("streaming surprisal monitor equals the registered text_surprisal") {
+    // the model-based quality filter served on a stream: train the unigram
+    // model once, drain the corpus in several micro-batches scoring each
+    // against the persisted model — per-doc scores are model-fixed, so the
+    // appended reports must equal the one-shot registered query exactly
+    // (the training corpus replayed ⇒ the tf=1 fallback never fires)
+    import graft.streaming.DocumentsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-surstream").toString
+    DocumentsStream.writeUnigramModel(spark, sfDir, s"$base/model")
+    Tables.documents(spark, sfDir).select("doc_id", "text").repartition(3)
+      .write.mode("overwrite").parquet(s"$base/in")
+    DocumentsStream.runSurprisalMonitor(
+      spark, s"$base/model", s"$base/in", s"$base/out", s"$base/ckpt")
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected several micro-batches, got $commits")
+    val direct = SparkEntry.queries("text_surprisal")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    val got = spark.read.parquet(s"$base/out")
+      .select(cols: _*).orderBy("doc_id").collect()
+    assert(got.nonEmpty && got.toSeq == direct.orderBy("doc_id").collect().toSeq)
+  }
+
   test("stateful dedup on the RocksDB state store equals batch distinct") {
     // the bounded-heap state path a 100 TB streaming deployment runs on:
     // same query, state provider swapped to RocksDB — results must be
