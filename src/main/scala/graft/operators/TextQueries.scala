@@ -176,6 +176,56 @@ object TextQueries {
     (merges.result(), words)
   }
 
+  /** Persist the trained merge table — a tokenizer's merges.txt as a tiny
+    * parquet artifact (train once, apply many).
+    */
+  def writeBpeModel(s: org.apache.spark.sql.SparkSession, dir: String,
+                    path: String): Unit = {
+    val (merges, _) = bpeTrain(s, dir, BPE_ROUNDS)
+    s.createDataFrame(merges)
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_n")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Encode the corpus from a PERSISTED model — the serving asymmetry that
+    * makes BPE deployable: training needs K census actions, but applying a
+    * FIXED merge list needs none, so the K rewrites compose into ONE
+    * codegen'd map stage over the distinct-word census (no per-round
+    * materialization, no census, no extra job). The merge list itself is a
+    * K-row bounded collect. Equals the registered text_bpe_encode exactly
+    * (pinned in PartitionBucketSpec).
+    */
+  def encodeFromBpeModel(s: org.apache.spark.sql.SparkSession, dir: String,
+                         modelPath: String): org.apache.spark.sql.DataFrame = {
+    val merges = s.read.parquet(modelPath).orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    var words = bpeWords0(s, dir)
+    for ((a, b, m) <- merges)
+      words = words.withColumn("syms", expr(bpeRewriteExpr(a, b, m)))
+    encodedDocReport(s, dir,
+      words.select(col("w"), size(col("syms")).cast("long").as("n_sub")))
+  }
+
+  /** Per-doc word/subword/char report for an encoded distinct-word table —
+    * shared by the registered apply query and the from-model serving path.
+    */
+  private[graft] def encodedDocReport(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      enc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr(toksCol)).as("w"))
+      .join(enc, Seq("w"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sub"), length(col("w")).cast("long")).as("n_sub"),
+        length(col("w")).cast("long").as("n_chars"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_subwords"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("milli_chars_per_subword",
+        expr("CASE WHEN n_subwords = 0 THEN 0 ELSE n_chars * 1000 div n_subwords END"))
+      .orderBy("doc_id")
+
   /** The K-round training chain as DuckDB CTEs (words0, census_k, top_k,
     * words_k) — the oracle runs the IDENTICAL census order and list_reduce
     * fold, unrolled because recursive CTEs cannot re-aggregate per round.
@@ -424,20 +474,8 @@ object TextQueries {
       "text_bpe_encode",
       (s, dir) => {
         val (_, words) = bpeTrain(s, dir, BPE_ROUNDS)
-        val enc = words.select(col("w"), size(col("syms")).cast("long").as("n_sub"))
-        Tables.documents(s, dir)
-          .select(col("doc_id"), explode(expr(toksCol)).as("w"))
-          .join(enc, Seq("w"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_sub"), length(col("w")).cast("long")).as("n_sub"),
-            length(col("w")).cast("long").as("n_chars"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_words"),
-            sum(col("n_sub")).as("n_subwords"),
-            sum(col("n_chars")).as("n_chars"))
-          .withColumn("milli_chars_per_subword",
-            expr("CASE WHEN n_subwords = 0 THEN 0 ELSE n_chars * 1000 div n_subwords END"))
-          .orderBy("doc_id")
+        encodedDocReport(s, dir,
+          words.select(col("w"), size(col("syms")).cast("long").as("n_sub")))
       },
       Some(s"""WITH ${bpeOracleChain(BPE_ROUNDS)},
               |enc AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM words$BPE_ROUNDS),

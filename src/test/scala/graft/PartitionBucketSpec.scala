@@ -535,6 +535,20 @@ class PartitionBucketSpec extends SparkSpec {
     assert(perQuery.length == 4 && perQuery.forall(_.getLong(1) == 10), perQuery.toSeq)
   }
 
+  test("persisted BPE model: single-pass apply equals the registered encode") {
+    // the tokenizer lifecycle: train once (K census actions), persist the
+    // merge table, apply from the model in ONE map stage (no census, no
+    // per-round materialization) — results must equal the train-and-apply
+    // registered query exactly
+    import graft.operators.TextQueries
+    val path = s"$tmp/bpe_model"
+    TextQueries.writeBpeModel(spark, sfDir, path)
+    assert(spark.read.parquet(path).count() == 10)
+    val got = TextQueries.encodeFromBpeModel(spark, sfDir, path).collect()
+    val direct = SparkEntry.queries("text_bpe_encode")(spark, sfDir).collect()
+    assert(got.nonEmpty && got.toSeq == direct.toSeq)
+  }
+
   test("sharded IVF indexes: probe-and-merge equals the single-index probe exactly") {
     // the ANN twin of the sharded-BM25 lifecycle test, with a stronger
     // contract: cosine scores are globally comparable with zero
