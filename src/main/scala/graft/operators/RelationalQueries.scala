@@ -18,6 +18,28 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
+  /** Bloom runtime-filter geometry (q_join_bloom): k=3 positions per key in
+    * an m=8192-slot table. TEST-SCALE m; sizing rule: fp ≈ (k·n_keys/m)^k,
+    * so hold m ≳ 10·k·n_keys for fp ≤ ~0.2%. The position derivation is the
+    * repo's cross-engine hash primitive ([[graft.functions.Exact.md5Int]])
+    * so the DuckDB oracle can replay the filter bit-for-bit.
+    */
+  private val BLOOM_SEEDS = Seq(1, 2, 3)
+  private val BLOOM_M = 8192L
+
+  /** Bloom position of `key` under `seed`, identical on both engines. */
+  private def bloomPos(key: org.apache.spark.sql.Column, seed: Int) =
+    md5Int(concat(lit("bloom:"), lit(seed.toString), lit(":"), key.cast("string"))) % BLOOM_M
+  private def bloomPosSql(key: String, seed: String) =
+    s"${md5IntSql(s"concat('bloom:', CAST($seed AS VARCHAR), ':', CAST($key AS VARCHAR))")} % $BLOOM_M"
+
+  /** The distinct Bloom position set (≤ m rows) of a key column `k` — the
+    * broadcastable artifact standing in for a packed bit array.
+    */
+  private def bloomPositions(keys: org.apache.spark.sql.DataFrame) =
+    keys.select(explode(array(BLOOM_SEEDS.map(i => bloomPos(col("k"), i)): _*)).as("pos"))
+      .distinct()
+
   val defs: Seq[GQuery] = Seq(
 
     // ---- scan + filter + projection (predicate pushdown) ----------------
@@ -158,6 +180,89 @@ object RelationalQueries {
              |WHERE NOT EXISTS (SELECT 1 FROM orders o
              |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
              |ORDER BY c_custkey""".stripMargin)
+    ),
+
+    // ---- Bloom runtime-filter join (integer-exact, oracle-invisible) -------
+    // The runtime-filter discipline Spark's optimizer injects for selective
+    // joins, built explicitly so it is deterministic and auditable: hash the
+    // build side's keys (a selective dim: one nation's customers) into an
+    // m-bit Bloom position set (k=3 md5-derived positions per key, the
+    // cross-engine hash primitive), then pre-filter the FACT side with three
+    // broadcast left-semi joins against that position set BEFORE the real
+    // join. Blooms have no false negatives, so the final result is EXACTLY
+    // the plain join — the oracle below never mentions the Bloom, which is
+    // the point (q_join_bloom_stats audits the pruning it bought). Scale
+    // (100 TB): the position set is ≤ m rows (m = 8192 here; size m ∝ build
+    // keys to hold fp ≈ (k·n/m)^k) and broadcasts even when the dim's ROWS
+    // don't; the fact table is pruned to ~match-selectivity + fp before it
+    // ever reaches the join shuffle — the same trade
+    // spark.sql.optimizer.runtimeFilter.bloomFilter makes, minus its
+    // engine-private hash (xxhash64) that no oracle could replay.
+    GQuery(
+      "q_join_bloom",
+      (s, dir) => {
+        val dim = Tables.customer(s, dir).filter(col("c_nationkey") === 7)
+        val bloom = Materialize(bloomPositions(dim.select(col("c_custkey").as("k"))))
+        val probed = BLOOM_SEEDS.foldLeft(Tables.orders(s, dir)) { (df, seed) =>
+          df.join(broadcast(bloom.select(col("pos").as(s"pos_$seed"))),
+            bloomPos(col("o_custkey"), seed) === col(s"pos_$seed"), "left_semi")
+        }
+        probed.join(dim, probed("o_custkey") === dim("c_custkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sumMoney(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, $countStarSql AS n_orders,
+              |${sumMoneySql("o_totalprice")} AS sum_price
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |WHERE c_nationkey = 7
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    ),
+    GQuery(
+      // The pruning audit for q_join_bloom: how many fact rows pass the
+      // Bloom vs truly match. Both engines compute the IDENTICAL Bloom (same
+      // md5 positions), so pass/match/false-positive counts are oracle-paired
+      // integers, not prose — the "did the runtime filter actually prune"
+      // number a 100 TB plan review asks for.
+      "q_join_bloom_stats",
+      (s, dir) => {
+        val dim = Tables.customer(s, dir).filter(col("c_nationkey") === 7)
+        val bloom = Materialize(bloomPositions(dim.select(col("c_custkey").as("k"))))
+        val o = Tables.orders(s, dir)
+        val probed = BLOOM_SEEDS.foldLeft(o) { (df, seed) =>
+          df.join(broadcast(bloom.select(col("pos").as(s"pos_$seed"))),
+            bloomPos(col("o_custkey"), seed) === col(s"pos_$seed"), "left_semi")
+        }
+        val matched = o.join(broadcast(dim.select(col("c_custkey"))),
+          o("o_custkey") === col("c_custkey"), "left_semi")
+        val nP = o.agg(count(lit(1)).as("n_probe"))
+        val nB = probed.agg(count(lit(1)).as("n_bloom_pass"))
+        val nM = matched.agg(count(lit(1)).as("n_match"))
+        nP.crossJoin(nB).crossJoin(nM)
+          .select(col("n_probe"), col("n_bloom_pass"), col("n_match"),
+            expr("n_bloom_pass * 1000000 div n_probe").as("pass_per_million"),
+            expr("(n_bloom_pass - n_match) * 1000000 div n_probe")
+              .as("fp_per_million"))
+      },
+      Some(s"""WITH dim AS (SELECT c_custkey FROM customer WHERE c_nationkey = 7),
+              |bloom AS (SELECT DISTINCT
+              |    ${bloomPosSql("c_custkey", "s.s")} AS pos
+              |  FROM dim CROSS JOIN (SELECT unnest([1, 2, 3]) AS s) s),
+              |pass AS (SELECT o_orderkey FROM orders
+              |  WHERE ${BLOOM_SEEDS.map(i =>
+                   s"${bloomPosSql("o_custkey", i.toString)} IN (SELECT pos FROM bloom)")
+                   .mkString("\n    AND ")}),
+              |mtch AS (SELECT o_orderkey FROM orders
+              |  WHERE o_custkey IN (SELECT c_custkey FROM dim)),
+              |ns AS (SELECT
+              |  (SELECT $countStarSql FROM orders) AS n_probe,
+              |  (SELECT $countStarSql FROM pass) AS n_bloom_pass,
+              |  (SELECT $countStarSql FROM mtch) AS n_match)
+              |SELECT n_probe, n_bloom_pass, n_match,
+              |  n_bloom_pass * 1000000 // n_probe AS pass_per_million,
+              |  (n_bloom_pass - n_match) * 1000000 // n_probe AS fp_per_million
+              |FROM ns""".stripMargin)
     ),
 
     // ---- equi + range (residual band predicate) join ----------------------

@@ -275,4 +275,20 @@ class PlanAuditSpec extends SparkSpec {
       (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
         l.contains("BroadcastHashJoin")) && l.contains("g#")), p)
   }
+
+  test("Bloom runtime filter: three broadcast semi-joins prune the fact side") {
+    // the pre-filter must plan as broadcast left-semi probes of the ≤ m-row
+    // position set (a shuffled semi here would cost more than the join it
+    // guards), and the filter must actually prune: pass < probe rows, with
+    // zero escaping matches (no false negatives, by construction)
+    val p = plan("q_join_bloom")
+    assert("BroadcastHashJoin .*LeftSemi".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+    val st = SparkEntry.queries("q_join_bloom_stats")(spark, sfDir).collect().head
+    val (nProbe, nPass, nMatch) =
+      (st.getLong(st.fieldIndex("n_probe")), st.getLong(st.fieldIndex("n_bloom_pass")),
+        st.getLong(st.fieldIndex("n_match")))
+    assert(nPass < nProbe, s"bloom did not prune: $nPass of $nProbe passed")
+    assert(nPass >= nMatch, "bloom dropped a true match (false negative)")
+  }
 }
