@@ -549,6 +549,20 @@ class PartitionBucketSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == direct.toSeq)
   }
 
+  test("BPE memo: rebuilt final state equals the training loop's cold state") {
+    // rounds=4 is used by no registered query, so the first call runs the
+    // real census loop and the second is a memo hit that composes the four
+    // trained rewrites into one map stage over the word census — the merge
+    // tables must be identical and the final word states row-for-row equal
+    import graft.operators.TextQueries
+    val (m1, w1) = TextQueries.bpeTrain(spark, sfDir, 4)
+    val (m2, w2) = TextQueries.bpeTrain(spark, sfDir, 4)
+    assert(m1.nonEmpty && m1 == m2)
+    val cold = w1.select("w", "freq", "syms").collect().map(_.toString).sorted
+    val hit = w2.select("w", "freq", "syms").collect().map(_.toString).sorted
+    assert(cold.nonEmpty && cold.sameElements(hit))
+  }
+
   test("sharded IVF indexes: probe-and-merge equals the single-index probe exactly") {
     // the ANN twin of the sharded-BM25 lifecycle test, with a stronger
     // contract: cosine scores are globally comparable with zero
