@@ -22,6 +22,7 @@ object SparkEntry {
   def registry: Seq[GQuery] =
     ConvertQueries.defs ++
       RelationalQueries.defs ++
+      LayoutQueries.defs ++
       AdvancedQueries.defs ++
       EventQueries.defs ++
       TextQueries.defs ++

@@ -669,4 +669,49 @@ class PartitionBucketSpec extends SparkSpec {
           Tables.lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey")).count())
     } finally spark.conf.set(key, prior)
   }
+
+  test("persisted z-order layout: 2-d probe prunes z-buckets, equals full filter") {
+    // LayoutQueries' persisted lifecycle: the sidecar-driven 2-d rectangle
+    // probe must prune partition dirs at the file source (PartitionFilters on
+    // zb) and return exactly what a full scan-and-filter returns — stat boxes
+    // bound their rows, so a skipped bucket can hold no match.
+    import graft.operators.LayoutQueries
+    val path = s"$tmp/zorder_layout"
+    LayoutQueries.writeZorderLayout(spark, sfDir, path)
+    val partsOnDisk = new java.io.File(s"$path/data").listFiles()
+      .count(_.getName.startsWith("zb="))
+    assert(partsOnDisk > 8, s"expected >8 z-bucket partitions, got $partsOnDisk")
+
+    // rectangle: the middle ~10% of each dimension, derived from the sidecar
+    val all = spark.read.parquet(s"$path/data")
+    val r = all.agg(min("ck"), max("ck"), min("d"), max("d")).head()
+    val (ckMin, ckMax, dMin, dMax) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (ckLo, ckHi) = (ckMin + (ckMax - ckMin) * 45 / 100, ckMin + (ckMax - ckMin) * 55 / 100)
+    val (dLo, dHi) = (dMin + (dMax - dMin) * 45 / 100, dMin + (dMax - dMin) * 55 / 100)
+
+    val probed = LayoutQueries.zorderRead(spark, path, ckLo, ckHi, dLo, dHi)
+    probed.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case f: FileSourceScanExec => Seq(f) }.flatten ++
+        p.collect { case a: AdaptiveSparkPlanExec => scans(a.executedPlan) }.flatten ++
+        p.collect { case q: QueryStageExec => scans(q.plan) }.flatten
+    val dataScan = scans(probed.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("zorder_layout")))
+    assert(dataScan.nonEmpty, probed.queryExecution.executedPlan.toString)
+    assert(dataScan.head.metadata("PartitionFilters").contains("zb"),
+      dataScan.head.metadata("PartitionFilters"))
+    val partsRead = dataScan.head.selectedPartitions.partitionCount
+    assert(partsRead >= 1 && partsRead < partsOnDisk,
+      s"read $partsRead of $partsOnDisk z-bucket partitions — no pruning")
+
+    val expected = all
+      .filter(col("ck").between(ckLo, ckHi) && col("d").between(dLo, dHi))
+      .select("o_orderkey", "ck", "d")
+    assert(probed.orderBy("o_orderkey").collect().toSeq ==
+      expected.orderBy("o_orderkey").collect().toSeq)
+    assert(probed.count() > 0)
+  }
 }
