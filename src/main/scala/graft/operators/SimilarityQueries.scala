@@ -943,6 +943,113 @@ object SimilarityQueries {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- SQ8 scalar quantization -------------------------------------------
+  //
+  // The cheap tier of the vector-compression ladder (FAISS ScalarQuantizer /
+  // Lucene int8 HNSW): one min-max range per DIMENSION, every component
+  // stored as one byte — 8× smaller than float64 with no codebook to train.
+  // PQ (above) compresses 128× but needs training and a 512-entry distance
+  // table per query; SQ8 needs one 1-row stats record and dequantizes with
+  // two flops per component. Production stores ship both; the registry now
+  // does too, with the recall audit beside each.
+  //
+  // Exactness: quantize = floor((x - mn) * 255.0 / (mx - mn)) clamped to
+  // [0, 255]; dequantize = mn + (code + 0.5) * (mx - mn) / 256.0. Both
+  // engines run the identical IEEE-double op sequence, min/max are exact,
+  // and ranking uses the shared sequential-fold dot — bit-identical, so the
+  // DuckDB oracle replays the whole pipeline.
+  //
+  // 100 TB: the stats row is one pass (64-group partial agg, no data
+  // shuffle), encoding is a map pass, and probes scan ONLY the byte codes —
+  // an 8× IO cut on every brute-force scan, which is exactly where a flat
+  // scan spends its time. writeSqIndex/sqTopkFromIndex persist the
+  // encode-once-probe-forever form (pinned in PartitionBucketSpec).
+
+  /** 1-row broadcast (mns, mxs): per-dimension corpus min/max, each a
+    * DIMS-long array ordered by dimension.
+    */
+  private def sqStats(e: DataFrame): DataFrame =
+    broadcast(
+      e.select(posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+        .agg(
+          expr("transform(sort_array(collect_list(struct(pos, mn))), p -> p.mn)").as("mns"),
+          expr("transform(sort_array(collect_list(struct(pos, mx))), p -> p.mx)").as("mxs")))
+
+  /** v + (mns, mxs) → int codes in [0, 255] (constant-range dims code to 0). */
+  private val sqCodeExpr: String =
+    "transform(v, (x, i) -> CAST(least(CASE " +
+      "WHEN element_at(mxs, i + 1) = element_at(mns, i + 1) THEN 0.0D " +
+      "ELSE floor((x - element_at(mns, i + 1)) * 255.0D / " +
+      "(element_at(mxs, i + 1) - element_at(mns, i + 1))) END, 255.0D) AS INT))"
+
+  /** cd + (mns, mxs) → dequantized doubles (bucket midpoints). */
+  private val sqDeqExpr: String =
+    "transform(cd, (c, i) -> element_at(mns, i + 1) + " +
+      "(CAST(c AS DOUBLE) + 0.5D) * " +
+      "(element_at(mxs, i + 1) - element_at(mns, i + 1)) / 256.0D)"
+
+  /** Asymmetric ranking tail: exact query vectors against dequantized
+    * corpus rows — shared by the inline query and the from-index probe.
+    */
+  private def sqRank(deq: DataFrame, q: DataFrame): DataFrame = {
+    val pairs = deq.join(q, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        expr(VectorOps.dotExpr("qv", "dv")).as("score"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("cand_id"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select("q_id", "rank", "cand_id", "score")
+  }
+
+  private def sqQuerySide(s: SparkSession, dir: String): DataFrame =
+    broadcast(VectorOps.normalized(s, dir).filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv")))
+
+  private def sqTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = VectorOps.normalized(s, dir).select("vec_id", "v")
+    val deq = e.crossJoin(sqStats(e)) // 1-row bound
+      .withColumn("cd", expr(sqCodeExpr))
+      .select(col("vec_id"), expr(sqDeqExpr).as("dv"))
+    sqRank(deq, sqQuerySide(s, dir))
+  }
+
+  /** Persist the SQ8 index: byte codes (one narrow row per vector) plus the
+    * 1-row stats record, written once; probes never read raw vectors.
+    */
+  def writeSqIndex(s: SparkSession, dir: String, path: String): Unit = {
+    val e = VectorOps.normalized(s, dir).select("vec_id", "v")
+    val st = sqStats(e)
+    st.write.mode("overwrite").parquet(s"$path/stats")
+    e.crossJoin(st).select(col("vec_id"), expr(sqCodeExpr).as("cd"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Same result as `ann_sq_topk` served from the persisted index: corpus
+    * side reads codes + the 1-row stats only (ints round-trip exactly,
+    * stats doubles round-trip parquet exactly); query side reads only the
+    * query vectors with the filter pushed to the embeddings scan.
+    */
+  def sqTopkFromIndex(s: SparkSession, dir: String, path: String): DataFrame = {
+    val st = broadcast(s.read.parquet(s"$path/stats"))
+    val deq = s.read.parquet(s"$path/codes").crossJoin(st) // 1-row bound
+      .select(col("vec_id"), expr(sqDeqExpr).as("dv"))
+    sqRank(deq, sqQuerySide(s, dir))
+  }
+
+  /** Oracle CTEs (sqdeq): the stats → codes → dequantize chain over `e`. */
+  private def sqCtesSql: String =
+    s"""sqstats AS (SELECT idx.i AS pos, min(v[idx.i]) AS mn, max(v[idx.i]) AS mx
+       |  FROM e CROSS JOIN (SELECT unnest(range(1, ${DIMS + 1})) AS i) idx GROUP BY 1),
+       |starr AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM sqstats),
+       |sqcodes AS (SELECT vec_id, list_transform(range(1, ${DIMS + 1}), i ->
+       |    CAST(least(CASE WHEN mxs[i] = mns[i] THEN 0.0
+       |      ELSE floor((v[i] - mns[i]) * 255.0 / (mxs[i] - mns[i])) END, 255.0) AS INT)) AS cd
+       |  FROM e CROSS JOIN starr),
+       |sqdeq AS (SELECT vec_id, list_transform(range(1, ${DIMS + 1}), i ->
+       |    mns[i] + (CAST(cd[i] AS DOUBLE) + 0.5) * (mxs[i] - mns[i]) / 256.0) AS dv
+       |  FROM sqcodes CROSS JOIN starr)""".stripMargin
+
   /** Top-20 LSH-bucketed near-dup pairs (vec_a, vec_b, cos) — the
     * dedup_embedding_lsh result set.
     */
@@ -1852,6 +1959,71 @@ object SimilarityQueries {
               |SELECT method, n_pairs, n_truth, n_pairs * 1000000 // n_truth AS recall_micro
               |FROM res ORDER BY method""".stripMargin),
       bench = false // embeds the O(n²) truth — an offline audit
+    ),
+
+    // ---- SQ8 scalar quantization (see section comment above) ---------------
+    GQuery(
+      // Asymmetric top-k over the byte-quantized corpus: exact query vectors
+      // ranked against dequantized codes. The flat-scan IO is 8x smaller
+      // than brute force; ranking arithmetic is the shared fold, so the
+      // oracle replays it bit-for-bit.
+      "ann_sq_topk",
+      (s, dir) => sqTopk(s, dir).orderBy("q_id", "rank"),
+      Some(s"""WITH ${VectorOps.normalizedSql},
+              |$sqCtesSql,
+              |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $N_QUERIES),
+              |pairs AS (SELECT q.q_id, sqdeq.vec_id AS cand_id,
+              |    ${VectorOps.dotSql("q.qv", "sqdeq.dv")} AS score
+              |  FROM sqdeq CROSS JOIN q WHERE sqdeq.vec_id <> q.q_id),
+              |ranked AS (SELECT q_id, cand_id, score,
+              |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS BIGINT) AS rank
+              |  FROM pairs)
+              |SELECT q_id, rank, cand_id, score FROM ranked WHERE rank <= $TOP_K
+              |ORDER BY q_id, rank""".stripMargin)
+    ),
+
+    GQuery(
+      // recall@10 of the SQ8 ranking vs the exact brute-force truth — the
+      // audit row that belongs beside every approximate index
+      // (ann_pq_recall's discipline). With 255 levels per dimension the
+      // quantization error is far below typical neighbor gaps, so recall
+      // should sit near 1.0 — the measured answer to "what did 8x
+      // compression cost".
+      "ann_sq_recall",
+      (s, dir) => {
+        val bf = bruteforceTopk(s, dir).select("q_id", "cand_id")
+        bf.join(
+            sqTopk(s, dir).select(col("q_id"), col("cand_id"), lit(1).as("hit")),
+            Seq("q_id", "cand_id"), "left")
+          .groupBy("q_id").agg(count(col("hit")).as("n_hits"))
+          .select(lit("sq8").as("method"), col("q_id"), col("n_hits"))
+          .withColumn("recall", col("n_hits").cast("double") / TOP_K)
+          .orderBy("method", "q_id")
+      },
+      Some(s"""WITH ${VectorOps.normalizedSql},
+              |$sqCtesSql,
+              |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
+              |bscored AS (SELECT q.q_id, e.vec_id AS cand_id,
+              |  ${VectorOps.cosSql("q.qv", "e.v", "q.qn", "e.nrm")} AS cos
+              |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+              |bf AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+              |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+              |  FROM bscored) WHERE rank <= $TOP_K),
+              |spairs AS (SELECT q.q_id, sqdeq.vec_id AS cand_id,
+              |    ${VectorOps.dotSql("q.qv", "sqdeq.dv")} AS score
+              |  FROM sqdeq CROSS JOIN q WHERE sqdeq.vec_id <> q.q_id),
+              |sq AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+              |  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS rank
+              |  FROM spairs) WHERE rank <= $TOP_K),
+              |sq_hits AS (SELECT bf.q_id, COUNT(*) AS hits FROM bf
+              |  JOIN sq ON bf.q_id = sq.q_id AND bf.cand_id = sq.cand_id GROUP BY bf.q_id),
+              |qids AS (SELECT DISTINCT q_id FROM bf)
+              |SELECT 'sq8' AS method, qids.q_id,
+              |  CAST(COALESCE(hits, 0) AS BIGINT) AS n_hits,
+              |  CAST(COALESCE(hits, 0) AS DOUBLE) / $TOP_K AS recall
+              |FROM qids LEFT JOIN sq_hits ON qids.q_id = sq_hits.q_id
+              |ORDER BY method, qids.q_id""".stripMargin),
+      bench = false // embeds the brute-force ground truth — an offline audit
     )
   )
 

@@ -670,6 +670,46 @@ class PartitionBucketSpec extends SparkSpec {
     } finally spark.conf.set(key, prior)
   }
 
+  test("persisted SQ8 index: probe reads byte codes + 1-row stats, never raw vectors") {
+    // the PQ encode-once-probe-forever pin applied to scalar quantization:
+    // after writeSqIndex the only embeddings scan is the query side (filter
+    // pushed); the corpus is the codes table, and the ranking equals the
+    // inline ann_sq_topk exactly
+    import graft.operators.SimilarityQueries
+    val path = s"$tmp/sq_index"
+    SimilarityQueries.writeSqIndex(spark, sfDir, path)
+
+    val probed = SimilarityQueries.sqTopkFromIndex(spark, sfDir, path)
+    probed.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case f: FileSourceScanExec => Seq(f) }.flatten ++
+        p.collect { case a: AdaptiveSparkPlanExec => scans(a.executedPlan) }.flatten ++
+        p.collect { case q: QueryStageExec => scans(q.plan) }.flatten
+    val allScans = scans(probed.queryExecution.executedPlan)
+    val embScans = allScans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("embeddings")))
+    assert(embScans.nonEmpty, probed.queryExecution.executedPlan.toString)
+    embScans.foreach { f =>
+      assert(f.metadata("PushedFilters").contains("LessThan(vec_id"),
+        s"query-side filter not pushed: ${f.metadata("PushedFilters")}")
+    }
+    val codeScans = allScans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("sq_index/codes")))
+    assert(codeScans.nonEmpty, probed.queryExecution.executedPlan.toString)
+    codeScans.foreach { f =>
+      val schema = f.schema.fieldNames.toSet
+      assert(!schema.contains("v") && !schema.contains("embedding"),
+        s"codes scan reads vectors: $schema")
+    }
+
+    val direct = SparkEntry.queries("ann_sq_topk")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    assert(probed.orderBy(cols: _*).collect().toSeq ==
+      direct.orderBy(cols: _*).collect().toSeq)
+  }
+
   test("persisted z-order layout: 2-d probe prunes z-buckets, equals full filter") {
     // LayoutQueries' persisted lifecycle: the sidecar-driven 2-d rectangle
     // probe must prune partition dirs at the file source (PartitionFilters on
