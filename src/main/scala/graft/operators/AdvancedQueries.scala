@@ -2144,6 +2144,139 @@ object AdvancedQueries {
              |ORDER BY ra_micro DESC, a, b LIMIT 20""".stripMargin)
     ),
 
+    // ---- local clustering coefficient: the per-node triangle audit ---------
+    GQuery(
+      // Per-node triangle counts + local clustering coefficient over the
+      // co-purchase graph, top-20 by participation — the node-level
+      // companion to q_graph_triangles' global census. Where the census
+      // orients a < b < c by ID, the 100 TB discipline HERE is DEGREE
+      // orientation: each canonical edge points from its lower-(degree, id)
+      // endpoint to the higher one, so every node's out-degree is O(sqrt(m))
+      // regardless of how skewed the raw degree distribution is — the wedge
+      // self-join (the only quadratic stage) fans out per-node by out-degree
+      // squared, and a 10^7-degree hub that would explode a naive
+      // common-neighbor join contributes almost no wedges as a SOURCE.
+      // Closing wedges is then an equi-join against the canonical edge
+      // table. Each triangle is generated exactly once (its
+      // orientation-minimum vertex is the unique wedge center) and credited
+      // to all three corners via one bounded explode. cc_micro =
+      // 2 * tri * 1e6 div (deg * (deg - 1)) stays in exact integers.
+      "q_graph_clustering",
+      (s, dir) => {
+        val ed = Materialize(copurchaseEdges(s, dir))
+        val und = ed.select(col("a").as("src"), col("b").as("dst"))
+          .union(ed.select(col("b").as("src"), col("a").as("dst")))
+        val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+        // canonical (a < b) + both degrees; orient toward the (deg, id) max
+        val e2 = ed
+          .join(deg.select(col("src").as("a"), col("deg").as("da")), "a")
+          .join(deg.select(col("src").as("b"), col("deg").as("db")), "b")
+        val orient = e2.select(
+          when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
+          when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"))
+        val tri = orient.as("x")
+          .join(orient.as("y"), col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+          .select(col("x.u").as("tu"), col("x.v").as("tv"), col("y.v").as("tw"))
+          .join(ed, least(col("tv"), col("tw")) === col("a") &&
+            greatest(col("tv"), col("tw")) === col("b"))
+        val perNode = tri
+          .select(explode(array(col("tu"), col("tv"), col("tw"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("n_tri"))
+        perNode.join(deg.withColumnRenamed("src", "node"), "node")
+          .select(col("node"), col("n_tri"), col("deg"),
+            expr("2 * n_tri * 1000000 div (deg * (deg - 1))").as("cc_micro"))
+          .orderBy(col("n_tri").desc, col("node"))
+          .limit(20)
+      },
+      Some("""WITH li0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |li AS (SELECT * FROM li0 WHERE ok IN
+             |  (SELECT ok FROM li0 GROUP BY ok HAVING COUNT(*) <= 32)),
+             |e0 AS (SELECT x.pk AS a, y.pk AS b, COUNT(*) AS c
+             |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2),
+             |ed AS (SELECT a, b FROM e0 WHERE c >= 2),
+             |und AS (SELECT a AS src, b AS dst FROM ed UNION ALL SELECT b, a FROM ed),
+             |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY src),
+             |orient AS (SELECT
+             |    CASE WHEN da.deg <= db.deg THEN ed.a ELSE ed.b END AS u,
+             |    CASE WHEN da.deg <= db.deg THEN ed.b ELSE ed.a END AS v
+             |  FROM ed JOIN deg da ON ed.a = da.src JOIN deg db ON ed.b = db.src),
+             |tri AS (SELECT x.u AS tu, x.v AS tv, y.v AS tw
+             |  FROM orient x JOIN orient y ON x.u = y.u AND x.v < y.v
+             |  JOIN ed ON least(x.v, y.v) = ed.a AND greatest(x.v, y.v) = ed.b),
+             |pernode AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+             |    SELECT tu AS node FROM tri
+             |    UNION ALL SELECT tv FROM tri
+             |    UNION ALL SELECT tw FROM tri) GROUP BY node)
+             |SELECT pernode.node, n_tri, deg,
+             |  2 * n_tri * 1000000 // (deg * (deg - 1)) AS cc_micro
+             |FROM pernode JOIN deg ON pernode.node = deg.src
+             |ORDER BY n_tri DESC, node LIMIT 20""".stripMargin)
+    ),
+
+    // ---- CDC changelog apply: op-log compaction + merge --------------------
+    GQuery(
+      // The half of CDC that q_merge_upsert assumes away: a RAW operation
+      // LOG with MULTIPLE sequenced ops per key (the Debezium/binlog shape)
+      // must first compact to latest-wins per key — a seq-desc window, the
+      // keep-latest discipline — before the merge applies. The log is
+      // derived deterministically from orders (keys % 3 = 0 get an update
+      // at seq 1; keys % 6 = 0 ALSO get a delete at seq 2 that must WIN
+      // over their update), so the compaction choice is actually exercised
+      // and both engines replay the same stream. The merge itself is one
+      // full-outer on the key: deletes drop, updates/inserts take the
+      // change row, untouched base rows pass through. At 100 TB: the op
+      // log shuffles once on key for the window, the merge is one more
+      // key shuffle (or broadcast when the compacted log is small), and
+      // the write composes with Sink.writePartitioned so only touched
+      // partitions rewrite; money stays in exact cents.
+      "q_cdc_apply",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val base = o.filter(col("k") % 3 =!= 0)
+        val chg = o.filter(col("k") % 3 === 0)
+          .select(col("k"), lit("U").as("op"), col("status"),
+            (col("cents") + 1).as("cents"), lit(1L).as("seq"))
+          .unionByName(
+            o.filter(col("k") % 6 === 0)
+              .select(col("k"), lit("D").as("op"), col("status"),
+                lit(0L).as("cents"), lit(2L).as("seq")))
+        val w = Window.partitionBy("k").orderBy(col("seq").desc)
+        val latest = chg.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("k"), col("op"), col("status").as("c_status"),
+            col("cents").as("c_cents"))
+        base.join(latest, Seq("k"), "full_outer")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(col("k"),
+            coalesce(col("c_status"), col("status")).as("status"),
+            coalesce(col("c_cents"), col("cents")).as("cents"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+          .orderBy("status")
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+             |base AS (SELECT * FROM o WHERE k % 3 <> 0),
+             |chg AS (
+             |  SELECT k, 'U' AS op, status, cents + 1 AS cents, 1 AS seq
+             |  FROM o WHERE k % 3 = 0
+             |  UNION ALL
+             |  SELECT k, 'D', status, 0, 2 FROM o WHERE k % 6 = 0),
+             |latest AS (SELECT k, op, status AS c_status, cents AS c_cents FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+             |    FROM chg) WHERE rn = 1),
+             |merged AS (SELECT
+             |    COALESCE(latest.k, base.k) AS k,
+             |    COALESCE(c_status, base.status) AS status,
+             |    COALESCE(c_cents, base.cents) AS cents
+             |  FROM base FULL OUTER JOIN latest ON base.k = latest.k
+             |  WHERE op IS NULL OR op <> 'D')
+             |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+             |FROM merged GROUP BY status ORDER BY status""".stripMargin)
+    ),
+
     // ---- referential-integrity audit: orphaned foreign keys ------------------
     // The data-quality gate every warehouse load runs: count fact rows whose
     // FK has no match in the dimension. Each check is ONE pass over the fact

@@ -1786,7 +1786,8 @@ object SimilarityQueries {
               |  FROM truth LEFT JOIN (SELECT vec_id, nbr_id FROM rranked2 WHERE rank <= 3) r2
               |    ON truth.vec_id = r2.vec_id AND truth.nbr_id = r2.nbr_id)
               |SELECT method, n_hits, n_truth, n_hits * 1000000 // n_truth AS recall_micro
-              |FROM res ORDER BY method""".stripMargin)
+              |FROM res ORDER BY method""".stripMargin),
+      bench = false // embeds the O(n²) truth — an offline audit
     ),
 
     // ---- semantic dedup (SemDeDup): cluster-scoped near-dup drop ------------
