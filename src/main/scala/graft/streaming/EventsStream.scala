@@ -373,6 +373,72 @@ object EventsStream {
       .agg(sum("n_rows").as("n_rows"), sum("null_user").as("null_user"),
         sum("bad_type").as("bad_type"), sum("negative_value").as("negative_value"))
 
+  /** Per-segment CDC delta over an event changelog: additive ledger columns
+    * (event count, cents sum) plus LATEST-WINS scalar state per user,
+    * picked by the total (ts, event_id) order so ties cannot flip across
+    * engines or batch splits. Both halves are associative and commutative
+    * folds, which is the whole design: any micro-batch partitioning of the
+    * log folds to the same snapshot.
+    */
+  def cdcDeltaOf(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_cents"),
+        max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"))
+      .select(col("user_id"), col("n_events"), col("sum_cents"),
+        col("last.ts").as("last_ts"), col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"))
+
+  /** Streaming CDC snapshot maintenance, merge-on-read style: each
+    * micro-batch appends its [[cdcDeltaOf]] delta (the lakehouse delta-log
+    * shape — never rewrite the snapshot in the hot path), and
+    * [[mergedCdcSnapshot]] folds the log into the serving snapshot.
+    * Because the fold is associative+commutative, drain == one-shot
+    * (pinned in StreamingSpec) and compaction is just "replace the log
+    * with its fold" on any cadence — the q_cdc_apply batch semantics
+    * carried into the streaming plane. At 100 TB each delta is one
+    * key-shuffle of its micro-batch only; the standing snapshot is never
+    * re-shuffled per trigger.
+    */
+  def runCdcIngest(
+      spark: SparkSession, inPath: String, outPath: String,
+      checkpoint: String): Unit = {
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        cdcDeltaOf(batch.toDF()).write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Fold the appended delta log into the serving snapshot: sums add,
+    * latest-wins re-maximizes over per-batch winners.
+    */
+  def mergedCdcSnapshot(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(outPath)
+      .groupBy("user_id")
+      .agg(
+        sum("n_events").as("n_events"),
+        sum("sum_cents").as("sum_cents"),
+        max(struct(col("last_ts"), col("last_event_id"), col("last_type"))).as("last"))
+      .select(col("user_id"), col("n_events"), col("sum_cents"),
+        col("last.last_ts").as("last_ts"), col("last.last_event_id").as("last_event_id"),
+        col("last.last_type").as("last_type"))
+
   def runOnce(result: DataFrame, queryName: String, mode: String): DataFrame =
     runOnceWithProgress(result, queryName, mode)._1
 

@@ -382,6 +382,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_.getString(1) == "near_dup") && got.exists(_.getString(1) == "keep"))
   }
 
+  test("streaming CDC snapshot: folded per-batch deltas equal the one-shot snapshot") {
+    // the merge-on-read lifecycle: per-batch deltas append (never rewrite),
+    // the serving snapshot is the fold of the log — associativity of the
+    // (sum, latest-wins-max) fold makes any micro-batch split equal the
+    // one-shot delta over the full changelog
+    val base = java.nio.file.Files.createTempDirectory("graft-cdcstream").toString
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.repartition(3).write.mode("overwrite").parquet(s"$base/in")
+    EventsStream.runCdcIngest(spark, s"$base/in", s"$base/out", s"$base/ckpt")
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected several micro-batches, got $commits")
+    val merged = EventsStream.mergedCdcSnapshot(spark, s"$base/out")
+    val direct = EventsStream.cdcDeltaOf(ev)
+    val cols = direct.columns.map(col).toSeq
+    val got = merged.orderBy(cols: _*).collect().toSeq
+    assert(got.nonEmpty && got == direct.orderBy(cols: _*).collect().toSeq)
+    // the latest-wins half is actually exercised: users span batches
+    assert(got.exists(_.getLong(1) > 1), "no user with more than one event")
+  }
+
   test("streaming quality monitor: per-batch contract counts sum to the batch report") {
     // per-row constraints are sum-mergeable, so draining the events in
     // several micro-batches and summing the appended reports must equal
