@@ -566,6 +566,55 @@ object TextQueries {
     ),
 
     GQuery(
+      // Bigram-LM surprisal — the conditional-model step up from
+      // text_surprisal's unigram score (production quality filters use a
+      // small LM's perplexity; the bigram is its exact-integer analog):
+      // per consecutive token pair, bits ≈ bit_length(count(prev·)) −
+      // bit_length(count(prev, cur)), summed per doc. A doc of common
+      // words in an UNCOMMON order now scores high where the unigram
+      // model cannot see past the marginals. Two censuses (bigram and
+      // its context marginal — both bounded by observed-vocab², far
+      // below corpus size) and two equi-joins back to the pair stream;
+      // the corpus is read once. Scoring the training corpus itself
+      // means every pair is seen, so no back-off fires (the serving twin
+      // would take persisted counts with the tf=1 fallback, exactly as
+      // the unigram monitor does). Docs with one token have no pairs and
+      // drop on both engines alike.
+      "text_surprisal_bigram",
+      (s, dir) => {
+        val pairs = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(toksCol).as("ts"))
+          .select(col("doc_id"), explode(expr(
+            "transform(slice(ts, 1, size(ts) - 1), " +
+              "(t, i) -> named_struct('prev', t, 'cur', element_at(ts, i + 2)))")).as("p"))
+          .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+        val bf = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("bf"))
+        val cf = pairs.groupBy("prev").agg(count(lit(1)).as("cf"))
+        pairs.join(bf, Seq("prev", "cur")).join(cf, Seq("prev"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(expr("CAST(length(bin(cf)) - length(bin(bf)) AS BIGINT)"))
+              .as("surprisal_bits"))
+          .withColumn("milli_bits_per_pair",
+            expr("surprisal_bits * 1000 div n_pairs"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+              |pairs AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)), i ->
+              |    struct_pack(prev := ts[i], cur := ts[i + 1]))) AS p FROM toks),
+              |pp AS (SELECT doc_id, p.prev AS prev, p.cur AS cur FROM pairs),
+              |bf AS (SELECT prev, cur, $countStarSql AS bf FROM pp GROUP BY 1, 2),
+              |cf AS (SELECT prev, $countStarSql AS cf FROM pp GROUP BY 1),
+              |per_doc AS (SELECT doc_id, $countStarSql AS n_pairs,
+              |  CAST(SUM(length(bin(cf.cf)) - length(bin(bf.bf))) AS BIGINT) AS surprisal_bits
+              |  FROM pp JOIN bf USING (prev, cur) JOIN cf USING (prev)
+              |  GROUP BY doc_id)
+              |SELECT doc_id, n_pairs, surprisal_bits,
+              |  surprisal_bits * 1000 // n_pairs AS milli_bits_per_pair
+              |FROM per_doc ORDER BY doc_id""".stripMargin)
+    ),
+
+    GQuery(
       // Canonical text normalization (the step before any dedup/fingerprint
       // in a curation pipeline): lowercase, strip non-alphanumerics, collapse
       // runs of spaces, trim — plus the md5 of the canonical form.

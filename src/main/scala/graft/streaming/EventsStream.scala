@@ -429,7 +429,13 @@ object EventsStream {
     * latest-wins re-maximizes over per-batch winners.
     */
   def mergedCdcSnapshot(spark: SparkSession, outPath: String): DataFrame =
-    spark.read.parquet(outPath)
+    foldCdcDeltas(spark.read.parquet(outPath))
+
+  /** The delta fold itself — split-invariance (any segmentation of the
+    * changelog folds to the one-shot delta) is pinned in StreamingSpec.
+    */
+  def foldCdcDeltas(deltas: DataFrame): DataFrame =
+    deltas
       .groupBy("user_id")
       .agg(
         sum("n_events").as("n_events"),

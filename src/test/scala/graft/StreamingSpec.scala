@@ -404,6 +404,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.exists(_.getLong(1) > 1), "no user with more than one event")
   }
 
+  test("CDC delta fold is split-invariant: any segmentation folds to the one-shot delta") {
+    // the associativity claim behind runCdcIngest, exercised beyond the
+    // file-split the streaming test happens to produce: seeded random
+    // changelogs (tied timestamps included — the latest-wins tie-break must
+    // hold under them) cut into random segments must fold to the delta of
+    // the whole log
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val n = 200 + rnd.nextInt(200)
+      val nSeg = 2 + rnd.nextInt(4)
+      val rows = (1 to n).map { i =>
+        (i.toLong,
+          new java.sql.Timestamp(rnd.nextInt(1000).toLong * 1000L), // many ties
+          rnd.nextInt(20).toLong,
+          Seq("click", "view", "purchase")(rnd.nextInt(3)),
+          rnd.nextDouble() * 100,
+          rnd.nextInt(nSeg))
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "seg")
+      val whole = EventsStream.cdcDeltaOf(df.drop("seg"))
+      val folded = EventsStream.foldCdcDeltas(
+        (0 until nSeg)
+          .map(sg => EventsStream.cdcDeltaOf(df.filter(col("seg") === sg).drop("seg")))
+          .reduce(_ unionByName _))
+      val cols = whole.columns.map(col).toSeq
+      assert(folded.orderBy(cols: _*).collect().toSeq ==
+        whole.orderBy(cols: _*).collect().toSeq, s"trial $trial: fold mismatch")
+    }
+  }
+
   test("streaming quality monitor: per-batch contract counts sum to the batch report") {
     // per-row constraints are sum-mergeable, so draining the events in
     // several micro-batches and summing the appended reports must equal
