@@ -183,6 +183,61 @@ object EventQueries {
               |GROUP BY a.day ORDER BY day""".stripMargin)
     ),
 
+    GQuery(
+      // Gaps-and-islands: per-user consecutive-day activity streaks. The
+      // classic rewrite — day_number minus the per-user row_number is
+      // constant exactly within a consecutive run, so streaks fall out of
+      // one groupBy on that difference with NO self-join (q_events_retention
+      // pays a day+1 self-join for its one-day question; this answers the
+      // full run-length distribution in two window-free-joins... one window
+      // + two aggregates). Longest streak per user, ties to the earliest
+      // start, picked by struct-max — no second window pass. Scale: the
+      // distinct (user, day) frame is the only shuffle input; windows
+      // partition by user (no global window), aggregates are per-user.
+      "q_events_streaks",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = Tables.events(s, dir)
+          .select(col("user_id"),
+            datediff(date_trunc("day", col("ts")), lit("1995-01-01").cast("date"))
+              .cast("long").as("dn"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("dn")
+        val runs = days
+          .withColumn("grp", col("dn") - row_number().over(w).cast("long"))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"), min("dn").as("start_dn"))
+        runs.groupBy("user_id")
+          .agg(sum("len").as("n_active_days"),
+            count(lit(1)).as("n_streaks"),
+            max(struct(col("len"), (-col("start_dn")).as("neg_start"))).as("best"))
+          .select(col("user_id"), col("n_active_days"), col("n_streaks"),
+            col("best.len").as("longest_streak"),
+            (-col("best.neg_start")).as("longest_start_dn"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH d AS (SELECT DISTINCT user_id,
+              |    CAST(date_diff('day', DATE '1995-01-01',
+              |      CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS dn
+              |  FROM ${Tables.eventsOracleFrom} e),
+              |runs AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+              |    MIN(dn) AS start_dn
+              |  FROM (SELECT user_id, dn,
+              |      dn - row_number() OVER (PARTITION BY user_id ORDER BY dn) AS grp
+              |    FROM d)
+              |  GROUP BY user_id, grp),
+              |tot AS (SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+              |    CAST(COUNT(*) AS BIGINT) AS n_streaks
+              |  FROM runs GROUP BY user_id),
+              |best AS (SELECT user_id, len AS longest_streak,
+              |    start_dn AS longest_start_dn
+              |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              |      ORDER BY len DESC, start_dn ASC) AS rn FROM runs)
+              |  WHERE rn = 1)
+              |SELECT user_id, n_active_days, n_streaks, longest_streak, longest_start_dn
+              |FROM tot JOIN best USING (user_id) ORDER BY user_id""".stripMargin)
+    ),
+
     // ---- time-series gap fill -------------------------------------------------
     // Resampling with explicit zeros: hourly event counts joined onto a
     // generated complete hour spine, so silent hours surface as n = 0
