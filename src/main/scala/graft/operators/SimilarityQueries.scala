@@ -1037,6 +1037,45 @@ object SimilarityQueries {
     sqRank(deq, sqQuerySide(s, dir))
   }
 
+  /** IVF-SQ: the other index family every production store ships beside
+    * IVF-PQ (FAISS `IVF,SQ8`) — IVF's coarse quantizer prunes the corpus
+    * to the nprobe nearest cells, SQ8's asymmetric dequantized dot ranks
+    * ONLY the survivors. Pure composition: the candidates are exactly
+    * `ann_ivf_topk`'s, the ordering is exactly `ann_sq_topk`'s, so each
+    * half is already independently oracle-verified. At scale the ranking
+    * reads one byte per dimension per survivor instead of a float64 —
+    * the 8× IO cut applied after the cells/nprobe scan cut.
+    */
+  private def ivfSqTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = VectorOps.normalized(s, dir)
+    val seeds = seedSet(e)
+    val assign = assignToSeeds(e, seeds).select("vec_id", "seed_id")
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val pw = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("seed_id"))
+    val probes = q.join(seeds)
+      .select(col("q_id"), col("seed_id"),
+        VectorOps.cosCol("qv", "sv", "qn", "sn").as("pcos"))
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= N_PROBE)
+      .select("q_id", "seed_id")
+    val base = e.select("vec_id", "v")
+    val deq = base.crossJoin(sqStats(base)) // 1-row bound
+      .withColumn("cd", expr(sqCodeExpr))
+      .select(col("vec_id"), expr(sqDeqExpr).as("dv"))
+    val cand = probes.join(assign, "seed_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val pairs = cand.join(deq, "vec_id")
+      .join(broadcast(q.select("q_id", "qv")), "q_id")
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        expr(VectorOps.dotExpr("qv", "dv")).as("score"))
+    val rw = Window.partitionBy("q_id").orderBy(col("score").desc, col("cand_id"))
+    pairs.withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select("q_id", "rank", "cand_id", "score")
+  }
+
   /** Oracle CTEs (sqdeq): the stats → codes → dequantize chain over `e`. */
   private def sqCtesSql: String =
     s"""sqstats AS (SELECT idx.i AS pos, min(v[idx.i]) AS mn, max(v[idx.i]) AS mx
@@ -2025,6 +2064,38 @@ object SimilarityQueries {
               |FROM qids LEFT JOIN sq_hits ON qids.q_id = sq_hits.q_id
               |ORDER BY method, qids.q_id""".stripMargin),
       bench = false // embeds the brute-force ground truth — an offline audit
+    ),
+
+    GQuery(
+      // IVF-SQ8 (see ivfSqTopk): IVF candidates, SQ8 asymmetric ordering.
+      "ann_ivfsq_topk",
+      (s, dir) => ivfSqTopk(s, dir).orderBy("q_id", "rank"),
+      Some(s"""WITH ${VectorOps.normalizedSql},
+              |$sqCtesSql,
+              |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
+              |seeds AS (SELECT vec_id AS seed_id, v AS sv0, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
+              |assign0 AS (SELECT e.vec_id, seeds.seed_id,
+              |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              |    ${VectorOps.cosSql("e.v", "seeds.sv0", "e.nrm", "seeds.sn")} DESC, seeds.seed_id) AS rn
+              |  FROM e CROSS JOIN seeds),
+              |assign AS (SELECT vec_id, seed_id FROM assign0 WHERE rn = 1),
+              |probes0 AS (SELECT q.q_id, seeds.seed_id,
+              |  row_number() OVER (PARTITION BY q.q_id ORDER BY
+              |    ${VectorOps.cosSql("q.qv", "seeds.sv0", "q.qn", "seeds.sn")} DESC, seeds.seed_id) AS rn
+              |  FROM q CROSS JOIN seeds),
+              |probes AS (SELECT q_id, seed_id FROM probes0 WHERE rn <= $N_PROBE),
+              |cand AS (SELECT DISTINCT probes.q_id, assign.vec_id
+              |  FROM probes JOIN assign ON probes.seed_id = assign.seed_id
+              |  WHERE assign.vec_id <> probes.q_id),
+              |pairs AS (SELECT cand.q_id, cand.vec_id AS cand_id,
+              |    ${VectorOps.dotSql("q.qv", "sqdeq.dv")} AS score
+              |  FROM cand JOIN sqdeq ON cand.vec_id = sqdeq.vec_id
+              |  JOIN q ON cand.q_id = q.q_id),
+              |ranked AS (SELECT q_id, cand_id, score,
+              |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, cand_id) AS BIGINT) AS rank
+              |  FROM pairs)
+              |SELECT q_id, rank, cand_id, score FROM ranked WHERE rank <= $TOP_K
+              |ORDER BY q_id, rank""".stripMargin)
     )
   )
 
