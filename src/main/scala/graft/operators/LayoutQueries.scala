@@ -51,7 +51,7 @@ object LayoutQueries {
   /** Morton interleave of the low [[ZBITS]] bits of two BIGINT expressions,
     * as engine SQL. Bit i of x lands at position 2i, of y at 2i+1.
     */
-  private def mortonSpark(x: String, y: String): String =
+  private[graft] def mortonSpark(x: String, y: String): String =
     (0 until ZBITS).map(i =>
       s"shiftleft(shiftright($x, $i) & 1, ${2 * i}) + " +
         s"shiftleft(shiftright($y, $i) & 1, ${2 * i + 1})").mkString(" + ")
@@ -237,11 +237,17 @@ object LayoutQueries {
     * bucket's stat box — the metadata a lakehouse table format keeps in its
     * manifest, so a probe never scans data to learn where things are.
     */
-  def writeZorderLayout(s: SparkSession, dir: String, path: String): Unit = {
+  /** `nBuckets` is the [[NBUCKETS]] sizing knob (buckets ≈ table bytes /
+    * 256 MB–1 GB target file at scale); probes derive the bucket set from
+    * the sidecar, never from the count, so any build size serves correctly
+    * (non-default size pinned in PartitionBucketSpec).
+    */
+  def writeZorderLayout(s: SparkSession, dir: String, path: String,
+                        nBuckets: Long = NBUCKETS): Unit = {
     val z = zbase(s, dir)
     val st = z.agg(min("zv").as("zmin"), max("zv").as("zmax"))
     val bucketed = z.crossJoin(broadcast(st))
-      .withColumn("zb", expr(s"(zv - zmin) * $NBUCKETS div (zmax - zmin + 1)"))
+      .withColumn("zb", expr(s"(zv - zmin) * $nBuckets div (zmax - zmin + 1)"))
       .select("o_orderkey", "ck", "d", "zb")
     bucketed.write.mode("overwrite").partitionBy("zb").parquet(s"$path/data")
     bucketed.groupBy("zb")

@@ -710,6 +710,24 @@ class PartitionBucketSpec extends SparkSpec {
       direct.orderBy(cols: _*).collect().toSeq)
   }
 
+  test("morton interleave is a bijection on the grid with known bit placement") {
+    // the curve arithmetic everything in LayoutQueries rides on: distinct
+    // (x, y) pairs must map to distinct z-values (a collision would merge
+    // unrelated stat boxes), bit i of x lands at position 2i and of y at
+    // 2i+1 (spot values), and the z-range is bounded by 4^bits
+    import graft.operators.LayoutQueries
+    import spark.implicits._
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("ck", "d")
+      .withColumn("zv", expr(LayoutQueries.mortonSpark("ck", "d")))
+    val n = grid.count()
+    assert(grid.select("zv").distinct().count() == n)
+    assert(grid.agg(max("zv")).head().getLong(0) < (1L << 12)) // 4^6
+    val spot = grid.filter(col("ck") === 3 && col("d") === 5).head().getLong(2)
+    // x=3 → bits 0,1 at even slots (1 + 4); y=5 → bits 0,2 at odd slots (2 + 32)
+    assert(spot == 39L, s"morton(3, 5) = $spot")
+  }
+
   test("persisted z-order layout: 2-d probe prunes z-buckets, equals full filter") {
     // LayoutQueries' persisted lifecycle: the sidecar-driven 2-d rectangle
     // probe must prune partition dirs at the file source (PartitionFilters on
@@ -753,5 +771,16 @@ class PartitionBucketSpec extends SparkSpec {
     assert(probed.orderBy("o_orderkey").collect().toSeq ==
       expected.orderBy("o_orderkey").collect().toSeq)
     assert(probed.count() > 0)
+
+    // bucket count is a sizing parameter: a non-default build must serve the
+    // same rows (the probe derives buckets from the sidecar, not the count)
+    val path2 = s"$tmp/zorder_layout_24"
+    LayoutQueries.writeZorderLayout(spark, sfDir, path2, nBuckets = 24L)
+    val parts24 = new java.io.File(s"$path2/data").listFiles()
+      .count(_.getName.startsWith("zb="))
+    assert(parts24 <= 24 && parts24 != partsOnDisk, s"got $parts24 partitions")
+    val probed24 = LayoutQueries.zorderRead(spark, path2, ckLo, ckHi, dLo, dHi)
+    assert(probed24.orderBy("o_orderkey").collect().toSeq ==
+      expected.orderBy("o_orderkey").collect().toSeq)
   }
 }
