@@ -291,4 +291,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(nPass < nProbe, s"bloom did not prune: $nPass of $nProbe passed")
     assert(nPass >= nMatch, "bloom dropped a true match (false negative)")
   }
+
+  test("CDC apply: changelog shuffles once — compaction partitioning feeds the merge") {
+    // the q_cdc_apply scale contract: latest-wins compaction plans as
+    // WindowGroupLimit (per-partition top-1 prunes BEFORE the shuffle, so a
+    // hot key's op history never materializes full ranks), and the window's
+    // hash partitioning on the merge key is REUSED by the full-outer join —
+    // no exchange may sit between the Window and the SortMergeJoin. String
+    // shape: in the executed plan the join's streamed/buffered sides appear
+    // as children; an Exchange between Window and SortMergeJoin would print
+    // on the path from the join to the window.
+    val p = plan("q_cdc_apply")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // at most: base side (k), changelog side (k), agg (status), sort
+    // (range) — a 5th exchange means the reuse broke
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(exchanges <= 4, s"$exchanges exchanges:\n$p")
+    // tree check (string order interleaves the two join subtrees): walking
+    // DOWN from the join's changelog side, a Window must appear before any
+    // shuffle — the compaction's partitioning feeds the merge directly
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def walk(n: SparkPlan): Seq[SparkPlan] =
+      n.collect { case x => Seq(x) }.flatten ++
+        n.collect { case a: AdaptiveSparkPlanExec => walk(a.executedPlan) }.flatten ++
+        n.collect { case q: QueryStageExec => walk(q.plan) }.flatten
+    val df = SparkEntry.queries("q_cdc_apply")(spark, sfDir)
+    val smj = walk(df.queryExecution.executedPlan).collectFirst {
+      case j: SortMergeJoinExec => j
+    }.getOrElse(fail(s"no SortMergeJoin:\n$p"))
+    def windowBeforeShuffle(n: SparkPlan): Option[Boolean] = n match {
+      case _: WindowExec => Some(true)
+      case _: ShuffleExchangeExec => Some(false)
+      case other => other.children.view.flatMap(windowBeforeShuffle).headOption
+    }
+    val sides = Seq(smj.left, smj.right).flatMap(windowBeforeShuffle)
+    assert(sides.contains(true), s"no join side reaches a Window shuffle-free:\n$p")
+  }
 }
