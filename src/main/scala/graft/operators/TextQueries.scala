@@ -574,8 +574,12 @@ object TextQueries {
       // words in an UNCOMMON order now scores high where the unigram
       // model cannot see past the marginals. Two censuses (bigram and
       // its context marginal — both bounded by observed-vocab², far
-      // below corpus size) and two equi-joins back to the pair stream;
-      // the corpus is read once. Scoring the training corpus itself
+      // below corpus size) and two equi-joins back to the pair stream.
+      // The pair explode recomputes per consumer (three map-stage scans)
+      // rather than caching: the dedup_prefix_filter measurement
+      // precedent — materializing a corpus-size intermediate costs more
+      // than re-running a columnar scan + split.
+      // Scoring the training corpus itself
       // means every pair is seen, so no back-off fires (the serving twin
       // would take persisted counts with the tf=1 fallback, exactly as
       // the unigram monitor does). Docs with one token have no pairs and
