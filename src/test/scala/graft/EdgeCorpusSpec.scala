@@ -100,6 +100,46 @@ class EdgeCorpusSpec extends SparkSpec {
     assert(bounded.find(_.getLong(0) == 7L).get.getLong(1) == 20000L)
   }
 
+  test("every events query survives the degenerate events corpus") {
+    // the docs-sweep discipline applied to the events surface: total
+    // timestamp ties (every window tie-break fires), a single-event user
+    // (one-row windows and empty lag frames), NULL user_id / event_type
+    // (three-valued predicates and null group keys), and a negative value.
+    // The driver corpus is too well-behaved to produce any of these; ANSI
+    // mode turns silent garbage into runtime throws, so reaching collect()
+    // is the assertion. ts is written as a plain nanos LONG — the same
+    // value Tables.events derives from the driver's TIMESTAMP(NANOS).
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-edge-events").toString
+    val base = 1700000000L * 1000000000L
+    val day = 86400L * 1000000000L
+    Seq(
+      (1L, base, Option(1L), Option("view"), 1.0, Option("""{"k":1}""")),
+      (2L, base, Option(1L), Option("click"), 2.0, Option("""{"k":2}""")),
+      (3L, base, Option(1L), Option("purchase"), 3.0, Option("""{"k":3}""")),
+      (4L, base, Option(1L), Option("error"), 4.0, Option.empty[String]),
+      (5L, base, Option(1L), Option("view"), 5.0, Option("""{"k":5}""")),
+      (6L, base + day, Option(2L), Option("purchase"), 10.0, Option("{}")),
+      (7L, base + 2 * day, Option(2L), Option("view"), 10.0, Option("{}")),
+      (8L, base, Option.empty[Long], Option("view"), -1.0, Option("{}")),
+      (9L, base + 1L, Option(3L), Option.empty[String], 0.0, Option("{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val evQueries = SparkEntry.registry.map(_.name).filter(_.startsWith("q_events_"))
+    assert(evQueries.size >= 12)
+    for (name <- evQueries) {
+      val rows = SparkEntry.queries(name)(spark, dir).collect()
+      assert(rows != null, name) // reaching here means no throw
+    }
+    // spot semantics: user 1's streak run at the tied instant is one day
+    val st = SparkEntry.queries("q_events_streaks")(spark, dir)
+      .filter(col("user_id") === 1L).head()
+    assert(st.getLong(1) == 1L && st.getLong(3) == 1L, st) // one active day
+    val st2 = SparkEntry.queries("q_events_streaks")(spark, dir)
+      .filter(col("user_id") === 2L).head()
+    assert(st2.getLong(1) == 2L && st2.getLong(3) == 2L, st2) // 2-day streak
+  }
+
   test("pipeline_decontaminate skips sub-8-token docs instead of crashing") {
     val out = SparkEntry.queries("pipeline_decontaminate")(spark, edgeDir).collect()
     // doc 2 (3 tokens) must not appear on either side; docs 3/4 share all
