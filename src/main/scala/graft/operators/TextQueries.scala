@@ -813,6 +813,45 @@ object TextQueries {
              |ORDER BY lang, doc_id""".stripMargin)
     ),
 
+    // ---- RAG chunking: overlapping token windows -----------------------------
+    // The pre-embedding step of every retrieval pipeline: split each doc
+    // into fixed-size token windows (16) at a fixed stride (8), so
+    // consecutive chunks overlap by half — boundary-crossing phrases appear
+    // intact in at least one chunk (the standard RAG trade: the corpus
+    // duplicates by window/stride = 2x, paid to never cut a span in half).
+    // A short doc yields its single partial chunk; the tail chunk may be
+    // short. Map-only: one explode per doc, no shuffle until the output
+    // sort; chunk ids are (doc_id, position) — deterministic and stable
+    // under reruns, so downstream embeddings/dedup key on them safely.
+    // Composes directly: chunks feed dedup_exact (fingerprint), the ANN
+    // suite (embed per chunk), and search indexing unchanged.
+    GQuery(
+      "pipeline_chunk",
+      (s, dir) => {
+        val W = 16; val S = 8
+        Tables.documents(s, dir)
+          .select(col("doc_id"), expr(toksCol).as("ts"))
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(0, (size(ts) - 1) div $S), " +
+              s"i -> named_struct('cid', CAST(i AS BIGINT), " +
+              s"'chunk', slice(ts, i * $S + 1, $W)))")).as("c"))
+          .select(col("doc_id"), col("c.cid").as("chunk_id"),
+            size(col("c.chunk")).cast("long").as("n_tokens"),
+            array_join(col("c.chunk"), " ").as("chunk_text"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+              |ch AS (SELECT doc_id, unnest(list_transform(
+              |    range(0, (len(ts) - 1) // 8 + 1), i -> struct_pack(
+              |      cid := CAST(i AS BIGINT),
+              |      chunk := ts[(i * 8 + 1):(i * 8 + 16)]))) AS c
+              |  FROM toks)
+              |SELECT doc_id, c.cid AS chunk_id,
+              |  CAST(len(c.chunk) AS BIGINT) AS n_tokens,
+              |  array_to_string(c.chunk, ' ') AS chunk_text
+              |FROM ch ORDER BY doc_id, chunk_id""".stripMargin)
+    ),
+
     // ---- token-budget batch packing ------------------------------------------
     // Sequence-packing for training: docs in a fixed order (doc_id) are
     // packed per language into consecutive batches of ~2000 tokens — batch
