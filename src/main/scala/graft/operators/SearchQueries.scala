@@ -531,6 +531,67 @@ object SearchQueries {
               |ORDER BY q_id, rank""".stripMargin)
     ),
 
+    GQuery(
+      // Result snippeting — the serving feature beside ranking: for each
+      // query's top-3 BM25 hits, the 16-token window containing the most
+      // query-term occurrences (ties to the earliest start, so the choice
+      // is total-ordered). Window scores come from a RANGE frame over the
+      // token position (CURRENT ROW .. 15 FOLLOWING) — one pass per doc,
+      // no self-join of positions. Scale: snippeting keys on the TOP HITS
+      // only (k·n_queries docs), so the token explode touches a bounded
+      // handful of documents regardless of corpus size — the ranking
+      // already did the heavy lifting; a serving tier would point-look-up
+      // the doc text by id exactly as knnNeighborsFromGraph does.
+      "search_snippet_window",
+      (s, dir) => {
+        val W = 16
+        val top = bm25Inline(s, dir).filter(col("rank") <= 3)
+          .select("q_id", "doc_id")
+        val dtoks = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        val toks = top.join(dtoks, "doc_id")
+          .select(col("q_id"), col("doc_id"), col("ts"),
+            posexplode(col("ts")).as(Seq("p", "token")))
+        val qt = queryTerms(s)
+          .withColumnRenamed("term", "token").withColumn("hit", lit(1L))
+        val marked = toks.join(broadcast(qt), Seq("q_id", "token"), "left")
+          .select(col("q_id"), col("doc_id"), col("ts"),
+            col("p").cast("long").as("pos"),
+            coalesce(col("hit"), lit(0L)).as("hit"))
+        val ww = Window.partitionBy("q_id", "doc_id").orderBy("pos")
+          .rangeBetween(0, W - 1)
+        val rw = Window.partitionBy("q_id", "doc_id")
+          .orderBy(col("wscore").desc, col("pos"))
+        marked.withColumn("wscore", sum("hit").over(ww))
+          .withColumn("rn", row_number().over(rw)).filter(col("rn") === 1)
+          .withColumn("snippet",
+            expr(s"array_join(slice(ts, CAST(pos AS INT) + 1, $W), ' ')"))
+          .select(col("q_id"), col("doc_id"), col("pos").as("win_start"),
+            col("wscore").as("win_hits"), col("snippet"))
+          .orderBy("q_id", "doc_id")
+      },
+      Some(s"""WITH ${bm25Sql()},
+              |top3 AS (SELECT q_id, doc_id FROM ranked WHERE rank <= 3),
+              |dtoks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+              |ptoks AS (SELECT q_id, t.doc_id, ts,
+              |    unnest(range(1, len(ts) + 1)) AS i
+              |  FROM top3 t JOIN dtoks USING (doc_id)),
+              |marked AS (SELECT p.q_id, p.doc_id, p.ts,
+              |    CAST(p.i - 1 AS BIGINT) AS pos,
+              |    CASE WHEN q.term IS NOT NULL THEN 1 ELSE 0 END AS hit
+              |  FROM (SELECT *, ts[i] AS token FROM ptoks) p
+              |  LEFT JOIN q ON p.q_id = q.q_id AND p.token = q.term),
+              |wins AS (SELECT *, CAST(SUM(hit) OVER (PARTITION BY q_id, doc_id
+              |    ORDER BY pos RANGE BETWEEN CURRENT ROW AND 15 FOLLOWING) AS BIGINT) AS wscore
+              |  FROM marked),
+              |best AS (SELECT * FROM (SELECT *, row_number() OVER (
+              |    PARTITION BY q_id, doc_id ORDER BY wscore DESC, pos) AS rn
+              |  FROM wins) WHERE rn = 1)
+              |SELECT q_id, doc_id, pos AS win_start, wscore AS win_hits,
+              |  array_to_string(ts[(CAST(pos AS INT) + 1):(CAST(pos AS INT) + 16)], ' ') AS snippet
+              |FROM best ORDER BY q_id, doc_id""".stripMargin)
+    ),
+
     // Filtered lexical search: top-k among documents matching a metadata
     // predicate ("English docs only") — the lexical twin of
     // ann_filtered_topk. IDF/length stats stay corpus-global (an index
