@@ -55,6 +55,21 @@ object SearchQueries {
     s.createDataFrame(QUERY_TERMS.flatMap { case (q, ts) => ts.map(t => (q, t)) })
       .toDF("q_id", "term")
 
+  /** Misspelled probe terms for `search_spell_correct`: one edit from
+    * corpus vocabulary words, plus one hopeless string that must yield no
+    * correction (the no-candidate path).
+    */
+  private val MISSPELLED: Seq[(Long, String)] = Seq(
+    (0L, "sparkk"), (1L, "jion"), (2L, "vecto"), (3L, "zzzzqqq"))
+
+  private def misspelledFrame(s: SparkSession): DataFrame =
+    s.createDataFrame(MISSPELLED).toDF("m_id", "m_term")
+
+  private def misspelledSql: String =
+    MISSPELLED.zipWithIndex.map { case ((i, t), idx) =>
+      if (idx == 0) s"(CAST($i AS BIGINT), '$t')" else s"($i, '$t')"
+    }.mkString("mis(m_id, m_term) AS (VALUES ", ", ", ")")
+
   /** Phrase queries for `search_phrase_match`: adjacent word pairs drawn
     * from the corpus's frequent bigrams so matches exist.
     */
@@ -590,6 +605,49 @@ object SearchQueries {
               |SELECT q_id, doc_id, pos AS win_start, wscore AS win_hits,
               |  array_to_string(ts[(CAST(pos AS INT) + 1):(CAST(pos AS INT) + 16)], ' ') AS snippet
               |FROM best ORDER BY q_id, doc_id""".stripMargin)
+    ),
+
+    GQuery(
+      // "Did you mean" — spell correction of query terms the corpus has
+      // never seen: top-3 vocabulary candidates within edit distance 2,
+      // ranked by (distance asc, df desc, term) so a common word beats a
+      // rare one at equal distance. Both engines run the same classic DP
+      // levenshtein (the dedup_edit_distance precedent), so every distance
+      // is oracle-exact. Scale shape: the probe side is a handful of
+      // misspelled terms BROADCAST against the distinct-term census (vocab-
+      // bounded, orders of magnitude under corpus size), pre-pruned by the
+      // |length difference| <= 2 band — the cheap necessary condition that
+      // discards most of the vocabulary before any DP runs. A hopeless
+      // probe ('zzzzqqq') correctly yields no row.
+      "search_spell_correct",
+      (s, dir) => {
+        val vocab = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val cand = vocab.join(broadcast(misspelledFrame(s)),
+            abs(length(col("term")) - length(col("m_term"))) <= 2)
+          .withColumn("dist", levenshtein(col("term"), col("m_term")).cast("long"))
+          .filter(col("dist") <= 2)
+        val w = Window.partitionBy("m_id")
+          .orderBy(col("dist"), col("df").desc, col("term"))
+        cand.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("m_id"), col("m_term"), col("rank"),
+            col("term").as("suggestion"), col("dist"), col("df"))
+          .orderBy("m_id", "rank")
+      },
+      Some(s"""WITH vocab AS (SELECT term, $countStarSql AS df FROM (
+              |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+              |  GROUP BY term),
+              |$misspelledSql,
+              |cand AS (SELECT m_id, m_term, term,
+              |    CAST(levenshtein(term, m_term) AS BIGINT) AS dist, df
+              |  FROM vocab JOIN mis ON abs(len(term) - len(m_term)) <= 2
+              |  WHERE levenshtein(term, m_term) <= 2),
+              |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY m_id
+              |    ORDER BY dist, df DESC, term) AS BIGINT) AS rank FROM cand)
+              |SELECT m_id, m_term, rank, term AS suggestion, dist, df
+              |FROM ranked WHERE rank <= 3 ORDER BY m_id, rank""".stripMargin)
     ),
 
     // Filtered lexical search: top-k among documents matching a metadata
