@@ -650,6 +650,44 @@ object SearchQueries {
               |FROM ranked WHERE rank <= 3 ORDER BY m_id, rank""".stripMargin)
     ),
 
+    GQuery(
+      // Autocomplete — the third query-assist beside spell correction and
+      // phrase search: top-5 vocabulary completions per prefix, ranked by
+      // (df desc, term). startswith is a sargable prefix-range predicate:
+      // on a term-ordered vocabulary table it prunes to one contiguous key
+      // range (min-max stats skip everything else), which is exactly how a
+      // serving tier lays the census out; the probe side is a 4-row
+      // broadcast. The 'zz' prefix matches nothing and yields no row.
+      "search_autocomplete",
+      (s, dir) => {
+        val prefixes = s.createDataFrame(
+            Seq((0L, "sp"), (1L, "jo"), (2L, "ve"), (3L, "zz")))
+          .toDF("p_id", "prefix")
+        val vocab = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val cand = vocab.join(broadcast(prefixes),
+          col("term").startsWith(col("prefix")))
+        val w = Window.partitionBy("p_id").orderBy(col("df").desc, col("term"))
+        cand.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("p_id"), col("prefix"), col("rank"),
+            col("term").as("completion"), col("df"))
+          .orderBy("p_id", "rank")
+      },
+      Some(s"""WITH vocab AS (SELECT term, $countStarSql AS df FROM (
+              |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+              |  GROUP BY term),
+              |pre(p_id, prefix) AS (VALUES (CAST(0 AS BIGINT), 'sp'), (1, 'jo'),
+              |  (2, 've'), (3, 'zz')),
+              |cand AS (SELECT p_id, prefix, term, df FROM vocab
+              |  JOIN pre ON starts_with(term, prefix)),
+              |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY p_id
+              |    ORDER BY df DESC, term) AS BIGINT) AS rank FROM cand)
+              |SELECT p_id, prefix, rank, term AS completion, df
+              |FROM ranked WHERE rank <= 5 ORDER BY p_id, rank""".stripMargin)
+    ),
+
     // Filtered lexical search: top-k among documents matching a metadata
     // predicate ("English docs only") — the lexical twin of
     // ann_filtered_topk. IDF/length stats stay corpus-global (an index
