@@ -728,6 +728,19 @@ class PartitionBucketSpec extends SparkSpec {
     assert(spot == 39L, s"morton(3, 5) = $spot")
   }
 
+  test("z-order skipping audit: the curve layout scans fewer rows than either 1-d sort") {
+    // the headline claim of the layout family, pinned so a constant
+    // regression (file-grid granularity, rectangle placement) cannot
+    // silently lose the demonstrated win; rows_matched must be
+    // layout-invariant — it anchors that all three layouts answered the
+    // same query
+    val out = SparkEntry.queries("q_zorder_skipping")(spark, sfDir).collect()
+    val scanned = out.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(scanned("zorder") < scanned("custkey") &&
+      scanned("zorder") < scanned("orderdate"), scanned)
+    assert(out.map(_.getLong(4)).toSet.size == 1, out.toSeq)
+  }
+
   test("persisted z-order layout: 2-d probe prunes z-buckets, equals full filter") {
     // LayoutQueries' persisted lifecycle: the sidecar-driven 2-d rectangle
     // probe must prune partition dirs at the file source (PartitionFilters on
