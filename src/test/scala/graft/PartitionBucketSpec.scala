@@ -710,6 +710,16 @@ class PartitionBucketSpec extends SparkSpec {
       direct.orderBy(cols: _*).collect().toSeq)
   }
 
+  test("SQ8 recall floor: 8x compression keeps recall@10 at or above 0.9") {
+    // the compression family's headline claim pinned as a quality floor
+    // (the z-order-win precedent): a quantization regression — wrong
+    // rounding, swapped stats, off-by-one bucket midpoints — shows up as
+    // recall collapse long before it breaks the oracle hash at a new SF
+    val rows = SparkEntry.queries("ann_sq_recall")(spark, sfDir).collect()
+    val avg = rows.map(_.getDouble(3)).sum / rows.length
+    assert(avg >= 0.9, s"avg recall@10 $avg")
+  }
+
   test("morton interleave is a bijection on the grid with known bit placement") {
     // the curve arithmetic everything in LayoutQueries rides on: distinct
     // (x, y) pairs must map to distinct z-values (a collision would merge
