@@ -378,19 +378,26 @@ object EventQueries {
     // cents < 2^17 the per-user divergence probability on non-adversarial
     // data is ~2^-47 — zero observed on every corpus (equality with the
     // unbounded form is pinned on a synthetic hot-key corpus in
-    // EdgeCorpusSpec; the oracle below remains the unbounded fold).
+    // EdgeCorpusSpec). The oracle below applies the SAME trailing-64
+    // bound (row_number desc <= EWMA_TAIL), so the pair is structurally
+    // exact at every SF rather than exact-with-probability-1-minus-2^-47.
     GQuery(
       "q_events_ewma",
       (s, dir) => ewmaOver(Tables.events(s, dir), Some(EWMA_TAIL)),
       Some(s"""WITH ev AS (SELECT user_id, ts, event_id,
-              |    CAST(round(value * 100) AS BIGINT) AS cents
+              |    CAST(round(value * 100) AS BIGINT) AS cents,
+              |    row_number() OVER (PARTITION BY user_id
+              |      ORDER BY ts DESC, event_id DESC) AS rk
               |  FROM ${Tables.eventsOracleFrom} e),
+              |cnt AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+              |  FROM ev GROUP BY user_id),
               |seqs AS (SELECT user_id, list(cents ORDER BY ts, event_id) AS seq
-              |  FROM ev GROUP BY user_id)
-              |SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
+              |  FROM ev WHERE rk <= $EWMA_TAIL GROUP BY user_id)
+              |SELECT c.user_id, c.n_events,
               |  list_reduce(list_prepend(CAST(0 AS BIGINT), seq),
               |    (acc, v) -> (acc + v) // 2) AS ewma_cents
-              |FROM seqs ORDER BY user_id""".stripMargin)
+              |FROM cnt c JOIN seqs s ON c.user_id = s.user_id
+              |ORDER BY c.user_id""".stripMargin)
     ),
 
     // ---- behavioral sequence mining: top event-type transitions -------------

@@ -88,8 +88,19 @@ object LayoutQueries {
       "q_zorder_bucket_stats",
       (s, dir) => {
         val z = zbase(s, dir)
-        val st = z.agg(min("zv").as("zmin"), max("zv").as("zmax"))
+        // the extra min/max pairs feed the ZBITS range guard below: a key
+        // past 2^ZBITS-1 would silently alias z-values (merged stat boxes,
+        // degraded skipping), so the query fails loudly instead — no extra
+        // pass, the guard rides the existing 1-row stats agg
+        val st = z.agg(min("zv").as("zmin"), max("zv").as("zmax"),
+          min("ck").as("g_ck_lo"), max("ck").as("g_ck_hi"),
+          min("d").as("g_d_lo"), max("d").as("g_d_hi"))
+        val lim = 1L << ZBITS
         z.crossJoin(broadcast(st)) // 1-row bound
+          .filter(expr(
+            s"assert_true(g_ck_lo >= 0 AND g_ck_hi < $lim AND " +
+              s"g_d_lo >= 0 AND g_d_hi < $lim, " +
+              s"'z-order key exceeds ZBITS=$ZBITS bits — raise ZBITS') IS NULL"))
           .withColumn("bucket",
             expr(s"(zv - zmin) * $NBUCKETS div (zmax - zmin + 1)"))
           .groupBy("bucket")
@@ -245,6 +256,19 @@ object LayoutQueries {
   def writeZorderLayout(s: SparkSession, dir: String, path: String,
                         nBuckets: Long = NBUCKETS): Unit = {
     val z = zbase(s, dir)
+    // loud range guard: the Morton interleave uses only the low ZBITS bits
+    // of each key, so a key past 2^ZBITS-1 would silently alias onto an
+    // unrelated z-value and merge stat boxes (skipping quietly degrades,
+    // results stay correct only via the residual filter). Fail the BUILD
+    // instead — one extra 4-column row on the stats pass already paid here.
+    val lim = 1L << ZBITS
+    val b = z.agg(min("ck"), max("ck"), min("d"), max("d")).head()
+    val (ckLo, ckHi, dLo, dHi) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    require(ckLo >= 0 && ckHi < lim && dLo >= 0 && dHi < lim,
+      s"z-order keys out of range for ZBITS=$ZBITS: ck in [$ckLo,$ckHi], " +
+        s"d in [$dLo,$dHi], allowed [0,${lim - 1}] — raise ZBITS to cover " +
+        "the key width or the interleave aliases unrelated rows")
     val st = z.agg(min("zv").as("zmin"), max("zv").as("zmax"))
     val bucketed = z.crossJoin(broadcast(st))
       .withColumn("zb", expr(s"(zv - zmin) * $nBuckets div (zmax - zmin + 1)"))

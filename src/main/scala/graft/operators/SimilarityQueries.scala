@@ -123,7 +123,18 @@ object SimilarityQueries {
       .groupBy("seed_id")
       .agg(expr("transform(sort_array(collect_list(pc)), p -> p.cv)").as("sv"))
       .withColumn("sn", expr(s"sqrt(${VectorOps.dotExpr("sv", "sv")})"))
-    broadcast(cent.select("seed_id", "sv", "sn"))
+    // loud guard on the 'no empty cells' invariant: it holds because each
+    // seed VECTOR sits in its own cell — but only if the first-N seed
+    // vectors are pairwise distinct. A duplicated seed would tie at cos=1,
+    // break to the lower seed_id, and silently train a smaller grid than
+    // requested; assert the trained cell count instead of trusting the
+    // assumption (nSeeds-row frame, the check is control-plane cheap).
+    val checked = cent
+      .crossJoin(broadcast(cent.agg(count(lit(1)).as("g_ncells"))))
+      .filter(expr(s"assert_true(g_ncells = $nSeeds, " +
+        s"'trained quantizer lost cells (got fewer than $nSeeds): " +
+        "duplicate seed embeddings — pick distinct seeds') IS NULL"))
+    broadcast(checked.select("seed_id", "sv", "sn"))
   }
 
   /** The trained coarse grid over the corpus embeddings (test hook). */
@@ -209,6 +220,40 @@ object SimilarityQueries {
     assignToSeeds(e.filter(pred), seeds)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("seed_id").as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    writeQuantizerConfig(s, path, nSeeds, trained)
+  }
+
+  /** Sidecar path for an index's persisted quantizer config. */
+  private def quantizerSidecar(path: String): String =
+    path.stripSuffix("/") + "_quantizer"
+
+  /** Persist the build's coarse-quantizer config (n_seeds, trained) beside
+    * the index — the cell geometry IS this pair, so later probes/appends
+    * must not have to be told it out of band (a shard index built with a
+    * non-default or trained quantizer probed with the defaults would
+    * silently return degraded results). One control-plane row, written
+    * after the data so a reader that sees the sidecar sees the index.
+    */
+  private def writeQuantizerConfig(
+      s: SparkSession, path: String, nSeeds: Int, trained: Boolean): Unit =
+    s.range(1)
+      .select(lit(nSeeds).as("n_seeds"), lit(trained).as("trained"))
+      .write.mode("overwrite").parquet(quantizerSidecar(path))
+
+  /** The quantizer config an index was BUILT with: the sidecar when
+    * present (authoritative — it travels with the index like a postings
+    * table's catalog bucket spec), else the caller's fallback (pre-sidecar
+    * indexes and inline frames).
+    */
+  private[graft] def quantizerConfigOf(
+      s: SparkSession, path: String,
+      fallbackNSeeds: Int, fallbackTrained: Boolean): (Int, Boolean) = {
+    val p = new org.apache.hadoop.fs.Path(quantizerSidecar(path))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val r = s.read.parquet(quantizerSidecar(path)).select("n_seeds", "trained").head()
+      (r.getInt(0), r.getBoolean(1))
+    } else (fallbackNSeeds, fallbackTrained)
   }
 
   /** Incremental index maintenance — the 100 TB ingest path: new vectors
@@ -225,9 +270,12 @@ object SimilarityQueries {
     graft.functions.GraftFunctions.register(s)
     // the append must assign with the SAME quantizer the index was built
     // with — a trained index appended against raw seeds would scatter new
-    // rows into the wrong cells (geometry is the contract, as on probes)
+    // rows into the wrong cells (geometry is the contract, as on probes).
+    // The persisted sidecar is authoritative; the params are the fallback
+    // for pre-sidecar indexes.
+    val (ns, tr) = quantizerConfigOf(s, path, nSeeds, trained)
     val em = VectorOps.normalizedMeta(s, dir)
-    val seeds = if (trained) trainedSeedSet(em, nSeeds) else seedSet(em, nSeeds)
+    val seeds = if (tr) trainedSeedSet(em, ns) else seedSet(em, ns)
     val nw = newRows
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -259,8 +307,12 @@ object SimilarityQueries {
   def ivfProbeIndex(
       s: SparkSession, dir: String, path: String, queries: DataFrame,
       nSeeds: Int = N_SEEDS, trained: Boolean = false): DataFrame = {
+    // resolve the quantizer from the index's own sidecar (params are the
+    // pre-sidecar fallback) — a sharded caller probing many indexes gets
+    // each one's true geometry without threading config per path
+    val (ns, tr) = quantizerConfigOf(s, path, nSeeds, trained)
     val e0 = VectorOps.normalized(s, dir)
-    val seeds = if (trained) trainedSeedSet(e0, nSeeds) else seedSet(e0, nSeeds)
+    val seeds = if (tr) trainedSeedSet(e0, ns) else seedSet(e0, ns)
     val q = queries
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val pw = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("seed_id"))
