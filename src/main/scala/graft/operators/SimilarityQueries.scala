@@ -445,6 +445,174 @@ object SimilarityQueries {
       .orderBy("vec_id", "rank")
   }
 
+  // ---- graph-ANN serving: beam search over the k-NN graph -----------------
+
+  /** Beam width / expansion rounds — TEST-SCALE knobs tuned like nprobe:
+    * W bounds the frontier kept per query each round, B bounds the hops
+    * from an entry point (W·deg bounds a round's expansion, so probe work
+    * is O(B·W·deg) per query regardless of corpus size).
+    */
+  val BEAM_W = 4
+  val BEAM_ROUNDS = 3
+
+  /** Batched best-first search over a (vec_id, nbr_id) edge frame — the
+    * HNSW/NSG serving shape (answer a NEW query by walking the graph)
+    * expressed as B bounded dataflow rounds: start from exactly-scored
+    * entry points, then each round (1) keep each query's top-W candidates
+    * seen so far (the beam), (2) expand them one hop through the graph,
+    * (3) exactly re-score the new candidates, (4) accumulate. After B
+    * rounds the pool ranks to top-k. Entry points are the N_SEEDS seed
+    * vectors — one per cell of the graph's build geometry, so every cell
+    * is reachable even though the cell-scoped graph has no cross-cell
+    * edges. Same-pair cosines are bit-identical across rounds (same fold
+    * over the same doubles), so the accumulating distinct collapses
+    * re-found candidates exactly.
+    */
+  private def graphBeamOver(
+      e: DataFrame, edges: DataFrame, q: DataFrame): DataFrame = {
+    val entries = broadcast(e.filter(col("vec_id") < N_SEEDS)
+      .select(col("vec_id").as("cand_id"), col("v"), col("nrm")))
+    var cand = Materialize(
+      q.join(entries)
+        .filter(col("cand_id") =!= col("q_id"))
+        .select(col("q_id"), col("cand_id"),
+          VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos")))
+    val bw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    for (_ <- 1 to BEAM_ROUNDS) {
+      val beam = cand.withColumn("rn", row_number().over(bw))
+        .filter(col("rn") <= BEAM_W).select("q_id", "cand_id")
+      val expanded = beam.join(edges, beam("cand_id") === edges("vec_id"))
+        .select(col("q_id"), col("nbr_id").as("cand_id"))
+        .filter(col("cand_id") =!= col("q_id"))
+        .distinct()
+      val scored = expanded
+        .join(e.select(col("vec_id").as("cand_id"), col("v"), col("nrm")), "cand_id")
+        .join(q, "q_id")
+        .select(col("q_id"), col("cand_id"),
+          VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
+      cand = Materialize(cand.unionByName(scored).distinct())
+    }
+    cand.withColumn("rank", row_number().over(bw).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select("q_id", "rank", "cand_id", "cos")
+  }
+
+  /** The registered inline form: beam search against the inline cell graph
+    * for the N_QUERIES query vectors (oracle-paired; the persisted-index
+    * serving twin is [[graphBeamFromIndex]], pinned equal).
+    */
+  private def graphBeamTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = VectorOps.normalized(s, dir)
+    val edges = Materialize(knnGraphOf(s, dir).select("vec_id", "nbr_id"))
+    val q = broadcast(e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    graphBeamOver(e, edges, q).orderBy("q_id", "rank")
+  }
+
+  /** The graph-ANN SERVING entry point: beam search over the PERSISTED
+    * k-NN graph ([[writeKnnGraph]]) for an arbitrary query frame
+    * (vec_id, v, nrm). Per round, the beam (n_queries·W rows) and its
+    * one-hop expansion (≤ n_queries·W·deg rows) are bounded control-plane
+    * collects — the ivfProbeIndex discipline — so each graph read prunes
+    * to the beam's bucket partitions (bucket In-list → PartitionFilters)
+    * with the vec_id In-list pushed into the pruned files, and each
+    * embedding fetch is an In-list on the candidate ids pushed to the
+    * scan: the probe reads graph buckets and candidate vectors, never the
+    * whole graph or corpus (pinned in PartitionBucketSpec, equality with
+    * the inline form included).
+    */
+  def graphBeamFromIndex(s: SparkSession, dir: String, path: String,
+                         queries: DataFrame,
+                         nBuckets: Long = KNN_BUCKETS): DataFrame = {
+    import s.implicits._
+    val e = VectorOps.normalized(s, dir)
+    val q = broadcast(queries
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val entries = broadcast(e.filter(col("vec_id") < N_SEEDS)
+      .select(col("vec_id").as("cand_id"), col("v"), col("nrm")))
+    var cand = Materialize(
+      q.join(entries)
+        .filter(col("cand_id") =!= col("q_id"))
+        .select(col("q_id"), col("cand_id"),
+          VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos")))
+    val bw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    for (_ <- 1 to BEAM_ROUNDS) {
+      val beamRows = cand.withColumn("rn", row_number().over(bw))
+        .filter(col("rn") <= BEAM_W).select("q_id", "cand_id").collect()
+      val beamIds = beamRows.map(_.getLong(1)).distinct.sorted.toSeq
+      val hop = beamHopRead(s, path, beamIds, nBuckets)
+      val beamDf = broadcast(beamRows.toSeq
+        .map(r => (r.getLong(0), r.getLong(1))).toDF("q_id", "bid"))
+      val expPairs = beamDf.join(hop, beamDf("bid") === hop("vec_id"))
+        .select(col("q_id"), col("nbr_id").as("cand_id"))
+        .filter(col("cand_id") =!= col("q_id"))
+        .distinct().collect()
+      val nbrIds = expPairs.map(_.getLong(1)).distinct.sorted.toSeq
+      val candVecs = beamCandRead(e, nbrIds)
+      val expDf = expPairs.toSeq
+        .map(r => (r.getLong(0), r.getLong(1))).toDF("q_id", "cand_id")
+      val scored = expDf.join(candVecs, "cand_id").join(q, "q_id")
+        .select(col("q_id"), col("cand_id"),
+          VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
+      cand = Materialize(cand.unionByName(scored).distinct())
+    }
+    cand.withColumn("rank", row_number().over(bw).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select("q_id", "rank", "cand_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
+  /** One beam hop's graph read: bucket In-list prunes partitions at the
+    * file source, vec_id In-list pushes into the pruned files — the probe
+    * opens only the beam's graph buckets (pinned in PartitionBucketSpec).
+    */
+  private[graft] def beamHopRead(s: SparkSession, path: String,
+                                 beamIds: Seq[Long], nBuckets: Long): DataFrame = {
+    val hotBuckets = beamIds.map(_ % nBuckets).distinct.sorted
+    s.read.parquet(path)
+      .filter(col("bucket").isin(hotBuckets.map(b => b.toInt: Any): _*))
+      .filter(col("vec_id").isin(beamIds.map(i => i: Any): _*))
+      .select("vec_id", "nbr_id")
+  }
+
+  /** One beam round's candidate-vector fetch: the In-list on vec_id pushes
+    * to the embeddings scan, so the probe reads candidate vectors, never
+    * the corpus (pinned in PartitionBucketSpec).
+    */
+  private[graft] def beamCandRead(e: DataFrame, ids: Seq[Long]): DataFrame =
+    e.filter(col("vec_id").isin(ids.map(i => i: Any): _*))
+      .select(col("vec_id").as("cand_id"), col("v"), col("nrm"))
+
+  /** Oracle CTE chain for the beam search: expects `e` and `kg`; unrolls
+    * the B rounds as CTEs mirroring [[graphBeamOver]] exactly, ending in
+    * `beamtop` (q_id, cand_id, cos, rank).
+    */
+  private def beamSqlChain: String = {
+    val rounds = (1 to BEAM_ROUNDS).map { r =>
+      val p = r - 1
+      s"""beam$p AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+         |  FROM cand$p) WHERE rn <= $BEAM_W),
+         |exp$r AS (SELECT DISTINCT b.q_id, g.nbr_id AS cand_id
+         |  FROM beam$p b JOIN g3 g ON b.cand_id = g.vec_id
+         |  WHERE g.nbr_id <> b.q_id),
+         |sc$r AS (SELECT x.q_id, x.cand_id,
+         |    ${VectorOps.cosSql("q.qv", "a.v", "q.qn", "a.nrm")} AS cos
+         |  FROM exp$r x JOIN e a ON x.cand_id = a.vec_id JOIN q ON x.q_id = q.q_id),
+         |cand$r AS (SELECT DISTINCT q_id, cand_id, cos FROM
+         |  (SELECT * FROM cand$p UNION ALL SELECT * FROM sc$r))""".stripMargin
+    }.mkString(",\n")
+    s"""g3 AS (SELECT vec_id, nbr_id FROM kg WHERE rank <= 3),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
+       |cand0 AS (SELECT q.q_id, s.vec_id AS cand_id,
+       |    ${VectorOps.cosSql("q.qv", "s.v", "q.qn", "s.nrm")} AS cos
+       |  FROM q CROSS JOIN e s WHERE s.vec_id < $N_SEEDS AND s.vec_id <> q.q_id),
+       |$rounds,
+       |beamtop AS (SELECT q_id, cand_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+       |  FROM cand$BEAM_ROUNDS)""".stripMargin
+  }
+
   /** Oracle CTE chain for the cell-scoped graph, ending in
     * `kg` (vec_id, nbr_id, cos, rank); expects `e` and the seed convention.
     */
@@ -1878,6 +2046,58 @@ object SimilarityQueries {
               |    ON truth.vec_id = r2.vec_id AND truth.nbr_id = r2.nbr_id)
               |SELECT method, n_hits, n_truth, n_hits * 1000000 // n_truth AS recall_micro
               |FROM res ORDER BY method""".stripMargin),
+      bench = false // embeds the O(n²) truth — an offline audit
+    ),
+
+    // ---- graph-ANN serving: beam search ------------------------------------
+    // The missing ANN serving shape beside cell probes (IVF/PQ/SQ all probe
+    // by cell): answer a NEW query vector by best-first graph walk from
+    // fixed entry points — what HNSW/NSG deployments actually serve. B=3
+    // bounded rounds of expand/re-rank/keep-top-W over the cell-scoped
+    // top-3 graph; see graphBeamOver's scale notes. The persisted-graph
+    // serving twin (graphBeamFromIndex) is pinned equal with its reads
+    // audited (graph buckets + candidate vectors only).
+    GQuery(
+      "ann_graph_beam_topk",
+      (s, dir) => graphBeamTopk(s, dir),
+      Some(s"""WITH ${VectorOps.normalizedSql},
+              |$knnGraphSqlChain,
+              |$beamSqlChain
+              |SELECT q_id, rank, cand_id, cos FROM beamtop WHERE rank <= $TOP_K
+              |ORDER BY q_id, rank""".stripMargin)
+    ),
+
+    // The beam probe's honest measurement: recall@10 vs the brute-force
+    // truth, per query, beside ann_recall's IVF number — an approximate
+    // serving path without a recall row is unshippable (suite convention).
+    GQuery(
+      "ann_graph_beam_recall",
+      (s, dir) => {
+        val bf = bruteforceTopk(s, dir).select("q_id", "cand_id")
+        val gb = graphBeamTopk(s, dir)
+          .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+        bf.join(gb, Seq("q_id", "cand_id"), "left")
+          .groupBy("q_id").agg(count(col("hit")).as("n_hits"))
+          .select(lit("graph_beam").as("method"), col("q_id"), col("n_hits"),
+            expr(s"n_hits * 1000000 div $TOP_K").as("recall_micro"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH ${VectorOps.normalizedSql},
+              |$knnGraphSqlChain,
+              |$beamSqlChain,
+              |bscored AS (SELECT q.q_id, e.vec_id AS cand_id,
+              |  ${VectorOps.cosSql("q.qv", "e.v", "q.qn", "e.nrm")} AS cos
+              |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+              |bf AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+              |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+              |  FROM bscored) WHERE rank <= $TOP_K),
+              |gb AS (SELECT q_id, cand_id FROM beamtop WHERE rank <= $TOP_K),
+              |hits AS (SELECT bf.q_id, CAST(COUNT(gb.cand_id) AS BIGINT) AS n_hits
+              |  FROM bf LEFT JOIN gb ON bf.q_id = gb.q_id AND bf.cand_id = gb.cand_id
+              |  GROUP BY bf.q_id)
+              |SELECT 'graph_beam' AS method, q_id, n_hits,
+              |  n_hits * 1000000 // $TOP_K AS recall_micro
+              |FROM hits ORDER BY q_id""".stripMargin),
       bench = false // embeds the O(n²) truth — an offline audit
     ),
 

@@ -495,6 +495,53 @@ class PartitionBucketSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == inline.toSeq)
   }
 
+  test("graph beam serving: reads only graph buckets + candidate vectors, equals inline") {
+    // the HNSW/NSG-style serving probe over the persisted graph must (1)
+    // return exactly the inline beam search's rows, (2) prune every graph
+    // read to the beam's bucket partitions, and (3) fetch candidate
+    // embeddings through a pushed vec_id In-list — never a corpus scan
+    import graft.operators.SimilarityQueries
+    import graft.functions.VectorOps
+    val path = s"$tmp/knn_graph_beam"
+    SimilarityQueries.writeKnnGraph(spark, sfDir, path)
+    val partsOnDisk = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("bucket="))
+    val q = VectorOps.normalized(spark, sfDir).filter(col("vec_id") < 10)
+    val served = SimilarityQueries.graphBeamFromIndex(spark, sfDir, path, q)
+      .collect()
+    val inline = SparkEntry.queries("ann_graph_beam_topk")(spark, sfDir).collect()
+    assert(served.nonEmpty && served.toSeq == inline.toSeq)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case f: FileSourceScanExec => Seq(f) }.flatten ++
+        p.collect { case a: AdaptiveSparkPlanExec => scans(a.executedPlan) }.flatten ++
+        p.collect { case qs: QueryStageExec => scans(qs.plan) }.flatten
+    // (2) the hop read the probe issues each round, audited directly (the
+    // probe builds it through this same helper)
+    val beamIds = Seq(0L, 3L, 5L)
+    val hop = SimilarityQueries.beamHopRead(
+      spark, path, beamIds, SimilarityQueries.KNN_BUCKETS)
+    hop.collect()
+    val hopScan = scans(hop.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("knn_graph_beam")))
+    assert(hopScan.isDefined, hop.queryExecution.executedPlan.toString)
+    assert(hopScan.get.metadata("PartitionFilters").contains("bucket"),
+      hopScan.get.metadata("PartitionFilters"))
+    val partsRead = hopScan.get.selectedPartitions.partitionCount
+    assert(partsRead >= 1 && partsRead < partsOnDisk,
+      s"read $partsRead of $partsOnDisk bucket partitions — no pruning")
+    // (3) the candidate fetch: vec_id In-list pushed to the embeddings scan
+    val cr = SimilarityQueries.beamCandRead(
+      VectorOps.normalized(spark, sfDir), beamIds)
+    cr.collect()
+    val crScan = scans(cr.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("embeddings")))
+    assert(crScan.isDefined, cr.queryExecution.executedPlan.toString)
+    assert(crScan.get.metadata("PushedFilters").contains("In(vec_id"),
+      crScan.get.metadata("PushedFilters"))
+  }
+
   test("index sizing is a parameter: non-default sizes keep results exact") {
     // the sizing constants (postings buckets, knn buckets, IVF seeds) are
     // test-scale defaults with SURVEY §11 rules attached — this pins that a
