@@ -13,10 +13,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rounded where boundary drift is provably impossible.
   *
   * @param bench whether Bench.scala times this query at sf0.1 (headline set).
+  * @param trainer whether the build runs an iterative model-training loop
+  *                (BPE/WordPiece merge rounds): its cost is algorithmic
+  *                (K census-rewrite rounds), not plan cost, so Bench.scala
+  *                reports it in a separate `trainer_sec` subtotal to keep
+  *                cross-round headline totals comparable as trainers
+  *                accumulate.
   */
 final case class GQuery(
     name: String,
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = true
+    bench: Boolean = true,
+    trainer: Boolean = false
 )

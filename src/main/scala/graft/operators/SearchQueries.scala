@@ -734,7 +734,8 @@ object SearchQueries {
               |FROM (SELECT q_id, doc_id FROM ranked WHERE rank <= $TOP_K) g
               |LEFT JOIN (SELECT q_id, doc_id FROM shfinal WHERE rank <= $TOP_K) sh
               |  ON g.q_id = sh.q_id AND g.doc_id = sh.doc_id
-              |GROUP BY g.q_id ORDER BY g.q_id""".stripMargin)
+              |GROUP BY g.q_id ORDER BY g.q_id""".stripMargin),
+      bench = false // embeds both the sharded AND single-corpus ranked lists — an offline audit, not a serving path
     ),
 
     // The OTHER sharding topology, priced against rank-merge: shards ship

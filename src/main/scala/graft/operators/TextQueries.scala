@@ -482,7 +482,8 @@ object TextQueries {
               |SELECT merge_rank, lhs, rhs, merged, pair_n FROM (
               |${(1 to BPE_ROUNDS).map(k => s"  SELECT * FROM top$k")
                  .mkString("\n  UNION ALL\n")})
-              |ORDER BY merge_rank""".stripMargin)
+              |ORDER BY merge_rank""".stripMargin),
+      trainer = true
     ),
 
     GQuery(
@@ -513,7 +514,8 @@ object TextQueries {
               |  CASE WHEN SUM(n_sub) = 0 THEN 0
               |    ELSE CAST(SUM(n_chars) AS BIGINT) * 1000 // CAST(SUM(n_sub) AS BIGINT)
               |  END AS milli_chars_per_subword
-              |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+              |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      trainer = true
     ),
 
     GQuery(
@@ -532,7 +534,8 @@ object TextQueries {
       Some(s"""WITH ${bpeOracleChain(BPE_ROUNDS)}
               |SELECT sym, CAST(SUM(freq) AS BIGINT) AS n, length(sym) > 1 AS is_merged
               |FROM (SELECT unnest(syms) AS sym, freq FROM words$BPE_ROUNDS)
-              |GROUP BY sym ORDER BY n DESC, sym""".stripMargin)
+              |GROUP BY sym ORDER BY n DESC, sym""".stripMargin),
+      trainer = true
     ),
 
     GQuery(
