@@ -77,6 +77,85 @@ object AdvancedQueries {
       .select("a", "b")
   }
 
+  // ---- CDC time travel: shared base/op-log derivation ----------------------
+  // q_cdc_apply's deterministic changelog, extended by a third wave so the
+  // versioned reads exercise every change kind: seq 1 upserts k%3==0 at
+  // cents+1, seq 2 deletes k%6==0 (winning over their update), seq 3
+  // re-upserts k%5==0 at cents+2 — which UPDATES base keys (k%3≠0, k%5==0),
+  // updates surviving seq-1 inserts (k%15==0, k%30≠0), and RESURRECTS
+  // deleted keys (k%30==0): latest-wins compaction handles insert-after-
+  // delete with no special casing. q_cdc_apply itself is untouched (its log
+  // stops at seq 2, and snapshot AS OF seq 2 here equals its merged state).
+  private def cdcBaseAndLog(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val base = o.filter(col("k") % 3 =!= 0)
+    val log = o.filter(col("k") % 3 === 0)
+      .select(col("k"), lit("U").as("op"), col("status"),
+        (col("cents") + 1).as("cents"), lit(1L).as("seq"))
+      .unionByName(
+        o.filter(col("k") % 6 === 0)
+          .select(col("k"), lit("D").as("op"), col("status"),
+            lit(0L).as("cents"), lit(2L).as("seq")))
+      .unionByName(
+        o.filter(col("k") % 5 === 0)
+          .select(col("k"), lit("U").as("op"), col("status"),
+            (col("cents") + 2).as("cents"), lit(3L).as("seq")))
+    (base, log)
+  }
+
+  /** The table AS OF op-log seq [[maxSeq]]: compact the log PREFIX to
+    * latest-wins per key (WindowGroupLimit — the q_cdc_apply discipline),
+    * then one full-outer merge against the base. At 100 TB the seq filter
+    * prunes log partitions (partition the log by seq/epoch) so version k
+    * reads only the first k waves; the base is merged once per read, never
+    * per version — history is derived, not stored.
+    */
+  private def cdcSnapshotAt(base: org.apache.spark.sql.DataFrame,
+                            log: org.apache.spark.sql.DataFrame,
+                            maxSeq: Long): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("k").orderBy(col("seq").desc)
+    val latest = log.filter(col("seq") <= maxSeq)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("k"), col("op"), col("status").as("c_status"),
+        col("cents").as("c_cents"))
+    base.join(latest, Seq("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("k"),
+        coalesce(col("c_status"), col("status")).as("status"),
+        coalesce(col("c_cents"), col("cents")).as("cents"))
+  }
+
+  /** Dual-engine CTE prelude for the CDC time-travel oracles: o/base/log
+    * plus one snapshot CTE per version 0..3 (snap0..snap3).
+    */
+  private val cdcSqlPrelude: String = {
+    val snaps = (0 to 3).map { v =>
+      s"""snap$v AS (SELECT
+         |    COALESCE(l.k, base.k) AS k,
+         |    COALESCE(l.c_status, base.status) AS status,
+         |    COALESCE(l.c_cents, base.cents) AS cents
+         |  FROM base FULL OUTER JOIN (
+         |    SELECT k, op, status AS c_status, cents AS c_cents FROM (
+         |      SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+         |      FROM cdclog WHERE seq <= $v) WHERE rn = 1) l ON base.k = l.k
+         |  WHERE l.op IS NULL OR l.op <> 'D')""".stripMargin
+    }.mkString(",\n")
+    s"""o AS (SELECT o_orderkey AS k, o_orderstatus AS status,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+       |base AS (SELECT * FROM o WHERE k % 3 <> 0),
+       |cdclog AS (
+       |  SELECT k, 'U' AS op, status, cents + 1 AS cents, 1 AS seq
+       |  FROM o WHERE k % 3 = 0
+       |  UNION ALL
+       |  SELECT k, 'D', status, 0, 2 FROM o WHERE k % 6 = 0
+       |  UNION ALL
+       |  SELECT k, 'U', status, cents + 2, 3 FROM o WHERE k % 5 = 0),
+       |$snaps""".stripMargin
+  }
+
   val defs: Seq[GQuery] = Seq(
 
     // ---- pivot: one row per priority, one count column per status ----------
@@ -2275,6 +2354,94 @@ object AdvancedQueries {
              |SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
              |  CAST(SUM(cents) AS BIGINT) AS sum_cents
              |FROM merged GROUP BY status ORDER BY status""".stripMargin)
+    ),
+
+    // ---- CDC time travel: versioned reads over the sequenced op log ---------
+    GQuery(
+      // Time travel (the lakehouse versioned read): the log is already
+      // sequenced, so the table AS OF version v is latest-wins over the log
+      // PREFIX seq <= v merged into the base — one pushed-down filter, no
+      // stored history. This query reads the table at EVERY version 0..3 of
+      // the 3-wave changelog (see cdcBaseAndLog: upserts, deletes-win, then
+      // a re-upsert wave that updates base keys AND resurrects deleted
+      // ones) and aggregates each, so the fingerprint pins the whole
+      // version axis: v0 = base, v1 = +inserts, v2 = deletes applied,
+      // v3 = updates + resurrections. streaming twin: mergedCdcSnapshotAsOf
+      // (epoch-filtered delta-log fold, pinned prefix==fold in
+      // StreamingSpec).
+      "q_cdc_asof",
+      (s, dir) => {
+        val (base, log) = cdcBaseAndLog(s, dir)
+        (0L to 3L).map { v =>
+          cdcSnapshotAt(base, log, v)
+            .groupBy("status")
+            .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+            .select(lit(v).as("version"), col("status"), col("n_rows"),
+              col("sum_cents"))
+        }.reduce(_ unionByName _)
+          .orderBy("version", "status")
+      },
+      Some(s"""WITH $cdcSqlPrelude
+              |SELECT version, status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+              |FROM (${(0 to 3).map(v =>
+                  s"SELECT CAST($v AS BIGINT) AS version, * FROM snap$v")
+                  .mkString("\n  UNION ALL\n")})
+              |GROUP BY version, status ORDER BY version, status""".stripMargin)
+    ),
+
+    GQuery(
+      // The change audit between consecutive versions ("what changed
+      // between N and M"): full-outer join snapshot v against v+1 per key
+      // and classify — inserted (new key), deleted (gone), updated (either
+      // column moved) — with the cents delta per kind. On this log: 0→1 is
+      // pure inserts, 1→2 pure deletes, 2→3 updates PLUS resurrected
+      // inserts — every kind is exercised. At 100 TB each pair is one
+      // key-shuffle join of two prefix folds; unchanged keys drop before
+      // the aggregate so the audit output is bounded by the touched-key
+      // count, not the table.
+      "q_cdc_changes",
+      (s, dir) => {
+        val (base, log) = cdcBaseAndLog(s, dir)
+        (0L to 2L).map { v =>
+          val a = cdcSnapshotAt(base, log, v)
+            .select(col("k"), col("status").as("a_status"),
+              col("cents").as("a_cents"), lit(1).as("a_in"))
+          val b = cdcSnapshotAt(base, log, v + 1)
+            .select(col("k"), col("status").as("b_status"),
+              col("cents").as("b_cents"), lit(1).as("b_in"))
+          a.join(b, Seq("k"), "full_outer")
+            .withColumn("kind",
+              when(col("a_in").isNull, "inserted")
+                .when(col("b_in").isNull, "deleted")
+                .when(col("a_cents") =!= col("b_cents") ||
+                  col("a_status") =!= col("b_status"), "updated")
+                .otherwise("unchanged"))
+            .filter(col("kind") =!= "unchanged")
+            .groupBy("kind")
+            .agg(count(lit(1)).as("n_keys"),
+              sum(coalesce(col("b_cents"), lit(0L)) -
+                coalesce(col("a_cents"), lit(0L))).as("cents_delta"))
+            .select(lit(v).as("from_version"), col("kind"), col("n_keys"),
+              col("cents_delta"))
+        }.reduce(_ unionByName _)
+          .orderBy("from_version", "kind")
+      },
+      Some(s"""WITH $cdcSqlPrelude
+              |SELECT from_version, kind, CAST(COUNT(*) AS BIGINT) AS n_keys,
+              |  CAST(SUM(COALESCE(b_cents, 0) - COALESCE(a_cents, 0)) AS BIGINT)
+              |    AS cents_delta
+              |FROM (${(0 to 2).map(v =>
+                s"""SELECT CAST($v AS BIGINT) AS from_version,
+                   |  CASE WHEN a.k IS NULL THEN 'inserted'
+                   |    WHEN b.k IS NULL THEN 'deleted'
+                   |    WHEN a.cents <> b.cents OR a.status <> b.status THEN 'updated'
+                   |    ELSE 'unchanged' END AS kind,
+                   |  a.cents AS a_cents, b.cents AS b_cents
+                   |FROM snap$v a FULL OUTER JOIN snap${v + 1} b ON a.k = b.k""".stripMargin)
+                .mkString("\n  UNION ALL\n")})
+              |WHERE kind <> 'unchanged'
+              |GROUP BY from_version, kind ORDER BY from_version, kind""".stripMargin)
     ),
 
     // ---- referential-integrity audit: orphaned foreign keys ------------------

@@ -415,8 +415,13 @@ object EventsStream {
       .option("maxFilesPerTrigger", 1)
       .parquet(inPath)
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        cdcDeltaOf(batch.toDF()).write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // Each delta carries its micro-batch epoch — the delta log's version
+        // axis. The fold ignores it (groupBy user_id), but time travel
+        // (mergedCdcSnapshotAsOf) filters on it: snapshot AS OF epoch k is
+        // the fold of the log prefix, exactly the lakehouse versioned-read.
+        cdcDeltaOf(batch.toDF()).withColumn("epoch", lit(batchId))
+          .write.mode("append").parquet(outPath)
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -430,6 +435,19 @@ object EventsStream {
     */
   def mergedCdcSnapshot(spark: SparkSession, outPath: String): DataFrame =
     foldCdcDeltas(spark.read.parquet(outPath))
+
+  /** Time travel: the serving snapshot AS OF delta-log epoch [[asOfEpoch]]
+    * (inclusive) — fold only the log prefix. Because every delta is tagged
+    * with its micro-batch epoch at append time, a versioned read is just a
+    * pushed-down filter on the log scan (at 100 TB: partition the log by
+    * epoch and this prunes files, reading only the first k deltas); no
+    * snapshot history is ever materialized. snapshot(asOf = max epoch) ==
+    * mergedCdcSnapshot, and snapshot(asOf = k) == fold of the first k+1
+    * micro-batches — both pinned in StreamingSpec.
+    */
+  def mergedCdcSnapshotAsOf(spark: SparkSession, outPath: String,
+                            asOfEpoch: Long): DataFrame =
+    foldCdcDeltas(spark.read.parquet(outPath).filter(col("epoch") <= asOfEpoch))
 
   /** The delta fold itself — split-invariance (any segmentation of the
     * changelog folds to the one-shot delta) is pinned in StreamingSpec.

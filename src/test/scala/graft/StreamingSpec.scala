@@ -402,6 +402,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == direct.orderBy(cols: _*).collect().toSeq)
     // the latest-wins half is actually exercised: users span batches
     assert(got.exists(_.getLong(1) > 1), "no user with more than one event")
+
+    // time travel: every micro-batch epoch is tagged in the log, snapshot
+    // AS OF the last epoch is the full snapshot, and AS OF an intermediate
+    // epoch equals the fold of exactly the log prefix (and is a PROPER
+    // prefix: fewer events than the full snapshot)
+    val deltaLog = spark.read.parquet(s"$base/out")
+    val epochs = deltaLog.select("epoch").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(epochs == (0L until commits.toLong), s"epoch tags $epochs != [0, $commits)")
+    val asOfLast = EventsStream.mergedCdcSnapshotAsOf(spark, s"$base/out", epochs.last)
+    assert(asOfLast.orderBy(cols: _*).collect().toSeq == got)
+    val mid = epochs(epochs.size / 2 - 1)
+    val asOfMid = EventsStream.mergedCdcSnapshotAsOf(spark, s"$base/out", mid)
+      .orderBy(cols: _*).collect().toSeq
+    val prefixFold = EventsStream.foldCdcDeltas(
+        deltaLog.filter(col("epoch") <= mid).drop("epoch"))
+      .orderBy(cols: _*).collect().toSeq
+    assert(asOfMid == prefixFold, "asOf(mid) != fold of the log prefix")
+    def totalEvents(rows: Seq[org.apache.spark.sql.Row]) = rows.map(_.getLong(1)).sum
+    assert(totalEvents(asOfMid) < totalEvents(got),
+      "intermediate version should cover strictly fewer events")
   }
 
   test("CDC delta fold is split-invariant: any segmentation folds to the one-shot delta") {
