@@ -120,6 +120,134 @@ object TextQueries {
     */
   private val SURPRISAL_MAX_MILLI = 5050L
 
+  // ---- integer naive Bayes: the supervised quality/label classifier -------
+  // The fastText-style classifier every curation stack runs beside the
+  // surprisal filter, as exact-integer multinomial naive Bayes on the
+  // bit_length ⌈log2⌉ grid (zero libm drift cross-engine): for doc d and
+  // label l,
+  //   bits(d,l) = n_tokens(d)·bitlen(total_l + V)          [denominator]
+  //             − Σ_t bitlen(tf_{t,l} + 1)                 [Laplace +1]
+  //             + bitlen(n_docs) − bitlen(n_docs_l)        [prior]
+  // and the prediction is argmin bits (tie → label asc). Unseen tokens fall
+  // back to tf=0 → 1 bit-for-smoothing, the same byte-fallback shape as
+  // text_surprisal.
+  //
+  // Scale (100 TB): the corpus explodes ONCE; the per-label census pivots
+  // into one map<label,tf> row per DISTINCT token (vocabulary-sized, like
+  // every census here — broadcast when it fits, one token-key shuffle
+  // otherwise); the per-doc aggregate carries the label axis in COLUMNS
+  // (one sum per label, map-side combined) so the corpus never blows up by
+  // n_labels; only the ~n_labels-row stats table is collected
+  // (bounded control-plane, the k-means/BPE discipline). Honest
+  // measurement: on THIS synthetic corpus token frequencies are uniform
+  // across langs, so the classifier collapses to the prior (predicts 'en')
+  // — exactly what NB should learn here; TextNbSpec proves it learns real
+  // per-label distributions on a corpus that has them.
+
+  /** Per-label model stats, collected (bounded: one row per label):
+    * (label, total_tf, n_docs_label) sorted by label, plus (n_docs, V).
+    */
+  private def nbStats(docs: org.apache.spark.sql.DataFrame)
+      : (Seq[(String, Long, Long)], Long, Long) = {
+    val toks = docs.select(col("lang").as("label"), explode(expr(toksCol)).as("token"))
+    val counts = toks.groupBy("label", "token").agg(count(lit(1)).as("tf"))
+    val perLabel = counts.groupBy("label").agg(sum("tf").as("total_tf"))
+      .join(docs.groupBy(col("lang").as("label"))
+        .agg(count(lit(1)).as("n_docs_label")), Seq("label"))
+      .orderBy("label")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val nDocs = docs.count()
+    val vocabN = counts.select("token").distinct().count()
+    (perLabel, nDocs, vocabN)
+  }
+
+  private def bitlen(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+
+  /** Naive-Bayes scores for every (doc, label): one explode, one join of the
+    * token stream against the pivoted census, one per-doc aggregate with a
+    * Σ bitlen(tf_l+1) column per label, stacked to (doc_id, label, bits)
+    * rows map-side at the end. Denominator/prior terms are driver-side
+    * literals from the collected label stats.
+    */
+  private[graft] def nbScores(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (perLabel, nDocs, vocabN) = nbStats(docs)
+    val toks = docs.select(col("doc_id"), col("lang").as("label"),
+      explode(expr(toksCol)).as("token"))
+    val tokMap = toks.groupBy("label", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("token")
+      .agg(map_from_entries(collect_list(struct(col("label"), col("tf"))))
+        .as("tfs"))
+    val sumsPerLabel = perLabel.map { case (l, _, _) =>
+      sum(expr(s"CAST(length(bin(coalesce(element_at(tfs, '$l'), 0L) + 1)) AS BIGINT)"))
+        .as(s"s_$l")
+    }
+    val perDoc = docs.select(col("doc_id"), explode(expr(toksCol)).as("token"))
+      .join(tokMap, Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sumsPerLabel: _*)
+    val bitsCols = perLabel.map { case (l, totalTf, nDocsL) =>
+      val denomBits = bitlen(totalTf + vocabN)
+      val priorBits = bitlen(nDocs) - bitlen(nDocsL)
+      s"'$l', CAST(n_tokens * ${denomBits}L - s_$l + ${priorBits}L AS BIGINT)"
+    }
+    perDoc.select(col("doc_id"),
+      expr(s"stack(${perLabel.size}, ${bitsCols.mkString(", ")})")
+        .as(Seq("label", "bits")))
+  }
+
+  /** Argmin-bits prediction per doc, with the runner-up margin and the
+    * metadata-label agreement flag.
+    */
+  private[graft] def nbClassify(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("bits"), col("label"))
+    nbScores(docs)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("second", lead(col("bits"), 1).over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("pred_label"),
+        col("bits").as("pred_bits"),
+        (col("second") - col("bits")).as("margin_bits"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumn("correct", col("pred_label") === col("lang"))
+      .select("doc_id", "pred_label", "pred_bits", "margin_bits", "lang", "correct")
+  }
+
+  /** Dual-engine CTE prelude for the NB oracles, through `scored`
+    * (doc_id, label, bits) — the oracle computes the same bits the
+    * straightforward way (cross join the token stream with the label list)
+    * so a driver-side literal drifting from the census would hash-mismatch.
+    */
+  private val nbSqlPrelude: String =
+    s"""nbtoks AS (SELECT doc_id, lang, unnest($toksSql) AS token FROM documents),
+       |nbcounts AS (SELECT lang AS label, token, $countStarSql AS tf
+       |  FROM nbtoks GROUP BY 1, 2),
+       |nblstats AS (SELECT label, CAST(SUM(tf) AS BIGINT) AS total_tf
+       |  FROM nbcounts GROUP BY 1),
+       |nbldocs AS (SELECT lang AS label, $countStarSql AS n_docs_label
+       |  FROM documents GROUP BY 1),
+       |nbglob AS (SELECT (SELECT $countStarSql FROM documents) AS n_docs,
+       |  (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) FROM nbcounts) AS vocab_n),
+       |nbpdl AS (SELECT t.doc_id, l.label, $countStarSql AS n_tokens,
+       |    CAST(SUM(length(bin(COALESCE(c.tf, 0) + 1))) AS BIGINT) AS sum_tf_bits
+       |  FROM (SELECT doc_id, token FROM nbtoks) t
+       |  CROSS JOIN (SELECT label FROM nblstats) l
+       |  LEFT JOIN nbcounts c ON c.label = l.label AND c.token = t.token
+       |  GROUP BY 1, 2),
+       |scored AS (SELECT doc_id, label,
+       |    CAST(n_tokens * length(bin(total_tf + vocab_n)) - sum_tf_bits
+       |      + length(bin(n_docs)) - length(bin(n_docs_label)) AS BIGINT) AS bits
+       |  FROM nbpdl JOIN nblstats USING (label) JOIN nbldocs USING (label)
+       |  CROSS JOIN nbglob)""".stripMargin
+
+  private val nbRankedSql: String =
+    """ranked AS (SELECT *,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY bits, label) AS rn,
+      |    lead(bits) OVER (PARTITION BY doc_id ORDER BY bits, label) AS second
+      |  FROM scored)""".stripMargin
+
   /** Distinct pure-letter words with frequencies and initial char symbols.
     * `^[a-z]+$` keeps the alphabet to 26 chars (regex agrees cross-engine);
     * chars come from an index transform, not split-on-empty, whose
@@ -621,6 +749,80 @@ object TextQueries {
               |FROM per_doc ORDER BY doc_id""".stripMargin)
     ),
 
+    // ---- integer naive Bayes: train / classify / audit ---------------------
+    GQuery(
+      // The trained model's per-label stats (the classifier's entire
+      // control plane — one row per label): doc prior and token-mass
+      // denominator, both on the bit_length grid. The Spark side derives
+      // every term IN the plan (no driver literals) so this query
+      // cross-checks the collected stats nbScores bakes into its stacked
+      // bits columns — a driver-side drift would hash-mismatch here or in
+      // text_nb_classify.
+      "text_nb_train",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toks = docs.select(col("lang").as("label"),
+          explode(expr(toksCol)).as("token"))
+        val counts = toks.groupBy("label", "token").agg(count(lit(1)).as("tf"))
+        val vocab = counts.select("token").distinct().agg(count(lit(1)).as("vocab_n"))
+        val nd = docs.agg(count(lit(1)).as("n_docs"))
+        counts.groupBy("label").agg(sum("tf").as("total_tf"))
+          .join(docs.groupBy(col("lang").as("label"))
+            .agg(count(lit(1)).as("n_docs_label")), Seq("label"))
+          .crossJoin(broadcast(vocab)) // 1-row bound
+          .crossJoin(broadcast(nd)) // 1-row bound
+          .select(col("label"), col("n_docs_label"), col("total_tf"),
+            expr("CAST(length(bin(n_docs)) - length(bin(n_docs_label)) AS BIGINT)")
+              .as("prior_bits"),
+            expr("CAST(length(bin(total_tf + vocab_n)) AS BIGINT)")
+              .as("denom_bits"))
+          .orderBy("label")
+      },
+      Some(s"""WITH $nbSqlPrelude
+              |SELECT label, n_docs_label, total_tf,
+              |  CAST(length(bin(n_docs)) - length(bin(n_docs_label)) AS BIGINT)
+              |    AS prior_bits,
+              |  CAST(length(bin(total_tf + vocab_n)) AS BIGINT) AS denom_bits
+              |FROM nblstats JOIN nbldocs USING (label) CROSS JOIN nbglob
+              |ORDER BY label""".stripMargin)
+    ),
+
+    GQuery(
+      // Per-doc prediction: argmin-bits label, its bits, the runner-up
+      // margin (the classifier's confidence), and agreement with the
+      // metadata lang. The oracle recomputes the identical bits the
+      // straightforward way (token stream × label list), so the two
+      // radically different plans must agree bit-for-bit. See the nbScores
+      // comment for the honest-measurement note: this corpus is
+      // label-structureless, so NB predicts the prior — TextNbSpec shows
+      // the same code learning a corpus that HAS signal.
+      "text_nb_classify",
+      (s, dir) => nbClassify(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH $nbSqlPrelude,
+              |$nbRankedSql
+              |SELECT r.doc_id, r.label AS pred_label, r.bits AS pred_bits,
+              |  CAST(r.second - r.bits AS BIGINT) AS margin_bits, d.lang,
+              |  r.label = d.lang AS correct
+              |FROM ranked r JOIN documents d USING (doc_id)
+              |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+    ),
+
+    GQuery(
+      // The confusion matrix (true lang × predicted label) — the accuracy
+      // audit a classifier report leads with, one bounded
+      // n_labels²-at-most row set.
+      "text_nb_confusion",
+      (s, dir) =>
+        nbClassify(Tables.documents(s, dir))
+          .groupBy("lang", "pred_label").agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred_label"),
+      Some(s"""WITH $nbSqlPrelude,
+              |$nbRankedSql
+              |SELECT d.lang, r.label AS pred_label, $countStarSql AS n
+              |FROM ranked r JOIN documents d USING (doc_id)
+              |WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    ),
+
     GQuery(
       // Canonical text normalization (the step before any dedup/fingerprint
       // in a curation pipeline): lowercase, strip non-alphanumerics, collapse
@@ -731,6 +933,56 @@ object TextQueries {
            |FROM quality q JOIN lm ON q.doc_id = lm.doc_id
            |WHERE q.doc_id IN (SELECT doc_id FROM keep)
            |  AND milli_bits_per_token <= $SURPRISAL_MAX_MILLI
+           |ORDER BY q.doc_id""".stripMargin
+      }
+    ),
+
+    GQuery(
+      // pipeline_curate with the SUPERVISED model gate composed in (the
+      // alternative to pipeline_curate_lm's surprisal cut): quality floor →
+      // exact dedup → keep docs whose naive-Bayes predicted label AGREES
+      // with their metadata lang — the label-consistency filter a fastText
+      // classifier runs in real curation stacks (drop docs whose content
+      // doesn't look like what their metadata claims). Survivors carry the
+      // prediction margin for audit. On this structureless corpus the
+      // classifier predicts the prior, so the gate keeps (quality-passing,
+      // deduped) 'en' docs — deterministic either way; the gate semantics,
+      // not this corpus's accuracy, are what the oracle pins.
+      "pipeline_curate_nb",
+      (s, dir) => {
+        val en = markerArr(langMarkers.head._2)
+        val base = Tables.documents(s, dir).select(
+          col("doc_id"), col("lang"), col("text"),
+          expr(s"size($toksCol)").cast("long").as("n_tokens"),
+          expr(s"size(filter($toksCol, t -> array_contains(array($en), t)))")
+            .cast("long").as("n_stop"))
+        val quality = base.filter(col("n_tokens") >= 30 && col("n_stop") >= 1)
+        val keep = quality.groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val nb = nbClassify(Tables.documents(s, dir))
+          .filter(col("correct"))
+          .select("doc_id", "pred_label", "margin_bits")
+        quality.join(keep, Seq("doc_id"), "left_semi")
+          .join(nb, "doc_id")
+          .select("doc_id", "lang", "n_tokens", "margin_bits")
+          .orderBy("doc_id")
+      },
+      Some {
+        val en = markerArr(langMarkers.head._2)
+        s"""WITH base AS (SELECT doc_id, lang, text,
+           |  CAST(len($toksSql) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_filter($toksSql, t -> list_contains([$en], t))) AS BIGINT) AS n_stop
+           |  FROM documents),
+           |quality AS (SELECT * FROM base WHERE n_tokens >= 30 AND n_stop >= 1),
+           |keep AS (SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+           |$nbSqlPrelude,
+           |$nbRankedSql
+           |SELECT q.doc_id, q.lang, q.n_tokens,
+           |  CAST(r.second - r.bits AS BIGINT) AS margin_bits
+           |FROM quality q JOIN ranked r ON q.doc_id = r.doc_id
+           |WHERE rn = 1 AND r.label = q.lang
+           |  AND q.doc_id IN (SELECT doc_id FROM keep)
            |ORDER BY q.doc_id""".stripMargin
       }
     ),
