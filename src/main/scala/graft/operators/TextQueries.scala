@@ -405,6 +405,115 @@ object TextQueries {
     (w0 +: chain).mkString(",\n")
   }
 
+  // ---- WordPiece-objective trainer ----------------------------------------
+  // The OTHER major tokenizer family, on the same skeleton as bpeTrain: BPE
+  // merges the most FREQUENT adjacent pair; WordPiece merges the pair that
+  // most increases corpus likelihood under a unigram model — argmax
+  // pair_n / (lhs_n · rhs_n), the mutual-information objective. Scored in
+  // exact integers on a fixed nano grid:
+  //   score_nano = pair_n · 10^9 div (lhs_n · rhs_n)
+  // (quantized-likelihood argmax; distinct ratios that collide on the grid
+  // break deterministically by (score DESC, lhs, rhs) on both engines, so
+  // the trained table is a pure function of the corpus). Long headroom:
+  // pair_n·10^9 and lhs_n·rhs_n stay inside int64 for per-symbol census
+  // counts up to ~2·10^9 (TextNbSpec guards the long chain against BigInt
+  // across that range); DuckDB errors loudly on overflow rather than
+  // wrapping, and a bigger corpus needs a wider grid (DECIMAL(38,0)). The
+  // per-round plan adds ONE unigram census (symbol, Σfreq) beside BPE's
+  // pair census — still vocabulary-sized, the corpus is never re-read. The
+  // ## continuation markers of deployed WordPiece are surface syntax, not
+  // objective, and are omitted.
+  private val WP_SCALE = 1000000000L
+
+  private val wpMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), Seq[(Long, String, String, String, Long, Long)]]()
+
+  /** Run the WordPiece merge loop; returns (merge rows, final vocabulary
+    * frame). Merge row k is (k, lhs, rhs, merged, pair_n, score_nano).
+    * Memoized like bpeTrain: on a hit the vocabulary is rebuilt by composing
+    * the fixed rewrites into one codegen'd map stage.
+    */
+  private[graft] def wpTrain(
+      s: org.apache.spark.sql.SparkSession, dir: String, rounds: Int)
+      : (Seq[(Long, String, String, String, Long, Long)], org.apache.spark.sql.DataFrame) = {
+    val cached = wpMemo.get((dir, rounds))
+    if (cached != null) {
+      var words = bpeWords0(s, dir)
+      for ((_, a, b, m, _, _) <- cached)
+        words = words.withColumn("syms", expr(bpeRewriteExpr(a, b, m)))
+      return (cached, words)
+    }
+    var words = Materialize(bpeWords0(s, dir))
+    val merges = Seq.newBuilder[(Long, String, String, String, Long, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= rounds && !exhausted) {
+      val uni = words.select(explode(col("syms")).as("sym"), col("freq"))
+        .groupBy("sym").agg(sum(col("freq")).as("u"))
+      val pairs = words
+        .select(col("freq"), explode(expr(
+          "transform(slice(syms, 1, size(syms) - 1), " +
+            "(s, i) -> struct(s AS a, element_at(syms, i + 2) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+      val top = pairs
+        .join(uni.select(col("sym").as("a"), col("u").as("ua")), Seq("a"))
+        .join(uni.select(col("sym").as("b"), col("u").as("ub")), Seq("b"))
+        .withColumn("score_nano",
+          expr(s"n * ${WP_SCALE}L div (ua * ub)"))
+        .orderBy(col("score_nano").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top.head
+        val (a, b) = (r.getString(1), r.getString(0))
+        merges += ((k.toLong, a, b, a + b, r.getLong(2), r.getLong(5)))
+        words = Materialize(words.withColumn("syms", expr(bpeRewriteExpr(a, b, a + b))))
+        k += 1
+      }
+    }
+    val trained = merges.result()
+    wpMemo.put((dir, rounds), trained)
+    (trained, words)
+  }
+
+  /** The WordPiece training chain as DuckDB CTEs: bpeOracleChain's shape
+    * plus one unigram census per round, argmax by the identical quantized
+    * likelihood.
+    */
+  private def wpOracleChain(rounds: Int): String = {
+    // words$k is referenced THREE times per round (uni, census, next words):
+    // without MATERIALIZED, DuckDB inlines every reference and the chain
+    // re-scans the parquet 3^rounds times (observed: "Too many open files"
+    // at 10 rounds). Materializing each round keeps the oracle linear, which
+    // is also what the Spark side does (Materialize per round).
+    val w0 =
+      s"""toks AS (SELECT unnest($toksSql) AS w FROM documents),
+         |words0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+         |  list_transform(generate_series(1, length(w)), i -> w[i:i]) AS syms
+         |  FROM toks WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w)""".stripMargin
+    val chain = (1 to rounds).map { k =>
+      s"""uni$k AS (SELECT sym, CAST(SUM(freq) AS BIGINT) AS u
+         |  FROM (SELECT unnest(syms) AS sym, freq FROM words${k - 1}) GROUP BY 1),
+         |census$k AS (SELECT t.pr.a AS a, t.pr.b AS b, CAST(SUM(freq) AS BIGINT) AS n
+         |  FROM words${k - 1} w, unnest([{'a': x[1], 'b': x[2]}
+         |    for x in list_zip(w.syms[:-2], w.syms[2:])]) AS t(pr)
+         |  GROUP BY 1, 2),
+         |top$k AS (SELECT CAST($k AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
+         |    a || b AS merged, n AS pair_n,
+         |    n * $WP_SCALE // (ua.u * ub.u) AS score_nano
+         |  FROM census$k c JOIN uni$k ua ON ua.sym = c.a JOIN uni$k ub ON ub.sym = c.b
+         |  ORDER BY score_nano DESC, a, b LIMIT 1),
+         |words$k AS MATERIALIZED (SELECT w.w, w.freq, list_reduce(
+         |    list_prepend([]::VARCHAR[], [[s] for s in w.syms]),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.lhs AND x[1] = t.rhs
+         |                THEN list_append(acc[:-2], t.merged)
+         |                ELSE list_append(acc, x[1]) END) AS syms
+         |  FROM words${k - 1} w CROSS JOIN top$k t)""".stripMargin
+    }
+    (w0 +: chain).mkString(",\n")
+  }
+
   val defs: Seq[GQuery] = Seq(
 
     GQuery(
@@ -660,6 +769,46 @@ object TextQueries {
           .orderBy(col("n").desc, col("sym"))
       },
       Some(s"""WITH ${bpeOracleChain(BPE_ROUNDS)}
+              |SELECT sym, CAST(SUM(freq) AS BIGINT) AS n, length(sym) > 1 AS is_merged
+              |FROM (SELECT unnest(syms) AS sym, freq FROM words$BPE_ROUNDS)
+              |GROUP BY sym ORDER BY n DESC, sym""".stripMargin),
+      trainer = true
+    ),
+
+    GQuery(
+      // The WordPiece-objective merge table: same census→argmax→rewrite
+      // loop as text_bpe_merges, but the argmax is the likelihood objective
+      // pair_n/(lhs_n·rhs_n) on the exact nano grid (see wpTrain). The two
+      // objectives genuinely diverge on this corpus — frequency rewards
+      // common-times-common pairs, likelihood rewards pairs whose parts
+      // rarely occur APART — pinned in TextNbSpec's differential test.
+      "text_wp_merges",
+      (s, dir) => {
+        val (merges, _) = wpTrain(s, dir, BPE_ROUNDS)
+        s.createDataFrame(merges)
+          .toDF("merge_rank", "lhs", "rhs", "merged", "pair_n", "score_nano")
+          .orderBy("merge_rank")
+      },
+      Some(s"""WITH ${wpOracleChain(BPE_ROUNDS)}
+              |SELECT merge_rank, lhs, rhs, merged, pair_n, score_nano FROM (
+              |${(1 to BPE_ROUNDS).map(k => s"  SELECT * FROM top$k")
+                 .mkString("\n  UNION ALL\n")})
+              |ORDER BY merge_rank""".stripMargin),
+      trainer = true
+    ),
+
+    GQuery(
+      // The subword vocabulary the WordPiece merges induce — text_bpe_vocab's
+      // twin over the likelihood-trained rewrite chain.
+      "text_wp_vocab",
+      (s, dir) => {
+        val (_, words) = wpTrain(s, dir, BPE_ROUNDS)
+        words.select(explode(col("syms")).as("sym"), col("freq"))
+          .groupBy("sym").agg(sum(col("freq")).as("n"))
+          .withColumn("is_merged", (length(col("sym")) > 1))
+          .orderBy(col("n").desc, col("sym"))
+      },
+      Some(s"""WITH ${wpOracleChain(BPE_ROUNDS)}
               |SELECT sym, CAST(SUM(freq) AS BIGINT) AS n, length(sym) > 1 AS is_merged
               |FROM (SELECT unnest(syms) AS sym, freq FROM words$BPE_ROUNDS)
               |GROUP BY sym ORDER BY n DESC, sym""".stripMargin),

@@ -77,4 +77,50 @@ class TextNbSpec extends SparkSpec {
       assert(bits == expected(id)(l), s"doc $id label $l: $bits != ${expected(id)(l)}")
     }
   }
+
+  test("BPE and WordPiece objectives genuinely diverge on the corpus") {
+    // same skeleton, different argmax: frequency (BPE) vs likelihood
+    // pair_n/(lhs_n·rhs_n) (WordPiece). Round 1 shares the identical
+    // census, so WP's round-1 pick can never out-COUNT BPE's (which
+    // maximizes the count), and if the picks differ the count must be
+    // strictly lower — the objective trade made visible.
+    val rounds = 6
+    val (bm, _) = TextQueries.bpeTrain(spark, sfDir, rounds)
+    val (wm, _) = TextQueries.wpTrain(spark, sfDir, rounds)
+    assert(bm.size == rounds && wm.size == rounds)
+    info("BPE: " + bm.map(m => s"${m._2}+${m._3}(n=${m._5})").mkString(" "))
+    info("WP : " + wm.map(m => s"${m._2}+${m._3}(n=${m._5},s=${m._6})").mkString(" "))
+    assert(wm.head._5 <= bm.head._5,
+      "WP round-1 pick cannot have a higher pair count than BPE's argmax-count pick")
+    val diverge = bm.zip(wm).indexWhere { case (b, w) => (b._2, b._3) != (w._2, w._3) }
+    assert(diverge >= 0, "merge sequences must diverge — otherwise the objective is vacuous")
+    info(s"first divergence at merge rank ${diverge + 1}")
+    if (diverge == 0)
+      assert(wm.head._5 < bm.head._5,
+        "differing round-1 picks must trade count for likelihood")
+  }
+
+  test("WP integer score chain matches BigInt reference — no int64 overflow") {
+    // the long chain score_nano = n * 1e9 div (ua * ub) evaluated by the
+    // engine must equal exact BigInt arithmetic across the documented
+    // headroom (per-symbol census counts up to ~2e9: ua·ub ≤ 4.6e18 and
+    // n·1e9 ≤ 2e18 both stay inside int64; beyond that the trainer needs
+    // a wider grid, and DuckDB's overflow error makes the breach loud)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val cases = (1 to 200).map { _ =>
+      val ua = 1L + (math.abs(rnd.nextLong()) % 2000000000L)
+      val ub = 1L + (math.abs(rnd.nextLong()) % 2000000000L)
+      val n = 1L + (math.abs(rnd.nextLong()) % math.min(ua, ub))
+      (n, ua, ub)
+    }
+    val got = cases.toDF("n", "ua", "ub")
+      .selectExpr("n", "ua", "ub", "n * 1000000000L div (ua * ub) AS s")
+      .collect()
+    got.foreach { r =>
+      val (n, ua, ub, s) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val expect = BigInt(n) * 1000000000L / (BigInt(ua) * ub)
+      assert(BigInt(s) == expect, s"n=$n ua=$ua ub=$ub: $s != $expect")
+    }
+  }
 }
