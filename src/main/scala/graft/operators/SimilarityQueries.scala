@@ -96,7 +96,7 @@ object SimilarityQueries {
   /** Broadcast seed set (seed_id, sv, sn) shared by IVF, cell stats, and
     * the k-means iteration.
     */
-  private def seedSet(e: DataFrame, nSeeds: Int = N_SEEDS): DataFrame =
+  private[graft] def seedSet(e: DataFrame, nSeeds: Int = N_SEEDS): DataFrame =
     broadcast(
       e.filter(col("vec_id") < nSeeds)
         .select(col("vec_id").as("seed_id"), col("v").as("sv"), col("nrm").as("sn")))
@@ -147,7 +147,7 @@ object SimilarityQueries {
     * column of `e` (plus seed_id, scos), so metadata-carrying frames
     * (`normalizedMeta`'s label) keep their columns for filtered probes.
     */
-  private def assignToSeeds(e: DataFrame, seeds: DataFrame): DataFrame = {
+  private[graft] def assignToSeeds(e: DataFrame, seeds: DataFrame): DataFrame = {
     val aw = Window.partitionBy("vec_id")
       .orderBy(col("scos").desc, col("seed_id"))
     val keep = e.columns.map(col).toSeq
@@ -401,8 +401,14 @@ object SimilarityQueries {
     * registered `ann_knn_graph` and the persisted serving form share it.
     * The assignment materializes once (both self-join sides read it).
     */
-  private def knnGraphOf(s: SparkSession, dir: String): DataFrame = {
-    val e = VectorOps.normalized(s, dir)
+  private def knnGraphOf(s: SparkSession, dir: String): DataFrame =
+    knnGraphOfE(VectorOps.normalized(s, dir))
+
+  /** Frame-parameterized form of the seed graph build, so experiments (the
+    * clustered-corpus NN-Descent measurement in NnDescentSpec) can run the
+    * IDENTICAL pipeline on a synthetic embeddings frame.
+    */
+  private[graft] def knnGraphOfE(e: DataFrame): DataFrame = {
     val assign = Materialize(
       assignToSeeds(e, seedSet(e)).select("vec_id", "v", "nrm", "seed_id"))
     val a = assign.select(col("seed_id"), col("vec_id"),
@@ -674,8 +680,10 @@ object SimilarityQueries {
     * the local join something to explore — exactly the published
     * algorithm's starting state.
     */
-  private def randomInitEdges(s: SparkSession, dir: String): DataFrame = {
-    val e = VectorOps.normalized(s, dir)
+  private def randomInitEdges(s: SparkSession, dir: String): DataFrame =
+    randomInitEdgesE(VectorOps.normalized(s, dir))
+
+  private[graft] def randomInitEdgesE(e: DataFrame): DataFrame = {
     val n = e.agg(count(lit(1)).as("n_vecs"))
     e.select(col("vec_id")).crossJoin(broadcast(n))
       .select(col("vec_id"), explode(array(lit(1), lit(2), lit(3))).as("j"),
@@ -699,8 +707,7 @@ object SimilarityQueries {
     * registered (`ann_knn_refine`) with its recall lift measured beside it
     * (`ann_knn_refine_recall`).
     */
-  private def refineKnn(s: SparkSession, dir: String, g: DataFrame): DataFrame = {
-    val e = VectorOps.normalized(s, dir)
+  private[graft] def refineKnn(e: DataFrame, g: DataFrame): DataFrame = {
     val und = Materialize(
       g.select("vec_id", "nbr_id")
         .unionByName(g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
@@ -1971,7 +1978,7 @@ object SimilarityQueries {
     GQuery(
       "ann_knn_refine",
       (s, dir) =>
-        refineKnn(s, dir, Materialize(
+        refineKnn(VectorOps.normalized(s, dir), Materialize(
           knnGraphOf(s, dir).select("vec_id", "nbr_id")
             .unionByName(randomInitEdges(s, dir))))
           .orderBy("vec_id", "rank"),
@@ -1995,11 +2002,11 @@ object SimilarityQueries {
       (s, dir) => {
         val e = VectorOps.normalized(s, dir)
         val g = Materialize(knnGraphOf(s, dir))
-        val refined1 = refineKnn(s, dir,
+        val refined1 = refineKnn(e,
           Materialize(g.select("vec_id", "nbr_id")
             .unionByName(randomInitEdges(s, dir))))
         val r1 = Materialize(refined1)
-        val refined2 = refineKnn(s, dir, r1.select("vec_id", "nbr_id"))
+        val refined2 = refineKnn(e, r1.select("vec_id", "nbr_id"))
         val a = e.select(col("vec_id"), col("v").as("av"), col("nrm").as("an"))
         val b = e.select(col("vec_id").as("nbr_id"), col("v").as("bv"), col("nrm").as("bn"))
         val all = a.join(b, col("vec_id") =!= col("nbr_id"))

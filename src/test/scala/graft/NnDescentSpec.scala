@@ -1,0 +1,133 @@
+package graft
+
+import graft.functions.{GraftFunctions, VectorOps}
+import graft.operators.SimilarityQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The honest-measurement experiment the driver-corpus recall audit cannot
+  * run: `ann_knn_refine_recall` measures NN-Descent on the driver's UNIFORM
+  * embeddings, where no graph method can shine (recall 0.22 → 0.36 over two
+  * iterations — the measured numbers in SURVEY). This spec runs the
+  * IDENTICAL pipeline (knnGraphOfE → randomInitEdgesE → refineKnn chain) on
+  * a CLUSTERED synthetic corpus — the data regime k-NN-graph methods are
+  * built for — and reports the convergence curve beside an IVF-style probe
+  * at the same k, so the graph family's real operating point is a measured
+  * number, not prose.
+  */
+class NnDescentSpec extends SparkSpec {
+
+  private val DIM = 16
+  private val N_CLUSTERS = 8
+  private val N_VECS = 320
+
+  /** Deterministic mixture corpus: 8 well-separated centers (coords in
+    * [-1,1]), points = center + 0.15·noise. Cluster id = vec_id % 8, so the
+    * first N_SEEDS=16 ids (the seed set) cover every cluster twice — the
+    * same seeds-span-the-data property the driver corpus has by uniformity.
+    */
+  private def clusteredCorpus: DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(N_CLUSTERS, DIM)(rnd.nextDouble() * 2 - 1)
+    val rows = (0 until N_VECS).map { i =>
+      val c = centers(i % N_CLUSTERS)
+      (i.toLong, c.map(x => x + (rnd.nextDouble() * 2 - 1) * 0.15).toSeq)
+    }
+    // round-trip through parquet: an inline LocalRelation of 320×16 doubles
+    // would be textually embedded in every join's plan (AQE explain OOMs);
+    // a file scan keeps plans compact, and matches how the production path
+    // reads its corpus anyway
+    val path = java.nio.file.Files.createTempDirectory("graft-nnd").toString + "/e"
+    rows.toDF("vec_id", "v").write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .withColumn("nrm", expr(s"sqrt(${VectorOps.dotExpr("v", "v")})"))
+  }
+
+  private def bruteTruth(e: DataFrame, k: Int): DataFrame = {
+    val a = e.select(col("vec_id"), col("v").as("av"), col("nrm").as("an"))
+    val b = e.select(col("vec_id").as("nbr_id"), col("v").as("bv"), col("nrm").as("bn"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
+    a.join(b, col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        VectorOps.cosCol("av", "bv", "an", "bn").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).select("vec_id", "nbr_id")
+  }
+
+  private def recallOf(truth: DataFrame, g: DataFrame): Double = {
+    val r = truth
+      .join(g.select(col("vec_id"), col("nbr_id"), lit(1).as("hit")),
+        Seq("vec_id", "nbr_id"), "left")
+      .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_truth"))
+      .collect().head
+    r.getLong(0).toDouble / r.getLong(1)
+  }
+
+  test("NN-Descent converges to high recall on clustered data, on par with IVF") {
+    // localCheckpoint between iterations: refineKnn's self-joins reference
+    // their input many times, so three chained iterations grow the LOGICAL
+    // plan exponentially (AQE's explain OOMed before any execution);
+    // truncating lineage per iteration is test-plumbing, not the operator
+    val e = clusteredCorpus.localCheckpoint(true)
+    val truth = bruteTruth(e, 3).localCheckpoint(true)
+
+    // the identical production chain: cell-scoped seed graph, random-init
+    // union, then three NN-Descent iterations feeding each other
+    val g0 = SimilarityQueries.knnGraphOfE(e).localCheckpoint(true)
+    val init = g0.select("vec_id", "nbr_id")
+      .unionByName(SimilarityQueries.randomInitEdgesE(e))
+      .localCheckpoint(true)
+    var cur = SimilarityQueries.refineKnn(e, init).localCheckpoint(true)
+    val curve = scala.collection.mutable.ArrayBuffer(
+      "cell_seed" -> recallOf(truth, g0))
+    for (i <- 1 to 3) {
+      curve += s"nn_descent_$i" -> recallOf(truth, cur)
+      if (i < 3)
+        cur = SimilarityQueries.refineKnn(e, cur.select("vec_id", "nbr_id"))
+          .localCheckpoint(true)
+    }
+
+    // IVF-style probe at the same k: candidates from the nprobe=2 nearest
+    // cells of the SAME 16-seed geometry, exact re-rank to top-3
+    val seeds = SimilarityQueries.seedSet(e)
+      .select(col("seed_id"), col("sv"), col("sn"))
+    val assign = operators.Materialize(
+      SimilarityQueries.assignToSeeds(e, SimilarityQueries.seedSet(e))
+        .select("vec_id", "v", "nrm", "seed_id"))
+    val pw = Window.partitionBy("vec_id").orderBy(col("pcos").desc, col("seed_id"))
+    val probes = e.join(seeds)
+      .select(col("vec_id"), col("v"), col("nrm"), col("seed_id"),
+        VectorOps.cosCol("v", "sv", "nrm", "sn").as("pcos"))
+      .withColumn("rn", row_number().over(pw)).filter(col("rn") <= 2)
+      .select(col("vec_id"), col("v").as("qv"), col("nrm").as("qn"), col("seed_id"))
+    val cw = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
+    val ivf = probes
+      .join(assign.select(col("seed_id"), col("vec_id").as("nbr_id"),
+        col("v").as("cv"), col("nrm").as("cn")), Seq("seed_id"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        VectorOps.cosCol("qv", "cv", "qn", "cn").as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(cw))
+      .filter(col("rank") <= 3).select("vec_id", "nbr_id")
+    val ivfRecall = recallOf(truth, ivf)
+
+    curve.foreach { case (m, r) => info(f"$m%-14s recall@3 = $r%.3f") }
+    info(f"ivf_nprobe2    recall@3 = $ivfRecall%.3f")
+
+    val byName = curve.toMap
+    // the curve must actually climb off the seed graph and converge high —
+    // the operating point the uniform-corpus audit can never show
+    assert(byName("nn_descent_1") > byName("cell_seed"),
+      "iteration 1 must improve on the cell-scoped seed graph")
+    assert(byName("nn_descent_3") >= byName("nn_descent_1"),
+      "the curve must not regress as iterations compose")
+    assert(byName("nn_descent_3") >= 0.85,
+      s"converged NN-Descent should be high-recall on clustered data, got ${byName("nn_descent_3")}")
+    assert(math.abs(byName("nn_descent_3") - ivfRecall) <= 0.15,
+      s"graph recall ${byName("nn_descent_3")} should be on par with IVF $ivfRecall at the same k")
+  }
+}
