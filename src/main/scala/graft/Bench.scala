@@ -25,7 +25,12 @@ object Bench {
     try Tables.nation(spark, sfDir).groupBy("n_regionkey").count().count()
     catch { case _: Throwable => () }
 
-    val headline = SparkEntry.registry.filter(_.bench)
+    // dev convenience (mirrors Verify): name args restrict the run to those
+    // queries — the isolation re-measure harness BASELINE.md's bench-epoch
+    // notes call for. The driver passes no args, so its contract is unchanged.
+    val only = args.toSet
+    val headline = SparkEntry.registry
+      .filter(q => q.bench && (only.isEmpty || only(q.name)))
     // A failed query must be visible in the JSON, not silently summed as a
     // near-zero elapsed: it reports its elapsed NEGATED (distinguishable from
     // any success) and lands in the "errors" object; only successes count
@@ -85,7 +90,12 @@ object Bench {
     val trainerSec = results.collect {
       case (k, v, None) if trainerNames(k) => v }.sum
     val headlineSec = total - trainerSec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","headline_sec":$headlineSec,"trainer_sec":$trainerSec,"action":"max-xxhash64-all-columns","timing":"min-of-2","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Key order (round 11): bulky per-query maps FIRST, compact totals LAST.
+    // The driver archives only the last ~2000 chars of stdout; with totals at
+    // the head of the line they were truncated away in BENCH_r10.json. JSON
+    // key order is semantically irrelevant, so untruncated parsing is
+    // unchanged, and a tail-truncated capture still ends with the summary.
+    println(s"""{"queries":$qs,"errors":$errs,"action":"max-xxhash64-all-columns","timing":"min-of-2","sf":"$sfDir","metric":"total","unit":"sec","trainer_sec":$trainerSec,"headline_sec":$headlineSec,"value":$total}""")
     spark.stop()
   }
 }

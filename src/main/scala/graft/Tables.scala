@@ -30,11 +30,20 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). We read the raw nanos as a
-    * long (legacy conf) and truncate to microseconds — exactly what the
-    * DuckDB oracle does via `make_timestamp(epoch_ns(ts) // 1000)`, so both
-    * sides agree on the value. Integer `div` avoids double-rounding drift.
+  /** Schema-adaptive events loader — the parquet footer is authoritative
+    * (SURVEY §1.2; the reference reads whatever the footer says,
+    * /root/reference/app.py:93). Driver testdata has shipped `ts` as both
+    * TIMESTAMP(NANOS) (rounds 1-9) and timestamp[us] (round 10+), so we
+    * branch on the resolved type instead of assuming either:
+    *   - nanos (surfaces as LongType under the legacy conf, since Spark's
+    *     reader rejects TIMESTAMP(NANOS) outright, [PARQUET_TYPE_ILLEGAL]):
+    *     integer-div truncate to µs, exactly what the DuckDB oracle does via
+    *     `make_timestamp(epoch_ns(ts) // 1000)`;
+    *   - µs TIMESTAMP_NTZ: cast to session-UTC TimestampType — value-identity
+    *     because every entry point pins spark.sql.session.timeZone=UTC;
+    *   - µs TIMESTAMP_LTZ: already the output type, pass through.
+    * All three branches yield the same output schema (TimestampType) the
+    * oracle has hash-matched since round 1.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Scope the legacy conf to schema resolution: parquet schema conversion
@@ -42,13 +51,25 @@ object Tables {
     // captures its own SQLConf snapshot at planning, so restoring the prior
     // value here cannot flip an events frame already built — and later reads
     // of OTHER nanos-typed parquet in the same session fail loudly again.
+    // The conf only affects TIMESTAMP(NANOS) columns; µs footers ignore it.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prior = spark.conf.getOption(key)
     spark.conf.set(key, "true")
     try {
-      spark.read
-        .parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val ts = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          timestamp_micros(expr("ts div 1000")) // nanos footer, legacy long
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          col("ts").cast("timestamp") // µs NTZ → session-UTC, same micros
+        case org.apache.spark.sql.types.TimestampType =>
+          col("ts")
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts: unsupported parquet-resolved type $other")
+      }
+      raw
+        .withColumn("ts", ts)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     } finally prior match {
       case Some(v) => spark.conf.set(key, v)

@@ -22,29 +22,57 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object EventsStream {
 
-  /** Raw schema of events.parquet with ts as nanos-long (the file carries
-    * TIMESTAMP(NANOS), which Spark reads via nanosAsLong — see Tables.events).
+  /** Raw schema of events.parquet with the FOOTER-RESOLVED type of `ts`
+    * plugged in. A streaming source needs an explicit schema (no inference),
+    * and pinning `ts` wrong silently corrupts values: an explicit LongType
+    * over a µs-TIMESTAMP column hands back raw micros as longs, which the
+    * old unconditional `ts div 1000` then shredded into 1970-range instants
+    * (round-10 testdata regeneration). So the schema is parameterized by a
+    * one-time batch footer probe, the same source of truth Tables.events
+    * branches on.
     */
-  val rawSchema: StructType = StructType(Seq(
+  private def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Unbounded view of the events table: readStream + ns→µs conversion.
-    * No conf mutation here — the explicit schema defers everything to the
-    * scan, which resolves the nanos type when the query STARTS; callers wrap
-    * start()/awaitTermination() in [[withNanosLongConf]] instead.
+  /** Footer-resolved type of `ts`, via one batch metadata read under the
+    * nanos-as-long conf (schema resolution only — no data is scanned).
+    * LongType ⇔ the file carries TIMESTAMP(NANOS); µs files resolve to
+    * TimestampNTZ/Timestamp and ignore the conf entirely.
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
+  private def probeTsType(spark: SparkSession, dir: String): DataType =
+    withNanosLongConf(spark) {
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    }
+
+  /** Unbounded view of the events table: readStream + schema-adaptive `ts`
+    * normalization to session-UTC TimestampType (identical branching to
+    * Tables.events — SchemaCanarySpec pins the batch side, StreamingSpec's
+    * stream==batch equalities pin this one). No conf mutation at plan time —
+    * the explicit schema defers resolution to the scan, which happens when
+    * the query STARTS; callers on nanos-era data wrap start()/
+    * awaitTermination() in [[withNanosLongConf]] (harmless on µs data).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val tsType = probeTsType(spark, dir)
     // glob rather than literal file path: the streaming file source derives
     // its basePath from the non-glob prefix, and basePath must be a directory
-    spark.readStream
-      .schema(rawSchema)
+    val raw = spark.readStream
+      .schema(rawSchema(tsType))
       .parquet(s"$dir/events.parque[t]")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet-resolved type $other")
+    }
+  }
 
   /** Run `f` (which must start AND await the streaming query) with the
     * nanos-as-long legacy conf set, restoring the prior value afterwards —

@@ -130,4 +130,26 @@ class NnDescentSpec extends SparkSpec {
     assert(math.abs(byName("nn_descent_3") - ivfRecall) <= 0.15,
       s"graph recall ${byName("nn_descent_3")} should be on par with IVF $ivfRecall at the same k")
   }
+
+  test("nnDescentTrain: convergence loop invariants; fixed point stops the loop") {
+    // The registered ann_knn_train loop on the clustered corpus, with a
+    // budget large enough to let the fixed point fire if the graph
+    // stabilizes (the exact k-NN graph refines to itself; a local optimum
+    // also stops the loop — either way n_changed hits 0 and iteration ends).
+    val e = clusteredCorpus.localCheckpoint(true)
+    val rows = SimilarityQueries.nnDescentTrain(e, maxIters = 8).collect()
+    rows.foreach(r => info(s"iter ${r.getLong(0)}: changed ${r.getLong(1)}"))
+    assert(rows.nonEmpty && rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    rows.foreach(r => assert(r.getBoolean(2) == (r.getLong(1) == 0L),
+      "converged must mean exactly zero changed edges"))
+    rows.init.foreach(r => assert(!r.getBoolean(2),
+      "the loop must stop AT the first converged iteration"))
+    assert(rows.last.getBoolean(2) && rows.length < 8,
+      s"expected a fixed point under the 8-iteration budget on clustered data, " +
+        s"got ${rows.length} iterations, last changed ${rows.last.getLong(1)}")
+    // the change curve collapses as the graph stabilizes: the last
+    // pre-convergence round must change fewer edges than round 1
+    if (rows.length > 2)
+      assert(rows(rows.length - 2).getLong(1) < rows.head.getLong(1))
+  }
 }
