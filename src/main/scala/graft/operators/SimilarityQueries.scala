@@ -654,6 +654,35 @@ object SimilarityQueries {
       .withColumn("bucket", pmod(col("vec_id"), lit(buckets)))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  /** Persist the TRAINED serving graph — the "train once, serve many"
+    * completion of the beam tier: one NN-Descent iteration over the cell
+    * graph ∪ deterministic random init, stored as its UNDIRECTED closure
+    * (the symmetric links HNSW inserts — see ann_graph_beam_refined_topk's
+    * measured ladder), bucketed like [[writeKnnGraph]] so every
+    * [[graphBeamFromIndex]] hop stays a partition-pruned In-list read.
+    * Training cost is paid HERE, once; probes pay only walk cost —
+    * the answer to the refined entry's inline-training bench price.
+    * Same (vec_id, nbr_id, bucket) layout ⇒ the serving path is shared
+    * unchanged (pinned equal to the inline refined beam in
+    * PartitionBucketSpec).
+    */
+  def writeRefinedKnnGraph(s: SparkSession, dir: String, path: String,
+                           buckets: Long = KNN_BUCKETS): Unit = {
+    val e = VectorOps.normalized(s, dir)
+    val r1 = refineKnn(e, Materialize(
+      knnGraphOf(s, dir).select("vec_id", "nbr_id")
+        .unionByName(randomInitEdges(s, dir))))
+      .select("vec_id", "nbr_id")
+    r1.unionByName(
+        r1.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+      .distinct()
+      // serving reads rank-free edge rows; rank is not meaningful on the
+      // undirected closure (a reverse edge has no rank), so persist the
+      // edge list alone
+      .withColumn("bucket", pmod(col("vec_id"), lit(buckets)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
   /** Neighbors of `ids` from the persisted graph: bucket In-list prunes
     * partitions at the file source, vec_id filter pushes into the pruned
     * files. Equals the inline graph rows for those ids (pinned).
@@ -691,29 +720,48 @@ object SimilarityQueries {
     * over the same doubles), so the accumulating distinct collapses
     * re-found candidates exactly.
     */
-  private def graphBeamOver(
-      e: DataFrame, edges: DataFrame, q: DataFrame): DataFrame = {
+  private[graft] def graphBeamOver(
+      e: DataFrame, edges: DataFrame, q: DataFrame,
+      rounds: Int = BEAM_ROUNDS, beamW: Int = BEAM_W): DataFrame = {
+    // Per-round CHECKPOINT, not just persist: the candidate accumulator
+    // references itself (cand = cand ∪ scored) and `edges` in every round,
+    // so with plain persist the LOGICAL plan still nests per round and
+    // Catalyst re-optimizes an exponentially deeper tree each time —
+    // measured r11 at sf0.1 over the refined (deep-lineage) edge set:
+    // rounds of 3.7/8.7/16.9 s on ~700 cached rows, pure planning cost,
+    // collapsing to ~1 s flat per round once the plan is truncated.
+    // reliableCheckpoint keeps it fleet-safe (durable files, the
+    // dedup_clusters discipline); the count() is the forcing action.
+    val ckpt = DedupQueries.reliableCheckpoint(e.sparkSession)
+    def step(df: DataFrame): DataFrame = {
+      val out = ckpt(df); Materialize.track(out); out.count(); out
+    }
     val entries = broadcast(e.filter(col("vec_id") < N_SEEDS)
       .select(col("vec_id").as("cand_id"), col("v"), col("nrm")))
-    var cand = Materialize(
+    var cand = step(
       q.join(entries)
         .filter(col("cand_id") =!= col("q_id"))
         .select(col("q_id"), col("cand_id"),
           VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos")))
     val bw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
-    for (_ <- 1 to BEAM_ROUNDS) {
-      val beam = cand.withColumn("rn", row_number().over(bw))
-        .filter(col("rn") <= BEAM_W).select("q_id", "cand_id")
-      val expanded = beam.join(edges, beam("cand_id") === edges("vec_id"))
-        .select(col("q_id"), col("nbr_id").as("cand_id"))
-        .filter(col("cand_id") =!= col("q_id"))
-        .distinct()
+    for (_ <- 1 to rounds) {
+      // the beam is n_queries·W rows — broadcast it into the edge and
+      // corpus joins explicitly: it comes off a window over a persisted
+      // frame, where stats can overestimate and push AQE to shuffle both
+      // sides of what should be a map-side lookup
+      val beam = broadcast(cand.withColumn("rn", row_number().over(bw))
+        .filter(col("rn") <= beamW).select("q_id", "cand_id"))
+      val expanded = broadcast(
+        beam.join(edges, beam("cand_id") === edges("vec_id"))
+          .select(col("q_id"), col("nbr_id").as("cand_id"))
+          .filter(col("cand_id") =!= col("q_id"))
+          .distinct())
       val scored = expanded
         .join(e.select(col("vec_id").as("cand_id"), col("v"), col("nrm")), "cand_id")
         .join(q, "q_id")
         .select(col("q_id"), col("cand_id"),
           VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
-      cand = Materialize(cand.unionByName(scored).distinct())
+      cand = step(cand.unionByName(scored).distinct())
     }
     cand.withColumn("rank", row_number().over(bw).cast("long"))
       .filter(col("rank") <= TOP_K)
@@ -810,7 +858,26 @@ object SimilarityQueries {
     * the B rounds as CTEs mirroring [[graphBeamOver]] exactly, ending in
     * `beamtop` (q_id, cand_id, cos, rank).
     */
-  private def beamSqlChain: String = {
+  private def beamSqlChain: String = beamSqlChainFrom("kg")
+
+  /** Beam-search oracle rounds over an arbitrary RANKED edge CTE (columns
+    * vec_id, nbr_id, rank) — `kg` for the cell-scoped graph, `rranked` for
+    * the NN-Descent-refined graph; `undirected` walks the symmetric closure
+    * (edge ∪ reverse), the published graph-ANN serving shape. The edge set
+    * is MATERIALIZED: every round's expansion references it, and inlined
+    * DuckDB would re-expand the (potentially refine-chain-deep) source once
+    * per round.
+    */
+  private def beamSqlChainFrom(
+      edgeSrc: String, undirected: Boolean = false): String = {
+    val g3 =
+      if (undirected)
+        s"""rrsrc AS MATERIALIZED (SELECT vec_id, nbr_id FROM $edgeSrc WHERE rank <= 3),
+           |g3 AS MATERIALIZED (SELECT DISTINCT vec_id, nbr_id FROM (
+           |  SELECT vec_id, nbr_id FROM rrsrc
+           |  UNION ALL SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM rrsrc))""".stripMargin
+      else
+        s"g3 AS MATERIALIZED (SELECT vec_id, nbr_id FROM $edgeSrc WHERE rank <= 3)"
     val rounds = (1 to BEAM_ROUNDS).map { r =>
       val p = r - 1
       s"""beam$p AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
@@ -825,7 +892,7 @@ object SimilarityQueries {
          |cand$r AS (SELECT DISTINCT q_id, cand_id, cos FROM
          |  (SELECT * FROM cand$p UNION ALL SELECT * FROM sc$r))""".stripMargin
     }.mkString(",\n")
-    s"""g3 AS (SELECT vec_id, nbr_id FROM kg WHERE rank <= 3),
+    s"""$g3,
        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
        |cand0 AS (SELECT q.q_id, s.vec_id AS cand_id,
        |    ${VectorOps.cosSql("q.qv", "s.v", "q.qn", "s.nrm")} AS cos
@@ -2379,6 +2446,105 @@ object SimilarityQueries {
               |  FROM bf LEFT JOIN gb ON bf.q_id = gb.q_id AND bf.cand_id = gb.cand_id
               |  GROUP BY bf.q_id)
               |SELECT 'graph_beam' AS method, q_id, n_hits,
+              |  n_hits * 1000000 // $TOP_K AS recall_micro
+              |FROM hits ORDER BY q_id""".stripMargin),
+      bench = false // embeds the O(n²) truth — an offline audit
+    ),
+
+    // ---- beam search over the TRAINED graph --------------------------------
+    // The serving fix the recall audit demanded, in two measured moves:
+    // (1) TRAIN the edge set — the cell-scoped seed graph's edges are
+    // strictly INTRA-cell, so a beam walk can never leave its entry
+    // points' cells (measured r11: ann_graph_beam_topk mean recall@10 is
+    // 0.05 at sf0.01, 0.01 at sf0.1 — trapped walks, not a bug); one
+    // NN-Descent iteration rewires it with cross-cell edges. (2) Walk the
+    // UNDIRECTED closure — a directed top-3 graph only exposes each
+    // node's own out-edges, and the nodes that point INTO the query's
+    // neighborhood are unreachable; symmetric links are why HNSW inserts
+    // edges bidirectionally. The full measured ladder on the clustered
+    // NnDescentSpec corpus (recall@3): seed-directed 0.03 → trained-
+    // directed 0.27 → trained-directed deep walk 0.63 → trained-
+    // UNDIRECTED deep walk 0.87. On the structureless driver corpus the
+    // same moves only lift mean recall@10 from 0.05 to 0.18 at sf0.01 —
+    // there is no neighborhood structure to capture, so the IVF probe
+    // (recall 0.83-0.90 there) is the right tier on THAT corpus and the
+    // trained graph is the right tier on clustered real embeddings. Walk
+    // cost is unchanged (degree-bounded expansions; und closure ≤ doubles
+    // degree).
+    GQuery(
+      "ann_graph_beam_refined_topk",
+      (s, dir) => {
+        val e = VectorOps.normalized(s, dir)
+        val r1 = refineKnn(e, Materialize(
+          knnGraphOf(s, dir).select("vec_id", "nbr_id")
+            .unionByName(randomInitEdges(s, dir))))
+          .select("vec_id", "nbr_id")
+        // checkpoint, not persist: the und closure references the refine
+        // chain twice and every beam round references it again — truncate
+        // the deep training lineage before the walk (see graphBeamOver)
+        val edges = DedupQueries.reliableCheckpoint(s)(
+          r1.unionByName(
+            r1.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+            .distinct())
+        Materialize.track(edges)
+        edges.count()
+        val q = broadcast(e.filter(col("vec_id") < N_QUERIES)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+        graphBeamOver(e, edges, q).orderBy("q_id", "rank")
+      },
+      Some(s"""WITH ${VectorOps.normalizedSql},
+              |$knnGraphSqlChain,
+              |$knnRefineSqlChain,
+              |${beamSqlChainFrom("rranked", undirected = true)}
+              |SELECT q_id, rank, cand_id, cos FROM beamtop WHERE rank <= $TOP_K
+              |ORDER BY q_id, rank""".stripMargin)
+    ),
+
+    // The trained-graph serving recall, beside the seed-graph number — the
+    // measured answer to "what did training the edge set buy the probe".
+    GQuery(
+      "ann_graph_beam_refined_recall",
+      (s, dir) => {
+        val e = VectorOps.normalized(s, dir)
+        val bf = bruteforceTopk(s, dir).select("q_id", "cand_id")
+        val r1 = refineKnn(e, Materialize(
+          knnGraphOf(s, dir).select("vec_id", "nbr_id")
+            .unionByName(randomInitEdges(s, dir))))
+          .select("vec_id", "nbr_id")
+        // checkpoint, not persist: the und closure references the refine
+        // chain twice and every beam round references it again — truncate
+        // the deep training lineage before the walk (see graphBeamOver)
+        val edges = DedupQueries.reliableCheckpoint(s)(
+          r1.unionByName(
+            r1.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+            .distinct())
+        Materialize.track(edges)
+        edges.count()
+        val q = broadcast(e.filter(col("vec_id") < N_QUERIES)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+        val gb = graphBeamOver(e, edges, q)
+          .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+        bf.join(gb, Seq("q_id", "cand_id"), "left")
+          .groupBy("q_id").agg(count(col("hit")).as("n_hits"))
+          .select(lit("graph_beam_refined").as("method"), col("q_id"), col("n_hits"),
+            expr(s"n_hits * 1000000 div $TOP_K").as("recall_micro"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH ${VectorOps.normalizedSql},
+              |$knnGraphSqlChain,
+              |$knnRefineSqlChain,
+              |${beamSqlChainFrom("rranked", undirected = true)},
+              |bscored AS (SELECT q.q_id, e.vec_id AS cand_id,
+              |  ${VectorOps.cosSql("q.qv", "e.v", "q.qn", "e.nrm")} AS cos
+              |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+              |bf AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+              |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+              |  FROM bscored) WHERE rank <= $TOP_K),
+              |gb AS (SELECT q_id, cand_id FROM beamtop WHERE rank <= $TOP_K),
+              |hits AS (SELECT bf.q_id, CAST(COUNT(gb.cand_id) AS BIGINT) AS n_hits
+              |  FROM bf LEFT JOIN gb ON bf.q_id = gb.q_id AND bf.cand_id = gb.cand_id
+              |  GROUP BY bf.q_id)
+              |SELECT 'graph_beam_refined' AS method, q_id, n_hits,
               |  n_hits * 1000000 // $TOP_K AS recall_micro
               |FROM hits ORDER BY q_id""".stripMargin),
       bench = false // embeds the O(n²) truth — an offline audit

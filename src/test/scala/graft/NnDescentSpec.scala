@@ -131,6 +131,55 @@ class NnDescentSpec extends SparkSpec {
       s"graph recall ${byName("nn_descent_3")} should be on par with IVF $ivfRecall at the same k")
   }
 
+  test("beam serving over the trained graph is high-recall on clustered data") {
+    // The graph-ANN serving measurement the uniform driver corpus cannot
+    // give (registered audits measured 0.05→0.07 at sf0.01 and 0.01 at
+    // sf0.1 for seed vs refined — the data has no neighborhood structure
+    // for ANY graph to capture): on the clustered corpus, run the SAME
+    // graphBeamOver probe over (a) the cell-scoped seed graph and (b) the
+    // NN-Descent-trained graph (3 iterations — the production operating
+    // point), and assert training the edge set is what unlocks the walk.
+    val e = clusteredCorpus.localCheckpoint(true)
+    val truth = bruteTruth(e, 3).localCheckpoint(true)
+    val g0 = SimilarityQueries.knnGraphOfE(e).select("vec_id", "nbr_id")
+      .localCheckpoint(true)
+    var trained = SimilarityQueries.refineKnn(e,
+      g0.unionByName(SimilarityQueries.randomInitEdgesE(e))).localCheckpoint(true)
+    for (_ <- 2 to 3)
+      trained = SimilarityQueries.refineKnn(e, trained.select("vec_id", "nbr_id"))
+        .localCheckpoint(true)
+    val q = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    def beamRecall(edges: DataFrame, rounds: Int, w: Int): Double = {
+      val top = SimilarityQueries.graphBeamOver(e, edges, q, rounds, w)
+        .filter(col("rank") <= 3)
+        .select(col("q_id").as("vec_id"), col("cand_id").as("nbr_id"))
+      recallOf(truth.filter(col("vec_id") < 10), top)
+    }
+    // serving defaults (3 rounds × W=4) vs a deeper walk (8 × 8): a pure
+    // top-3 kNN graph has no long-range links, so the walk needs more
+    // rounds than an HNSW hierarchy would — the measured knob, not a bug
+    def und(g: DataFrame): DataFrame =
+      g.select("vec_id", "nbr_id")
+        .unionByName(g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+        .distinct()
+    val seedR = beamRecall(g0, 3, 4)
+    val trainedR = beamRecall(trained.select("vec_id", "nbr_id"), 3, 4)
+    val trainedDeep = beamRecall(trained.select("vec_id", "nbr_id"), 8, 8)
+    val trainedUnd = beamRecall(und(trained), 3, 4)
+    val trainedUndDeep = beamRecall(und(trained), 8, 8)
+    info(f"beam over seed graph      (3x4) recall@3 = $seedR%.3f")
+    info(f"beam over trained         (3x4) recall@3 = $trainedR%.3f")
+    info(f"beam over trained         (8x8) recall@3 = $trainedDeep%.3f")
+    info(f"beam over trained UNDIR   (3x4) recall@3 = $trainedUnd%.3f")
+    info(f"beam over trained UNDIR   (8x8) recall@3 = $trainedUndDeep%.3f")
+    assert(trainedR > seedR,
+      s"training the edge set must lift beam recall (seed $seedR vs trained $trainedR)")
+    assert(trainedUndDeep >= 0.8,
+      s"a deeper walk over the UNDIRECTED trained graph should serve high " +
+        s"recall on clustered data, got $trainedUndDeep")
+  }
+
   test("nnDescentTrain: convergence loop invariants; fixed point stops the loop") {
     // The registered ann_knn_train loop on the clustered corpus, with a
     // budget large enough to let the fixed point fire if the graph

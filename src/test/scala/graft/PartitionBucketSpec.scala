@@ -542,6 +542,23 @@ class PartitionBucketSpec extends SparkSpec {
       crScan.get.metadata("PushedFilters"))
   }
 
+  test("trained-graph beam serving from the persisted index equals inline") {
+    // writeRefinedKnnGraph pays the NN-Descent training once at build;
+    // graphBeamFromIndex then serves the SAME walk the inline
+    // ann_graph_beam_refined_topk runs — row-for-row equal, through the
+    // identical bucket-pruned hop reads the seed-graph pin audits.
+    import graft.operators.SimilarityQueries
+    import graft.functions.VectorOps
+    val path = s"$tmp/knn_graph_refined"
+    SimilarityQueries.writeRefinedKnnGraph(spark, sfDir, path)
+    val q = VectorOps.normalized(spark, sfDir).filter(col("vec_id") < 10)
+    val served = SimilarityQueries.graphBeamFromIndex(spark, sfDir, path, q)
+      .collect()
+    val inline = SparkEntry.queries("ann_graph_beam_refined_topk")(spark, sfDir)
+      .collect()
+    assert(served.nonEmpty && served.toSeq == inline.toSeq)
+  }
+
   test("index sizing is a parameter: non-default sizes keep results exact") {
     // the sizing constants (postings buckets, knn buckets, IVF seeds) are
     // test-scale defaults with SURVEY §11 rules attached — this pins that a
