@@ -265,6 +265,132 @@ object SimilarityQueries {
        |FROM mv WHERE iter <= (SELECT s FROM stop) ORDER BY iter""".stripMargin
   }
 
+  /** Power-iteration budget / tolerance for [[pcaPower]]: stop when no
+    * component of the iterate moved ≥ 1e-6 on the unit sphere (1000 on the
+    * 1e-9 grid) — direction change well under any downstream projection's
+    * discrimination.
+    */
+  private val PCA_MAX_ITERS = 8
+  private val PCA_TOL_NANO = 1000L
+
+  /** Top principal direction of the embedding corpus by POWER ITERATION —
+    * the third convergence loop beside [[kmeansTrain]] and
+    * [[nnDescentTrain]], and the spectral step embedding pipelines run
+    * before whitening / SemDeDup-style normalization. Scale split is the
+    * whole point: the corpus-sized work is ONE pass — the d×d Gram matrix
+    * as a grid-exact partial-aggregated shuffle (d² keys; map-side combine
+    * does the heavy lifting, the corpus never shuffles rows) — and the
+    * iteration itself runs on the COLLECTED d×d matrix (d=64 → 4096
+    * doubles, control-plane sized, the centroid/merge-table discipline).
+    * Cross-engine exactness: Gram entries are integer sums on the 1e-9
+    * grid; every matvec / norm / Rayleigh quotient is a SEQUENTIAL
+    * ascending fold from 0.0 — the same operation order as the engines'
+    * shared dot-product fold — so both sides walk identical IEEE doubles
+    * and the movement metric (max per-component shift on the nano grid)
+    * matches exactly. Uncentered by documented choice: the driver
+    * embeddings are near-zero-mean by construction, and centering is a
+    * rank-1 μμᵀ correction orthogonal to the iteration being demonstrated.
+    *
+    * Returns one row per EXECUTED iteration:
+    * (iter, delta_nano, lambda, converged) — lambda is the Rayleigh
+    * quotient, monotone non-decreasing for a symmetric PSD matrix (pinned
+    * in PcaPowerSpec).
+    */
+  private[graft] def pcaPower(
+      e: DataFrame, maxIters: Int = PCA_MAX_ITERS,
+      tolNano: Long = PCA_TOL_NANO): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    def nano(x: Double): Long =
+      BigDecimal(x * 1e9).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    // distributed pass: grid-exact Gram matrix, one d²-key shuffle
+    val cells = e
+      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(sum(round(col("xi") * col("xj") * 1e9).cast("long")).as("sx"))
+      .collect()
+    val dim = cells.iterator.map(_.getInt(0)).max + 1
+    val gram = Array.fill(dim, dim)(0.0)
+    cells.foreach(r => gram(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble / 1e9)
+    // control-plane: fold-order-fixed power iteration from e_0
+    var v = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Double, Boolean)]
+    var it = 1
+    var stop = false
+    while (it <= maxIters && !stop) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += gram(i)(j) * v(j); j += 1 }; acc
+      }
+      var s2 = 0.0; var k = 0
+      while (k < dim) { s2 += w(k) * w(k); k += 1 }
+      var lambda = 0.0; k = 0
+      while (k < dim) { lambda += v(k) * w(k); k += 1 }
+      val vn = w.map(_ / math.sqrt(s2))
+      var delta = 0L; k = 0
+      while (k < dim) {
+        val d = math.abs(nano(vn(k)) - nano(v(k)))
+        if (d > delta) delta = d
+        k += 1
+      }
+      val converged = delta < tolNano
+      out += ((it.toLong, delta, lambda, converged))
+      stop = converged
+      v = vn
+      it += 1
+    }
+    out.toSeq.toDF("iter", "delta_nano", "lambda", "converged").orderBy("iter")
+  }
+
+  /** Oracle twin of [[pcaPower]]: the Gram matrix as the same grid-exact
+    * integer census, the power iteration UNROLLED to `maxIters` CTE blocks
+    * over a single-row list-of-lists matrix, every reduction the shared
+    * sequential ascending fold — and the early stop as the usual prefix
+    * filter.
+    */
+  private def pcaPowerOracleSql(maxIters: Int, tolNano: Long): String = {
+    def foldDot(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), fi -> $a[fi] * $b[fi])), (acc, p) -> acc + p)"
+    val blocks = (1 to maxIters).map { i =>
+      val p = i - 1
+      s"""it$i AS (SELECT v AS vp, list_transform(range(1, 65), r ->
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65), c -> m[r][c] * v[c])), (acc, p) -> acc + p)) AS w
+         |  FROM gmat, v$p),
+         |st$i AS (SELECT vp, w, ${foldDot("w", "w")} AS s2,
+         |    ${foldDot("vp", "w")} AS lambda FROM it$i),
+         |v$i AS (SELECT list_transform(w, x -> x / sqrt(s2)) AS v FROM st$i),
+         |dl$i AS (SELECT CAST(MAX(ABS(CAST(round(a.v[u.k] * 1000000000) AS BIGINT)
+         |    - CAST(round(s.vp[u.k] * 1000000000) AS BIGINT))) AS BIGINT) AS delta,
+         |    MAX(s.lambda) AS lambda
+         |  FROM v$i a, st$i s, (SELECT unnest(range(1, 65)) AS k) u)""".stripMargin
+    }.mkString(",\n")
+    val mvRows = (1 to maxIters)
+      .map(i => s"SELECT $i AS iter, (SELECT delta FROM dl$i) AS delta_nano, " +
+        s"(SELECT lambda FROM dl$i) AS lambda")
+      .mkString(" UNION ALL ")
+    s"""WITH ${VectorOps.normalizedSql},
+       |gram_pairs AS (SELECT ii.i AS i, jj.j AS j,
+       |  CAST(SUM(CAST(round(v[ii.i] * v[jj.j] * 1000000000) AS BIGINT)) AS BIGINT) AS sx
+       |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+       |    CROSS JOIN (SELECT unnest(range(1, 65)) AS j) jj
+       |  GROUP BY ii.i, jj.j),
+       |grow AS (SELECT i, list(CAST(sx AS DOUBLE) / 1000000000 ORDER BY j) AS row
+       |  FROM gram_pairs GROUP BY i),
+       |gmat AS (SELECT list(row ORDER BY i) AS m FROM grow),
+       |v0 AS (SELECT list_transform(range(1, 65), k ->
+       |  CASE WHEN k = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS v),
+       |$blocks,
+       |mv AS ($mvRows),
+       |stop AS (SELECT COALESCE(MIN(iter), $maxIters) AS s FROM mv
+       |  WHERE delta_nano < $tolNano)
+       |SELECT CAST(iter AS BIGINT) AS iter, delta_nano, lambda,
+       |  delta_nano < $tolNano AS converged
+       |FROM mv WHERE iter <= (SELECT s FROM stop) ORDER BY iter""".stripMargin
+  }
+
   /** NN-Descent iteration budget for [[nnDescentTrain]]. Tolerance 0: the
     * loop stops only at an exact fixed point (no top-3 edge changed) —
     * which is reachable, because the TRUE k-NN graph is a fixed point of
@@ -2137,6 +2263,20 @@ object SimilarityQueries {
       "ann_kmeans_train",
       (s, dir) => kmeansTrain(VectorOps.normalized(s, dir)),
       Some(kmeansTrainOracleSql(N_SEEDS, KMEANS_MAX_ITERS, KMEANS_TOL_NANO)),
+      trainer = true
+    ),
+
+    // ---- top principal direction by power iteration -------------------------
+    // The spectral trainer beside the k-means and NN-Descent loops: one
+    // corpus pass builds the grid-exact d×d Gram matrix (d² aggregation
+    // keys, map-side combined — the corpus never shuffles rows), then the
+    // power iteration runs control-plane on the collected 64×64 matrix
+    // with a nano-grid movement metric and early stop. See pcaPower's
+    // scale notes; trainer-flagged in bench.
+    GQuery(
+      "ann_pca_power",
+      (s, dir) => pcaPower(VectorOps.normalized(s, dir)),
+      Some(pcaPowerOracleSql(PCA_MAX_ITERS, PCA_TOL_NANO)),
       trainer = true
     ),
 

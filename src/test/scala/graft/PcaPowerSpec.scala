@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.VectorOps
+import graft.operators.SimilarityQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral pins for the `ann_pca_power` trainer that oracle parity alone
+  * cannot give: the Rayleigh quotient of power iteration on a symmetric
+  * PSD matrix (the Gram matrix is both) is monotone non-decreasing, the
+  * early stop fires on a corpus with one dominant direction, and the
+  * converged iterate actually points along that direction.
+  */
+class PcaPowerSpec extends SparkSpec {
+
+  private val DIM = 16
+  private val N_VECS = 300
+
+  /** Corpus with a planted dominant direction: points = t·u + 0.1·noise
+    * for a fixed unit u, so the top principal direction is u (up to sign)
+    * and the spectral gap is wide — power iteration must converge fast.
+    */
+  private def plantedCorpus: (DataFrame, Array[Double]) = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(23)
+    val raw = Array.fill(DIM)(rnd.nextDouble() * 2 - 1)
+    val un = math.sqrt(raw.map(x => x * x).sum)
+    val u = raw.map(_ / un)
+    val rows = (0 until N_VECS).map { i =>
+      val t = rnd.nextDouble() * 4 - 2
+      (i.toLong, u.map(_ * t).zip(Array.fill(DIM)((rnd.nextDouble() * 2 - 1) * 0.1))
+        .map { case (a, b) => a + b }.toSeq)
+    }
+    val path = java.nio.file.Files.createTempDirectory("graft-pca").toString + "/e"
+    rows.toDF("vec_id", "v").write.mode("overwrite").parquet(path)
+    (spark.read.parquet(path)
+      .withColumn("nrm", expr(s"sqrt(${VectorOps.dotExpr("v", "v")})")), u)
+  }
+
+  test("power iteration early-stops on a planted-direction corpus") {
+    val (e, _) = plantedCorpus
+    val rows = SimilarityQueries.pcaPower(e, maxIters = 12, tolNano = 1000L).collect()
+    rows.foreach(r => info(
+      s"iter ${r.getLong(0)}: delta_nano ${r.getLong(1)}, lambda ${r.getDouble(2)}"))
+    assert(rows.nonEmpty && rows.length < 12,
+      s"wide spectral gap must converge under the 12-iteration budget, got ${rows.length}")
+    assert(rows.last.getBoolean(3), "last executed iteration must report converged")
+    rows.init.foreach(r => assert(!r.getBoolean(3)))
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    // Rayleigh quotient is monotone non-decreasing on a symmetric PSD matrix
+    val lambdas = rows.map(_.getDouble(2)).toSeq
+    lambdas.zip(lambdas.drop(1)).foreach { case (a, b) =>
+      assert(b >= a - 1e-9, s"Rayleigh quotient regressed: $a -> $b")
+    }
+  }
+
+  test("converged iterate points along the planted direction") {
+    val (e, u) = plantedCorpus
+    // run the same loop but recover the final vector by one extra matvec
+    // check: lambda ≈ u'Cu means the iterate aligned with u; cheaper and
+    // less invasive than exposing the vector — compare lambda against the
+    // Rayleigh quotient OF u computed from the same grid-exact Gram census
+    import org.apache.spark.sql.Row
+    val cells = e
+      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(sum(round(col("xi") * col("xj") * 1e9).cast("long")).as("sx"))
+      .collect()
+    val gram = Array.fill(DIM, DIM)(0.0)
+    cells.foreach { (r: Row) =>
+      gram(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble / 1e9 }
+    val cu = Array.tabulate(DIM)(i => (0 until DIM).map(j => gram(i)(j) * u(j)).sum)
+    val rayleighU = u.zip(cu).map { case (a, b) => a * b }.sum
+    val lambdaConverged = SimilarityQueries.pcaPower(e, maxIters = 12, tolNano = 1000L)
+      .collect().last.getDouble(2)
+    // the planted direction carries almost all the variance: the converged
+    // Rayleigh quotient must reach u'Cu to within the noise floor (10%)
+    assert(lambdaConverged >= rayleighU * 0.9 && lambdaConverged <= rayleighU * 1.1,
+      s"converged lambda $lambdaConverged vs planted-direction Rayleigh $rayleighU")
+  }
+}
