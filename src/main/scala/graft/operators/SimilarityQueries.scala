@@ -272,6 +272,7 @@ object SimilarityQueries {
     */
   private val PCA_MAX_ITERS = 8
   private val PCA_TOL_NANO = 1000L
+  private val PCA_COMPONENTS = 3
 
   /** Top principal direction of the embedding corpus by POWER ITERATION —
     * the third convergence loop beside [[kmeansTrain]] and
@@ -296,14 +297,12 @@ object SimilarityQueries {
     * quotient, monotone non-decreasing for a symmetric PSD matrix (pinned
     * in PcaPowerSpec).
     */
-  private[graft] def pcaPower(
-      e: DataFrame, maxIters: Int = PCA_MAX_ITERS,
-      tolNano: Long = PCA_TOL_NANO): DataFrame = {
-    val s = e.sparkSession
-    import s.implicits._
-    def nano(x: Double): Long =
-      BigDecimal(x * 1e9).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
-    // distributed pass: grid-exact Gram matrix, one d²-key shuffle
+  /** Grid-exact Gram matrix of the corpus — the ONE distributed pass every
+    * spectral operator shares: d² integer-census keys, map-side combined,
+    * corpus rows never shuffle; collected because d×d is control-plane
+    * sized (64×64 = 4096 doubles).
+    */
+  private def gramOf(e: DataFrame): Array[Array[Double]] = {
     val cells = e
       .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
@@ -313,22 +312,44 @@ object SimilarityQueries {
     val dim = cells.iterator.map(_.getInt(0)).max + 1
     val gram = Array.fill(dim, dim)(0.0)
     cells.foreach(r => gram(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble / 1e9)
+    gram
+  }
+
+  /** One fold-order-fixed matvec; shared by the power-iteration loops so
+    * Spark-side doubles match the oracle's sequential ascending folds.
+    */
+  private def matvec(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
+    Array.tabulate(m.length) { i =>
+      var acc = 0.0; var j = 0
+      while (j < m.length) { acc += m(i)(j) * v(j); j += 1 }; acc
+    }
+
+  private def foldDotArr(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var k = 0
+    while (k < a.length) { acc += a(k) * b(k); k += 1 }; acc
+  }
+
+  private[graft] def pcaPower(
+      e: DataFrame, maxIters: Int = PCA_MAX_ITERS,
+      tolNano: Long = PCA_TOL_NANO): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    def nano(x: Double): Long =
+      BigDecimal(x * 1e9).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    val gram = gramOf(e)
+    val dim = gram.length
     // control-plane: fold-order-fixed power iteration from e_0
     var v = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
     val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Double, Boolean)]
     var it = 1
     var stop = false
     while (it <= maxIters && !stop) {
-      val w = Array.tabulate(dim) { i =>
-        var acc = 0.0; var j = 0
-        while (j < dim) { acc += gram(i)(j) * v(j); j += 1 }; acc
-      }
-      var s2 = 0.0; var k = 0
-      while (k < dim) { s2 += w(k) * w(k); k += 1 }
-      var lambda = 0.0; k = 0
-      while (k < dim) { lambda += v(k) * w(k); k += 1 }
+      val w = matvec(gram, v)
+      val s2 = foldDotArr(w, w)
+      val lambda = foldDotArr(v, w)
       val vn = w.map(_ / math.sqrt(s2))
-      var delta = 0L; k = 0
+      var delta = 0L
+      var k = 0
       while (k < dim) {
         val d = math.abs(nano(vn(k)) - nano(v(k)))
         if (d > delta) delta = d
@@ -341,6 +362,62 @@ object SimilarityQueries {
       it += 1
     }
     out.toSeq.toDF("iter", "delta_nano", "lambda", "converged").orderBy("iter")
+  }
+
+  /** Fixed-iteration power step (no early stop — the deflation and
+    * whitening operators need the OUTPUT VECTOR to be a deterministic
+    * function of the corpus alone): K matvec+normalize rounds from e_0,
+    * returning (unit vector, final Rayleigh quotient). Same fold-order
+    * arithmetic as [[pcaPower]].
+    */
+  private def powerVec(
+      gram: Array[Array[Double]], iters: Int): (Array[Double], Double) = {
+    val dim = gram.length
+    var v = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val w = matvec(gram, v)
+      lambda = foldDotArr(v, w)
+      val s2 = foldDotArr(w, w)
+      v = w.map(_ / math.sqrt(s2))
+    }
+    (v, lambda)
+  }
+
+  /** Top-N spectrum by power iteration WITH DEFLATION — the control-plane
+    * completion of [[pcaPower]]: after each fixed-K power run, subtract
+    * the captured component (C ← C − λ·uuᵀ, fold-order-fixed) and iterate
+    * on the residual matrix. All deflation arithmetic happens on the
+    * collected d×d matrix; the corpus is touched exactly once (the shared
+    * [[gramOf]] census). Output (component, lambda, var_pct_micro): the
+    * captured Rayleigh quotient per component and its share of total
+    * variance (trace) in exact micro units — the spectrum summary an
+    * embedding-compression decision actually reads.
+    */
+  private[graft] def pcaDeflate(
+      e: DataFrame, nComponents: Int = PCA_COMPONENTS,
+      iters: Int = PCA_MAX_ITERS): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    var gram = gramOf(e)
+    val dim = gram.length
+    // trace of the ORIGINAL matrix = total variance mass, the var_pct denominator
+    var trace = 0.0
+    var t = 0
+    while (t < dim) { trace += gram(t)(t); t += 1 }
+    val out = scala.collection.mutable.ListBuffer.empty[(Long, Double, Long)]
+    for (c <- 1 to nComponents) {
+      val (u, lambda) = powerVec(gram, iters)
+      // var_pct on the micro grid: integer, so the hash can never drift
+      val varPctMicro =
+        BigDecimal(lambda / trace * 1e6)
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+      out += ((c.toLong, lambda, varPctMicro))
+      // deflate: C ← C − λ·uuᵀ (left-assoc per cell: g − λ*u_i*u_j)
+      val next = Array.tabulate(dim, dim)((i, j) => gram(i)(j) - lambda * u(i) * u(j))
+      gram = next
+    }
+    out.toSeq.toDF("component", "lambda", "var_pct_micro").orderBy("component")
   }
 
   /** Oracle twin of [[pcaPower]]: the Gram matrix as the same grid-exact
@@ -389,6 +466,115 @@ object SimilarityQueries {
        |SELECT CAST(iter AS BIGINT) AS iter, delta_nano, lambda,
        |  delta_nano < $tolNano AS converged
        |FROM mv WHERE iter <= (SELECT s FROM stop) ORDER BY iter""".stripMargin
+  }
+
+  /** Remove the top principal component from every embedding — the
+    * whitening/flattening projection SemDeDup-style pipelines apply before
+    * cosine comparisons, so one dominant direction can't swamp the
+    * similarity. v′ = v − (v·u)·u with u from the FIXED-K power iteration
+    * ([[powerVec]] — fixed so the projection is a deterministic function of
+    * the corpus alone). Scale: u trains on the shared [[gramOf]] census
+    * (one corpus pass), then the projection is MAP-ONLY — u broadcasts as
+    * a literal, no shuffle at any width; rnorm (the residual length) rides
+    * along for the downstream renormalization decision.
+    */
+  private[graft] def whitenEmbeddings(
+      e: DataFrame, iters: Int = PCA_MAX_ITERS): DataFrame = {
+    val (u, _) = powerVec(gramOf(e), iters)
+    e.withColumn("u", typedLit(u.toSeq))
+      .withColumn("d", expr(VectorOps.dotExpr("v", "u")))
+      .withColumn("vw", expr("transform(v, (x, i) -> x - d * element_at(u, i + 1))"))
+      .select(col("vec_id"), col("vw"),
+        expr(s"sqrt(${VectorOps.dotExpr("vw", "vw")})").as("rnorm"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle twin of [[whitenEmbeddings]]: u via the unrolled fixed-K power
+    * chain, then the same per-row fold-ordered projection.
+    */
+  private def whitenOracleSql(iters: Int): String =
+    s"""WITH ${VectorOps.normalizedSql},
+       |$gramSqlChain,
+       |${powerVecSqlChain("w1", "gmat", "v0", iters)},
+       |pu AS (SELECT v AS u FROM w1v$iters),
+       |proj AS (SELECT vec_id,
+       |    list_transform(range(1, 65), i -> v[i] - d * u[i]) AS vw
+       |  FROM (SELECT e.vec_id, e.v, pu.u AS u,
+       |    ${foldDotSql64("e.v", "pu.u")} AS d FROM e, pu))
+       |SELECT vec_id, vw, sqrt(${foldDotSql64("vw", "vw")}) AS rnorm
+       |FROM proj ORDER BY vec_id""".stripMargin
+
+  /** Oracle fragment: the shared grid-exact Gram census ending in `gmat`
+    * (single row, list-of-lists `m` ordered by position) plus the e_0 start
+    * vector `v0` — the prefix every spectral oracle splices.
+    */
+  private def gramSqlChain: String =
+    s"""gram_pairs AS (SELECT ii.i AS i, jj.j AS j,
+       |  CAST(SUM(CAST(round(v[ii.i] * v[jj.j] * 1000000000) AS BIGINT)) AS BIGINT) AS sx
+       |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ii
+       |    CROSS JOIN (SELECT unnest(range(1, 65)) AS j) jj
+       |  GROUP BY ii.i, jj.j),
+       |grow AS (SELECT i, list(CAST(sx AS DOUBLE) / 1000000000 ORDER BY j) AS row
+       |  FROM gram_pairs GROUP BY i),
+       |gmat AS (SELECT list(row ORDER BY i) AS m FROM grow),
+       |v0 AS (SELECT list_transform(range(1, 65), k ->
+       |  CASE WHEN k = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END) AS v)""".stripMargin
+
+  private def foldDotSql64(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, 65), fi -> $a[fi] * $b[fi])), (acc, p) -> acc + p)"
+
+  /** Unrolled fixed-K power iteration over matrix CTE `matSrc` (column m)
+    * starting from vector CTE `vSrc` (column v), CTE names prefixed `$pfx`.
+    * Ends in `${pfx}v$iters` (the unit vector) and `${pfx}lam` (the final
+    * Rayleigh quotient) — mirrors [[powerVec]] fold-for-fold.
+    */
+  private def powerVecSqlChain(pfx: String, matSrc: String, vSrc: String,
+                               iters: Int): String = {
+    val blocks = (1 to iters).map { i =>
+      val prev = if (i == 1) vSrc else s"${pfx}v${i - 1}"
+      s"""${pfx}it$i AS (SELECT v AS vp, list_transform(range(1, 65), r ->
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(1, 65), c -> m[r][c] * v[c])), (acc, p) -> acc + p)) AS w
+         |  FROM $matSrc, $prev),
+         |${pfx}st$i AS (SELECT vp, w, ${foldDotSql64("w", "w")} AS s2,
+         |    ${foldDotSql64("vp", "w")} AS lambda FROM ${pfx}it$i),
+         |${pfx}v$i AS (SELECT list_transform(w, x -> x / sqrt(s2)) AS v FROM ${pfx}st$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$blocks,
+       |${pfx}lam AS (SELECT lambda FROM ${pfx}st$iters)""".stripMargin
+  }
+
+  /** Oracle twin of [[pcaDeflate]]: per component, a fixed-K unrolled power
+    * chain on the current matrix, then a deflation CTE building the next
+    * matrix cell-by-cell with the same left-assoc arithmetic.
+    */
+  private def pcaDeflateOracleSql(nComponents: Int, iters: Int): String = {
+    val comps = (1 to nComponents).map { c =>
+      val mat = if (c == 1) "gmat" else s"m${c - 1}"
+      val defl =
+        if (c == nComponents) "" // last component needs no residual matrix
+        else
+          s""",
+             |m$c AS (SELECT list_transform(range(1, 65), i ->
+             |    list_transform(range(1, 65), j -> m[i][j] - lambda * u[i] * u[j])) AS m
+             |  FROM (SELECT g.m AS m, l.lambda AS lambda, uv.v AS u
+             |        FROM $mat g, c${c}lam l, c${c}v$iters uv))""".stripMargin
+      s"""${powerVecSqlChain(s"c$c", mat, "v0", iters)}$defl"""
+    }.mkString(",\n")
+    val rows = (1 to nComponents).map { c =>
+      s"SELECT $c AS component, (SELECT lambda FROM c${c}lam) AS lambda"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${VectorOps.normalizedSql},
+       |$gramSqlChain,
+       |tr AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(range(1, 65), i -> m[i][i])), (acc, p) -> acc + p) AS trace
+       |  FROM gmat),
+       |$comps,
+       |spec AS ($rows)
+       |SELECT CAST(component AS BIGINT) AS component, lambda,
+       |  CAST(round(lambda / trace * 1000000) AS BIGINT) AS var_pct_micro
+       |FROM spec, tr ORDER BY component""".stripMargin
   }
 
   /** NN-Descent iteration budget for [[nnDescentTrain]]. Tolerance 0: the
@@ -2278,6 +2464,28 @@ object SimilarityQueries {
       (s, dir) => pcaPower(VectorOps.normalized(s, dir)),
       Some(pcaPowerOracleSql(PCA_MAX_ITERS, PCA_TOL_NANO)),
       trainer = true
+    ),
+
+    // Top-3 spectrum by deflation: rerun the fixed-K power step on
+    // C − λ·uuᵀ residuals — all deflation arithmetic on the collected d×d
+    // matrix, corpus touched exactly once (the shared Gram census). The
+    // var_pct_micro column is the spectrum summary a compression decision
+    // reads: on the uniform driver corpus each component honestly captures
+    // only ~1/d of the trace (no spectral gap to exploit).
+    GQuery(
+      "ann_pca_deflate",
+      (s, dir) => pcaDeflate(VectorOps.normalized(s, dir)),
+      Some(pcaDeflateOracleSql(PCA_COMPONENTS, PCA_MAX_ITERS)),
+      trainer = true
+    ),
+
+    // The projection the spectrum feeds: strip the top principal component
+    // from every embedding (map-only once u is trained — see
+    // whitenEmbeddings' scale notes).
+    GQuery(
+      "ann_pca_whiten",
+      (s, dir) => whitenEmbeddings(VectorOps.normalized(s, dir)),
+      Some(whitenOracleSql(PCA_MAX_ITERS))
     ),
 
     // ---- recall-vs-nprobe sweep: the IVF operating-curve audit --------------
