@@ -2628,6 +2628,85 @@ object SimilarityQueries {
               |ORDER BY q_id, rank""".stripMargin)
     ),
 
+    // The JL operating CURVE: recall@10 at screen depth 25/50/100 — the
+    // knob the sf0.01→sf0.1 recall drop (0.41→0.12) says must scale with
+    // the corpus. The projected ranking computes ONCE (Materialize) and
+    // the three depths filter it; ground truth likewise.
+    GQuery(
+      "ann_rp_recall_vs_depth",
+      (s, dir) => {
+        val pe = rpProjected(s, dir)
+        val e = VectorOps.normalized(s, dir)
+        val q = broadcast(pe.filter(col("vec_id") < N_QUERIES)
+          .select(col("vec_id").as("q_id"), col("pv").as("qpv"), col("pn").as("qpn")))
+        val cw = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("cand_id"))
+        val ranked = Materialize(pe.join(q)
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("cand_id"),
+            VectorOps.cosCol("qpv", "pv", "qpn", "pn").as("pcos"))
+          .withColumn("rn", row_number().over(cw))
+          .filter(col("rn") <= 100))
+        val qe = broadcast(e.filter(col("vec_id") < N_QUERIES)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+        val bf = Materialize(bruteforceTopk(s, dir).select("q_id", "cand_id"))
+        val rw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+        Seq(25, 50, 100).map { d =>
+          val top = ranked.filter(col("rn") <= d).select("q_id", "cand_id")
+            .join(e.select(col("vec_id").as("cand_id"), col("v"), col("nrm")), "cand_id")
+            .join(qe, "q_id")
+            .select(col("q_id"), col("cand_id"),
+              VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
+            .withColumn("rank", row_number().over(rw))
+            .filter(col("rank") <= TOP_K)
+            .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+          bf.join(top, Seq("q_id", "cand_id"), "left")
+            .groupBy("q_id").agg(count(col("hit")).as("n_hits"))
+            .select(lit(d.toLong).as("depth"), col("q_id"), col("n_hits"),
+              expr(s"n_hits * 1000000 div $TOP_K").as("recall_micro"))
+        }.reduce(_ unionByName _).orderBy("depth", "q_id")
+      },
+      Some {
+        val depths = Seq(25, 50, 100)
+        val perDepth = depths.map { d =>
+          s"""top$d AS (SELECT q_id, cand_id FROM (
+             |  SELECT q_id, cand_id, cos,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+             |  FROM rrk WHERE rn <= $d) WHERE rank <= $TOP_K),
+             |hits$d AS (SELECT bf.q_id, CAST(COUNT(t.cand_id) AS BIGINT) AS n_hits
+             |  FROM bf LEFT JOIN top$d t ON bf.q_id = t.q_id AND bf.cand_id = t.cand_id
+             |  GROUP BY bf.q_id)""".stripMargin
+        }.mkString(",\n")
+        val unioned = depths.map(d =>
+          s"SELECT $d AS depth, q_id, n_hits FROM hits$d").mkString(" UNION ALL ")
+        s"""WITH ${VectorOps.normalizedSql},
+           |$rpSqlChain,
+           |candr AS (SELECT q_id, cand_id, rn FROM (
+           |  SELECT q.q_id, p.vec_id AS cand_id,
+           |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+           |      ${VectorOps.cosSql("q.qpv", "p.pv", "q.qpn", "p.pn")} DESC, p.vec_id) AS rn
+           |  FROM (SELECT vec_id AS q_id, pv AS qpv, pn AS qpn FROM pe
+           |        WHERE vec_id < $N_QUERIES) q
+           |  CROSS JOIN pe p WHERE p.vec_id <> q.q_id) WHERE rn <= 100),
+           |rrk AS (SELECT c.q_id, c.cand_id, c.rn,
+           |    ${VectorOps.cosSql("qe.v", "b.v", "qe.nrm", "b.nrm")} AS cos
+           |  FROM candr c JOIN e b ON c.cand_id = b.vec_id
+           |  JOIN (SELECT vec_id, v, nrm FROM e WHERE vec_id < $N_QUERIES) qe
+           |    ON c.q_id = qe.vec_id),
+           |bscored AS (SELECT q.vec_id AS q_id, b.vec_id AS cand_id,
+           |  ${VectorOps.cosSql("q.v", "b.v", "q.nrm", "b.nrm")} AS cos
+           |  FROM (SELECT * FROM e WHERE vec_id < $N_QUERIES) q
+           |  CROSS JOIN e b WHERE b.vec_id <> q.vec_id),
+           |bf AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+           |  FROM bscored) WHERE rank <= $TOP_K),
+           |$perDepth
+           |SELECT CAST(depth AS BIGINT) AS depth, q_id, n_hits,
+           |  n_hits * 1000000 // $TOP_K AS recall_micro
+           |FROM ($unioned) ORDER BY depth, q_id""".stripMargin
+      },
+      bench = false // embeds the O(n²) truth — an offline audit
+    ),
+
     // The JL operating point, measured: recall@10 of the 50-candidate
     // projected-space screen vs the brute-force truth.
     GQuery(

@@ -62,6 +62,37 @@ object EmbeddingsStream {
     q.awaitTermination()
   }
 
+  /** Streaming graph-ANN serving — the beam-walk twin of [[runAnnProbe]]:
+    * each micro-batch's query vectors are answered by
+    * [[SimilarityQueries.graphBeamFromIndex]] over a PERSISTED k-NN graph
+    * (the trained undirected graph from
+    * [[SimilarityQueries.writeRefinedKnnGraph]], or the seed graph — the
+    * serving path is layout-agnostic). Per trigger, every hop reads only
+    * the beam's bucket partitions and every embedding fetch is a pushed
+    * In-list; per-query independence again makes the multi-batch drain
+    * equal one-shot batch serving (pinned in StreamingSpec).
+    */
+  def runGraphBeamProbe(
+      spark: SparkSession, dir: String, inPath: String, graphPath: String,
+      outPath: String, checkpoint: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val q = readVectors(spark, inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val queries = batch.toDF()
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("nrm", expr(s"sqrt(${VectorOps.dotExpr("v", "v")})"))
+        SimilarityQueries.graphBeamFromIndex(spark, dir, graphPath, queries)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming semantic dedup — the embedding twin of
     * [[DocumentsStream.runIncrementalDedup]]: each micro-batch's arriving
     * vectors probe the PERSISTED IVF index and get a verdict ('near_dup'

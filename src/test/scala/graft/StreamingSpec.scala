@@ -321,6 +321,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == direct.orderBy(cols: _*).collect().toSeq)
   }
 
+  test("streaming beam probe from the persisted trained graph equals batch") {
+    // the graph-serving twin of the IVF-probe test: arriving query vectors
+    // beam-walk the persisted TRAINED undirected graph per trigger; the
+    // multi-batch drain must equal the one-shot inline refined beam entry
+    import graft.operators.SimilarityQueries
+    import graft.streaming.EmbeddingsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-beamstream").toString
+    SimilarityQueries.writeRefinedKnnGraph(spark, sfDir, s"$base/graph")
+    Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10).repartition(3)
+      .write.mode("overwrite").parquet(s"$base/in")
+    EmbeddingsStream.runGraphBeamProbe(
+      spark, sfDir, s"$base/in", s"$base/graph", s"$base/out", s"$base/ckpt")
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected several micro-batches, got $commits")
+    val direct = SparkEntry.queries("ann_graph_beam_refined_topk")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    val got = spark.read.parquet(s"$base/out")
+      .select(cols: _*).orderBy(cols: _*).collect()
+    assert(got.nonEmpty && got.toSeq == direct.orderBy(cols: _*).collect().toSeq)
+  }
+
   test("streaming BM25 probe from the inverted index equals the batch top-k") {
     // the lexical twin of the ANN-probe test: arriving keyword queries are
     // served from the persisted postings table per trigger, one file = one
