@@ -346,6 +346,13 @@ object SimilarityQueries {
     while (it <= maxIters && !stop) {
       val w = matvec(gram, v)
       val s2 = foldDotArr(w, w)
+      // loud, not NaN: C·v = 0 means the start vector lies in the null
+      // space (e.g. a corpus with an all-zero first coordinate) — the next
+      // normalize would silently propagate NaN through every later row
+      require(s2 > 0.0,
+        "power iteration collapsed: C*v = 0 (start vector in the null " +
+          "space of the Gram matrix) — the corpus has no variance along " +
+          "e_0; rotate the start vector or drop degenerate dimensions")
       val lambda = foldDotArr(v, w)
       val vn = w.map(_ / math.sqrt(s2))
       var delta = 0L
@@ -379,6 +386,8 @@ object SimilarityQueries {
       val w = matvec(gram, v)
       lambda = foldDotArr(v, w)
       val s2 = foldDotArr(w, w)
+      require(s2 > 0.0,
+        "power iteration collapsed: C*v = 0 — see pcaPower's guard") // same failure mode
       v = w.map(_ / math.sqrt(s2))
     }
     (v, lambda)

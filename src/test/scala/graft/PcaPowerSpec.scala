@@ -95,6 +95,24 @@ class PcaPowerSpec extends SparkSpec {
     assert(resid <= 0.2, s"residual projection onto planted direction: $resid")
   }
 
+  test("degenerate corpus fails loudly, not with NaN") {
+    // a corpus whose first coordinate is identically zero puts e_0 in the
+    // Gram null space: the loop must refuse with a readable message
+    // instead of normalizing 0/0 into NaN rows
+    import spark.implicits._
+    val rows = (0 until 50).map(i =>
+      (i.toLong, Seq(0.0) ++ Seq.tabulate(DIM - 1)(j => (i * 31 + j) % 7 / 7.0)))
+    val path = java.nio.file.Files.createTempDirectory("graft-pca0").toString + "/e"
+    rows.toDF("vec_id", "v").write.mode("overwrite").parquet(path)
+    val e = spark.read.parquet(path)
+      .withColumn("nrm", expr(s"sqrt(${VectorOps.dotExpr("v", "v")})"))
+    val ex = intercept[Exception] {
+      SimilarityQueries.pcaPower(e, maxIters = 2, tolNano = 1000L).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("null space"),
+      s"expected the loud null-space guard, got: ${ex.getMessage}")
+  }
+
   test("converged iterate points along the planted direction") {
     val (e, u) = plantedCorpus
     // run the same loop but recover the final vector by one extra matvec
