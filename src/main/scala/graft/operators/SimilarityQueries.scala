@@ -591,6 +591,55 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Persist the 16-dim JL sketch — the artifact that REALIZES the RP
+    * family's scan-IO claim: the screening pass reads (vec_id, pv, pn)
+    * rows at 16 doubles each instead of 64, so a 100 TB corpus's candidate
+    * screen scans ~¼ the bytes, and the full-width embeddings are only
+    * read for the RP_CAND survivors through a pushed In-list. Rebuild
+    * whenever the corpus changes (the projection is deterministic — same
+    * hash-derived matrix every time, nothing else to version).
+    */
+  def writeRpSketch(s: SparkSession, dir: String, path: String): Unit =
+    rpProjected(s, dir).write.mode("overwrite").parquet(path)
+
+  /** RP top-k served from the PERSISTED sketch: screen over the sketch
+    * scan (16-dim rows only), then fetch ONLY the surviving candidates'
+    * full vectors via a pushed In-list (bounded collect of
+    * n_queries×RP_CAND ids — the ivfProbeIndex control-plane discipline)
+    * and re-rank exactly. Pinned row-for-row equal to the inline
+    * [[rpTopk]] in PartitionBucketSpec, with the In-list pushdown
+    * audited.
+    */
+  def rpTopkFromSketch(s: SparkSession, dir: String, path: String): DataFrame = {
+    import s.implicits._
+    val pe = s.read.parquet(path)
+    val e = VectorOps.normalized(s, dir)
+    val q = broadcast(pe.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("pv").as("qpv"), col("pn").as("qpn")))
+    val cw = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("cand_id"))
+    val candRows = pe.join(q)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        VectorOps.cosCol("qpv", "pv", "qpn", "pn").as("pcos"))
+      .withColumn("rn", row_number().over(cw))
+      .filter(col("rn") <= RP_CAND)
+      .select("q_id", "cand_id")
+      .collect()
+    val candDf = broadcast(candRows.toSeq
+      .map(r => (r.getLong(0), r.getLong(1))).toDF("q_id", "cand_id"))
+    val candVecs = beamCandRead(e, candRows.map(_.getLong(1)).distinct.sorted.toSeq)
+    val qe = broadcast(e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val rw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    candDf.join(candVecs, "cand_id").join(qe, "q_id")
+      .select(col("q_id"), col("cand_id"),
+        VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select("q_id", "rank", "cand_id", "cos")
+      .orderBy("q_id", "rank")
+  }
+
   /** Oracle chain for the RP projection ending in `pe` (vec_id, pv, pn) —
     * signs derived from the same md5 strings, components the same
     * sequential fold.

@@ -559,6 +559,36 @@ class PartitionBucketSpec extends SparkSpec {
     assert(served.nonEmpty && served.toSeq == inline.toSeq)
   }
 
+  test("persisted RP sketch: screen reads 16-dim rows, survivors fetched by In-list") {
+    // the JL family's persisted path: (1) serving from the sketch equals
+    // the inline form row-for-row, (2) the candidate re-rank reads full
+    // embeddings through a PUSHED In-list — never a corpus scan — which is
+    // what makes the 16-vs-64-dim sketch a 4× scan-IO win at scale
+    import graft.operators.SimilarityQueries
+    import graft.functions.VectorOps
+    val path = s"$tmp/rp_sketch"
+    SimilarityQueries.writeRpSketch(spark, sfDir, path)
+    val served = SimilarityQueries.rpTopkFromSketch(spark, sfDir, path).collect()
+    val inline = SparkEntry.queries("ann_rp_topk")(spark, sfDir).collect()
+    assert(served.nonEmpty && served.toSeq == inline.toSeq)
+    // the survivor fetch helper is the audited beamCandRead path — pin the
+    // pushdown on the exact id list a served query uses
+    val ids = served.map(_.getLong(2)).distinct.sorted.toSeq
+    val cr = SimilarityQueries.beamCandRead(VectorOps.normalized(spark, sfDir), ids)
+    cr.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case f: FileSourceScanExec => Seq(f) }.flatten ++
+        p.collect { case a: AdaptiveSparkPlanExec => scans(a.executedPlan) }.flatten ++
+        p.collect { case qs: QueryStageExec => scans(qs.plan) }.flatten
+    val crScan = scans(cr.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("embeddings")))
+    assert(crScan.isDefined, cr.queryExecution.executedPlan.toString)
+    assert(crScan.get.metadata("PushedFilters").contains("In(vec_id"),
+      crScan.get.metadata("PushedFilters"))
+  }
+
   test("index sizing is a parameter: non-default sizes keep results exact") {
     // the sizing constants (postings buckets, knn buckets, IVF seeds) are
     // test-scale defaults with SURVEY §11 rules attached — this pins that a
