@@ -301,6 +301,17 @@ object SimilarityQueries {
     * spectral operator shares: d² integer-census keys, map-side combined,
     * corpus rows never shuffle; collected because d×d is control-plane
     * sized (64×64 = 4096 doubles).
+    *
+    * Input envelope (shared by every 1e-9-grid census in this file): each
+    * per-row term `round(x_i·x_j·1e9)` must fit int64 and their per-key sum
+    * must too, so with |x| ≤ B over n rows the constraint is
+    * n·B²·1e9 < 2⁶³. Unit-scale (cosine-world) embeddings, |x| ≤ ~1,
+    * are safe to n ≈ 9e9 rows per aggregation key; beyond that a
+    * deployment shards the census (two-level sums) or drops to a coarser
+    * grid. Out-of-envelope magnitudes fail LOUDLY under ANSI
+    * (CAST_OVERFLOW), never wrap silently — pinned by the
+    * EdgeCorpusSpec embeddings sweep, which probes 1000× unit scale
+    * in-envelope and documents the 1e15 overflow as designed.
     */
   private def gramOf(e: DataFrame): Array[Array[Double]] = {
     val cells = e

@@ -75,6 +75,47 @@ class EdgeCorpusSpec extends SparkSpec {
     }
   }
 
+  test("every embeddings query survives the tie-heavy small corpus") {
+    // the docs/events-sweep discipline applied to the VECTOR surface: a
+    // corpus the driver can't produce — exact duplicate embeddings (every
+    // cosine tie-break fires, dup seeds would silently shrink a trained
+    // grid if the duplicates landed in the seed range), a near-zero vector
+    // (tiny but nonzero norm — stresses the cos denominators without the
+    // designed zero-norm guards), extreme magnitudes, and n barely above
+    // N_SEEDS so every cell is tiny. ANSI mode turns silent garbage into
+    // throws, so reaching collect() is the assertion. The first N_SEEDS=16
+    // ids stay pairwise-distinct by construction: trainedSeedSet's
+    // duplicate-seed guard is a DESIGNED loud failure, not an edge bug,
+    // so the corpus steers around it (duplicates live at ids 20/21).
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-edge-vec").toString
+    def vec(seed: Int): Seq[Float] =
+      { val r = new scala.util.Random(seed); Seq.fill(64)(r.nextFloat() * 2 - 1) }
+    val base = (0 until 20).map(i => (i.toLong, vec(i), i % 4))
+    val rows = base ++ Seq(
+      (20L, vec(3), 0),                                   // exact dup of id 3
+      (21L, vec(3), 1),                                   // second dup: a 3-way tie
+      (22L, Seq.fill(64)(1e-30f), 2),                     // near-zero norm
+      // extreme-but-in-envelope magnitude: the grid-exact censuses snap
+      // x_i·x_j to the 1e-9 grid in int64, which bounds the input envelope
+      // (see gramOf's note) — 1e3 is 1000× unit scale yet safely inside;
+      // 1e15 overflows the cast BY DESIGN (ANSI throws loudly, verified
+      // while building this sweep, rather than wrapping silently)
+      (23L, vec(23).map(x => x * 1e3f), 3),
+      (24L, vec(24), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val vecQueries = SparkEntry.registry.map(_.name).filter(n =>
+      n.startsWith("ann_") || n.startsWith("dedup_semantic") ||
+        n == "dedup_embedding_pairs")
+    for (name <- vecQueries) {
+      val out = SparkEntry.queries(name)(spark, dir).collect()
+      assert(out != null, name) // reaching here means no throw
+      graft.operators.Materialize.releaseAll(spark)
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("bounded ewma fold equals the unbounded fold on a hot-key corpus") {
     // the skew-bomb fix: q_events_ewma folds only the trailing EWMA_TAIL=64
     // events per user. On a 20k-event hot key (plus normal users) the
