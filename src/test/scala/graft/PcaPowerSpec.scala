@@ -95,6 +95,35 @@ class PcaPowerSpec extends SparkSpec {
     assert(resid <= 0.2, s"residual projection onto planted direction: $resid")
   }
 
+  test("whitening deflates spurious similarity: the SemDeDup rationale, measured") {
+    // On a corpus with one dominant direction, RAW cosines are inflated
+    // for every pair (both vectors share the planted component), so a
+    // cosine near-dup threshold fires on pairs that only share the
+    // corpus-wide direction — false duplicates. After ann_pca_whiten's
+    // projection the shared component is gone and cosines reflect the
+    // individual (noise) content. This is WHY SemDeDup-style pipelines
+    // whiten before comparing; here it is a measured number, not prose.
+    val (e, _) = plantedCorpus
+    import spark.implicits._
+    def meanAbsCos(vs: org.apache.spark.sql.DataFrame, vcol: String, ncol: String): Double = {
+      val a = vs.select(col("vec_id"), col(vcol).as("av"), col(ncol).as("an"))
+      val b = vs.select(col("vec_id").as("bid"), col(vcol).as("bv"), col(ncol).as("bn"))
+      a.join(b, col("vec_id") < col("bid"))
+        .filter(col("an") > 1e-12 && col("bn") > 1e-12)
+        .select(abs(expr(s"${VectorOps.dotExpr("av", "bv")} / (an * bn)")).as("c"))
+        .agg(avg("c")).head().getDouble(0)
+    }
+    val raw = meanAbsCos(e.select(col("vec_id"), col("v"), col("nrm")), "v", "nrm")
+    val wh = SimilarityQueries.whitenEmbeddings(e, iters = 12)
+      .withColumn("wn", expr(s"sqrt(${VectorOps.dotExpr("vw", "vw")})"))
+    val white = meanAbsCos(wh.select(col("vec_id"), col("vw"), col("wn")), "vw", "wn")
+    info(f"mean |cos| raw = $raw%.3f, whitened = $white%.3f")
+    assert(raw >= 0.5,
+      s"planted corpus should show inflated raw similarity, got $raw")
+    assert(white <= raw / 2,
+      s"whitening should at least halve spurious similarity: raw $raw -> $white")
+  }
+
   test("degenerate corpus fails loudly, not with NaN") {
     // a corpus whose first coordinate is identically zero puts e_0 in the
     // Gram null space: the loop must refuse with a readable message
