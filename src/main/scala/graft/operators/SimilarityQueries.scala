@@ -506,11 +506,26 @@ object SimilarityQueries {
       .withColumn("vw", expr("transform(v, (x, i) -> x - d * element_at(u, i + 1))"))
       .select(col("vec_id"), col("vw"),
         expr(s"sqrt(${VectorOps.dotExpr("vw", "vw")})").as("rnorm"))
-      .orderBy("vec_id")
   }
 
-  /** Oracle twin of [[whitenEmbeddings]]: u via the unrolled fixed-K power
-    * chain, then the same per-row fold-ordered projection.
+  /** The registered report over [[whitenEmbeddings]], with the vector
+    * SERIALIZED to the repo's output contract: scalar columns only (the
+    * reference emits nothing but scalars, app.py:120-126, and the driver
+    * harness's pandas sort cannot order raw array cells — the exact
+    * failure CORRECTNESS_r11 recorded). vw rides the 1e-9 grid as a
+    * comma-joined int string, the q_array_agg convention.
+    */
+  private def whitenReport(e: DataFrame): DataFrame =
+    whitenEmbeddings(e)
+      .select(col("vec_id"),
+        expr("concat_ws(',', transform(vw, x -> CAST(round(x * 1e9) AS LONG)))")
+          .as("vw_nano"),
+        col("rnorm"))
+      .orderBy("vec_id")
+
+  /** Oracle twin of [[whitenReport]]: u via the unrolled fixed-K power
+    * chain, then the same per-row fold-ordered projection, serialized on
+    * the same nano grid.
     */
   private def whitenOracleSql(iters: Int): String =
     s"""WITH ${VectorOps.normalizedSql},
@@ -521,7 +536,10 @@ object SimilarityQueries {
        |    list_transform(range(1, 65), i -> v[i] - d * u[i]) AS vw
        |  FROM (SELECT e.vec_id, e.v, pu.u AS u,
        |    ${foldDotSql64("e.v", "pu.u")} AS d FROM e, pu))
-       |SELECT vec_id, vw, sqrt(${foldDotSql64("vw", "vw")}) AS rnorm
+       |SELECT vec_id,
+       |  array_to_string(list_transform(vw,
+       |    x -> CAST(round(x * 1000000000) AS BIGINT)), ',') AS vw_nano,
+       |  sqrt(${foldDotSql64("vw", "vw")}) AS rnorm
        |FROM proj ORDER BY vec_id""".stripMargin
 
   /** Johnson-Lindenstrauss projection width / candidate depth for the RP
@@ -2648,10 +2666,11 @@ object SimilarityQueries {
 
     // The projection the spectrum feeds: strip the top principal component
     // from every embedding (map-only once u is trained — see
-    // whitenEmbeddings' scale notes).
+    // whitenEmbeddings' scale notes). Output serialized per whitenReport's
+    // scalar-columns contract.
     GQuery(
       "ann_pca_whiten",
-      (s, dir) => whitenEmbeddings(VectorOps.normalized(s, dir)),
+      (s, dir) => whitenReport(VectorOps.normalized(s, dir)),
       Some(whitenOracleSql(PCA_MAX_ITERS))
     ),
 
