@@ -28,7 +28,13 @@ object Bench {
     // dev convenience (mirrors Verify): name args restrict the run to those
     // queries — the isolation re-measure harness BASELINE.md's bench-epoch
     // notes call for. The driver passes no args, so its contract is unchanged.
+    // A misspelled name must fail loudly: silently matching nothing would
+    // print a near-zero total that reads like a 100× speedup.
     val only = args.toSet
+    val unknown = only -- SparkEntry.registry.map(_.name).toSet
+    require(unknown.isEmpty,
+      s"unknown bench query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+        "check spelling against SparkEntry.registry")
     val headline = SparkEntry.registry
       .filter(q => q.bench && (only.isEmpty || only(q.name)))
     // A failed query must be visible in the JSON, not silently summed as a
@@ -95,7 +101,19 @@ object Bench {
     // the head of the line they were truncated away in BENCH_r10.json. JSON
     // key order is semantically irrelevant, so untruncated parsing is
     // unchanged, and a tail-truncated capture still ends with the summary.
-    println(s"""{"queries":$qs,"errors":$errs,"action":"max-xxhash64-all-columns","timing":"min-of-2","sf":"$sfDir","metric":"total","unit":"sec","trainer_sec":$trainerSec,"headline_sec":$headlineSec,"value":$total}""")
+    val line = s"""{"queries":$qs,"errors":$errs,"action":"max-xxhash64-all-columns","timing":"min-of-2","sf":"$sfDir","metric":"total","unit":"sec","trainer_sec":$trainerSec,"headline_sec":$headlineSec,"value":$total}"""
+    println(line)
+    // Durable artifact (round 12): stdout truncation cost rounds 10 AND 11
+    // their per-query maps, so cross-round regression reading depended on
+    // isolation re-runs. A full driver run (no name args) also writes the
+    // identical line to BENCH_local.json in the repo working tree, committed
+    // each round. Name-filtered dev runs skip the write — a 3-query
+    // isolation probe must not overwrite the full map.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/BENCH_local.json"), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -189,6 +189,11 @@ object SimilarityQueries {
     var cent: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < nSeeds)
       .select(col("vec_id"), col("v")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    // loud, not empty.max: an empty corpus (or a seed range with no rows)
+    // has nothing to train on — the pcaPower null-space guard discipline
+    require(cent.nonEmpty,
+      s"kmeansTrain: no seed vectors with vec_id < $nSeeds — empty corpus " +
+        "or seed range; nothing to train")
     val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Boolean)]
     var it = 1
     var stop = false
@@ -206,6 +211,12 @@ object SimilarityQueries {
           .groupBy("seed_id")
           .agg(expr("transform(sort_array(collect_list(pc)), p -> p.cv)").as("sv"))
           .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      // loud, not empty.max: every centroid losing every member in one
+      // round (next empty, or disjoint from cent) is a degenerate corpus,
+      // not a zero-shift convergence
+      require(next.nonEmpty && cent.exists(c => next.contains(c._1)),
+        "kmeansTrain: no centroid survived the assignment round — " +
+          "degenerate corpus (no members anywhere); cannot measure movement")
       val shift = cent.iterator.collect {
         case (sid, old) if next.contains(sid) =>
           old.iterator.zip(next(sid).iterator)
@@ -320,6 +331,9 @@ object SimilarityQueries {
       .groupBy("i", "j")
       .agg(sum(round(col("xi") * col("xj") * 1e9).cast("long")).as("sx"))
       .collect()
+    // loud, not empty.max — the pcaPower null-space guard discipline
+    require(cells.nonEmpty,
+      "gramOf: empty embedding corpus — no Gram census to build")
     val dim = cells.iterator.map(_.getInt(0)).max + 1
     val gram = Array.fill(dim, dim)(0.0)
     cells.foreach(r => gram(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble / 1e9)

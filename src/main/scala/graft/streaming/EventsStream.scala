@@ -43,11 +43,32 @@ object EventsStream {
     * nanos-as-long conf (schema resolution only — no data is scanned).
     * LongType ⇔ the file carries TIMESTAMP(NANOS); µs files resolve to
     * TimestampNTZ/Timestamp and ignore the conf entirely.
+    *
+    * Cached per directory for the JVM's lifetime: the footer is immutable
+    * for a given generated dataset, and re-probing on every
+    * [[readEvents]] call would pay a filesystem round trip per stream
+    * construction. The probe is EAGER by design — it runs at
+    * plan-construction time, so the input must exist before the stream is
+    * constructed. That is deliberate: the alternative (guessing a schema
+    * for a not-yet-written path) is exactly the silent-timestamp-corruption
+    * class the probe exists to prevent, so a missing path fails loudly here
+    * instead.
     */
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
   private def probeTsType(spark: SparkSession, dir: String): DataType =
-    withNanosLongConf(spark) {
-      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
-    }
+    tsTypeCache.computeIfAbsent(dir, _ =>
+      try withNanosLongConf(spark) {
+        spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      } catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"EventsStream.readEvents: cannot probe $dir/events.parquet's " +
+            "footer — the source resolves events.ts's physical type at " +
+            "STREAM-CONSTRUCTION time (guessing would silently corrupt " +
+            "timestamps if wrong), so the input file must exist before the " +
+            s"stream is constructed. Underlying error: ${e.getMessage}", e)
+      })
 
   /** Unbounded view of the events table: readStream + schema-adaptive `ts`
     * normalization to session-UTC TimestampType (identical branching to
@@ -56,6 +77,9 @@ object EventsStream {
     * the explicit schema defers resolution to the scan, which happens when
     * the query STARTS; callers on nanos-era data wrap start()/
     * awaitTermination() in [[withNanosLongConf]] (harmless on µs data).
+    * NOTE the construction-time footer probe (cached — [[probeTsType]]):
+    * the input path must be readable when this is called, not merely when
+    * the query starts.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val tsType = probeTsType(spark, dir)
