@@ -634,6 +634,124 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF × RP — the composition the `ann_rp_topk` docs promise: IVF cells
+    * PRUNE (only the nprobe probed cells' members become candidates — the
+    * scan reduction RP alone cannot give), the 16-dim JL sketch SCREENS the
+    * survivors (4× cheaper per comparison than full-width cosine), and the
+    * screen winners re-rank exactly. The screen depth scales as a
+    * CANDIDATE fraction — half the expected probed pool,
+    * max(RP_CAND, n·nprobe/nseeds/2) — because a fixed depth decays as
+    * cells grow, the same cliff the flat-RP curve measured
+    * (`ann_rp_recall_vs_depth`: 0.41→0.12 sf0.01→sf0.1 at fixed 50).
+    *
+    * Measured (this corpus, mean recall@10 over the 10 queries,
+    * `ann_rp_ivf_recall`; depth sweep via the same oracle): sf0.1 ivf 0.99
+    * vs ivf_rp 0.39/0.70/0.89/0.93 at depth 50/125/250/300 — the shipped
+    * n/8 rule lands depth 250 → 0.89, the IVF tier's ballpark at HALF the
+    * full-width candidate fetches; sf0.01 (depth floor 62) ivf 0.90 /
+    * ivf_rp 0.77. The deep-screen requirement is the structureless-corpus
+    * worst case: a 16-dim JL projection of uniform random 64-dim vectors
+    * barely separates near ties (the PQ-recall caveat, PQ_C note), so the
+    * screen must keep half the pool; clustered real embeddings rank far
+    * better in projected space and run much shallower. What survives at
+    * ANY depth: the screening pass reads 16-dim sketch rows (¼ the scan
+    * bytes — at scale the probed cells read as the PERSISTED sketch,
+    * writeRpSketch partitioned the writeIvfIndex way) and only screen
+    * survivors fetch full vectors via a pushed In-list.
+    */
+  private def rpIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = VectorOps.normalized(s, dir)
+    val seeds = seedSet(e)
+    val assign = assignToSeeds(e, seeds).select("vec_id", "seed_id")
+    val pe = rpProjected(s, dir)
+    val q = e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val pw = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("seed_id"))
+    val probes = q.join(seeds)
+      .select(col("q_id"), col("seed_id"),
+        VectorOps.cosCol("qv", "sv", "qn", "sn").as("pcos"))
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= N_PROBE)
+      .select("q_id", "seed_id")
+    val cand = probes.join(assign, "seed_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val qp = broadcast(pe.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("pv").as("qpv"), col("pn").as("qpn")))
+    // CANDIDATE-FRACTION screen depth: a fixed depth decays as cells grow
+    // (measured 0.71→0.39 mean recall@10 sf0.01→sf0.1 at depth 50), so the
+    // screen keeps HALF the expected probed-candidate pool
+    // (n·nprobe/nseeds/2, floor RP_CAND) — the fraction the measured depth
+    // curve at rpIvfTopk's doc says this structureless corpus needs to hold
+    // the IVF tier's ballpark; clustered real corpora run much shallower.
+    // One count() action: a column-less scan, cheap against any later pass,
+    // and the depth literal keeps the screen a static window filter.
+    val depth = math.max(RP_CAND.toLong,
+      e.count() * N_PROBE / N_SEEDS / 2L)
+    val sw = Window.partitionBy("q_id").orderBy(col("scos").desc, col("cand_id"))
+    val surv = cand.join(pe, "vec_id")
+      .join(qp, "q_id")
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        VectorOps.cosCol("qpv", "pv", "qpn", "pn").as("scos"))
+      .withColumn("rn", row_number().over(sw))
+      .filter(col("rn") <= depth)
+      .select("q_id", "cand_id")
+    val qe = broadcast(e.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    val rw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    surv.join(e.select(col("vec_id").as("cand_id"), col("v"), col("nrm")), "cand_id")
+      .join(qe, "q_id")
+      .select(col("q_id"), col("cand_id"),
+        VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select("q_id", "rank", "cand_id", "cos")
+  }
+
+  /** Oracle chain for the IVF candidate stage ending in `cand`
+    * (q_id, cand_id) — the seeds → assignment → probes → probed-cell
+    * members pipeline every IVF-composed oracle splices (identical CTEs to
+    * the standalone `ann_ivf_topk` oracle).
+    */
+  private def ivfCandSqlChain: String =
+    s"""seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
+       |assign0 AS (SELECT e.vec_id, seeds.seed_id,
+       |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    ${VectorOps.cosSql("e.v", "seeds.sv", "e.nrm", "seeds.sn")} DESC, seeds.seed_id) AS rn
+       |  FROM e CROSS JOIN seeds),
+       |assign AS (SELECT vec_id, seed_id FROM assign0 WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
+       |probes0 AS (SELECT q.q_id, seeds.seed_id,
+       |  row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |    ${VectorOps.cosSql("q.qv", "seeds.sv", "q.qn", "seeds.sn")} DESC, seeds.seed_id) AS rn
+       |  FROM q CROSS JOIN seeds),
+       |probes AS (SELECT q_id, seed_id FROM probes0 WHERE rn <= $N_PROBE),
+       |cand AS (SELECT DISTINCT probes.q_id, assign.vec_id AS cand_id
+       |  FROM probes JOIN assign ON probes.seed_id = assign.seed_id
+       |  WHERE assign.vec_id <> probes.q_id)""".stripMargin
+
+  /** Oracle tail shared by the rp_ivf pipelines: projected-space screen of
+    * `cand` to the corpus-fraction depth max(RP_CAND, n/40), then exact
+    * re-rank — ends in `rtop` (ranked).
+    */
+  private def rpIvfScreenSqlChain: String =
+    s"""qp AS (SELECT vec_id AS q_id, pv AS qpv, pn AS qpn FROM pe WHERE vec_id < $N_QUERIES),
+       |sdep AS (SELECT greatest($RP_CAND, ($countStarSql * $N_PROBE) // (${N_SEEDS} * 2)) AS depth FROM e),
+       |surv AS (SELECT q_id, cand_id FROM (
+       |  SELECT c.q_id, c.cand_id,
+       |    row_number() OVER (PARTITION BY c.q_id ORDER BY
+       |      ${VectorOps.cosSql("qp.qpv", "p.pv", "qp.qpn", "p.pn")} DESC, c.cand_id) AS rn
+       |  FROM cand c JOIN pe p ON c.cand_id = p.vec_id
+       |  JOIN qp ON c.q_id = qp.q_id) WHERE rn <= (SELECT depth FROM sdep)),
+       |rrk2 AS (SELECT s.q_id, s.cand_id,
+       |    ${VectorOps.cosSql("qe.v", "b.v", "qe.nrm", "b.nrm")} AS cos
+       |  FROM surv s JOIN e b ON s.cand_id = b.vec_id
+       |  JOIN (SELECT vec_id, v, nrm FROM e WHERE vec_id < $N_QUERIES) qe
+       |    ON s.q_id = qe.vec_id),
+       |rtop AS (SELECT q_id, cand_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+       |  FROM rrk2)""".stripMargin
+
   /** Persist the 16-dim JL sketch — the artifact that REALIZES the RP
     * family's scan-IO claim: the screening pass reads (vec_id, pv, pn)
     * rows at 16 doubles each instead of 64, so a 100 TB corpus's candidate
@@ -2853,6 +2971,74 @@ object SimilarityQueries {
               |SELECT 'rp' AS method, q_id, n_hits,
               |  n_hits * 1000000 // $TOP_K AS recall_micro
               |FROM hits ORDER BY q_id""".stripMargin),
+      bench = false // embeds the O(n²) truth — an offline audit
+    ),
+
+    // ---- IVF × RP: cell pruning + sketch screen + exact re-rank -------------
+    // See rpIvfTopk's scale notes: candidates are cell-bounded before the
+    // 16-dim screen, so the fixed screen depth prices against cell size
+    // (quantizer-held-constant at scale), not corpus size.
+    GQuery(
+      "ann_rp_ivf_topk",
+      (s, dir) => rpIvfTopk(s, dir).orderBy("q_id", "rank"),
+      Some(s"""WITH ${VectorOps.normalizedSql},
+              |$rpSqlChain,
+              |$ivfCandSqlChain,
+              |$rpIvfScreenSqlChain
+              |SELECT q_id, rank, cand_id, cos FROM rtop WHERE rank <= $TOP_K
+              |ORDER BY q_id, rank""".stripMargin)
+    ),
+
+    // The composition's honesty metric, beside the tiers it composes:
+    // recall@10 of plain IVF and of IVF×RP against the brute-force truth,
+    // per query — what the 16-dim screen costs ON TOP of cell pruning.
+    // (Measured means recorded at rpIvfTopk's doc.)
+    GQuery(
+      "ann_rp_ivf_recall",
+      (s, dir) => {
+        val bf = bruteforceTopk(s, dir).select("q_id", "cand_id")
+        def recallRows(method: String, topk: DataFrame) =
+          bf.join(topk.select(col("q_id"), col("cand_id"), lit(1).as("hit")),
+              Seq("q_id", "cand_id"), "left")
+            .groupBy("q_id").agg(count(col("hit")).as("n_hits"))
+            .select(lit(method).as("method"), col("q_id"), col("n_hits"),
+              expr(s"n_hits * 1000000 div $TOP_K").as("recall_micro"))
+        recallRows("ivf", ivfTopk(s, dir))
+          .unionByName(recallRows("ivf_rp", rpIvfTopk(s, dir)))
+          .orderBy("method", "q_id")
+      },
+      Some(s"""WITH ${VectorOps.normalizedSql},
+              |$rpSqlChain,
+              |$ivfCandSqlChain,
+              |$rpIvfScreenSqlChain,
+              |itoprk AS (SELECT cand.q_id, cand.cand_id,
+              |    ${VectorOps.cosSql("qe.v", "b.v", "qe.nrm", "b.nrm")} AS cos
+              |  FROM cand JOIN e b ON cand.cand_id = b.vec_id
+              |  JOIN (SELECT vec_id, v, nrm FROM e WHERE vec_id < $N_QUERIES) qe
+              |    ON cand.q_id = qe.vec_id),
+              |itop AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+              |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+              |  FROM itoprk) WHERE rank <= $TOP_K),
+              |bscored AS (SELECT q.q_id, e.vec_id AS cand_id,
+              |  ${VectorOps.cosSql("q.qv", "e.v", "q.qn", "e.nrm")} AS cos
+              |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+              |bf AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+              |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+              |  FROM bscored) WHERE rank <= $TOP_K),
+              |ihits AS (SELECT bf.q_id, CAST(COUNT(t.cand_id) AS BIGINT) AS n_hits
+              |  FROM bf LEFT JOIN itop t ON bf.q_id = t.q_id AND bf.cand_id = t.cand_id
+              |  GROUP BY bf.q_id),
+              |rhits AS (SELECT bf.q_id, CAST(COUNT(t.cand_id) AS BIGINT) AS n_hits
+              |  FROM bf LEFT JOIN (SELECT q_id, cand_id FROM rtop WHERE rank <= $TOP_K) t
+              |    ON bf.q_id = t.q_id AND bf.cand_id = t.cand_id
+              |  GROUP BY bf.q_id),
+              |res AS (
+              |  SELECT 'ivf' AS method, q_id, n_hits FROM ihits
+              |  UNION ALL
+              |  SELECT 'ivf_rp', q_id, n_hits FROM rhits)
+              |SELECT method, q_id, n_hits,
+              |  n_hits * 1000000 // $TOP_K AS recall_micro
+              |FROM res ORDER BY method, q_id""".stripMargin),
       bench = false // embeds the O(n²) truth — an offline audit
     ),
 
