@@ -1776,7 +1776,10 @@ object SimilarityQueries {
     * oracle) is exact regardless. `ann_pq_trained` replaces the seeded
     * codebook with one Lloyd iteration per subspace and lifts measured
     * recall@10 to ≈ 0.30 (`ann_pq_recall` reports all variants side by
-    * side) — real corpora with actual cluster structure gain more.
+    * side); training to convergence (`ann_pq_trained_conv`) exhausts its
+    * budget at 0.27 — one iteration IS the plateau on structureless data —
+    * while real corpora with actual cluster structure gain more and
+    * converge in 2-3 rounds (KmeansTrainSpec's clustered-subspace pin).
     */
   private val PQ_C = 8
 
@@ -1831,6 +1834,73 @@ object SimilarityQueries {
           (col("sx").cast("double") / 1e9 / col("nd").cast("double")).as("cc")).as("pc"))
       .groupBy("ss", "cid")
       .agg(expr("transform(sort_array(collect_list(pc)), p -> p.cc)").as("cv"))
+  }
+
+  /** Convergence budget for [[trainedCentsConv]] — the kmeansTrain
+    * tolerance (1e-3 on the nano grid) with a small iteration cap; the
+    * curve on this corpus plateaus immediately (see the
+    * `ann_pq_trained_conv` verdict note).
+    */
+  private val PQ_TRAIN_MAX_ITERS = 4
+  private val PQ_TRAIN_TOL_NANO = 1000000L
+
+  /** Per-subspace Lloyd loop TO CONVERGENCE — [[kmeansTrain]]'s discipline
+    * applied to the PQ codebooks (the r11 verdict's directive 5):
+    * iterate assign→recompute per subspace up to K rounds, measure movement
+    * as the max per-component centroid shift on the 1e-9 grid across every
+    * surviving (subspace, code) cell, stop early below `tolNano`. Codebook
+    * state COLLECTS between rounds (8 subspaces × C codes × 8 dims = 512
+    * doubles — control-plane sized), so K rounds keep flat lineage; each
+    * round is one broadcast assignment pass (corpus never shuffles) plus
+    * one (ss, cid, pos)-keyed partial-agg shuffle (8·C·8 keys). Cells that
+    * lose every member drop out (standard Lloyd degeneracy — possible from
+    * round 2 on, once centroids move off data points) and later rounds
+    * assign against survivors only; the oracle mirrors both exactly.
+    */
+  private[graft] def trainedCentsConv(
+      subs: DataFrame, maxIters: Int = PQ_TRAIN_MAX_ITERS,
+      tolNano: Long = PQ_TRAIN_TOL_NANO): DataFrame = {
+    val s = subs.sparkSession
+    import s.implicits._
+    def nano(x: Double): Long =
+      BigDecimal(x * 1e9).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+    var cent: Seq[(Int, Int, Seq[Double])] = seededCents(subs)
+      .select(col("ss"), col("cid"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+    require(cent.nonEmpty,
+      "trainedCentsConv: no seed subvectors (empty corpus) — nothing to train")
+    val aw = Window.partitionBy("vec_id", "ss").orderBy(col("dist"), col("cid"))
+    var it = 1
+    var stop = false
+    while (it <= maxIters && !stop) {
+      val centDf = broadcast(cent.toDF("ss", "cid", "cv"))
+      val next: Map[(Int, Int), Seq[Double]] = subs.join(centDf, "ss")
+        .select(col("vec_id"), col("ss"), col("cid"), col("sv"),
+          expr(pqDistExpr).as("dist"))
+        .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+        .select(col("ss"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("ss", "cid", "pos")
+        .agg(sum(round(col("x") * 1e9).cast("long")).as("sx"), count(lit(1)).as("nd"))
+        .select(col("ss"), col("cid"),
+          struct(col("pos"),
+            (col("sx").cast("double") / 1e9 / col("nd").cast("double")).as("cc")).as("pc"))
+        .groupBy("ss", "cid")
+        .agg(expr("transform(sort_array(collect_list(pc)), p -> p.cc)").as("cv"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      require(next.nonEmpty && cent.exists(c => next.contains((c._1, c._2))),
+        "trainedCentsConv: no codebook cell survived the assignment round — " +
+          "degenerate corpus; cannot measure movement")
+      val shift = cent.iterator.collect {
+        case (ss, cid, old) if next.contains((ss, cid)) =>
+          old.iterator.zip(next((ss, cid)).iterator)
+            .map { case (o, n) => math.abs(nano(n) - nano(o)) }.max
+      }.max
+      stop = shift < tolNano
+      cent = next.toSeq.sortBy(_._1)
+        .map { case ((ss, cid), cv) => (ss, cid, cv) }
+      it += 1
+    }
+    cent.toDF("ss", "cid", "cv")
   }
 
   /** The PQ building blocks for a given codebook: (corpus codes wide table,
@@ -1934,6 +2004,15 @@ object SimilarityQueries {
     adcTopk(codes, dtab)
   }
 
+  /** PQ top-k with the codebook trained TO CONVERGENCE ([[trainedCentsConv]])
+    * — the full train → encode → probe pipeline.
+    */
+  private def pqTrainedConvTopk(s: SparkSession, dir: String): DataFrame = {
+    val subs = subvectors(VectorOps.normalized(s, dir).select("vec_id", "v"))
+    val (codes, dtab) = pqPartsFrom(subs, trainedCentsConv(subs))
+    adcTopk(codes, dtab)
+  }
+
   /** IVF-PQ: the composition every production vector store runs (FAISS's
     * default index family) — IVF's coarse quantizer prunes the corpus to
     * the nprobe nearest cells, and PQ's asymmetric distance ranks ONLY the
@@ -1998,6 +2077,55 @@ object SimilarityQueries {
        |cent$sfx AS (SELECT ss, cid,
        |    list(CAST(sx AS DOUBLE) / 1000000000 / CAST(nd AS DOUBLE) ORDER BY pos) AS cv
        |  FROM trsum$sfx GROUP BY ss, cid)""".stripMargin
+  }
+
+  /** Trained-to-convergence codebook CTE chain ending in `cent$sfx`: the
+    * Lloyd loop UNROLLED to `maxIters` blocks (assignment → grid-exact
+    * means → nano-grid shift over surviving cells), early stop as the
+    * kmeansTrainOracleSql prefix filter, and the FINAL codebook selected as
+    * the stop iteration's centroid set — row-for-row the state
+    * [[trainedCentsConv]] ends on. Each pcent is MATERIALIZED: it feeds
+    * the next assignment, the shift join, and the final selection (three
+    * references — inlined, DuckDB re-expands the whole upstream chain per
+    * reference, the nnDescentTrainOracleSql lesson).
+    */
+  private def pqConvCentCte(sfx: String, maxIters: Int, tolNano: Long): String = {
+    def dot(a: String, b: String) = VectorOps.dotSql(a, b)
+    val distExpr = s"${dot("sv", "sv")} + ${dot("cv", "cv")} - 2 * ${dot("sv", "cv")}"
+    val blocks = (1 to maxIters).map { i =>
+      val prev = if (i == 1) s"pcent0$sfx" else s"pcent${i - 1}$sfx"
+      s"""passign$i$sfx AS (SELECT vec_id, ss, cid, sv FROM (
+         |  SELECT sub.vec_id, sub.ss, cid, sub.sv AS sv,
+         |    row_number() OVER (PARTITION BY sub.vec_id, sub.ss ORDER BY
+         |      $distExpr, cid) AS rn
+         |  FROM sub JOIN $prev ON sub.ss = $prev.ss) WHERE rn = 1),
+         |pdim$i$sfx AS (SELECT ss, cid, unnest(range(1, 9)) AS pos, sv
+         |  FROM passign$i$sfx),
+         |psum$i$sfx AS (SELECT ss, cid, pos,
+         |    CAST(SUM(CAST(round(sv[pos] * 1000000000) AS BIGINT)) AS BIGINT) AS sx,
+         |    CAST(COUNT(*) AS BIGINT) AS nd
+         |  FROM pdim$i$sfx GROUP BY ss, cid, pos),
+         |pcent$i$sfx AS MATERIALIZED (SELECT ss, cid,
+         |    list(CAST(sx AS DOUBLE) / 1000000000 / CAST(nd AS DOUBLE) ORDER BY pos) AS cv
+         |  FROM psum$i$sfx GROUP BY ss, cid),
+         |pshift$i$sfx AS (SELECT MAX(ABS(CAST(round(n.cv[p.pos] * 1000000000) AS BIGINT)
+         |    - CAST(round(o.cv[p.pos] * 1000000000) AS BIGINT))) AS mshift
+         |  FROM pcent$i$sfx n JOIN $prev o ON n.ss = o.ss AND n.cid = o.cid
+         |  CROSS JOIN (SELECT unnest(range(1, 9)) AS pos) p)""".stripMargin
+    }.mkString(",\n")
+    val mvRows = (1 to maxIters)
+      .map(i => s"SELECT $i AS iter, (SELECT mshift FROM pshift$i$sfx) AS mshift")
+      .mkString(" UNION ALL ")
+    val tagRows = (1 to maxIters)
+      .map(i => s"SELECT $i AS it, ss, cid, cv FROM pcent$i$sfx")
+      .mkString(" UNION ALL ")
+    s"""pcent0$sfx AS (SELECT vec_id AS cid, ss, sv AS cv FROM sub WHERE vec_id < $PQ_C),
+       |$blocks,
+       |pmv$sfx AS ($mvRows),
+       |pstop$sfx AS (SELECT COALESCE(MIN(iter), $maxIters) AS s FROM pmv$sfx
+       |  WHERE mshift < $tolNano),
+       |cent$sfx AS (SELECT ss, cid, cv FROM ($tagRows)
+       |  WHERE it = (SELECT s FROM pstop$sfx))""".stripMargin
   }
 
   /** Encode chain for a given codebook CTE: `dists$sfx` → `codes$sfx` +
@@ -2385,6 +2513,37 @@ object SimilarityQueries {
       Some(pqTrainedTopkSql)
     ),
 
+    // ---- convergence-trained PQ: the full Lloyd loop per subspace -----------
+    // ann_pq_trained runs exactly ONE Lloyd iteration; this runs
+    // trainedCentsConv's early-stopping loop (kmeansTrain's discipline per
+    // subspace) and probes the converged codebook. Measured verdict
+    // (ann_pq_recall, mean recall@10, sf0.01): pq 0.21 → pq_trained 0.30 →
+    // pq_trained_conv 0.27 with the loop running its full 4-round budget
+    // (8-dim subspace movement never falls below 1e-3 on structureless
+    // uniform data — there are no subspace clusters to converge INTO, the
+    // kmeansTrain plateau note at PQ granularity). So iteration 1 IS the
+    // plateau here and extra rounds jitter the boundaries; on clustered
+    // real corpora the same loop converges in 2-3 rounds and the curve
+    // pays. Trainer-flagged: K algorithmic rounds, not plan cost.
+    GQuery(
+      "ann_pq_trained_conv",
+      (s, dir) => pqTrainedConvTopk(s, dir).orderBy("q_id", "rank"),
+      Some {
+        val adc = (0 until 8).map(j => adcCase(j, PQ_C)).mkString(" + ")
+        s"""WITH ${VectorOps.normalizedSql},
+           |$pqSubCte,
+           |${pqChainSql(pqConvCentCte("", PQ_TRAIN_MAX_ITERS, PQ_TRAIN_TOL_NANO), "")},
+           |pairs AS (SELECT q_id, codes.vec_id AS cand_id, $adc AS adc
+           |  FROM codes, dtab WHERE codes.vec_id <> q_id),
+           |ranked AS (SELECT q_id, cand_id, adc,
+           |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS BIGINT) AS rank
+           |  FROM pairs)
+           |SELECT q_id, rank, cand_id, adc FROM ranked WHERE rank <= $TOP_K
+           |ORDER BY q_id, rank""".stripMargin
+      },
+      trainer = true
+    ),
+
     // ---- filtered (hybrid) ANN: metadata predicate below the index probe ----
     GQuery(
       "ann_filtered_topk",
@@ -2434,6 +2593,7 @@ object SimilarityQueries {
         recallRows("pq", pqTopk(s, dir))
           .unionByName(recallRows("ivfpq", ivfPqTopk(s, dir)))
           .unionByName(recallRows("pq_trained", pqTrainedTopk(s, dir)))
+          .unionByName(recallRows("pq_trained_conv", pqTrainedConvTopk(s, dir)))
           .orderBy("method", "q_id")
       },
       Some {
@@ -2448,6 +2608,7 @@ object SimilarityQueries {
            |  FROM bscored) WHERE rank <= $TOP_K),
            |$pqCtesSql,
            |${pqChainSql(pqTrainedCentCte("_t"), "_t")},
+           |${pqChainSql(pqConvCentCte("_c", PQ_TRAIN_MAX_ITERS, PQ_TRAIN_TOL_NANO), "_c")},
            |ppairs AS (SELECT dtab.q_id, codes.vec_id AS cand_id, $adc AS adc
            |  FROM codes, dtab WHERE codes.vec_id <> dtab.q_id),
            |pq AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
@@ -2458,6 +2619,11 @@ object SimilarityQueries {
            |tpq AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
            |  row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS rank
            |  FROM tpairs) WHERE rank <= $TOP_K),
+           |cpairs AS (SELECT dtab_c.q_id, codes_c.vec_id AS cand_id, $adc AS adc
+           |  FROM codes_c, dtab_c WHERE codes_c.vec_id <> dtab_c.q_id),
+           |cpq AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS rank
+           |  FROM cpairs) WHERE rank <= $TOP_K),
            |seeds AS (SELECT vec_id AS seed_id, v AS sv0, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
            |assign0 AS (SELECT e.vec_id, seeds.seed_id,
            |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -2484,7 +2650,9 @@ object SimilarityQueries {
            |ivfpq_hits AS (SELECT bf.q_id, COUNT(*) AS hits FROM bf
            |  JOIN ivfpq ON bf.q_id = ivfpq.q_id AND bf.cand_id = ivfpq.cand_id GROUP BY bf.q_id),
            |tpq_hits AS (SELECT bf.q_id, COUNT(*) AS hits FROM bf
-           |  JOIN tpq ON bf.q_id = tpq.q_id AND bf.cand_id = tpq.cand_id GROUP BY bf.q_id)
+           |  JOIN tpq ON bf.q_id = tpq.q_id AND bf.cand_id = tpq.cand_id GROUP BY bf.q_id),
+           |cpq_hits AS (SELECT bf.q_id, COUNT(*) AS hits FROM bf
+           |  JOIN cpq ON bf.q_id = cpq.q_id AND bf.cand_id = cpq.cand_id GROUP BY bf.q_id)
            |SELECT method, q_id, n_hits, recall FROM (
            |  SELECT 'pq' AS method, qids.q_id,
            |    CAST(COALESCE(hits, 0) AS BIGINT) AS n_hits,
@@ -2497,7 +2665,11 @@ object SimilarityQueries {
            |  UNION ALL
            |  SELECT 'pq_trained', qids.q_id, CAST(COALESCE(hits, 0) AS BIGINT),
            |    CAST(COALESCE(hits, 0) AS DOUBLE) / $TOP_K
-           |  FROM qids LEFT JOIN tpq_hits ON qids.q_id = tpq_hits.q_id)
+           |  FROM qids LEFT JOIN tpq_hits ON qids.q_id = tpq_hits.q_id
+           |  UNION ALL
+           |  SELECT 'pq_trained_conv', qids.q_id, CAST(COALESCE(hits, 0) AS BIGINT),
+           |    CAST(COALESCE(hits, 0) AS DOUBLE) / $TOP_K
+           |  FROM qids LEFT JOIN cpq_hits ON qids.q_id = cpq_hits.q_id)
            |ORDER BY method, q_id""".stripMargin
       },
       bench = false // embeds the brute-force ground truth — an offline audit

@@ -55,6 +55,48 @@ class KmeansTrainSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
   }
 
+  test("PQ convergence trainer reaches a fixed point on clustered subspaces") {
+    // trainedCentsConv returns the FINAL codebook, so convergence is pinned
+    // by invariance: on a corpus where every 8-dim subspace has 8 tight
+    // clusters covered by the seeds, round 1 moves each code to its cluster
+    // mean and round 2 measures zero movement — so a 2-round budget and a
+    // 6-round budget must end on the IDENTICAL codebook (the early stop
+    // fired; extra budget is never spent). On the uniform driver corpus the
+    // same loop exhausts its budget without converging (movement plateaus
+    // ~46M nano — the measured note at ann_pq_trained_conv).
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(13)
+    // [subspace][cluster][dim] centers; point i's subspace ss ~ cluster i%8
+    val centers = Array.fill(8, 8, 8)(rnd.nextDouble() * 2 - 1)
+    val rows = for {
+      i <- 0 until 240
+      ss <- 0 until 8
+    } yield (i.toLong, ss,
+      centers(ss)(i % 8).map(x => x + (rnd.nextDouble() * 2 - 1) * 0.05).toSeq)
+    val subs = rows.toDF("vec_id", "ss", "sv")
+    def cents(maxIters: Int): Set[(Int, Int, Seq[Double])] =
+      SimilarityQueries.trainedCentsConv(subs, maxIters = maxIters)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .toSet
+    val c2 = cents(2)
+    assert(c2.size == 64, s"expected 8 subspaces x 8 codes, got ${c2.size}")
+    assert(cents(6) == c2,
+      "clustered subspaces must converge by round 2: a 6-round budget may " +
+        "not change the codebook the 2-round budget ends on")
+  }
+
+  test("PQ convergence trainer fails loudly on an empty corpus") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val empty = Seq.empty[(Long, Int, Seq[Double])].toDF("vec_id", "ss", "sv")
+    val e = intercept[IllegalArgumentException] {
+      SimilarityQueries.trainedCentsConv(empty)
+    }
+    assert(e.getMessage.contains("no seed subvectors"))
+  }
+
   test("driver corpus: curve is structurally sound whatever the data does") {
     // The uniform corpus may or may not cross tolerance inside the budget —
     // that is a property of the DATA, so pin only the loop's invariants:
