@@ -671,6 +671,41 @@ object TextQueries {
       .select("doc_id", "pred_label", "pred_score", "margin", "lang", "correct")
   }
 
+  /** Label-free serving: score ANY (doc_id, text) frame under a collected
+    * model — the shape the streaming monitor runs per trigger (arriving
+    * docs carry no lang column; the model is fixed, so per-doc scores are
+    * micro-batching-invariant).
+    */
+  private[graft] def linearScore(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      labels: Seq[String],
+      w: Map[(String, Long), Long]): org.apache.spark.sql.DataFrame =
+    linearPredict(s, linearFeats(docs), labels, w)
+
+  /** Persist the trained weight grid — the linear model's entire artifact
+    * (n_labels × 65 rows), the writeUnigramModel discipline: train once on
+    * the standing corpus, read by every serving trigger.
+    */
+  private[graft] def writeLinearModel(
+      s: org.apache.spark.sql.SparkSession, dir: String, path: String): Unit = {
+    val (_, _, w) = linearTrain(s, dir, LINEAR_ITERS)
+    s.createDataFrame(w.toSeq.map { case ((l, j), wt) => (l, j, wt) })
+      .toDF("label", "j", "w")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Collect a persisted weight grid back to serving form (control-plane
+    * sized: n_labels × 65 longs).
+    */
+  private[graft] def readLinearModel(
+      s: org.apache.spark.sql.SparkSession, path: String)
+      : (Seq[String], Map[(String, Long), Long]) = {
+    val w = s.read.parquet(path).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (w.keysIterator.map(_._1).toSeq.distinct.sorted, w)
+  }
+
   /** Oracle twin of [[linearTrain]]: the batch loop UNROLLED to `maxIters`
     * CTE blocks (score → argmax → mistake set → summed update → new weight
     * grid), stats per block, with the early stop expressed as the

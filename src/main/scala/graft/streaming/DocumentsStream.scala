@@ -127,4 +127,31 @@ object DocumentsStream {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming linear-classifier monitor — the supervised serving twin of
+    * [[runSurprisalMonitor]]: arriving documents score against the
+    * PERSISTED perceptron weight grid ([[graft.operators.TextQueries
+    * .writeLinearModel]]) per trigger. The model is collected ONCE at
+    * start (control-plane: n_labels × 65 longs) and baked into every
+    * micro-batch's broadcast scoring join, so per-doc predictions are
+    * micro-batching-invariant — pinned equal to the one-shot serving pass
+    * in StreamingSpec. A real deployment re-trains on a cadence and swaps
+    * the model path, never the query.
+    */
+  def runLinearMonitor(
+      spark: SparkSession, modelPath: String, inPath: String, outPath: String,
+      checkpoint: String): Unit = {
+    val (labels, w) = graft.operators.TextQueries.readLinearModel(spark, modelPath)
+    val q = readDocs(spark, inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.TextQueries.linearScore(spark, batch.toDF(), labels, w)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -539,6 +539,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == direct.orderBy("doc_id").collect().toSeq)
   }
 
+  test("streaming linear-classifier monitor equals the one-shot serving pass") {
+    // the supervised quality gate served on a stream: train the perceptron
+    // once, persist the weight grid, drain the corpus in several
+    // micro-batches scoring each against the fixed model — predictions are
+    // per-doc once the weights are frozen, so the appended reports must
+    // equal the registered text_linear_classify's serving columns exactly
+    import graft.streaming.DocumentsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-linstream").toString
+    graft.operators.TextQueries.writeLinearModel(spark, sfDir, s"$base/model")
+    Tables.documents(spark, sfDir).select("doc_id", "text").repartition(3)
+      .write.mode("overwrite").parquet(s"$base/in")
+    DocumentsStream.runLinearMonitor(
+      spark, s"$base/model", s"$base/in", s"$base/out", s"$base/ckpt")
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected several micro-batches, got $commits")
+    val direct = SparkEntry.queries("text_linear_classify")(spark, sfDir)
+      .select("doc_id", "pred_label", "pred_score", "margin")
+    val got = spark.read.parquet(s"$base/out")
+      .select("doc_id", "pred_label", "pred_score", "margin")
+      .orderBy("doc_id").collect()
+    assert(got.nonEmpty && got.toSeq == direct.orderBy("doc_id").collect().toSeq)
+  }
+
   test("stateful dedup on the RocksDB state store equals batch distinct") {
     // the bounded-heap state path a 100 TB streaming deployment runs on:
     // same query, state provider swapped to RocksDB — results must be
