@@ -756,6 +756,12 @@ object TextQueries {
     */
   private val DSIR_TARGET_COND = "lang = 'en' AND source = 'src0'"
   private val DSIR_TAU_MILLI = 200L
+  /** Positive shift for the systematic-resampling weights (covers the
+    * observed llr range with margin; max(1, ·) floors the rest) and the
+    * exact draw count K.
+    */
+  private val DSIR_SHIFT = 256L
+  private val DSIR_SAMPLE_K = 100L
 
   /** Per-doc DSIR log-likelihood-ratio weights on the bit_length grid:
     * (doc_id, lang, source, n_tokens, llr_bits). Shared by the weights and
@@ -1373,6 +1379,69 @@ object TextQueries {
               |SELECT doc_id, lang, source, n_tokens, llr_bits,
               |  llr_bits * 1000 >= $DSIR_TAU_MILLI * n_tokens AS selected
               |FROM dsirper ORDER BY doc_id""".stripMargin)
+    ),
+
+    GQuery(
+      // The resampling step itself — DSIR's "importance RESAMPLING" made
+      // exact: systematic resampling (the low-variance scheme from the
+      // particle-filter literature, Douc & Cappé 2005) over the llr
+      // weights, entirely in integers. Weights are shifted positive
+      // (w = max(1, llr+256) — the floor keeps every doc sample-able),
+      // laid on a deterministic (source, doc_id) line, and doc d draws
+      //   n_copies(d) = ⌊cum_d·K/T⌋ − ⌊(cum_d−w_d)·K/T⌋
+      // — the K evenly spaced pointers that land in d's weight segment.
+      // The multiplicities TELESCOPE to exactly K (pinned in DsirSpec),
+      // heavy docs legitimately draw > 1 copy (sampling with
+      // replacement), and there is no randomness to seed: the "offsets"
+      // are the integer grid itself.
+      //
+      // Scale (100 TB): the global prefix sum is the only nontrivial
+      // piece — it runs as per-SOURCE windows (parallel across sources)
+      // plus a control-plane offset table (one row per source, collected
+      // and broadcast; the oracle recomputes it as a window over source
+      // totals). A single giant source would serialize its window — the
+      // standard fix is one more split level (source × doc_id-range
+      // buckets with a second bounded offset table), same algebra.
+      "pipeline_dsir_sample",
+      (s, dir) => {
+        val w = dsirScores(Tables.documents(s, dir))
+          .select(col("doc_id"), col("lang"), col("source"),
+            greatest(lit(1L), col("llr_bits") + lit(DSIR_SHIFT)).as("w"))
+        val stot = w.groupBy("source").agg(sum(col("w")).as("sw"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+        val total = stot.map(_._2).sum
+        val offs = stot.map(_._1).zip(stot.scanLeft(0L)(_ + _._2).dropRight(1))
+        val offDf = broadcast(s.createDataFrame(offs.toSeq).toDF("source", "off"))
+        val win = Window.partitionBy("source").orderBy("doc_id")
+        w.join(offDf, "source")
+          .withColumn("cum", col("off") + sum(col("w")).over(win))
+          .withColumn("n_copies",
+            expr(s"cum * $DSIR_SAMPLE_K div ${total}L" +
+              s" - (cum - w) * $DSIR_SAMPLE_K div ${total}L"))
+          .filter(col("n_copies") >= 1)
+          .select("doc_id", "lang", "source", "w", "n_copies")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $dsirSqlPrelude,
+              |dsw AS (SELECT doc_id, lang, source,
+              |  GREATEST(CAST(1 AS BIGINT), llr_bits + $DSIR_SHIFT) AS w FROM dsirper),
+              |dstot AS (SELECT source, CAST(SUM(w) AS BIGINT) AS sw
+              |  FROM dsw GROUP BY 1),
+              |dsoff AS (SELECT source, CAST(COALESCE(SUM(sw) OVER (ORDER BY source
+              |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+              |  FROM dstot),
+              |dst AS (SELECT CAST(SUM(w) AS BIGINT) AS t FROM dsw),
+              |dscum AS (SELECT w.doc_id, w.lang, w.source, w.w,
+              |    o.off + CAST(SUM(w.w) OVER (PARTITION BY w.source
+              |      ORDER BY w.doc_id) AS BIGINT) AS cum
+              |  FROM dsw w JOIN dsoff o USING (source))
+              |SELECT doc_id, lang, source, w,
+              |  (cum * $DSIR_SAMPLE_K) // t - ((cum - w) * $DSIR_SAMPLE_K) // t
+              |    AS n_copies
+              |FROM dscum CROSS JOIN dst
+              |WHERE (cum * $DSIR_SAMPLE_K) // t
+              |    - ((cum - w) * $DSIR_SAMPLE_K) // t >= 1
+              |ORDER BY doc_id""".stripMargin)
     ),
 
     GQuery(

@@ -41,6 +41,22 @@ class DsirSpec extends SparkSpec {
     assert(offDomain.forall(!_._2), s"tau cut kept an off-domain doc: $offDomain")
   }
 
+  test("systematic resampling draws exactly K copies, biased to the in-domain docs") {
+    val out = SparkEntry.queries("pipeline_dsir_sample")(spark, shiftDir).collect()
+    // multiplicities telescope to exactly K regardless of corpus size
+    assert(out.map(_.getLong(4)).sum == 100L, out.toSeq)
+    assert(out.forall(_.getLong(4) >= 1L))
+    // heavier (in-domain) docs draw more copies in aggregate — pointwise
+    // dominance isn't guaranteed: the +256 weight shift (sized for the
+    // driver corpus's llr range) compresses this corpus's ±30-bit spread,
+    // so neighboring docs can land equal multiplicities
+    val byId = out.map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val inC = (10L until 20L).map(byId.getOrElse(_, 0L))
+    val offC = (20L until 30L).map(byId.getOrElse(_, 0L))
+    assert(inC.sum > offC.sum,
+      s"in-domain copies $inC should out-draw off-domain $offC in total")
+  }
+
   test("selection report attributes the kept mass to the in-domain sources") {
     val rep = SparkEntry.queries("pipeline_dsir_select")(spark, shiftDir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
