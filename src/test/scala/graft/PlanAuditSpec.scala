@@ -333,4 +333,43 @@ class PlanAuditSpec extends SparkSpec {
     val sides = Seq(smj.left, smj.right).flatMap(windowBeforeShuffle)
     assert(sides.contains(true), s"no join side reaches a Window shuffle-free:\n$p")
   }
+
+  test("k-center assignment is join-free map scoring: literal centers, one aggregate") {
+    // the kcenterTrain scale contract served through ann_kcenter_assign:
+    // centers are baked in as literal columns, so the corpus-side scoring
+    // has NO join operator of any kind — just a projection feeding the
+    // K-group aggregate (partial + final) and the output sort
+    val p = plan("ann_kcenter_assign")
+    assert(!p.contains("Join"), s"scoring should be join-free:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // map-side combine
+  }
+
+  test("dsir sampling windows per-source and broadcasts the offset table") {
+    // the prefix-sum scale contract: the cumulative sum is a per-SOURCE
+    // window (parallel across sources), never a global single-partition
+    // window, and the control-plane offset table rides a broadcast join
+    val p = plan("pipeline_dsir_sample")
+    val winLine = p.linesIterator.find(_.contains("windowspecdefinition"))
+      .getOrElse(fail(s"no window in plan:\n$p"))
+    assert(winLine.contains("source#"),
+      s"window must partition by source, not run globally:\n$winLine")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("perceptron serving scores through a broadcast weight join") {
+    // text_linear_classify's corpus side: the feature census partial-aggs
+    // before its shuffle, and the 65-row weight table joins as a broadcast
+    // — the corpus never shuffles for the scoring itself
+    val p = plan("text_linear_classify")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("dsir weights broadcast the target census; no cartesian beyond the 1-row globals") {
+    val p = plan("pipeline_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
