@@ -2415,9 +2415,20 @@ object SimilarityQueries {
     * centers, the monotone nonincreasing coreset-quality curve; the seed
     * row carries the 2e9 sentinel (max cosine distance, no centers yet).
     */
+  /** Selection state by (corpus dir, K) — the bpeMemo discipline: the
+    * curve/centers are a pure function of the immutable corpus, so the
+    * coreset and assign entries share one greedy run per session. Values
+    * are driver-side data only (K curve rows + K×66 doubles).
+    */
+  private val kcenterMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int),
+    (Seq[(Long, Long, Long)], Seq[(Long, Seq[Double], Double)])]()
+
   private[graft] def kcenterTrain(
       s: org.apache.spark.sql.SparkSession, dir: String, k: Int = KCENTER_K)
       : (Seq[(Long, Long, Long)], Seq[(Long, Seq[Double], Double)]) = {
+    val cached = kcenterMemo.get((dir, k))
+    if (cached != null) return cached
     val e = VectorOps.normalized(s, dir)
     val seedRows = e.orderBy("vec_id").limit(1)
       .select("vec_id", "v", "nrm").collect()
@@ -2442,7 +2453,9 @@ object SimilarityQueries {
       centers = centers :+ ((top.getLong(0), top.getSeq[Double](1), top.getDouble(2)))
       out += ((round.toLong, top.getLong(0), top.getLong(3)))
     }
-    (out.toSeq, centers)
+    val res = (out.toSeq, centers)
+    kcenterMemo.put((dir, k), res)
+    res
   }
 
   /** Nearest-center assignment under the trained centers (ties → lowest
