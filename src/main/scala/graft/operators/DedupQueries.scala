@@ -231,6 +231,71 @@ object DedupQueries {
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairs(Tables.documents(s, dir))
 
+  /** Alternating large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * O(log² n)-round CC algorithm whose per-round state is just the edge
+    * list. Where [[propagateLabels]] needs diameter+1 rounds (fine for
+    * shallow near-dup clusters, fatal for a long chain), two-star halves
+    * component "height" every pair of rounds regardless of diameter — the
+    * algorithm to reach for when the dup graph might contain a
+    * 10^6-vertex path (template-spam corpora do).
+    *
+    * large-star(u): attach every LARGER neighbor of u to m = min(Γ(u)∪{u});
+    * small-star(u): attach u and every not-larger neighbor to m. Both are
+    * one groupBy(u) + one self-join per round over the current edges; at
+    * fixpoint every vertex holds a direct edge to its component's minimum,
+    * and labels fall out of one final neighborhood-min pass.
+    *
+    * Convergence test: exact set equality via two anti-joins (a round is
+    * one audit-scale action; the paper's cheaper "no edge changed" counter
+    * needs a diff anyway). Per-round durable checkpoint — same executor-
+    * loss discipline as propagateLabels.
+    *
+    * Input: canonical undirected pairs (a, b). Returns (v, lbl).
+    */
+  private[graft] def twoStarComponents(
+      pairs: DataFrame,
+      checkpoint: DataFrame => DataFrame): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    def bidir(e: DataFrame): DataFrame =
+      e.union(e.select(col("b").as("a"), col("a").as("b")))
+    // m(u) = min over the closed neighborhood, joined back onto each arc
+    def withMin(e: DataFrame): DataFrame = {
+      val d = bidir(e)
+      val mins = d.groupBy("a").agg(min(col("b")).as("mb"))
+        .select(col("a").as("u"), least(col("a"), col("mb")).as("m"))
+      d.join(mins, d("a") === mins("u")).select(col("a"), col("b"), col("m"))
+    }
+    def largeStar(e: DataFrame): DataFrame =
+      canon(withMin(e).filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b")))
+    def smallStar(e: DataFrame): DataFrame = {
+      val wm = withMin(e)
+      canon(wm.filter(col("b") < col("a")).select(col("b").as("a"), col("m").as("b"))
+        .union(wm.select(col("a"), col("m").as("b"))))
+    }
+    var edges = checkpoint(canon(pairs))
+    var prevRound = edges
+    var changed = edges.count() // enters the loop iff any edge exists
+    var iter = 0
+    val maxIter = 30 // ≥ 2·log²(any plausible component); hitting it FAILS
+    while (changed > 0 && iter < maxIter) {
+      val next = checkpoint(smallStar(largeStar(edges)))
+      changed = next.except(edges).count() + edges.except(next).count()
+      prevRound.unpersist(blocking = false)
+      prevRound = next
+      edges = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"two-star did not reach an edge-set fixpoint in $maxIter rounds")
+    Materialize.track(prevRound)
+    bidir(edges).groupBy("a").agg(min(col("b")).as("mb"))
+      .select(col("a").as("v"), least(col("a"), col("mb")).as("lbl"))
+  }
+
   /** (doc_id, m0..mK-1) MinHash signatures for every shingle-able doc.
     * Sub-3-token docs are excluded (no shingles); the corpus is
     * repartitioned first — the hash-heavy pass over a single-file table
@@ -390,6 +455,25 @@ object DedupQueries {
        |  CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jac
        |  FROM pairs0
        |  WHERE CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.6)""".stripMargin
+
+  /** Min-id transitive closure over the near-dup graph via DuckDB's
+    * WITH RECURSIVE — the shared truth for BOTH registered CC algorithms
+    * (label propagation and two-star), which must produce identical
+    * (doc_id, cluster_id, cluster_size) rows.
+    */
+  private lazy val ccClosureOracle: String =
+    s"""WITH RECURSIVE $minhashPairsCte,
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM jac_pairs
+       |  UNION SELECT doc_b, doc_a FROM jac_pairs),
+       |verts AS (SELECT DISTINCT a AS v FROM edges),
+       |reach(v, r) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v),
+       |comp AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
+       |SELECT doc_id, cluster_id,
+       |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+       |FROM comp ORDER BY doc_id""".stripMargin
 
   val defs: Seq[GQuery] = Seq(
 
@@ -604,18 +688,28 @@ object DedupQueries {
             count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH RECURSIVE $minhashPairsCte,
-              |edges AS (SELECT doc_a AS a, doc_b AS b FROM jac_pairs
-              |  UNION SELECT doc_b, doc_a FROM jac_pairs),
-              |verts AS (SELECT DISTINCT a AS v FROM edges),
-              |reach(v, r) AS (
-              |  SELECT v, v FROM verts
-              |  UNION
-              |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v),
-              |comp AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
-              |SELECT doc_id, cluster_id,
-              |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
-              |FROM comp ORDER BY doc_id""".stripMargin)
+      Some(ccClosureOracle)
+    ),
+
+    // ---- the same components via large-star/small-star ----------------------
+    // dedup_clusters' label propagation needs diameter+1 rounds; two-star
+    // (twoStarComponents above) converges in O(log² n) rounds independent
+    // of diameter — the variant a corpus with long dup CHAINS (template
+    // spam, boilerplate families) needs. Same near-dup graph in, same
+    // min-id components out: the oracle is literally dedup_clusters'
+    // recursive closure, so the driver proves the two algorithms agree.
+    GQuery(
+      "dedup_cc_twostar",
+      (s, dir) => {
+        val pairs = Materialize(minhashPairs(s, dir)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        twoStarComponents(pairs, reliableCheckpoint(s))
+          .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some(ccClosureOracle)
     ),
 
     // ---- SimHash signatures (per-row array fold — no explode, no shuffle) --

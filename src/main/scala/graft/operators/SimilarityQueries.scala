@@ -3290,6 +3290,80 @@ object SimilarityQueries {
       bench = false // embeds the O(n²) truth — an offline audit
     ),
 
+    // ---- Matryoshka prefix-dim recall curve ---------------------------------
+    // The OTHER way to shrink vectors: instead of projecting through a
+    // random matrix (RP above), just TRUNCATE — score by cosine over the
+    // first d dimensions only (the Matryoshka-representation-learning
+    // serving trick: one stored vector, any prefix is a valid cheaper
+    // index). recall@10 vs the full-dim truth at d = 8/16/32/64; d=64 is
+    // the embedded sanity row (prefix == full vector ⇒ recall 1.0 by
+    // construction — if that row ever reads <1.0 the harness itself is
+    // broken). On THIS corpus the embeddings are isotropic random floats,
+    // so prefix-dim recall ≈ RP recall at equal dims (no learned
+    // information concentration to exploit) — the measured curve is the
+    // honest baseline a Matryoshka-trained model would have to beat.
+    // Scale shape: prefix scoring is a map-only projection of the stored
+    // vector (no second index to build or keep consistent — the
+    // operational win over RP sketches); the O(n·q) exact scan here is
+    // the audit form, a deployment screens with slice(v,1,d) inside any
+    // of the pruned serving paths (IVF cells, RP survivors, graph beam).
+    GQuery(
+      "ann_dim_recall_curve",
+      (s, dir) => {
+        val e = VectorOps.normalized(s, dir)
+        val bf = Materialize(bruteforceTopk(s, dir).select("q_id", "cand_id"))
+        Seq(8, 16, 32, 64).map { d =>
+          val pe = e.select(col("vec_id"), expr(s"slice(v, 1, $d)").as("pv"))
+            .withColumn("pn", expr(s"sqrt(${VectorOps.dotExpr("pv", "pv")})"))
+          val q = broadcast(pe.filter(col("vec_id") < N_QUERIES)
+            .select(col("vec_id").as("q_id"), col("pv").as("qpv"), col("pn").as("qpn")))
+          val w = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("cand_id"))
+          val top = pe.join(q).filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id").as("cand_id"),
+              VectorOps.cosCol("qpv", "pv", "qpn", "pn").as("pcos"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= TOP_K)
+            .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+          bf.join(top, Seq("q_id", "cand_id"), "left")
+            .groupBy("q_id").agg(count(col("hit")).as("n_hits"))
+            .select(lit(d.toLong).as("dim"), col("q_id"), col("n_hits"),
+              expr(s"n_hits * 1000000 div $TOP_K").as("recall_micro"))
+        }.reduce(_ unionByName _).orderBy("dim", "q_id")
+      },
+      Some {
+        val dims = Seq(8, 16, 32, 64)
+        val perDim = dims.map { d =>
+          s"""pn$d AS (SELECT vec_id, pv, sqrt(${VectorOps.dotSql("pv", "pv")}) AS pn
+             |  FROM (SELECT vec_id, v[1:$d] AS pv FROM e)),
+             |top$d AS (SELECT q_id, cand_id FROM (
+             |  SELECT q.q_id, p.vec_id AS cand_id,
+             |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+             |      ${VectorOps.cosSql("q.qpv", "p.pv", "q.qpn", "p.pn")} DESC, p.vec_id) AS rn
+             |  FROM (SELECT vec_id AS q_id, pv AS qpv, pn AS qpn FROM pn$d
+             |        WHERE vec_id < $N_QUERIES) q
+             |  CROSS JOIN pn$d p WHERE p.vec_id <> q.q_id) WHERE rn <= $TOP_K),
+             |hits$d AS (SELECT bf.q_id, CAST(COUNT(t.cand_id) AS BIGINT) AS n_hits
+             |  FROM bf LEFT JOIN top$d t ON bf.q_id = t.q_id AND bf.cand_id = t.cand_id
+             |  GROUP BY bf.q_id)""".stripMargin
+        }.mkString(",\n")
+        val unioned = dims.map(d =>
+          s"SELECT $d AS dim, q_id, n_hits FROM hits$d").mkString(" UNION ALL ")
+        s"""WITH ${VectorOps.normalizedSql},
+           |bscored AS (SELECT q.vec_id AS q_id, b.vec_id AS cand_id,
+           |  ${VectorOps.cosSql("q.v", "b.v", "q.nrm", "b.nrm")} AS cos
+           |  FROM (SELECT * FROM e WHERE vec_id < $N_QUERIES) q
+           |  CROSS JOIN e b WHERE b.vec_id <> q.vec_id),
+           |bf AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+           |  FROM bscored) WHERE rank <= $TOP_K),
+           |$perDim
+           |SELECT CAST(dim AS BIGINT) AS dim, q_id, n_hits,
+           |  n_hits * 1000000 // $TOP_K AS recall_micro
+           |FROM ($unioned) ORDER BY dim, q_id""".stripMargin
+      },
+      bench = false // embeds the O(n²) truth — an offline audit
+    ),
+
     // The JL operating point, measured: recall@10 of the 50-candidate
     // projected-space screen vs the brute-force truth.
     GQuery(

@@ -34,6 +34,52 @@ object TextQueries {
 
   private def markerArr(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
 
+  /** Priority-sampling geometry (pipeline_sample_priority*). u ∈ [1, 2^20]
+    * from md5 (the only cross-engine hash, Exact.md5Int's derivation with a
+    * dedicated "pri:" domain so no other md5 use correlates); priorities on
+    * the 2^40 integer grid so floor(w·2^40/u) never collides with the float
+    * w/u it stands for (max w·2^40 ≈ 5·10^14 ≪ 2^63 — no overflow at any
+    * plausible token count).
+    */
+  private val PRI_K = 100
+  private val PRI_SCALE = 1099511627776L // 2^40
+  // weight↔priority unit bridge: u_real = u/2^20, so priority_scaled =
+  // w·2^40/u = (w / u_real)·2^20 — a priority is a WEIGHT times 2^20.
+  // The HT comparison max(w_i, τ) must therefore lift w_i by 2^20 (not
+  // 2^40): using the full 2^40 grid there would compare w against τ/2^20
+  // of its true magnitude and collapse the estimator to Σ w_i.
+  private val PRI_W_SCALE = 1048576L // 2^20 = the u modulus
+
+  /** Bloom decontamination geometry: m = 2^16 bits, k = 2 hashes. At the
+    * test corpus's ~50k bench grams the fill is ~1 − e^(−2·50k/65536) —
+    * deliberately DENSE so the measured false-positive rows exercise the
+    * audit path; a deployment sizes m ≈ 1.44·k·n_grams·(bits per gram
+    * target) and the query shape is unchanged.
+    */
+  private val BLOOM_BITS = 65536L
+  private val priUExpr =
+    "CAST(conv(substr(md5(concat('pri:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1048576 + 1"
+  private val priUSql =
+    "CAST(concat('0x', substr(md5(concat('pri:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1048576 + 1"
+  private def priDuckCte =
+    s"""base AS (SELECT doc_id, lang,
+       |  CAST(len($toksSql) AS BIGINT) AS n_tokens, $priUSql AS u FROM documents),
+       |pri AS (SELECT doc_id, lang, n_tokens,
+       |  n_tokens * $PRI_SCALE // u AS priority FROM base)""".stripMargin
+
+  /** Map-only priority projection over any frame carrying (doc_id, text):
+    * appends n_tokens and the integer priority. Shared by the registered
+    * samplers and the streaming twin ([[graft.streaming.DocumentsStream
+    * .runPrioritySample]]) so both rank the SAME priorities — the
+    * mergeability pin depends on it.
+    */
+  private[graft] def priorityOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("n_tokens", expr(s"CAST(size($toksCol) AS BIGINT)"))
+      .withColumn("priority", expr(s"n_tokens * $PRI_SCALE div ($priUExpr)"))
+
+  private[graft] val PRI_TOP_K: Int = PRI_K
+
   /** Count-min sketch geometry + derivation, shared by the registered query
     * and the streaming ingest ([[graft.streaming.DocumentsStream]]). A
     * cell's counter = Σ tf of the tokens hashing into it, so the sketch
@@ -1678,6 +1724,82 @@ object TextQueries {
              |ORDER BY train_doc_id, bench_doc_id""".stripMargin)
     ),
 
+    // ---- Bloom-filter decontamination: the constant-size broadcast path -----
+    // pipeline_decontaminate broadcasts the bench side's DISTINCT 8-gram
+    // digests — fine while the eval suite is small, but a digest set grows
+    // with the bench corpus (32 bytes/gram). The production-scale variant
+    // broadcasts a FIXED-SIZE Bloom bitset instead: each bench gram sets
+    // k=2 positions in a 2^16-bit array; a training gram is flagged iff
+    // BOTH its positions are set. False positives are the price — and this
+    // query MEASURES them instead of hand-waving: every Bloom-flagged doc
+    // carries its exact-join hit count, so n_exact_grams = 0 rows ARE the
+    // false positives, quantified per doc against the exact witness.
+    // Relational form: the bitset's set positions are two tiny int tables
+    // (≤ 2^16 rows each — bounded by geometry, NOT by bench size, the
+    // whole point) fed to broadcast semi-joins; the corpus side stays one
+    // tokenize+map pass, never shuffled until the per-doc count. A native
+    // deployment would collect the positions into a real bitmap broadcast
+    // variable; the plan shape — O(1) broadcast, map-side membership —
+    // is identical here and stays oracle-expressible.
+    GQuery(
+      "pipeline_decontaminate_bloom",
+      (s, dir) => {
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(toks) - 8), " +
+              "i -> md5(concat_ws(' ', slice(toks, i + 1, 8))))")).as("g"))
+        def posExpr(j: Int) =
+          s"CAST(conv(substr(md5(concat('bf$j:', g)), 1, 8), 16, 10) AS BIGINT) % $BLOOM_BITS"
+        val docs = Tables.documents(s, dir)
+        val bench = Materialize(
+          grams(docs.filter(col("doc_id") % 10 === 0)).select("g").distinct())
+        val pos = (0 to 1).map(j => broadcast(
+          bench.select(expr(posExpr(j)).as(s"p$j")).distinct()))
+        val train = grams(docs.filter(col("doc_id") % 10 =!= 0)).distinct()
+        val perDoc = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        val flagged = train
+          .withColumn("p0", expr(posExpr(0))).withColumn("p1", expr(posExpr(1)))
+          .join(pos(0), Seq("p0"), "left_semi")
+          .join(pos(1), Seq("p1"), "left_semi")
+        val nBloom = flagged.groupBy("doc_id").agg(count(lit(1)).as("n_bloom_grams"))
+        val nExact = train.join(bench, Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_exact_grams"))
+        perDoc.join(nBloom, "doc_id")
+          .join(nExact, Seq("doc_id"), "left")
+          .select(col("doc_id").as("train_doc_id"), col("n_grams"),
+            col("n_bloom_grams"), coalesce(col("n_exact_grams"), lit(0L)).as("n_exact_grams"))
+          .withColumn("is_false_positive", col("n_exact_grams") === 0)
+          .orderBy("train_doc_id")
+      },
+      Some {
+        def posSql(j: Int) =
+          s"CAST(concat('0x', substr(md5(concat('bf$j:', g)), 1, 8)) AS BIGINT) % $BLOOM_BITS"
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |grams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |  range(1, len(toks) - 6),
+           |  i -> md5(array_to_string(toks[i:i+7], ' '))))) AS g FROM toks),
+           |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+           |pos0 AS (SELECT DISTINCT ${posSql(0)} AS p FROM bench),
+           |pos1 AS (SELECT DISTINCT ${posSql(1)} AS p FROM bench),
+           |train AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 <> 0),
+           |perDoc AS (SELECT doc_id, $countStarSql AS n_grams FROM train GROUP BY doc_id),
+           |bloom AS (SELECT doc_id, $countStarSql AS n_bloom_grams FROM train
+           |  WHERE ${posSql(0)} IN (SELECT p FROM pos0)
+           |    AND ${posSql(1)} IN (SELECT p FROM pos1)
+           |  GROUP BY doc_id),
+           |exact AS (SELECT doc_id, $countStarSql AS n_exact_grams FROM train
+           |  WHERE g IN (SELECT g FROM bench) GROUP BY doc_id)
+           |SELECT p.doc_id AS train_doc_id, n_grams, n_bloom_grams,
+           |  COALESCE(n_exact_grams, 0) AS n_exact_grams,
+           |  COALESCE(n_exact_grams, 0) = 0 AS is_false_positive
+           |FROM perDoc p JOIN bloom USING (doc_id)
+           |LEFT JOIN exact USING (doc_id)
+           |ORDER BY train_doc_id""".stripMargin
+      }
+    ),
+
     // ---- balanced dataset mixing: downsample to the smallest stratum ---------
     // Domain/language rebalancing, the deterministic way: rank each doc
     // within its language by md5(doc_id) (a stable pseudo-random order both
@@ -2197,6 +2319,77 @@ object TextQueries {
              |SELECT base.source, n_docs, n_langs, sum_chars, n_texts, n_dup_docs
              |FROM base JOIN dup ON base.source = dup.source
              |ORDER BY base.source""".stripMargin)
+    ),
+
+    // ---- priority sampling: one-pass weighted sample without replacement ----
+    // Priority sampling (Duffield–Lund–Thorup): every item gets priority
+    // q_i = w_i / u_i with u_i uniform; the k items with the largest
+    // priorities are a weighted sample WITHOUT replacement, and the
+    // (k+1)-th priority τ turns it into an unbiased total estimator
+    // (Σ max(w_i, τ) over the sample). Here w_i = the doc's token count —
+    // token-budget-proportional document sampling, the draw a trainer
+    // makes when "sample 1B tokens" matters more than "sample 1M docs".
+    // Determinism: u_i is an md5-derived integer in [1, 2^20] and the
+    // priority is the EXACT integer floor(w_i·2^40 / u_i) — both engines
+    // rank identical BIGINTs, ties broken by doc_id, so the sample set is
+    // bit-reproducible (the q_sample_hash discipline applied to weighted
+    // sampling). Scale shape: priorities are a map-only projection; the
+    // global top-k plans as TakeOrderedAndProject (per-partition heap of
+    // k, then k·P rows to one reducer) — no corpus shuffle at any size,
+    // which is exactly why priority sampling (and not rejection or
+    // stratified resampling) is the 100 TB weighted sampler.
+    GQuery(
+      "pipeline_sample_priority",
+      (s, dir) => {
+        priorityOf(Tables.documents(s, dir))
+          .orderBy(col("priority").desc, col("doc_id"))
+          .limit(PRI_K)
+          .select("doc_id", "lang", "n_tokens", "priority")
+      },
+      Some(s"""WITH $priDuckCte
+              |SELECT doc_id, lang, n_tokens, priority FROM pri
+              |ORDER BY priority DESC, doc_id LIMIT $PRI_K""".stripMargin)
+    ),
+
+    // ---- the estimator that makes priority sampling an audit tool -----------
+    // τ = the (k+1)-th priority; E[Σ_{i∈S} max(w_i, τ)] = Σ w_i exactly
+    // (Duffield et al. 2007) — so a 100-doc sample carries an unbiased
+    // estimate of the corpus's total token count, WITHOUT a second corpus
+    // pass. All arithmetic stays on integer grids: max(w_i·2^20, τ) summed
+    // as BIGINTs (2^20 because a stored priority is a weight times 2^20 —
+    // see PRI_W_SCALE), one floor-div back to tokens at the end — the two
+    // engines agree bit-for-bit. The exact total rides along for the
+    // one-row audit: estimate vs truth on this corpus draw.
+    GQuery(
+      "pipeline_sample_priority_est",
+      (s, dir) => {
+        val pri = priorityOf(Tables.documents(s, dir))
+          .select("doc_id", "n_tokens", "priority")
+        val topk1 = Materialize(
+          pri.orderBy(col("priority").desc, col("doc_id")).limit(PRI_K + 1))
+        val tau = broadcast(topk1.agg(min(col("priority")).as("tau")))
+        val total = broadcast(pri.agg(sum(col("n_tokens")).as("exact_total_tokens")))
+        topk1.orderBy(col("priority").desc, col("doc_id")).limit(PRI_K)
+          .crossJoin(tau)
+          .agg(
+            expr(s"sum(greatest(n_tokens * $PRI_W_SCALE, tau)) div $PRI_W_SCALE")
+              .as("ht_est_tokens"),
+            min(col("tau")).as("tau"),
+            count(lit(1)).as("n_sample"))
+          .crossJoin(total)
+          .select("exact_total_tokens", "ht_est_tokens", "tau", "n_sample")
+      },
+      Some(s"""WITH $priDuckCte,
+              |topk1 AS (SELECT * FROM pri ORDER BY priority DESC, doc_id LIMIT ${PRI_K + 1}),
+              |tau AS (SELECT MIN(priority) AS tau FROM topk1),
+              |samp AS (SELECT * FROM topk1 ORDER BY priority DESC, doc_id LIMIT $PRI_K)
+              |SELECT
+              |  (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM pri) AS exact_total_tokens,
+              |  CAST(SUM(CASE WHEN n_tokens * $PRI_W_SCALE > tau
+              |    THEN n_tokens * $PRI_W_SCALE ELSE tau END) // $PRI_W_SCALE AS BIGINT)
+              |    AS ht_est_tokens,
+              |  tau, $countStarSql AS n_sample
+              |FROM samp, tau GROUP BY tau""".stripMargin)
     )
   )
 }

@@ -138,6 +138,43 @@ object DocumentsStream {
     * in StreamingSpec. A real deployment re-trains on a cadence and swaps
     * the model path, never the query.
     */
+  /** Streaming weighted sampler — priority sampling's MERGEABILITY made
+    * operational. Priorities are a pure function of (doc_id, text)
+    * ([[graft.operators.TextQueries.priorityOf]]), so the global top-k by
+    * priority equals the top-k of the per-batch top-k's — each trigger
+    * appends only its k winners (k rows per batch, whatever the batch
+    * size), and [[mergedPrioritySample]] re-ranks the k·B survivors at
+    * read time. Stream == one-shot batch EXACTLY, for ANY micro-batch
+    * partitioning of the corpus — the property a resumable 100 TB ingest
+    * needs from its sampler (no state store, no re-scan, just an append
+    * of winners; the HT estimator τ is computed on the merged sample the
+    * same way the batch query does it).
+    */
+  def runPrioritySample(
+      spark: SparkSession, inPath: String, outPath: String,
+      checkpoint: String): Unit = {
+    val k = graft.operators.TextQueries.PRI_TOP_K
+    val q = readDocs(spark, inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.TextQueries.priorityOf(batch.toDF())
+          .orderBy(col("priority").desc, col("doc_id")).limit(k)
+          .select("doc_id", "n_tokens", "priority")
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The standing sample: top-k by priority over the per-batch winners. */
+  def mergedPrioritySample(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(outPath)
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(graft.operators.TextQueries.PRI_TOP_K)
+
   def runLinearMonitor(
       spark: SparkSession, modelPath: String, inPath: String, outPath: String,
       checkpoint: String): Unit = {

@@ -99,6 +99,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("twoStarComponents matches union-find on random graphs and a long path") {
+    import spark.implicits._
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      verts.map(v => v -> find(v)).toMap
+    }
+    val ckpt = (df: org.apache.spark.sql.DataFrame) => df.localCheckpoint(false)
+    val rnd = new scala.util.Random(7)
+    val trials = Seq.fill(5) {
+      val n = 2 + rnd.nextInt(25)
+      Seq.fill(1 + rnd.nextInt(30)) {
+        val a = rnd.nextInt(n).toLong
+        val b = (a + 1 + rnd.nextInt(n - 1)) % n
+        (math.min(a, b), math.max(a, b))
+      }.distinct
+    } :+ // the case two-star exists for: a 30-vertex PATH (diameter 29,
+      // where label propagation needs 30 rounds; two-star stays O(log²))
+      (0L until 29L).map(i => (100L + i, 101L + i))
+    for ((pairs, trial) <- trials.zipWithIndex) {
+      val got = DedupQueries.twoStarComponents(pairs.toDF("a", "b"), ckpt)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(pairs), s"trial $trial pairs $pairs:\n$got")
+    }
+  }
+
   test("propagateLabels finds connected components under both checkpointers") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 10L), (5L, 6L), (7L, 8L), (8L, 9L))

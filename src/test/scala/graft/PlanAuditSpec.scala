@@ -372,4 +372,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("priority sampling plans as TakeOrdered — per-partition heaps, no corpus sort") {
+    // the one-pass weighted-sample contract: a map-only priority projection
+    // into TakeOrderedAndProject (k·P rows move), never a global Sort+Limit
+    val p = plan("pipeline_sample_priority")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), s"global sort leaked:\n$p")
+  }
+
+  test("bloom decontamination: fixed-geometry position sets ride broadcast semi-joins") {
+    val p = plan("pipeline_decontaminate_bloom")
+    // both per-hash membership tests must be broadcast (the bitset stand-in)
+    assert("BroadcastHashJoin.*LeftSemi".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("priority-sampling HT estimator: unit bridge holds (estimate brackets truth)") {
+    val r = SparkEntry.queries("pipeline_sample_priority_est")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val (truth, est, n) = (r(0).getAs[Long]("exact_total_tokens"),
+      r(0).getAs[Long]("ht_est_tokens"), r(0).getAs[Long]("n_sample"))
+    assert(n == 100, s"sample size $n")
+    // τ mis-scaled by 2^40 collapses est to Σ_sample w_i (≈ truth·k/N ≈
+    // 20% here); correct 2^20 bridging keeps a k=100-of-500 draw within
+    // a loose ±50% of the corpus total. This pins the scale, not luck.
+    assert(est > truth / 2 && est < truth * 2, s"est $est vs truth $truth")
+  }
 }

@@ -563,6 +563,26 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == direct.orderBy("doc_id").collect().toSeq)
   }
 
+  test("streaming priority sample merges to the one-shot batch sample exactly") {
+    // the mergeability claim executed: drain the corpus in several
+    // micro-batches, keep only each batch's k priority winners, re-rank
+    // the appended winners — must equal the one-shot top-k (same columns
+    // as the registered sampler minus lang, which readDocs doesn't carry)
+    import graft.streaming.DocumentsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-pristream").toString
+    Tables.documents(spark, sfDir).select("doc_id", "text").repartition(3)
+      .write.mode("overwrite").parquet(s"$base/in")
+    DocumentsStream.runPrioritySample(spark, s"$base/in", s"$base/out", s"$base/ckpt")
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected several micro-batches, got $commits")
+    val direct = SparkEntry.queries("pipeline_sample_priority")(spark, sfDir)
+      .select("doc_id", "n_tokens", "priority").collect()
+    val merged = DocumentsStream.mergedPrioritySample(spark, s"$base/out")
+      .select("doc_id", "n_tokens", "priority").collect()
+    assert(merged.nonEmpty && merged.toSeq == direct.toSeq)
+  }
+
   test("stateful dedup on the RocksDB state store equals batch distinct") {
     // the bounded-heap state path a 100 TB streaming deployment runs on:
     // same query, state provider swapped to RocksDB — results must be
