@@ -2557,6 +2557,69 @@ object AdvancedQueries {
               |  CASE WHEN o_orderstatus = 'F' THEN 5
               |       WHEN o_orderstatus = 'O' THEN 2 ELSE 1 END
               |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    ),
+
+    // ---- interval concurrency sweep (Allen-style temporal aggregation) ------
+    // "How many order lines were IN FULFILLMENT on each day?" — each
+    // lineitem is open over [order day, ship day] (both inclusive; the
+    // orderkey equi-join attaches the order date). The naive formulation
+    // joins facts to a calendar (one row per covered day: a 100-day
+    // interval fans out 100×); the sweep-line formulation never expands:
+    // each interval contributes +1 at its start day and -1 at end+1, the
+    // deltas MAP-SIDE COMBINE down to the day grain, and a running sum
+    // over the day domain reconstructs the concurrency curve. Scale split:
+    // the only fact-sized ops are the equi-join and two grain aggregations
+    // (combiner-friendly, uniform date keys); the prefix-sum window then
+    // runs over DISTINCT DAYS (~2.5k at any corpus size — it grows with
+    // the time span, not the data), so the single-partition WindowExec is
+    // a deliberate control-plane stage, the ann_pca_power census
+    // discipline applied to time. For an unbounded grain (per-second over
+    // years), two-level it: range-bucket the grain, per-bucket prefix
+    // sums, then a bucket-offset cumulative over bucket subtotals.
+    GQuery(
+      "q_interval_sweep",
+      (s, dir) => {
+        val iv = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_day"))
+          .join(
+            Tables.orders(s, dir)
+              .select(col("o_orderkey"), to_date(col("o_orderdate")).as("order_day")),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("ship_day") >= col("order_day"))
+        val enters = iv.groupBy(col("order_day").as("day"))
+          .agg(count(lit(1)).as("n_enter"))
+        val exits = iv.groupBy(date_add(col("ship_day"), 1).as("day"))
+          .agg(count(lit(1)).as("n_exit"))
+        val deltas = enters.join(exits, Seq("day"), "full")
+          .select(col("day"),
+            coalesce(col("n_enter"), lit(0L)).as("n_enter"),
+            coalesce(col("n_exit"), lit(0L)).as("n_exit"))
+        val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        deltas
+          .withColumn("open_lines", sum(col("n_enter") - col("n_exit")).over(w))
+          .orderBy("day")
+          // dates serialize as yyyy-MM-dd strings — the harness's pandas
+          // compare sees DuckDB DATE as a timestamp, so both engines emit
+          // the ISO string form instead
+          .select(col("day").cast("string").as("day"),
+            col("n_enter"), col("n_exit"), col("open_lines"))
+      },
+      Some("""WITH iv AS (SELECT CAST(o_orderdate AS DATE) AS order_day,
+             |    CAST(l_shipdate AS DATE) AS ship_day
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)),
+             |ent AS (SELECT order_day AS day, CAST(COUNT(*) AS BIGINT) AS n_enter
+             |  FROM iv GROUP BY 1),
+             |ext AS (SELECT ship_day + 1 AS day, CAST(COUNT(*) AS BIGINT) AS n_exit
+             |  FROM iv GROUP BY 1),
+             |d AS (SELECT COALESCE(ent.day, ext.day) AS day,
+             |    COALESCE(n_enter, 0) AS n_enter, COALESCE(n_exit, 0) AS n_exit
+             |  FROM ent FULL JOIN ext ON ent.day = ext.day)
+             |SELECT CAST(day AS VARCHAR) AS day, CAST(n_enter AS BIGINT) AS n_enter,
+             |  CAST(n_exit AS BIGINT) AS n_exit,
+             |  CAST(SUM(n_enter - n_exit) OVER (ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_lines
+             |FROM d ORDER BY day""".stripMargin)
     )
   )
 }

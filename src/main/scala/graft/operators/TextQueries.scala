@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GQuery, Tables}
 import graft.functions.Exact._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -867,6 +868,41 @@ object TextQueries {
        |    row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, label) AS rn,
        |    lead(sc) OVER (PARTITION BY doc_id ORDER BY sc DESC, label) AS second
        |  FROM linscF)""".stripMargin
+
+  /** Cross-document boilerplate-span removal — the corpus-REWRITE dedup op
+    * (see the `pipeline_strip_spans` registry notes for the full design).
+    * Split each doc into non-overlapping `spanTokens`-token spans, drop every
+    * span whose verbatim text occurs in >= `minDocs` distinct documents, and
+    * reassemble the survivors in order. Emits one scalar audit row per doc:
+    * (doc_id, n_spans, n_dropped, clean_chars, clean_md5).
+    */
+  def stripSpans(docs: DataFrame, spanTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    val S = spanTokens
+    val spans = Materialize(
+      docs
+        .select(col("doc_id"), expr(toksCol).as("ts"))
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, (size(ts) - 1) div $S), " +
+            s"i -> named_struct('sid', CAST(i AS BIGINT), " +
+            s"'span', array_join(slice(ts, i * $S + 1, $S), ' ')))")).as("c"))
+        .select(col("doc_id"), col("c.sid").as("sid"),
+          col("c.span").as("span"), md5(col("c.span")).as("g")))
+    val boiler = spans.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select("g")
+    val kept = spans.join(boiler, Seq("g"), "left_anti")
+    val all = spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+    val surv = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(sid, span))), " +
+          "x -> x.span), ' ')").as("clean_text"))
+    all.join(surv, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        (col("n_spans") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        length(coalesce(col("clean_text"), lit(""))).cast("long").as("clean_chars"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+  }
 
   val defs: Seq[GQuery] = Seq(
 
@@ -2390,6 +2426,47 @@ object TextQueries {
               |    AS ht_est_tokens,
               |  tau, $countStarSql AS n_sample
               |FROM samp, tau GROUP BY tau""".stripMargin)
+    ),
+
+    // ---- cross-document boilerplate-span removal (corpus REWRITE) -----------
+    // The CCNet/RefinedWeb line-dedup step, the one pipeline op in the dedup
+    // family that REWRITES documents instead of flagging them: split each
+    // doc into non-overlapping 8-token spans (the corpus has no newlines, so
+    // fixed token windows stand in for lines), census each span's distinct
+    // document frequency, and DROP every span that appears verbatim in >= 2
+    // docs — template headers, navigation chrome, license blocks — then
+    // reassemble each doc from its surviving spans in order. Differs from
+    // dedup_substring (which SCORES doc pairs by shared 8-grams) in both
+    // output (a cleaned corpus, not a pair list) and granularity (a doc with
+    // one boilerplate span keeps its other 95%). Scale shape: one map-side
+    // explode to (doc_id, sid, span-hash), ONE census shuffle on the hash
+    // (hashes only — span text rides no further than its own doc's
+    // partition), a left-anti semi-structure against the tiny boilerplate
+    // set, and one groupBy(doc_id) to reassemble — content-derived uniform
+    // keys, no all-pairs stage, payload crosses the wire once. The emitted
+    // audit row per doc (span counts + md5 of the rewritten text) keeps the
+    // output scalar per the harness convention; a production run would write
+    // clean_text itself back to the lake.
+    GQuery(
+      "pipeline_strip_spans",
+      (s, dir) => stripSpans(Tables.documents(s, dir)).orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+              |sp AS (SELECT doc_id, unnest(list_transform(range(0, (len(ts) - 1) // 8 + 1),
+              |    i -> struct_pack(sid := CAST(i AS BIGINT),
+              |      span := array_to_string(ts[(i*8+1):(i*8+8)], ' ')))) AS c
+              |  FROM toks),
+              |s2 AS (SELECT doc_id, c.sid AS sid, c.span AS span, md5(c.span) AS g FROM sp),
+              |boiler AS (SELECT g FROM s2 GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+              |kept AS (SELECT * FROM s2 WHERE g NOT IN (SELECT g FROM boiler)),
+              |alln AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM s2 GROUP BY doc_id),
+              |surv AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+              |    string_agg(span, ' ' ORDER BY sid) AS clean_text
+              |  FROM kept GROUP BY doc_id)
+              |SELECT a.doc_id, a.n_spans,
+              |  CAST(a.n_spans - COALESCE(s.n_kept, 0) AS BIGINT) AS n_dropped,
+              |  CAST(length(COALESCE(s.clean_text, '')) AS BIGINT) AS clean_chars,
+              |  md5(COALESCE(s.clean_text, '')) AS clean_md5
+              |FROM alln a LEFT JOIN surv s USING (doc_id) ORDER BY doc_id""".stripMargin)
     )
   )
 }

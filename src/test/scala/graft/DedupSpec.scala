@@ -164,4 +164,34 @@ class DedupSpec extends SparkSpec {
       } else assert(r.isNullAt(2), s"keep row $vid carries dup_of")
     }
   }
+
+  test("stripSpans drops exactly the cross-document spans and reassembles in order") {
+    import spark.implicits._
+    // spans are non-overlapping 4-token windows here (spanTokens = 4):
+    // "h1 h2 h3 h4" is a shared header span in docs 1 and 2; every other
+    // span is unique. doc 3 is ALL boilerplate (both spans shared with 4).
+    val docs = Seq(
+      (1L, "h1 h2 h3 h4 own a b c tail1"),
+      (2L, "h1 h2 h3 h4 other d e f tail2"),
+      (3L, "x1 x2 x3 x4 y1 y2 y3 y4"),
+      (4L, "x1 x2 x3 x4 y1 y2 y3 y4"),
+      (5L, "solo words only never repeated anywhere at all"))
+    val got = graft.operators.TextQueries
+      .stripSpans(docs.toDF("doc_id", "text"), spanTokens = 4, minDocs = 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // doc 1: 3 spans ("h1 h2 h3 h4" | "own a b c" | "tail1"), header dropped
+    assert(got(0) == (1L, 3L, 1L, 15L, md5hex("own a b c tail1")), got(0).toString)
+    assert(got(1) == (2L, 3L, 1L, 17L, md5hex("other d e f tail2")), got(1).toString)
+    // docs 3/4: every span shared => rewritten to the empty string, row kept
+    assert(got(2) == (3L, 2L, 2L, 0L, md5hex("")), got(2).toString)
+    assert(got(3) == (4L, 2L, 2L, 0L, md5hex("")), got(3).toString)
+    // doc 5: nothing shared, text unchanged
+    assert(got(4) == (5L, 2L, 0L, 46L, md5hex("solo words only never repeated anywhere at all")),
+      got(4).toString)
+  }
 }

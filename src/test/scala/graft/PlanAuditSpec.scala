@@ -399,4 +399,27 @@ class PlanAuditSpec extends SparkSpec {
     // a loose ±50% of the corpus total. This pins the scale, not luck.
     assert(est > truth / 2 && est < truth * 2, s"est $est vs truth $truth")
   }
+
+  test("interval sweep: window runs over the day grain, and the curve closes at zero") {
+    // scale contract: the prefix-sum window's input is the day-grain delta
+    // table (an aggregate), never fact rows — the plan must show the
+    // partial+final aggregates BELOW the window, and the fact side joins
+    // on the order key without a cartesian
+    val p = plan("q_interval_sweep")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    val winPos = p.indexOf("Window")
+    val aggPos = p.indexOf("HashAggregate")
+    assert(winPos >= 0 && aggPos > winPos,
+      s"window must sit above the grain aggregate:\n$p")
+    // sweep invariant: every interval that opens also closes, so the
+    // cumulative curve is non-negative throughout and ends exactly at 0
+    val rows = SparkEntry.queries("q_interval_sweep")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("open_lines") >= 0L))
+    assert(rows.last.getAs[Long]("open_lines") == 0L,
+      s"curve must close at zero, got ${rows.last}")
+    assert(rows.map(_.getAs[Long]("n_enter")).sum ==
+      rows.map(_.getAs[Long]("n_exit")).sum)
+  }
 }
