@@ -38,6 +38,10 @@ object SearchQueries {
   private val TOP_K = 10
   /** Reciprocal-rank-fusion constant (Cormack et al.'s k=60). */
   private val RRF_K = 60
+  // MMR rerank knobs (declared before `defs`, whose eager init reads them)
+  private val MMR_K = 5
+  private val MMR_REL_W = 70L // λ = 0.7, in percent
+  private val MMR_DIV_W = 30L
 
   /** Fixed query set: terms drawn from the synthetic corpus vocabulary.
     * q_ids double as the query-vector ids on the hybrid path (query q's
@@ -890,8 +894,130 @@ object SearchQueries {
               |  FROM m)
               |SELECT p_id, rank, doc_id, n_occ FROM ranked WHERE rank <= $TOP_K
               |ORDER BY p_id, rank""".stripMargin)
+    ),
+
+    // ---- MMR diversified rerank (Carbonell & Goldstein 1998) ----------------
+    // The serving-side answer to near-duplicate result lists: greedily pick
+    // K=5 of the BM25 top-10 maximizing λ·relevance − (1−λ)·max-similarity-
+    // to-already-picked (λ=0.7), so the 2nd-5th picks trade raw score for
+    // novelty. Everything is EXACT integers: relevance is the BM25 micro
+    // score normalized per query to a 1e6 grid (floor-div by the rank-1
+    // score), similarity is token-set Jaccard on the same grid, and the MMR
+    // objective stays the raw long 70·rel − 30·maxsim — no float, no
+    // engine-specific division-of-negatives semantics (Spark `div`
+    // truncates toward zero, DuckDB `//` floors — avoided entirely by
+    // never dividing the possibly-negative objective). The greedy
+    // recurrence is inherently sequential IN K, so it unrolls as K−1
+    // fixed plan stages (the ann_kmeans_iter discipline): each stage is a
+    // bounded join over ≤ 10·n_queries candidate rows — data-parallel
+    // across queries, which is the axis that grows at fleet scale; the
+    // corpus is touched only by the ranking underneath and a token-set
+    // fetch for the ≤ 10·n_queries candidate docs.
+    GQuery(
+      "search_mmr_rerank",
+      (s, dir) => mmrRerank(s, dir).orderBy("q_id", "pick_order"),
+      Some(s"""WITH ${bm25Sql()},
+              |$mmrSqlBlock
+              |SELECT q_id, pick_order, doc_id, mmr FROM sel$MMR_K
+              |ORDER BY q_id, pick_order""".stripMargin)
     )
   )
+
+  // ---- MMR rerank internals ------------------------------------------------
+
+  /** Greedy MMR over the BM25 top-[[TOP_K]] candidates per query — see the
+    * `search_mmr_rerank` registry notes. Emits (q_id, doc_id, pick_order,
+    * mmr) with mmr = 70·rel_e6 − 30·maxsim_e6 at selection time.
+    */
+  private def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val cands = Materialize(bm25Inline(s, dir).filter(col("rank") <= TOP_K)
+      .select("q_id", "doc_id", "score"))
+    val relm = cands.groupBy("q_id").agg(max(col("score")).as("mx"))
+    val cr = Materialize(cands.join(broadcast(relm), "q_id")
+      .select(col("q_id"), col("doc_id"),
+        expr("score * 1000000 div mx").as("rel")))
+    // token sets for the ≤ TOP_K·n_queries DISTINCT candidate docs only —
+    // the single place the corpus text is touched after ranking
+    val ctok = Materialize(Tables.documents(s, dir)
+      .join(cands.select("doc_id").distinct(), "doc_id")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w")))
+    val cnd = ctok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cinter = ctok.as("x")
+      .join(ctok.as("y"), col("x.w") === col("y.w") && col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("i"))
+    val csim = cinter
+      .join(cnd.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(cnd.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"), expr("i * 1000000 div (na + nb - i)").as("sim"))
+    val sims = Materialize(cr.as("ca")
+      .join(cr.as("cb"),
+        col("ca.q_id") === col("cb.q_id") && col("ca.doc_id") =!= col("cb.doc_id"))
+      .select(col("ca.q_id").as("q_id"), col("ca.doc_id").as("a"), col("cb.doc_id").as("b"))
+      .join(csim, Seq("a", "b"), "left")
+      .select(col("q_id"), col("a"), col("b"), coalesce(col("sim"), lit(0L)).as("sim")))
+    val w1 = Window.partitionBy("q_id").orderBy(col("rel").desc, col("doc_id"))
+    var sel = cr.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("q_id"), col("doc_id"), lit(1L).as("pick_order"),
+        (lit(MMR_REL_W) * col("rel")).as("mmr"))
+    for (r <- 2 to MMR_K) {
+      val rem = cr.join(sel.select("q_id", "doc_id"), Seq("q_id", "doc_id"), "left_anti")
+      val ms = sims.join(sel.select(col("q_id"), col("doc_id").as("b")), Seq("q_id", "b"))
+        .groupBy(col("q_id"), col("a").as("doc_id")).agg(max(col("sim")).as("maxsim"))
+      val wr = Window.partitionBy("q_id").orderBy(col("mmr").desc, col("doc_id"))
+      val pick = rem.join(ms, Seq("q_id", "doc_id"), "left")
+        .withColumn("mmr",
+          lit(MMR_REL_W) * col("rel") - lit(MMR_DIV_W) * coalesce(col("maxsim"), lit(0L)))
+        .withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
+        .select(col("q_id"), col("doc_id"), lit(r.toLong).as("pick_order"), col("mmr"))
+      sel = sel.unionByName(pick)
+    }
+    sel.select("q_id", "pick_order", "doc_id", "mmr")
+  }
+
+  /** Oracle CTE chain for MMR (assumes [[bm25Sql]]'s CTEs precede it);
+    * round CTEs are generated from the same constants as the Spark build,
+    * ending in `sel{MMR_K}` (q_id, doc_id, pick_order, mmr).
+    */
+  private def mmrSqlBlock: String = {
+    val base =
+      s"""cands AS (SELECT q_id, doc_id, score FROM ranked WHERE rank <= $TOP_K),
+         |relm AS (SELECT q_id, MAX(score) AS mx FROM cands GROUP BY q_id),
+         |cr AS (SELECT c.q_id, c.doc_id, CAST(c.score * 1000000 // mx AS BIGINT) AS rel
+         |  FROM cands c JOIN relm USING (q_id)),
+         |cd AS (SELECT DISTINCT doc_id FROM cands),
+         |ctok AS (SELECT d.doc_id, unnest(list_distinct(string_split(d.text, ' '))) AS w
+         |  FROM documents d JOIN cd USING (doc_id)),
+         |cnd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ctok GROUP BY doc_id),
+         |cinter AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS i
+         |  FROM ctok x JOIN ctok y ON x.w = y.w AND x.doc_id <> y.doc_id GROUP BY 1, 2),
+         |csim AS (SELECT a, b, CAST(i * 1000000 // (na.n + nb.n - i) AS BIGINT) AS sim
+         |  FROM cinter JOIN cnd na ON a = na.doc_id JOIN cnd nb ON b = nb.doc_id),
+         |mmrsims AS (SELECT ca.q_id, ca.doc_id AS a, cb.doc_id AS b, COALESCE(sim, 0) AS sim
+         |  FROM cr ca JOIN cr cb ON ca.q_id = cb.q_id AND ca.doc_id <> cb.doc_id
+         |  LEFT JOIN csim ON csim.a = ca.doc_id AND csim.b = cb.doc_id),
+         |sel1 AS (SELECT q_id, doc_id, CAST(1 AS BIGINT) AS pick_order,
+         |    $MMR_REL_W * rel AS mmr
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rel DESC, doc_id) AS rn FROM cr)
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (2 to MMR_K).map { r =>
+      s"""rem$r AS (SELECT * FROM cr WHERE NOT EXISTS (
+         |  SELECT 1 FROM sel${r - 1} s WHERE s.q_id = cr.q_id AND s.doc_id = cr.doc_id)),
+         |ms$r AS (SELECT si.q_id, si.a AS doc_id, MAX(si.sim) AS maxsim
+         |  FROM mmrsims si JOIN sel${r - 1} s ON si.q_id = s.q_id AND si.b = s.doc_id
+         |  GROUP BY 1, 2),
+         |pick$r AS (SELECT q_id, doc_id, CAST($r AS BIGINT) AS pick_order, mmr FROM (
+         |  SELECT r.q_id, r.doc_id,
+         |    $MMR_REL_W * r.rel - $MMR_DIV_W * COALESCE(m.maxsim, 0) AS mmr,
+         |    row_number() OVER (PARTITION BY r.q_id ORDER BY
+         |      $MMR_REL_W * r.rel - $MMR_DIV_W * COALESCE(m.maxsim, 0) DESC, r.doc_id) AS rn
+         |  FROM rem$r r LEFT JOIN ms$r m ON r.q_id = m.q_id AND r.doc_id = m.doc_id)
+         |  WHERE rn = 1),
+         |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM pick$r)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
 
   /** Inline hybrid list: fuse the lexical and vector top-10s (the
     * registered query and the eval audit share it).

@@ -110,4 +110,30 @@ class SearchSpec extends SparkSpec {
       assert(sorted.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
     }
   }
+
+  test("MMR rerank: first pick is the BM25 winner, 5 distinct picks, diversity binds") {
+    val bm = SparkEntry.queries("search_bm25_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // (q_id, rank, doc_id)
+    val mmr = SparkEntry.queries("search_mmr_rerank")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // (q_id, pick_order, doc_id)
+    val byQ = mmr.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, picks) =>
+      assert(picks.length == 5 && picks.map(_._3).distinct.length == 5, s"q=$q $picks")
+      // pick 1 == the undiversified BM25 rank 1 (no selected set to penalize yet)
+      val top1 = bm.find(r => r._1 == q && r._2 == 1L).get._3
+      assert(picks.minBy(_._2)._3 == top1, s"q=$q pick1 != bm25 rank1")
+      // every pick came from the BM25 top-10 candidate pool
+      val pool = bm.filter(_._1 == q).map(_._3).toSet
+      assert(picks.forall(p => pool.contains(p._3)), s"q=$q picked outside pool")
+    }
+    // the diversity term must actually bind somewhere: at least one query's
+    // MMR top-5 differs from its plain BM25 top-5 (λ=0.7 over near-uniform
+    // token-soup docs reorders at least one pick on this corpus)
+    val reordered = byQ.exists { case (q, picks) =>
+      val plain5 = bm.filter(r => r._1 == q && r._2 <= 5L).sortBy(_._2).map(_._3).toSeq
+      picks.sortBy(_._2).map(_._3).toSeq != plain5
+    }
+    assert(reordered, "MMR == plain top-5 for every query — diversity term inert")
+  }
 }
