@@ -134,6 +134,53 @@ object Multimodal {
       }
   }
 
+  /** A perceptual-hash signature row: 32-bit block-mean hash + size. */
+  case class PHash(asset_id: Long, n_bytes: Long, phash: Long)
+
+  /** Perceptual-hash signature (aHash structure): split the payload into 32
+    * equal byte blocks and set bit i (MSB-first) iff block i's mean byte
+    * exceeds the whole-payload mean. With a real codec the input would be
+    * the decoded, down-scaled luma plane (and the mean comparison a DCT
+    * coefficient — pHash proper); the stub hashes the raw bytes, which
+    * preserves the property that matters to the pipeline: NEAR-duplicate
+    * payloads (small byte edits) land at small Hamming distance, unlike
+    * md5 where one flipped byte decorrelates everything. All comparisons
+    * are integer cross-multiplications (blockSum·n > totalSum·blockLen) —
+    * no float means, so the signature is bit-reproducible everywhere.
+    * Same mapPartitions shape as decode; blocks of a short payload
+    * (n < 32) that receive no bytes contribute a 0 bit.
+    */
+  def perceptualHash(assets: DataFrame): Dataset[PHash] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(
+        col("asset_id").cast("long"),
+        col("payload").cast("binary"),
+        col("format").cast("string"))
+      .as[Asset]
+      .mapPartitions { it =>
+        val codec = FakeCodec.init() // real impl: decode + grayscale + resize
+        it.map { a =>
+          identity(codec)
+          val n = a.payload.length.toLong
+          val tot = a.payload.foldLeft(0L)((acc, b) => acc + (b & 0xff))
+          var h = 0L
+          var i = 0
+          while (i < 32) {
+            val lo = (i * n / 32).toInt
+            val hi = ((i + 1) * n / 32).toInt
+            var bs = 0L
+            var j = lo
+            while (j < hi) { bs += (a.payload(j) & 0xff); j += 1 }
+            if (bs * n > tot * (hi - lo)) h |= 1L << (31 - i)
+            i += 1
+          }
+          PHash(a.asset_id, n, h)
+        }
+      }
+  }
+
   /** Wrap `documents` as a fake asset table (text bytes as payload) — the
     * test-data stand-in for a real media table.
     */

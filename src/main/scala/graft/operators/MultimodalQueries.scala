@@ -174,6 +174,90 @@ object MultimodalQueries {
              |CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
              |CAST((length(text) + 3) // 4 AS BIGINT) AS new_bytes
              |FROM documents ORDER BY asset_id""".stripMargin)
+    ),
+
+    // ---- perceptual-hash signatures (asset NEAR-dup, vs md5's exact) --------
+    // The media twin of dedup_simhash: a 32-bit block-mean signature per
+    // payload (aHash structure — bit i set iff block i's byte mean beats
+    // the payload mean, integer cross-multiplied; a real pipeline would
+    // hash the decoded luma plane). Small byte edits flip few blocks, so
+    // near-duplicate assets land at small Hamming distance — the property
+    // content digests destroy. Signature extraction is the decode
+    // mapPartitions shape: map-only over payload splits, 12 bytes out per
+    // asset regardless of payload size. Oracle-able because the ASCII
+    // corpus makes byte arithmetic SQL-expressible (the multimodal_decode
+    // precedent).
+    GQuery(
+      "multimodal_phash",
+      (s, dir) =>
+        Multimodal.perceptualHash(Multimodal.documentsAsAssets(s, dir))
+          .toDF()
+          .orderBy("asset_id"),
+      Some(s"""WITH $phashSql
+              |SELECT doc_id AS asset_id, n AS n_bytes, phash FROM ph
+              |ORDER BY asset_id""".stripMargin)
+    ),
+
+    // Near-dup pair generation over the signatures: split the 32-bit hash
+    // into 4 bands of 8 bits and equi-join on (band, value) — two assets
+    // within Hamming distance 6 of each other differ in <= 6 bits, so by
+    // pigeonhole over more bands than differing-bit capacity they MAY
+    // share a band; the band join is the simhash/LSH banding cut that
+    // keeps candidate generation an equi-join on content-derived keys
+    // (never all-pairs), at the documented recall trade for pairs whose
+    // differing bits spread across every band. Candidates then verify by
+    // exact bit_count(xor) <= 6. Payloads never move — the join carries
+    // 32-bit signatures + ids only.
+    GQuery(
+      "multimodal_phash_pairs",
+      (s, dir) => {
+        val ph = Materialize(
+          Multimodal.perceptualHash(Multimodal.documentsAsAssets(s, dir)).toDF())
+        val bk = ph.select(col("asset_id"), col("phash"),
+            explode(expr("sequence(0, 3)")).as("j"))
+          .withColumn("bv", expr("shiftright(phash, CAST(8 * j AS INT)) & 255"))
+        bk.as("x")
+          .join(bk.as("y"),
+            col("x.j") === col("y.j") && col("x.bv") === col("y.bv") &&
+              col("x.asset_id") < col("y.asset_id"))
+          .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"),
+            col("x.phash").as("pa"), col("y.phash").as("pb"))
+          .distinct()
+          .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+          .filter(col("hamming") <= 6)
+          .select("asset_a", "asset_b", "hamming")
+          .orderBy("asset_a", "asset_b")
+      },
+      Some(s"""WITH $phashSql,
+              |bands AS (SELECT doc_id, phash, unnest(range(0, 4)) AS j FROM ph),
+              |bk AS (SELECT doc_id, phash, j,
+              |    (phash >> CAST(8*j AS INTEGER)) & 255 AS bv FROM bands),
+              |cand AS (SELECT DISTINCT x.doc_id AS asset_a, y.doc_id AS asset_b,
+              |    x.phash AS pa, y.phash AS pb
+              |  FROM bk x JOIN bk y ON x.j = y.j AND x.bv = y.bv AND x.doc_id < y.doc_id)
+              |SELECT asset_a, asset_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+              |FROM cand WHERE bit_count(xor(pa, pb)) <= 6
+              |ORDER BY asset_a, asset_b""".stripMargin)
     )
   )
+
+  /** Shared oracle CTEs computing the block-mean signature over the ASCII
+    * payload bytes; ends in `ph` (doc_id, n, phash). Mirrors
+    * [[Multimodal.perceptualHash]]'s integer arithmetic exactly.
+    */
+  private def phashSql: String =
+    """phb AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+      |    list_transform(range(1, length(text) + 1),
+      |      i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS by
+      |  FROM documents),
+      |pht AS (SELECT doc_id, n, by,
+      |    CAST(list_aggregate(by, 'sum') AS BIGINT) AS tot FROM phb),
+      |ph AS (SELECT doc_id, n,
+      |  CAST(list_aggregate(list_transform(range(0, 32), i ->
+      |    CASE WHEN COALESCE(list_aggregate(
+      |        by[((i*n)//32 + 1):(((i+1)*n)//32)], 'sum'), 0) * n
+      |           > tot * ((((i+1)*n)//32) - ((i*n)//32))
+      |      THEN CAST(1 AS BIGINT) << CAST(31 - i AS INTEGER) ELSE 0 END),
+      |    'sum') AS BIGINT) AS phash
+      |  FROM pht)""".stripMargin
 }

@@ -63,4 +63,25 @@ class MultimodalSpec extends SparkSpec {
     val perAsset = frames.groupBy("asset_id").count()
     assert(perAsset.count() == 500) // every asset produced >= 1 sampled frame
   }
+
+  test("perceptualHash: near-identical payloads land at small Hamming distance") {
+    import spark.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val edited = base.updated(10, 'X').updated(200, 'Y') // two byte edits
+    val unrelated = ("zz9 aa0 qq7 kk3 mm1 pp5 xx8 ww2 vv6 uu4 " * 8).trim
+    val assets = Seq(
+      (1L, base.getBytes("UTF-8"), "text/plain"),
+      (2L, edited.getBytes("UTF-8"), "text/plain"),
+      (3L, base.getBytes("UTF-8"), "text/plain"), // exact dup of 1
+      (4L, unrelated.getBytes("UTF-8"), "text/plain"))
+      .toDF("asset_id", "payload", "format")
+    val ph = Multimodal.perceptualHash(assets).collect()
+      .map(p => p.asset_id -> p.phash).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(ph(a) ^ ph(b))
+    assert(ham(1, 3) == 0, s"exact dup must hash identically: ${ham(1, 3)}")
+    assert(ham(1, 2) <= 6, s"two byte edits must stay near: ${ham(1, 2)}")
+    // md5 has no such property — and the phash should separate unrelated
+    // content from the edit distance band (strictly farther than the edit)
+    assert(ham(1, 4) > ham(1, 2), s"unrelated ${ham(1, 4)} vs edited ${ham(1, 2)}")
+  }
 }
