@@ -2620,6 +2620,54 @@ object AdvancedQueries {
              |  CAST(SUM(n_enter - n_exit) OVER (ORDER BY day
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_lines
              |FROM d ORDER BY day""".stripMargin)
+    ),
+
+    // ---- categorical association audit (chi-square contingency) -------------
+    // "Is document language independent of source?" — the profiling
+    // question behind stratified sampling and leakage checks (a source
+    // that over-carries one language skews any per-language split drawn
+    // from it). Full lang × source contingency INCLUDING empty cells
+    // (the dim-distinct cross join is tiny after aggregation), each cell's
+    // chi-square contribution in EXACT integer arithmetic: the classic
+    // (O−E)²/E becomes ((O·N − R·C)² · 1e6) div (N·R·C) — one
+    // cross-multiplication, no float expected values, so both engines
+    // produce identical BIGINTs (headroom: O·N ≤ 2.5e5·n, squared ≤
+    // 6.3e10·n², ×1e6 fits int64 through n ≈ 10⁴ per shard; larger
+    // corpora aggregate the contingency FIRST — the census is
+    // |langs|·|sources| rows at any corpus size, so the scale cost is one
+    // map-side-combined groupBy). The fact table is touched by three
+    // combiner-friendly aggregations; everything downstream is dim-sized.
+    GQuery(
+      "q_chi2_assoc",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val obs = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+        val rl = d.groupBy("lang").agg(count(lit(1)).as("r"))
+        val cs = d.groupBy("source").agg(count(lit(1)).as("c"))
+        val n = d.agg(count(lit(1)).as("n"))
+        rl.crossJoin(cs)
+          .join(obs, Seq("lang", "source"), "left")
+          .crossJoin(broadcast(n))
+          .select(col("lang"), col("source"),
+            coalesce(col("o"), lit(0L)).as("observed"),
+            expr("r * c * 1000000 div n").as("expected_micro"),
+            expr("((coalesce(o, 0) * n - r * c) * (coalesce(o, 0) * n - r * c) " +
+              "* 1000000) div (n * r * c)").as("contrib_e6"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH obs AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+             |  FROM documents GROUP BY 1, 2),
+             |rl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS r FROM documents GROUP BY 1),
+             |cs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY 1),
+             |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+             |SELECT rl.lang, cs.source,
+             |  COALESCE(o, 0) AS observed,
+             |  r * c * 1000000 // n AS expected_micro,
+             |  ((COALESCE(o, 0) * n - r * c) * (COALESCE(o, 0) * n - r * c)
+             |    * 1000000) // (n * r * c) AS contrib_e6
+             |FROM rl CROSS JOIN cs
+             |LEFT JOIN obs ON obs.lang = rl.lang AND obs.source = cs.source
+             |CROSS JOIN nn ORDER BY rl.lang, cs.source""".stripMargin)
     )
   )
 }

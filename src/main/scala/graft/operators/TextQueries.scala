@@ -877,20 +877,43 @@ object TextQueries {
     * (doc_id, n_spans, n_dropped, clean_chars, clean_md5).
     */
   def stripSpans(docs: DataFrame, spanTokens: Int = 8, minDocs: Int = 2): DataFrame = {
-    val S = spanTokens
-    val spans = Materialize(
-      docs
-        .select(col("doc_id"), expr(toksCol).as("ts"))
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(0, (size(ts) - 1) div $S), " +
-            s"i -> named_struct('sid', CAST(i AS BIGINT), " +
-            s"'span', array_join(slice(ts, i * $S + 1, $S), ' ')))")).as("c"))
-        .select(col("doc_id"), col("c.sid").as("sid"),
-          col("c.span").as("span"), md5(col("c.span")).as("g")))
+    val spans = Materialize(spanRowsOf(docs, spanTokens))
     val boiler = spans.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") >= minDocs)
       .select("g")
+    scrubSpans(spans, boiler)
+  }
+
+  /** Non-overlapping span rows (doc_id, sid, span, g = md5(span)). */
+  private def spanRowsOf(docs: DataFrame, spanTokens: Int): DataFrame =
+    docs
+      .select(col("doc_id"), expr(toksCol).as("ts"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (size(ts) - 1) div $spanTokens), " +
+          s"i -> named_struct('sid', CAST(i AS BIGINT), " +
+          s"'span', array_join(slice(ts, i * $spanTokens + 1, $spanTokens), ' ')))")).as("c"))
+      .select(col("doc_id"), col("c.sid").as("sid"),
+        col("c.span").as("span"), md5(col("c.span")).as("g"))
+
+  /** The trainable boilerplate artifact: hashes of spans occurring verbatim
+    * in >= `minDocs` distinct documents — persisted once per corpus, read
+    * by every scrubbing trigger (the unigram-model lifecycle).
+    */
+  def boilerSpansOf(docs: DataFrame, spanTokens: Int = 8, minDocs: Int = 2): DataFrame =
+    spanRowsOf(docs, spanTokens).groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select("g")
+
+  /** Scrub `docs` against a FIXED boilerplate span set. Per-doc pure
+    * function of (doc, boiler), so any micro-batching of the input equals
+    * the one-shot pass — the property the streaming twin pins.
+    */
+  def stripSpansAgainst(docs: DataFrame, boiler: DataFrame, spanTokens: Int = 8): DataFrame =
+    scrubSpans(Materialize(spanRowsOf(docs, spanTokens)), boiler)
+
+  private def scrubSpans(spans: DataFrame, boiler: DataFrame): DataFrame = {
     val kept = spans.join(boiler, Seq("g"), "left_anti")
     val all = spans.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
     val surv = kept.groupBy(col("doc_id"))

@@ -175,6 +175,41 @@ object DocumentsStream {
       .orderBy(col("priority").desc, col("doc_id"))
       .limit(graft.operators.TextQueries.PRI_TOP_K)
 
+  /** Persist the boilerplate-span artifact (span hashes shared by >= 2
+    * docs) — trained once on the standing corpus, read by every scrubbing
+    * trigger (the writeUnigramModel lifecycle).
+    */
+  def writeBoilerSpans(spark: SparkSession, dir: String, path: String): Unit =
+    graft.operators.TextQueries.boilerSpansOf(graft.Tables.documents(spark, dir))
+      .write.mode("overwrite").parquet(path)
+
+  /** Streaming boilerplate scrubber — the serving twin of
+    * `pipeline_strip_spans`: arriving documents are rewritten against the
+    * PERSISTED span set per trigger. Scrubbing is a per-doc pure function
+    * once the boiler set is frozen (each doc's spans either match the set
+    * or don't — no cross-doc state in the serving pass), so any
+    * micro-batching equals the one-shot rewrite — pinned in StreamingSpec
+    * against the registered query when the stream replays the training
+    * corpus. A real deployment re-censuses the span set on a cadence and
+    * swaps the path, never the query.
+    */
+  def runStripSpans(
+      spark: SparkSession, modelPath: String, inPath: String, outPath: String,
+      checkpoint: String): Unit = {
+    val boiler = spark.read.parquet(modelPath)
+    val q = readDocs(spark, inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.TextQueries.stripSpansAgainst(batch.toDF(), boiler)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def runLinearMonitor(
       spark: SparkSession, modelPath: String, inPath: String, outPath: String,
       checkpoint: String): Unit = {

@@ -583,6 +583,28 @@ class StreamingSpec extends SparkSpec {
     assert(merged.nonEmpty && merged.toSeq == direct.toSeq)
   }
 
+  test("streaming boilerplate scrubber equals the one-shot span rewrite") {
+    // pipeline_strip_spans served on a stream: census the span set once,
+    // persist it, drain the corpus in several micro-batches scrubbing each
+    // against the frozen set — rewrites are per-doc once the set is fixed,
+    // so the appended audit rows must equal the registered query exactly
+    import graft.streaming.DocumentsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-spanstream").toString
+    DocumentsStream.writeBoilerSpans(spark, sfDir, s"$base/model")
+    Tables.documents(spark, sfDir).select("doc_id", "text").repartition(3)
+      .write.mode("overwrite").parquet(s"$base/in")
+    DocumentsStream.runStripSpans(
+      spark, s"$base/model", s"$base/in", s"$base/out", s"$base/ckpt")
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected several micro-batches, got $commits")
+    val direct = SparkEntry.queries("pipeline_strip_spans")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    val got = spark.read.parquet(s"$base/out")
+      .select(cols: _*).orderBy("doc_id").collect()
+    assert(got.nonEmpty && got.toSeq == direct.orderBy("doc_id").collect().toSeq)
+  }
+
   test("stateful dedup on the RocksDB state store equals batch distinct") {
     // the bounded-heap state path a 100 TB streaming deployment runs on:
     // same query, state provider swapped to RocksDB — results must be
