@@ -210,36 +210,83 @@ object MultimodalQueries {
     // 32-bit signatures + ids only.
     GQuery(
       "multimodal_phash_pairs",
-      (s, dir) => {
-        val ph = Materialize(
-          Multimodal.perceptualHash(Multimodal.documentsAsAssets(s, dir)).toDF())
-        val bk = ph.select(col("asset_id"), col("phash"),
-            explode(expr("sequence(0, 3)")).as("j"))
-          .withColumn("bv", expr("shiftright(phash, CAST(8 * j AS INT)) & 255"))
-        bk.as("x")
-          .join(bk.as("y"),
-            col("x.j") === col("y.j") && col("x.bv") === col("y.bv") &&
-              col("x.asset_id") < col("y.asset_id"))
-          .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"),
-            col("x.phash").as("pa"), col("y.phash").as("pb"))
-          .distinct()
-          .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
-          .filter(col("hamming") <= 6)
-          .select("asset_a", "asset_b", "hamming")
-          .orderBy("asset_a", "asset_b")
-      },
-      Some(s"""WITH $phashSql,
-              |bands AS (SELECT doc_id, phash, unnest(range(0, 4)) AS j FROM ph),
-              |bk AS (SELECT doc_id, phash, j,
-              |    (phash >> CAST(8*j AS INTEGER)) & 255 AS bv FROM bands),
-              |cand AS (SELECT DISTINCT x.doc_id AS asset_a, y.doc_id AS asset_b,
-              |    x.phash AS pa, y.phash AS pb
-              |  FROM bk x JOIN bk y ON x.j = y.j AND x.bv = y.bv AND x.doc_id < y.doc_id)
-              |SELECT asset_a, asset_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
-              |FROM cand WHERE bit_count(xor(pa, pb)) <= 6
+      (s, dir) =>
+        phashPairs(s, dir).orderBy("asset_a", "asset_b"),
+      Some(s"""WITH $phashPairsSql
+              |SELECT asset_a, asset_b, hamming FROM ppairs
               |ORDER BY asset_a, asset_b""".stripMargin)
+    ),
+
+    // Asset near-dup CLUSTERS: connected components over the verified
+    // Hamming pairs via the same two-star machinery the text corpus uses
+    // (dedup_cc_twostar) — a burst of re-encodes/crops of one source image
+    // forms a chain of pairwise-near assets, and the keep-one-per-cluster
+    // decision needs the component, not the pair list. The oracle is the
+    // recursive reachability closure, so the driver proves the O(log² n)
+    // two-star rounds find exactly the true components of the phash graph.
+    // Only assets that appear in some pair enter the CC stage (singletons
+    // are their own trivial cluster and never shuffle).
+    GQuery(
+      "multimodal_phash_clusters",
+      (s, dir) => {
+        val pairs = Materialize(phashPairs(s, dir)
+          .select(col("asset_a").as("a"), col("asset_b").as("b")))
+        DedupQueries.twoStarComponents(pairs, DedupQueries.reliableCheckpoint(s))
+          .select(col("v").as("asset_id"), col("lbl").as("cluster_id"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("cluster_id")).cast("long"))
+          .orderBy("asset_id")
+      },
+      Some(s"""WITH RECURSIVE $phashPairsSql,
+              |ccedges AS (SELECT asset_a AS a, asset_b AS b FROM ppairs
+              |  UNION SELECT asset_b, asset_a FROM ppairs),
+              |ccverts AS (SELECT DISTINCT a AS v FROM ccedges),
+              |reach(v, r) AS (
+              |  SELECT v, v FROM ccverts
+              |  UNION
+              |  SELECT e.a, reach.r FROM ccedges e JOIN reach ON e.b = reach.v),
+              |comp AS (SELECT v AS asset_id, MIN(r) AS cluster_id FROM reach GROUP BY v)
+              |SELECT asset_id, cluster_id,
+              |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+              |FROM comp ORDER BY asset_id""".stripMargin)
     )
   )
+
+  /** Banded candidate generation + exact Hamming verification over the
+    * perceptual hashes — shared by the pairs and clusters entries.
+    */
+  private def phashPairs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val ph = Materialize(
+      Multimodal.perceptualHash(Multimodal.documentsAsAssets(s, dir)).toDF())
+    val bk = ph.select(col("asset_id"), col("phash"),
+        explode(expr("sequence(0, 3)")).as("j"))
+      .withColumn("bv", expr("shiftright(phash, CAST(8 * j AS INT)) & 255"))
+    bk.as("x")
+      .join(bk.as("y"),
+        col("x.j") === col("y.j") && col("x.bv") === col("y.bv") &&
+          col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"),
+        col("x.phash").as("pa"), col("y.phash").as("pb"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+      .filter(col("hamming") <= 6)
+      .select("asset_a", "asset_b", "hamming")
+  }
+
+  /** Oracle CTE chain ending in `ppairs` (asset_a, asset_b, hamming). */
+  private def phashPairsSql: String =
+    s"""$phashSql,
+       |bands AS (SELECT doc_id, phash, unnest(range(0, 4)) AS j FROM ph),
+       |bk AS (SELECT doc_id, phash, j,
+       |    (phash >> CAST(8*j AS INTEGER)) & 255 AS bv FROM bands),
+       |cand AS (SELECT DISTINCT x.doc_id AS asset_a, y.doc_id AS asset_b,
+       |    x.phash AS pa, y.phash AS pb
+       |  FROM bk x JOIN bk y ON x.j = y.j AND x.bv = y.bv AND x.doc_id < y.doc_id),
+       |ppairs AS (SELECT asset_a, asset_b,
+       |    CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+       |  FROM cand WHERE bit_count(xor(pa, pb)) <= 6)""".stripMargin
 
   /** Shared oracle CTEs computing the block-mean signature over the ASCII
     * payload bytes; ends in `ph` (doc_id, n, phash). Mirrors
