@@ -2668,6 +2668,103 @@ object AdvancedQueries {
              |FROM rl CROSS JOIN cs
              |LEFT JOIN obs ON obs.lang = rl.lang AND obs.source = cs.source
              |CROSS JOIN nn ORDER BY rl.lang, cs.source""".stripMargin)
+    ),
+
+    // ---- weighted percentiles by exact rank selection -----------------------
+    // "The median document BY TOKEN MASS" — the question a token-budgeted
+    // trainer asks (half the TOKENS sit in docs of at least X chars),
+    // which the unweighted q_percentiles can't answer when long docs
+    // carry most of the mass. Same exactness discipline as q_winsorize:
+    // a weighted percentile is a LOOKUP at the first value whose running
+    // weight crosses p·total, so the whole computation is a per-group
+    // cumulative-sum window + integer cross-multiplied threshold tests
+    // (cw·4 ≥ tw etc. — no interpolation float can drift). Scale: one
+    // shuffle by lang for the window (parallel across groups), a
+    // broadcast of the per-lang totals, one K-group aggregate.
+    GQuery(
+      "q_weighted_percentiles",
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("lang"), col("n_chars").as("v"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("w"))
+        val wspec = Window.partitionBy("lang").orderBy(col("v"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val c = t.withColumn("cw", sum(col("w")).over(wspec))
+        val tot = t.groupBy("lang").agg(sum(col("w")).as("tw"))
+        c.join(broadcast(tot), "lang")
+          .groupBy("lang")
+          .agg(
+            min(when(expr("cw * 4 >= tw"), col("v"))).as("p25_chars"),
+            min(when(expr("cw * 2 >= tw"), col("v"))).as("p50_chars"),
+            min(when(expr("cw * 4 >= tw * 3"), col("v"))).as("p75_chars"),
+            max(col("tw")).as("total_weight"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (SELECT lang, n_chars AS v, doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w FROM documents),
+             |c AS (SELECT lang, v, w,
+             |    SUM(w) OVER (PARTITION BY lang ORDER BY v, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+             |  FROM t),
+             |tot AS (SELECT lang, CAST(SUM(w) AS BIGINT) AS tw FROM t GROUP BY lang)
+             |SELECT c.lang,
+             |  MIN(CASE WHEN cw * 4 >= tw THEN v END) AS p25_chars,
+             |  MIN(CASE WHEN cw * 2 >= tw THEN v END) AS p50_chars,
+             |  MIN(CASE WHEN cw * 4 >= tw * 3 THEN v END) AS p75_chars,
+             |  MAX(tw) AS total_weight
+             |FROM c JOIN tot ON c.lang = tot.lang
+             |GROUP BY c.lang ORDER BY c.lang""".stripMargin)
+    ),
+
+    // ---- robust dispersion: median absolute deviation -----------------------
+    // The outlier-resistant scale estimate stddev can't give (one 10⁹-char
+    // document drags a variance; it moves a median by one rank): per-lang
+    // MAD of document length, computed as two exact rank selections — the
+    // median by the q_winsorize rank-cutoff discipline, then the median of
+    // |x − median| (integer absolute deviations, so the second selection
+    // is as exact as the first). Two window passes over the same per-lang
+    // partitioning (parallel across groups), one broadcast of the K-row
+    // median table between them; nothing float anywhere, so both engines
+    // select identical ranks. The robust z-score gate this feeds
+    // (|x − med| > k·MAD) is pipeline_curate's length filter with its
+    // thresholds made data-derived.
+    GQuery(
+      "q_mad_robust",
+      (s, dir) => {
+        val t = Tables.documents(s, dir).select(col("lang"), col("n_chars"), col("doc_id"))
+        val wr = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+        val cnt = t.groupBy("lang").agg(count(lit(1)).as("n"))
+        val med = t.withColumn("rn", row_number().over(wr))
+          .join(broadcast(cnt), "lang")
+          .filter(expr("rn * 2 >= n + 1")) // median = value at rank ceil((n+1)/2)
+          .groupBy("lang").agg(min(col("n_chars")).as("med"))
+        val dev = t.join(broadcast(med), "lang")
+          .select(col("lang"), col("doc_id"),
+            abs(col("n_chars") - col("med")).as("ad"), col("med"))
+        val wd = Window.partitionBy("lang").orderBy(col("ad"), col("doc_id"))
+        dev.withColumn("rn", row_number().over(wd))
+          .join(broadcast(cnt), "lang")
+          .filter(expr("rn * 2 >= n + 1"))
+          .groupBy("lang").agg(min(col("ad")).as("mad"), max(col("med")).as("median_chars"),
+            max(col("n")).as("n_docs"))
+          .select(col("lang"), col("median_chars"), col("mad"), col("n_docs"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (SELECT lang, n_chars, doc_id FROM documents),
+             |cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY lang),
+             |r1 AS (SELECT t.lang, n_chars,
+             |    row_number() OVER (PARTITION BY t.lang ORDER BY n_chars, doc_id) AS rn, n
+             |  FROM t JOIN cnt ON t.lang = cnt.lang),
+             |med AS (SELECT lang, MIN(n_chars) AS med FROM r1
+             |  WHERE rn * 2 >= n + 1 GROUP BY lang),
+             |dev AS (SELECT t.lang, t.doc_id, ABS(n_chars - med) AS ad, med
+             |  FROM t JOIN med ON t.lang = med.lang),
+             |r2 AS (SELECT d.lang, ad, med,
+             |    row_number() OVER (PARTITION BY d.lang ORDER BY ad, doc_id) AS rn, n
+             |  FROM dev d JOIN cnt ON d.lang = cnt.lang)
+             |SELECT lang, MAX(med) AS median_chars, MIN(ad) AS mad, MAX(n) AS n_docs
+             |FROM r2 WHERE rn * 2 >= n + 1
+             |GROUP BY lang ORDER BY lang""".stripMargin)
     )
   )
 }

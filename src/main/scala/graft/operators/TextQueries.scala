@@ -2490,6 +2490,53 @@ object TextQueries {
               |  CAST(length(COALESCE(s.clean_text, '')) AS BIGINT) AS clean_chars,
               |  md5(COALESCE(s.clean_text, '')) AS clean_md5
               |FROM alln a LEFT JOIN surv s USING (doc_id) ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- per-document keyword extraction (top TF-IDF terms) -----------------
+    // The indexing/labeling primitive: each doc's 3 most characteristic
+    // terms by tf · idf, with the IDF in the BM25 suite's EXACT rational
+    // form ((2N − 2df + 1)·1e6 // (2df + 1) — no ln(), so no libm
+    // last-ulp rank flips between engines) and the score a single integer
+    // product. One token census (map-side combined), the df table joined
+    // back BROADCAST (|vocab| rows — at 100 TB the vocabulary is still
+    // dwarfed by the corpus; a truly open vocab shards the join by term),
+    // one per-doc WindowGroupLimit for the top-3. Ties break to the
+    // lexicographically first term, so extraction is total-ordered.
+    GQuery(
+      "text_keywords",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = toks.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+        val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"),
+            expr("tf * ((2*n - 2*df + 1) * 1000000 div (2*df + 1))").as("score_micro"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score_micro").desc, col("term"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select("doc_id", "rank", "term", "score_micro")
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM toks GROUP BY 1, 2),
+             |df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+             |  FROM toks GROUP BY 1),
+             |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+             |scored AS (SELECT doc_id, tf.term,
+             |    tf * ((2*n - 2*df + 1) * 1000000 // (2*df + 1)) AS score_micro
+             |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN nn),
+             |ranked AS (SELECT doc_id, term, score_micro,
+             |  CAST(row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY score_micro DESC, term) AS BIGINT) AS rank
+             |  FROM scored)
+             |SELECT doc_id, rank, term, score_micro FROM ranked WHERE rank <= 3
+             |ORDER BY doc_id, rank""".stripMargin)
     )
   )
 }
