@@ -2537,6 +2537,71 @@ object TextQueries {
              |  FROM scored)
              |SELECT doc_id, rank, term, score_micro FROM ranked WHERE rank <= 3
              |ORDER BY doc_id, rank""".stripMargin)
+    ),
+
+    // ---- end-to-end curation audit: strip → dedup → split -------------------
+    // The composed pipeline as one verified entry — the integration proof
+    // that the rewrite, dedup, and split stages CHAIN: (1) strip
+    // boilerplate spans (pipeline_strip_spans' rewrite); (2) exact-dedup
+    // the REWRITTEN corpus on clean_md5, keeping the lowest doc_id —
+    // note the composition effect the stages exist for: scrubbing
+    // collapses template families onto identical residues (including
+    // all-boilerplate docs, which become empty and are dropped as husks),
+    // so post-strip dedup catches duplicates raw-text dedup can't; (3)
+    // hash-split the survivors 80/10/10 by the pipeline_split bucket
+    // discipline. Output: per (lang, split) survivor counts and clean
+    // char mass — the numbers a dataset card reports. Each stage's scale
+    // shape is its standalone entry's (documented there); the chain adds
+    // one broadcast-sized join for lang and no new shuffles beyond its
+    // stages.
+    GQuery(
+      "pipeline_e2e_audit",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val clean = stripSpans(docs)
+        val wd = Window.partitionBy("clean_md5").orderBy("doc_id")
+        val kept = clean
+          .filter(col("clean_chars") > 0)
+          .withColumn("rn", row_number().over(wd)).filter(col("rn") === 1)
+        kept
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .withColumn("bucket",
+            expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 100"))
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val")
+              .otherwise("test"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"), sum(col("clean_chars")).as("clean_chars"))
+          .orderBy("lang", "split")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS ts FROM documents),
+              |sp AS (SELECT doc_id, unnest(list_transform(range(0, (len(ts) - 1) // 8 + 1),
+              |    i -> struct_pack(sid := CAST(i AS BIGINT),
+              |      span := array_to_string(ts[(i*8+1):(i*8+8)], ' ')))) AS c
+              |  FROM toks),
+              |s2 AS (SELECT doc_id, c.sid AS sid, c.span AS span, md5(c.span) AS g FROM sp),
+              |boiler AS (SELECT g FROM s2 GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+              |keptsp AS (SELECT * FROM s2 WHERE g NOT IN (SELECT g FROM boiler)),
+              |surv AS (SELECT doc_id, string_agg(span, ' ' ORDER BY sid) AS clean_text
+              |  FROM keptsp GROUP BY doc_id),
+              |clean AS (SELECT doc_id,
+              |    CAST(length(clean_text) AS BIGINT) AS clean_chars,
+              |    md5(clean_text) AS clean_md5
+              |  FROM surv WHERE length(clean_text) > 0),
+              |dedup AS (SELECT * FROM (SELECT *,
+              |    row_number() OVER (PARTITION BY clean_md5 ORDER BY doc_id) AS rn
+              |  FROM clean) WHERE rn = 1),
+              |lbl AS (SELECT d.doc_id, d.clean_chars, doc.lang,
+              |    CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100
+              |      AS bucket
+              |  FROM dedup d JOIN documents doc ON d.doc_id = doc.doc_id)
+              |SELECT lang,
+              |  CASE WHEN bucket < 80 THEN 'train'
+              |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(clean_chars) AS BIGINT) AS clean_chars
+              |FROM lbl GROUP BY lang, split ORDER BY lang, split""".stripMargin)
     )
   )
 }
