@@ -503,6 +503,69 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Batch-vs-corpus winnowed-fingerprint candidate pairs — the
+    * incremental serving form of [[winnowPairs]]: an arriving batch's
+    * selected fingerprints equi-join the STANDING corpus fingerprint set
+    * only (batch×corpus, never corpus×corpus). The df cap is corpus-side
+    * (a standing stat of the index — df=1 corpus fps still pair across
+    * the set boundary, unlike the within-set join, so only the
+    * boilerplate-fan-out ceiling applies). Shared by the registered
+    * `dedup_winnow_incremental` (inline corpus derivation, oracle-matched)
+    * and the streaming probe ([[graft.streaming.DocumentsStream
+    * .runWinnowProbe]]) against the [[writeWinnowIndex]] bucketed table.
+    */
+  private[graft] def winnowIncrementalPairs(
+      batchFps: DataFrame, corpusFps: DataFrame, minShared: Long = 2L): DataFrame = {
+    // corpusFps carries (doc_id, fp, n_fp_c) — the per-doc size is a
+    // STANDING column of the index (writeWinnowIndex denormalizes it), so
+    // the probe never re-shuffles the corpus by doc_id: the df cap rides
+    // the fp bucketing and the size reaches the containment through
+    // max() inside the pair aggregate (every row of a (b,c) group carries
+    // c's size). Only the small batch side pays a per-doc aggregate.
+    val keep = corpusFps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= lit(NGRAM_BLOCK_CAP))
+      .select("fp")
+    val bSizes = batchFps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp_b"))
+    val cf = corpusFps.join(keep, Seq("fp"), "left_semi")
+    batchFps.as("x")
+      .join(cf.as("y"), col("x.fp") === col("y.fp"))
+      .groupBy(col("x.doc_id").as("doc_id"), col("y.doc_id").as("c_id"))
+      .agg(count(lit(1)).as("shared_fp"), max(col("y.n_fp_c")).as("n_fp_c"))
+      .filter(col("shared_fp") >= minShared)
+      .join(bSizes, "doc_id")
+      .select(col("doc_id"), col("c_id"), col("shared_fp"),
+        (col("shared_fp").cast("double") / least(col("n_fp_b"), col("n_fp_c")).cast("double"))
+          .as("containment"))
+  }
+
+  /** Persist the corpus-side winnowed fingerprint set as a table BUCKETED
+    * by fp — the winnow family's production layout (the MOSS-at-scale
+    * shape): a batch probe's fingerprint join co-locates with the index
+    * buckets, so the standing corpus fingerprints are never re-shuffled;
+    * the only exchange is the small arriving batch. Same 80/20 doc_id
+    * split convention as [[writeBandIndex]]; returns the batch threshold.
+    */
+  def writeWinnowIndex(s: SparkSession, dir: String, table: String, path: String): Long = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val thrRow = d.agg(expr("CAST((max(doc_id) + 1) * 4 div 5 AS BIGINT)")).head
+    require(!thrRow.isNullAt(0),
+      s"writeWinnowIndex: documents table under '$dir' is empty — nothing to index")
+    val thr = thrRow.getLong(0)
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val fps = TextQueries.winnowSelected(d.filter(col("doc_id") < thr))
+      .select(col("doc_id"), col("fp")).distinct()
+    // denormalize the per-doc fingerprint count onto each row: probes read
+    // the size for the containment without ever re-shuffling the index by
+    // doc_id (see winnowIncrementalPairs)
+    fps.join(fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp_c")), "doc_id")
+      .write.mode("overwrite")
+      .bucketBy(8, "fp").sortBy("fp")
+      .option("path", path)
+      .saveAsTable(table)
+    thr
+  }
+
   val defs: Seq[GQuery] = Seq(
 
     // ---- exact dedup: group-identical text, keep lowest doc_id ------------
@@ -1120,6 +1183,54 @@ object DedupQueries {
               |FROM pairs JOIN sizes sa ON pairs.doc_a = sa.doc_id
               |JOIN sizes sb ON pairs.doc_b = sb.doc_id
               |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // ---- incremental winnow probe: arriving batch vs standing index --------
+    // The winnow family's daily-ingest form: the top-20%-of-ids batch
+    // probes the standing 80% corpus through the shared fingerprint join
+    // (winnowIncrementalPairs) — batch×corpus only, never corpus×corpus,
+    // so a day's cost scales with the day, not the archive. Here both
+    // sides derive inline from the same table (the oracle's shape); the
+    // persisted path is writeWinnowIndex's fp-BUCKETED table, where the
+    // probe join co-locates with the index buckets and the standing
+    // fingerprints never re-shuffle (plan pinned in PartitionBucketSpec;
+    // drain-equals-batch pinned in StreamingSpec via runWinnowProbe).
+    // The 8-token shared-run guarantee carries over unchanged — winnowing
+    // selection is per-document, so batch-vs-corpus selections agree with
+    // what a full-corpus run would have selected.
+    GQuery(
+      "dedup_winnow_incremental",
+      (s, dir) => {
+        val thr = broadcast(Tables.documents(s, dir).agg(
+          expr("CAST((max(doc_id) + 1) * 4 div 5 AS BIGINT)").as("thr")))
+        val fps = Materialize(
+          TextQueries.winnowSelected(Tables.documents(s, dir))
+            .select(col("doc_id"), col("fp")).distinct()
+            .crossJoin(thr)) // 1-row bound
+        val corpus = fps.filter(col("doc_id") < col("thr")).select("doc_id", "fp")
+        winnowIncrementalPairs(
+          fps.filter(col("doc_id") >= col("thr")).select("doc_id", "fp"),
+          corpus.join(
+            corpus.groupBy("doc_id").agg(count(lit(1)).as("n_fp_c")), "doc_id"))
+          .orderBy("doc_id", "c_id")
+      },
+      Some(s"""WITH ${TextQueries.winnowSqlCte},
+              |wthr AS (SELECT CAST((MAX(doc_id) + 1) * 4 // 5 AS BIGINT) AS thr FROM documents),
+              |wifps AS (SELECT DISTINCT doc_id, fp FROM wsel),
+              |cfp AS (SELECT doc_id, fp FROM wifps, wthr WHERE doc_id < thr),
+              |bfp AS (SELECT doc_id, fp FROM wifps, wthr WHERE doc_id >= thr),
+              |ikeep AS (SELECT fp FROM cfp GROUP BY fp HAVING COUNT(*) <= $NGRAM_BLOCK_CAP),
+              |ics AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp_c FROM cfp GROUP BY doc_id),
+              |ibs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp_b FROM bfp GROUP BY doc_id),
+              |ipairs AS (SELECT b.doc_id AS doc_id, c.doc_id AS c_id,
+              |    CAST(COUNT(*) AS BIGINT) AS shared_fp
+              |  FROM bfp b JOIN cfp c ON b.fp = c.fp JOIN ikeep k ON b.fp = k.fp
+              |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+              |SELECT p.doc_id, c_id, shared_fp,
+              |  CAST(shared_fp AS DOUBLE) / CAST(least(n_fp_b, n_fp_c) AS DOUBLE) AS containment
+              |FROM ipairs p JOIN ibs ON p.doc_id = ibs.doc_id
+              |JOIN ics ON p.c_id = ics.doc_id
+              |ORDER BY p.doc_id, c_id""".stripMargin)
     ),
 
     // ---- prefix-filter similarity join (PPJoin-style, EXACT recall) --------

@@ -355,6 +355,65 @@ object EventQueries {
               |ORDER BY event_type, hr""".stripMargin)
     ),
 
+    // ---- CUSUM drift detection over the hourly rate --------------------------
+    // The sequential changepoint statistic (Page 1954) the 2-sigma hourly
+    // test can't replace: a one-sided upper CUSUM accumulates SUSTAINED
+    // small excesses that never individually cross a sigma bound. The
+    // recursion S_t = max(0, S_{t-1} + x_t − μ − k) looks inherently
+    // sequential, but the closed form S_t = prefix_t − min(0, min_{j≤t}
+    // prefix_j) (prefix = running sum of the drift-adjusted deviations)
+    // turns it into TWO stacked window passes — a running sum, then a
+    // running min over it — so the whole detector is one hourly
+    // pre-aggregate shuffle plus windows over the hour spine (input grows
+    // with the time span, not the event volume; the identity itself is
+    // pinned against the direct recursion in CusumSpec). Exactness: per
+    // event_type, multiply the deviation through by 4·n_hours — d_t =
+    // 4·nh·x_t − 5·s is x_t − 1.25·μ on an integer grid (allowance
+    // k = μ/4), and the alarm threshold H = 4·s is "one full mean-hour of
+    // cumulative excess" on the same grid. No float enters at any point.
+    GQuery(
+      "q_events_cusum",
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val stats = hourly.groupBy("event_type")
+          .agg(sum(col("n")).as("s"), count(lit(1)).as("nh"))
+        val wsum = Window.partitionBy("event_type").orderBy("hr")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val scored = hourly.join(broadcast(stats), "event_type")
+          .withColumn("d", lit(4) * col("nh") * col("n") - lit(5) * col("s"))
+          .withColumn("prefix", sum(col("d")).over(wsum))
+        scored
+          .withColumn("runmin", min(col("prefix")).over(wsum))
+          .select(col("event_type"), col("hr"), col("n"),
+            (col("prefix") - least(lit(0L), col("runmin"))).as("cusum"),
+            (col("prefix") - least(lit(0L), col("runmin")) > lit(4) * col("s"))
+              .as("in_alarm"))
+          .orderBy("event_type", "hr")
+      },
+      Some(s"""WITH chourly AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+              |    CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM ${Tables.eventsOracleFrom} e GROUP BY event_type, hr),
+              |cstats AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS s,
+              |    CAST(COUNT(*) AS BIGINT) AS nh
+              |  FROM chourly GROUP BY event_type),
+              |cpre AS (SELECT h.event_type, hr, n, s,
+              |    CAST(SUM(4 * nh * n - 5 * s) OVER (PARTITION BY h.event_type
+              |      ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS BIGINT) AS prefix
+              |  FROM chourly h JOIN cstats st ON h.event_type = st.event_type),
+              |cmin AS (SELECT event_type, hr, n, s, prefix,
+              |    CAST(MIN(prefix) OVER (PARTITION BY event_type ORDER BY hr
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS runmin
+              |  FROM cpre)
+              |SELECT event_type, hr, n,
+              |  prefix - least(0, runmin) AS cusum,
+              |  prefix - least(0, runmin) > 4 * s AS in_alarm
+              |FROM cmin ORDER BY event_type, hr""".stripMargin)
+    ),
+
     // ---- integer EWMA: time-decayed per-user signal --------------------------
     // The exponentially-weighted activity signal with α = 1/2 evaluated as
     // an ORDERED INTEGER FOLD: ewma' = (ewma + v_cents) div 2 over each

@@ -999,6 +999,39 @@ object TextQueries {
        |wsel AS (SELECT doc_id, ${WIN_POS - 1} - (cmin % $WIN_POS) AS pos,
        |  cmin // $WIN_POS AS fp FROM wm)""".stripMargin
 
+  /** The Gopher rule battery as a reusable map-only projection over any
+    * (doc_id, text) frame — the registered `text_gopher_rules` entry and
+    * the streaming audit ([[graft.streaming.DocumentsStream.runGopherAudit]])
+    * share it, so batch and stream are pinned to the same column
+    * expressions by construction. Unsorted; callers order.
+    */
+  private[graft] def gopherRulesOf(docs: DataFrame): DataFrame = {
+    val en = markerArr(langMarkers.head._2)
+    docs
+      .select(col("doc_id"),
+        expr(s"CAST(size($toksCol) AS BIGINT)").as("n"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("ch"),
+        expr(s"CAST(size(filter($toksCol, t -> array_contains(array($en), t))) AS BIGINT)")
+          .as("nstop"),
+        expr(s"CAST(size(array_distinct($toksCol)) AS BIGINT)").as("ndis"),
+        expr(s"""CAST(array_max(transform(array_distinct($toksCol),
+                |  w -> size(filter($toksCol, t -> t = w)))) AS BIGINT)""".stripMargin)
+          .as("maxtf"))
+      .select(col("doc_id"),
+        (col("n") >= 30 && col("n") <= 100000).as("r_wordcount"),
+        (lit(3) * col("n") <= col("ch") && col("ch") <= lit(10) * col("n")).as("r_meanwl"),
+        (col("nstop") >= 2).as("r_stopword"),
+        (lit(5) * col("maxtf") <= col("n")).as("r_maxtf"),
+        (lit(10) * col("ndis") >= lit(3) * col("n")).as("r_ttr"))
+      .withColumn("n_fail",
+        (when(col("r_wordcount"), 0L).otherwise(1L) +
+          when(col("r_meanwl"), 0L).otherwise(1L) +
+          when(col("r_stopword"), 0L).otherwise(1L) +
+          when(col("r_maxtf"), 0L).otherwise(1L) +
+          when(col("r_ttr"), 0L).otherwise(1L)).as("n_fail"))
+      .withColumn("pass", col("n_fail") === 0L)
+  }
+
   val defs: Seq[GQuery] = Seq(
 
     GQuery(
@@ -1062,33 +1095,7 @@ object TextQueries {
       // shuffles until the output sort, at 100 TB a pure scan pass that
       // fuses into whatever filter consumes it.
       "text_gopher_rules",
-      (s, dir) => {
-        val en = markerArr(langMarkers.head._2)
-        Tables.documents(s, dir)
-          .select(col("doc_id"),
-            expr(s"CAST(size($toksCol) AS BIGINT)").as("n"),
-            length(regexp_replace(col("text"), " ", "")).cast("long").as("ch"),
-            expr(s"CAST(size(filter($toksCol, t -> array_contains(array($en), t))) AS BIGINT)")
-              .as("nstop"),
-            expr(s"CAST(size(array_distinct($toksCol)) AS BIGINT)").as("ndis"),
-            expr(s"""CAST(array_max(transform(array_distinct($toksCol),
-                    |  w -> size(filter($toksCol, t -> t = w)))) AS BIGINT)""".stripMargin)
-              .as("maxtf"))
-          .select(col("doc_id"),
-            (col("n") >= 30 && col("n") <= 100000).as("r_wordcount"),
-            (lit(3) * col("n") <= col("ch") && col("ch") <= lit(10) * col("n")).as("r_meanwl"),
-            (col("nstop") >= 2).as("r_stopword"),
-            (lit(5) * col("maxtf") <= col("n")).as("r_maxtf"),
-            (lit(10) * col("ndis") >= lit(3) * col("n")).as("r_ttr"))
-          .withColumn("n_fail",
-            (when(col("r_wordcount"), 0L).otherwise(1L) +
-              when(col("r_meanwl"), 0L).otherwise(1L) +
-              when(col("r_stopword"), 0L).otherwise(1L) +
-              when(col("r_maxtf"), 0L).otherwise(1L) +
-              when(col("r_ttr"), 0L).otherwise(1L)).as("n_fail"))
-          .withColumn("pass", col("n_fail") === 0L)
-          .orderBy("doc_id")
-      },
+      (s, dir) => gopherRulesOf(Tables.documents(s, dir)).orderBy("doc_id"),
       Some {
         val en = markerArr(langMarkers.head._2)
         s"""WITH g AS (SELECT doc_id,

@@ -210,6 +210,57 @@ object DocumentsStream {
     q.awaitTermination()
   }
 
+  /** Streaming winnow-fingerprint probe against the persisted corpus
+    * index ([[DedupQueries.writeWinnowIndex]]'s fp-bucketed table): each
+    * arriving micro-batch is winnowed (the per-document selection of
+    * `text_winnow`) and its fingerprints equi-join the standing corpus
+    * set via [[DedupQueries.winnowIncrementalPairs]] — the standing
+    * fingerprints feed the join from their buckets, the batch is the only
+    * exchange, and the shared-run-length guarantee is the batch path's
+    * verbatim (selection is per-document). Drain equals the one-shot
+    * `dedup_winnow_incremental` result — pinned in StreamingSpec.
+    */
+  def runWinnowProbe(
+      spark: SparkSession, inPath: String, indexTable: String,
+      outPath: String, checkpoint: String): Unit = {
+    val q = readDocs(spark, inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val bFps = graft.operators.TextQueries.winnowSelected(batch.toDF())
+          .select(col("doc_id"), col("fp")).distinct()
+        DedupQueries.winnowIncrementalPairs(bFps, spark.table(indexTable))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Continuous quality gating: the Gopher rule battery
+    * ([[graft.operators.TextQueries.gopherRulesOf]] — the exact projection
+    * the registered `text_gopher_rules` entry runs) applied to documents as
+    * they arrive. The rules are stateless map-only expressions, so this is
+    * a TRUE streaming query (no foreachBatch): the projection rides the
+    * file-sink's transaction log and is therefore exactly-once per input
+    * file — stronger than the at-least-once foreachBatch twins — and any
+    * micro-batching trivially equals the one-shot batch run (pinned in
+    * StreamingSpec).
+    */
+  def runGopherAudit(
+      spark: SparkSession, inPath: String, outPath: String,
+      checkpoint: String): Unit = {
+    val q = graft.operators.TextQueries.gopherRulesOf(readDocs(spark, inPath))
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def runLinearMonitor(
       spark: SparkSession, modelPath: String, inPath: String, outPath: String,
       checkpoint: String): Unit = {

@@ -263,6 +263,33 @@ class PartitionBucketSpec extends SparkSpec {
     } finally spark.conf.set(key, prior)
   }
 
+  test("persisted winnow index: corpus fingerprints join from their buckets, unshuffled") {
+    // the winnow family's serving claim made a pinned plan: the fp-bucketed
+    // corpus fingerprint index must feed the batch probe join WITHOUT a
+    // corpus-side exchange, and the index-served pairs must equal the
+    // registered dedup_winnow_incremental (inline derivation) exactly.
+    import graft.operators.{DedupQueries, TextQueries}
+    val thr = DedupQueries.writeWinnowIndex(spark, sfDir, "winnow_idx", s"$tmp/winnow_idx")
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val bFps = TextQueries.winnowSelected(d.filter(col("doc_id") >= thr))
+      .select(col("doc_id"), col("fp")).distinct()
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "-1") // a broadcast would bypass the bucket claim
+    try {
+      val served = DedupQueries.winnowIncrementalPairs(bFps, spark.table("winnow_idx"))
+      val got = served.orderBy("doc_id", "c_id").collect()
+      val plan = served.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(got.nonEmpty)
+      val inline = SparkEntry.queries("dedup_winnow_incremental")(spark, sfDir)
+        .collect()
+      assert(got.toSeq == inline.toSeq,
+        s"index-served pairs != inline pairs (${got.length} vs ${inline.length})")
+    } finally spark.conf.set(key, prior)
+  }
+
   test("nested struct scan prunes to the accessed subfield") {
     // the 100 TB lever for struct-heavy schemas (multimodal metadata,
     // event payloads): selecting meta.o_custkey must NOT read the sibling

@@ -605,6 +605,47 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == direct.orderBy("doc_id").collect().toSeq)
   }
 
+  test("streaming winnow probe from the persisted index equals batch") {
+    // the winnow family's ingest twin: arriving docs winnow per trigger and
+    // probe the fp-bucketed corpus index; per-document selection means the
+    // multi-batch drain must equal the one-shot dedup_winnow_incremental
+    import graft.operators.DedupQueries
+    import graft.streaming.DocumentsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-winstream").toString
+    val thr = DedupQueries.writeWinnowIndex(spark, sfDir, "winnow_idx_stream", s"$base/idx")
+    Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(col("doc_id") >= thr).repartition(3)
+      .write.mode("overwrite").parquet(s"$base/in")
+    DocumentsStream.runWinnowProbe(
+      spark, s"$base/in", "winnow_idx_stream", s"$base/out", s"$base/ckpt")
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected several micro-batches, got $commits")
+    val direct = SparkEntry.queries("dedup_winnow_incremental")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    val got = spark.read.parquet(s"$base/out")
+      .select(cols: _*).orderBy("doc_id", "c_id").collect()
+    assert(got.nonEmpty && got.toSeq == direct.orderBy("doc_id", "c_id").collect().toSeq)
+  }
+
+  test("streaming Gopher audit equals the batch rule battery") {
+    // stateless map-only rules as a TRUE streaming query (file-sink path,
+    // no foreachBatch): drain must equal text_gopher_rules row-for-row
+    import graft.streaming.DocumentsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-gopherstream").toString
+    Tables.documents(spark, sfDir).select("doc_id", "text").repartition(3)
+      .write.mode("overwrite").parquet(s"$base/in")
+    DocumentsStream.runGopherAudit(spark, s"$base/in", s"$base/out", s"$base/ckpt")
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected several micro-batches, got $commits")
+    val direct = SparkEntry.queries("text_gopher_rules")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    val got = spark.read.parquet(s"$base/out")
+      .select(cols: _*).orderBy("doc_id").collect()
+    assert(got.nonEmpty && got.toSeq == direct.orderBy("doc_id").collect().toSeq)
+  }
+
   test("stateful dedup on the RocksDB state store equals batch distinct") {
     // the bounded-heap state path a 100 TB streaming deployment runs on:
     // same query, state provider swapped to RocksDB — results must be
