@@ -134,21 +134,33 @@ object Multimodal {
       }
   }
 
-  /** A perceptual-hash signature row: 32-bit block-mean hash + size. */
-  case class PHash(asset_id: Long, n_bytes: Long, phash: Long)
+  /** A perceptual-hash signature row: 64-bit block-mean hash carried as two
+    * NONNEGATIVE 32-bit halves (blocks 0-31 → ph_hi, 32-63 → ph_lo) plus
+    * size. The split is the cross-engine-safe representation: a single
+    * 64-bit BIGINT would put block 0 on the sign bit, where shift/sum
+    * arithmetic diverges between engines; two halves keep every
+    * intermediate in the positive range on both sides, and Hamming is
+    * simply the sum of the halves' xor popcounts.
+    */
+  case class PHash(asset_id: Long, n_bytes: Long, ph_hi: Long, ph_lo: Long)
 
-  /** Perceptual-hash signature (aHash structure): split the payload into 32
-    * equal byte blocks and set bit i (MSB-first) iff block i's mean byte
-    * exceeds the whole-payload mean. With a real codec the input would be
-    * the decoded, down-scaled luma plane (and the mean comparison a DCT
-    * coefficient — pHash proper); the stub hashes the raw bytes, which
-    * preserves the property that matters to the pipeline: NEAR-duplicate
-    * payloads (small byte edits) land at small Hamming distance, unlike
-    * md5 where one flipped byte decorrelates everything. All comparisons
-    * are integer cross-multiplications (blockSum·n > totalSum·blockLen) —
-    * no float means, so the signature is bit-reproducible everywhere.
-    * Same mapPartitions shape as decode; blocks of a short payload
-    * (n < 32) that receive no bytes contribute a 0 bit.
+  /** Perceptual-hash signature (aHash structure): split the payload into 64
+    * equal byte blocks and set bit i (MSB-first across ph_hi∥ph_lo) iff
+    * block i's mean byte exceeds the whole-payload mean. With a real codec
+    * the input would be the decoded, down-scaled luma plane (and the mean
+    * comparison a DCT coefficient — pHash proper); the stub hashes the raw
+    * bytes, which preserves the property that matters to the pipeline:
+    * NEAR-duplicate payloads (small byte edits) land at small Hamming
+    * distance, unlike md5 where one flipped byte decorrelates everything.
+    * 64 bits (vs the r11 32) is the scale width: chance proximity at
+    * Hamming ≤ 6 drops from ~2.6e-4 per pair (a real noise floor at any
+    * corpus size) to ~5e-12 — pairs emitted at 100 TB are overwhelmingly
+    * true near-dups, and the 16-bit band space keeps candidate buckets
+    * bounded (see multimodal_phash_pairs). All comparisons are integer
+    * cross-multiplications (blockSum·n > totalSum·blockLen) — no float
+    * means, so the signature is bit-reproducible everywhere. Same
+    * mapPartitions shape as decode; blocks of a short payload (n < 64)
+    * that receive no bytes contribute a 0 bit.
     */
   def perceptualHash(assets: DataFrame): Dataset[PHash] = {
     val spark = assets.sparkSession
@@ -165,18 +177,21 @@ object Multimodal {
           identity(codec)
           val n = a.payload.length.toLong
           val tot = a.payload.foldLeft(0L)((acc, b) => acc + (b & 0xff))
-          var h = 0L
+          var hHi = 0L
+          var hLo = 0L
           var i = 0
-          while (i < 32) {
-            val lo = (i * n / 32).toInt
-            val hi = ((i + 1) * n / 32).toInt
+          while (i < 64) {
+            val lo = (i * n / 64).toInt
+            val hi = ((i + 1) * n / 64).toInt
             var bs = 0L
             var j = lo
             while (j < hi) { bs += (a.payload(j) & 0xff); j += 1 }
-            if (bs * n > tot * (hi - lo)) h |= 1L << (31 - i)
+            if (bs * n > tot * (hi - lo)) {
+              if (i < 32) hHi |= 1L << (31 - i) else hLo |= 1L << (63 - i)
+            }
             i += 1
           }
-          PHash(a.asset_id, n, h)
+          PHash(a.asset_id, n, hHi, hLo)
         }
       }
   }
@@ -189,4 +204,41 @@ object Multimodal {
       col("doc_id").as("asset_id"),
       col("text").cast("binary").as("payload"),
       lit("text/plain").as("format"))
+
+  /** The asset table PLUS deterministic "re-encode" variants — the
+    * pipeline_redact_pii discipline applied to near-dup detection: every
+    * 10th source asset gains two one-byte-edited copies (ids offset by
+    * 1e6/2e6, edits at fixed positions both engines splice identically),
+    * so the phash pair/cluster queries verify against PLANTED ground
+    * truth instead of the chance-collision noise floor a narrow hash
+    * produces on unrelated content. Each planted trio (source, v1, v2) is
+    * a genuine Hamming-near component; the 64-bit signature makes
+    * anything else vanishingly unlikely to pair.
+    */
+  def assetsWithVariants(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(spark, dir)
+    val orig = d.select(col("doc_id").as("asset_id"), col("text"))
+    val v1 = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("asset_id"),
+        expr("concat(substr(text, 1, 5), 'x', substr(text, 7))").as("text"))
+    val v2 = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 2000000L).as("asset_id"),
+        expr("concat(substr(text, 1, 15), 'q', substr(text, 17))").as("text"))
+    orig.unionByName(v1).unionByName(v2)
+      .select(col("asset_id"),
+        col("text").cast("binary").as("payload"),
+        lit("text/plain").as("format"))
+  }
+
+  /** Oracle CTE mirroring [[assetsWithVariants]]: ends in `am(asset_id,
+    * text)`.
+    */
+  val assetsWithVariantsSql: String =
+    """am AS (SELECT doc_id AS asset_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000,
+      |    concat(substr(text, 1, 5), 'x', substr(text, 7)) FROM documents
+      |    WHERE doc_id % 10 = 0
+      |  UNION ALL SELECT doc_id + 2000000,
+      |    concat(substr(text, 1, 15), 'q', substr(text, 17)) FROM documents
+      |    WHERE doc_id % 10 = 0)""".stripMargin
 }

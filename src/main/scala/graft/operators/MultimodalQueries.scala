@@ -177,37 +177,48 @@ object MultimodalQueries {
     ),
 
     // ---- perceptual-hash signatures (asset NEAR-dup, vs md5's exact) --------
-    // The media twin of dedup_simhash: a 32-bit block-mean signature per
-    // payload (aHash structure — bit i set iff block i's byte mean beats
-    // the payload mean, integer cross-multiplied; a real pipeline would
-    // hash the decoded luma plane). Small byte edits flip few blocks, so
-    // near-duplicate assets land at small Hamming distance — the property
-    // content digests destroy. Signature extraction is the decode
-    // mapPartitions shape: map-only over payload splits, 12 bytes out per
-    // asset regardless of payload size. Oracle-able because the ASCII
-    // corpus makes byte arithmetic SQL-expressible (the multimodal_decode
-    // precedent).
+    // The media twin of dedup_simhash: a 64-bit block-mean signature per
+    // payload carried as two 32-bit halves (aHash structure — bit i set
+    // iff block i's byte mean beats the payload mean, integer
+    // cross-multiplied; a real pipeline would hash the decoded luma
+    // plane). Small byte edits flip few blocks, so near-duplicate assets
+    // land at small Hamming distance — the property content digests
+    // destroy. [r12] Widened from 32 bits: at 32, chance proximity at
+    // Hamming ≤ 6 is ~2.6e-4 per pair — a noise floor that grows
+    // QUADRATICALLY with corpus size (the r11 pair list at sf0.01 was
+    // chance collisions between unrelated texts, measured 60 pairs over
+    // 500 docs); at 64 bits it is ~5e-12, so emitted pairs are true
+    // near-dups at any scale. The asset table plants deterministic
+    // one-byte "re-encode" variants on every 10th source (ground truth
+    // both engines construct identically) — the detection target.
+    // Signature extraction is the decode mapPartitions shape: map-only
+    // over payload splits, 16 bytes out per asset regardless of payload
+    // size. Oracle-able because the ASCII corpus makes byte arithmetic
+    // SQL-expressible (the multimodal_decode precedent).
     GQuery(
       "multimodal_phash",
       (s, dir) =>
-        Multimodal.perceptualHash(Multimodal.documentsAsAssets(s, dir))
+        Multimodal.perceptualHash(Multimodal.assetsWithVariants(s, dir))
           .toDF()
           .orderBy("asset_id"),
       Some(s"""WITH $phashSql
-              |SELECT doc_id AS asset_id, n AS n_bytes, phash FROM ph
+              |SELECT asset_id, n AS n_bytes, ph_hi, ph_lo FROM ph
               |ORDER BY asset_id""".stripMargin)
     ),
 
-    // Near-dup pair generation over the signatures: split the 32-bit hash
-    // into 4 bands of 8 bits and equi-join on (band, value) — two assets
-    // within Hamming distance 6 of each other differ in <= 6 bits, so by
-    // pigeonhole over more bands than differing-bit capacity they MAY
-    // share a band; the band join is the simhash/LSH banding cut that
-    // keeps candidate generation an equi-join on content-derived keys
-    // (never all-pairs), at the documented recall trade for pairs whose
-    // differing bits spread across every band. Candidates then verify by
-    // exact bit_count(xor) <= 6. Payloads never move — the join carries
-    // 32-bit signatures + ids only.
+    // Near-dup pair generation over the signatures: split the 64-bit hash
+    // into 4 bands of 16 bits and equi-join on (band, value) — two assets
+    // within Hamming distance 6 MAY share a clean band (the simhash/LSH
+    // banding cut that keeps candidate generation an equi-join on
+    // content-derived keys, never all-pairs, at the documented recall
+    // trade for pairs whose differing bits hit every band). The 16-bit
+    // band space is the scale decision: 8-bit bands have only 256 values,
+    // so buckets grow linearly with the corpus and the within-bucket join
+    // quadratically (measured at sf0.1: 5,000 assets → 299,478 candidates
+    // for 60 true pairs); 2^16 values keep expected bucket size n/65536
+    // per band — at 500k assets ~8, vs ~2000 for 8-bit. Candidates then
+    // verify by exact popcount(xor) over both halves <= 6. Payloads never
+    // move — the join carries 16-byte signatures + ids only.
     GQuery(
       "multimodal_phash_pairs",
       (s, dir) =>
@@ -221,11 +232,15 @@ object MultimodalQueries {
     // Hamming pairs via the same two-star machinery the text corpus uses
     // (dedup_cc_twostar) — a burst of re-encodes/crops of one source image
     // forms a chain of pairwise-near assets, and the keep-one-per-cluster
-    // decision needs the component, not the pair list. The oracle is the
-    // recursive reachability closure, so the driver proves the O(log² n)
-    // two-star rounds find exactly the true components of the phash graph.
-    // Only assets that appear in some pair enter the CC stage (singletons
-    // are their own trivial cluster and never shuffle).
+    // decision needs the component, not the pair list. [r12] With the
+    // planted variant trios the components are GROUND-TRUTH (each source
+    // and its two one-byte edits — a triangle or path depending on where
+    // the edits' flipped bits land), not the chance-collision graph the
+    // 32-bit signature produced. The oracle is the recursive reachability
+    // closure, so the driver proves the O(log² n) two-star rounds find
+    // exactly the true components of the phash graph. Only assets that
+    // appear in some pair enter the CC stage (singletons are their own
+    // trivial cluster and never shuffle).
     GQuery(
       "multimodal_phash_clusters",
       (s, dir) => {
@@ -259,18 +274,22 @@ object MultimodalQueries {
   private def phashPairs(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     val ph = Materialize(
-      Multimodal.perceptualHash(Multimodal.documentsAsAssets(s, dir)).toDF())
-    val bk = ph.select(col("asset_id"), col("phash"),
+      Multimodal.perceptualHash(Multimodal.assetsWithVariants(s, dir)).toDF())
+    val bk = ph.select(col("asset_id"), col("ph_hi"), col("ph_lo"),
         explode(expr("sequence(0, 3)")).as("j"))
-      .withColumn("bv", expr("shiftright(phash, CAST(8 * j AS INT)) & 255"))
+      .withColumn("bv", expr(
+        """CASE WHEN j < 2 THEN shiftright(ph_lo, CAST(16 * j AS INT)) & 65535
+          |ELSE shiftright(ph_hi, CAST(16 * (j - 2) AS INT)) & 65535 END""".stripMargin))
     bk.as("x")
       .join(bk.as("y"),
         col("x.j") === col("y.j") && col("x.bv") === col("y.bv") &&
           col("x.asset_id") < col("y.asset_id"))
       .select(col("x.asset_id").as("asset_a"), col("y.asset_id").as("asset_b"),
-        col("x.phash").as("pa"), col("y.phash").as("pb"))
+        col("x.ph_hi").as("ha"), col("x.ph_lo").as("la"),
+        col("y.ph_hi").as("hb"), col("y.ph_lo").as("lb"))
       .distinct()
-      .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS BIGINT)"))
       .filter(col("hamming") <= 6)
       .select("asset_a", "asset_b", "hamming")
   }
@@ -278,33 +297,41 @@ object MultimodalQueries {
   /** Oracle CTE chain ending in `ppairs` (asset_a, asset_b, hamming). */
   private def phashPairsSql: String =
     s"""$phashSql,
-       |bands AS (SELECT doc_id, phash, unnest(range(0, 4)) AS j FROM ph),
-       |bk AS (SELECT doc_id, phash, j,
-       |    (phash >> CAST(8*j AS INTEGER)) & 255 AS bv FROM bands),
-       |cand AS (SELECT DISTINCT x.doc_id AS asset_a, y.doc_id AS asset_b,
-       |    x.phash AS pa, y.phash AS pb
-       |  FROM bk x JOIN bk y ON x.j = y.j AND x.bv = y.bv AND x.doc_id < y.doc_id),
+       |bands AS (SELECT asset_id, ph_hi, ph_lo, unnest(range(0, 4)) AS j FROM ph),
+       |bk AS (SELECT asset_id, ph_hi, ph_lo, j,
+       |    CASE WHEN j < 2 THEN (ph_lo >> CAST(16*j AS INTEGER)) & 65535
+       |    ELSE (ph_hi >> CAST(16*(j-2) AS INTEGER)) & 65535 END AS bv FROM bands),
+       |cand AS (SELECT DISTINCT x.asset_id AS asset_a, y.asset_id AS asset_b,
+       |    x.ph_hi AS ha, x.ph_lo AS la, y.ph_hi AS hb, y.ph_lo AS lb
+       |  FROM bk x JOIN bk y ON x.j = y.j AND x.bv = y.bv AND x.asset_id < y.asset_id),
        |ppairs AS (SELECT asset_a, asset_b,
-       |    CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
-       |  FROM cand WHERE bit_count(xor(pa, pb)) <= 6)""".stripMargin
+       |    CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+       |  FROM cand WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6)""".stripMargin
 
-  /** Shared oracle CTEs computing the block-mean signature over the ASCII
-    * payload bytes; ends in `ph` (doc_id, n, phash). Mirrors
-    * [[Multimodal.perceptualHash]]'s integer arithmetic exactly.
+  /** Shared oracle CTEs computing the 64-block signature over the ASCII
+    * payload bytes of the variant-planted asset set; ends in `ph`
+    * (asset_id, n, ph_hi, ph_lo). Mirrors [[Multimodal.perceptualHash]]'s
+    * integer arithmetic exactly — the two 32-bit halves keep every shift
+    * in the positive range (a single 64-bit sum would ride the sign bit).
     */
-  private def phashSql: String =
-    """phb AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
-      |    list_transform(range(1, length(text) + 1),
-      |      i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS by
-      |  FROM documents),
-      |pht AS (SELECT doc_id, n, by,
-      |    CAST(list_aggregate(by, 'sum') AS BIGINT) AS tot FROM phb),
-      |ph AS (SELECT doc_id, n,
-      |  CAST(list_aggregate(list_transform(range(0, 32), i ->
-      |    CASE WHEN COALESCE(list_aggregate(
-      |        by[((i*n)//32 + 1):(((i+1)*n)//32)], 'sum'), 0) * n
-      |           > tot * ((((i+1)*n)//32) - ((i*n)//32))
-      |      THEN CAST(1 AS BIGINT) << CAST(31 - i AS INTEGER) ELSE 0 END),
-      |    'sum') AS BIGINT) AS phash
-      |  FROM pht)""".stripMargin
+  private def phashSql: String = {
+    def half(lo: Int, hi: Int, msb: Int): String =
+      s"""CAST(list_aggregate(list_transform(range($lo, $hi), i ->
+         |    CASE WHEN COALESCE(list_aggregate(
+         |        by[((i*n)//64 + 1):(((i+1)*n)//64)], 'sum'), 0) * n
+         |           > tot * ((((i+1)*n)//64) - ((i*n)//64))
+         |      THEN CAST(1 AS BIGINT) << CAST($msb - i AS INTEGER) ELSE 0 END),
+         |    'sum') AS BIGINT)""".stripMargin
+    s"""${Multimodal.assetsWithVariantsSql},
+       |phb AS (SELECT asset_id, text, CAST(length(text) AS BIGINT) AS n,
+       |    list_transform(range(1, length(text) + 1),
+       |      i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS by
+       |  FROM am),
+       |pht AS (SELECT asset_id, n, by,
+       |    CAST(list_aggregate(by, 'sum') AS BIGINT) AS tot FROM phb),
+       |ph AS (SELECT asset_id, n,
+       |  COALESCE(${half(0, 32, 31)}, 0) AS ph_hi,
+       |  COALESCE(${half(32, 64, 63)}, 0) AS ph_lo
+       |  FROM pht)""".stripMargin
+  }
 }

@@ -76,8 +76,10 @@ class MultimodalSpec extends SparkSpec {
       (4L, unrelated.getBytes("UTF-8"), "text/plain"))
       .toDF("asset_id", "payload", "format")
     val ph = Multimodal.perceptualHash(assets).collect()
-      .map(p => p.asset_id -> p.phash).toMap
-    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(ph(a) ^ ph(b))
+      .map(p => p.asset_id -> ((p.ph_hi, p.ph_lo))).toMap
+    def ham(a: Long, b: Long): Int =
+      java.lang.Long.bitCount(ph(a)._1 ^ ph(b)._1) +
+        java.lang.Long.bitCount(ph(a)._2 ^ ph(b)._2)
     assert(ham(1, 3) == 0, s"exact dup must hash identically: ${ham(1, 3)}")
     assert(ham(1, 2) <= 6, s"two byte edits must stay near: ${ham(1, 2)}")
     // md5 has no such property — and the phash should separate unrelated
