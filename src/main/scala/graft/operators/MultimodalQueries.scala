@@ -265,12 +265,102 @@ object MultimodalQueries {
               |SELECT asset_id, cluster_id,
               |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
               |FROM comp ORDER BY asset_id""".stripMargin)
+    ),
+
+    // ---- incremental re-encode detection: arriving assets vs the index ------
+    // The phash family's serving form (the dedup_winnow_incremental
+    // topology on media): the standing corpus is the ORIGINAL assets'
+    // banded signatures; the arriving batch is the planted re-encode
+    // variants, whose 4 band keys each probe the corpus set — batch×corpus
+    // only, candidates bounded per band bucket (expected n/65536), exact
+    // Hamming verify on the signatures. Ground truth: every variant must
+    // rediscover its source (one pair per variant, hamming = the edit's
+    // flipped bits). Persisted path: writePhashIndex's bk-bucketed table,
+    // probe join exchange-free on the corpus side (PartitionBucketSpec);
+    // streaming twin runPhashProbe pinned drain==batch in StreamingSpec.
+    GQuery(
+      "multimodal_phash_incremental",
+      (s, dir) => {
+        val all = Materialize(
+          Multimodal.perceptualHash(Multimodal.assetsWithVariants(s, dir)).toDF())
+        val keys = phashBandKeys(all)
+        phashProbePairs(
+          keys.filter(col("asset_id") >= 1000000L),
+          keys.filter(col("asset_id") < 1000000L))
+          .orderBy("asset_id", "src_id")
+      },
+      Some(s"""WITH $phashPairsSql,
+              |pidx AS (SELECT asset_id, ph_hi, ph_lo, j * 65536 + bv AS bk FROM bk
+              |  WHERE asset_id < 1000000),
+              |pbatch AS (SELECT asset_id, ph_hi, ph_lo, j * 65536 + bv AS bk FROM bk
+              |  WHERE asset_id >= 1000000),
+              |pcand AS (SELECT DISTINCT x.asset_id AS asset_id, y.asset_id AS src_id,
+              |    x.ph_hi AS ha, x.ph_lo AS la, y.ph_hi AS hb, y.ph_lo AS lb
+              |  FROM pbatch x JOIN pidx y ON x.bk = y.bk)
+              |SELECT asset_id, src_id,
+              |  CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+              |FROM pcand
+              |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6
+              |ORDER BY asset_id, src_id""".stripMargin)
     )
   )
 
   /** Banded candidate generation + exact Hamming verification over the
     * perceptual hashes — shared by the pairs and clusters entries.
     */
+  /** Band keys over a signature frame (asset_id, ph_hi, ph_lo): one row
+    * per (asset, band) with the composite key bk = j·2^16 + band value —
+    * a single BIGINT so the bucketed index join needs exactly one key
+    * column (the writeBandIndex/writeWinnowIndex discipline).
+    */
+  private[graft] def phashBandKeys(ph: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ph.select(col("asset_id"), col("ph_hi"), col("ph_lo"),
+        explode(expr("sequence(0, 3)")).as("j"))
+      .withColumn("bk", expr(
+        """j * 65536 + CASE WHEN j < 2 THEN shiftright(ph_lo, CAST(16 * j AS INT)) & 65535
+          |ELSE shiftright(ph_hi, CAST(16 * (j - 2) AS INT)) & 65535 END""".stripMargin))
+      .select("asset_id", "ph_hi", "ph_lo", "bk")
+
+  /** Arriving-batch signatures probe a standing corpus signature set:
+    * band-key equi-join, exact Hamming verify — batch×corpus only. Shared
+    * by the registered `multimodal_phash_incremental` (inline corpus) and
+    * the streaming probe against [[writePhashIndex]]'s bucketed table.
+    * Emits (asset_id, src_id, hamming).
+    */
+  private[graft] def phashProbePairs(
+      batchKeys: org.apache.spark.sql.DataFrame,
+      corpusKeys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    batchKeys.as("x")
+      .join(corpusKeys.as("y"), col("x.bk") === col("y.bk"))
+      .select(col("x.asset_id").as("asset_id"), col("y.asset_id").as("src_id"),
+        col("x.ph_hi").as("ha"), col("x.ph_lo").as("la"),
+        col("y.ph_hi").as("hb"), col("y.ph_lo").as("lb"))
+      .distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS BIGINT)"))
+      .filter(col("hamming") <= 6)
+      .select("asset_id", "src_id", "hamming")
+
+  /** Persist the ORIGINAL assets' banded signatures as a table BUCKETED by
+    * the composite band key — the standing side of re-encode detection: an
+    * arriving asset's 4 band keys probe the index from its buckets (no
+    * corpus-side exchange; plan pinned in PartitionBucketSpec), candidates
+    * verify by exact Hamming on the 16-byte signatures riding the index
+    * rows. Payloads are never stored or moved.
+    */
+  def writePhashIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      table: String, path: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    phashBandKeys(
+      Multimodal.perceptualHash(Multimodal.documentsAsAssets(s, dir)).toDF())
+      .write.mode("overwrite")
+      .bucketBy(8, "bk").sortBy("bk")
+      .option("path", path)
+      .saveAsTable(table)
+  }
+
   private def phashPairs(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     val ph = Materialize(

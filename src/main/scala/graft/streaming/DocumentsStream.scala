@@ -238,6 +238,39 @@ object DocumentsStream {
     q.awaitTermination()
   }
 
+  /** Streaming re-encode detection: arriving binary assets are
+    * perceptual-hashed per micro-batch (the mapPartitions signature of
+    * `multimodal_phash`) and their band keys probe the standing
+    * [[graft.operators.MultimodalQueries.writePhashIndex]] bucketed
+    * table — the media twin of [[runWinnowProbe]]. Per-asset independence
+    * makes the drain equal the one-shot `multimodal_phash_incremental`
+    * (pinned in StreamingSpec).
+    */
+  def runPhashProbe(
+      spark: SparkSession, inPath: String, indexTable: String,
+      outPath: String, checkpoint: String): Unit = {
+    val assetSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("payload", org.apache.spark.sql.types.BinaryType),
+      StructField("format", StringType)))
+    val q = spark.readStream
+      .schema(assetSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val keys = graft.operators.MultimodalQueries.phashBandKeys(
+          graft.operators.Multimodal.perceptualHash(batch.toDF()).toDF())
+        graft.operators.MultimodalQueries.phashProbePairs(keys, spark.table(indexTable))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Continuous quality gating: the Gopher rule battery
     * ([[graft.operators.TextQueries.gopherRulesOf]] — the exact projection
     * the registered `text_gopher_rules` entry runs) applied to documents as

@@ -290,6 +290,33 @@ class PartitionBucketSpec extends SparkSpec {
     } finally spark.conf.set(key, prior)
   }
 
+  test("persisted phash index: corpus band keys join from their buckets, unshuffled") {
+    // the media serving claim: the bk-bucketed original-asset signature
+    // index must feed the re-encode probe join WITHOUT a corpus-side
+    // exchange, and index-served matches must equal the registered
+    // multimodal_phash_incremental exactly.
+    import graft.operators.{Multimodal, MultimodalQueries}
+    MultimodalQueries.writePhashIndex(spark, sfDir, "phash_idx", s"$tmp/phash_idx")
+    val batchKeys = MultimodalQueries.phashBandKeys(
+      Multimodal.perceptualHash(
+        Multimodal.assetsWithVariants(spark, sfDir)
+          .filter(col("asset_id") >= 1000000L)).toDF())
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val served = MultimodalQueries.phashProbePairs(batchKeys, spark.table("phash_idx"))
+      val got = served.orderBy("asset_id", "src_id").collect()
+      val plan = served.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(got.nonEmpty)
+      val inline = SparkEntry.queries("multimodal_phash_incremental")(spark, sfDir).collect()
+      assert(got.toSeq == inline.toSeq,
+        s"index-served matches != inline (${got.length} vs ${inline.length})")
+    } finally spark.conf.set(key, prior)
+  }
+
   test("nested struct scan prunes to the accessed subfield") {
     // the 100 TB lever for struct-heavy schemas (multimodal metadata,
     // event payloads): selecting meta.o_custkey must NOT read the sibling

@@ -628,6 +628,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == direct.orderBy("doc_id", "c_id").collect().toSeq)
   }
 
+  test("streaming phash probe from the persisted index equals batch") {
+    // arriving re-encode variants hash per trigger and probe the standing
+    // original-asset band index; drain == multimodal_phash_incremental
+    import graft.operators.{Multimodal, MultimodalQueries}
+    import graft.streaming.DocumentsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-phashstream").toString
+    MultimodalQueries.writePhashIndex(spark, sfDir, "phash_idx_stream", s"$base/idx")
+    Multimodal.assetsWithVariants(spark, sfDir)
+      .filter(col("asset_id") >= 1000000L).repartition(3)
+      .write.mode("overwrite").parquet(s"$base/in")
+    DocumentsStream.runPhashProbe(
+      spark, s"$base/in", "phash_idx_stream", s"$base/out", s"$base/ckpt")
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected several micro-batches, got $commits")
+    val direct = SparkEntry.queries("multimodal_phash_incremental")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    val got = spark.read.parquet(s"$base/out")
+      .select(cols: _*).orderBy("asset_id", "src_id").collect()
+    assert(got.nonEmpty && got.toSeq == direct.orderBy("asset_id", "src_id").collect().toSeq)
+  }
+
   test("streaming Gopher audit equals the batch rule battery") {
     // stateless map-only rules as a TRUE streaming query (file-sink path,
     // no foreachBatch): drain must equal text_gopher_rules row-for-row
