@@ -475,6 +475,56 @@ object DedupQueries {
        |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
        |FROM comp ORDER BY doc_id""".stripMargin
 
+  /** The PPJoin-style exact-recall pair join of `dedup_prefix_filter`,
+    * factored so the minhash recall audit can use the SAME truth set the
+    * registered query emits. Unsorted; callers order. (doc_a, doc_b,
+    * jac_permyriad) over representatives at t = 0.6.
+    */
+  private[graft] def prefixFilterPairs(s: SparkSession, dir: String): DataFrame = {
+    val reps = Tables.documents(s, dir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+    // NOT materialized, deliberately: the exploded (doc, shingle) table
+    // has five consumers, but every caching variant was MEASURED slower
+    // at sf0.1 (min-of-3, same harness): recompute strings 4.05 s;
+    // persist exploded strings 5.2 s (round 7); persist the narrow
+    // (doc_id, xxhash64) digest frame 5.34 s and recompute digests
+    // 5.65 s (round 8) — the materialization barrier (or the extra
+    // hash map-stage) costs more than re-running the cheap tokenize+
+    // shingle pipeline, whose five consumers each prune/aggregate it
+    // differently. Recompute-over-cache is the right call for map-only
+    // lineage; contrast minhashPairs, whose cached signature table is
+    // narrow and hash-heavy to rebuild.
+    val ex = shingled(reps).select(col("doc_id"), explode(col("sh")).as("x"))
+    val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = ex.groupBy("x").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "x")
+    val prefix = ex.join(dfreq, "x")
+      .withColumn("rn", row_number().over(w))
+      .join(sz, "doc_id")
+      .filter(col("rn") <= col("n") - expr("(3 * n + 4) div 5") + 1)
+      .select(col("doc_id"), col("x"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    // both legs are equi-joins keyed on (doc, shingle) — joining on db
+    // alone and filtering xa = xb after would expand each candidate
+    // pair to |A|·|B| rows first
+    val inter = cand
+      .join(ex.select(col("doc_id").as("da"), col("x").as("xa")), "da")
+      .join(ex.select(col("doc_id").as("db"), col("x").as("xa")), Seq("db", "xa"))
+      .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .filter(col("inter") * 10 >= (col("na") + col("nb") - col("inter")) * 6)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        expr("inter * 10000 div (na + nb - inter)").as("jac_permyriad"))
+  }
+
   /** The winnowed-fingerprint pair join (`dedup_winnow_pairs`), on any frame
     * carrying (doc_id, text) — factored out so WinnowSpec can drive it over
     * synthetic corpora with known shared runs. See the registry entry's
@@ -1264,51 +1314,7 @@ object DedupQueries {
     // parameters unchanged.
     GQuery(
       "dedup_prefix_filter",
-      (s, dir) => {
-        val reps = Tables.documents(s, dir)
-          .filter(size(split(col("text"), " ")) >= 3)
-          .groupBy(md5(col("text")).as("h"))
-          .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
-        // NOT materialized, deliberately: the exploded (doc, shingle) table
-        // has five consumers, but every caching variant was MEASURED slower
-        // at sf0.1 (min-of-3, same harness): recompute strings 4.05 s;
-        // persist exploded strings 5.2 s (round 7); persist the narrow
-        // (doc_id, xxhash64) digest frame 5.34 s and recompute digests
-        // 5.65 s (round 8) — the materialization barrier (or the extra
-        // hash map-stage) costs more than re-running the cheap tokenize+
-        // shingle pipeline, whose five consumers each prune/aggregate it
-        // differently. Recompute-over-cache is the right call for map-only
-        // lineage; contrast minhashPairs, whose cached signature table is
-        // narrow and hash-heavy to rebuild.
-        val ex = shingled(reps).select(col("doc_id"), explode(col("sh")).as("x"))
-        val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val dfreq = ex.groupBy("x").agg(count(lit(1)).as("df"))
-        val w = Window.partitionBy("doc_id").orderBy("df", "x")
-        val prefix = ex.join(dfreq, "x")
-          .withColumn("rn", row_number().over(w))
-          .join(sz, "doc_id")
-          .filter(col("rn") <= col("n") - expr("(3 * n + 4) div 5") + 1)
-          .select(col("doc_id"), col("x"))
-        val cand = prefix.as("a")
-          .join(prefix.as("b"),
-            col("a.x") === col("b.x") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-          .distinct()
-        // both legs are equi-joins keyed on (doc, shingle) — joining on db
-        // alone and filtering xa = xb after would expand each candidate
-        // pair to |A|·|B| rows first
-        val inter = cand
-          .join(ex.select(col("doc_id").as("da"), col("x").as("xa")), "da")
-          .join(ex.select(col("doc_id").as("db"), col("x").as("xa")), Seq("db", "xa"))
-          .groupBy("da", "db").agg(count(lit(1)).as("inter"))
-        inter
-          .join(sz.select(col("doc_id").as("da"), col("n").as("na")), "da")
-          .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
-          .filter(col("inter") * 10 >= (col("na") + col("nb") - col("inter")) * 6)
-          .select(col("da").as("doc_a"), col("db").as("doc_b"),
-            expr("inter * 10000 div (na + nb - inter)").as("jac_permyriad"))
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, dir) => prefixFilterPairs(s, dir).orderBy("doc_a", "doc_b"),
       Some("""WITH d AS (SELECT doc_id, text FROM documents
              |  WHERE len(string_split(text, ' ')) >= 3),
              |reps AS (SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
@@ -1335,6 +1341,83 @@ object DedupQueries {
              |FROM it JOIN sz sza ON da = sza.doc_id JOIN sz szb ON db = szb.doc_id
              |WHERE 10 * inter >= 6 * (sza.n + szb.n - inter)
              |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // ---- MinHash-LSH recall audit against the exact-recall truth set -------
+    // The dedup twin of the ANN recall suite: dedup_prefix_filter is
+    // recall-EXACT at t = 0.6 (the PPJoin guarantee), so its pair set is
+    // ground truth for what the 4×2 banding cut gives up. Per Jaccard
+    // decile (6..10, from the exact integer permyriad), the audit reports
+    // how many truth pairs the banded-and-verified MinHash path recovered
+    // — the measured form of the 1−(1−s^r)^b S-curve (recall rises with
+    // similarity; the banding threshold (1/4)^(1/2) = 0.5 sits below the
+    // 0.6 cut, so high deciles should saturate while 0.6x pairs pay the
+    // documented trade). Both sides compare at the REPRESENTATIVE level
+    // (one per distinct text — member expansions carry their rep's fate
+    // by construction). This is the operating number for choosing band
+    // geometry at 100 TB: re-run the audit, not the theory, when K/BANDS
+    // change.
+    GQuery(
+      "dedup_minhash_recall",
+      (s, dir) => {
+        val exact = prefixFilterPairs(s, dir)
+        val reps = Tables.documents(s, dir)
+          .filter(size(split(col("text"), " ")) >= 3)
+          .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        val lshRep = minhashPairs(s, dir)
+          .join(reps.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+          .join(reps.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+          .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+        exact.withColumn("jac_decile", expr("jac_permyriad div 1000"))
+          .join(lshRep, Seq("doc_a", "doc_b"), "left")
+          .groupBy("jac_decile")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("jac_decile"), col("n_exact"), col("n_hit"),
+            expr("n_hit * 1000000 div n_exact").as("recall_micro"))
+          .orderBy("jac_decile")
+      },
+      Some(s"""WITH $minhashPairsCte,
+              |pd AS (SELECT doc_id, text FROM documents
+              |  WHERE len(string_split(text, ' ')) >= 3),
+              |preps AS (SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+              |  FROM pd GROUP BY md5(text)),
+              |pt0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM preps),
+              |ps AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+              |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM pt0),
+              |pex AS (SELECT doc_id, unnest(sh) AS x FROM ps),
+              |psz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM pex GROUP BY doc_id),
+              |pdfreq AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS df FROM pex GROUP BY x),
+              |prk AS (SELECT pex.doc_id, pex.x,
+              |    row_number() OVER (PARTITION BY pex.doc_id ORDER BY pdfreq.df, pex.x) AS rn
+              |  FROM pex JOIN pdfreq ON pex.x = pdfreq.x),
+              |ppf AS (SELECT prk.doc_id, prk.x FROM prk JOIN psz ON prk.doc_id = psz.doc_id
+              |  WHERE rn <= n - (3 * n + 4) // 5 + 1),
+              |pcand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              |  FROM ppf a JOIN ppf b ON a.x = b.x AND a.doc_id < b.doc_id),
+              |pit AS (SELECT da, db, CAST(COUNT(*) AS BIGINT) AS inter
+              |  FROM pcand JOIN pex ea ON ea.doc_id = da
+              |  JOIN pex eb ON eb.doc_id = db AND eb.x = ea.x
+              |  GROUP BY da, db),
+              |pf_pairs AS (SELECT da AS doc_a, db AS doc_b,
+              |    inter * 10000 // (sza.n + szb.n - inter) AS jac_permyriad
+              |  FROM pit JOIN psz sza ON da = sza.doc_id JOIN psz szb ON db = szb.doc_id
+              |  WHERE 10 * inter >= 6 * (sza.n + szb.n - inter)),
+              |lshrep AS (SELECT doc_a, doc_b FROM jac_pairs
+              |  WHERE doc_a IN (SELECT doc_id FROM preps)
+              |    AND doc_b IN (SELECT doc_id FROM preps)),
+              |jj AS (SELECT p.doc_a, p.doc_b, p.jac_permyriad // 1000 AS jac_decile,
+              |    CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+              |  FROM pf_pairs p LEFT JOIN lshrep l
+              |    ON p.doc_a = l.doc_a AND p.doc_b = l.doc_b)
+              |SELECT CAST(jac_decile AS BIGINT) AS jac_decile,
+              |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+              |  CAST(SUM(hit) AS BIGINT) AS n_hit,
+              |  CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_micro
+              |FROM jj GROUP BY jac_decile ORDER BY jac_decile""".stripMargin),
+      bench = false // runs BOTH full pair pipelines — an offline audit, each
+                    // side already benched as its own registered query
     )
   )
 }
