@@ -1418,6 +1418,134 @@ object DedupQueries {
               |FROM jj GROUP BY jac_decile ORDER BY jac_decile""".stripMargin),
       bench = false // runs BOTH full pair pipelines — an offline audit, each
                     // side already benched as its own registered query
+    ),
+
+    // ---- cluster-aware train/val/test split (leakage-safe) -----------------
+    // pipeline_split hashes the DOC id — which leaks: a near-dup pair
+    // split across train/test is the test doc's answer sitting in the
+    // training set (the contamination class the published dedup papers
+    // exist to kill). The safe split hashes the CLUSTER id: near-dup
+    // components (two-star over the verified MinHash pairs; singletons
+    // are their own cluster) land whole on one side, so NO verified
+    // near-dup pair can straddle a split boundary — by construction, and
+    // measured by pipeline_split_leakage. Same md5-prefix-mod-100
+    // assignment discipline (deterministic, rerun- and topology-stable),
+    // on a "csplit:" domain so no other md5 use correlates. Scale: the
+    // cluster pass is dedup_cc_twostar's; the assignment itself is one
+    // left join + a map — singleton docs (the overwhelming majority)
+    // never enter the CC shuffle.
+    GQuery(
+      "pipeline_split_safe",
+      (s, dir) => {
+        val pairs = Materialize(minhashPairs(s, dir)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        val comps = twoStarComponents(pairs, reliableCheckpoint(s))
+        Tables.documents(s, dir).select("doc_id")
+          .join(comps.select(col("v").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+          .withColumn("bucket", expr(
+            "CAST(conv(substring(md5(concat('csplit:', CAST(cluster_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100"))
+          .select(col("doc_id"), col("cluster_id"),
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsCte,
+              |edges AS (SELECT doc_a AS a, doc_b AS b FROM jac_pairs
+              |  UNION SELECT doc_b, doc_a FROM jac_pairs),
+              |verts AS (SELECT DISTINCT a AS v FROM edges),
+              |reach(v, r) AS (
+              |  SELECT v, v FROM verts
+              |  UNION
+              |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v),
+              |comp AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+              |asg AS (SELECT d.doc_id,
+              |    COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+              |    CAST(('0x' || substring(md5('csplit:' ||
+              |      CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 6)) AS BIGINT) % 100
+              |      AS bucket
+              |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+              |SELECT doc_id, cluster_id,
+              |  CASE WHEN bucket < 80 THEN 'train'
+              |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+              |FROM asg ORDER BY doc_id""".stripMargin)
+    ),
+
+    // ---- split-leakage audit: naive vs cluster-aware -----------------------
+    // The measured argument for pipeline_split_safe: count verified
+    // near-dup pairs whose endpoints land in DIFFERENT splits under (a)
+    // the naive per-doc hash split (pipeline_split's exact assignment)
+    // and (b) the cluster-aware split. (b) is zero BY CONSTRUCTION (both
+    // endpoints of every pair share a component, hence a cluster hash) —
+    // the oracle re-derives it, so a regression in the cluster pass or
+    // the assignment shows up as a nonzero row, not a silent leak. The
+    // naive count is the operating number: the contamination a team
+    // accepts if they skip the CC pass.
+    GQuery(
+      "pipeline_split_leakage",
+      (s, dir) => {
+        val pairs = Materialize(minhashPairs(s, dir)
+          .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        val comps = twoStarComponents(pairs, reliableCheckpoint(s))
+        def splitOf(bucketExpr: String): org.apache.spark.sql.Column =
+          when(expr(bucketExpr) < 80, "train")
+            .when(expr(bucketExpr) < 90, "val").otherwise("test")
+        val naive = Tables.documents(s, dir).select("doc_id")
+          .select(col("doc_id"), splitOf(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 100")
+            .as("split"))
+        val safe = Tables.documents(s, dir).select("doc_id")
+          .join(comps.select(col("v").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("lbl"), col("doc_id")).as("cid"))
+          .select(col("doc_id"), splitOf(
+            "CAST(conv(substring(md5(concat('csplit:', CAST(cid AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100")
+            .as("split"))
+        def leaks(asg: org.apache.spark.sql.DataFrame, m: String) = pairs
+          .join(asg.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+          .join(asg.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+          .agg(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("n_leak_pairs"),
+            count(lit(1)).as("n_pairs"))
+          .select(lit(m).as("method"), col("n_pairs"), col("n_leak_pairs"))
+        leaks(naive, "naive").unionByName(leaks(safe, "cluster"))
+          .orderBy("method")
+      },
+      Some(s"""WITH RECURSIVE $minhashPairsCte,
+              |edges AS (SELECT doc_a AS a, doc_b AS b FROM jac_pairs
+              |  UNION SELECT doc_b, doc_a FROM jac_pairs),
+              |verts AS (SELECT DISTINCT a AS v FROM edges),
+              |reach(v, r) AS (
+              |  SELECT v, v FROM verts
+              |  UNION
+              |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v),
+              |comp AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v),
+              |naive AS (SELECT doc_id,
+              |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+              |  FROM (SELECT doc_id,
+              |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS b
+              |    FROM documents)),
+              |safe AS (SELECT doc_id,
+              |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+              |  FROM (SELECT d.doc_id,
+              |    CAST(('0x' || substring(md5('csplit:' ||
+              |      CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS b
+              |    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)),
+              |pl AS (SELECT doc_a, doc_b FROM jac_pairs)
+              |SELECT method, CAST(n_pairs AS BIGINT) AS n_pairs,
+              |  CAST(n_leak_pairs AS BIGINT) AS n_leak_pairs FROM (
+              |  SELECT 'naive' AS method, COUNT(*) AS n_pairs,
+              |    SUM(CASE WHEN na.split <> nb.split THEN 1 ELSE 0 END) AS n_leak_pairs
+              |  FROM pl JOIN naive na ON pl.doc_a = na.doc_id
+              |  JOIN naive nb ON pl.doc_b = nb.doc_id
+              |  UNION ALL
+              |  SELECT 'cluster', COUNT(*),
+              |    SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)
+              |  FROM pl JOIN safe sa ON pl.doc_a = sa.doc_id
+              |  JOIN safe sb ON pl.doc_b = sb.doc_id)
+              |ORDER BY method""".stripMargin),
+      bench = false // re-runs the pair+CC pipeline a second way — an offline
+                    // audit; pipeline_split_safe is the benched serving form
     )
   )
 }
