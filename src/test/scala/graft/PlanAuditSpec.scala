@@ -400,6 +400,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(est > truth / 2 && est < truth * 2, s"est $est vs truth $truth")
   }
 
+  test("gopher rules are one map-only projection — no exchange below the output sort") {
+    // the rule battery's scale contract: a pure scan-side projection that
+    // fuses into whatever consumes it; the only exchange in the plan is
+    // the final total-order sort's range partitioning
+    val p = plan("text_gopher_rules")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"rule projection must not shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"rule projection must not join:\n$p")
+  }
+
+  test("temperature mix: allocation is control-plane, corpus pays census + rank window") {
+    // the n_langs-row apportionment must reach the per-doc realization as
+    // a BROADCAST join (the corpus is never shuffled against the
+    // allocation table), the corpus scan must prune to (doc_id, lang),
+    // and the only cross joins are the declared 1-row bounds. (Exchange
+    // COUNT is deliberately not pinned: the allocation control plane
+    // aggregates ≤ n_langs-row frames several times, which is free but
+    // textually indistinguishable from corpus shuffles.)
+    val p = plan("pipeline_mix_temperature")
+    assert(p.contains("BroadcastHashJoin"),
+      s"allocation must broadcast into the realization join:\n$p")
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("doc_id") && scanLine.contains("lang") &&
+      !scanLine.contains("text"),
+      s"corpus scan must prune to (doc_id, lang): $scanLine")
+  }
+
+  test("CUSUM plans as two stacked windows over the hourly aggregate") {
+    // the prefix-minus-running-min identity's plan shape: the hourly
+    // pre-aggregate sits BELOW both window passes, so window input grows
+    // with the time span, never the event volume
+    val p = plan("q_events_cusum")
+    assert(!p.contains("CartesianProduct"), p)
+    val aggPos = p.indexOf("HashAggregate")
+    val winPos = p.indexOf("Window")
+    // plans print root-first, so the window consuming the hour-grain
+    // aggregate must appear BEFORE any aggregate in the text
+    assert(winPos >= 0 && aggPos > winPos,
+      s"windows must consume the hour-grain aggregate:\n$p")
+  }
+
+  test("WAND audit: UB census and theta reach the candidate join broadcast") {
+    // the skip audit must never shuffle the postings side for the tiny
+    // per-term UB table or the 4-row theta — both broadcast
+    val p = plan("search_wand_bound")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"UB/theta must broadcast:\n$p")
+  }
+
   test("interval sweep: window runs over the day grain, and the curve closes at zero") {
     // scale contract: the prefix-sum window's input is the day-grain delta
     // table (an aggregate), never fact rows — the plan must show the
