@@ -22,6 +22,31 @@ object EventQueries {
     */
   val EWMA_TAIL = 64
 
+  /** The CUSUM detector over a mergeable hourly census (event_type, hr,
+    * n) — factored so the registered `q_events_cusum` and the streaming
+    * monitor ([[graft.streaming.EventsStream.runCusumIngest]]'s consumer)
+    * run the SAME window formulation: per-batch censuses are cell-wise
+    * SUMS, so appended batch censuses merge into exactly the full-corpus
+    * census and the detector re-derives on the standing table — the CMS
+    * ingest lifecycle, for changepoint monitoring. Unsorted; callers
+    * order. See the registry entry for the identity and grid arithmetic.
+    */
+  private[graft] def cusumOverHourly(hourly: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val stats = hourly.groupBy("event_type")
+      .agg(sum(col("n")).as("s"), count(lit(1)).as("nh"))
+    val wsum = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("d", lit(4) * col("nh") * col("n") - lit(5) * col("s"))
+      .withColumn("prefix", sum(col("d")).over(wsum))
+      .withColumn("runmin", min(col("prefix")).over(wsum))
+      .select(col("event_type"), col("hr"), col("n"),
+        (col("prefix") - least(lit(0L), col("runmin"))).as("cusum"),
+        (col("prefix") - least(lit(0L), col("runmin")) > lit(4) * col("s"))
+          .as("in_alarm"))
+  }
+
   val defs: Seq[GQuery] = Seq(
 
     GQuery(
@@ -373,26 +398,13 @@ object EventQueries {
     // cumulative excess" on the same grid. No float enters at any point.
     GQuery(
       "q_events_cusum",
-      (s, dir) => {
-        val hourly = Tables.events(s, dir)
-          .groupBy(col("event_type"),
-            (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hr"))
-          .agg(count(lit(1)).as("n"))
-        val stats = hourly.groupBy("event_type")
-          .agg(sum(col("n")).as("s"), count(lit(1)).as("nh"))
-        val wsum = Window.partitionBy("event_type").orderBy("hr")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val scored = hourly.join(broadcast(stats), "event_type")
-          .withColumn("d", lit(4) * col("nh") * col("n") - lit(5) * col("s"))
-          .withColumn("prefix", sum(col("d")).over(wsum))
-        scored
-          .withColumn("runmin", min(col("prefix")).over(wsum))
-          .select(col("event_type"), col("hr"), col("n"),
-            (col("prefix") - least(lit(0L), col("runmin"))).as("cusum"),
-            (col("prefix") - least(lit(0L), col("runmin")) > lit(4) * col("s"))
-              .as("in_alarm"))
-          .orderBy("event_type", "hr")
-      },
+      (s, dir) =>
+        cusumOverHourly(
+          Tables.events(s, dir)
+            .groupBy(col("event_type"),
+              (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hr"))
+            .agg(count(lit(1)).as("n")))
+          .orderBy("event_type", "hr"),
       Some(s"""WITH chourly AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
               |    CAST(COUNT(*) AS BIGINT) AS n
               |  FROM ${Tables.eventsOracleFrom} e GROUP BY event_type, hr),

@@ -540,6 +540,36 @@ object EventsStream {
 
   def runTumblingOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
     runOnce(tumblingCounts(readEvents(spark, dir)), queryName, "complete")
+
+  /** Streaming CUSUM ingest: each micro-batch appends its HOURLY CENSUS
+    * (event_type, hr, n) — cells are counts, so appended batch censuses
+    * merge by cell-wise SUM into exactly the full-corpus census (the
+    * runCmsIngest lifecycle, for changepoint monitoring). The standing
+    * detector re-derives [[graft.operators.EventQueries.cusumOverHourly]]
+    * over the merged table on its cadence — CUSUM is a function of the
+    * census alone, so drain + merge + detect equals the one-shot
+    * `q_events_cusum` exactly (pinned in StreamingSpec). At fleet scale
+    * the census append is the only continuous work (tiny rows, one
+    * shuffle per trigger); the detector pass is window-over-hour-spine.
+    */
+  def runCusumIngest(
+      spark: SparkSession, dir: String, outPath: String,
+      checkpoint: String): Unit = {
+    val q = readEvents(spark, dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.toDF()
+          .groupBy(col("event_type"),
+            (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hr"))
+          .agg(count(lit(1)).as("n"))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }
 
 /** transformWithState processor backing [[EventsStream.userRunningCountsTws]]:

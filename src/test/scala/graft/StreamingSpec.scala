@@ -605,6 +605,21 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == direct.orderBy("doc_id").collect().toSeq)
   }
 
+  test("streaming CUSUM ingest: merged hourly censuses re-derive the batch detector") {
+    // per-batch hourly censuses are cell-wise sums, so the merged standing
+    // table must equal the one-shot census and the detector over it must
+    // equal q_events_cusum row-for-row
+    import graft.operators.EventQueries
+    val base = java.nio.file.Files.createTempDirectory("graft-cusumstream").toString
+    EventsStream.runCusumIngest(spark, sfDir, s"$base/out", s"$base/ckpt")
+    val merged = spark.read.parquet(s"$base/out")
+      .groupBy("event_type", "hr").agg(sum(col("n")).as("n"))
+    val got = EventQueries.cusumOverHourly(merged)
+      .orderBy("event_type", "hr").collect()
+    val direct = SparkEntry.queries("q_events_cusum")(spark, sfDir).collect()
+    assert(got.nonEmpty && got.toSeq == direct.toSeq)
+  }
+
   test("streaming winnow probe from the persisted index equals batch") {
     // the winnow family's ingest twin: arriving docs winnow per trigger and
     // probe the fp-bucketed corpus index; per-document selection means the
