@@ -978,6 +978,97 @@ object SearchQueries {
               |GROUP BY f.q_id ORDER BY f.q_id""".stripMargin)
     ),
 
+    // ---- pseudo-relevance feedback expansion (Rocchio/RM3-lite) -------------
+    // The second-pass trick of classical IR: assume the first-pass top
+    // F=3 docs are relevant, mine their strongest terms, and re-rank with
+    // the expanded query — recall the original terms alone can't reach.
+    // Everything is deterministic integers on the BM25 micro grid:
+    // expansion terms are the top E=3 by SUMMED partial score over the
+    // feedback docs (score_t already IS tf-saturated idf — the RM3 weight
+    // proxy), original terms are excluded, ties break on the term string;
+    // the second pass scores candidates by Σ w·score_t with the original
+    // terms at weight 2 and expansions at weight 1 (the Rocchio
+    // anchor-the-query discipline, kept integral). Scale: one extra
+    // per-query term-mining aggregate over F·|doc| postings rows and a
+    // second broadcast-term scoring pass — the corpus-side shape is the
+    // first pass's verbatim; nothing new shuffles. The serving form reads
+    // both passes from the bucketed postings index unchanged.
+    GQuery(
+      "search_bm25_prf",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val dfF = toks.select("doc_id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("df"))
+        val stats = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("tt"))
+        val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val scored = Materialize(tf.join(dl, "doc_id")
+          .join(broadcast(dfF), "term")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("term"), expr(scoreExpr("div")).as("score_t")))
+        val q = broadcast(queryTerms(s))
+        val w1 = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+        val fb = scored.join(q, "term")
+          .groupBy("q_id", "doc_id").agg(sum(col("score_t")).as("score"))
+          .withColumn("rk", row_number().over(w1)).filter(col("rk") <= 3)
+          .select("q_id", "doc_id")
+        // mine expansion terms from the feedback docs; exclude originals
+        val wexp = Window.partitionBy("q_id").orderBy(col("wsum").desc, col("term"))
+        val expansion = scored.join(broadcast(fb), "doc_id")
+          .groupBy("q_id", "term").agg(sum(col("score_t")).as("wsum"))
+          .join(q.select(col("q_id"), col("term"), lit(1).as("orig")),
+            Seq("q_id", "term"), "left_anti")
+          .withColumn("rk", row_number().over(wexp)).filter(col("rk") <= 3)
+          .select("q_id", "term")
+        val q2 = broadcast(
+          queryTerms(s).select(col("q_id"), col("term"), lit(2L).as("w"))
+            .unionByName(expansion.select(col("q_id"), col("term"), lit(1L).as("w"))))
+        val w2 = Window.partitionBy("q_id").orderBy(col("score2").desc, col("doc_id"))
+        scored.join(q2, "term")
+          .groupBy("q_id", "doc_id").agg(sum(col("w") * col("score_t")).as("score2"))
+          .withColumn("rank", row_number().over(w2).cast("long"))
+          .filter(col("rank") <= TOP_K)
+          .select("q_id", "rank", "doc_id", "score2")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+              |dlt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+              |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tt FROM documents),
+              |tft AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+              |dft AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1),
+              |${queryTermsSql},
+              |scored AS (SELECT tft.doc_id, tft.term, CAST(${scoreExpr("//")} AS BIGINT) AS score_t
+              |  FROM tft JOIN dft USING (term) JOIN dlt ON tft.doc_id = dlt.doc_id CROSS JOIN stats),
+              |fb AS (SELECT q_id, doc_id FROM (
+              |  SELECT q.q_id, s.doc_id,
+              |    row_number() OVER (PARTITION BY q.q_id
+              |      ORDER BY SUM(s.score_t) DESC, s.doc_id) AS rk
+              |  FROM scored s JOIN q USING (term) GROUP BY q.q_id, s.doc_id) WHERE rk <= 3),
+              |expn AS (SELECT q_id, term FROM (
+              |  SELECT fb.q_id, s.term,
+              |    row_number() OVER (PARTITION BY fb.q_id
+              |      ORDER BY SUM(s.score_t) DESC, s.term) AS rk
+              |  FROM scored s JOIN fb ON s.doc_id = fb.doc_id
+              |  WHERE NOT EXISTS (SELECT 1 FROM q
+              |    WHERE q.q_id = fb.q_id AND q.term = s.term)
+              |  GROUP BY fb.q_id, s.term) WHERE rk <= 3),
+              |q2 AS (SELECT q_id, term, CAST(2 AS BIGINT) AS w FROM q
+              |  UNION ALL SELECT q_id, term, 1 FROM expn),
+              |second AS (SELECT q2.q_id, s.doc_id,
+              |    CAST(SUM(q2.w * s.score_t) AS BIGINT) AS score2
+              |  FROM scored s JOIN q2 USING (term) GROUP BY q2.q_id, s.doc_id)
+              |SELECT q_id, rank, doc_id, score2 FROM (
+              |  SELECT q_id, doc_id, score2,
+              |    CAST(row_number() OVER (PARTITION BY q_id
+              |      ORDER BY score2 DESC, doc_id) AS BIGINT) AS rank
+              |  FROM second) WHERE rank <= $TOP_K
+              |ORDER BY q_id, rank""".stripMargin)
+    ),
+
     // ---- MMR diversified rerank (Carbonell & Goldstein 1998) ----------------
     // The serving-side answer to near-duplicate result lists: greedily pick
     // K=5 of the BM25 top-10 maximizing λ·relevance − (1−λ)·max-similarity-
