@@ -1283,6 +1283,47 @@ object DedupQueries {
               |ORDER BY p.doc_id, c_id""".stripMargin)
     ),
 
+    // ---- winnow near-dup clusters (two-star over the fingerprint pairs) ----
+    // The keep-one-per-cluster consumer the winnow family was missing
+    // (minhash, simhash, and phash each have theirs): two-star connected
+    // components over the MinShared=2 winnowed-fingerprint pairs, proven
+    // against the recursive reachability closure. A template-spam burst
+    // shares long verbatim runs pairwise-transitively; the component — not
+    // the pair list — is the dedup decision unit. Same O(log² n) round
+    // machinery and durable-checkpoint discipline as dedup_cc_twostar.
+    GQuery(
+      "dedup_winnow_clusters",
+      (s, dir) => {
+        val pairs = Materialize(
+          winnowPairs(Tables.documents(s, dir))
+            .select(col("doc_a").as("a"), col("doc_b").as("b")))
+        twoStarComponents(pairs, reliableCheckpoint(s))
+          .select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE ${TextQueries.winnowSqlCte},
+              |wcfps AS (SELECT DISTINCT doc_id, fp FROM wsel),
+              |wckeep AS (SELECT fp FROM wcfps GROUP BY fp
+              |  HAVING COUNT(*) BETWEEN 2 AND $NGRAM_BLOCK_CAP),
+              |wcgf AS (SELECT doc_id, wcfps.fp FROM wcfps JOIN wckeep ON wcfps.fp = wckeep.fp),
+              |wcpairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+              |  FROM wcgf x JOIN wcgf y ON x.fp = y.fp AND x.doc_id < y.doc_id
+              |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+              |wcedges AS (SELECT doc_a AS a, doc_b AS b FROM wcpairs
+              |  UNION SELECT doc_b, doc_a FROM wcpairs),
+              |wcverts AS (SELECT DISTINCT a AS v FROM wcedges),
+              |wcreach(v, r) AS (
+              |  SELECT v, v FROM wcverts
+              |  UNION
+              |  SELECT e.a, wcreach.r FROM wcedges e JOIN wcreach ON e.b = wcreach.v),
+              |wccomp AS (SELECT v AS doc_id, MIN(r) AS cluster_id FROM wcreach GROUP BY v)
+              |SELECT doc_id, cluster_id,
+              |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+              |FROM wccomp ORDER BY doc_id""".stripMargin)
+    ),
+
     // ---- prefix-filter similarity join (PPJoin-style, EXACT recall) --------
     // The seventh candidate-generation strategy, and the only one with a
     // RECALL GUARANTEE: two sets with Jaccard >= t MUST share a token among
