@@ -1215,6 +1215,63 @@ object TextQueries {
     ),
 
     GQuery(
+      // The temperature KNOB priced as a curve: per α ∈ {1, 1/2, 1/4} the
+      // per-language share of the training mix, in exact ppm. α = 1 is the
+      // natural (count-proportional) mix; α = 1/2 is pipeline_mix_
+      // temperature's operating point; α = 1/4 flattens further toward
+      // uniform — s_i = n_i^(1/4) computed as TWO nested exact integer
+      // sqrts (isqrt(isqrt(n·10^12)), each floor(sqrt(double)) seeded and
+      // ±1-corrected, so the fourth root is exact on the integer grid the
+      // same way the square root is). Shares are s_i·10^6 div Σs — all
+      // integer; the output is the table a mixture designer reads to pick
+      // α. Corpus cost: ONE lang census; everything else is the ≤ n_langs
+      // control plane.
+      "pipeline_mix_temp_curve",
+      (s, dir) => {
+        val cnt = Tables.documents(s, dir).groupBy("lang").agg(count(lit(1)).as("n"))
+        def isqrtCol(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val c0 = floor(sqrt(x.cast("double"))).cast("long")
+          when((c0 + 1) * (c0 + 1) <= x, c0 + 1)
+            .when(c0 * c0 > x, c0 - 1).otherwise(c0)
+        }
+        val scaled = cnt
+          .withColumn("s1", col("n") * lit(1000000L))
+          .withColumn("s2", isqrtCol(col("n") * lit(1000000000000L)))
+          .withColumn("s4", isqrtCol(isqrtCol(col("n") * lit(1000000000000L))))
+        val curve = Seq(("a_1", "s1"), ("a_1_2", "s2"), ("a_1_4", "s4"))
+          .map { case (lbl, c) =>
+            scaled.select(lit(lbl).as("alpha"), col("lang"), col("n"), col(c).as("s"))
+          }.reduce(_ unionByName _)
+        val tot = curve.groupBy("alpha").agg(sum(col("s")).as("stot"))
+        curve.join(broadcast(tot), "alpha")
+          .select(col("alpha"), col("lang"), col("n"),
+            expr("s * 1000000 div stot").as("share_ppm"))
+          .orderBy("alpha", "lang")
+      },
+      Some("""WITH tcc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY lang),
+             |tc1 AS (SELECT lang, n, n * 1000000000000 AS x,
+             |    CAST(floor(sqrt(CAST(n * 1000000000000 AS DOUBLE))) AS BIGINT) AS c0
+             |  FROM tcc),
+             |tc2 AS (SELECT lang, n,
+             |    CASE WHEN (c0+1)*(c0+1) <= x THEN c0+1
+             |         WHEN c0*c0 > x THEN c0-1 ELSE c0 END AS s2 FROM tc1),
+             |tc3 AS (SELECT lang, n, s2,
+             |    CAST(floor(sqrt(CAST(s2 AS DOUBLE))) AS BIGINT) AS d0 FROM tc2),
+             |tc4 AS (SELECT lang, n, s2,
+             |    CASE WHEN (d0+1)*(d0+1) <= s2 THEN d0+1
+             |         WHEN d0*d0 > s2 THEN d0-1 ELSE d0 END AS s4 FROM tc3),
+             |tcur AS (SELECT 'a_1' AS alpha, lang, n, n * 1000000 AS s FROM tc4
+             |  UNION ALL SELECT 'a_1_2', lang, n, s2 FROM tc4
+             |  UNION ALL SELECT 'a_1_4', lang, n, s4 FROM tc4),
+             |ttot AS (SELECT alpha, CAST(SUM(s) AS BIGINT) AS stot
+             |  FROM tcur GROUP BY alpha)
+             |SELECT tcur.alpha AS alpha, lang, n, s * 1000000 // stot AS share_ppm
+             |FROM tcur JOIN ttot ON tcur.alpha = ttot.alpha
+             |ORDER BY tcur.alpha, lang""".stripMargin)
+    ),
+
+    GQuery(
       // Marker-word language ID with deterministic argmax tie order
       // (es > de > fr > en on strict-greater comparisons).
       "text_langid",
