@@ -1522,38 +1522,43 @@ object SimilarityQueries {
     */
   private def beamSqlChainFrom(
       edgeSrc: String, undirected: Boolean = false,
-      entryWhere: String = s"s.vec_id < $N_SEEDS"): String = {
+      entryWhere: String = s"s.vec_id < $N_SEEDS",
+      beamW: Int = BEAM_W, tag: String = ""): String = {
+    // `tag` suffixes every CTE name so several chains (e.g. the width
+    // curve's three instantiations) coexist in one WITH clause; the
+    // default empty tag keeps the historical names (beamtop, q, ...)
     val g3 =
       if (undirected)
-        s"""rrsrc AS MATERIALIZED (SELECT vec_id, nbr_id FROM $edgeSrc WHERE rank <= 3),
-           |g3 AS MATERIALIZED (SELECT DISTINCT vec_id, nbr_id FROM (
-           |  SELECT vec_id, nbr_id FROM rrsrc
-           |  UNION ALL SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM rrsrc))""".stripMargin
+        s"""rrsrc$tag AS MATERIALIZED (SELECT vec_id, nbr_id FROM $edgeSrc WHERE rank <= 3),
+           |g3$tag AS MATERIALIZED (SELECT DISTINCT vec_id, nbr_id FROM (
+           |  SELECT vec_id, nbr_id FROM rrsrc$tag
+           |  UNION ALL SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM rrsrc$tag))""".stripMargin
       else
-        s"g3 AS MATERIALIZED (SELECT vec_id, nbr_id FROM $edgeSrc WHERE rank <= 3)"
+        s"g3$tag AS MATERIALIZED (SELECT vec_id, nbr_id FROM $edgeSrc WHERE rank <= 3)"
     val rounds = (1 to BEAM_ROUNDS).map { r =>
       val p = r - 1
-      s"""beam$p AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+      s"""beam$tag$p AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
          |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
-         |  FROM cand$p) WHERE rn <= $BEAM_W),
-         |exp$r AS (SELECT DISTINCT b.q_id, g.nbr_id AS cand_id
-         |  FROM beam$p b JOIN g3 g ON b.cand_id = g.vec_id
+         |  FROM cand$tag$p) WHERE rn <= $beamW),
+         |exp$tag$r AS (SELECT DISTINCT b.q_id, g.nbr_id AS cand_id
+         |  FROM beam$tag$p b JOIN g3$tag g ON b.cand_id = g.vec_id
          |  WHERE g.nbr_id <> b.q_id),
-         |sc$r AS (SELECT x.q_id, x.cand_id,
-         |    ${VectorOps.cosSql("q.qv", "a.v", "q.qn", "a.nrm")} AS cos
-         |  FROM exp$r x JOIN e a ON x.cand_id = a.vec_id JOIN q ON x.q_id = q.q_id),
-         |cand$r AS (SELECT DISTINCT q_id, cand_id, cos FROM
-         |  (SELECT * FROM cand$p UNION ALL SELECT * FROM sc$r))""".stripMargin
+         |sc$tag$r AS (SELECT x.q_id, x.cand_id,
+         |    ${VectorOps.cosSql(s"q$tag.qv", "a.v", s"q$tag.qn", "a.nrm")} AS cos
+         |  FROM exp$tag$r x JOIN e a ON x.cand_id = a.vec_id
+         |  JOIN q$tag ON x.q_id = q$tag.q_id),
+         |cand$tag$r AS (SELECT DISTINCT q_id, cand_id, cos FROM
+         |  (SELECT * FROM cand$tag$p UNION ALL SELECT * FROM sc$tag$r))""".stripMargin
     }.mkString(",\n")
     s"""$g3,
-       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
-       |cand0 AS (SELECT q.q_id, s.vec_id AS cand_id,
-       |    ${VectorOps.cosSql("q.qv", "s.v", "q.qn", "s.nrm")} AS cos
-       |  FROM q CROSS JOIN e s WHERE $entryWhere AND s.vec_id <> q.q_id),
+       |q$tag AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
+       |cand${tag}0 AS (SELECT q$tag.q_id, s.vec_id AS cand_id,
+       |    ${VectorOps.cosSql(s"q$tag.qv", "s.v", s"q$tag.qn", "s.nrm")} AS cos
+       |  FROM q$tag CROSS JOIN e s WHERE $entryWhere AND s.vec_id <> q$tag.q_id),
        |$rounds,
-       |beamtop AS (SELECT q_id, cand_id, cos,
+       |beamtop$tag AS (SELECT q_id, cand_id, cos,
        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
-       |  FROM cand$BEAM_ROUNDS)""".stripMargin
+       |  FROM cand$tag$BEAM_ROUNDS)""".stripMargin
   }
 
   /** Oracle CTE chain for the cell-scoped graph, ending in
@@ -3811,6 +3816,71 @@ object SimilarityQueries {
               |SELECT 'graph_beam' AS method, q_id, n_hits,
               |  n_hits * 1000000 // $TOP_K AS recall_micro
               |FROM hits ORDER BY q_id""".stripMargin),
+      bench = false // embeds the O(n²) truth — an offline audit
+    ),
+
+    // ---- beam WIDTH recall curve (the W knob priced) -----------------------
+    // The serving knob the BEAM_W=4 default hides: per-query recall@10 at
+    // W ∈ {2, 4, 8} over the same cell graph, rounds held fixed — the
+    // probe-cost/recall trade is O(B·W·deg) per query, so doubling W
+    // doubles frontier work and this curve says what that buys. Same
+    // skeleton as ann_graph_beam_recall; the oracle instantiates the beam
+    // chain three times (CTE names tag-suffixed) so one WITH clause
+    // carries all three walks. Like the depth/nprobe/dim curves, this is
+    // the measured operating table, not a theory note. Measured at sf0.01
+    // (cell graph, structureless corpus): mean recall@10 0.04 / 0.05 /
+    // 0.07 at W = 2 / 4 / 8 — the same data-bound ceiling the trained-
+    // graph ladder documents (no neighborhood structure to exploit), but
+    // the RELATIVE shape (W×4 → +75%) is the knob's price curve, and on
+    // clustered corpora (NnDescentSpec) the same widening moves recall
+    // 0.63 → 0.87.
+    GQuery(
+      "ann_beam_width_recall",
+      (s, dir) => {
+        val e = VectorOps.normalized(s, dir)
+        val edges = Materialize(knnGraphOf(s, dir).select("vec_id", "nbr_id"))
+        val q = broadcast(e.filter(col("vec_id") < N_QUERIES)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+        val bf = bruteforceTopk(s, dir).select("q_id", "cand_id")
+        Seq(2, 4, 8).map { w =>
+          val gb = graphBeamOver(e, edges, q, beamW = w)
+            .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+          bf.join(gb, Seq("q_id", "cand_id"), "left")
+            .groupBy("q_id").agg(count(col("hit")).as("n_hits"))
+            .select(lit(w.toLong).as("beam_w"), col("q_id"), col("n_hits"),
+              expr(s"n_hits * 1000000 div $TOP_K").as("recall_micro"))
+        }.reduce(_ unionByName _).orderBy("beam_w", "q_id")
+      },
+      Some {
+        val chains = Seq(2, 4, 8)
+          .map(w => beamSqlChainFrom("kg", beamW = w, tag = s"w$w"))
+          .mkString(",\n")
+        val hits = Seq(2, 4, 8).map { w =>
+          s"""hitsw$w AS (SELECT bf.q_id, CAST(COUNT(gb.cand_id) AS BIGINT) AS n_hits
+             |  FROM bf LEFT JOIN (SELECT q_id, cand_id FROM beamtopw$w
+             |    WHERE rank <= $TOP_K) gb
+             |    ON bf.q_id = gb.q_id AND bf.cand_id = gb.cand_id
+             |  GROUP BY bf.q_id)""".stripMargin
+        }.mkString(",\n")
+        val sel = Seq(2, 4, 8).map { w =>
+          s"""SELECT CAST($w AS BIGINT) AS beam_w, q_id, n_hits,
+             |  n_hits * 1000000 // $TOP_K AS recall_micro FROM hitsw$w""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH ${VectorOps.normalizedSql},
+           |$knnGraphSqlChain,
+           |$chains,
+           |wscored AS (SELECT qn0.q_id, e.vec_id AS cand_id,
+           |  ${VectorOps.cosSql("qn0.qv", "e.v", "qn0.qn", "e.nrm")} AS cos
+           |  FROM e CROSS JOIN (SELECT vec_id AS q_id, v AS qv, nrm AS qn
+           |    FROM e WHERE vec_id < $N_QUERIES) qn0
+           |  WHERE e.vec_id <> qn0.q_id),
+           |bf AS (SELECT q_id, cand_id FROM (SELECT q_id, cand_id,
+           |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rank
+           |  FROM wscored) WHERE rank <= $TOP_K),
+           |$hits
+           |$sel
+           |ORDER BY beam_w, q_id""".stripMargin
+      },
       bench = false // embeds the O(n²) truth — an offline audit
     ),
 
