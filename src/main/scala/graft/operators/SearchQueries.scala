@@ -942,14 +942,18 @@ object SearchQueries {
         val theta = full.withColumn("rk", row_number().over(wq))
           .filter(col("rk") === TOP_K)
           .select(col("q_id"), col("score").as("theta"))
+        // LEFT join: a query with < K candidates has no threshold yet, so
+        // WAND can skip nothing — report theta 0 / skippable 0 instead of
+        // silently dropping the query (degenerate-corpus honesty; the
+        // driver corpus always fills the top-K)
         full.join(ubSum, Seq("q_id", "doc_id"))
-          .join(broadcast(theta), "q_id")
+          .join(broadcast(theta), Seq("q_id"), "left")
           .groupBy("q_id").agg(
             count(lit(1)).as("n_cands"),
             sum(when(col("ub_sum") < col("theta"), 1L).otherwise(0L)).as("n_skippable"),
             sum(when(col("ub_sum") < col("theta") && col("score") >= col("theta"), 1L)
               .otherwise(0L)).as("n_false_skips"),
-            max(col("theta")).as("theta"))
+            coalesce(max(col("theta")), lit(0L)).as("theta"))
           .orderBy("q_id")
       },
       Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -973,8 +977,8 @@ object SearchQueries {
               |  CAST(SUM(CASE WHEN ub_sum < theta THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable,
               |  CAST(SUM(CASE WHEN ub_sum < theta AND score >= theta THEN 1 ELSE 0 END) AS BIGINT)
               |    AS n_false_skips,
-              |  MAX(theta) AS theta
-              |FROM full_s f JOIN ubs USING (q_id, doc_id) JOIN theta USING (q_id)
+              |  CAST(COALESCE(MAX(theta), 0) AS BIGINT) AS theta
+              |FROM full_s f JOIN ubs USING (q_id, doc_id) LEFT JOIN theta USING (q_id)
               |GROUP BY f.q_id ORDER BY f.q_id""".stripMargin)
     ),
 

@@ -94,6 +94,29 @@ class MixRulesSpec extends SparkSpec {
     }
   }
 
+  test("gopherRulesOf survives degenerate docs with the documented semantics") {
+    // empty text tokenizes to [""] (n = 1, ch = 0); single-char and
+    // all-stopword docs exercise every rule boundary — no crash, no NULLs,
+    // and the rule values follow the cross-multiplication definitions
+    import spark.implicits._
+    val rows = graft.operators.TextQueries.gopherRulesOf(
+      Seq(
+        (1L, ""),
+        (2L, "a"),
+        (3L, "the the the the the"),
+        (4L, ("word " * 40).trim))
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == 4)
+    // empty: n=1 ch=0 → fails wordcount (1 < 30) and meanwl (3·1 > 0)
+    assert(!rows(1L).getBoolean(1) && !rows(1L).getBoolean(2))
+    // all-stopword doc: stopword rule passes (5 >= 2), maxtf fails (5·5 > 5)
+    assert(rows(3L).getBoolean(3) && !rows(3L).getBoolean(4))
+    // 40 identical words: wordcount passes, ttr fails (10·1 < 3·40)
+    assert(rows(4L).getBoolean(1) && !rows(4L).getBoolean(5))
+    rows.values.foreach(r => assert(!(0 until 8).exists(r.isNullAt), r.toString))
+  }
+
   test("search_wand_bound: the upper-bound skip test never lies") {
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
       val rows = SparkEntry.queries("search_wand_bound")(spark, d).collect()
