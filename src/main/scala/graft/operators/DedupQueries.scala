@@ -616,6 +616,27 @@ object DedupQueries {
     thr
   }
 
+  /** Append a document batch's winnowed fingerprints to an existing
+    * [[writeWinnowIndex]] table — the daily-ingest lifecycle. Sound
+    * WITHOUT rewriting standing rows because the index is per-doc-local:
+    * winnowing selection and the denormalized n_fp_c depend only on the
+    * doc's own text, so new docs' rows are simply more rows in the same
+    * bucket layout (Spark validates the bucket spec on append). The df
+    * cap stays correct because probes derive it from the index AT PROBE
+    * TIME (winnowIncrementalPairs' groupBy rides the bucketing) rather
+    * than storing it — a stored df would go stale on every append.
+    * Append-then-probe == rebuild-then-probe is pinned in
+    * PartitionBucketSpec.
+    */
+  def appendWinnowIndex(docs: DataFrame, table: String): Unit = {
+    val fps = TextQueries.winnowSelected(docs)
+      .select(col("doc_id"), col("fp")).distinct()
+    fps.join(fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp_c")), "doc_id")
+      .write.mode("append")
+      .bucketBy(8, "fp").sortBy("fp")
+      .saveAsTable(table)
+  }
+
   val defs: Seq[GQuery] = Seq(
 
     // ---- exact dedup: group-identical text, keep lowest doc_id ------------

@@ -290,6 +290,35 @@ class PartitionBucketSpec extends SparkSpec {
     } finally spark.conf.set(key, prior)
   }
 
+  test("winnow index append lifecycle: append-then-probe equals rebuild-then-probe") {
+    // the daily-ingest claim: appending a day's fingerprints to the
+    // standing bucketed table must yield the same probe results as
+    // rebuilding the index over the union — per-doc-local rows and a
+    // probe-time df cap make the append sound without rewrites
+    import graft.operators.{DedupQueries, TextQueries}
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val thrRow = d.agg(expr("CAST((max(doc_id) + 1) * 4 div 5 AS BIGINT)")).head
+    val thr = thrRow.getLong(0)
+    val half = thr * 3 / 4
+    // build over the older 3/4 of the corpus, append the newer quarter
+    spark.sql("DROP TABLE IF EXISTS winnow_idx_appnd")
+    val fps0 = TextQueries.winnowSelected(d.filter(col("doc_id") < half))
+      .select(col("doc_id"), col("fp")).distinct()
+    fps0.join(fps0.groupBy("doc_id").agg(count(lit(1)).as("n_fp_c")), "doc_id")
+      .write.mode("overwrite").bucketBy(8, "fp").sortBy("fp")
+      .option("path", s"$tmp/winnow_idx_appnd").saveAsTable("winnow_idx_appnd")
+    DedupQueries.appendWinnowIndex(
+      d.filter(col("doc_id") >= half && col("doc_id") < thr), "winnow_idx_appnd")
+    val bFps = TextQueries.winnowSelected(d.filter(col("doc_id") >= thr))
+      .select(col("doc_id"), col("fp")).distinct()
+    val appended = DedupQueries
+      .winnowIncrementalPairs(bFps, spark.table("winnow_idx_appnd"))
+      .orderBy("doc_id", "c_id").collect()
+    val rebuilt = SparkEntry.queries("dedup_winnow_incremental")(spark, sfDir).collect()
+    assert(appended.nonEmpty && appended.toSeq == rebuilt.toSeq,
+      s"append-probe != rebuild-probe (${appended.length} vs ${rebuilt.length})")
+  }
+
   test("persisted phash index: corpus band keys join from their buckets, unshuffled") {
     // the media serving claim: the bk-bucketed original-asset signature
     // index must feed the re-encode probe join WITHOUT a corpus-side
