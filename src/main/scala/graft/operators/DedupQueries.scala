@@ -629,7 +629,21 @@ object DedupQueries {
     * PartitionBucketSpec.
     */
   def appendWinnowIndex(docs: DataFrame, table: String): Unit = {
-    val fps = TextQueries.winnowSelected(docs)
+    val s = docs.sparkSession
+    // idempotency guard: a replayed batch (operator retry, scheduler rerun)
+    // must not append its rows twice — duplicated (doc_id, fp) rows double
+    // shared_fp counts and push df toward the cap, silently changing probe
+    // results. Docs already present in the index are dropped BEFORE
+    // winnowing: the membership check broadcasts the (small) batch id set
+    // against the index scan, so the standing index is never shuffled, and
+    // the resulting already-present set is tiny. Net effect: the
+    // append-then-probe == rebuild-then-probe contract holds under replay,
+    // not just for disjoint batches.
+    val batchIds = docs.select("doc_id").distinct()
+    val present = s.table(table).select("doc_id")
+      .join(broadcast(batchIds), Seq("doc_id"), "left_semi").distinct()
+    val fresh = docs.join(broadcast(present), Seq("doc_id"), "left_anti")
+    val fps = TextQueries.winnowSelected(fresh)
       .select(col("doc_id"), col("fp")).distinct()
     fps.join(fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp_c")), "doc_id")
       .write.mode("append")

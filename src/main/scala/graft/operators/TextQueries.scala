@@ -966,6 +966,15 @@ object TextQueries {
       // < K tokens ⇒ no grams (and sequence(0, negative) runs DESCENDING —
       // the pipeline_decontaminate guard)
       .filter(size(col("toks")) >= WINNOW_K)
+      // enforce the packing bound AT RUNTIME, per row: a doc past ~1M tokens
+      // would bleed position bits into the hash field of the composite,
+      // silently corrupting its fingerprints (and the dedup guarantee) —
+      // fail the row loudly instead. assert_true is NULL on pass, so the
+      // filter keeps every valid row while the invalid one raises.
+      .filter(assert_true(
+        size(col("toks")).cast("long") - WINNOW_K < lit(WIN_POS),
+        concat(lit(s"winnowSelected: document exceeds the $WIN_POS-gram " +
+          "position-packing bound (doc_id "), col("doc_id"), lit(")"))).isNull)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, size(toks) - $WINNOW_K),
            |  i -> CAST(conv(substr(md5(concat_ws(' ', slice(toks, i + 1, $WINNOW_K))), 1, 8), 16, 10) AS BIGINT))""".stripMargin))

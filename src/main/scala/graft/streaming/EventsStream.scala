@@ -557,12 +557,19 @@ object EventsStream {
       checkpoint: String): Unit = {
     val q = readEvents(spark, dir)
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // idempotent per batch: each micro-batch OVERWRITES its own
+        // batch_id=<id> subdirectory, so a replayed batch (foreachBatch is
+        // at-least-once) replaces its census instead of appending a second
+        // copy — duplicated census rows would be silently SUMMED by the
+        // cell-wise merge downstream, shifting CUSUM means and thresholds.
+        // Readers see a hive-partitioned table; the merge keys on
+        // (event_type, hr) and never reads batch_id.
         batch.toDF()
           .groupBy(col("event_type"),
             (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hr"))
           .agg(count(lit(1)).as("n"))
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         ()
       }
       .option("checkpointLocation", checkpoint)

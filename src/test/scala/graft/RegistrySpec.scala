@@ -15,6 +15,21 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("SURVEY.md registry counts match the code") {
+    // the doc inventory line is machine-checked so it can never drift from
+    // the registry again (r12 verdict: stale "263/260" vs actual 266/263)
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val pat = """Registry as of end-r\d+: \*\*(\d+) entries, (\d+) oracle-paired""".r
+    val m = pat.findFirstMatchIn(survey)
+      .getOrElse(fail("SURVEY.md registry count line not found"))
+    assert(m.group(1).toInt == SparkEntry.registry.size,
+      s"SURVEY says ${m.group(1)} entries, registry has ${SparkEntry.registry.size}")
+    assert(m.group(2).toInt == SparkEntry.oracleSql.size,
+      s"SURVEY says ${m.group(2)} oracle-paired, registry has ${SparkEntry.oracleSql.size}")
+  }
+
   // Queries where an empty result at sf0.001 would be fine (tiny data).
   private val mayBeEmpty = Set("q_except", "q_join_anti")
 
