@@ -67,7 +67,7 @@ object DedupQueries {
   /** Max docs per n-gram block; larger blocks are skipped (see
     * dedup_ngram_jaccard's comment for the recall trade).
     */
-  private val NGRAM_BLOCK_CAP = 64
+  private[graft] val NGRAM_BLOCK_CAP = 64
 
   private def minhashDuck(i: Int) =
     s"list_aggregate(list_transform(shh, h -> substring(h, ${1 + 4 * i}, 4)), 'min')"
@@ -350,6 +350,29 @@ object DedupQueries {
     thr
   }
 
+  /** Delete documents from a persisted band index — takedown without a
+    * rebuild: the ids land in the tombstone sidecar and [[bandIndexFrame]]
+    * (every probe's read) anti-joins them out with the takedown set
+    * broadcast, so the standing bucketed table is neither shuffled nor
+    * rewritten. [[compactBandIndex]] folds them in physically.
+    */
+  def deleteFromBandIndex(s: SparkSession, table: String, docIds: Seq[Long]): Unit =
+    graft.sources.Tombstones.addForTable(s, table, docIds)
+
+  /** The probe-facing view of a persisted band index: the bucketed table
+    * minus its tombstoned documents. Probes join this exactly as they
+    * joined the raw table — the anti-join broadcasts the tombstones, so
+    * the corpus side keeps its exchange-free bucketing.
+    */
+  def bandIndexFrame(s: SparkSession, table: String): DataFrame =
+    graft.sources.Tombstones.filterTable(s, table, "doc_id")
+
+  /** Physically remove tombstoned documents' band keys and restore one
+    * file per bucket (the shared bucketed-index compaction).
+    */
+  def compactBandIndex(s: SparkSession, table: String): Unit =
+    graft.sources.Tombstones.compactBucketedIndex(s, table, "doc_id")
+
   /** Min-label propagation over an undirected pair list, with PLUGGABLE
     * per-round materialization — the knob that makes the iterative loop
     * fleet-safe. `localCheckpoint` blocks live only on executors: lose one
@@ -616,6 +639,32 @@ object DedupQueries {
     thr
   }
 
+  /** Delete documents from a persisted winnow index. Probe-side stats make
+    * this sound with NO stored-stat maintenance: the df cap is derived at
+    * probe time from the surviving rows ([[winnowIncrementalPairs]]' fp
+    * groupBy AFTER the tombstone anti-join), so deletion both shrinks df
+    * and can RE-ADMIT a fingerprint a too-popular df had previously capped
+    * out — exactly what a rebuild over the survivors would do (the
+    * boundary is pinned in WinnowSpec); n_fp_c is per-doc-local and rides
+    * out unaffected. [[compactWinnowIndex]] folds tombstones in
+    * physically.
+    */
+  def deleteFromWinnowIndex(s: SparkSession, table: String, docIds: Seq[Long]): Unit =
+    graft.sources.Tombstones.addForTable(s, table, docIds)
+
+  /** The probe-facing view of a persisted winnow index: the fp-bucketed
+    * table minus its tombstoned documents (broadcast anti-join — the
+    * corpus side keeps its exchange-free bucketing).
+    */
+  def winnowIndexFrame(s: SparkSession, table: String): DataFrame =
+    graft.sources.Tombstones.filterTable(s, table, "doc_id")
+
+  /** Physically remove tombstoned documents' fingerprints and restore one
+    * file per bucket (the shared bucketed-index compaction).
+    */
+  def compactWinnowIndex(s: SparkSession, table: String): Unit =
+    graft.sources.Tombstones.compactBucketedIndex(s, table, "doc_id")
+
   /** Append a document batch's winnowed fingerprints to an existing
     * [[writeWinnowIndex]] table — the daily-ingest lifecycle. Sound
     * WITHOUT rewriting standing rows because the index is per-doc-local:
@@ -640,9 +689,31 @@ object DedupQueries {
     // append-then-probe == rebuild-then-probe contract holds under replay,
     // not just for disjoint batches.
     val batchIds = docs.select("doc_id").distinct()
-    val present = s.table(table).select("doc_id")
+    // a deleted id may NOT be re-used before a compaction has folded its
+    // tombstone in: the anti-join that masks the deleted rows would mask
+    // the re-appended ones too (silent suppression), and skipping the
+    // tombstone check would resurrect the old rows (silent undelete) —
+    // both are data corruption, so the collision fails loudly instead
+    graft.sources.Tombstones.idSetForTable(s, table).foreach { t =>
+      val clash = t.withColumnRenamed("id", "doc_id")
+        .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(clash.isEmpty,
+        s"appendWinnowIndex: doc_ids ${clash.mkString(",")} were deleted from " +
+          s"$table — run compactWinnowIndex before re-using deleted ids")
+    }
+    // materialize the already-present set EAGERLY (collect, not a lazy
+    // subplan): it is bounded by the batch id count, and folding it back in
+    // as a literal frame keeps the append's write plan free of any scan of
+    // the table being appended to — self-read-append is rejected by some
+    // catalogs (V1 PreWriteCheck) and races file-listing snapshots on
+    // others, so the read must complete before the write plan exists.
+    val present: Array[Long] = s.table(table).select("doc_id")
       .join(broadcast(batchIds), Seq("doc_id"), "left_semi").distinct()
-    val fresh = docs.join(broadcast(present), Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0))
+    import s.implicits._
+    val fresh = docs.join(
+      broadcast(present.toSeq.toDF("doc_id")), Seq("doc_id"), "left_anti")
     val fps = TextQueries.winnowSelected(fresh)
       .select(col("doc_id"), col("fp")).distinct()
     fps.join(fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp_c")), "doc_id")
@@ -1303,6 +1374,55 @@ object DedupQueries {
               |wthr AS (SELECT CAST((MAX(doc_id) + 1) * 4 // 5 AS BIGINT) AS thr FROM documents),
               |wifps AS (SELECT DISTINCT doc_id, fp FROM wsel),
               |cfp AS (SELECT doc_id, fp FROM wifps, wthr WHERE doc_id < thr),
+              |bfp AS (SELECT doc_id, fp FROM wifps, wthr WHERE doc_id >= thr),
+              |ikeep AS (SELECT fp FROM cfp GROUP BY fp HAVING COUNT(*) <= $NGRAM_BLOCK_CAP),
+              |ics AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp_c FROM cfp GROUP BY doc_id),
+              |ibs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp_b FROM bfp GROUP BY doc_id),
+              |ipairs AS (SELECT b.doc_id AS doc_id, c.doc_id AS c_id,
+              |    CAST(COUNT(*) AS BIGINT) AS shared_fp
+              |  FROM bfp b JOIN cfp c ON b.fp = c.fp JOIN ikeep k ON b.fp = k.fp
+              |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+              |SELECT p.doc_id, c_id, shared_fp,
+              |  CAST(shared_fp AS DOUBLE) / CAST(least(n_fp_b, n_fp_c) AS DOUBLE) AS containment
+              |FROM ipairs p JOIN ibs ON p.doc_id = ibs.doc_id
+              |JOIN ics ON p.c_id = ics.doc_id
+              |ORDER BY p.doc_id, c_id""".stripMargin)
+    ),
+
+    // ---- winnow probe under deletion: the takedown contract, inline --------
+    // What the incremental probe must return after corpus documents are
+    // DELETED from the standing index (doc_id % 11 = 5 here): their
+    // fingerprint rows vanish from the candidate join, AND the probe-time
+    // df cap re-derives over the survivors — so deletion both removes
+    // pairs (the deleted docs') and can ADD pairs, by re-admitting a
+    // fingerprint whose df the takedown dropped back inside [2, cap].
+    // Probe-side stats make all of that automatic: nothing is stored, so
+    // nothing goes stale. TombstoneSpec pins deleteFromWinnowIndex →
+    // winnowIndexFrame probe equal to this entry row-for-row and to a
+    // rebuilt index; WinnowSpec pins the df-cap re-admission boundary.
+    GQuery(
+      "dedup_winnow_deleted",
+      (s, dir) => {
+        val thr = broadcast(Tables.documents(s, dir).agg(
+          expr("CAST((max(doc_id) + 1) * 4 div 5 AS BIGINT)").as("thr")))
+        val fps = Materialize(
+          TextQueries.winnowSelected(Tables.documents(s, dir))
+            .select(col("doc_id"), col("fp")).distinct()
+            .crossJoin(thr)) // 1-row bound
+        val corpus = fps
+          .filter(col("doc_id") < col("thr") && !(col("doc_id") % 11 === 5))
+          .select("doc_id", "fp")
+        winnowIncrementalPairs(
+          fps.filter(col("doc_id") >= col("thr")).select("doc_id", "fp"),
+          corpus.join(
+            corpus.groupBy("doc_id").agg(count(lit(1)).as("n_fp_c")), "doc_id"))
+          .orderBy("doc_id", "c_id")
+      },
+      Some(s"""WITH ${TextQueries.winnowSqlCte},
+              |wthr AS (SELECT CAST((MAX(doc_id) + 1) * 4 // 5 AS BIGINT) AS thr FROM documents),
+              |wifps AS (SELECT DISTINCT doc_id, fp FROM wsel),
+              |cfp AS (SELECT doc_id, fp FROM wifps, wthr
+              |  WHERE doc_id < thr AND NOT (doc_id % 11 = 5)),
               |bfp AS (SELECT doc_id, fp FROM wifps, wthr WHERE doc_id >= thr),
               |ikeep AS (SELECT fp FROM cfp GROUP BY fp HAVING COUNT(*) <= $NGRAM_BLOCK_CAP),
               |ics AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp_c FROM cfp GROUP BY doc_id),

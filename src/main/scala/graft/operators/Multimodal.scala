@@ -216,17 +216,19 @@ object Multimodal {
     * anything else vanishingly unlikely to pair.
     */
   def assetsWithVariants(spark: SparkSession, dir: String): DataFrame = {
-    val d = graft.Tables.documents(spark, dir)
     // the +1e6/+2e6 variant offsets (mirrored literally in the oracle SQL,
     // which cannot read a runtime max) are injective only while source ids
     // stay below 1e6 — past that, variant ids collide with real asset ids
     // and the incremental/probe paths' `asset_id < 1000000` corpus-vs-batch
-    // classification silently misfiles originals. Fail loudly at the bound
-    // instead (the winnowSelected position-packing discipline).
-    val mx = d.agg(max(col("doc_id"))).head
-    require(mx.isNullAt(0) || mx.getLong(0) < 1000000L,
-      s"assetsWithVariants: doc_id ${mx.get(0)} >= 1e6 collides with the " +
-        "planted-variant id offsets — widen the offsets (and the oracle) first")
+    // classification silently misfiles originals. Enforce the bound LAZILY
+    // per row (the winnowSelected assert_true discipline): no extra job at
+    // plan-build time — the guard rides the scan every query already does,
+    // and an out-of-bound id fails that query loudly with its doc_id.
+    val d = graft.Tables.documents(spark, dir)
+      .filter(assert_true(col("doc_id") < lit(1000000L),
+        concat(lit("assetsWithVariants: doc_id "), col("doc_id"),
+          lit(" >= 1e6 collides with the planted-variant id offsets — " +
+            "widen the offsets (and the oracle) first"))).isNull)
     val orig = d.select(col("doc_id").as("asset_id"), col("text"))
     val v1 = d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("asset_id"),

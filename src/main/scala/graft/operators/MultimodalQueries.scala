@@ -302,8 +302,122 @@ object MultimodalQueries {
               |FROM pcand
               |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6
               |ORDER BY asset_id, src_id""".stripMargin)
+    ),
+
+    // ---- re-encode detection under deletion: the takedown contract ---------
+    // What the incremental probe must return after corpus assets are
+    // DELETED from the standing index (asset_id % 9 = 4 here — a takedown
+    // for rights/abuse reasons must stop matching immediately): the
+    // deleted assets' band keys vanish from the candidate join, so a
+    // variant of a deleted source finds NOTHING (exactly the intent — the
+    // pulled content no longer attracts its re-encodes), while every other
+    // variant still rediscovers its source. TombstoneSpec pins
+    // deleteFromPhashIndex → phashIndexFrame probe equal to this entry
+    // row-for-row and to a rebuilt index over the survivors.
+    GQuery(
+      "multimodal_phash_deleted",
+      (s, dir) => {
+        val all = Materialize(
+          Multimodal.perceptualHash(Multimodal.assetsWithVariants(s, dir)).toDF())
+        val keys = phashBandKeys(all)
+        phashProbePairs(
+          keys.filter(col("asset_id") >= 1000000L),
+          keys.filter(col("asset_id") < 1000000L &&
+            !(col("asset_id") % 9 === 4)))
+          .orderBy("asset_id", "src_id")
+      },
+      Some(s"""WITH $phashPairsSql,
+              |pidx AS (SELECT asset_id, ph_hi, ph_lo, j * 65536 + bv AS bk FROM bk
+              |  WHERE asset_id < 1000000 AND NOT (asset_id % 9 = 4)),
+              |pbatch AS (SELECT asset_id, ph_hi, ph_lo, j * 65536 + bv AS bk FROM bk
+              |  WHERE asset_id >= 1000000),
+              |pcand AS (SELECT DISTINCT x.asset_id AS asset_id, y.asset_id AS src_id,
+              |    x.ph_hi AS ha, x.ph_lo AS la, y.ph_hi AS hb, y.ph_lo AS lb
+              |  FROM pbatch x JOIN pidx y ON x.bk = y.bk)
+              |SELECT asset_id, src_id,
+              |  CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+              |FROM pcand
+              |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6
+              |ORDER BY asset_id, src_id""".stripMargin)
+    ),
+
+    // ---- cross-modal retrieval: text query → asset ranking ------------------
+    // The pair-mining/retrieval shape of multimodal curation (CLIP-style:
+    // one shared embedding space, so a TEXT query ranks MEDIA assets by
+    // vector proximity). The encoder is the corpus convention every ANN
+    // entry already uses — query q's text embedding is embeddings.vec_id
+    // == q_id, and asset a's media embedding is vec_id == asset_id (the
+    // offline encoders' output table; a real pipeline lands both towers'
+    // vectors in exactly this layout). Retrieval is the plain IVF ranking
+    // (the identical CTE chain — shared with ann_ivf_topk), then the
+    // ranked ids join to ASSET METADATA, which is what makes it
+    // cross-modal serving rather than ANN: the caller gets assets, not
+    // vector ids. Scale: the ranking reads probed cells only; the
+    // metadata fetch keys on ≤ K·n_queries ids (serving form pushes them
+    // as an In-list — the knnNeighborsFromGraph point-lookup discipline;
+    // payloads never shuffle, only their metadata row). Persisted-index
+    // twin crossmodalTopkFromIndex pinned equal in PartitionBucketSpec;
+    // streaming twin runCrossmodalProbe pinned drain==batch in
+    // StreamingSpec.
+    GQuery(
+      "multimodal_crossmodal_topk",
+      (s, dir) => {
+        val ranked = SimilarityQueries.ivfTopk(s, dir)
+        val meta = Multimodal.decodeFeatures(
+            Multimodal.documentsAsAssets(s, dir)).toDF()
+          .select(col("asset_id"), col("n_bytes"))
+        ranked.join(meta, ranked("cand_id") === meta("asset_id"))
+          .select(col("q_id"), col("rank"), col("asset_id"), col("cos"),
+            col("n_bytes"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH ${SimilarityQueries.ivfRankedSql},
+              |cmmeta AS (SELECT doc_id AS asset_id,
+              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents)
+              |SELECT q_id, rank, asset_id, cos, n_bytes
+              |FROM ranked JOIN cmmeta ON ranked.cand_id = cmmeta.asset_id
+              |WHERE rank <= ${SimilarityQueries.topK}
+              |ORDER BY q_id, rank""".stripMargin)
     )
   )
+
+  /** Cross-modal serving from the PERSISTED IVF index: the text queries'
+    * vectors probe the partition-pruned index
+    * ([[SimilarityQueries.ivfProbeIndex]] — tombstone-aware like every
+    * IVF probe), and the ranked asset ids fetch their metadata through a
+    * pushed In-list. Equals the inline `multimodal_crossmodal_topk`
+    * (pinned in PartitionBucketSpec).
+    */
+  def crossmodalTopkFromIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String, ivfPath: String)
+      : org.apache.spark.sql.DataFrame = {
+    val e = graft.functions.VectorOps.normalized(s, dir)
+    val q = e.filter(col("vec_id") < SimilarityQueries.nQueries)
+      .select("vec_id", "v", "nrm")
+    crossmodalEnrich(s, dir,
+      SimilarityQueries.ivfProbeIndex(s, dir, ivfPath, q))
+  }
+
+  /** Join a rank list (q_id, rank, cand_id, cos) to asset metadata: the
+    * ≤ K·n_queries candidate ids are a bounded control-plane list, pushed
+    * to the asset scan as an In filter — the ranking did the heavy
+    * lifting, the metadata fetch is a point lookup, and asset payloads
+    * never shuffle (decode runs on the pruned handful of rows).
+    */
+  private[graft] def crossmodalEnrich(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      ranked: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ids = ranked.select("cand_id").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val meta = Multimodal.decodeFeatures(
+        Multimodal.documentsAsAssets(s, dir)
+          .filter(col("asset_id").isin(ids.map(i => i: Any): _*))).toDF()
+      .select(col("asset_id"), col("n_bytes"))
+    ranked.join(broadcast(meta), ranked("cand_id") === meta("asset_id"))
+      .select(col("q_id"), col("rank"), col("asset_id"), col("cos"),
+        col("n_bytes"))
+      .orderBy("q_id", "rank")
+  }
 
   /** Banded candidate generation + exact Hamming verification over the
     * perceptual hashes — shared by the pairs and clusters entries.
@@ -360,6 +474,34 @@ object MultimodalQueries {
       .option("path", path)
       .saveAsTable(table)
   }
+
+  /** Delete assets from a persisted phash index — the takedown path
+    * (an asset removed for rights/abuse reasons must stop matching
+    * immediately, not at the next rebuild): the ids land in the tombstone
+    * sidecar, [[phashIndexFrame]] (every probe's read) anti-joins them out
+    * with the takedown set broadcast, and [[compactPhashIndex]] folds them
+    * in physically. The standing bucketed table is never shuffled or
+    * rewritten by the delete itself.
+    */
+  def deleteFromPhashIndex(
+      s: org.apache.spark.sql.SparkSession, table: String,
+      assetIds: Seq[Long]): Unit =
+    graft.sources.Tombstones.addForTable(s, table, assetIds)
+
+  /** The probe-facing view of a persisted phash index: the bk-bucketed
+    * table minus its tombstoned assets.
+    */
+  def phashIndexFrame(
+      s: org.apache.spark.sql.SparkSession, table: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.sources.Tombstones.filterTable(s, table, "asset_id")
+
+  /** Physically remove tombstoned assets' band keys and restore one file
+    * per bucket (the shared bucketed-index compaction).
+    */
+  def compactPhashIndex(
+      s: org.apache.spark.sql.SparkSession, table: String): Unit =
+    graft.sources.Tombstones.compactBucketedIndex(s, table, "asset_id")
 
   private def phashPairs(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {

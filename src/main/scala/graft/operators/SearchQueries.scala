@@ -351,6 +351,17 @@ object SearchQueries {
     */
   def appendSearchIndex(
       s: SparkSession, table: String, path: String, newDocs: DataFrame): Unit = {
+    // a deleted id may not be re-used before a compaction folds its
+    // tombstone in: the probe-side anti-join would silently suppress the
+    // re-appended rows (the appendWinnowIndex discipline) — fail loudly
+    graft.sources.Tombstones.idSetForTable(s, table).foreach { t =>
+      val clash = t.withColumnRenamed("id", "doc_id")
+        .join(broadcast(newDocs.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(clash.isEmpty,
+        s"appendSearchIndex: doc_ids ${clash.mkString(",")} were deleted from " +
+          s"$table — run compactSearchIndex before re-using deleted ids")
+    }
     // no path option on append: the CATALOG owns the table's location, and
     // after a compaction that location has moved — re-specifying the
     // original path would throw a location mismatch (covered in
@@ -391,6 +402,45 @@ object SearchQueries {
   def bm25TopkFromIndex(s: SparkSession, table: String, path: String): DataFrame =
     bm25ProbeIndex(s, table, path, queryTerms(s))
 
+  /** Delete documents from a persisted inverted index — the takedown path:
+    * BM25 scores depend on corpus-global statistics, so deletion is a
+    * two-part update with NO standing-file rewrite:
+    *   1. the 1-row stats decrement by exactly the deleted documents' own
+    *      contribution (n_docs, Σdl — computed from the index itself
+    *      before the tombstone lands, via the same temp-write + rename the
+    *      append path uses), and
+    *   2. the doc ids land in the tombstone sidecar; every probe
+    *      anti-joins them out BEFORE computing df, so per-term df is exact
+    *      for the surviving corpus by construction.
+    * After both, every probe scores exactly as an index built over the
+    * surviving corpus (pinned in TombstoneSpec). Deleting an absent or
+    * already-deleted id is a no-op for the stats (its rows are already
+    * masked) and idempotent for the sidecar. The stats-new/tombstone-old
+    * crash window mirrors the documented append-path window; a
+    * transactional table format closes both.
+    */
+  def deleteFromSearchIndex(
+      s: SparkSession, table: String, path: String, docIds: Seq[Long]): Unit = {
+    val del = graft.sources.Tombstones.filterTable(s, table, "doc_id")
+      .filter(col("doc_id").isin(docIds.map(i => i: Any): _*))
+      .select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("nd"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
+      .head
+    val old = s.read.parquet(s"${path}_stats").head
+    val statsTmp = s"${path}_stats__new"
+    s.createDataFrame(Seq(
+        (old.getLong(0) - del.getLong(0), old.getLong(1) - del.getLong(1))))
+      .toDF("n_docs", "tt")
+      .write.mode("overwrite").parquet(statsTmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val statsP = new org.apache.hadoop.fs.Path(s"${path}_stats")
+    fs.delete(statsP, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(statsTmp), statsP),
+      s"deleteFromSearchIndex: could not swap $statsTmp into place")
+    graft.sources.Tombstones.addForTable(s, table, docIds)
+  }
+
   /** The lexical serving entry point: probe the persisted index for an
     * ARBITRARY query frame (q_id, term) — the fixed-set probe above and the
     * streaming path ([[graft.streaming.SearchStream]]) both delegate here.
@@ -398,13 +448,117 @@ object SearchQueries {
     * small by definition) become the postings scan's In filter. Per-query
     * independence: df and the corpus stats come from the INDEX, never the
     * batch, so any batching of queries yields identical per-query rows.
+    * Tombstoned documents drop before the df aggregate (broadcast
+    * anti-join — the bucketed scan never shuffles), so df and candidates
+    * are exact for the surviving corpus.
     */
   def bm25ProbeIndex(s: SparkSession, table: String, path: String, q: DataFrame): DataFrame = {
     val terms = q.select("term").distinct().collect().map(_.getString(0)).toSeq
-    val p = s.table(table).filter(col("term").isin(terms: _*))
+    val p = graft.sources.Tombstones.filterTable(s, table, "doc_id")
+      .filter(col("term").isin(terms: _*))
     val dfF = p.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = s.read.parquet(s"${path}_stats")
     bm25Rank(p, dfF, stats, q).orderBy("q_id", "rank")
+  }
+
+  /** Two-phase WAND-style pruned ranking (Broder et al., CIKM 2003 —
+    * executed, not just audited): the expensive stage (per-posting score
+    * arithmetic + the (q_id, doc_id) aggregate + the rank window) runs
+    * only on candidates whose term-UB sum can still reach the top-K
+    * threshold. Distributed re-expression of the document-at-a-time
+    * pointer walk:
+    *   1. one pass over the query-term postings computes, per term, df AND
+    *      the UB ingredients (max tf, min dl) — the same aggregate that
+    *      computes df, so the bound derives from the SURVIVING postings
+    *      and appends/deletes can never stale it;
+    *      UB_t = score(max_tf, min_dl | df, stats) — scoreExpr is monotone
+    *      increasing in tf and decreasing in dl, so the bound holds term
+    *      by term even though (max_tf, min_dl) may not be attained jointly;
+    *   2. a LIGHT pass over (term, doc_id) membership alone sums UBs per
+    *      candidate (no dl/tf arithmetic, no score chain);
+    *   3. θ_est = the K-th best FULL score among the top-K candidates by
+    *      UB sum (≤ K·n_queries docs scored) — a LOWER bound on the true
+    *      θ, because any subset's K-th best score is ≤ the global one;
+    *   4. candidates with ub_sum < θ_est are pruned WITHOUT scoring; the
+    *      survivors score fully and rank.
+    * Exactness: score(d) ≥ θ_true ⇒ ub_sum(d) ≥ θ_true ≥ θ_est ⇒ d
+    * survives, so every true top-K doc is scored and (because the true
+    * top-K occupy the same positions among survivors) the output is
+    * row-identical to the unpruned path — proven two ways: the registered
+    * `search_bm25_wand` hash-matches the `search_bm25_topk` ORACLE, and
+    * SearchSpec pins the index-served twin to [[bm25TopkFromIndex]] with
+    * the measured scored-candidate reduction against the
+    * `search_wand_bound` audit. Queries with < K candidates have no θ and
+    * skip nothing (the audit's degenerate-corpus honesty).
+    * Returns (topk, per-query counts (n_cands, n_scored)).
+    */
+  private def bm25WandRank(
+      postings: DataFrame, stats: DataFrame, q: DataFrame): (DataFrame, DataFrame) = {
+    val perTerm = postings.groupBy("term").agg(
+      count(lit(1)).as("df"), max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
+    // rename (max_tf, min_dl) into scoreExpr's (tf, dl) slots — UB_t rides
+    // the exact integer micro grid, so ub_sum/θ comparisons can never
+    // drift from the true scores they bound
+    val ubF = perTerm.select(col("term"), col("df"),
+        col("max_tf").as("tf"), col("min_dl").as("dl"))
+      .crossJoin(broadcast(stats))
+      .withColumn("ub", expr(scoreExpr("div")))
+      .select("term", "df", "ub")
+    val ubSum = postings.select("term", "doc_id")
+      .join(broadcast(q), Seq("term"))
+      .join(broadcast(ubF.select("term", "ub")), Seq("term"))
+      .groupBy("q_id", "doc_id").agg(sum(col("ub")).as("ub_sum"))
+    val dfF = ubF.select("term", "df")
+    def fullScores(cands: DataFrame): DataFrame =
+      postings.join(broadcast(q), Seq("term"))
+        .join(broadcast(cands), Seq("q_id", "doc_id"), "left_semi")
+        .join(broadcast(dfF), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("score_t", expr(scoreExpr("div")))
+        .groupBy("q_id", "doc_id").agg(sum(col("score_t")).as("score"))
+    val wub = Window.partitionBy("q_id").orderBy(col("ub_sum").desc, col("doc_id"))
+    val seeds = ubSum.withColumn("rn", row_number().over(wub))
+      .filter(col("rn") <= TOP_K).select("q_id", "doc_id")
+    val wq = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+    val theta = fullScores(seeds)
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") === TOP_K)
+      .select(col("q_id"), col("score").as("theta"))
+    val survivors = ubSum.join(broadcast(theta), Seq("q_id"), "left")
+      .filter(col("theta").isNull || col("ub_sum") >= col("theta"))
+      .select("q_id", "doc_id")
+    val topk = fullScores(survivors)
+      .withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select("q_id", "rank", "doc_id", "score")
+    // honesty in the measurement: everything that was fully scored counts —
+    // survivors AND the θ-seeding top-K (a seed pruned later was still paid)
+    val scoredSet = survivors.unionByName(seeds).distinct()
+    val counts = ubSum.groupBy("q_id").agg(count(lit(1)).as("n_cands"))
+      .join(scoredSet.groupBy("q_id").agg(count(lit(1)).as("n_scored")), "q_id")
+    (topk, counts)
+  }
+
+  /** The WAND-pruned serving twin of [[bm25TopkFromIndex]]: same bucketed
+    * postings scan, term In-pushdown, tombstone mask, and index stats —
+    * but only UB-surviving candidates pay the scoring stage. Row-identical
+    * to the unpruned probe (pinned in SearchSpec).
+    */
+  def bm25WandTopkFromIndex(s: SparkSession, table: String, path: String): DataFrame =
+    bm25WandProbeIndex(s, table, path, queryTerms(s))._1.orderBy("q_id", "rank")
+
+  /** WAND probe for an arbitrary query frame; returns (topk, counts) so
+    * serving can surface the realized skip fraction as an operating metric.
+    */
+  def bm25WandProbeIndex(
+      s: SparkSession, table: String, path: String, q: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val terms = q.select("term").distinct().collect().map(_.getString(0)).toSeq
+    val p = graft.sources.Tombstones.filterTable(s, table, "doc_id")
+      .filter(col("term").isin(terms: _*))
+      .select("term", "doc_id", "tf", "dl")
+    val stats = s.read.parquet(s"${path}_stats")
+    bm25WandRank(p, stats, q)
   }
 
   /** Filtered (hybrid lexical) probe: top-k among documents matching a
@@ -419,7 +573,8 @@ object SearchQueries {
   def bm25FilteredTopkFromIndex(
       s: SparkSession, table: String, path: String, lang: String): DataFrame = {
     val terms = QUERY_TERMS.flatMap(_._2).distinct
-    val p = s.table(table).filter(col("term").isin(terms: _*))
+    val p = graft.sources.Tombstones.filterTable(s, table, "doc_id")
+      .filter(col("term").isin(terms: _*))
     val dfF = p.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = s.read.parquet(s"${path}_stats")
     bm25Rank(p.filter(col("lang") === lang), dfF, stats, queryTerms(s))
@@ -473,7 +628,8 @@ object SearchQueries {
     */
   def phraseMatchFromIndex(s: SparkSession, table: String): DataFrame = {
     val words = PHRASES.flatMap(p => Seq(p._2, p._3)).distinct
-    val p = s.table(table).filter(col("term").isin(words: _*))
+    val p = graft.sources.Tombstones.filterTable(s, table, "doc_id")
+      .filter(col("term").isin(words: _*))
     val pos = p.select(col("term"), col("doc_id"), explode(col("positions")).as("pos"))
     val m = pos.as("a")
       .join(broadcast(phraseFrame(s)), col("a.term") === col("w1"))
@@ -498,45 +654,16 @@ object SearchQueries {
     * path, then swaps it in via catalog rename. Content — postings rows and
     * stats — is unchanged, so every probe result is preserved (pinned in
     * PartitionBucketSpec). The rename window is not concurrent-safe for
-    * in-flight probes (same caveat as the IVF swap's FS rename).
+    * in-flight probes (same caveat as the IVF swap's FS rename). [r14]
+    * Delegates to the shared bucketed-index compaction
+    * ([[graft.sources.Tombstones.compactBucketedIndex]] — the mechanics
+    * moved there verbatim when the winnow/band/phash families gained the
+    * same rewrite), which also folds outstanding TOMBSTONES in physically:
+    * stats were already decremented at delete time, so the compaction
+    * changes no probe result either way.
     */
-  def compactSearchIndex(s: SparkSession, table: String): Unit = {
-    // destination derives from the table's CURRENT catalog location, so a
-    // repeated compaction reads from one directory and writes to a fresh
-    // one — never overwriting its own input mid-job
-    val ident = s.sessionState.sqlParser.parseTableIdentifier(table)
-    val cur = s.sessionState.catalog.getTableMetadata(ident).location.toString
-    val dest = cur.stripSuffix("/") + "__c"
-    // partition the rewrite by the DERIVED bucket id, not the bucket
-    // column: repartition(8, term) pattern-matches the table's bucket spec,
-    // so the planner elides the shuffle while scanning file-split — rows of
-    // one bucket then straddle tasks and every task re-emits its own file
-    // per bucket (measured: 16 files instead of 8). Hashing pmod(hash(term),
-    // 8) keeps whole buckets together (same bucket ⇒ same partition key)
-    // but cannot be matched away. AQE is scoped off so its partition
-    // split/merge cannot re-break the alignment.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prior = s.conf.get(aqeKey)
-    s.conf.set(aqeKey, "false")
-    val nb = bucketCountOf(s, table)
-    try {
-      val compacted = s.table(table).repartition(nb, expr(s"pmod(hash(term), $nb)"))
-      s.sql(s"DROP TABLE IF EXISTS ${table}__c")
-      compacted.write.mode("overwrite")
-        .bucketBy(nb, "term").sortBy("term")
-        .option("path", dest)
-        .saveAsTable(s"${table}__c")
-    } finally s.conf.set(aqeKey, prior)
-    s.sql(s"DROP TABLE $table")
-    s.sql(s"ALTER TABLE ${table}__c RENAME TO $table")
-    // DROP TABLE on an external table leaves its files behind: reclaim the
-    // superseded postings directory, or every compaction would permanently
-    // retain a full copy of the index (mirrors compactIvfIndex's
-    // fs.delete of the moved-aside old dir)
-    val oldLoc = new org.apache.hadoop.fs.Path(cur)
-    oldLoc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(oldLoc, true)
-    ()
-  }
+  def compactSearchIndex(s: SparkSession, table: String): Unit =
+    graft.sources.Tombstones.compactBucketedIndex(s, table, "doc_id")
 
   // ---- registry -----------------------------------------------------------
 
@@ -545,6 +672,53 @@ object SearchQueries {
     GQuery(
       "search_bm25_topk",
       (s, dir) => bm25Inline(s, dir).orderBy("q_id", "rank"),
+      Some(s"""WITH ${bm25Sql()}
+              |SELECT q_id, rank, doc_id, score FROM ranked WHERE rank <= $TOP_K
+              |ORDER BY q_id, rank""".stripMargin)
+    ),
+
+    // ---- BM25 under deletion: the takedown contract, inline -----------------
+    // What a probe must return after documents are deleted from the
+    // persisted index (doc_id % 7 = 3 here): the self-contained ranking
+    // over the SURVIVING corpus — candidates gone, per-term df shrunk, and
+    // the 1-row stats (n_docs, tt) decremented, so every surviving score
+    // changes too (IDF and length normalization are corpus-global; a
+    // deletion that only dropped candidate rows would mis-rank survivors).
+    // That is exactly what deleteFromSearchIndex + bm25ProbeIndex compute
+    // — stats decremented at delete time, df derived after the tombstone
+    // anti-join — pinned equal to this entry (and to a rebuilt index) in
+    // TombstoneSpec.
+    GQuery(
+      "search_bm25_deleted",
+      (s, dir) => bm25OverDocs(s,
+          Tables.documents(s, dir).filter(!(col("doc_id") % 7 === 3)))
+        .orderBy("q_id", "rank"),
+      Some(s"""WITH $queryTermsSql,
+              |${bm25ShardSql("del_", "NOT (doc_id % 7 = 3)")}
+              |SELECT q_id, rank, doc_id, score FROM del_ranked WHERE rank <= $TOP_K
+              |ORDER BY q_id, rank""".stripMargin)
+    ),
+
+    // ---- WAND pruning EXECUTED (the audit's skip, taken in serving) --------
+    // search_wand_bound proves which candidates are skippable; this entry
+    // actually skips them: the two-phase bm25WandRank scores only
+    // UB-surviving candidates, and the ORACLE is deliberately the plain
+    // search_bm25_topk ranking — the hash match IS the proof that pruning
+    // loses nothing (the ann_sharded_topk proof technique). df here is
+    // derived from the query-term postings (count per term == distinct
+    // docs per term — postings are one row per (term, doc)), identical to
+    // the full toks derivation for those terms. SearchSpec pins the
+    // index-served twin and the realized skip fraction vs the audit.
+    GQuery(
+      "search_bm25_wand",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val terms = QUERY_TERMS.flatMap(_._2).distinct
+        val p = postingsOf(docs.select("doc_id", "text", "lang"))
+          .filter(col("term").isin(terms: _*))
+          .select("term", "doc_id", "tf", "dl")
+        bm25WandRank(p, statsOf(docs), queryTerms(s))._1.orderBy("q_id", "rank")
+      },
       Some(s"""WITH ${bm25Sql()}
               |SELECT q_id, rank, doc_id, score FROM ranked WHERE rank <= $TOP_K
               |ORDER BY q_id, rank""".stripMargin)
@@ -1127,41 +1301,58 @@ object SearchQueries {
       .join(cnd.select(col("doc_id").as("a"), col("n").as("na")), "a")
       .join(cnd.select(col("doc_id").as("b"), col("n").as("nb")), "b")
       .select(col("a"), col("b"), expr("i * 1000000 div (na + nb - i)").as("sim"))
-    val sims = Materialize(cr.as("ca")
+    val sims = cr.as("ca")
       .join(cr.as("cb"),
         col("ca.q_id") === col("cb.q_id") && col("ca.doc_id") =!= col("cb.doc_id"))
       .select(col("ca.q_id").as("q_id"), col("ca.doc_id").as("a"), col("cb.doc_id").as("b"))
       .join(csim, Seq("a", "b"), "left")
-      .select(col("q_id"), col("a"), col("b"), coalesce(col("sim"), lit(0L)).as("sim")))
-    // Per-round CHECKPOINT of the accumulator (graphBeamOver's measured
-    // discipline): pick_r references sel_{r-1} TWICE (the remaining-set
-    // anti-join and the max-sim join) and sel_r unions it again, so with a
-    // plain lazy union the logical plan TRIPLES per round and the unrolled
-    // K=5 loop re-optimizes + re-executes ~3^4 copies of every window stage
-    // — measured 84.0 s in r12 isolation at sf0.1 (min-of-2) on ~50-row
-    // round state, collapsing once each round's sel is truncated to a
-    // durable scan. reliableCheckpoint keeps the loop fleet-safe.
-    val ckpt = DedupQueries.reliableCheckpoint(s)
-    def step(df: DataFrame): DataFrame = {
-      val out = ckpt(df); Materialize.track(out); out.count(); out
-    }
-    val w1 = Window.partitionBy("q_id").orderBy(col("rel").desc, col("doc_id"))
-    var sel = step(cr.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
-      .select(col("q_id"), col("doc_id"), lit(1L).as("pick_order"),
-        (lit(MMR_REL_W) * col("rel")).as("mmr")))
-    for (r <- 2 to MMR_K) {
-      val rem = cr.join(sel.select("q_id", "doc_id"), Seq("q_id", "doc_id"), "left_anti")
-      val ms = sims.join(sel.select(col("q_id"), col("doc_id").as("b")), Seq("q_id", "b"))
-        .groupBy(col("q_id"), col("a").as("doc_id")).agg(max(col("sim")).as("maxsim"))
-      val wr = Window.partitionBy("q_id").orderBy(col("mmr").desc, col("doc_id"))
-      val pick = rem.join(ms, Seq("q_id", "doc_id"), "left")
-        .withColumn("mmr",
-          lit(MMR_REL_W) * col("rel") - lit(MMR_DIV_W) * coalesce(col("maxsim"), lit(0L)))
-        .withColumn("rn", row_number().over(wr)).filter(col("rn") === 1)
-        .select(col("q_id"), col("doc_id"), lit(r.toLong).as("pick_order"), col("mmr"))
-      sel = step(sel.unionByName(pick))
-    }
-    sel.select("q_id", "pick_order", "doc_id", "mmr")
+      .select(col("q_id"), col("a"), col("b"), coalesce(col("sim"), lit(0L)).as("sim"))
+    // [r14] The greedy itself runs PER QUERY inside one cogroup — not as
+    // K dataflow rounds. MMR's selection state is inherently bounded: the
+    // ranking stage already cut each query to ≤ TOP_K candidates, so a
+    // query's whole problem (≤ TOP_K rels + ≤ TOP_K² sims) is a few
+    // hundred integers — group-local compute, embarrassingly parallel
+    // across queries, ONE q_id shuffle. The previous K-round dataflow loop
+    // paid a durable checkpoint + count per round (the measured ~6-8 s
+    // floor at sf0.1, r12: its own fix for the 84 s plan-explosion) for a
+    // sequential decision over ~50 rows; rounds-as-jobs was the wrong
+    // altitude for per-group-sequential, cross-group-parallel work. All
+    // arithmetic stays on the exact integer micro grid (Long multiply/
+    // subtract — the same values the oracle's round CTEs compute), ties
+    // break on doc_id, so the result is row-identical to the unrolled SQL.
+    import s.implicits._
+    val crDs = cr.select(col("q_id"), col("doc_id"), col("rel"))
+      .as[(Long, Long, Long)]
+    val simDs = sims.select(col("q_id"), col("a"), col("b"), col("sim"))
+      .as[(Long, Long, Long, Long)]
+    val relW = MMR_REL_W
+    val divW = MMR_DIV_W
+    val mmrK = MMR_K
+    crDs.groupByKey(_._1).cogroup(simDs.groupByKey(_._1)) { (q, cit, sit) =>
+      val rels = cit.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+      val simOf = sit.map(t => ((t._2, t._3), t._4)).toMap
+      val relOf = rels.toMap
+      val remaining = scala.collection.mutable.TreeSet(rels.map(_._1): _*)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var r = 1
+      while (r <= mmrK && remaining.nonEmpty) {
+        var bestDoc = -1L
+        var bestMmr = Long.MinValue
+        remaining.foreach { d => // ascending doc_id ⇒ strict > keeps the tie's lowest id
+          val maxsim =
+            if (selected.isEmpty) 0L
+            else selected.map(sm => simOf.getOrElse((d, sm), 0L)).max
+          val m = relW * relOf(d) - divW * maxsim
+          if (m > bestMmr) { bestMmr = m; bestDoc = d }
+        }
+        remaining.remove(bestDoc)
+        selected += bestDoc
+        out += ((q, r.toLong, bestDoc, bestMmr))
+        r += 1
+      }
+      out.iterator
+    }.toDF("q_id", "pick_order", "doc_id", "mmr")
   }
 
   /** Oracle CTE chain for MMR (assumes [[bm25Sql]]'s CTEs precede it);

@@ -111,7 +111,7 @@ object SimilarityQueries {
     * at least one member. Returns (seed_id, sv, sn) — drop-in wherever
     * [[seedSet]] feeds an assignment or probe.
     */
-  private def trainedSeedSet(e: DataFrame, nSeeds: Int = N_SEEDS): DataFrame = {
+  private[graft] def trainedSeedSet(e: DataFrame, nSeeds: Int = N_SEEDS): DataFrame = {
     val assign = assignToSeeds(e, seedSet(e, nSeeds)).select("vec_id", "v", "seed_id")
     val cent = assign
       .select(col("seed_id"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -177,7 +177,13 @@ object SimilarityQueries {
     * shipped index quantizer stays at 1 Lloyd iteration. On clustered
     * corpora the same loop converges in 2-3 rounds (pinned in
     * KmeansTrainSpec on the NnDescentSpec mixture corpus) — the regime
-    * where training the grid pays.
+    * where training the grid pays. [r14] That pay-off is now a measured,
+    * spec-pinned number on BOTH geometries: on the planted-cluster
+    * corpus (8 centers, 0.8 noise, nprobe=1) IVF recall@10 is 0.915
+    * seeded vs 0.983 after one Lloyd iteration (KmeansTrainSpec's
+    * "planted clusters" pin) — the exact opposite sign of the uniform
+    * driver corpus, completing the "train on clustered data, stay
+    * seeded on structureless data" rule with evidence on each side.
     */
   private[graft] def kmeansTrain(
       e: DataFrame, nSeeds: Int = N_SEEDS,
@@ -1006,16 +1012,54 @@ object SimilarityQueries {
   }
 
   /** IVF top-k per query vector (same schema as [[bruteforceTopk]]). */
-  private def ivfTopk(s: SparkSession, dir: String): DataFrame =
+  private[graft] def ivfTopk(s: SparkSession, dir: String): DataFrame =
     ivfTopkWith(s, dir, seedSet(VectorOps.normalized(s, dir)))
+
+  /** Oracle CTE chain for the plain IVF ranking (splices after WITH, ends
+    * in `ranked` (q_id, cand_id, cos, rank)) — shared by `ann_ivf_topk`
+    * and the cross-modal retrieval entry, whose asset ranking IS this
+    * chain joined to asset metadata.
+    */
+  private[graft] def ivfRankedSql: String =
+    s"""${VectorOps.normalizedSql},
+       |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
+       |assign0 AS (SELECT e.vec_id, e.v, e.nrm, seeds.seed_id,
+       |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    ${VectorOps.cosSql("e.v", "seeds.sv", "e.nrm", "seeds.sn")} DESC, seeds.seed_id) AS rn
+       |  FROM e CROSS JOIN seeds),
+       |assign AS (SELECT vec_id, v, nrm, seed_id FROM assign0 WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
+       |probes0 AS (SELECT q.q_id, q.qv, q.qn, seeds.seed_id,
+       |  row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |    ${VectorOps.cosSql("q.qv", "seeds.sv", "q.qn", "seeds.sn")} DESC, seeds.seed_id) AS rn
+       |  FROM q CROSS JOIN seeds),
+       |probes AS (SELECT q_id, qv, qn, seed_id FROM probes0 WHERE rn <= $N_PROBE),
+       |cand AS (SELECT DISTINCT probes.q_id, assign.vec_id AS cand_id,
+       |  ${VectorOps.cosSql("probes.qv", "assign.v", "probes.qn", "assign.nrm")} AS cos
+       |  FROM probes JOIN assign ON probes.seed_id = assign.seed_id
+       |  WHERE assign.vec_id <> probes.q_id),
+       |ranked AS (SELECT q_id, cand_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+       |  FROM cand)""".stripMargin
+
+  /** The ANN suite's fixed query/result sizes, shared with the cross-modal
+    * composition (same convention: query q's vector is vec_id == q_id).
+    */
+  private[graft] def nQueries: Int = N_QUERIES
+  private[graft] def topK: Int = TOP_K
 
   /** Inline IVF top-k against an arbitrary coarse quantizer — the parity
     * reference for the trained-index serving test.
     */
   private[graft] def ivfTopkWith(
-      s: SparkSession, dir: String, seeds: DataFrame): DataFrame = {
+      s: SparkSession, dir: String, seeds: DataFrame,
+      pred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val e = VectorOps.normalized(s, dir)
-    val assign = assignToSeeds(e, seeds).select("vec_id", "v", "nrm", "seed_id")
+    // `pred` restricts the INDEXED rows only (the deletion/takedown
+    // semantics: seeds — the cell geometry — and the query set still come
+    // from the full embeddings table, exactly like a tombstoned index)
+    val assign = assignToSeeds(e, seeds)
+      .select("vec_id", "v", "nrm", "seed_id").filter(pred)
     val q = e.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val pw = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("seed_id"))
@@ -1131,6 +1175,19 @@ object SimilarityQueries {
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
+  /** Delete vectors from a persisted IVF index — the takedown path: the
+    * ids land in the tombstone sidecar ([[graft.sources.Tombstones]]) and
+    * every probe anti-joins them out AFTER its partition-pruned cell read
+    * (broadcast anti-join — the index side never shuffles, no standing
+    * file is rewritten). Cell geometry is untouched: seeds derive from the
+    * embeddings table, not the index rows, so deletion never moves a cell.
+    * [[compactIvfIndex]] folds the tombstones in physically; after it the
+    * index equals a fresh build over the survivors (pinned in
+    * TombstoneSpec).
+    */
+  def deleteFromIvfIndex(s: SparkSession, path: String, vecIds: Seq[Long]): Unit =
+    graft.sources.Tombstones.add(s, path, vecIds)
+
   /** Same result as `ann_ivf_topk`, but candidates come from the PERSISTED
     * index: the probed cell ids (≤ nprobe · n_queries of them — a bounded
     * control-plane list, collected like a broadcast would be) become an
@@ -1173,9 +1230,14 @@ object SimilarityQueries {
     // partition-value inference reads small cell ids back as INT — match
     // the literals to that type (INT literals ⇒ no cast in the predicate ⇒
     // clean static pruning), then widen the column for the LONG probe join
-    val assign = s.read.parquet(path)
-      .filter(col("cell").isin(probedCells.map(c => c.toInt: Any): _*))
-      .withColumn("cell", col("cell").cast("long"))
+    // deleted vectors drop here, after the pruned cell read: the anti-join
+    // broadcasts the (small) tombstone set, so the index side still never
+    // shuffles and a never-deleted index pays nothing
+    val assign = graft.sources.Tombstones.filter(
+      s.read.parquet(path)
+        .filter(col("cell").isin(probedCells.map(c => c.toInt: Any): _*))
+        .withColumn("cell", col("cell").cast("long")),
+      path, "vec_id")
     val cand = probes.join(assign, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
@@ -1229,7 +1291,11 @@ object SimilarityQueries {
     */
   def compactIvfIndex(s: SparkSession, path: String): Unit = {
     val tmpPath = s"${path}__compact"
-    s.read.parquet(path)
+    // the rewrite is where tombstones fold in physically: drop deleted
+    // rows here, and clear the sidecar once the swapped-in index no longer
+    // contains them — after compaction the index equals a fresh build over
+    // the surviving vectors (pinned in TombstoneSpec)
+    graft.sources.Tombstones.filter(s.read.parquet(path), path, "vec_id")
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmpPath)
     val conf = s.sparkContext.hadoopConfiguration
@@ -1240,7 +1306,7 @@ object SimilarityQueries {
     require(fs.rename(p, old), s"compactIvfIndex: could not move $path aside")
     require(fs.rename(tp, p), s"compactIvfIndex: could not swap $tmpPath into place")
     fs.delete(old, true)
-    ()
+    graft.sources.Tombstones.clear(s, path)
   }
 
   /** Cell-scoped top-3 neighbor graph (vec_id, rank, nbr_id, cos) — the
@@ -1314,16 +1380,55 @@ object SimilarityQueries {
 
   /** Neighbors of `ids` from the persisted graph: bucket In-list prunes
     * partitions at the file source, vec_id filter pushes into the pruned
-    * files. Equals the inline graph rows for those ids (pinned).
+    * files. Equals the inline graph rows for those ids (pinned). Deleted
+    * vectors never surface on EITHER side — a tombstoned id's own
+    * adjacency list is suppressed, and it disappears from other vectors'
+    * neighbor lists (both anti-joins broadcast the takedown set).
     */
   def knnNeighborsFromGraph(s: SparkSession, path: String, ids: Seq[Long],
                             nBuckets: Long = KNN_BUCKETS): DataFrame = {
     val buckets = ids.map(_ % nBuckets).distinct.sorted
-    s.read.parquet(path)
+    val rows = s.read.parquet(path)
       .filter(col("bucket").isin(buckets.map(b => b.toInt: Any): _*))
       .filter(col("vec_id").isin(ids.map(i => i: Any): _*))
       .select("vec_id", "rank", "nbr_id", "cos")
+    graft.sources.Tombstones.filter(
+        graft.sources.Tombstones.filter(rows, path, "vec_id"), path, "nbr_id")
       .orderBy("vec_id", "rank")
+  }
+
+  /** Delete vectors from a persisted k-NN graph — the FreshDiskANN
+    * discipline: tombstoned nodes stay NAVIGABLE (their edges keep routing
+    * beam walks until compaction, preserving graph connectivity — severing
+    * them eagerly would strand whole neighborhoods) but are excluded from
+    * every RESULT surface: [[graphBeamFromIndex]] drops them from the
+    * ranked candidates, [[knnNeighborsFromGraph]] from both lookup sides.
+    * [[compactKnnGraph]] removes them physically (both endpoints).
+    */
+  def deleteFromKnnGraph(s: SparkSession, path: String, vecIds: Seq[Long]): Unit =
+    graft.sources.Tombstones.add(s, path, vecIds)
+
+  /** Fold a graph's tombstones in physically: rewrite without rows whose
+    * EITHER endpoint is deleted (a surviving node must not list a deleted
+    * neighbor), one file per bucket partition, atomic directory swap (the
+    * compactIvfIndex mechanics and its same non-object-store rename
+    * caveat), then clear the sidecar.
+    */
+  def compactKnnGraph(s: SparkSession, path: String): Unit = {
+    val tmpPath = s"${path}__compact"
+    val t = graft.sources.Tombstones
+    t.filter(t.filter(s.read.parquet(path), path, "vec_id"), path, "nbr_id")
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmpPath)
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tp = new org.apache.hadoop.fs.Path(tmpPath)
+    val fs = p.getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(s"${path}__old")
+    require(fs.rename(p, old), s"compactKnnGraph: could not move $path aside")
+    require(fs.rename(tp, p), s"compactKnnGraph: could not swap $tmpPath into place")
+    fs.delete(old, true)
+    t.clear(s, path)
   }
 
   // ---- graph-ANN serving: beam search over the k-NN graph -----------------
@@ -1451,7 +1556,17 @@ object SimilarityQueries {
     val e = VectorOps.normalized(s, dir)
     val q = broadcast(queries
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+    // entry points must be MEMBERS OF THE GRAPH, not just of the vector
+    // table: after a compaction folds a deleted seed-range node in, the
+    // tombstone sidecar is gone and only graph membership separates it
+    // from the living — an e-only entry set would resurrect it as a
+    // directly-scored candidate (caught by TombstoneSpec). The membership
+    // read is the same bucket-pruned In-list as a beam hop.
+    val seedIds = (0L until N_SEEDS).toSeq
+    val presentSeeds = beamHopRead(s, path, seedIds, nBuckets)
+      .select("vec_id").distinct()
     val entries = broadcast(e.filter(col("vec_id") < N_SEEDS)
+      .join(presentSeeds, Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("cand_id"), col("v"), col("nrm")))
     var cand = Materialize(
       q.join(entries)
@@ -1479,7 +1594,11 @@ object SimilarityQueries {
           VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
       cand = Materialize(cand.unionByName(scored).distinct())
     }
-    cand.withColumn("rank", row_number().over(bw).cast("long"))
+    // deleted vectors stay navigable above (routing hops — the
+    // FreshDiskANN discipline) but must not SURFACE: drop them from the
+    // pool before ranking so survivor ranks stay contiguous
+    graft.sources.Tombstones.filter(cand, path, "cand_id")
+      .withColumn("rank", row_number().over(bw).cast("long"))
       .filter(col("rank") <= TOP_K)
       .select("q_id", "rank", "cand_id", "cos")
       .orderBy("q_id", "rank")
@@ -1729,10 +1848,12 @@ object SimilarityQueries {
     val probes = queryProbes(e, seeds).withColumnRenamed("seed_id", "cell")
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
-    val assign = s.read.parquet(path)
-      .filter(col("cell").isin(probedCells.map(c => c.toInt: Any): _*))
-      .filter(col("label") === FILTER_LABEL)
-      .withColumn("cell", col("cell").cast("long"))
+    val assign = graft.sources.Tombstones.filter(
+      s.read.parquet(path)
+        .filter(col("cell").isin(probedCells.map(c => c.toInt: Any): _*))
+        .filter(col("label") === FILTER_LABEL)
+        .withColumn("cell", col("cell").cast("long")),
+      path, "vec_id")
     val cand = probes.join(assign, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
@@ -1762,10 +1883,12 @@ object SimilarityQueries {
     val probes = queryProbes(e, seeds).withColumnRenamed("seed_id", "cell")
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
-    val members = s.read.parquet(ivfPath)
-      .filter(col("cell").isin(probedCells.map(c => c.toInt: Any): _*))
-      .withColumn("cell", col("cell").cast("long"))
-      .select("cell", "vec_id")
+    val members = graft.sources.Tombstones.filter(
+      s.read.parquet(ivfPath)
+        .filter(col("cell").isin(probedCells.map(c => c.toInt: Any): _*))
+        .withColumn("cell", col("cell").cast("long"))
+        .select("cell", "vec_id"),
+      ivfPath, "vec_id")
     val cand = probes.select("q_id", "cell").join(members, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id").distinct()
@@ -2570,13 +2693,34 @@ object SimilarityQueries {
     GQuery(
       "ann_ivf_topk",
       (s, dir) => ivfTopk(s, dir).orderBy("q_id", "rank"),
+      Some(s"""WITH $ivfRankedSql
+              |SELECT q_id, rank, cand_id, cos FROM ranked WHERE rank <= $TOP_K
+              |ORDER BY q_id, rank""".stripMargin)
+    ),
+
+    // ---- IVF under deletion: the takedown contract, inline ------------------
+    // What a probe must return after vectors are deleted from the index:
+    // the identical pipeline with the deleted rows absent from the
+    // ASSIGNMENT side only — cell geometry (seeds) and the query set still
+    // derive from the full embeddings table, exactly as a tombstoned
+    // persisted index behaves (deletion never moves a cell; seeds are not
+    // index rows). The fixed deleted set (vec_id % 13 = 7) removes ~8% of
+    // candidates, so ranks re-pack around the gaps. TombstoneSpec pins
+    // deleteFromIvfIndex → ivfProbeIndex equal to this entry row-for-row,
+    // and equal to an index REBUILT over the survivors — the
+    // delete == rebuild contract the lifecycle promises.
+    GQuery(
+      "ann_ivf_deleted",
+      (s, dir) => ivfTopkWith(s, dir, seedSet(VectorOps.normalized(s, dir)),
+          expr("NOT (vec_id % 13 = 7)")).orderBy("q_id", "rank"),
       Some(s"""WITH ${VectorOps.normalizedSql},
               |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
               |assign0 AS (SELECT e.vec_id, e.v, e.nrm, seeds.seed_id,
               |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
               |    ${VectorOps.cosSql("e.v", "seeds.sv", "e.nrm", "seeds.sn")} DESC, seeds.seed_id) AS rn
               |  FROM e CROSS JOIN seeds),
-              |assign AS (SELECT vec_id, v, nrm, seed_id FROM assign0 WHERE rn = 1),
+              |assign AS (SELECT vec_id, v, nrm, seed_id FROM assign0
+              |  WHERE rn = 1 AND NOT (vec_id % 13 = 7)),
               |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
               |probes0 AS (SELECT q.q_id, q.qv, q.qn, seeds.seed_id,
               |  row_number() OVER (PARTITION BY q.q_id ORDER BY

@@ -228,7 +228,11 @@ object DocumentsStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val bFps = graft.operators.TextQueries.winnowSelected(batch.toDF())
           .select(col("doc_id"), col("fp")).distinct()
-        DedupQueries.winnowIncrementalPairs(bFps, spark.table(indexTable))
+        // winnowIndexFrame, not the raw table: a takedown landing
+        // mid-stream stops matching from the NEXT micro-batch on (the
+        // probe-time df cap re-derives over the survivors with it)
+        DedupQueries.winnowIncrementalPairs(
+            bFps, DedupQueries.winnowIndexFrame(spark, indexTable))
           .write.mode("append").parquet(outPath)
         ()
       }
@@ -261,7 +265,10 @@ object DocumentsStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val keys = graft.operators.MultimodalQueries.phashBandKeys(
           graft.operators.Multimodal.perceptualHash(batch.toDF()).toDF())
-        graft.operators.MultimodalQueries.phashProbePairs(keys, spark.table(indexTable))
+        // tombstone-filtered index view: a mid-stream takedown stops
+        // matching from the next micro-batch on
+        graft.operators.MultimodalQueries.phashProbePairs(
+            keys, graft.operators.MultimodalQueries.phashIndexFrame(spark, indexTable))
           .write.mode("append").parquet(outPath)
         ()
       }

@@ -62,6 +62,37 @@ object EmbeddingsStream {
     q.awaitTermination()
   }
 
+  /** Streaming cross-modal serving — arriving TEXT-query vectors answered
+    * with ranked ASSETS from the persisted IVF index: each micro-batch
+    * delegates to the same probe + metadata-enrich composition as the
+    * batch `multimodal_crossmodal_topk` serving path
+    * ([[graft.operators.MultimodalQueries.crossmodalEnrich]] — In-list
+    * metadata point lookups, payloads never shuffle). Per-query
+    * independence again makes the drain equal one-shot batch serving
+    * (pinned in StreamingSpec).
+    */
+  def runCrossmodalProbe(
+      spark: SparkSession, dir: String, inPath: String, indexPath: String,
+      outPath: String, checkpoint: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val q = readVectors(spark, inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val queries = batch.toDF()
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("nrm", expr(s"sqrt(${VectorOps.dotExpr("v", "v")})"))
+        graft.operators.MultimodalQueries.crossmodalEnrich(spark, dir,
+            SimilarityQueries.ivfProbeIndex(spark, dir, indexPath, queries))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming graph-ANN serving — the beam-walk twin of [[runAnnProbe]]:
     * each micro-batch's query vectors are answered by
     * [[SimilarityQueries.graphBeamFromIndex]] over a PERSISTED k-NN graph

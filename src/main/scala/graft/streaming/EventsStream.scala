@@ -541,16 +541,26 @@ object EventsStream {
   def runTumblingOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
     runOnce(tumblingCounts(readEvents(spark, dir)), queryName, "complete")
 
-  /** Streaming CUSUM ingest: each micro-batch appends its HOURLY CENSUS
-    * (event_type, hr, n) — cells are counts, so appended batch censuses
-    * merge by cell-wise SUM into exactly the full-corpus census (the
-    * runCmsIngest lifecycle, for changepoint monitoring). The standing
-    * detector re-derives [[graft.operators.EventQueries.cusumOverHourly]]
-    * over the merged table on its cadence — CUSUM is a function of the
-    * census alone, so drain + merge + detect equals the one-shot
-    * `q_events_cusum` exactly (pinned in StreamingSpec). At fleet scale
-    * the census append is the only continuous work (tiny rows, one
-    * shuffle per trigger); the detector pass is window-over-hour-spine.
+  /** Streaming CUSUM ingest: each micro-batch OVERWRITES its own
+    * `batch_id=<id>` subdirectory with its HOURLY CENSUS (event_type, hr,
+    * n) — cells are counts, so the per-batch censuses merge by cell-wise
+    * SUM into exactly the full-corpus census (the runCmsIngest lifecycle,
+    * for changepoint monitoring), and an at-least-once foreachBatch replay
+    * REPLACES its census instead of double-counting into the merge. The
+    * standing detector re-derives
+    * [[graft.operators.EventQueries.cusumOverHourly]] over the merged
+    * table on its cadence — CUSUM is a function of the census alone, so
+    * drain + merge + detect equals the one-shot `q_events_cusum` exactly
+    * (pinned in StreamingSpec). At fleet scale the census write is the
+    * only continuous work (tiny rows, one shuffle per trigger); the
+    * detector pass is window-over-hour-spine.
+    *
+    * `outPath` must be FRESH when `checkpoint` is fresh (the StreamingSpec
+    * temp-dir discipline): the hive-partitioned `batch_id=` layout cannot
+    * coexist with flat part files from a pre-r13 run, and partition
+    * discovery fails loudly on the mix. A stale-batch overwrite is
+    * delete-then-write (non-atomic); a crash between the two leaves a
+    * missing batch dir that the replay itself repairs on restart.
     */
   def runCusumIngest(
       spark: SparkSession, dir: String, outPath: String,

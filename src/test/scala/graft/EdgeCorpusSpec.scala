@@ -60,7 +60,9 @@ class EdgeCorpusSpec extends SparkSpec {
     // (ANSI array indexing turns silent garbage into runtime throws); this
     // sweep would have caught the dedup_incremental crash before release
     val docQueries = SparkEntry.registry.map(_.name).filter(n =>
-      n.startsWith("text_") || n.startsWith("multimodal_") ||
+      n.startsWith("text_") ||
+        // cross-modal retrieval ranks through the EMBEDDINGS table
+        (n.startsWith("multimodal_") && !n.contains("crossmodal")) ||
         n.startsWith("pipeline_") ||
         // lexical search reads documents only (hybrid and the eval audit
         // also need embeddings for the vector list)

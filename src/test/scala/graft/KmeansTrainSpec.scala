@@ -55,6 +55,78 @@ class KmeansTrainSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
   }
 
+  test("IVF recall on planted clusters: the trained quantizer is never worse than seeds") {
+    // the complement of ann_recall_vs_nprobe's operating note: on the
+    // driver's UNIFORM embeddings one Lloyd iteration measurably DROPPED
+    // recall (why the shipped default stays seeded there); this pins the
+    // other geometry — on a clustered corpus with noisy seed points the
+    // trained grid (cluster means) must match or beat raw seeds, the
+    // "train on clustered data" rule as a measured number on BOTH regimes.
+    import org.apache.spark.sql.expressions.Window
+    // much noisier mixture than the Lloyd pin (0.8 vs 0.1), probed at
+    // nprobe=1: seed POINTS sit well off their cluster means, cluster
+    // shells overlap, and with a single probed cell the Voronoi boundary
+    // quality of the quantizer is the whole recall story
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(N_CLUSTERS, DIM)(rnd.nextDouble() * 2 - 1)
+    val rows = (0 until N_VECS).map { i =>
+      val c = centers(i % N_CLUSTERS)
+      (i.toLong, c.map(x => x + (rnd.nextDouble() * 2 - 1) * 0.8).toSeq)
+    }
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfrec").toString + "/e"
+    rows.toDF("vec_id", "v").write.mode("overwrite").parquet(path)
+    val e = spark.read.parquet(path)
+      .withColumn("nrm", expr(s"sqrt(${VectorOps.dotExpr("v", "v")})"))
+      .localCheckpoint(true)
+    val K = 10
+    val truthW = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
+    val truth = e.select(col("vec_id"), col("v").as("av"), col("nrm").as("an"))
+      .join(e.select(col("vec_id").as("nbr_id"), col("v").as("bv"), col("nrm").as("bn")),
+        col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        VectorOps.cosCol("av", "bv", "an", "bn").as("cos"))
+      .withColumn("rank", row_number().over(truthW))
+      .filter(col("rank") <= K).select("vec_id", "nbr_id")
+      .localCheckpoint(true)
+    def ivfRecall(seeds: DataFrame): Double = {
+      val sd = seeds.localCheckpoint(true)
+      val assign = operators.Materialize(
+        SimilarityQueries.assignToSeeds(e, sd).select("vec_id", "v", "nrm", "seed_id"))
+      val pw = Window.partitionBy("vec_id").orderBy(col("pcos").desc, col("seed_id"))
+      val probes = e.join(broadcast(sd))
+        .select(col("vec_id"), col("v"), col("nrm"), col("seed_id"),
+          VectorOps.cosCol("v", "sv", "nrm", "sn").as("pcos"))
+        .withColumn("rn", row_number().over(pw)).filter(col("rn") <= 1)
+        .select(col("vec_id"), col("v").as("qv"), col("nrm").as("qn"), col("seed_id"))
+      val cw = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
+      val got = probes
+        .join(assign.select(col("seed_id"), col("vec_id").as("nbr_id"),
+          col("v").as("cv"), col("nrm").as("cn")), Seq("seed_id"))
+        .filter(col("vec_id") =!= col("nbr_id"))
+        .select(col("vec_id"), col("nbr_id"),
+          VectorOps.cosCol("qv", "cv", "qn", "cn").as("cos"))
+        .distinct()
+        .withColumn("rank", row_number().over(cw))
+        .filter(col("rank") <= K).select("vec_id", "nbr_id")
+      val r = truth
+        .join(got.withColumn("hit", lit(1)), Seq("vec_id", "nbr_id"), "left")
+        .agg(count(col("hit")).as("h"), count(lit(1)).as("t")).head
+      r.getLong(0).toDouble / r.getLong(1)
+    }
+    val seeded = ivfRecall(SimilarityQueries.seedSet(e, N_CLUSTERS))
+    val trained = ivfRecall(SimilarityQueries.trainedSeedSet(e, N_CLUSTERS))
+    info(f"clustered corpus: seeded recall@$K = $seeded%.3f, trained = $trained%.3f")
+    // measured on this fixed-seed corpus: seeded 0.915, trained 0.983 —
+    // one Lloyd iteration buys ~7 recall points when the data has
+    // clusters, the exact opposite sign of the uniform-corpus curve
+    assert(seeded >= 0.85 && seeded <= 0.97,
+      s"seeded grid left its measured band on clustered data: $seeded")
+    assert(trained >= 0.95, s"trained grid below its measured floor: $trained")
+    assert(trained > seeded,
+      s"training must improve recall on clustered data: $trained !> $seeded")
+  }
+
   test("PQ convergence trainer reaches a fixed point on clustered subspaces") {
     // trainedCentsConv returns the FINAL codebook, so convergence is pinned
     // by invariance: on a corpus where every 8-dim subspace has 8 tight

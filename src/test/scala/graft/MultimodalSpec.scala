@@ -86,4 +86,29 @@ class MultimodalSpec extends SparkSpec {
     // content from the edit distance band (strictly farther than the edit)
     assert(ham(1, 4) > ham(1, 2), s"unrelated ${ham(1, 4)} vs edited ${ham(1, 2)}")
   }
+
+  test("assetsWithVariants fails loudly on a corpus whose doc_ids reach 1e6") {
+    // the r13 collision guard, exercised (and r14-made lazy: no extra scan
+    // job on a valid corpus — the assert rides the scan every query runs):
+    // a doc_id at/above 1e6 would collide with the planted-variant id
+    // offsets and silently misfile originals as batch
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bigids").toString
+    Seq((5L, "alpha beta gamma delta"), (1000000L, "epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      Multimodal.assetsWithVariants(spark, dir).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("collides")),
+      s"wrong failure: ${messages(e).mkString(" | ")}")
+    // a sub-1e6 corpus passes through the same lazy guard untouched
+    val okDir = java.nio.file.Files.createTempDirectory("graft-okids").toString
+    Seq((5L, "alpha beta gamma delta"), (999999L, "epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$okDir/documents.parquet")
+    assert(Multimodal.assetsWithVariants(spark, okDir).count() > 0)
+  }
 }

@@ -319,6 +319,39 @@ class PartitionBucketSpec extends SparkSpec {
       s"append-probe != rebuild-probe (${appended.length} vs ${rebuilt.length})")
   }
 
+  test("winnow index append is replay-idempotent: the same batch twice changes nothing") {
+    // the r13 guard, exercised: an at-least-once scheduler re-running an
+    // append must not double the batch's fingerprint rows (doubled rows
+    // double shared_fp and push df toward the cap — silent probe drift)
+    import graft.operators.{DedupQueries, TextQueries}
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val thrRow = d.agg(expr("CAST((max(doc_id) + 1) * 4 div 5 AS BIGINT)")).head
+    val thr = thrRow.getLong(0)
+    val half = thr * 3 / 4
+    spark.sql("DROP TABLE IF EXISTS winnow_idx_replay")
+    val fps0 = TextQueries.winnowSelected(d.filter(col("doc_id") < half))
+      .select(col("doc_id"), col("fp")).distinct()
+    fps0.join(fps0.groupBy("doc_id").agg(count(lit(1)).as("n_fp_c")), "doc_id")
+      .write.mode("overwrite").bucketBy(8, "fp").sortBy("fp")
+      .option("path", s"$tmp/winnow_idx_replay").saveAsTable("winnow_idx_replay")
+    val batch = d.filter(col("doc_id") >= half && col("doc_id") < thr)
+    DedupQueries.appendWinnowIndex(batch, "winnow_idx_replay")
+    val rowsAfterFirst = spark.table("winnow_idx_replay").count()
+    val bFps = TextQueries.winnowSelected(d.filter(col("doc_id") >= thr))
+      .select(col("doc_id"), col("fp")).distinct()
+    val probeAfterFirst = DedupQueries
+      .winnowIncrementalPairs(bFps, spark.table("winnow_idx_replay"))
+      .orderBy("doc_id", "c_id").collect()
+    // the replay: same batch, appended again
+    DedupQueries.appendWinnowIndex(batch, "winnow_idx_replay")
+    assert(spark.table("winnow_idx_replay").count() == rowsAfterFirst,
+      "replayed append added rows — idempotency guard lost")
+    val probeAfterReplay = DedupQueries
+      .winnowIncrementalPairs(bFps, spark.table("winnow_idx_replay"))
+      .orderBy("doc_id", "c_id").collect()
+    assert(probeAfterFirst.nonEmpty && probeAfterReplay.toSeq == probeAfterFirst.toSeq)
+  }
+
   test("persisted phash index: corpus band keys join from their buckets, unshuffled") {
     // the media serving claim: the bk-bucketed original-asset signature
     // index must feed the re-encode probe join WITHOUT a corpus-side
@@ -623,6 +656,33 @@ class PartitionBucketSpec extends SparkSpec {
     assert(crScan.isDefined, cr.queryExecution.executedPlan.toString)
     assert(crScan.get.metadata("PushedFilters").contains("In(vec_id"),
       crScan.get.metadata("PushedFilters"))
+  }
+
+  test("cross-modal serving from the persisted IVF index equals inline") {
+    // text query → asset ranking through the shared embedding space: the
+    // persisted-index probe + In-list metadata enrich must equal the
+    // registered inline entry, and the asset-metadata fetch must PUSH its
+    // candidate-id list to the documents scan (point lookups, never a
+    // corpus metadata scan)
+    import graft.operators.{MultimodalQueries, SimilarityQueries}
+    val path = s"$tmp/ivf_crossmodal"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, path)
+    val served = MultimodalQueries.crossmodalTopkFromIndex(spark, sfDir, path)
+    val got = served.collect()
+    val inline = SparkEntry.queries("multimodal_crossmodal_topk")(spark, sfDir)
+      .collect()
+    assert(got.nonEmpty && got.toSeq == inline.toSeq)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case f: FileSourceScanExec => Seq(f) }.flatten ++
+        p.collect { case a: AdaptiveSparkPlanExec => scans(a.executedPlan) }.flatten ++
+        p.collect { case q: QueryStageExec => scans(q.plan) }.flatten
+    val docScan = scans(served.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("documents")))
+    assert(docScan.isDefined, served.queryExecution.executedPlan.toString)
+    assert(docScan.get.metadata("PushedFilters").contains("In(doc_id"),
+      docScan.get.metadata("PushedFilters"))
   }
 
   test("trained-graph beam serving from the persisted index equals inline") {

@@ -18,12 +18,23 @@ class RegistrySpec extends SparkSpec {
   test("SURVEY.md registry counts match the code") {
     // the doc inventory line is machine-checked so it can never drift from
     // the registry again (r12 verdict: stale "263/260" vs actual 266/263)
+    // resolve from user.dir (the forked test JVM's working dir — the sbt
+    // project base) with a loud failure if the layout ever changes, rather
+    // than a silent bare-relative open
+    val path = java.nio.file.Paths.get(sys.props("user.dir"), "SURVEY.md")
+    assert(java.nio.file.Files.exists(path),
+      s"SURVEY.md not found at $path — test JVM cwd is not the project base")
     val survey = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.file.Files.readAllBytes(path),
       java.nio.charset.StandardCharsets.UTF_8)
     val pat = """Registry as of end-r\d+: \*\*(\d+) entries, (\d+) oracle-paired""".r
-    val m = pat.findFirstMatchIn(survey)
-      .getOrElse(fail("SURVEY.md registry count line not found"))
+    val ms = pat.findAllMatchIn(survey).toSeq
+    assert(ms.nonEmpty, "SURVEY.md registry count line not found")
+    // the inventory line must be UNIQUE — a second bolded count would let
+    // this pin silently check the wrong one
+    assert(ms.size == 1,
+      s"SURVEY.md has ${ms.size} bolded registry-count lines; expected exactly 1")
+    val m = ms.head
     assert(m.group(1).toInt == SparkEntry.registry.size,
       s"SURVEY says ${m.group(1)} entries, registry has ${SparkEntry.registry.size}")
     assert(m.group(2).toInt == SparkEntry.oracleSql.size,

@@ -11,6 +11,47 @@ class SearchSpec extends SparkSpec {
   private lazy val bm25 = SparkEntry.queries("search_bm25_topk")(spark, sfDir).collect()
   private lazy val hybrid = SparkEntry.queries("search_hybrid_rrf")(spark, sfDir).collect()
 
+  test("WAND-executed serving: pruned probe equals unpruned, skips match the audit") {
+    // the search_wand_bound audit proves which candidates are skippable;
+    // this pins that the serving path actually TAKES the skip without
+    // losing a row: (1) the inline wand entry equals the unpruned entry,
+    // (2) the index-served wand probe equals the unpruned index probe,
+    // (3) per query: candidate counts match the audit, the realized skip
+    // is positive and never exceeds the audit's provable n_skippable
+    // (θ_est ≤ θ_true, so the executed prune is a subset of the provable
+    // one).
+    import graft.operators.SearchQueries
+    val wandInline = SparkEntry.queries("search_bm25_wand")(spark, sfDir).collect()
+    assert(wandInline.nonEmpty && wandInline.toSeq == bm25.toSeq)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wand").toString
+    SearchQueries.writeSearchIndex(spark, sfDir, "wand_idx", s"$tmp/wand_idx")
+    val unpruned = SearchQueries.bm25TopkFromIndex(spark, "wand_idx", s"$tmp/wand_idx")
+      .collect()
+    val (topk, counts) = SearchQueries.bm25WandProbeIndex(
+      spark, "wand_idx", s"$tmp/wand_idx",
+      spark.createDataFrame(Seq(
+        (0L, "spark"), (0L, "join"), (0L, "fast"),
+        (1L, "hash"), (1L, "table"), (1L, "scan"),
+        (2L, "vector"), (2L, "stream"), (2L, "window"),
+        (3L, "customer"), (3L, "order"), (3L, "query"))).toDF("q_id", "term"))
+    assert(topk.orderBy("q_id", "rank").collect().toSeq == unpruned.toSeq)
+    val audit = SparkEntry.queries("search_wand_bound")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = counts.collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (qid, nCands, nScored) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (auditCands, auditSkippable) = audit(qid)
+      assert(nCands == auditCands, s"q$qid: $nCands cands vs audit $auditCands")
+      val skipped = nCands - nScored
+      if (auditSkippable > 0)
+        assert(skipped > 0, s"q$qid: audit proves $auditSkippable skippable " +
+          s"but the serving path skipped nothing ($nCands cands)")
+      assert(skipped <= auditSkippable,
+        s"q$qid: skipped $skipped > provable $auditSkippable — unsafe prune")
+    }
+  }
+
   test("bm25 returns a full top-k per query, ranked by descending score") {
     assert(bm25.nonEmpty)
     val byQ = bm25.groupBy(_.getLong(0))

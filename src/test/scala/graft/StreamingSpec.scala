@@ -321,6 +321,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == direct.orderBy(cols: _*).collect().toSeq)
   }
 
+  test("streaming cross-modal probe from the persisted index equals batch") {
+    // arriving text-query vectors rank ASSETS (ivf probe + metadata
+    // enrich) per trigger; per-query independence makes the drain equal
+    // the one-shot multimodal_crossmodal_topk
+    import graft.operators.SimilarityQueries
+    import graft.streaming.EmbeddingsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-xmstream").toString
+    SimilarityQueries.writeIvfIndex(spark, sfDir, s"$base/idx")
+    Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10).repartition(3)
+      .write.mode("overwrite").parquet(s"$base/in")
+    EmbeddingsStream.runCrossmodalProbe(
+      spark, sfDir, s"$base/in", s"$base/idx", s"$base/out", s"$base/ckpt")
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected several micro-batches, got $commits")
+    val direct = SparkEntry.queries("multimodal_crossmodal_topk")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    val got = spark.read.parquet(s"$base/out")
+      .select(cols: _*).orderBy(cols: _*).collect()
+    assert(got.nonEmpty && got.toSeq == direct.orderBy(cols: _*).collect().toSeq)
+  }
+
   test("streaming beam probe from the persisted trained graph equals batch") {
     // the graph-serving twin of the IVF-probe test: arriving query vectors
     // beam-walk the persisted TRAINED undirected graph per trigger; the
@@ -618,6 +640,31 @@ class StreamingSpec extends SparkSpec {
       .orderBy("event_type", "hr").collect()
     val direct = SparkEntry.queries("q_events_cusum")(spark, sfDir).collect()
     assert(got.nonEmpty && got.toSeq == direct.toSeq)
+  }
+
+  test("replayed CUSUM ingest overwrites its batch censuses instead of double-counting") {
+    // the r13 idempotency guard, exercised: a second drain of the same
+    // input over a FRESH checkpoint replays every batch id against the
+    // same outPath — each must REPLACE its batch_id=<id> census (the
+    // at-least-once foreachBatch story), so the merged census and the
+    // detector over it are unchanged
+    import graft.operators.EventQueries
+    val base = java.nio.file.Files.createTempDirectory("graft-cusumreplay").toString
+    EventsStream.runCusumIngest(spark, sfDir, s"$base/out", s"$base/ckpt1")
+    def merged = spark.read.parquet(s"$base/out")
+      .groupBy("event_type", "hr").agg(sum(col("n")).as("n"))
+    val rawRows = spark.read.parquet(s"$base/out").count()
+    val firstDetect = EventQueries.cusumOverHourly(merged)
+      .orderBy("event_type", "hr").collect()
+    // full replay: fresh checkpoint, same input, same outPath
+    EventsStream.runCusumIngest(spark, sfDir, s"$base/out", s"$base/ckpt2")
+    assert(spark.read.parquet(s"$base/out").count() == rawRows,
+      "replay appended instead of overwriting its batch directories")
+    val secondDetect = EventQueries.cusumOverHourly(merged)
+      .orderBy("event_type", "hr").collect()
+    assert(firstDetect.nonEmpty && secondDetect.toSeq == firstDetect.toSeq)
+    val direct = SparkEntry.queries("q_events_cusum")(spark, sfDir).collect()
+    assert(secondDetect.toSeq == direct.toSeq)
   }
 
   test("streaming winnow probe from the persisted index equals batch") {

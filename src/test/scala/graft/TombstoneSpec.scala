@@ -1,0 +1,279 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The deletion/tombstone lifecycle over every persisted index family:
+  * delete must take effect at the NEXT probe (no rebuild, no standing-file
+  * rewrite), probe-after-delete must equal both the registered inline
+  * "deleted" entry and an index REBUILT over the survivors, and compaction
+  * must fold tombstones in physically (rows gone, sidecar cleared, probe
+  * results unchanged). Re-using a deleted id before compaction fails
+  * loudly on the append paths.
+  */
+class TombstoneSpec extends SparkSpec {
+
+  private lazy val tmp = java.nio.file.Files.createTempDirectory("graft-tomb").toString
+
+  private def sorted(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy(df.columns.map(col).toSeq: _*).collect().toSeq
+
+  test("IVF delete: probe masks tombstones, equals rebuild; compaction folds them in") {
+    import graft.operators.SimilarityQueries
+    val path = s"$tmp/ivf_del"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, path)
+    val deleted = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 13 === 7)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(deleted.nonEmpty)
+    SimilarityQueries.deleteFromIvfIndex(spark, path, deleted)
+    val probed = sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, path))
+    // == the registered inline deleted entry (oracle-verified by the driver)
+    val inline = sorted(SparkEntry.queries("ann_ivf_deleted")(spark, sfDir))
+    assert(probed.nonEmpty && probed == inline)
+    // == an index rebuilt over the survivors (delete == rebuild)
+    val rebuiltPath = s"$tmp/ivf_del_rebuilt"
+    SimilarityQueries.writeIvfIndexWhere(
+      spark, sfDir, rebuiltPath, !(col("vec_id") % 13 === 7))
+    assert(probed == sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, rebuiltPath)))
+    // no deleted id ever surfaces
+    assert(!probed.exists(r => deleted.contains(r.getLong(2))))
+    // compaction: rows physically gone, sidecar cleared, probe unchanged
+    SimilarityQueries.compactIvfIndex(spark, path)
+    assert(spark.read.parquet(path)
+      .filter(col("vec_id").isin(deleted.map(i => i: Any): _*)).count() == 0)
+    assert(graft.sources.Tombstones.idSet(spark, path).isEmpty)
+    assert(probed == sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, path)))
+  }
+
+  test("inverted-index delete: stats/df re-anchor to survivors, equals rebuild") {
+    import graft.operators.SearchQueries
+    val path = s"$tmp/search_del"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_del_idx", path)
+    val deleted = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 7 === 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(deleted.nonEmpty)
+    SearchQueries.deleteFromSearchIndex(spark, "search_del_idx", path, deleted)
+    val probed = sorted(SearchQueries.bm25TopkFromIndex(spark, "search_del_idx", path))
+    // == the registered inline deleted entry: candidates gone AND scores
+    // re-anchored (df + n_docs/tt over survivors)
+    val inline = sorted(SparkEntry.queries("search_bm25_deleted")(spark, sfDir))
+    assert(probed.nonEmpty && probed == inline)
+    // == an index rebuilt over the survivors
+    val rbPath = s"$tmp/search_del_rebuilt"
+    SearchQueries.writeSearchIndexWhere(
+      spark, sfDir, "search_del_rebuilt", rbPath, !(col("doc_id") % 7 === 3))
+    assert(probed == sorted(SearchQueries.bm25TopkFromIndex(spark, "search_del_rebuilt", rbPath)))
+    // deleting the same ids again is a no-op (stats must not double-decrement)
+    SearchQueries.deleteFromSearchIndex(
+      spark, "search_del_idx", path, deleted.take(3))
+    assert(probed == sorted(SearchQueries.bm25TopkFromIndex(spark, "search_del_idx", path)))
+    // re-using a deleted id before compaction fails loudly
+    val clash = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === deleted.head)
+      .select("doc_id", "text", "lang")
+    val e = intercept[IllegalArgumentException] {
+      SearchQueries.appendSearchIndex(spark, "search_del_idx", path, clash)
+    }
+    assert(e.getMessage.contains("deleted"), e.getMessage)
+    // compaction folds tombstones in: rows gone, sidecar cleared, parity
+    SearchQueries.compactSearchIndex(spark, "search_del_idx")
+    assert(spark.table("search_del_idx")
+      .filter(col("doc_id").isin(deleted.map(i => i: Any): _*)).count() == 0)
+    assert(graft.sources.Tombstones.idSetForTable(spark, "search_del_idx").isEmpty)
+    assert(probed == sorted(SearchQueries.bm25TopkFromIndex(spark, "search_del_idx", path)))
+  }
+
+  test("winnow delete: probe-time df re-derives over survivors, bucketing kept") {
+    import graft.operators.{DedupQueries, TextQueries}
+    val thr = DedupQueries.writeWinnowIndex(spark, sfDir, "winnow_del_idx", s"$tmp/winnow_del")
+    val deleted = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < thr && col("doc_id") % 11 === 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(deleted.nonEmpty)
+    DedupQueries.deleteFromWinnowIndex(spark, "winnow_del_idx", deleted)
+    val bFps = TextQueries.winnowSelected(
+        Tables.documents(spark, sfDir).filter(col("doc_id") >= thr)
+          .select("doc_id", "text"))
+      .select(col("doc_id"), col("fp")).distinct()
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "-1") // the tombstone anti-join must not need auto-broadcast
+    try {
+      val served = DedupQueries.winnowIncrementalPairs(
+        bFps, DedupQueries.winnowIndexFrame(spark, "winnow_del_idx"))
+      val got = served.orderBy("doc_id", "c_id").collect().toSeq
+      // the bucketed corpus side still feeds the join exchange-free: batch
+      // side + the pair distinct/aggregate shuffle, nothing from the index
+      val plan = served.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(plan.contains("BroadcastExchange"), plan) // the tombstone mask
+      val inline = SparkEntry.queries("dedup_winnow_deleted")(spark, sfDir)
+        .collect().toSeq
+      assert(got.nonEmpty && got == inline)
+      // compaction: rows gone, sidecar cleared, probe parity
+      DedupQueries.compactWinnowIndex(spark, "winnow_del_idx")
+      assert(spark.table("winnow_del_idx")
+        .filter(col("doc_id").isin(deleted.map(i => i: Any): _*)).count() == 0)
+      assert(graft.sources.Tombstones.idSetForTable(spark, "winnow_del_idx").isEmpty)
+      val after = DedupQueries.winnowIncrementalPairs(
+          bFps, DedupQueries.winnowIndexFrame(spark, "winnow_del_idx"))
+        .orderBy("doc_id", "c_id").collect().toSeq
+      assert(after == got)
+    } finally spark.conf.set(key, prior)
+  }
+
+  test("winnow append after delete of the same id fails loudly") {
+    import graft.operators.DedupQueries
+    val thr = DedupQueries.writeWinnowIndex(
+      spark, sfDir, "winnow_del_clash", s"$tmp/winnow_del_clash")
+    val someId = spark.table("winnow_del_clash")
+      .agg(min(col("doc_id"))).head.getLong(0)
+    DedupQueries.deleteFromWinnowIndex(spark, "winnow_del_clash", Seq(someId))
+    val e = intercept[IllegalArgumentException] {
+      DedupQueries.appendWinnowIndex(
+        Tables.documents(spark, sfDir)
+          .filter(col("doc_id") === someId).select("doc_id", "text"),
+        "winnow_del_clash")
+    }
+    assert(e.getMessage.contains("deleted"), e.getMessage)
+    // after compaction the id is genuinely gone and may be re-appended
+    DedupQueries.compactWinnowIndex(spark, "winnow_del_clash")
+    DedupQueries.appendWinnowIndex(
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") === someId).select("doc_id", "text"),
+      "winnow_del_clash")
+    assert(spark.table("winnow_del_clash")
+      .filter(col("doc_id") === someId).count() > 0)
+  }
+
+  test("phash delete: takedown stops matching, probe equals inline deleted entry") {
+    import graft.operators.{Multimodal, MultimodalQueries}
+    MultimodalQueries.writePhashIndex(spark, sfDir, "phash_del_idx", s"$tmp/phash_del")
+    val deleted = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 9 === 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(deleted.nonEmpty)
+    MultimodalQueries.deleteFromPhashIndex(spark, "phash_del_idx", deleted)
+    val batchKeys = MultimodalQueries.phashBandKeys(
+      Multimodal.perceptualHash(
+        Multimodal.assetsWithVariants(spark, sfDir)
+          .filter(col("asset_id") >= 1000000L)).toDF())
+    val got = MultimodalQueries.phashProbePairs(
+        batchKeys, MultimodalQueries.phashIndexFrame(spark, "phash_del_idx"))
+      .orderBy("asset_id", "src_id").collect().toSeq
+    val inline = SparkEntry.queries("multimodal_phash_deleted")(spark, sfDir)
+      .collect().toSeq
+    assert(got.nonEmpty && got == inline)
+    // a deleted source's variants now find nothing
+    assert(!got.exists(r => deleted.contains(r.getLong(1))))
+    // compaction parity
+    MultimodalQueries.compactPhashIndex(spark, "phash_del_idx")
+    assert(graft.sources.Tombstones.idSetForTable(spark, "phash_del_idx").isEmpty)
+    val after = MultimodalQueries.phashProbePairs(
+        batchKeys, MultimodalQueries.phashIndexFrame(spark, "phash_del_idx"))
+      .orderBy("asset_id", "src_id").collect().toSeq
+    assert(after == got)
+  }
+
+  test("band-index delete: candidates equal the inline survivors") {
+    import graft.operators.DedupQueries
+    val thr = DedupQueries.writeBandIndex(spark, sfDir, "band_del_idx", s"$tmp/band_del")
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val deleted = d.filter(col("doc_id") < thr && col("doc_id") % 11 === 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(deleted.nonEmpty)
+    DedupQueries.deleteFromBandIndex(spark, "band_del_idx", deleted)
+    val batchBands = DedupQueries.bandKeysOf(
+      DedupQueries.signaturesOf(d.filter(col("doc_id") >= thr)))
+    val idx = DedupQueries.bandIndexFrame(spark, "band_del_idx")
+      .select(col("doc_id").as("c_id"), col("bk"))
+    val got = batchBands.join(idx, "bk").select("doc_id", "c_id").distinct()
+      .orderBy("doc_id", "c_id").collect().toSeq
+    // inline: the same candidate join over the surviving corpus
+    val all = DedupQueries.bandKeysOf(DedupQueries.signaturesOf(d))
+    val inline = all.filter(col("doc_id") >= thr)
+      .join(all.filter(col("doc_id") < thr && !(col("doc_id") % 11 === 5))
+        .select(col("doc_id").as("c_id"), col("bk")), "bk")
+      .select("doc_id", "c_id").distinct()
+      .orderBy("doc_id", "c_id").collect().toSeq
+    assert(got.nonEmpty && got == inline)
+    assert(!got.exists(r => deleted.contains(r.getLong(1))))
+    // compaction parity
+    DedupQueries.compactBandIndex(spark, "band_del_idx")
+    assert(graft.sources.Tombstones.idSetForTable(spark, "band_del_idx").isEmpty)
+    val after = batchBands
+      .join(DedupQueries.bandIndexFrame(spark, "band_del_idx")
+        .select(col("doc_id").as("c_id"), col("bk")), "bk")
+      .select("doc_id", "c_id").distinct()
+      .orderBy("doc_id", "c_id").collect().toSeq
+    assert(after == got)
+  }
+
+  test("k-NN graph delete: tombstoned nodes route but never surface; compaction removes them") {
+    import graft.operators.SimilarityQueries
+    import graft.functions.VectorOps
+    val path = s"$tmp/knn_del"
+    SimilarityQueries.writeKnnGraph(spark, sfDir, path)
+    val q = VectorOps.normalized(spark, sfDir).filter(col("vec_id") < 10)
+    val before = SimilarityQueries.graphBeamFromIndex(spark, sfDir, path, q).collect()
+    assert(before.nonEmpty)
+    // delete each query's top hit (guaranteed to be in the result set),
+    // excluding ids that are themselves queries
+    val deleted = before.filter(r => r.getLong(1) == 1L && r.getLong(2) >= 10L)
+      .map(_.getLong(2)).distinct.toSeq
+    assert(deleted.nonEmpty)
+    SimilarityQueries.deleteFromKnnGraph(spark, path, deleted)
+    val after = SimilarityQueries.graphBeamFromIndex(spark, sfDir, path, q).collect()
+    // deleted ids never surface, every query still fills its top-k, and
+    // ranks stay contiguous (survivors re-pack)
+    assert(!after.exists(r => deleted.contains(r.getLong(2))))
+    assert(after.groupBy(_.getLong(0)).forall { case (_, rs) =>
+      rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq })
+    // point lookups suppress both sides
+    val nbrs = SimilarityQueries.knnNeighborsFromGraph(
+      spark, path, deleted.take(2) ++ Seq(3L))
+    val rows = nbrs.collect()
+    assert(!rows.exists(r => deleted.contains(r.getLong(0))))
+    assert(!rows.exists(r => deleted.contains(r.getLong(2))))
+    // compaction: every edge touching a deleted node is physically gone
+    SimilarityQueries.compactKnnGraph(spark, path)
+    assert(graft.sources.Tombstones.idSet(spark, path).isEmpty)
+    val remaining = spark.read.parquet(path)
+      .filter(col("vec_id").isin(deleted.map(i => i: Any): _*) ||
+        col("nbr_id").isin(deleted.map(i => i: Any): _*)).count()
+    assert(remaining == 0)
+    // and the beam probe result is unchanged by the physical fold-in
+    val afterCompact = SimilarityQueries.graphBeamFromIndex(spark, sfDir, path, q).collect()
+    assert(!afterCompact.exists(r => deleted.contains(r.getLong(2))))
+  }
+
+  test("streaming winnow probe sees a mid-lifecycle takedown from the next batch on") {
+    // the mid-stream correctness twin: tombstones laid down BEFORE the
+    // drain must be invisible to every micro-batch — drain equals the
+    // one-shot deleted probe exactly
+    import graft.operators.{DedupQueries, TextQueries}
+    import graft.streaming.DocumentsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-tombstream").toString
+    val thr = DedupQueries.writeWinnowIndex(
+      spark, sfDir, "winnow_del_stream", s"$base/idx")
+    val deleted = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < thr && col("doc_id") % 11 === 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    DedupQueries.deleteFromWinnowIndex(spark, "winnow_del_stream", deleted)
+    Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(col("doc_id") >= thr).repartition(3)
+      .write.mode("overwrite").parquet(s"$base/in")
+    DocumentsStream.runWinnowProbe(
+      spark, s"$base/in", "winnow_del_stream", s"$base/out", s"$base/ckpt")
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected several micro-batches, got $commits")
+    val direct = SparkEntry.queries("dedup_winnow_deleted")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    val got = spark.read.parquet(s"$base/out")
+      .select(cols: _*).orderBy("doc_id", "c_id").collect()
+    assert(got.nonEmpty && got.toSeq == direct.orderBy("doc_id", "c_id").collect().toSeq)
+  }
+}

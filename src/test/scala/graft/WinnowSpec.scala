@@ -127,4 +127,56 @@ class WinnowSpec extends SparkSpec {
       s"position shift lost ${missing.size} of ${bodyFps.size} fingerprints — selection is not local")
     assert(bodyFps.intersect(shifted).size >= bodyFps.size - 2)
   }
+
+  test("a document past the 2^20-gram packing bound fails loudly with its doc_id") {
+    // the r13 runtime guard, exercised: position bits past 2^20 would bleed
+    // into the composite's hash field and silently corrupt fingerprints —
+    // the row must raise instead (valid docs in the same frame still select)
+    val tokens = POS.toInt + K // size(toks) - K == POS: first failing size
+    val big = ("t " * tokens).trim
+    val docs = docsDf(0L -> "a b c d e f g h i j", 1L -> big)
+    val e = intercept[Exception] {
+      TextQueries.winnowSelected(docs).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m != null && m.contains("position-packing bound") && m.contains("doc_id 1")),
+      s"wrong failure: ${messages(e).mkString(" | ")}")
+    // one token under the bound passes and selects fingerprints
+    val ok = docsDf(2L -> ("t " * (tokens - 1)).trim)
+    assert(TextQueries.winnowSelected(ok).count() > 0)
+  }
+
+  test("deletion re-admits a df-capped fingerprint across the [2, cap] boundary") {
+    // the probe-time df cap (winnowIncrementalPairs drops fps with
+    // df > NGRAM_BLOCK_CAP over the STANDING index) must re-derive after a
+    // takedown: with cap+1 identical corpus docs a probe of the same text
+    // finds nothing (boilerplate suppression); deleting ONE corpus doc
+    // drops df to exactly the cap and every fingerprint re-admits — the
+    // same answer a rebuild over the survivors gives
+    import org.apache.spark.sql.functions._
+    val cap = DedupQueries.NGRAM_BLOCK_CAP
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = docsDf((0L to cap.toLong).map(i => i -> text): _*)
+    spark.sql("DROP TABLE IF EXISTS winnow_cap_idx")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wincap").toString
+    val fps = TextQueries.winnowSelected(corpus)
+      .select(col("doc_id"), col("fp")).distinct()
+    fps.join(fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp_c")), "doc_id")
+      .write.mode("overwrite").bucketBy(8, "fp").sortBy("fp")
+      .option("path", s"$tmp/idx").saveAsTable("winnow_cap_idx")
+    val batch = TextQueries.winnowSelected(docsDf(1000L -> text))
+      .select(col("doc_id"), col("fp")).distinct()
+    // df = cap + 1 ⇒ every fp capped out ⇒ no pairs
+    val before = DedupQueries.winnowIncrementalPairs(
+      batch, DedupQueries.winnowIndexFrame(spark, "winnow_cap_idx")).collect()
+    assert(before.isEmpty, s"expected boilerplate suppression, got ${before.length} pairs")
+    // delete one corpus doc ⇒ df = cap ⇒ the batch doc pairs with ALL survivors
+    DedupQueries.deleteFromWinnowIndex(spark, "winnow_cap_idx", Seq(0L))
+    val after = DedupQueries.winnowIncrementalPairs(
+      batch, DedupQueries.winnowIndexFrame(spark, "winnow_cap_idx")).collect()
+    assert(after.length == cap, s"expected $cap re-admitted pairs, got ${after.length}")
+    assert(after.forall(_.getDouble(3) == 1.0)) // identical text ⇒ full containment
+  }
 }
