@@ -769,6 +769,19 @@ object SimilarityQueries {
   def writeRpSketch(s: SparkSession, dir: String, path: String): Unit =
     rpProjected(s, dir).write.mode("overwrite").parquet(path)
 
+  /** Delete vectors from a persisted RP sketch: the probe's screening pass
+    * masks them ([[rpTopkFromSketch]] — candidate side only), and
+    * [[compactRpSketch]] removes the sketch rows physically. The
+    * projection matrix is hash-derived and corpus-independent, so nothing
+    * else needs maintenance.
+    */
+  def deleteFromRpSketch(s: SparkSession, path: String, vecIds: Seq[Long]): Unit =
+    graft.sources.Tombstones.add(s, path, vecIds)
+
+  /** Fold an RP sketch's tombstones in (flat rewrite + swap + clear). */
+  def compactRpSketch(s: SparkSession, path: String): Unit =
+    graft.sources.Tombstones.compactFlat(s, path, path, "vec_id")
+
   /** RP top-k served from the PERSISTED sketch: screen over the sketch
     * scan (16-dim rows only), then fetch ONLY the surviving candidates'
     * full vectors via a pushed In-list (bounded collect of
@@ -784,7 +797,11 @@ object SimilarityQueries {
     val q = broadcast(pe.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("q_id"), col("pv").as("qpv"), col("pn").as("qpn")))
     val cw = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("cand_id"))
-    val candRows = pe.join(q)
+    // takedown mask on the CANDIDATE side only (the query rows are the
+    // serving input, not corpus results): a deleted vector must not pass
+    // the screen, so the depth-RP_CAND survivor set re-packs around it
+    val peCand = graft.sources.Tombstones.filter(pe, path, "vec_id")
+    val candRows = peCand.join(q)
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         VectorOps.cosCol("qpv", "pv", "qpn", "pn").as("pcos"))
@@ -1893,7 +1910,10 @@ object SimilarityQueries {
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id").distinct()
     val dtab = queryAdcTable(s, dir, pqPath)
-    val codes = s.read.parquet(s"$pqPath/codes")
+    // mask BOTH layers' tombstones: a takedown may have reached only one
+    // of the two indexes, and either alone must suppress the vector
+    val codes = graft.sources.Tombstones.filter(
+      s.read.parquet(s"$pqPath/codes"), pqPath, "vec_id")
     val pairs = cand
       .join(codes, "vec_id")
       .join(dtab, "q_id")
@@ -2120,9 +2140,27 @@ object SimilarityQueries {
 
   def pqTopkFromIndex(s: SparkSession, dir: String, path: String): DataFrame = {
     val dtab = queryAdcTable(s, dir, path)
-    val codes = s.read.parquet(s"$path/codes")
+    val codes = graft.sources.Tombstones.filter(
+      s.read.parquet(s"$path/codes"), path, "vec_id")
     adcTopk(codes, dtab)
   }
+
+  /** Delete vectors from a persisted PQ index — the takedown path for the
+    * codes table: probes mask the tombstoned code rows (broadcast
+    * anti-join), [[compactPqIndex]] removes them physically. The CODEBOOK
+    * is untouched: it is the encoding geometry, shared by every surviving
+    * code row, and remains exactly as trained (deleting rows never
+    * invalidates it — the stats-under-deletion discipline's "immutable
+    * encoding artifact" case).
+    */
+  def deleteFromPqIndex(s: SparkSession, path: String, vecIds: Seq[Long]): Unit =
+    graft.sources.Tombstones.add(s, path, vecIds)
+
+  /** Fold a PQ index's tombstones in: rewrite codes minus deleted rows,
+    * atomic swap, clear the sidecar (codebook untouched).
+    */
+  def compactPqIndex(s: SparkSession, path: String): Unit =
+    graft.sources.Tombstones.compactFlat(s, s"$path/codes", path, "vec_id")
 
   private def pqAdcExpr: String =
     (0 until 8).map(j => adcCase(j, PQ_C)).mkString(" + ")
@@ -2452,10 +2490,30 @@ object SimilarityQueries {
     */
   def sqTopkFromIndex(s: SparkSession, dir: String, path: String): DataFrame = {
     val st = broadcast(s.read.parquet(s"$path/stats"))
-    val deq = s.read.parquet(s"$path/codes").crossJoin(st) // 1-row bound
+    val deq = graft.sources.Tombstones.filter(
+        s.read.parquet(s"$path/codes"), path, "vec_id")
+      .crossJoin(st) // 1-row bound
       .select(col("vec_id"), expr(sqDeqExpr).as("dv"))
     sqRank(deq, sqQuerySide(s, dir))
   }
+
+  /** Delete vectors from a persisted SQ8 index. The 1-row (mns, mxs)
+    * STATS are untouched — deliberately: they are the quantization GRID
+    * the surviving byte codes were encoded against, not a corpus
+    * statistic; shrinking them to the survivors' bounds would silently
+    * re-interpret every standing code. Deletion masks rows
+    * ([[sqTopkFromIndex]] anti-joins before dequantization),
+    * [[compactSqIndex]] removes them physically, and the grid stays the
+    * build-time one until a full rebuild re-encodes.
+    */
+  def deleteFromSqIndex(s: SparkSession, path: String, vecIds: Seq[Long]): Unit =
+    graft.sources.Tombstones.add(s, path, vecIds)
+
+  /** Fold an SQ index's tombstones in: rewrite codes minus deleted rows,
+    * atomic swap, clear the sidecar (stats/grid untouched).
+    */
+  def compactSqIndex(s: SparkSession, path: String): Unit =
+    graft.sources.Tombstones.compactFlat(s, s"$path/codes", path, "vec_id")
 
   /** IVF-SQ: the other index family every production store ships beside
     * IVF-PQ (FAISS `IVF,SQ8`) — IVF's coarse quantizer prunes the corpus

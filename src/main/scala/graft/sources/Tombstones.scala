@@ -128,6 +128,31 @@ object Tombstones {
     * After this, the table is byte-equivalent to a fresh build over the
     * surviving rows: one file per bucket, no tombstones outstanding.
     */
+  /** Fold tombstones into a FLAT parquet index directory (PQ/SQ code
+    * tables, the RP sketch): rewrite minus the tombstoned rows, swap the
+    * directory in atomically (same FS-rename caveat as the IVF compactor
+    * — not object-store-safe), clear the sidecar. `anchorPath` is the
+    * index's sidecar anchor, which may be a PARENT of `dataPath` (PQ/SQ
+    * anchor at the index root beside codes/codebook) — only call this for
+    * the one component that carries per-vector rows, or tombstones would
+    * clear before every component folded.
+    */
+  def compactFlat(
+      s: SparkSession, dataPath: String, anchorPath: String, idCol: String): Unit = {
+    val tmpPath = s"${dataPath}__compact"
+    filter(s.read.parquet(dataPath), anchorPath, idCol)
+      .write.mode("overwrite").parquet(tmpPath)
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dataPath)
+    val tp = new org.apache.hadoop.fs.Path(tmpPath)
+    val fs = p.getFileSystem(conf)
+    val old = new org.apache.hadoop.fs.Path(s"${dataPath}__old")
+    require(fs.rename(p, old), s"compactFlat: could not move $dataPath aside")
+    require(fs.rename(tp, p), s"compactFlat: could not swap $tmpPath into place")
+    fs.delete(old, true)
+    clear(s, anchorPath)
+  }
+
   def compactBucketedIndex(s: SparkSession, table: String, idCol: String): Unit = {
     val ident = s.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = s.sessionState.catalog.getTableMetadata(ident)

@@ -249,6 +249,77 @@ class TombstoneSpec extends SparkSpec {
     assert(!afterCompact.exists(r => deleted.contains(r.getLong(2))))
   }
 
+  test("PQ/SQ/RP deletes: codes/sketch rows mask and fold; encoding artifacts stay fixed") {
+    // the remaining persisted vector layouts: probe-after-delete must
+    // equal a probe over the same index with the deleted per-vector rows
+    // physically absent AND the encoding artifacts (PQ codebook, SQ
+    // quantization grid, RP projection) unchanged — deleting rows never
+    // re-encodes survivors. Then compaction realizes exactly that state.
+    import graft.operators.SimilarityQueries
+    val deleted = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 17 === 11 && col("vec_id") >= 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(deleted.nonEmpty)
+    val delSet = deleted.toSet
+
+    // ---- PQ: codes filtered, codebook byte-identical --------------------
+    val pq = s"$tmp/pq_del"
+    SimilarityQueries.writePqIndex(spark, sfDir, pq)
+    val pqRef = s"$tmp/pq_del_ref"
+    spark.read.parquet(s"$pq/codebook").write.parquet(s"$pqRef/codebook")
+    spark.read.parquet(s"$pq/codes")
+      .filter(!col("vec_id").isin(deleted.map(i => i: Any): _*))
+      .write.parquet(s"$pqRef/codes")
+    SimilarityQueries.deleteFromPqIndex(spark, pq, deleted)
+    val pqGot = sorted(SimilarityQueries.pqTopkFromIndex(spark, sfDir, pq))
+    assert(pqGot.nonEmpty &&
+      pqGot == sorted(SimilarityQueries.pqTopkFromIndex(spark, sfDir, pqRef)))
+    assert(!pqGot.exists(r => delSet(r.getLong(2))))
+    SimilarityQueries.compactPqIndex(spark, pq)
+    assert(graft.sources.Tombstones.idSet(spark, pq).isEmpty)
+    assert(spark.read.parquet(s"$pq/codes")
+      .filter(col("vec_id").isin(deleted.map(i => i: Any): _*)).count() == 0)
+    assert(pqGot == sorted(SimilarityQueries.pqTopkFromIndex(spark, sfDir, pq)))
+
+    // ---- SQ: codes filtered, the (mns, mxs) grid untouched --------------
+    val sq = s"$tmp/sq_del"
+    SimilarityQueries.writeSqIndex(spark, sfDir, sq)
+    val sqRef = s"$tmp/sq_del_ref"
+    spark.read.parquet(s"$sq/stats").write.parquet(s"$sqRef/stats")
+    spark.read.parquet(s"$sq/codes")
+      .filter(!col("vec_id").isin(deleted.map(i => i: Any): _*))
+      .write.parquet(s"$sqRef/codes")
+    SimilarityQueries.deleteFromSqIndex(spark, sq, deleted)
+    val sqGot = sorted(SimilarityQueries.sqTopkFromIndex(spark, sfDir, sq))
+    assert(sqGot.nonEmpty &&
+      sqGot == sorted(SimilarityQueries.sqTopkFromIndex(spark, sfDir, sqRef)))
+    assert(!sqGot.exists(r => delSet(r.getLong(2))))
+    val gridBefore = spark.read.parquet(s"$sq/stats").collect().toSeq
+    SimilarityQueries.compactSqIndex(spark, sq)
+    assert(graft.sources.Tombstones.idSet(spark, sq).isEmpty)
+    assert(spark.read.parquet(s"$sq/stats").collect().toSeq == gridBefore,
+      "compaction must never touch the quantization grid")
+    assert(sqGot == sorted(SimilarityQueries.sqTopkFromIndex(spark, sfDir, sq)))
+
+    // ---- RP sketch: screen re-packs around the deleted rows -------------
+    val rp = s"$tmp/rp_del"
+    SimilarityQueries.writeRpSketch(spark, sfDir, rp)
+    val rpRef = s"$tmp/rp_del_ref"
+    // the reference keeps the QUERY rows (vec_id < N_QUERIES are serving
+    // input) and drops only corpus candidates — the mask's exact contract
+    spark.read.parquet(rp)
+      .filter(!col("vec_id").isin(deleted.map(i => i: Any): _*))
+      .write.parquet(rpRef)
+    SimilarityQueries.deleteFromRpSketch(spark, rp, deleted)
+    val rpGot = sorted(SimilarityQueries.rpTopkFromSketch(spark, sfDir, rp))
+    assert(rpGot.nonEmpty &&
+      rpGot == sorted(SimilarityQueries.rpTopkFromSketch(spark, sfDir, rpRef)))
+    assert(!rpGot.exists(r => delSet(r.getLong(2))))
+    SimilarityQueries.compactRpSketch(spark, rp)
+    assert(graft.sources.Tombstones.idSet(spark, rp).isEmpty)
+    assert(rpGot == sorted(SimilarityQueries.rpTopkFromSketch(spark, sfDir, rp)))
+  }
+
   test("streaming winnow probe sees a mid-lifecycle takedown from the next batch on") {
     // the mid-stream correctness twin: tombstones laid down BEFORE the
     // drain must be invisible to every micro-batch — drain equals the
