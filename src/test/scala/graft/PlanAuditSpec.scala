@@ -98,17 +98,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
-  test("approx profiler is a single pass: no Expand, exact witness has one") {
+  test("neither profiler pays Expand; approx stays one sketch-sized exchange") {
     val approx = plan("q_profile_columns_approx")
     assert(!approx.contains("Expand"), approx)
     // sketches merge map-side (partial HLL) and exactly one exchange moves
     // the fixed-size sketch buffers, not rows
     assert(approx.contains("partial_approx_count_distinct"), approx)
     assert("Exchange".r.findAllIn(approx).size == 1, approx)
-    // the exact multi-distinct witness DOES expand — that asymmetry is the
-    // point of the scale variant; pin it so a future rewrite of either
-    // keeps the pair honest
-    assert(plan("q_profile_columns").contains("Expand"))
+    // [r14] the exact witness no longer expands either: its multi-distinct
+    // became four per-column two-level aggregates (measured 5.7 → 1.0 s at
+    // sf0.1). Pin the no-Expand shape AND the remaining honest asymmetry —
+    // the exact path still moves one exchange of DISTINCT VALUES per
+    // profiled column (unbounded in the cardinality), where the approx
+    // path's single exchange is sketch-sized whatever the data.
+    val exact = plan("q_profile_columns")
+    assert(!exact.contains("Expand"), exact)
+    assert("partial_count\\(distinct".r.findAllIn(exact.toLowerCase).isEmpty, exact)
+    assert("Exchange hashpartitioning".r.findAllIn(exact).size >= 4,
+      s"expected one distinct exchange per profiled column:\n$exact")
   }
 
   test("TPC-H q4 plans the EXISTS as a left-semi join; q14 broadcasts part") {

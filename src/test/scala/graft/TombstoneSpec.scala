@@ -320,6 +320,40 @@ class TombstoneSpec extends SparkSpec {
     assert(rpGot == sorted(SimilarityQueries.rpTopkFromSketch(spark, sfDir, rp)))
   }
 
+  test("streaming BM25 probe sees a mid-lifecycle takedown from the next batch on") {
+    // the lexical twin of the winnow mid-stream pin: tombstones + the
+    // stats decrement laid down before the drain must re-anchor every
+    // micro-batch's scoring — drain equals the one-shot deleted ranking
+    import graft.operators.SearchQueries
+    import graft.streaming.SearchStream
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-tombsearch").toString
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_del_stream", s"$base/idx")
+    val deleted = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 7 === 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    SearchQueries.deleteFromSearchIndex(spark, "search_del_stream", s"$base/idx", deleted)
+    // one FILE per query (the runBm25Probe contract: a query's terms
+    // arrive within one micro-batch)
+    val queries = Seq(
+      0L -> Seq("spark", "join", "fast"), 1L -> Seq("hash", "table", "scan"),
+      2L -> Seq("vector", "stream", "window"), 3L -> Seq("customer", "order", "query"))
+    queries.foreach { case (q, ts) =>
+      ts.map(t => (q, t)).toDF("q_id", "term")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    SearchStream.runBm25Probe(
+      spark, s"$base/in", "search_del_stream", s"$base/idx", s"$base/out", s"$base/ckpt")
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected several micro-batches, got $commits")
+    val direct = SparkEntry.queries("search_bm25_deleted")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    val got = spark.read.parquet(s"$base/out")
+      .select(cols: _*).orderBy("q_id", "rank").collect()
+    assert(got.nonEmpty && got.toSeq == direct.orderBy("q_id", "rank").collect().toSeq)
+  }
+
   test("streaming winnow probe sees a mid-lifecycle takedown from the next batch on") {
     // the mid-stream correctness twin: tombstones laid down BEFORE the
     // drain must be invisible to every micro-batch — drain equals the
