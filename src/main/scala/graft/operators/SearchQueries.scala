@@ -516,9 +516,17 @@ object SearchQueries {
         .crossJoin(broadcast(stats))
         .withColumn("score_t", expr(scoreExpr("div")))
         .groupBy("q_id", "doc_id").agg(sum(col("score_t")).as("score"))
+    // seed pool: the top 5K candidates by UB sum, not just K — θ_est is
+    // the K-th best FULL score inside the pool, so a pool that (very
+    // likely) contains the true top-K yields θ_est = θ_true and the prune
+    // realizes the audit's full skippable set (measured at sf0.1: ~14% of
+    // candidates skipped with a K-sized pool vs ~44-45% — the audit's
+    // n_skippable to the row — at 5K; pool scoring is ≤ 5K·n_queries docs
+    // either way, bounded control-plane). Still provably exact: ANY
+    // subset's K-th best score is ≤ θ_true.
     val wub = Window.partitionBy("q_id").orderBy(col("ub_sum").desc, col("doc_id"))
     val seeds = ubSum.withColumn("rn", row_number().over(wub))
-      .filter(col("rn") <= TOP_K).select("q_id", "doc_id")
+      .filter(col("rn") <= 5 * TOP_K).select("q_id", "doc_id")
     val wq = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
     val theta = fullScores(seeds)
       .withColumn("rk", row_number().over(wq))
