@@ -4262,6 +4262,63 @@ object SimilarityQueries {
       bench = false // embeds the O(n²) truth — an offline audit
     ),
 
+    // ---- semantic decontamination: eval-set proximity purge -----------------
+    // The embedding-space complement of pipeline_decontaminate's n-gram
+    // containment (the hygiene pass several published LLM data pipelines
+    // run alongside it): paraphrased or reformatted benchmark leakage
+    // shares almost no 8-grams with its source but sits next to it in
+    // embedding space. For every training vector, the maximum cosine
+    // against the (small by definition) eval set, its argmax eval item,
+    // and a τ=0.45 flag — emitted as the top-100 review queue ordered by
+    // contamination score, which is what a practitioner actually triages
+    // (a bare boolean hides the near-misses just under τ). Scale shape:
+    // the eval side BROADCASTS (the pipeline_decontaminate discipline —
+    // eval suites are bounded), the corpus side is one map pass through
+    // the broadcast nested-loop scoring, the per-train argmax shuffles
+    // (train_vec_id, cos) pairs only, and TakeOrdered keeps the queue;
+    // the corpus is never shuffled with its vectors. An eval set too big
+    // to broadcast probes the persisted IVF index instead (runAnnProbe's
+    // shape, with max-cos folded from the probe lists). τ calibration:
+    // the synthetic corpus's max pairwise cos ≈ 0.51 (see dedup_semantic)
+    // — 0.45 fires on the true tail; production text embeddings would
+    // run ~0.9+.
+    GQuery(
+      "pipeline_decontaminate_semantic",
+      (s, dir) => {
+        val e = VectorOps.normalized(s, dir)
+        val eval = broadcast(e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("eval_vec_id"), col("v").as("ev"), col("nrm").as("en")))
+        val train = e.filter(col("vec_id") % 10 =!= 0)
+          .select(col("vec_id").as("train_vec_id"), col("v"), col("nrm"))
+        val w = Window.partitionBy("train_vec_id")
+          .orderBy(col("cos").desc, col("eval_vec_id"))
+        train.join(eval)
+          .select(col("train_vec_id"), col("eval_vec_id"),
+            VectorOps.cosCol("v", "ev", "nrm", "en").as("cos"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("train_vec_id"), col("eval_vec_id"),
+            col("cos").as("max_cos"),
+            (col("cos") >= 0.45).cast("long").as("flagged"))
+          .orderBy(col("max_cos").desc, col("train_vec_id"))
+          .limit(100)
+      },
+      Some(s"""WITH ${VectorOps.normalizedSql},
+              |sdeval AS (SELECT vec_id AS eval_vec_id, v AS ev, nrm AS en
+              |  FROM e WHERE vec_id % 10 = 0),
+              |sdtrain AS (SELECT vec_id AS train_vec_id, v, nrm
+              |  FROM e WHERE vec_id % 10 <> 0),
+              |sdscored AS (SELECT train_vec_id, eval_vec_id,
+              |    ${VectorOps.cosSql("sdtrain.v", "ev", "sdtrain.nrm", "en")} AS cos
+              |  FROM sdtrain CROSS JOIN sdeval),
+              |sdbest AS (SELECT train_vec_id, eval_vec_id, cos,
+              |    row_number() OVER (PARTITION BY train_vec_id
+              |      ORDER BY cos DESC, eval_vec_id) AS rn FROM sdscored)
+              |SELECT train_vec_id, eval_vec_id, cos AS max_cos,
+              |  CAST(cos >= 0.45 AS BIGINT) AS flagged
+              |FROM sdbest WHERE rn = 1
+              |ORDER BY max_cos DESC, train_vec_id LIMIT 100""".stripMargin)
+    ),
+
     // ---- semantic dedup (SemDeDup): cluster-scoped near-dup drop ------------
     // The embedding-space dedup shape from Abbas et al. 2023 (SemDeDup):
     // assign every vector to its nearest seed cell, then compare pairs ONLY

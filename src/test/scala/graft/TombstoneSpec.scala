@@ -320,6 +320,34 @@ class TombstoneSpec extends SparkSpec {
     assert(rpGot == sorted(SimilarityQueries.rpTopkFromSketch(spark, sfDir, rp)))
   }
 
+  test("hybrid serving under a two-index takedown fuses the surviving lists") {
+    // the realistic takedown touches EVERY index the content lives in:
+    // delete the fixed doc set from the postings table and the fixed
+    // vector set from the IVF index, then the hybrid composition must
+    // equal fusing the two registered (oracle-verified) deleted lists —
+    // no re-plumbing, the masks compose through rrfFuse untouched
+    import graft.operators.{SearchQueries, SimilarityQueries}
+    val sPath = s"$tmp/search_idx_hdel"
+    val iPath = s"$tmp/ivf_idx_hdel"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_idx_hdel", sPath)
+    SimilarityQueries.writeIvfIndex(spark, sfDir, iPath)
+    val docDel = Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val vecDel = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 13 === 7)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    SearchQueries.deleteFromSearchIndex(spark, "search_idx_hdel", sPath, docDel)
+    SimilarityQueries.deleteFromIvfIndex(spark, iPath, vecDel)
+    val got = SearchQueries.hybridTopkFromIndexes(
+      spark, sfDir, "search_idx_hdel", sPath, iPath).collect()
+    val bm = SparkEntry.queries("search_bm25_deleted")(spark, sfDir)
+      .select(col("q_id"), col("doc_id"), col("rank").as("rank_t"))
+    val vec = SparkEntry.queries("ann_ivf_deleted")(spark, sfDir)
+      .filter(col("q_id") < 4)
+      .select(col("q_id"), col("cand_id").as("doc_id"), col("rank").as("rank_v"))
+    val expected = SearchQueries.rrfFuse(bm, vec).collect()
+    assert(got.nonEmpty && got.toSeq == expected.toSeq)
+  }
+
   test("streaming BM25 probe sees a mid-lifecycle takedown from the next batch on") {
     // the lexical twin of the winnow mid-stream pin: tombstones + the
     // stats decrement laid down before the drain must re-anchor every
