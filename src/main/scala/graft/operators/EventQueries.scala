@@ -293,6 +293,76 @@ object EventQueries {
               |ORDER BY spine.hour_start""".stripMargin)
     ),
 
+    // ---- seasonal-naive forecast backtest (MASE) ------------------------------
+    // The monitoring question after anomaly/CUSUM flagging: how PREDICTABLE
+    // is each event stream's volume — i.e., would a seasonal-naive forecast
+    // (this hour = same hour yesterday) have beaten the naive-1 baseline
+    // (this hour = last hour)? MASE (Hyndman & Koehler 2006) is that ratio
+    // of mean absolute errors, the standard scale-free backtest metric; a
+    // pipeline uses it to decide whether daily seasonality is real enough
+    // to gate volume alerts on (mase < 1e6 micro ⇔ seasonality helps).
+    // Everything is integer-exact: the hour grid is gap-FILLED (a missing
+    // hour is a true 0 — lagging over present rows only would silently
+    // compare across gaps), errors are |count − lagged count| summed as
+    // longs, and the ratio lands on the micro grid with the mean
+    // normalization folded in as integer cross-multiplication. Degenerate
+    // windows (under 25 hours, or a constant series with zero naive error)
+    // yield NULL rather than a fake number — mirrored in the oracle.
+    // Scale: one hourly pre-aggregate shuffle; the spine/lag/backtest all
+    // run over the tiny (type × hours) grid, which grows with the time
+    // span, never the corpus.
+    GQuery(
+      "q_events_forecast_mase",
+      (s, dir) => {
+        val hourly = Materialize(Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hr"))
+          .agg(count(lit(1)).as("n")))
+        val bounds = hourly.agg(min("hr").as("lo"), max("hr").as("hi"))
+        val spine = hourly.select("event_type").distinct()
+          .crossJoin(broadcast(bounds)) // 1-row bound
+          .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("hr"))
+        val grid = spine.join(hourly, Seq("event_type", "hr"), "left")
+          .select(col("event_type"), col("hr"), coalesce(col("n"), lit(0L)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("hr")
+        grid
+          .withColumn("f24", lag(col("n"), 24).over(w))
+          .withColumn("f1", lag(col("n"), 1).over(w))
+          .groupBy("event_type").agg(
+            count(lit(1)).as("n_hours"),
+            sum(when(col("f24").isNotNull, abs(col("n") - col("f24")))).as("sae_seasonal"),
+            sum(when(col("f1").isNotNull, abs(col("n") - col("f1")))).as("sae_naive"))
+          .select(col("event_type"), col("n_hours"),
+            col("sae_seasonal"), col("sae_naive"),
+            expr("""CASE WHEN n_hours > 24 AND sae_naive > 0
+                   |THEN sae_seasonal * (n_hours - 1) * 1000000
+                   |  div (sae_naive * (n_hours - 24)) END""".stripMargin)
+              .as("mase_micro"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH fhourly AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+              |    CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM ${Tables.eventsOracleFrom} e GROUP BY event_type, hr),
+              |fb AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM fhourly),
+              |fspine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS hr
+              |  FROM (SELECT DISTINCT event_type FROM fhourly) CROSS JOIN fb),
+              |fgrid AS (SELECT fspine.event_type, fspine.hr, COALESCE(n, 0) AS n
+              |  FROM fspine LEFT JOIN fhourly
+              |    ON fspine.event_type = fhourly.event_type AND fspine.hr = fhourly.hr),
+              |flag AS (SELECT event_type, hr, n,
+              |    lag(n, 24) OVER tw AS f24, lag(n, 1) OVER tw AS f1
+              |  FROM fgrid WINDOW tw AS (PARTITION BY event_type ORDER BY hr)),
+              |fagg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+              |    CAST(SUM(CASE WHEN f24 IS NOT NULL THEN abs(n - f24) END) AS BIGINT) AS sae_seasonal,
+              |    CAST(SUM(CASE WHEN f1 IS NOT NULL THEN abs(n - f1) END) AS BIGINT) AS sae_naive
+              |  FROM flag GROUP BY event_type)
+              |SELECT event_type, n_hours, sae_seasonal, sae_naive,
+              |  CASE WHEN n_hours > 24 AND sae_naive > 0
+              |    THEN sae_seasonal * (n_hours - 1) * 1000000
+              |      // (sae_naive * (n_hours - 24)) END AS mase_micro
+              |FROM fagg ORDER BY event_type""".stripMargin)
+    ),
+
     // ---- view→purchase attribution (interval join) ---------------------------
     // The oracle-paired BATCH TWIN of EventsStream.viewPurchaseAttribution:
     // StreamingSpec asserts stream == batch on this exact join, and this

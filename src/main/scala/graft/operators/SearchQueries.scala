@@ -421,8 +421,12 @@ object SearchQueries {
     */
   def deleteFromSearchIndex(
       s: SparkSession, table: String, path: String, docIds: Seq[Long]): Unit = {
+    import s.implicits._
+    // membership via a broadcast join, not an isin literal: a bulk
+    // takedown (thousands of ids) would otherwise inline a giant In-list
+    // into the plan; the id frame broadcasts like every tombstone mask
     val del = graft.sources.Tombstones.filterTable(s, table, "doc_id")
-      .filter(col("doc_id").isin(docIds.map(i => i: Any): _*))
+      .join(broadcast(docIds.toDF("doc_id")), Seq("doc_id"), "left_semi")
       .select("doc_id", "dl").distinct()
       .agg(count(lit(1)).as("nd"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
       .head

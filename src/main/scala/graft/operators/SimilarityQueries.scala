@@ -1065,6 +1065,37 @@ object SimilarityQueries {
   private[graft] def nQueries: Int = N_QUERIES
   private[graft] def topK: Int = TOP_K
 
+  /** The semantic decontaminator's eval set: the vec_id % 10 == 0 slice of
+    * the corpus embeddings (the pipeline_decontaminate bench-slice
+    * convention), broadcast — eval suites are small by definition.
+    */
+  private[graft] def decontamEvalSet(s: SparkSession, dir: String): DataFrame =
+    broadcast(VectorOps.normalized(s, dir).filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("eval_vec_id"), col("v").as("ev"), col("nrm").as("en")))
+
+  /** Per-training-vector contamination verdicts against a broadcast eval
+    * set: (train_vec_id, eval_vec_id, max_cos, flagged) — max cosine, its
+    * argmax eval item (ties → lowest id), τ=0.45 flag as 0/1. Shared by
+    * the registered `pipeline_decontaminate_semantic` (which ranks the
+    * top-100 review queue) and the streaming twin
+    * ([[graft.streaming.EmbeddingsStream.runSemanticDecontam]] — a stream
+    * has no global rank, so it emits every arriving vector's verdict;
+    * per-vector independence makes the drain equal the batch scores,
+    * pinned in StreamingSpec). `train` carries (vec_id, v, nrm).
+    */
+  private[graft] def decontamVerdicts(train: DataFrame, eval: DataFrame): DataFrame = {
+    val w = Window.partitionBy("train_vec_id")
+      .orderBy(col("cos").desc, col("eval_vec_id"))
+    train.select(col("vec_id").as("train_vec_id"), col("v"), col("nrm"))
+      .join(eval)
+      .select(col("train_vec_id"), col("eval_vec_id"),
+        VectorOps.cosCol("v", "ev", "nrm", "en").as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("train_vec_id"), col("eval_vec_id"),
+        col("cos").as("max_cos"),
+        (col("cos") >= 0.45).cast("long").as("flagged"))
+  }
+
   /** Inline IVF top-k against an arbitrary coarse quantizer — the parity
     * reference for the trained-index serving test.
     */
@@ -4284,24 +4315,12 @@ object SimilarityQueries {
     // run ~0.9+.
     GQuery(
       "pipeline_decontaminate_semantic",
-      (s, dir) => {
-        val e = VectorOps.normalized(s, dir)
-        val eval = broadcast(e.filter(col("vec_id") % 10 === 0)
-          .select(col("vec_id").as("eval_vec_id"), col("v").as("ev"), col("nrm").as("en")))
-        val train = e.filter(col("vec_id") % 10 =!= 0)
-          .select(col("vec_id").as("train_vec_id"), col("v"), col("nrm"))
-        val w = Window.partitionBy("train_vec_id")
-          .orderBy(col("cos").desc, col("eval_vec_id"))
-        train.join(eval)
-          .select(col("train_vec_id"), col("eval_vec_id"),
-            VectorOps.cosCol("v", "ev", "nrm", "en").as("cos"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("train_vec_id"), col("eval_vec_id"),
-            col("cos").as("max_cos"),
-            (col("cos") >= 0.45).cast("long").as("flagged"))
+      (s, dir) =>
+        decontamVerdicts(
+          VectorOps.normalized(s, dir).filter(col("vec_id") % 10 =!= 0),
+          decontamEvalSet(s, dir))
           .orderBy(col("max_cos").desc, col("train_vec_id"))
-          .limit(100)
-      },
+          .limit(100),
       Some(s"""WITH ${VectorOps.normalizedSql},
               |sdeval AS (SELECT vec_id AS eval_vec_id, v AS ev, nrm AS en
               |  FROM e WHERE vec_id % 10 = 0),

@@ -156,6 +156,38 @@ object EmbeddingsStream {
     q.awaitTermination()
   }
 
+  /** Streaming semantic decontamination — arriving TRAINING vectors are
+    * scored against the broadcast eval set per micro-batch
+    * ([[SimilarityQueries.decontamVerdicts]], the registered
+    * `pipeline_decontaminate_semantic` scoring): each trigger appends its
+    * vectors' (train_vec_id, eval_vec_id, max_cos, flagged) verdicts.
+    * Per-vector independence (a verdict depends only on the vector and
+    * the static eval set) makes the multi-batch drain equal one-shot
+    * batch scoring row-for-row (pinned in StreamingSpec); the global
+    * top-100 review queue is a rank over the drained verdicts.
+    */
+  def runSemanticDecontam(
+      spark: SparkSession, dir: String, inPath: String,
+      outPath: String, checkpoint: String): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val eval = SimilarityQueries.decontamEvalSet(spark, dir)
+    val q = readVectors(spark, inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val vecs = batch.toDF()
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("nrm", expr(s"sqrt(${VectorOps.dotExpr("v", "v")})"))
+        SimilarityQueries.decontamVerdicts(vecs, eval)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Fold probe results (q_id, rank, cand_id, cos) into per-query verdicts;
     * `allQ` carries every probed q_id so no-neighbor queries still verdict.
     */

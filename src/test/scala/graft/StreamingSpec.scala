@@ -321,6 +321,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == direct.orderBy(cols: _*).collect().toSeq)
   }
 
+  test("streaming semantic decontamination equals the batch verdicts") {
+    // arriving training vectors score against the broadcast eval set per
+    // trigger; per-vector independence makes the drain equal one-shot
+    // batch scoring, and ranking the drained verdicts reproduces the
+    // registered top-100 review queue
+    import graft.operators.SimilarityQueries
+    import graft.streaming.EmbeddingsStream
+    import graft.functions.VectorOps
+    val base = java.nio.file.Files.createTempDirectory("graft-decontamstream").toString
+    Tables.embeddings(spark, sfDir).filter(col("vec_id") % 10 =!= 0).repartition(3)
+      .write.mode("overwrite").parquet(s"$base/in")
+    EmbeddingsStream.runSemanticDecontam(
+      spark, sfDir, s"$base/in", s"$base/out", s"$base/ckpt")
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected several micro-batches, got $commits")
+    val got = spark.read.parquet(s"$base/out")
+      .orderBy("train_vec_id").collect()
+    val direct = SimilarityQueries.decontamVerdicts(
+        VectorOps.normalized(spark, sfDir).filter(col("vec_id") % 10 =!= 0),
+        SimilarityQueries.decontamEvalSet(spark, sfDir))
+      .orderBy("train_vec_id")
+      .select("train_vec_id", "eval_vec_id", "max_cos", "flagged").collect()
+    assert(got.nonEmpty &&
+      got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq ==
+        direct.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq)
+    // the registered review queue is a rank over the drained verdicts
+    val queue = spark.read.parquet(s"$base/out")
+      .orderBy(col("max_cos").desc, col("train_vec_id")).limit(100)
+      .select("train_vec_id", "eval_vec_id", "max_cos", "flagged").collect()
+    val entry = SparkEntry.queries("pipeline_decontaminate_semantic")(spark, sfDir)
+      .collect()
+    assert(queue.toSeq == entry.toSeq)
+  }
+
   test("streaming cross-modal probe from the persisted index equals batch") {
     // arriving text-query vectors rank ASSETS (ivf probe + metadata
     // enrich) per trigger; per-query independence makes the drain equal
