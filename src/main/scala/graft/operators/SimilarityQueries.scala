@@ -4338,6 +4338,49 @@ object SimilarityQueries {
               |ORDER BY max_cos DESC, train_vec_id LIMIT 100""".stripMargin)
     ),
 
+    // ---- hard-negative mining (retrieval training data) ---------------------
+    // The contrastive-training complement of ANN serving (the DPR/ANCE
+    // recipe): for each query, the most-similar candidates that are NOT
+    // near-duplicates — cos below the dedup threshold τ=0.45 but as high
+    // as possible — are the hard negatives a retriever learns the most
+    // from (random negatives are trivially separable; near-dups are false
+    // negatives that poison the loss). Emits the top-5 band-filtered
+    // negatives per query. Scale: the query side broadcasts (bounded
+    // batch), candidates come from one map pass over the corpus — same
+    // shape as ann_bruteforce_topk — and at index scale the candidate
+    // generator swaps to the persisted IVF probe with the τ band applied
+    // after scoring (the filtered-ANN discipline: the band is a predicate
+    // on an already-scored bounded list, never a new scan).
+    GQuery(
+      "pipeline_hard_negatives",
+      (s, dir) => {
+        val e = VectorOps.normalized(s, dir)
+        val q = broadcast(e.filter(col("vec_id") < N_QUERIES)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neg_id"))
+        e.join(q, col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neg_id"),
+            VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
+          .filter(col("cos") < 0.45)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select("q_id", "rank", "neg_id", "cos")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH ${VectorOps.normalizedSql},
+              |hnq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e
+              |  WHERE vec_id < $N_QUERIES),
+              |hns AS (SELECT q_id, e.vec_id AS neg_id,
+              |    ${VectorOps.cosSql("qv", "e.v", "qn", "e.nrm")} AS cos
+              |  FROM e CROSS JOIN hnq WHERE e.vec_id <> q_id),
+              |hnr AS (SELECT q_id, neg_id, cos,
+              |    CAST(row_number() OVER (PARTITION BY q_id
+              |      ORDER BY cos DESC, neg_id) AS BIGINT) AS rank
+              |  FROM hns WHERE cos < 0.45)
+              |SELECT q_id, rank, neg_id, cos FROM hnr WHERE rank <= 5
+              |ORDER BY q_id, rank""".stripMargin)
+    ),
+
     // ---- semantic dedup (SemDeDup): cluster-scoped near-dup drop ------------
     // The embedding-space dedup shape from Abbas et al. 2023 (SemDeDup):
     // assign every vector to its nearest seed cell, then compare pairs ONLY

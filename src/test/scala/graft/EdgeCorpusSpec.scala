@@ -63,7 +63,10 @@ class EdgeCorpusSpec extends SparkSpec {
       n.startsWith("text_") ||
         // cross-modal retrieval ranks through the EMBEDDINGS table
         (n.startsWith("multimodal_") && !n.contains("crossmodal")) ||
-        n.startsWith("pipeline_") ||
+        // the semantic decontaminator and hard-negative miner score
+        // EMBEDDINGS-table vectors (they sweep with the vector corpus below)
+        (n.startsWith("pipeline_") && n != "pipeline_decontaminate_semantic" &&
+          n != "pipeline_hard_negatives") ||
         // lexical search reads documents only (hybrid and the eval audit
         // also need embeddings for the vector list)
         (n.startsWith("search_") && !n.contains("hybrid") && !n.contains("eval")) ||
@@ -109,7 +112,8 @@ class EdgeCorpusSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val vecQueries = SparkEntry.registry.map(_.name).filter(n =>
       n.startsWith("ann_") || n.startsWith("dedup_semantic") ||
-        n == "dedup_embedding_pairs")
+        n == "dedup_embedding_pairs" || n == "pipeline_decontaminate_semantic" ||
+        n == "pipeline_hard_negatives")
     for (name <- vecQueries) {
       val out = SparkEntry.queries(name)(spark, dir).collect()
       assert(out != null, name) // reaching here means no throw
