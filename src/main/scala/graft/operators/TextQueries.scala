@@ -1533,6 +1533,56 @@ object TextQueries {
     ),
 
     GQuery(
+      // Tokenizer fertility per language — the multilingual-mixing input
+      // every tokenizer report quotes (a language whose words explode into
+      // many subwords pays more sequence length per unit text, so
+      // byte-budget mixing must correct for it or silently under-train
+      // that language). Per lang, under the TRAINED merges: subwords per
+      // word (milli_fertility) and chars per subword, both on the integer
+      // milli grid. Same serving trick as text_bpe_encode — the merge
+      // loop's final state IS the encoded distinct-word table, so the
+      // corpus pays one token-stream join + a per-lang aggregate; the K
+      // training rounds never touch the corpus.
+      "text_fertility",
+      (s, dir) => {
+        val (_, words) = bpeTrain(s, dir, BPE_ROUNDS)
+        val enc = broadcast(
+          words.select(col("w"), size(col("syms")).cast("long").as("n_sub")))
+        Tables.documents(s, dir)
+          .select(col("lang"), explode(expr(toksCol)).as("w"))
+          .join(enc, Seq("w"), "left")
+          .select(col("lang"),
+            coalesce(col("n_sub"), length(col("w")).cast("long")).as("n_sub"),
+            length(col("w")).cast("long").as("n_chars"))
+          .groupBy("lang").agg(
+            count(lit(1)).as("n_words"),
+            sum(col("n_sub")).as("n_subwords"),
+            sum(col("n_chars")).as("n_chars"))
+          .select(col("lang"), col("n_words"), col("n_subwords"), col("n_chars"),
+            expr("n_subwords * 1000 div n_words").as("milli_fertility"),
+            expr("CASE WHEN n_subwords = 0 THEN 0 " +
+              "ELSE n_chars * 1000 div n_subwords END").as("milli_chars_per_subword"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH ${bpeOracleChain(BPE_ROUNDS)},
+              |fenc AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM words$BPE_ROUNDS),
+              |ftoks AS (SELECT lang, unnest($toksSql) AS w FROM documents),
+              |fper AS (SELECT lang,
+              |    COALESCE(n_sub, CAST(length(w) AS BIGINT)) AS n_sub,
+              |    CAST(length(w) AS BIGINT) AS n_chars
+              |  FROM ftoks LEFT JOIN fenc USING (w))
+              |SELECT lang, $countStarSql AS n_words,
+              |  CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+              |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+              |  CAST(SUM(n_sub) AS BIGINT) * 1000 // $countStarSql AS milli_fertility,
+              |  CASE WHEN SUM(n_sub) = 0 THEN 0
+              |    ELSE CAST(SUM(n_chars) AS BIGINT) * 1000 // CAST(SUM(n_sub) AS BIGINT)
+              |  END AS milli_chars_per_subword
+              |FROM fper GROUP BY lang ORDER BY lang""".stripMargin),
+      trainer = true
+    ),
+
+    GQuery(
       // The WordPiece-objective merge table: same census→argmax→rewrite
       // loop as text_bpe_merges, but the argmax is the likelihood objective
       // pair_n/(lhs_n·rhs_n) on the exact nano grid (see wpTrain). The two
