@@ -722,6 +722,23 @@ object DedupQueries {
       .saveAsTable(table)
   }
 
+  /** Replace changed documents in the winnow index — delete + fold +
+    * re-winnow, the UPDATE composed from the verified lifecycle pieces
+    * (the [[SearchQueries.updateSearchIndex]] discipline; same per-call
+    * compaction amortization note). After it, probes equal an index built
+    * over the updated corpus: winnowing is per-doc-local, so the new
+    * text's fingerprints are exactly what a rebuild would select, and the
+    * probe-time df cap re-derives over the updated rows (pinned in
+    * TombstoneSpec).
+    */
+  def updateWinnowIndex(docs: DataFrame, table: String): Unit = {
+    val s = docs.sparkSession
+    val ids = docs.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+    graft.sources.Tombstones.addForTable(s, table, ids)
+    compactWinnowIndex(s, table)
+    appendWinnowIndex(docs, table)
+  }
+
   val defs: Seq[GQuery] = Seq(
 
     // ---- exact dedup: group-identical text, keep lowest doc_id ------------

@@ -187,7 +187,7 @@ object SearchQueries {
   /** Per-shard BM25 rank list over a self-contained docs frame: postings,
     * df, and corpus stats all derive from `docs` alone.
     */
-  private def bm25OverDocs(s: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def bm25OverDocs(s: SparkSession, docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val dfF = toks.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
@@ -443,6 +443,25 @@ object SearchQueries {
     require(fs.rename(new org.apache.hadoop.fs.Path(statsTmp), statsP),
       s"deleteFromSearchIndex: could not swap $statsTmp into place")
     graft.sources.Tombstones.addForTable(s, table, docIds)
+  }
+
+  /** Replace changed documents in the index — the UPDATE of the lifecycle's
+    * CRUD, composed from the verified pieces: tombstone the ids, fold the
+    * tombstones in (compaction — required before an id can re-enter, per
+    * the append guard), then append the new versions' postings with the
+    * stats advance. After it, probes equal an index built over the updated
+    * corpus (pinned in TombstoneSpec). The per-call compaction is the
+    * amortization knob: a real deployment buffers update batches and folds
+    * once per window — the semantics are identical, only the rewrite
+    * frequency changes. `docs` carries (doc_id, text, lang); ids absent
+    * from the index insert cleanly (the delete is a no-op for them).
+    */
+  def updateSearchIndex(
+      s: SparkSession, table: String, path: String, docs: DataFrame): Unit = {
+    val ids = docs.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+    deleteFromSearchIndex(s, table, path, ids)
+    compactSearchIndex(s, table)
+    appendSearchIndex(s, table, path, docs)
   }
 
   /** The lexical serving entry point: probe the persisted index for an

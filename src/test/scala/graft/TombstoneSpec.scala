@@ -320,6 +320,52 @@ class TombstoneSpec extends SparkSpec {
     assert(rpGot == sorted(SimilarityQueries.rpTopkFromSketch(spark, sfDir, rp)))
   }
 
+  test("index update (delete + fold + re-append) equals an index over the updated corpus") {
+    // the lifecycle's UPDATE, composed from the verified pieces: changed
+    // documents re-enter with new text, and probes must equal an index
+    // built from scratch over the updated corpus — stats advanced, df and
+    // candidates re-anchored, no stale rows surviving
+    import graft.operators.{DedupQueries, SearchQueries, TextQueries}
+    // ---- inverted index -----------------------------------------------
+    val sPath = s"$tmp/search_upd"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_upd", sPath)
+    val updatedDocs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 13 === 2)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" zulu yankee xray whiskey")).as("text"), col("lang"))
+    SearchQueries.updateSearchIndex(spark, "search_upd", sPath, updatedDocs)
+    val probed = sorted(SearchQueries.bm25TopkFromIndex(spark, "search_upd", sPath))
+    val updCorpus = Tables.documents(spark, sfDir)
+      .filter(!(col("doc_id") % 13 === 2)).select("doc_id", "text", "lang")
+      .unionByName(updatedDocs)
+    val expect = sorted(SearchQueries.bm25OverDocs(spark, updCorpus))
+    assert(probed.nonEmpty && probed == expect)
+    // no tombstones outstanding after the update (fold happened inside)
+    assert(graft.sources.Tombstones.idSetForTable(spark, "search_upd").isEmpty)
+    // ---- winnow index -------------------------------------------------
+    val thr = DedupQueries.writeWinnowIndex(
+      spark, sfDir, "winnow_upd", s"$tmp/winnow_upd")
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val updatedW = d.filter(col("doc_id") < thr && col("doc_id") % 13 === 2)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" zulu yankee xray whiskey victor")).as("text"))
+    DedupQueries.updateWinnowIndex(updatedW, "winnow_upd")
+    val bFps = TextQueries.winnowSelected(d.filter(col("doc_id") >= thr))
+      .select(col("doc_id"), col("fp")).distinct()
+    val got = DedupQueries.winnowIncrementalPairs(
+        bFps, DedupQueries.winnowIndexFrame(spark, "winnow_upd"))
+      .orderBy("doc_id", "c_id").collect().toSeq
+    val updW = d.filter(col("doc_id") < thr && !(col("doc_id") % 13 === 2))
+      .unionByName(updatedW)
+    val cfps = TextQueries.winnowSelected(updW)
+      .select(col("doc_id"), col("fp")).distinct()
+    val wexpect = DedupQueries.winnowIncrementalPairs(
+        bFps,
+        cfps.join(cfps.groupBy("doc_id").agg(count(lit(1)).as("n_fp_c")), "doc_id"))
+      .orderBy("doc_id", "c_id").collect().toSeq
+    assert(got.nonEmpty && got == wexpect)
+  }
+
   test("hybrid serving under a two-index takedown fuses the surviving lists") {
     // the realistic takedown touches EVERY index the content lives in:
     // delete the fixed doc set from the postings table and the fixed
