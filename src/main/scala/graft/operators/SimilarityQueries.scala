@@ -1064,6 +1064,7 @@ object SimilarityQueries {
     */
   private[graft] def nQueries: Int = N_QUERIES
   private[graft] def topK: Int = TOP_K
+  private[graft] def nProbe: Int = N_PROBE
 
   /** The semantic decontaminator's eval set: the vec_id % 10 == 0 slice of
     * the corpus embeddings (the pipeline_decontaminate bench-slice
@@ -1235,6 +1236,25 @@ object SimilarityQueries {
     */
   def deleteFromIvfIndex(s: SparkSession, path: String, vecIds: Seq[Long]): Unit =
     graft.sources.Tombstones.add(s, path, vecIds)
+
+  /** Replace changed vectors in a persisted IVF index — the UPDATE
+    * completing the vector family's CRUD (the updateSearchIndex
+    * composition): tombstone the ids, fold physically (compaction —
+    * required so the anti-join cannot mask the re-appended rows), then
+    * re-assign the new vectors against the index's own quantizer and
+    * append into their cells (which may DIFFER from the old ones — a
+    * moved embedding moves cell, exactly as a rebuild would place it;
+    * pinned in TombstoneSpec). Same per-call-compaction amortization note
+    * as the document-keyed updates. `newRows` carries the embeddings
+    * schema (vec_id, embedding, label).
+    */
+  def updateIvfIndex(
+      s: SparkSession, dir: String, path: String, newRows: DataFrame): Unit = {
+    val ids = newRows.select("vec_id").distinct().collect().map(_.getLong(0)).toSeq
+    graft.sources.Tombstones.add(s, path, ids)
+    compactIvfIndex(s, path)
+    appendIvfIndex(s, dir, path, newRows)
+  }
 
   /** Same result as `ann_ivf_topk`, but candidates come from the PERSISTED
     * index: the probed cell ids (≤ nprobe · n_queries of them — a bounded

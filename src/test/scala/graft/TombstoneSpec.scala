@@ -366,6 +366,54 @@ class TombstoneSpec extends SparkSpec {
     assert(got.nonEmpty && got == wexpect)
   }
 
+  test("IVF update re-places moved vectors in their new cells, equals inline") {
+    // a changed embedding may belong to a DIFFERENT cell: the update must
+    // re-assign it under the index's own quantizer, and probes must equal
+    // an inline IVF over the updated vector set (same seed geometry —
+    // the updated ids stay outside the seed range, as a stable deployment
+    // keeps its quantizer fixed across re-encodes)
+    import graft.operators.SimilarityQueries
+    import graft.functions.VectorOps
+    import org.apache.spark.sql.expressions.Window
+    val path = s"$tmp/ivf_upd"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, path)
+    val updPred = col("vec_id") % 19 === 5 && col("vec_id") >= 16
+    val mod = Tables.embeddings(spark, sfDir).filter(updPred)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"), col("label"))
+    assert(mod.count() > 0)
+    SimilarityQueries.updateIvfIndex(spark, sfDir, path, mod)
+    assert(graft.sources.Tombstones.idSet(spark, path).isEmpty)
+    val got = sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, path))
+    // inline reference: the identical pipeline over the updated vector set
+    val e = VectorOps.normalized(spark, sfDir)
+    val modN = mod.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr(s"sqrt(${VectorOps.dotExpr("v", "v")})"))
+    val eUpd = e.filter(!updPred).unionByName(modN)
+    val seeds = SimilarityQueries.seedSet(e)
+    val assign = SimilarityQueries.assignToSeeds(eUpd, seeds)
+      .select("vec_id", "v", "nrm", "seed_id")
+    val q = e.filter(col("vec_id") < SimilarityQueries.nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val pw = Window.partitionBy("q_id").orderBy(col("pcos").desc, col("seed_id"))
+    val probes = q.join(seeds)
+      .select(col("q_id"), col("qv"), col("qn"), col("seed_id"),
+        VectorOps.cosCol("qv", "sv", "qn", "sn").as("pcos"))
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= SimilarityQueries.nProbe)
+      .select("q_id", "qv", "qn", "seed_id")
+    val cand = probes.join(assign, "seed_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
+      .distinct()
+    val rw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    val expect = sorted(cand.withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= SimilarityQueries.topK)
+      .select("q_id", "rank", "cand_id", "cos"))
+    assert(got.nonEmpty && got == expect)
+  }
+
   test("hybrid serving under a two-index takedown fuses the surviving lists") {
     // the realistic takedown touches EVERY index the content lives in:
     // delete the fixed doc set from the postings table and the fixed
