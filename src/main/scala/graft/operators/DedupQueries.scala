@@ -548,6 +548,146 @@ object DedupQueries {
         expr("inter * 10000 div (na + nb - inter)").as("jac_permyriad"))
   }
 
+  /** The corpus-side rows of a PPJoin prefix index over (doc_id, text)
+    * docs: one row per (rep-collapsed doc, shingle) carrying the doc size,
+    * the BUILD-time document frequency (the global ordering key), and the
+    * is_prefix mark under L(n) = n − ceil(0.6·n) + 1. Shared by
+    * [[writePrefixIndex]] and the inline `dedup_prefix_incremental`.
+    */
+  private[graft] def prefixIndexRows(corpusDocs: DataFrame): DataFrame = {
+    val reps = corpusDocs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+    val ex = shingled(reps).select(col("doc_id"), explode(col("sh")).as("x"))
+    val sz = ex.groupBy("doc_id").agg(count(lit(1)).as("n_c"))
+    val dfreq = ex.groupBy("x").agg(count(lit(1)).as("df_b"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df_b"), col("x"))
+    ex.join(dfreq, "x").join(sz, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("is_prefix",
+        col("rn") <= col("n_c") - expr("(3 * n_c + 4) div 5") + 1)
+      .select("doc_id", "x", "n_c", "df_b", "is_prefix")
+  }
+
+  /** Persist the corpus side of the PPJoin family — the exact-recall
+    * near-dup family's serving lifecycle (every other candidate generator
+    * already has one; this closes the asymmetry). TWO tables, the
+    * inverted + forward pair every prefix-filter system ships:
+    *   - `<table>`: the [[prefixIndexRows]] BUCKETED BY x — batch-prefix
+    *     candidate generation joins the standing is_prefix rows from
+    *     their buckets, and the stored df_b gives probes the BUILD-time
+    *     global token order (an ORDER, not a statistic: the prefix lemma
+    *     holds for ANY fixed total order, so appent/delete staleness
+    *     cannot break recall — only the fixed-order contract matters);
+    *   - `<table>_fwd`: the identical rows BUCKETED BY doc_id — the
+    *     forward store verification reads candidate docs' full shingle
+    *     sets from, so the exact-intersection step costs
+    *     Σ_candidates |doc| instead of an unbounded all-token join
+    *     (boilerplate tokens pair everything; the prefix cut is the
+    *     entire point of PPJoin).
+    * Same 80/20 doc_id split convention as the other families; returns
+    * the batch threshold. The fwd table is written FROM the inverted
+    * table's scan, so the two can never diverge.
+    */
+  def writePrefixIndex(s: SparkSession, dir: String, table: String, path: String): Long = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val thrRow = d.agg(expr("CAST((max(doc_id) + 1) * 4 div 5 AS BIGINT)")).head
+    require(!thrRow.isNullAt(0),
+      s"writePrefixIndex: documents table under '$dir' is empty — nothing to index")
+    val thr = thrRow.getLong(0)
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    s.sql(s"DROP TABLE IF EXISTS ${table}_fwd")
+    prefixIndexRows(d.filter(col("doc_id") < thr))
+      .write.mode("overwrite")
+      .bucketBy(8, "x").sortBy("x")
+      .option("path", path)
+      .saveAsTable(table)
+    s.table(table)
+      .write.mode("overwrite")
+      .bucketBy(8, "doc_id").sortBy("doc_id")
+      .option("path", s"${path}_fwd")
+      .saveAsTable(s"${table}_fwd")
+    thr
+  }
+
+  /** Delete documents from a persisted prefix index — both halves
+    * (inverted and forward) tombstone together, and probes read the
+    * masked views. Semantics are CONTENT-level: the index stores one
+    * representative per distinct text, so deleting a representative
+    * stops its whole identical-text group from matching — the takedown
+    * contract for rights/abuse content, where every copy must stop
+    * matching, not one id. Result-level delete == rebuild-over-surviving-
+    * CONTENT holds even though the index keeps its BUILD-time token order
+    * while a rebuild would re-rank under survivor df: the prefix lemma is
+    * exact under ANY fixed order, so both sides emit exactly the
+    * Jaccard-verified pair set (pinned in TombstoneSpec).
+    * [[compactPrefixIndex]] folds both tables physically.
+    */
+  def deleteFromPrefixIndex(s: SparkSession, table: String, docIds: Seq[Long]): Unit = {
+    graft.sources.Tombstones.addForTable(s, table, docIds)
+    graft.sources.Tombstones.addForTable(s, s"${table}_fwd", docIds)
+  }
+
+  /** The probe-facing (inverted, forward) views of a persisted prefix
+    * index, tombstone-masked.
+    */
+  def prefixIndexFrames(s: SparkSession, table: String): (DataFrame, DataFrame) =
+    (graft.sources.Tombstones.filterTable(s, table, "doc_id"),
+      graft.sources.Tombstones.filterTable(s, s"${table}_fwd", "doc_id"))
+
+  /** Physically remove tombstoned documents from both halves. */
+  def compactPrefixIndex(s: SparkSession, table: String): Unit = {
+    graft.sources.Tombstones.compactBucketedIndex(s, table, "doc_id")
+    graft.sources.Tombstones.compactBucketedIndex(s, s"${table}_fwd", "doc_id")
+  }
+
+  /** Batch-vs-corpus PPJoin probe with the family's EXACT-recall
+    * guarantee: a batch/corpus pair with Jaccard ≥ 0.6 MUST share a token
+    * between the two prefixes under the index's fixed global order
+    * (df_b, x) — batch tokens the corpus never saw order first at df 0
+    * (they cannot be shared, and the lemma is indifferent to where
+    * non-shared tokens sort). Stages: batch reps/shingles (one map pass),
+    * prefix selection under the index order (batch-sized window),
+    * candidate equi-join against the standing is_prefix rows (corpus side
+    * from its x buckets, exchange-free), then exact-intersection
+    * verification through the FORWARD store (per-candidate doc fetch,
+    * Σ|doc| rows — never an all-token join). Emits (doc_id, c_id,
+    * jac_permyriad) at t = 0.6. Shared by the registered
+    * `dedup_prefix_incremental` (inline frames, oracle-matched) and the
+    * persisted probe (pinned in PartitionBucketSpec); tombstones mask
+    * both tables through the callers' [[graft.sources.Tombstones]] views.
+    */
+  private[graft] def prefixIncrementalPairs(
+      batchDocs: DataFrame, idx: DataFrame, fwd: DataFrame): DataFrame = {
+    val reps = batchDocs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+    val bex = shingled(reps).select(col("doc_id"), explode(col("sh")).as("x"))
+    val bsz = bex.groupBy("doc_id").agg(count(lit(1)).as("n_b"))
+    val ord = idx.select("x", "df_b").distinct()
+    val bw = Window.partitionBy("doc_id").orderBy(col("df_b"), col("x"))
+    val bpref = bex.join(ord, Seq("x"), "left")
+      .select(col("doc_id"), col("x"), coalesce(col("df_b"), lit(0L)).as("df_b"))
+      .withColumn("rn", row_number().over(bw))
+      .join(bsz, "doc_id")
+      .filter(col("rn") <= col("n_b") - expr("(3 * n_b + 4) div 5") + 1)
+      .select("doc_id", "x")
+    val cand = bpref
+      .join(idx.filter(col("is_prefix")).select(col("x"), col("doc_id").as("c_id")), "x")
+      .select("doc_id", "c_id").distinct()
+    val inter = cand
+      .join(fwd.select(col("doc_id").as("c_id"), col("x"), col("n_c")), "c_id")
+      .join(bex, Seq("doc_id", "x"))
+      .groupBy("doc_id", "c_id")
+      .agg(count(lit(1)).as("inter"), max(col("n_c")).as("n_c"))
+    inter.join(bsz, "doc_id")
+      .filter(col("inter") * 10 >= (col("n_b") + col("n_c") - col("inter")) * 6)
+      .select(col("doc_id"), col("c_id"),
+        expr("inter * 10000 div (n_b + n_c - inter)").as("jac_permyriad"))
+  }
+
   /** The winnowed-fingerprint pair join (`dedup_winnow_pairs`), on any frame
     * carrying (doc_id, text) — factored out so WinnowSpec can drive it over
     * synthetic corpora with known shared runs. See the registry entry's
@@ -1554,6 +1694,79 @@ object DedupQueries {
              |FROM it JOIN sz sza ON da = sza.doc_id JOIN sz szb ON db = szb.doc_id
              |WHERE 10 * inter >= 6 * (sza.n + szb.n - inter)
              |ORDER BY doc_a, doc_b""".stripMargin)
+    ),
+
+    // ---- incremental PPJoin: arriving batch vs the standing prefix index ----
+    // The exact-recall family's SERVING form (the dedup_winnow_incremental
+    // topology with a guarantee instead of a heuristic): the arriving
+    // batch's prefixes — selected under the INDEX's fixed global token
+    // order (df_b, x), never-seen tokens first at df 0 — probe the
+    // standing corpus's is_prefix rows; a batch/corpus pair at Jaccard ≥
+    // 0.6 provably shares a prefix token under any fixed common order, so
+    // candidate generation misses nothing, and the exact-intersection
+    // verify reads ONLY candidate docs' shingle sets through the forward
+    // store (Σ|candidate doc| rows — the all-token join boilerplate
+    // tokens would explode never happens). Persisted path:
+    // writePrefixIndex's x-bucketed inverted table + doc_id-bucketed
+    // forward table, probe pinned exchange-free on the corpus side in
+    // PartitionBucketSpec.
+    GQuery(
+      "dedup_prefix_incremental",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val thr = broadcast(d.agg(
+          expr("CAST((max(doc_id) + 1) * 4 div 5 AS BIGINT)").as("thr")))
+        val dThr = d.crossJoin(thr) // 1-row bound
+        val rows = Materialize(prefixIndexRows(
+          dThr.filter(col("doc_id") < col("thr")).select("doc_id", "text")))
+        prefixIncrementalPairs(
+          dThr.filter(col("doc_id") >= col("thr")).select("doc_id", "text"),
+          rows, rows)
+          .orderBy("doc_id", "c_id")
+      },
+      Some("""WITH qpthr AS (SELECT CAST((MAX(doc_id) + 1) * 4 // 5 AS BIGINT) AS thr FROM documents),
+             |icd AS (SELECT doc_id, text FROM documents, qpthr
+             |  WHERE doc_id < thr AND len(string_split(text, ' ')) >= 3),
+             |icrep AS (SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+             |  FROM icd GROUP BY md5(text)),
+             |ict AS (SELECT doc_id, string_split(text, ' ') AS toks FROM icrep),
+             |ics AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+             |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM ict),
+             |icex AS (SELECT doc_id, unnest(sh) AS x FROM ics),
+             |icsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_c FROM icex GROUP BY doc_id),
+             |icdf AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS df_b FROM icex GROUP BY x),
+             |icrk AS (SELECT icex.doc_id, icex.x,
+             |    row_number() OVER (PARTITION BY icex.doc_id ORDER BY df_b, icex.x) AS rn
+             |  FROM icex JOIN icdf ON icex.x = icdf.x),
+             |icpx AS (SELECT icrk.doc_id, icrk.x FROM icrk JOIN icsz USING (doc_id)
+             |  WHERE rn <= n_c - (3 * n_c + 4) // 5 + 1),
+             |ibd AS (SELECT doc_id, text FROM documents, qpthr
+             |  WHERE doc_id >= thr AND len(string_split(text, ' ')) >= 3),
+             |ibrep AS (SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+             |  FROM ibd GROUP BY md5(text)),
+             |ibt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM ibrep),
+             |ibs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+             |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh FROM ibt),
+             |ibex AS (SELECT doc_id, unnest(sh) AS x FROM ibs),
+             |ibsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_b FROM ibex GROUP BY doc_id),
+             |ibrk AS (SELECT ibex.doc_id, ibex.x,
+             |    row_number() OVER (PARTITION BY ibex.doc_id
+             |      ORDER BY COALESCE(df_b, 0), ibex.x) AS rn
+             |  FROM ibex LEFT JOIN icdf ON ibex.x = icdf.x),
+             |ibpx AS (SELECT ibrk.doc_id, ibrk.x FROM ibrk JOIN ibsz USING (doc_id)
+             |  WHERE rn <= n_b - (3 * n_b + 4) // 5 + 1),
+             |ipcand AS (SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS c_id
+             |  FROM ibpx b JOIN icpx c ON b.x = c.x),
+             |ipint AS (SELECT cand.doc_id, cand.c_id, CAST(COUNT(*) AS BIGINT) AS inter
+             |  FROM ipcand cand JOIN icex ec ON ec.doc_id = cand.c_id
+             |  JOIN ibex eb ON eb.doc_id = cand.doc_id AND eb.x = ec.x
+             |  GROUP BY cand.doc_id, cand.c_id)
+             |SELECT i.doc_id, i.c_id,
+             |  inter * 10000 // (n_b + n_c - inter) AS jac_permyriad
+             |FROM ipint i JOIN ibsz ON i.doc_id = ibsz.doc_id
+             |JOIN icsz ON i.c_id = icsz.doc_id
+             |WHERE 10 * inter >= 6 * (n_b + n_c - inter)
+             |ORDER BY i.doc_id, i.c_id""".stripMargin)
     ),
 
     // ---- MinHash-LSH recall audit against the exact-recall truth set -------

@@ -352,6 +352,32 @@ class PartitionBucketSpec extends SparkSpec {
     assert(probeAfterFirst.nonEmpty && probeAfterReplay.toSeq == probeAfterFirst.toSeq)
   }
 
+  test("persisted prefix (PPJoin) index: probe equals inline, corpus rides its buckets") {
+    // the exact-recall family's serving pin: batch prefixes join the
+    // standing is_prefix rows from the x-bucketed inverted table, the
+    // verify reads candidate docs through the doc_id-bucketed forward
+    // table, and the served pairs equal the registered inline entry
+    import graft.operators.DedupQueries
+    val thr = DedupQueries.writePrefixIndex(spark, sfDir, "prefix_idx", s"$tmp/prefix_idx")
+    val batch = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") >= thr)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val (idx, fwd) = DedupQueries.prefixIndexFrames(spark, "prefix_idx")
+      val served = DedupQueries.prefixIncrementalPairs(batch, idx, fwd)
+      val got = served.orderBy("doc_id", "c_id").collect()
+      val plan = served.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("Bucketed: true"), plan)
+      val inline = SparkEntry.queries("dedup_prefix_incremental")(spark, sfDir)
+        .collect()
+      assert(got.nonEmpty && got.toSeq == inline.toSeq,
+        s"index-served pairs != inline (${got.length} vs ${inline.length})")
+    } finally spark.conf.set(key, prior)
+  }
+
   test("persisted phash index: corpus band keys join from their buckets, unshuffled") {
     // the media serving claim: the bk-bucketed original-asset signature
     // index must feed the re-encode probe join WITHOUT a corpus-side

@@ -249,6 +249,48 @@ class TombstoneSpec extends SparkSpec {
     assert(!afterCompact.exists(r => deleted.contains(r.getLong(2))))
   }
 
+  test("prefix-index delete: verified pairs equal survivors despite the frozen order") {
+    // the order-stability claim made a pin: the index keeps its BUILD-time
+    // (df_b, x) token order after deletions — candidates may differ from a
+    // rebuild's (which would re-rank under survivor df) but the
+    // Jaccard-VERIFIED pair set is exact under any fixed order, so
+    // probe-after-delete equals the inline pipeline over the survivors
+    import graft.operators.DedupQueries
+    val thr = DedupQueries.writePrefixIndex(
+      spark, sfDir, "prefix_del_idx", s"$tmp/prefix_del")
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val deleted = spark.table("prefix_del_idx").select("doc_id").distinct()
+      .filter(col("doc_id") % 11 === 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(deleted.nonEmpty)
+    DedupQueries.deleteFromPrefixIndex(spark, "prefix_del_idx", deleted)
+    val batch = d.filter(col("doc_id") >= thr)
+    val (idx, fwd) = DedupQueries.prefixIndexFrames(spark, "prefix_del_idx")
+    val got = DedupQueries.prefixIncrementalPairs(batch, idx, fwd)
+      .orderBy("doc_id", "c_id").collect().toSeq
+    // inline over the SURVIVING CONTENT (its own consistent order): the
+    // index is rep-collapsed, so a deleted representative takes its whole
+    // identical-text group down — the content-takedown contract
+    val deletedTexts = d
+      .filter(col("doc_id").isin(deleted.map(i => i: Any): _*))
+      .select(md5(col("text")).as("h")).distinct()
+    val survRows = DedupQueries.prefixIndexRows(
+      d.filter(col("doc_id") < thr)
+        .join(deletedTexts, md5(col("text")) === col("h"), "left_anti"))
+    val expect = DedupQueries.prefixIncrementalPairs(batch, survRows, survRows)
+      .orderBy("doc_id", "c_id").collect().toSeq
+    assert(got == expect)
+    assert(!got.exists(r => deleted.contains(r.getLong(1))))
+    // compaction folds both halves; probe parity preserved
+    DedupQueries.compactPrefixIndex(spark, "prefix_del_idx")
+    assert(graft.sources.Tombstones.idSetForTable(spark, "prefix_del_idx").isEmpty)
+    assert(graft.sources.Tombstones.idSetForTable(spark, "prefix_del_idx_fwd").isEmpty)
+    val (idx2, fwd2) = DedupQueries.prefixIndexFrames(spark, "prefix_del_idx")
+    val after = DedupQueries.prefixIncrementalPairs(batch, idx2, fwd2)
+      .orderBy("doc_id", "c_id").collect().toSeq
+    assert(after == got)
+  }
+
   test("PQ/SQ/RP deletes: codes/sketch rows mask and fold; encoding artifacts stay fixed") {
     // the remaining persisted vector layouts: probe-after-delete must
     // equal a probe over the same index with the deleted per-vector rows
