@@ -242,6 +242,36 @@ object DocumentsStream {
     q.awaitTermination()
   }
 
+  /** Streaming exact-recall near-dup probe — the PPJoin twin of
+    * [[runWinnowProbe]]: each arriving micro-batch's documents probe the
+    * persisted prefix index ([[DedupQueries.writePrefixIndex]]'s
+    * inverted + forward pair) through
+    * [[DedupQueries.prefixIncrementalPairs]] — batch prefixes under the
+    * index's frozen token order, candidates from the x buckets, exact
+    * verification through the forward store. Batch reps collapse WITHIN a
+    * trigger only (two identical docs in different micro-batches each
+    * emit their pairs — per-document independence otherwise), so the
+    * drain over distinct-text batches equals the one-shot
+    * `dedup_prefix_incremental` (pinned in StreamingSpec; tombstones laid
+    * down mid-stream mask from the next trigger, like every probe).
+    */
+  def runPrefixProbe(
+      spark: SparkSession, inPath: String, indexTable: String,
+      outPath: String, checkpoint: String): Unit = {
+    val q = readDocs(spark, inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (idx, fwd) = DedupQueries.prefixIndexFrames(spark, indexTable)
+        DedupQueries.prefixIncrementalPairs(batch.toDF(), idx, fwd)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming re-encode detection: arriving binary assets are
     * perceptual-hashed per micro-batch (the mapPartitions signature of
     * `multimodal_phash`) and their band keys probe the standing

@@ -725,6 +725,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == direct.orderBy("doc_id", "c_id").collect().toSeq)
   }
 
+  test("streaming prefix (PPJoin) probe from the persisted index equals batch") {
+    // the exact-recall family's ingest twin: arriving docs probe the
+    // inverted+forward prefix index per trigger; the input is the batch
+    // side rep-collapsed up front (identical texts split across triggers
+    // would each emit — the documented per-trigger-collapse contract), so
+    // the multi-batch drain equals the one-shot dedup_prefix_incremental
+    import graft.operators.DedupQueries
+    import graft.streaming.DocumentsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-prefixstream").toString
+    val thr = DedupQueries.writePrefixIndex(
+      spark, sfDir, "prefix_idx_stream", s"$base/idx")
+    Tables.documents(spark, sfDir).select("doc_id", "text")
+      .filter(col("doc_id") >= thr && size(split(col("text"), " ")) >= 3)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+      .select("doc_id", "text")
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$base/in")
+    DocumentsStream.runPrefixProbe(
+      spark, s"$base/in", "prefix_idx_stream", s"$base/out", s"$base/ckpt")
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected several micro-batches, got $commits")
+    val direct = SparkEntry.queries("dedup_prefix_incremental")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    val got = spark.read.parquet(s"$base/out")
+      .select(cols: _*).orderBy("doc_id", "c_id").collect()
+    assert(got.nonEmpty && got.toSeq == direct.orderBy("doc_id", "c_id").collect().toSeq)
+  }
+
   test("streaming phash probe from the persisted index equals batch") {
     // arriving re-encode variants hash per trigger and probe the standing
     // original-asset band index; drain == multimodal_phash_incremental
