@@ -623,8 +623,28 @@ object DedupQueries {
     * exact under ANY fixed order, so both sides emit exactly the
     * Jaccard-verified pair set (pinned in TombstoneSpec).
     * [[compactPrefixIndex]] folds both tables physically.
+    *
+    * Because the index stores ONE representative (min doc_id) per distinct
+    * text, an id that is a non-representative duplicate matches no index
+    * row — tombstoning it would be a SILENT no-op and the content would
+    * keep matching, violating the every-copy-stops contract. So ids must
+    * resolve in the forward store (representative ids, whether live or
+    * already tombstoned — re-deleting stays idempotent); unknown ids fail
+    * loudly with the resolution hint instead of silently missing.
     */
   def deleteFromPrefixIndex(s: SparkSession, table: String, docIds: Seq[Long]): Unit = {
+    import s.implicits._
+    // membership probe with the BOUNDED id list broadcast (the forward
+    // store is corpus-scale — the semi join stays map-side over it)
+    val present = s.table(s"${table}_fwd").select("doc_id")
+      .join(broadcast(docIds.toDF("doc_id")), Seq("doc_id"), "left_semi")
+      .distinct().collect().map(_.getLong(0)).toSet
+    val missing = docIds.filterNot(present).take(5)
+    require(missing.isEmpty,
+      s"deleteFromPrefixIndex: doc_ids ${missing.mkString(",")} are not " +
+        s"representatives in $table — the index stores min(doc_id) per " +
+        "distinct text; resolve each id to its text-group representative " +
+        "(the content-level takedown unit) before tombstoning")
     graft.sources.Tombstones.addForTable(s, table, docIds)
     graft.sources.Tombstones.addForTable(s, s"${table}_fwd", docIds)
   }

@@ -466,9 +466,22 @@ object MultimodalQueries {
   def writePhashIndex(
       s: org.apache.spark.sql.SparkSession, dir: String,
       table: String, path: String): Unit = {
+    // EAGER id-bound check at the build entry point: the lazy per-row
+    // assert_true in assetsWithVariants only fires for rows a plan
+    // actually evaluates, so a partition-pruned or limited probe could
+    // misfile colliding ids (variant offsets vs real asset ids) before
+    // any full scan trips it. At index-build time the bound must hold
+    // GLOBALLY — every later probe classifies asset_id >= 1e6 as a
+    // planted variant — and one column-pruned max() job here is
+    // amortized over the index's whole serving life.
+    val assets = Multimodal.documentsAsAssets(s, dir)
+    val mx = assets.agg(max(col("asset_id"))).head
+    require(mx.isNullAt(0) || mx.getLong(0) < 1000000L,
+      s"writePhashIndex: max asset_id ${mx.get(0)} >= 1e6 collides with " +
+        "the planted-variant id offsets — widen the offsets (and the " +
+        "oracle) first")
     s.sql(s"DROP TABLE IF EXISTS $table")
-    phashBandKeys(
-      Multimodal.perceptualHash(Multimodal.documentsAsAssets(s, dir)).toDF())
+    phashBandKeys(Multimodal.perceptualHash(assets).toDF())
       .write.mode("overwrite")
       .bucketBy(8, "bk").sortBy("bk")
       .option("path", path)

@@ -532,9 +532,16 @@ object SearchQueries {
       .join(broadcast(ubF.select("term", "ub")), Seq("term"))
       .groupBy("q_id", "doc_id").agg(sum(col("ub")).as("ub_sum"))
     val dfF = ubF.select("term", "df")
-    def fullScores(cands: DataFrame): DataFrame =
+    // `hintBroadcast` only for PROVABLY bounded candidate frames (the
+    // ≤ 5K·n_queries θ-seed pool). The survivor set is NOT bounded — when
+    // θ prunes little (degenerate corpora, <K-candidate queries where θ is
+    // NULL, common-term postings) it equals the full candidate set, so it
+    // goes through a plain semi join and the planner falls back to shuffle
+    // when it is large.
+    def fullScores(cands: DataFrame, hintBroadcast: Boolean): DataFrame =
       postings.join(broadcast(q), Seq("term"))
-        .join(broadcast(cands), Seq("q_id", "doc_id"), "left_semi")
+        .join(if (hintBroadcast) broadcast(cands) else cands,
+          Seq("q_id", "doc_id"), "left_semi")
         .join(broadcast(dfF), Seq("term"))
         .crossJoin(broadcast(stats))
         .withColumn("score_t", expr(scoreExpr("div")))
@@ -551,14 +558,14 @@ object SearchQueries {
     val seeds = ubSum.withColumn("rn", row_number().over(wub))
       .filter(col("rn") <= 5 * TOP_K).select("q_id", "doc_id")
     val wq = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
-    val theta = fullScores(seeds)
+    val theta = fullScores(seeds, hintBroadcast = true)
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") === TOP_K)
       .select(col("q_id"), col("score").as("theta"))
     val survivors = ubSum.join(broadcast(theta), Seq("q_id"), "left")
       .filter(col("theta").isNull || col("ub_sum") >= col("theta"))
       .select("q_id", "doc_id")
-    val topk = fullScores(survivors)
+    val topk = fullScores(survivors, hintBroadcast = false)
       .withColumn("rank", row_number().over(wq).cast("long"))
       .filter(col("rank") <= TOP_K)
       .select("q_id", "rank", "doc_id", "score")

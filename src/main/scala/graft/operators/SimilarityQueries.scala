@@ -1207,6 +1207,19 @@ object SimilarityQueries {
       s: SparkSession, dir: String, path: String, newRows: DataFrame,
       nSeeds: Int = N_SEEDS, trained: Boolean = false): Unit = {
     graft.functions.GraftFunctions.register(s)
+    // a deleted id may not be re-used before a compaction folds its
+    // tombstone in: every probe's anti-join would silently MASK the
+    // re-appended rows (silent suppression — the corruption the
+    // appendSearchIndex/appendWinnowIndex guards exist to prevent); fail
+    // loudly instead
+    graft.sources.Tombstones.idSet(s, path).foreach { t =>
+      val clash = t.withColumnRenamed("id", "vec_id")
+        .join(broadcast(newRows.select("vec_id").distinct()), Seq("vec_id"), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(clash.isEmpty,
+        s"appendIvfIndex: vec_ids ${clash.mkString(",")} were deleted from " +
+          s"$path — run compactIvfIndex before re-using deleted ids")
+    }
     // the append must assign with the SAME quantizer the index was built
     // with — a trained index appended against raw seeds would scatter new
     // rows into the wrong cells (geometry is the contract, as on probes).
