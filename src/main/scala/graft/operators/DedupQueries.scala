@@ -341,6 +341,7 @@ object DedupQueries {
     require(!thrRow.isNullAt(0),
       s"writeBandIndex: documents table under '$dir' is empty — nothing to index")
     val thr = thrRow.getLong(0)
+    graft.sources.Tombstones.reset(s, path)
     s.sql(s"DROP TABLE IF EXISTS $table")
     bandKeysOf(signaturesOf(d.filter(col("doc_id") < thr)))
       .write.mode("overwrite")
@@ -596,6 +597,8 @@ object DedupQueries {
     require(!thrRow.isNullAt(0),
       s"writePrefixIndex: documents table under '$dir' is empty — nothing to index")
     val thr = thrRow.getLong(0)
+    graft.sources.Tombstones.reset(s, path)
+    graft.sources.Tombstones.reset(s, s"${path}_fwd")
     s.sql(s"DROP TABLE IF EXISTS $table")
     s.sql(s"DROP TABLE IF EXISTS ${table}_fwd")
     prefixIndexRows(d.filter(col("doc_id") < thr))
@@ -785,6 +788,7 @@ object DedupQueries {
     require(!thrRow.isNullAt(0),
       s"writeWinnowIndex: documents table under '$dir' is empty — nothing to index")
     val thr = thrRow.getLong(0)
+    graft.sources.Tombstones.reset(s, path)
     s.sql(s"DROP TABLE IF EXISTS $table")
     val fps = TextQueries.winnowSelected(d.filter(col("doc_id") < thr))
       .select(col("doc_id"), col("fp")).distinct()

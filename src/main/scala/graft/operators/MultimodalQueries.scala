@@ -480,6 +480,7 @@ object MultimodalQueries {
       s"writePhashIndex: max asset_id ${mx.get(0)} >= 1e6 collides with " +
         "the planted-variant id offsets — widen the offsets (and the " +
         "oracle) first")
+    graft.sources.Tombstones.reset(s, path)
     s.sql(s"DROP TABLE IF EXISTS $table")
     phashBandKeys(Multimodal.perceptualHash(assets).toDF())
       .write.mode("overwrite")

@@ -331,6 +331,9 @@ object SearchQueries {
       buckets: Int = POSTINGS_BUCKETS): Unit = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("lang")).filter(pred)
+    // a rebuild starts a new lifecycle: drop any previous life's manifest
+    // (stats pointer, tombstones) so probes resolve the fresh defaults
+    graft.sources.Tombstones.reset(s, path)
     s.sql(s"DROP TABLE IF EXISTS $table")
     postingsOf(docs)
       .write.mode("overwrite")
@@ -354,7 +357,7 @@ object SearchQueries {
     // a deleted id may not be re-used before a compaction folds its
     // tombstone in: the probe-side anti-join would silently suppress the
     // re-appended rows (the appendWinnowIndex discipline) — fail loudly
-    graft.sources.Tombstones.idSetForTable(s, table).foreach { t =>
+    graft.sources.Tombstones.idSet(s, path).foreach { t =>
       val clash = t.withColumnRenamed("id", "doc_id")
         .join(broadcast(newDocs.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
         .limit(5).collect().map(_.getLong(0))
@@ -371,29 +374,25 @@ object SearchQueries {
       .write.mode("append")
       .bucketBy(bucketCountOf(s, table), "term").sortBy("term")
       .saveAsTable(table)
-    // advance the 1-row stats via temp-write + rename, never overwriting in
-    // place: a crash mid-overwrite can no longer leave a half-written (or
-    // silently stale-but-readable) stats file — after the postings commit,
-    // the stats dir is atomically either the old version, the new version,
-    // or ABSENT (crash between delete and rename), and absence fails the
-    // next probe loudly instead of skewing its BM25 scores. The
-    // postings-committed-but-stats-old window remains (documented; a real
-    // deployment closes it with a transactional table format).
-    val old = s.read.parquet(s"${path}_stats").head
+    // advance the 1-row stats through the manifest: the new stats dir is
+    // prepared under a fresh epoch name and landed by one atomic pointer
+    // commit — a crash leaves the OLD stats resolved, never a half-written
+    // or missing dir. The postings-committed-but-stats-old window remains
+    // (documented; closing it requires the postings segments themselves to
+    // be manifest-tracked, i.e. a transactional table format).
+    val old = s.read.parquet(resolvedStats(s, path)).head
     val delta = statsOf(newDocs).head
-    val statsTmp = s"${path}_stats__new"
-    s.createDataFrame(Seq(
-        (old.getLong(0) + delta.getLong(0), old.getLong(1) + delta.getLong(1))))
-      .toDF("n_docs", "tt")
-      .write.mode("overwrite").parquet(statsTmp)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val statsP = new org.apache.hadoop.fs.Path(s"${path}_stats")
-    fs.delete(statsP, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(statsTmp), statsP),
-      s"appendSearchIndex: could not swap $statsTmp into place")
-    ()
+    graft.sources.Tombstones.advanceStats(s, path,
+      s.createDataFrame(Seq(
+          (old.getLong(0) + delta.getLong(0), old.getLong(1) + delta.getLong(1))))
+        .toDF("n_docs", "tt"))
   }
+
+  /** The index's current stored-stats directory — `<path>_stats` until a
+    * lifecycle commit (append advance, delete decrement) redirected it.
+    */
+  private def resolvedStats(s: SparkSession, path: String): String =
+    graft.sources.Tombstones.statsPath(s, path, s"${path}_stats")
 
   /** Probe the persisted index with the fixed query set: the term In-filter
     * pushes to the postings scan, df rides the term bucketing (no exchange),
@@ -415,9 +414,12 @@ object SearchQueries {
     * After both, every probe scores exactly as an index built over the
     * surviving corpus (pinned in TombstoneSpec). Deleting an absent or
     * already-deleted id is a no-op for the stats (its rows are already
-    * masked) and idempotent for the sidecar. The stats-new/tombstone-old
-    * crash window mirrors the documented append-path window; a
-    * transactional table format closes both.
+    * masked) and idempotent for the sidecar. The decremented stats and the
+    * tombstone land in ONE manifest commit ([[graft.sources.Tombstones
+    * .addWithStats]]) — no probe can ever observe one without the other,
+    * and a delete that crashes before the commit changes nothing, so
+    * retrying it recomputes from the old epoch instead of
+    * double-decrementing (crash-injection pinned in TombstoneSpec).
     */
   def deleteFromSearchIndex(
       s: SparkSession, table: String, path: String, docIds: Seq[Long]): Unit = {
@@ -425,24 +427,16 @@ object SearchQueries {
     // membership via a broadcast join, not an isin literal: a bulk
     // takedown (thousands of ids) would otherwise inline a giant In-list
     // into the plan; the id frame broadcasts like every tombstone mask
-    val del = graft.sources.Tombstones.filterTable(s, table, "doc_id")
+    val del = graft.sources.Tombstones.filter(s.table(table), path, "doc_id")
       .join(broadcast(docIds.toDF("doc_id")), Seq("doc_id"), "left_semi")
       .select("doc_id", "dl").distinct()
       .agg(count(lit(1)).as("nd"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
       .head
-    val old = s.read.parquet(s"${path}_stats").head
-    val statsTmp = s"${path}_stats__new"
-    s.createDataFrame(Seq(
-        (old.getLong(0) - del.getLong(0), old.getLong(1) - del.getLong(1))))
-      .toDF("n_docs", "tt")
-      .write.mode("overwrite").parquet(statsTmp)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val statsP = new org.apache.hadoop.fs.Path(s"${path}_stats")
-    fs.delete(statsP, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(statsTmp), statsP),
-      s"deleteFromSearchIndex: could not swap $statsTmp into place")
-    graft.sources.Tombstones.addForTable(s, table, docIds)
+    val old = s.read.parquet(resolvedStats(s, path)).head
+    graft.sources.Tombstones.addWithStats(s, path, docIds,
+      s.createDataFrame(Seq(
+          (old.getLong(0) - del.getLong(0), old.getLong(1) - del.getLong(1))))
+        .toDF("n_docs", "tt"))
   }
 
   /** Replace changed documents in the index — the UPDATE of the lifecycle's
@@ -460,7 +454,7 @@ object SearchQueries {
       s: SparkSession, table: String, path: String, docs: DataFrame): Unit = {
     val ids = docs.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
     deleteFromSearchIndex(s, table, path, ids)
-    compactSearchIndex(s, table)
+    compactSearchIndex(s, table, path)
     appendSearchIndex(s, table, path, docs)
   }
 
@@ -477,10 +471,10 @@ object SearchQueries {
     */
   def bm25ProbeIndex(s: SparkSession, table: String, path: String, q: DataFrame): DataFrame = {
     val terms = q.select("term").distinct().collect().map(_.getString(0)).toSeq
-    val p = graft.sources.Tombstones.filterTable(s, table, "doc_id")
+    val p = graft.sources.Tombstones.filter(s.table(table), path, "doc_id")
       .filter(col("term").isin(terms: _*))
     val dfF = p.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = s.read.parquet(s"${path}_stats")
+    val stats = s.read.parquet(resolvedStats(s, path))
     bm25Rank(p, dfF, stats, q).orderBy("q_id", "rank")
   }
 
@@ -592,10 +586,10 @@ object SearchQueries {
       s: SparkSession, table: String, path: String, q: DataFrame)
       : (DataFrame, DataFrame) = {
     val terms = q.select("term").distinct().collect().map(_.getString(0)).toSeq
-    val p = graft.sources.Tombstones.filterTable(s, table, "doc_id")
+    val p = graft.sources.Tombstones.filter(s.table(table), path, "doc_id")
       .filter(col("term").isin(terms: _*))
       .select("term", "doc_id", "tf", "dl")
-    val stats = s.read.parquet(s"${path}_stats")
+    val stats = s.read.parquet(resolvedStats(s, path))
     bm25WandRank(p, stats, q)
   }
 
@@ -611,10 +605,10 @@ object SearchQueries {
   def bm25FilteredTopkFromIndex(
       s: SparkSession, table: String, path: String, lang: String): DataFrame = {
     val terms = QUERY_TERMS.flatMap(_._2).distinct
-    val p = graft.sources.Tombstones.filterTable(s, table, "doc_id")
+    val p = graft.sources.Tombstones.filter(s.table(table), path, "doc_id")
       .filter(col("term").isin(terms: _*))
     val dfF = p.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = s.read.parquet(s"${path}_stats")
+    val stats = s.read.parquet(resolvedStats(s, path))
     bm25Rank(p.filter(col("lang") === lang), dfF, stats, queryTerms(s))
       .orderBy("q_id", "rank")
   }
@@ -664,9 +658,9 @@ object SearchQueries {
     * lists, raw text never read. Equals the inline `search_phrase_match`
     * (pinned in PartitionBucketSpec).
     */
-  def phraseMatchFromIndex(s: SparkSession, table: String): DataFrame = {
+  def phraseMatchFromIndex(s: SparkSession, table: String, path: String): DataFrame = {
     val words = PHRASES.flatMap(p => Seq(p._2, p._3)).distinct
-    val p = graft.sources.Tombstones.filterTable(s, table, "doc_id")
+    val p = graft.sources.Tombstones.filter(s.table(table), path, "doc_id")
       .filter(col("term").isin(words: _*))
     val pos = p.select(col("term"), col("doc_id"), explode(col("positions")).as("pos"))
     val m = pos.as("a")
@@ -698,10 +692,14 @@ object SearchQueries {
     * moved there verbatim when the winnow/band/phash families gained the
     * same rewrite), which also folds outstanding TOMBSTONES in physically:
     * stats were already decremented at delete time, so the compaction
-    * changes no probe result either way.
+    * changes no probe result either way. [r16] The search index anchors
+    * its manifest (stats pointer + tombstones) at the immutable build
+    * `path`, so the compaction passes that anchor explicitly: the
+    * tombstone-clearing epoch keeps the stats pointer alive across the
+    * location move.
     */
-  def compactSearchIndex(s: SparkSession, table: String): Unit =
-    graft.sources.Tombstones.compactBucketedIndex(s, table, "doc_id")
+  def compactSearchIndex(s: SparkSession, table: String, path: String): Unit =
+    graft.sources.Tombstones.compactBucketedIndex(s, table, "doc_id", Some(path))
 
   // ---- registry -----------------------------------------------------------
 

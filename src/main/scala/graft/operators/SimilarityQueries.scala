@@ -766,8 +766,17 @@ object SimilarityQueries {
     * whenever the corpus changes (the projection is deterministic — same
     * hash-derived matrix every time, nothing else to version).
     */
-  def writeRpSketch(s: SparkSession, dir: String, path: String): Unit =
+  def writeRpSketch(s: SparkSession, dir: String, path: String): Unit = {
+    graft.sources.Tombstones.reset(s, path)
     rpProjected(s, dir).write.mode("overwrite").parquet(path)
+  }
+
+  /** An index component's CURRENT data directory — the build default until
+    * a compaction's manifest commit redirected it (the epoch-dir swap that
+    * replaced the non-object-store-safe directory renames).
+    */
+  private def idxData(s: SparkSession, anchor: String, default: String): String =
+    graft.sources.IndexManifest.dataPath(s, anchor, default)
 
   /** Delete vectors from a persisted RP sketch: the probe's screening pass
     * masks them ([[rpTopkFromSketch]] — candidate side only), and
@@ -792,7 +801,7 @@ object SimilarityQueries {
     */
   def rpTopkFromSketch(s: SparkSession, dir: String, path: String): DataFrame = {
     import s.implicits._
-    val pe = s.read.parquet(path)
+    val pe = s.read.parquet(idxData(s, path, path))
     val e = VectorOps.normalized(s, dir)
     val q = broadcast(pe.filter(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("q_id"), col("pv").as("qpv"), col("pn").as("qpn")))
@@ -1097,6 +1106,82 @@ object SimilarityQueries {
         (col("cos") >= 0.45).cast("long").as("flagged"))
   }
 
+  /** Cell-scoped decontamination verdicts — the index-scale semantics the
+    * broadcast decontaminator promises for eval sets too big to broadcast:
+    * the EVAL side is IVF-assigned (cells from the shared full-corpus seed
+    * geometry), each train vector scores only the eval rows in its
+    * N_PROBE nearest cells, and the per-train argmax/flag is computed over
+    * that candidate set. The probed-cell restriction is the same recall
+    * trade as every IVF probe (ann_ivf_topk vs ann_bruteforce_topk); a
+    * train vector whose probed cells hold no eval rows has no verdict row
+    * — correct for the top-100 review queue, which ranks the HIGHEST-risk
+    * items. Registered as `pipeline_decontaminate_ivf`; the persisted-index
+    * twin is [[decontamVerdictsFromIndex]].
+    */
+  private[graft] def decontamVerdictsIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = VectorOps.normalized(s, dir)
+    val seeds = seedSet(e)
+    val evalAssign = assignToSeeds(e.filter(col("vec_id") % 10 === 0), seeds)
+      .select(col("vec_id").as("eval_vec_id"), col("v").as("ev"),
+        col("nrm").as("en"), col("seed_id"))
+    decontamRankIvf(trainProbesIvf(s, dir, seeds), evalAssign)
+  }
+
+  /** The train side's N_PROBE nearest cells (train_vec_id, v, nrm,
+    * seed_id) — shared by the inline entry and the persisted twin.
+    */
+  private def trainProbesIvf(s: SparkSession, dir: String, seeds: DataFrame): DataFrame = {
+    val train = VectorOps.normalized(s, dir).filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("train_vec_id"), col("v"), col("nrm"))
+    val pw = Window.partitionBy("train_vec_id").orderBy(col("pcos").desc, col("seed_id"))
+    train.join(seeds)
+      .select(col("train_vec_id"), col("v"), col("nrm"), col("seed_id"),
+        VectorOps.cosCol("v", "sv", "nrm", "sn").as("pcos"))
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= N_PROBE)
+      .select("train_vec_id", "v", "nrm", "seed_id")
+  }
+
+  /** Score the (train probes × cell-mate eval rows) equi-join and keep the
+    * per-train argmax + τ flag. A pair meeting in several shared cells
+    * yields identical duplicate rows; the argmax window collapses them, so
+    * no distinct — and therefore no extra shuffle — is needed.
+    */
+  private def decontamRankIvf(probes: DataFrame, evalAssign: DataFrame): DataFrame = {
+    val w = Window.partitionBy("train_vec_id")
+      .orderBy(col("cos").desc, col("eval_vec_id"))
+    probes.join(evalAssign, "seed_id")
+      .select(col("train_vec_id"), col("eval_vec_id"),
+        VectorOps.cosCol("v", "ev", "nrm", "en").as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("train_vec_id"), col("eval_vec_id"),
+        col("cos").as("max_cos"),
+        (col("cos") >= 0.45).cast("long").as("flagged"))
+  }
+
+  /** Decontamination served from a PERSISTED eval-side IVF index (built
+    * with `writeIvfIndexWhere(…, vec_id % 10 = 0)` — eval suites change
+    * rarely, so a deployment encodes them once and screens every training
+    * batch against the standing index). The corpus-scale TRAIN side meets
+    * the eval rows through the cell equi-join only — never the
+    * eval-broadcast nested loop of the inline decontaminator, and never a
+    * train×eval product. Tombstone-aware (a retired eval item stops
+    * flagging at the next probe); equals the registered
+    * `pipeline_decontaminate_ivf` rows (pinned in PartitionBucketSpec).
+    */
+  def decontamVerdictsFromIndex(s: SparkSession, dir: String, path: String): DataFrame = {
+    val (ns, tr) = quantizerConfigOf(s, path, N_SEEDS, false)
+    val e = VectorOps.normalized(s, dir)
+    val seeds = if (tr) trainedSeedSet(e, ns) else seedSet(e, ns)
+    val evalIdx = graft.sources.Tombstones.filter(
+        s.read.parquet(idxData(s, path, path))
+          .withColumn("cell", col("cell").cast("long")),
+        path, "vec_id")
+      .select(col("vec_id").as("eval_vec_id"), col("v").as("ev"),
+        col("nrm").as("en"), col("cell").as("seed_id"))
+    decontamRankIvf(trainProbesIvf(s, dir, seeds), evalIdx)
+  }
+
   /** Inline IVF top-k against an arbitrary coarse quantizer — the parity
     * reference for the trained-index serving test.
     */
@@ -1154,6 +1239,7 @@ object SimilarityQueries {
       s: SparkSession, dir: String, path: String,
       pred: org.apache.spark.sql.Column,
       nSeeds: Int = N_SEEDS, trained: Boolean = false): Unit = {
+    graft.sources.Tombstones.reset(s, path)
     val e = VectorOps.normalizedMeta(s, dir)
     val seeds = if (trained) trainedSeedSet(e, nSeeds) else seedSet(e, nSeeds)
     assignToSeeds(e.filter(pred), seeds)
@@ -1234,7 +1320,7 @@ object SimilarityQueries {
       .withColumn("nrm", expr(s"sqrt(${VectorOps.dotExpr("v", "v")})"))
     assignToSeeds(nw, seeds)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("seed_id").as("cell"))
-      .write.mode("append").partitionBy("cell").parquet(path)
+      .write.mode("append").partitionBy("cell").parquet(idxData(s, path, path))
   }
 
   /** Delete vectors from a persisted IVF index — the takedown path: the
@@ -1291,6 +1377,22 @@ object SimilarityQueries {
   def ivfProbeIndex(
       s: SparkSession, dir: String, path: String, queries: DataFrame,
       nSeeds: Int = N_SEEDS, trained: Boolean = false): DataFrame = {
+    val cand = ivfCandidates(s, dir, path, queries, nSeeds, trained)
+    val rw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    cand.withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select("q_id", "rank", "cand_id", "cos")
+  }
+
+  /** The persisted probe's scored candidate set (q_id, cand_id, cos) —
+    * the common front half of every index-served consumer: the plain
+    * top-k probe above and the banded hard-negative miner
+    * ([[hardNegativesFromIndex]]) rank the SAME pruned-cell candidates,
+    * only their post-score predicates differ.
+    */
+  private[graft] def ivfCandidates(
+      s: SparkSession, dir: String, path: String, queries: DataFrame,
+      nSeeds: Int = N_SEEDS, trained: Boolean = false): DataFrame = {
     // resolve the quantizer from the index's own sidecar (params are the
     // pre-sidecar fallback) — a sharded caller probing many indexes gets
     // each one's true geometry without threading config per path
@@ -1315,19 +1417,39 @@ object SimilarityQueries {
     // broadcasts the (small) tombstone set, so the index side still never
     // shuffles and a never-deleted index pays nothing
     val assign = graft.sources.Tombstones.filter(
-      s.read.parquet(path)
+      s.read.parquet(idxData(s, path, path))
         .filter(col("cell").isin(probedCells.map(c => c.toInt: Any): _*))
         .withColumn("cell", col("cell").cast("long")),
       path, "vec_id")
-    val cand = probes.join(assign, "cell")
+    probes.join(assign, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
       .distinct()
-    val rw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
-    cand.withColumn("rank", row_number().over(rw).cast("long"))
-      .filter(col("rank") <= TOP_K)
-      .select("q_id", "rank", "cand_id", "cos")
+  }
+
+  /** Hard-negative mining served from the PERSISTED IVF index — the
+    * index-scale form `pipeline_hard_negatives` promises: candidates come
+    * from the partition-pruned cell read (never a corpus scan), the τ=0.45
+    * near-dup band applies AFTER scoring (the filtered-ANN discipline: a
+    * predicate on an already-scored bounded list, never a new scan), and
+    * the top-5 surviving negatives per query are emitted. Semantics are
+    * the registered `pipeline_hard_negatives_ivf` entry's (band over the
+    * IVF candidate set — the mining analogue of ann_ivf_topk's probed-cell
+    * recall trade vs ann_bruteforce_topk); pinned row-identical in
+    * PartitionBucketSpec, tombstone-aware like every probe.
+    */
+  def hardNegativesFromIndex(s: SparkSession, dir: String, path: String): DataFrame = {
+    val e = VectorOps.normalized(s, dir)
+    val q = e.filter(col("vec_id") < N_QUERIES).select("vec_id", "v", "nrm")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neg_id"))
+    ivfCandidates(s, dir, path, q)
+      .select(col("q_id"), col("cand_id").as("neg_id"), col("cos"))
+      .filter(col("cos") < 0.45)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "neg_id", "cos")
+      .orderBy("q_id", "rank")
   }
 
   /** Sharded ANN serving: probe each half-corpus persisted index
@@ -1355,40 +1477,23 @@ object SimilarityQueries {
     * cell, and a year of micro-batches turns probes into
     * thousands-of-tiny-files IO. Rewrite clusters each cell's rows into
     * ONE file (repartition by cell, then partitionBy — every cell's rows
-    * land in a single task), written beside the index and atomically
-    * swapped via FileSystem rename, so a concurrent probe sees the old or
-    * the new layout, never a half-written one. Content — and therefore
+    * land in a single task), written to a fresh epoch-named directory and
+    * landed by ONE manifest commit that simultaneously redirects the data
+    * pointer and drops the tombstone fragments — no directory rename
+    * anywhere, so the swap is object-store-safe and a crash at any point
+    * leaves probes on the previous (data, tombstones) pair
+    * (crash-injection pinned in TombstoneSpec). Content — and therefore
     * every probe result — is unchanged (pinned in PartitionBucketSpec).
-    *
-    * DEPLOYMENT CONSTRAINT: the swap relies on atomic directory rename —
-    * true on local filesystems and HDFS, NOT on object stores (S3/GCS
-    * renames are nonatomic copies). This index is a plain parquet path
-    * with no catalog entry, so the catalog-owned location swap
-    * [[SearchQueries.compactSearchIndex]] uses is unavailable; on an
-    * object store, register the path as a catalog table first (then the
-    * catalog pointer flip is the atom) or adopt a transactional table
-    * format — rewriting this builder to require a metastore would tax the
-    * common HDFS case for the exception.
+    * The rewrite is also where tombstones fold in physically: after
+    * compaction the index equals a fresh build over the surviving vectors
+    * (pinned in TombstoneSpec).
     */
-  def compactIvfIndex(s: SparkSession, path: String): Unit = {
-    val tmpPath = s"${path}__compact"
-    // the rewrite is where tombstones fold in physically: drop deleted
-    // rows here, and clear the sidecar once the swapped-in index no longer
-    // contains them — after compaction the index equals a fresh build over
-    // the surviving vectors (pinned in TombstoneSpec)
-    graft.sources.Tombstones.filter(s.read.parquet(path), path, "vec_id")
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmpPath)
-    val conf = s.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
-    val tp = new org.apache.hadoop.fs.Path(tmpPath)
-    val fs = p.getFileSystem(conf)
-    val old = new org.apache.hadoop.fs.Path(s"${path}__old")
-    require(fs.rename(p, old), s"compactIvfIndex: could not move $path aside")
-    require(fs.rename(tp, p), s"compactIvfIndex: could not swap $tmpPath into place")
-    fs.delete(old, true)
-    graft.sources.Tombstones.clear(s, path)
-  }
+  def compactIvfIndex(s: SparkSession, path: String): Unit =
+    graft.sources.Tombstones.compactToEpochDir(s, path, path) { (cur, dest) =>
+      graft.sources.Tombstones.filter(s.read.parquet(cur), path, "vec_id")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dest)
+    }
 
   /** Cell-scoped top-3 neighbor graph (vec_id, rank, nbr_id, cos) — the
     * registered `ann_knn_graph` and the persisted serving form share it.
@@ -1425,10 +1530,12 @@ object SimilarityQueries {
     * the IVF index, applied to the derived graph.
     */
   def writeKnnGraph(s: SparkSession, dir: String, path: String,
-                    buckets: Long = KNN_BUCKETS): Unit =
+                    buckets: Long = KNN_BUCKETS): Unit = {
+    graft.sources.Tombstones.reset(s, path)
     knnGraphOf(s, dir)
       .withColumn("bucket", pmod(col("vec_id"), lit(buckets)))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
 
   /** Persist the TRAINED serving graph — the "train once, serve many"
     * completion of the beam tier: one NN-Descent iteration over the cell
@@ -1444,6 +1551,7 @@ object SimilarityQueries {
     */
   def writeRefinedKnnGraph(s: SparkSession, dir: String, path: String,
                            buckets: Long = KNN_BUCKETS): Unit = {
+    graft.sources.Tombstones.reset(s, path)
     val e = VectorOps.normalized(s, dir)
     val r1 = refineKnn(e, Materialize(
       knnGraphOf(s, dir).select("vec_id", "nbr_id")
@@ -1469,7 +1577,7 @@ object SimilarityQueries {
   def knnNeighborsFromGraph(s: SparkSession, path: String, ids: Seq[Long],
                             nBuckets: Long = KNN_BUCKETS): DataFrame = {
     val buckets = ids.map(_ % nBuckets).distinct.sorted
-    val rows = s.read.parquet(path)
+    val rows = s.read.parquet(idxData(s, path, path))
       .filter(col("bucket").isin(buckets.map(b => b.toInt: Any): _*))
       .filter(col("vec_id").isin(ids.map(i => i: Any): _*))
       .select("vec_id", "rank", "nbr_id", "cos")
@@ -1491,25 +1599,17 @@ object SimilarityQueries {
 
   /** Fold a graph's tombstones in physically: rewrite without rows whose
     * EITHER endpoint is deleted (a surviving node must not list a deleted
-    * neighbor), one file per bucket partition, atomic directory swap (the
-    * compactIvfIndex mechanics and its same non-object-store rename
-    * caveat), then clear the sidecar.
+    * neighbor), one file per bucket partition, landed by the shared
+    * epoch-dir manifest commit (the compactIvfIndex mechanics — data
+    * pointer and fragment drop in one atom, no directory renames).
     */
   def compactKnnGraph(s: SparkSession, path: String): Unit = {
-    val tmpPath = s"${path}__compact"
     val t = graft.sources.Tombstones
-    t.filter(t.filter(s.read.parquet(path), path, "vec_id"), path, "nbr_id")
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmpPath)
-    val conf = s.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
-    val tp = new org.apache.hadoop.fs.Path(tmpPath)
-    val fs = p.getFileSystem(conf)
-    val old = new org.apache.hadoop.fs.Path(s"${path}__old")
-    require(fs.rename(p, old), s"compactKnnGraph: could not move $path aside")
-    require(fs.rename(tp, p), s"compactKnnGraph: could not swap $tmpPath into place")
-    fs.delete(old, true)
-    t.clear(s, path)
+    t.compactToEpochDir(s, path, path) { (cur, dest) =>
+      t.filter(t.filter(s.read.parquet(cur), path, "vec_id"), path, "nbr_id")
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(dest)
+    }
   }
 
   // ---- graph-ANN serving: beam search over the k-NN graph -----------------
@@ -1692,7 +1792,7 @@ object SimilarityQueries {
   private[graft] def beamHopRead(s: SparkSession, path: String,
                                  beamIds: Seq[Long], nBuckets: Long): DataFrame = {
     val hotBuckets = beamIds.map(_ % nBuckets).distinct.sorted
-    s.read.parquet(path)
+    s.read.parquet(idxData(s, path, path))
       .filter(col("bucket").isin(hotBuckets.map(b => b.toInt: Any): _*))
       .filter(col("vec_id").isin(beamIds.map(i => i: Any): _*))
       .select("vec_id", "nbr_id")
@@ -1930,7 +2030,7 @@ object SimilarityQueries {
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
     val assign = graft.sources.Tombstones.filter(
-      s.read.parquet(path)
+      s.read.parquet(idxData(s, path, path))
         .filter(col("cell").isin(probedCells.map(c => c.toInt: Any): _*))
         .filter(col("label") === FILTER_LABEL)
         .withColumn("cell", col("cell").cast("long")),
@@ -1965,7 +2065,7 @@ object SimilarityQueries {
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
     val members = graft.sources.Tombstones.filter(
-      s.read.parquet(ivfPath)
+      s.read.parquet(idxData(s, ivfPath, ivfPath))
         .filter(col("cell").isin(probedCells.map(c => c.toInt: Any): _*))
         .withColumn("cell", col("cell").cast("long"))
         .select("cell", "vec_id"),
@@ -1977,7 +2077,7 @@ object SimilarityQueries {
     // mask BOTH layers' tombstones: a takedown may have reached only one
     // of the two indexes, and either alone must suppress the vector
     val codes = graft.sources.Tombstones.filter(
-      s.read.parquet(s"$pqPath/codes"), pqPath, "vec_id")
+      s.read.parquet(idxData(s, pqPath, s"$pqPath/codes")), pqPath, "vec_id")
     val pairs = cand
       .join(codes, "vec_id")
       .join(dtab, "q_id")
@@ -2171,6 +2271,7 @@ object SimilarityQueries {
     * — the `writeIvfIndex` precedent applied to PQ).
     */
   def writePqIndex(s: SparkSession, dir: String, path: String): Unit = {
+    graft.sources.Tombstones.reset(s, path)
     val subs = subvectors(VectorOps.normalized(s, dir).select("vec_id", "v"))
     val cents = seededCents(subs)
     val (codes, _) = pqPartsFrom(subs, cents)
@@ -2205,7 +2306,7 @@ object SimilarityQueries {
   def pqTopkFromIndex(s: SparkSession, dir: String, path: String): DataFrame = {
     val dtab = queryAdcTable(s, dir, path)
     val codes = graft.sources.Tombstones.filter(
-      s.read.parquet(s"$path/codes"), path, "vec_id")
+      s.read.parquet(idxData(s, path, s"$path/codes")), path, "vec_id")
     adcTopk(codes, dtab)
   }
 
@@ -2540,6 +2641,7 @@ object SimilarityQueries {
     * 1-row stats record, written once; probes never read raw vectors.
     */
   def writeSqIndex(s: SparkSession, dir: String, path: String): Unit = {
+    graft.sources.Tombstones.reset(s, path)
     val e = VectorOps.normalized(s, dir).select("vec_id", "v")
     val st = sqStats(e)
     st.write.mode("overwrite").parquet(s"$path/stats")
@@ -2555,7 +2657,7 @@ object SimilarityQueries {
   def sqTopkFromIndex(s: SparkSession, dir: String, path: String): DataFrame = {
     val st = broadcast(s.read.parquet(s"$path/stats"))
     val deq = graft.sources.Tombstones.filter(
-        s.read.parquet(s"$path/codes"), path, "vec_id")
+        s.read.parquet(idxData(s, path, s"$path/codes")), path, "vec_id")
       .crossJoin(st) // 1-row bound
       .select(col("vec_id"), expr(sqDeqExpr).as("dv"))
     sqRank(deq, sqQuerySide(s, dir))
@@ -4371,6 +4473,48 @@ object SimilarityQueries {
               |ORDER BY max_cos DESC, train_vec_id LIMIT 100""".stripMargin)
     ),
 
+    // The index-scale decontaminator — the "eval set too big to broadcast"
+    // swap the entry above documents, as a registered entry: the eval side
+    // is IVF-assigned (shared full-corpus seed geometry), each train
+    // vector scores only its N_PROBE nearest cells' eval rows through a
+    // cell EQUI-join (never the eval-broadcast nested loop, never a
+    // train×eval product), and the top-100 review queue ranks the
+    // surviving argmax verdicts. Probed-cell restriction = the standing
+    // IVF recall trade; a train vector whose probed cells hold no eval
+    // rows has no verdict row (absent from a HIGHEST-risk queue by
+    // construction). Serving twin: [[decontamVerdictsFromIndex]] over the
+    // persisted eval index, pinned in PartitionBucketSpec.
+    GQuery(
+      "pipeline_decontaminate_ivf",
+      (s, dir) => decontamVerdictsIvf(s, dir)
+        .orderBy(col("max_cos").desc, col("train_vec_id"))
+        .limit(100),
+      Some(s"""WITH ${VectorOps.normalizedSql},
+              |seeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn FROM e WHERE vec_id < $N_SEEDS),
+              |diva0 AS (SELECT e.vec_id, e.v, e.nrm, seeds.seed_id,
+              |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              |    ${VectorOps.cosSql("e.v", "seeds.sv", "e.nrm", "seeds.sn")} DESC, seeds.seed_id) AS rn
+              |  FROM e CROSS JOIN seeds WHERE e.vec_id % 10 = 0),
+              |diva AS (SELECT vec_id AS eval_vec_id, v AS ev, nrm AS en, seed_id
+              |  FROM diva0 WHERE rn = 1),
+              |ditr AS (SELECT vec_id AS train_vec_id, v, nrm FROM e WHERE vec_id % 10 <> 0),
+              |dipr0 AS (SELECT train_vec_id, ditr.v, ditr.nrm, seeds.seed_id,
+              |  row_number() OVER (PARTITION BY train_vec_id ORDER BY
+              |    ${VectorOps.cosSql("ditr.v", "seeds.sv", "ditr.nrm", "seeds.sn")} DESC, seeds.seed_id) AS rn
+              |  FROM ditr CROSS JOIN seeds),
+              |dipr AS (SELECT train_vec_id, v, nrm, seed_id FROM dipr0 WHERE rn <= $N_PROBE),
+              |disc AS (SELECT train_vec_id, eval_vec_id,
+              |    ${VectorOps.cosSql("dipr.v", "ev", "dipr.nrm", "en")} AS cos
+              |  FROM dipr JOIN diva ON dipr.seed_id = diva.seed_id),
+              |dibest AS (SELECT train_vec_id, eval_vec_id, cos,
+              |    row_number() OVER (PARTITION BY train_vec_id
+              |      ORDER BY cos DESC, eval_vec_id) AS rn FROM disc)
+              |SELECT train_vec_id, eval_vec_id, cos AS max_cos,
+              |  CAST(cos >= 0.45 AS BIGINT) AS flagged
+              |FROM dibest WHERE rn = 1
+              |ORDER BY max_cos DESC, train_vec_id LIMIT 100""".stripMargin)
+    ),
+
     // ---- hard-negative mining (retrieval training data) ---------------------
     // The contrastive-training complement of ANN serving (the DPR/ANCE
     // recipe): for each query, the most-similar candidates that are NOT
@@ -4411,6 +4555,44 @@ object SimilarityQueries {
               |      ORDER BY cos DESC, neg_id) AS BIGINT) AS rank
               |  FROM hns WHERE cos < 0.45)
               |SELECT q_id, rank, neg_id, cos FROM hnr WHERE rank <= 5
+              |ORDER BY q_id, rank""".stripMargin)
+    ),
+
+    // The index-scale form of the miner above — the swap its scale note
+    // promises, as a REGISTERED entry (the r7 band-index precedent: every
+    // prose scale-claim becomes a pinned plan): candidates come from the
+    // IVF probed-cell set instead of the corpus pass, the τ band applies
+    // after scoring (the filtered-ANN discipline), top-5 survivors per
+    // query. The probed-cell restriction is the standing IVF recall trade
+    // (ann_ivf_topk vs ann_bruteforce_topk) applied to mining; the oracle
+    // is the ivf candidate chain + band, so the hash match pins the
+    // banded-rank semantics exactly. Serving twin: the persisted-index
+    // [[hardNegativesFromIndex]], pinned row-identical in
+    // PartitionBucketSpec.
+    GQuery(
+      "pipeline_hard_negatives_ivf",
+      (s, dir) => {
+        val e = VectorOps.normalized(s, dir)
+        val seeds = seedSet(e)
+        val assign = assignToSeeds(e, seeds).select("vec_id", "v", "nrm", "seed_id")
+        val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("neg_id"))
+        queryProbes(e, seeds).join(assign, "seed_id")
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neg_id"),
+            VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
+          .distinct()
+          .filter(col("cos") < 0.45)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select("q_id", "rank", "neg_id", "cos")
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH $ivfRankedSql,
+              |hnivf AS (SELECT q_id, cand_id AS neg_id, cos,
+              |    CAST(row_number() OVER (PARTITION BY q_id
+              |      ORDER BY cos DESC, cand_id) AS BIGINT) AS rank
+              |  FROM cand WHERE cos < 0.45)
+              |SELECT q_id, rank, neg_id, cos FROM hnivf WHERE rank <= 5
               |ORDER BY q_id, rank""".stripMargin)
     ),
 

@@ -10,17 +10,21 @@ import org.apache.spark.sql.functions._
   * requests, which cannot wait for a full index rebuild).
   *
   * Design (the classic LSM/tombstone shape, cf. FreshDiskANN for the ANN
-  * variant): deletions are recorded as an id set in a SIDECAR parquet
-  * directory beside the index (`<path>_tombstones` — the same
-  * move-invariant anchor as the postings stats sidecar, so compaction's
-  * catalog-location swap never orphans it). Probes anti-join the sidecar
-  * against the index scan with the TOMBSTONE SIDE BROADCAST: the standing
-  * index is never shuffled, and the per-probe overhead is one broadcast of
-  * the takedown set (small relative to any corpus — a deployment that
-  * accumulates millions of tombstones is overdue for the compaction that
-  * folds them in). Compaction physically drops tombstoned rows during its
-  * rewrite and clears the sidecar — after it, the index equals a fresh
-  * build over the surviving corpus.
+  * variant): deletions are recorded as id-set FRAGMENTS under a sidecar
+  * directory beside the index (`<path>_tombstones/f<epoch>`), and the set
+  * of LIVE fragments is named by the index's [[IndexManifest]] — each
+  * delete writes one new fragment (touching no standing file) and lands it
+  * with a single atomic manifest commit, so a half-written fragment is
+  * never visible (the fragment's part files only count once the pointer
+  * names them) and a crashed delete leaves the index exactly as it was.
+  * Probes anti-join the live fragments' union against the index scan with
+  * the TOMBSTONE SIDE BROADCAST: the standing index is never shuffled, and
+  * the per-probe overhead is one broadcast of the takedown set (small
+  * relative to any corpus — a deployment that accumulates millions of
+  * tombstones is overdue for the compaction that folds them in).
+  * Compaction physically drops tombstoned rows during its rewrite and
+  * commits an epoch with no live fragments — after it, the index equals a
+  * fresh build over the surviving corpus.
   *
   * Correctness under deletion of derived statistics:
   *   - probe-time stats (winnow df cap, postings df, phash/band candidate
@@ -28,33 +32,38 @@ import org.apache.spark.sql.functions._
   *     surviving corpus by construction — deletion can both shrink df and
   *     RE-ADMIT a previously df-capped key (pinned in WinnowSpec);
   *   - stored 1-row corpus stats (postings n_docs/tt) are decremented at
-  *     delete time by the deleted rows' own contribution (computed from the
-  *     index before the tombstone lands);
+  *     delete time by the deleted rows' own contribution, and the new
+  *     stats land IN THE SAME manifest commit as the tombstone
+  *     ([[addWithStats]]) — a probe can never see one without the other,
+  *     and a crashed-then-retried delete recomputes from the old epoch, so
+  *     double-decrement is structurally impossible;
   *   - any stored upper bounds derived from maxima stay upper-bound-SAFE
   *     (stale-larger) under deletion and are recomputed exactly at the next
   *     compaction.
   *
-  * The sidecar is APPEND-only between compactions (each delete writes new
-  * part files; readers take the distinct union), so concurrent deletes
-  * never read-modify-write each other, and deleting an id twice is
-  * idempotent. Re-using a deleted id in a later append is NOT supported
-  * until a compaction has folded the tombstone in — the append paths fail
-  * loudly on the collision rather than silently resurrecting or
-  * re-suppressing rows.
+  * Fragments are immutable once committed (concurrent mutations are
+  * excluded by the manifest's single-writer check, surfacing loudly rather
+  * than interleaving), and deleting an id twice is idempotent — the
+  * reader takes the distinct union. Re-using a deleted id in a later
+  * append is NOT supported until a compaction has folded the tombstone in
+  * — the append paths fail loudly on the collision rather than silently
+  * resurrecting or re-suppressing rows.
   */
 object Tombstones {
 
-  /** Sidecar directory for an index's tombstone set. Path-based indexes
-    * (IVF, k-NN graph) anchor on their data path; catalog-table indexes
-    * anchor on the table's CURRENT location ([[tableLocation]]) — coherent
-    * across compactions because a compaction both moves the location and
-    * clears the sidecar (tombstones never outlive the files they mask).
+  /** Sidecar directory holding an index's tombstone fragments. Path-based
+    * indexes (IVF, k-NN graph, flat codes) and the search index anchor on
+    * their immutable build path; the other catalog-table indexes anchor on
+    * the table's CURRENT location ([[tableLocation]]) — coherent across
+    * compactions because their compaction both moves the location and
+    * resets the old anchor (tombstones never outlive the files they mask).
     */
   def sidecar(indexPath: String): String =
     indexPath.stripSuffix("/") + "_tombstones"
 
   /** A catalog-table index's current data location — the sidecar anchor
-    * for the bucketed families (postings, winnow, band, phash).
+    * for the location-anchored bucketed families (winnow, band, phash,
+    * prefix).
     */
   def tableLocation(s: SparkSession, table: String): String =
     s.sessionState.catalog
@@ -75,29 +84,76 @@ object Tombstones {
   def idSetForTable(s: SparkSession, table: String): Option[DataFrame] =
     idSet(s, tableLocation(s, table))
 
-  /** Record `ids` as deleted. Append-only: one new parquet fragment per
-    * call, distinct-ed at read time, so repeated/concurrent deletes are
-    * idempotent and never rewrite standing tombstones.
+  /** Record `ids` as deleted: one immutable fragment + one manifest
+    * commit. All-or-nothing — a crash before the commit leaves the new
+    * fragment unreferenced and the index unchanged.
     */
   def add(s: SparkSession, indexPath: String, ids: Seq[Long]): Unit = {
     require(ids.nonEmpty, "Tombstones.add: empty id set")
-    import s.implicits._
-    ids.toDF("id").write.mode("append").parquet(sidecar(indexPath))
+    val e = IndexManifest.next(s, indexPath)
+    val frag = writeFragment(s, indexPath, e.version, ids)
+    IndexManifest.commit(s, indexPath, e.copy(tombstones = e.tombstones :+ frag))
   }
 
-  /** The distinct tombstoned id set, or None when nothing was ever
-    * deleted (the common case — probes pay nothing).
+  /** Record `ids` as deleted AND swap in replacement stored stats, in ONE
+    * manifest commit — the atom the search index's takedown needs: its
+    * 1-row corpus stats must decrement exactly when the tombstone lands,
+    * never before or after. `newStats` is written to a fresh epoch-named
+    * directory; the previous stats dir is untouched (it stays the resolved
+    * state if the commit never happens).
     */
-  def idSet(s: SparkSession, indexPath: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(sidecar(indexPath))
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(s.read.parquet(sidecar(indexPath)).select("id").distinct())
-    else None
+  def addWithStats(
+      s: SparkSession, indexPath: String, ids: Seq[Long], newStats: DataFrame): Unit = {
+    require(ids.nonEmpty, "Tombstones.addWithStats: empty id set")
+    val e = IndexManifest.next(s, indexPath)
+    val statsDir = epochStatsDir(indexPath, e.version)
+    newStats.write.mode("overwrite").parquet(statsDir)
+    val frag = writeFragment(s, indexPath, e.version, ids)
+    IndexManifest.commit(s, indexPath,
+      e.copy(stats = Some(statsDir), tombstones = e.tombstones :+ frag))
   }
+
+  /** Swap in replacement stored stats with no new tombstones (the append
+    * path's stats advance) — same prepare-then-commit atom: a crash leaves
+    * the old stats resolved, never a half-written or missing dir.
+    */
+  def advanceStats(s: SparkSession, indexPath: String, newStats: DataFrame): Unit = {
+    val e = IndexManifest.next(s, indexPath)
+    val statsDir = epochStatsDir(indexPath, e.version)
+    newStats.write.mode("overwrite").parquet(statsDir)
+    IndexManifest.commit(s, indexPath, e.copy(stats = Some(statsDir)))
+  }
+
+  /** The resolved stored-stats directory (build default until a lifecycle
+    * commit moved it).
+    */
+  def statsPath(s: SparkSession, indexPath: String, default: String): String =
+    IndexManifest.statsPath(s, indexPath, default)
+
+  private def epochStatsDir(indexPath: String, version: Long): String =
+    s"${indexPath.stripSuffix("/")}_stats_e$version"
+
+  private def writeFragment(
+      s: SparkSession, indexPath: String, version: Long, ids: Seq[Long]): String = {
+    import s.implicits._
+    val frag = s"${sidecar(indexPath)}/f$version"
+    // one part file: a takedown batch is a bounded request list, and a
+    // single-file fragment cannot be read half-landed even mid-write
+    ids.toDF("id").coalesce(1).write.mode("overwrite").parquet(frag)
+    frag
+  }
+
+  /** The distinct tombstoned id set, or None when the current epoch has
+    * no live fragments (the common case — probes pay nothing).
+    */
+  def idSet(s: SparkSession, indexPath: String): Option[DataFrame] =
+    IndexManifest.current(s, indexPath).filter(_.tombstones.nonEmpty).map { e =>
+      s.read.parquet(e.tombstones: _*).select("id").distinct()
+    }
 
   /** Drop tombstoned rows from an index scan: broadcast anti-join on
     * `idCol` — the index side keeps its bucketing/partitioning (no
-    * exchange), and with no sidecar present the frame passes through
+    * exchange), and with no live fragments the frame passes through
     * untouched (zero plan overhead for never-deleted indexes).
     */
   def filter(df: DataFrame, indexPath: String, idCol: String): DataFrame =
@@ -107,12 +163,72 @@ object Tombstones {
       case None => df
     }
 
-  /** Drop the sidecar (called by compaction after the physical rewrite no
-    * longer contains the tombstoned rows).
+  /** Mark all tombstones folded (called by compaction after the physical
+    * rewrite no longer contains the masked rows): commit an epoch with no
+    * live fragments — stats and data pointers ride along unchanged — then
+    * best-effort reclaim the now-unreferenced fragment files. A crash
+    * between the rewrite and this commit is harmless: the still-listed
+    * tombstones anti-join against rows that no longer exist.
     */
   def clear(s: SparkSession, indexPath: String): Unit = {
+    val e = IndexManifest.next(s, indexPath)
+    if (e.version > 1 || e.tombstones.nonEmpty)
+      IndexManifest.commit(s, indexPath, e.copy(tombstones = Vector.empty))
     val p = new org.apache.hadoop.fs.Path(sidecar(indexPath))
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
+
+  /** Erase an anchor's lifecycle state entirely — builders call this so a
+    * rebuild starts from the defaults, and the location-anchored
+    * compaction calls it on the superseded location (a dead anchor needs
+    * no tombstone-clearing epoch).
+    */
+  def reset(s: SparkSession, indexPath: String): Unit = {
+    IndexManifest.reset(s, indexPath)
+    val p = new org.apache.hadoop.fs.Path(sidecar(indexPath))
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
+
+  /** Fold tombstones into a FLAT parquet index directory (PQ/SQ code
+    * tables, the RP sketch): write the survivors to a fresh epoch-named
+    * directory and redirect the manifest's data pointer in the same commit
+    * that drops the fragments — no directory rename anywhere, so the swap
+    * is object-store-safe and a crash at any point leaves readers on the
+    * previous (data, tombstones) pair. `anchorPath` is the index's
+    * manifest anchor, which may be a PARENT of `defaultData` (PQ/SQ anchor
+    * at the index root beside codes/codebook) — only call this for the one
+    * component that carries per-vector rows, or tombstones would clear
+    * before every component folded.
+    */
+  def compactFlat(
+      s: SparkSession, defaultData: String, anchorPath: String, idCol: String): Unit =
+    compactToEpochDir(s, defaultData, anchorPath) { (cur, dest) =>
+      filter(s.read.parquet(cur), anchorPath, idCol)
+        .write.mode("overwrite").parquet(dest)
+    }
+
+  /** The shared prepare-then-commit skeleton of the path-based compactors:
+    * resolve the current data dir, let `rewrite` materialize the
+    * compacted form under the next epoch's name, commit (new data pointer,
+    * zero live fragments) as the single atom, then best-effort reclaim the
+    * superseded data dir and fragment files.
+    */
+  private[graft] def compactToEpochDir(
+      s: SparkSession, defaultData: String, anchorPath: String)(
+      rewrite: (String, String) => Unit): Unit = {
+    val e = IndexManifest.next(s, anchorPath)
+    val cur = e.data.getOrElse(defaultData)
+    val dest = s"${defaultData.stripSuffix("/")}__e${e.version}"
+    rewrite(cur, dest)
+    IndexManifest.commit(s, anchorPath,
+      e.copy(data = Some(dest), tombstones = Vector.empty))
+    val conf = s.sparkContext.hadoopConfiguration
+    val curP = new org.apache.hadoop.fs.Path(cur)
+    curP.getFileSystem(conf).delete(curP, true)
+    val sideP = new org.apache.hadoop.fs.Path(sidecar(anchorPath))
+    sideP.getFileSystem(conf).delete(sideP, true)
     ()
   }
 
@@ -124,36 +240,22 @@ object Tombstones {
     * bucket spec and the planner elides the shuffle, leaving one file per
     * task per bucket), AQE scoped off so its partition merging can't
     * re-break the alignment, write to a fresh location, swap via catalog
-    * rename, reclaim the superseded directory, then clear the sidecar.
-    * After this, the table is byte-equivalent to a fresh build over the
-    * surviving rows: one file per bucket, no tombstones outstanding.
+    * rename (the metastore pointer is the atom here; its two-statement
+    * DROP/RENAME window is the one gap a plain metastore cannot close —
+    * a transactional catalog would), reclaim the superseded directory,
+    * then retire the tombstones. After this, the table is byte-equivalent
+    * to a fresh build over the surviving rows: one file per bucket, no
+    * tombstones outstanding.
+    *
+    * `anchor`: the tombstone/manifest anchor. None (the location-anchored
+    * families) uses the table's current location and RESETS that dead
+    * anchor after the swap; Some(path) (the search index, whose manifest
+    * also carries the stats pointer) keeps the anchor alive and commits a
+    * fragment-clearing epoch instead.
     */
-  /** Fold tombstones into a FLAT parquet index directory (PQ/SQ code
-    * tables, the RP sketch): rewrite minus the tombstoned rows, swap the
-    * directory in atomically (same FS-rename caveat as the IVF compactor
-    * — not object-store-safe), clear the sidecar. `anchorPath` is the
-    * index's sidecar anchor, which may be a PARENT of `dataPath` (PQ/SQ
-    * anchor at the index root beside codes/codebook) — only call this for
-    * the one component that carries per-vector rows, or tombstones would
-    * clear before every component folded.
-    */
-  def compactFlat(
-      s: SparkSession, dataPath: String, anchorPath: String, idCol: String): Unit = {
-    val tmpPath = s"${dataPath}__compact"
-    filter(s.read.parquet(dataPath), anchorPath, idCol)
-      .write.mode("overwrite").parquet(tmpPath)
-    val conf = s.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(dataPath)
-    val tp = new org.apache.hadoop.fs.Path(tmpPath)
-    val fs = p.getFileSystem(conf)
-    val old = new org.apache.hadoop.fs.Path(s"${dataPath}__old")
-    require(fs.rename(p, old), s"compactFlat: could not move $dataPath aside")
-    require(fs.rename(tp, p), s"compactFlat: could not swap $tmpPath into place")
-    fs.delete(old, true)
-    clear(s, anchorPath)
-  }
-
-  def compactBucketedIndex(s: SparkSession, table: String, idCol: String): Unit = {
+  def compactBucketedIndex(
+      s: SparkSession, table: String, idCol: String,
+      anchor: Option[String] = None): Unit = {
     val ident = s.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = s.sessionState.catalog.getTableMetadata(ident)
     val spec = meta.bucketSpec.getOrElse(
@@ -162,12 +264,13 @@ object Tombstones {
     val nb = spec.numBuckets
     val bcol = spec.bucketColumnNames.head
     val cur = meta.location.toString
+    val anch = anchor.getOrElse(cur)
     val dest = cur.stripSuffix("/") + "__c"
     val aqeKey = "spark.sql.adaptive.enabled"
     val prior = s.conf.get(aqeKey)
     s.conf.set(aqeKey, "false")
     try {
-      val compacted = filter(s.table(table), cur, idCol)
+      val compacted = filter(s.table(table), anch, idCol)
         .repartition(nb, expr(s"pmod(hash($bcol), $nb)"))
       s.sql(s"DROP TABLE IF EXISTS ${table}__c")
       val w = compacted.write.mode("overwrite").bucketBy(nb, bcol)
@@ -181,8 +284,9 @@ object Tombstones {
     // DROP TABLE on an external table leaves files behind — reclaim them
     val oldLoc = new org.apache.hadoop.fs.Path(cur)
     oldLoc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(oldLoc, true)
-    // the rewrite no longer contains the tombstoned rows: drop the sidecar
-    // (anchored at the OLD location — the new location starts clean)
-    clear(s, cur)
+    // the rewrite no longer contains the tombstoned rows: retire them — a
+    // location anchor dies with its location; an immutable anchor commits
+    // a clearing epoch (stats pointer rides along unchanged)
+    if (anchor.isEmpty) reset(s, cur) else clear(s, anch)
   }
 }

@@ -101,7 +101,10 @@ class PartitionBucketSpec extends SparkSpec {
       Tables.embeddings(spark, sfDir).filter(col("vec_id") >= 300 && col("vec_id") < 400))
     SimilarityQueries.appendIvfIndex(spark, sfDir, path,
       Tables.embeddings(spark, sfDir).filter(col("vec_id") >= 400))
-    def filesPerCell: Seq[Int] = new java.io.File(path).listFiles()
+    // resolve through the manifest: compaction redirects the data pointer
+    // to a fresh epoch directory instead of renaming over the old one
+    def filesPerCell: Seq[Int] = new java.io.File(
+        graft.sources.IndexManifest.dataPath(spark, path, path)).listFiles()
       .filter(_.getName.startsWith("cell=")).toSeq
       .map(_.listFiles().count(_.getName.endsWith(".parquet")))
     assert(filesPerCell.exists(_ > 1), s"appends did not fragment: $filesPerCell")
@@ -484,7 +487,7 @@ class PartitionBucketSpec extends SparkSpec {
     val before = SearchQueries.bm25TopkFromIndex(spark, "search_idx_c", path).collect()
     def files(t: String): Array[String] = spark.table(t).inputFiles
     assert(files("search_idx_c").length > 8, "append did not fragment buckets")
-    SearchQueries.compactSearchIndex(spark, "search_idx_c")
+    SearchQueries.compactSearchIndex(spark, "search_idx_c", path)
     val after = files("search_idx_c")
     assert(after.length <= 8, s"still ${after.length} files after compaction")
     assert(after.forall(_.contains("search_idx_c__c")), "location did not move")
@@ -569,7 +572,7 @@ class PartitionBucketSpec extends SparkSpec {
     import graft.operators.SearchQueries
     val path = s"$tmp/search_idx_p"
     SearchQueries.writeSearchIndex(spark, sfDir, "search_idx_p", path)
-    val probed = SearchQueries.phraseMatchFromIndex(spark, "search_idx_p")
+    val probed = SearchQueries.phraseMatchFromIndex(spark, "search_idx_p", path)
     val got = probed.collect()
     val plan = probed.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
@@ -772,7 +775,7 @@ class PartitionBucketSpec extends SparkSpec {
     val probed = SearchQueries.bm25TopkFromIndex(spark, "search_idx_nd", sp).collect()
     val inline = SparkEntry.queries("search_bm25_topk")(spark, sfDir).collect()
     assert(probed.nonEmpty && probed.toSeq == inline.toSeq)
-    SearchQueries.compactSearchIndex(spark, "search_idx_nd")
+    SearchQueries.compactSearchIndex(spark, "search_idx_nd", sp)
     val files = spark.table("search_idx_nd").inputFiles
     assert(files.length <= 4, s"compaction ignored the 4-bucket spec: ${files.length}")
     assert(SearchQueries.bm25TopkFromIndex(spark, "search_idx_nd", sp)
@@ -1068,5 +1071,58 @@ class PartitionBucketSpec extends SparkSpec {
     val probed24 = LayoutQueries.zorderRead(spark, path2, ckLo, ckHi, dLo, dHi)
     assert(probed24.orderBy("o_orderkey").collect().toSeq ==
       expected.orderBy("o_orderkey").collect().toSeq)
+  }
+
+  test("index-served hard negatives: pruned-cell candidates, banded rank equals the registered entry") {
+    // the r14 scale-claim made a pinned plan: the miner's candidate
+    // generator is the persisted IVF probe (partition-pruned cell read),
+    // the τ band applies after scoring, and rows equal the registered
+    // inline `pipeline_hard_negatives_ivf` entry exactly
+    import graft.operators.SimilarityQueries
+    val path = s"$tmp/ivf_hn"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, path)
+    val served = SimilarityQueries.hardNegativesFromIndex(spark, sfDir, path)
+    val got = served.collect()
+    val inline = SparkEntry.queries("pipeline_hard_negatives_ivf")(spark, sfDir).collect()
+    assert(got.nonEmpty && got.toSeq == inline.toSeq)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect { case f: FileSourceScanExec => Seq(f) }.flatten ++
+        p.collect { case a: AdaptiveSparkPlanExec => scans(a.executedPlan) }.flatten ++
+        p.collect { case q: QueryStageExec => scans(q.plan) }.flatten
+    val idxScan = scans(served.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("ivf_hn")))
+    assert(idxScan.nonEmpty, served.queryExecution.executedPlan.toString)
+    assert(idxScan.head.metadata("PartitionFilters").contains("cell"),
+      idxScan.head.metadata("PartitionFilters"))
+    val partsOnDisk = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("cell="))
+    val partsRead = idxScan.head.selectedPartitions.partitionCount
+    assert(partsRead >= 1 && partsRead < partsOnDisk,
+      s"read $partsRead of $partsOnDisk cell partitions — no pruning")
+  }
+
+  test("index-served decontamination: train meets eval only through the cell equi-join, equals the registered entry") {
+    // the "eval set too big to broadcast" swap, served: the persisted
+    // eval-side IVF index feeds the scoring join on the CELL id — never an
+    // eval-broadcast nested loop over the corpus-scale train side
+    import graft.operators.SimilarityQueries
+    val path = s"$tmp/ivf_decon_eval"
+    SimilarityQueries.writeIvfIndexWhere(spark, sfDir, path, col("vec_id") % 10 === 0)
+    val served = SimilarityQueries.decontamVerdictsFromIndex(spark, sfDir, path)
+      .orderBy(col("max_cos").desc, col("train_vec_id")).limit(100)
+    val got = served.collect()
+    val inline = SparkEntry.queries("pipeline_decontaminate_ivf")(spark, sfDir).collect()
+    assert(got.nonEmpty && got.toSeq == inline.toSeq)
+    // exactly one nested-loop join — the 16-row seed-geometry probe; the
+    // train×eval meeting itself must be a hash/merge EQUI-join on seed_id
+    val plan = served.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(plan).size
+    assert(bnlj == 1, s"expected exactly the seeds BNLJ, found $bnlj:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the eval side reads the persisted index, not a re-derivation
+    assert(plan.contains("ivf_decon_eval"), plan)
   }
 }

@@ -39,7 +39,7 @@ class TombstoneSpec extends SparkSpec {
     assert(!probed.exists(r => deleted.contains(r.getLong(2))))
     // compaction: rows physically gone, sidecar cleared, probe unchanged
     SimilarityQueries.compactIvfIndex(spark, path)
-    assert(spark.read.parquet(path)
+    assert(spark.read.parquet(graft.sources.IndexManifest.dataPath(spark, path, path))
       .filter(col("vec_id").isin(deleted.map(i => i: Any): _*)).count() == 0)
     assert(graft.sources.Tombstones.idSet(spark, path).isEmpty)
     assert(probed == sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, path)))
@@ -77,10 +77,10 @@ class TombstoneSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("deleted"), e.getMessage)
     // compaction folds tombstones in: rows gone, sidecar cleared, parity
-    SearchQueries.compactSearchIndex(spark, "search_del_idx")
+    SearchQueries.compactSearchIndex(spark, "search_del_idx", path)
     assert(spark.table("search_del_idx")
       .filter(col("doc_id").isin(deleted.map(i => i: Any): _*)).count() == 0)
-    assert(graft.sources.Tombstones.idSetForTable(spark, "search_del_idx").isEmpty)
+    assert(graft.sources.Tombstones.idSet(spark, path).isEmpty)
     assert(probed == sorted(SearchQueries.bm25TopkFromIndex(spark, "search_del_idx", path)))
   }
 
@@ -240,7 +240,7 @@ class TombstoneSpec extends SparkSpec {
     // compaction: every edge touching a deleted node is physically gone
     SimilarityQueries.compactKnnGraph(spark, path)
     assert(graft.sources.Tombstones.idSet(spark, path).isEmpty)
-    val remaining = spark.read.parquet(path)
+    val remaining = spark.read.parquet(graft.sources.IndexManifest.dataPath(spark, path, path))
       .filter(col("vec_id").isin(deleted.map(i => i: Any): _*) ||
         col("nbr_id").isin(deleted.map(i => i: Any): _*)).count()
     assert(remaining == 0)
@@ -319,7 +319,8 @@ class TombstoneSpec extends SparkSpec {
     assert(!pqGot.exists(r => delSet(r.getLong(2))))
     SimilarityQueries.compactPqIndex(spark, pq)
     assert(graft.sources.Tombstones.idSet(spark, pq).isEmpty)
-    assert(spark.read.parquet(s"$pq/codes")
+    assert(spark.read.parquet(
+        graft.sources.IndexManifest.dataPath(spark, pq, s"$pq/codes"))
       .filter(col("vec_id").isin(deleted.map(i => i: Any): _*)).count() == 0)
     assert(pqGot == sorted(SimilarityQueries.pqTopkFromIndex(spark, sfDir, pq)))
 
@@ -383,7 +384,7 @@ class TombstoneSpec extends SparkSpec {
     val expect = sorted(SearchQueries.bm25OverDocs(spark, updCorpus))
     assert(probed.nonEmpty && probed == expect)
     // no tombstones outstanding after the update (fold happened inside)
-    assert(graft.sources.Tombstones.idSetForTable(spark, "search_upd").isEmpty)
+    assert(graft.sources.Tombstones.idSet(spark, sPath).isEmpty)
     // ---- winnow index -------------------------------------------------
     val thr = DedupQueries.writeWinnowIndex(
       spark, sfDir, "winnow_upd", s"$tmp/winnow_upd")
@@ -544,5 +545,87 @@ class TombstoneSpec extends SparkSpec {
     val got = spark.read.parquet(s"$base/out")
       .select(cols: _*).orderBy("doc_id", "c_id").collect()
     assert(got.nonEmpty && got.toSeq == direct.orderBy("doc_id", "c_id").collect().toSeq)
+  }
+
+  // ---- crash injection at the manifest commit boundary --------------------
+  // Every lifecycle mutation prepares its files first and lands them with
+  // ONE IndexManifest.commit. These tests kill the writer at exactly that
+  // boundary (all prepared files durable, pointer missing) and prove a
+  // probe always sees a consistent epoch — the closure of the r14-verdict
+  // stats-swap/tombstone and rename crash windows.
+
+  test("crash injection: a delete that dies before its commit changes nothing; its retry lands exactly once") {
+    import graft.operators.SearchQueries
+    val path = s"$tmp/search_crash"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_crash_idx", path)
+    val before = sorted(SearchQueries.bm25TopkFromIndex(spark, "search_crash_idx", path))
+    val deleted = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 7 === 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    graft.sources.IndexManifest.failNextCommit = true
+    val e = intercept[RuntimeException] {
+      SearchQueries.deleteFromSearchIndex(spark, "search_crash_idx", path, deleted)
+    }
+    assert(e.getMessage.contains("injected crash"), e.getMessage)
+    // the decremented stats dir and the tombstone fragment are on disk but
+    // unreferenced: probes resolve the PREVIOUS epoch — neither the
+    // old-code stats-new/tombstone-old skew nor any partial takedown
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_crash_idx", path)) == before)
+    assert(graft.sources.Tombstones.idSet(spark, path).isEmpty)
+    // the retry recomputes the decrement FROM the old epoch, so it cannot
+    // double-decrement (the hazard of the pre-manifest ordering, where a
+    // crashed delete left stats already decremented)
+    SearchQueries.deleteFromSearchIndex(spark, "search_crash_idx", path, deleted)
+    val after = sorted(SearchQueries.bm25TopkFromIndex(spark, "search_crash_idx", path))
+    assert(after == sorted(SparkEntry.queries("search_bm25_deleted")(spark, sfDir)))
+  }
+
+  test("crash injection: a compaction that dies before its commit leaves probes on the old (data, tombstones) pair") {
+    import graft.operators.SimilarityQueries
+    val path = s"$tmp/ivf_crash"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, path)
+    val deleted = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 13 === 7)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    SimilarityQueries.deleteFromIvfIndex(spark, path, deleted)
+    val probed = sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, path))
+    graft.sources.IndexManifest.failNextCommit = true
+    intercept[RuntimeException] { SimilarityQueries.compactIvfIndex(spark, path) }
+    // the compacted epoch dir exists but is unreferenced: the probe still
+    // resolves the old data dir AND the live tombstones — consistent, and
+    // identical to the pre-crash state (the old-code rename sequence could
+    // die with the index directory moved aside, i.e. MISSING)
+    assert(graft.sources.Tombstones.idSet(spark, path).nonEmpty)
+    assert(sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, path)) == probed)
+    // the retry re-prepares under the same (never-committed) epoch name
+    // and lands: tombstones folded, probe unchanged
+    SimilarityQueries.compactIvfIndex(spark, path)
+    assert(graft.sources.Tombstones.idSet(spark, path).isEmpty)
+    assert(sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, path)) == probed)
+  }
+
+  test("crash injection: a search compaction dying between the catalog swap and the clearing commit stays consistent") {
+    import graft.operators.SearchQueries
+    val path = s"$tmp/search_crash2"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_crash2_idx", path)
+    val deleted = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 7 === 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    SearchQueries.deleteFromSearchIndex(spark, "search_crash2_idx", path, deleted)
+    val probed = sorted(SearchQueries.bm25TopkFromIndex(spark, "search_crash2_idx", path))
+    // die AFTER the physical rewrite + catalog swap, BEFORE the
+    // tombstone-clearing epoch lands
+    graft.sources.IndexManifest.failNextCommit = true
+    intercept[RuntimeException] {
+      SearchQueries.compactSearchIndex(spark, "search_crash2_idx", path)
+    }
+    // tombstones are still listed but their rows are physically gone: the
+    // anti-join masks nothing, stats rode along untouched — probe parity
+    assert(graft.sources.Tombstones.idSet(spark, path).nonEmpty)
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_crash2_idx", path)) == probed)
+    // finishing the interrupted step (the clearing commit) changes nothing
+    graft.sources.Tombstones.clear(spark, path)
+    assert(graft.sources.Tombstones.idSet(spark, path).isEmpty)
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_crash2_idx", path)) == probed)
   }
 }
