@@ -813,21 +813,63 @@ object DedupQueries {
     * out unaffected. [[compactWinnowIndex]] folds tombstones in
     * physically.
     */
-  def deleteFromWinnowIndex(s: SparkSession, table: String, docIds: Seq[Long]): Unit =
-    graft.sources.Tombstones.addForTable(s, table, docIds)
+  def deleteFromWinnowIndex(s: SparkSession, table: String, docIds: Seq[Long]): Unit = {
+    import s.implicits._
+    val anchor = graft.sources.Tombstones.tableLocation(s, table)
+    // a takedown of an id with a buffered update outstanding would mask
+    // the base rows but leave the delta rows matching — fold first
+    graft.sources.Tombstones.bufferedIdSet(s, anchor, "doc_id").foreach { b =>
+      val clash = b.join(broadcast(docIds.toDF("doc_id")), Seq("doc_id"), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(clash.isEmpty,
+        s"deleteFromWinnowIndex: doc_ids ${clash.mkString(",")} have buffered " +
+          s"updates in $table's open window — run compactWinnowIndex first")
+    }
+    graft.sources.Tombstones.add(s, anchor, docIds)
+  }
 
   /** The probe-facing view of a persisted winnow index: the fp-bucketed
     * table minus its tombstoned documents (broadcast anti-join — the
-    * corpus side keeps its exchange-free bucketing).
+    * corpus side keeps its exchange-free bucketing), plus any open update
+    * window's latest buffered rows (base∪delta; with no window this is
+    * the bare filtered scan).
     */
-  def winnowIndexFrame(s: SparkSession, table: String): DataFrame =
-    graft.sources.Tombstones.filterTable(s, table, "doc_id")
+  def winnowIndexFrame(s: SparkSession, table: String): DataFrame = {
+    val anchor = graft.sources.Tombstones.tableLocation(s, table)
+    val base = graft.sources.Tombstones.filter(s.table(table), anchor, "doc_id")
+    graft.sources.Tombstones.deltaLatest(s, anchor, "doc_id") match {
+      case Some(d) => base.unionByName(d.select(base.columns.map(col).toSeq: _*))
+      case None    => base
+    }
+  }
 
-  /** Physically remove tombstoned documents' fingerprints and restore one
-    * file per bucket (the shared bucketed-index compaction).
+  /** Buffer one document-update batch WITHOUT compacting — the amortized
+    * form of [[updateWinnowIndex]]: tombstone masks the base rows, the
+    * re-winnowed replacement fingerprints land in a delta batch, one
+    * manifest commit makes both visible. Winnowing is per-doc-local and
+    * the df cap derives at probe time over base∪delta, so after every
+    * batch probes equal a rebuilt index (pinned in TombstoneSpec); the
+    * fold ([[compactWinnowIndex]]) is the window's only physical rewrite.
+    */
+  def bufferWinnowUpdate(docs: DataFrame, table: String): Unit = {
+    val s = docs.sparkSession
+    val anchor = graft.sources.Tombstones.tableLocation(s, table)
+    val ids = docs.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+    val fps = TextQueries.winnowSelected(docs)
+      .select(col("doc_id"), col("fp")).distinct()
+    val rows = fps.join(fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp_c")), "doc_id")
+    graft.sources.Tombstones.commitUpdateBatch(s, anchor, ids, None) { d =>
+      rows.write.mode("overwrite").parquet(d)
+    }
+  }
+
+  /** Physically remove tombstoned documents' fingerprints, fold any open
+    * update window's delta batches in, and restore one file per bucket
+    * (the shared bucketed-index compaction over the probe-visible view).
     */
   def compactWinnowIndex(s: SparkSession, table: String): Unit =
-    graft.sources.Tombstones.compactBucketedIndex(s, table, "doc_id")
+    graft.sources.Tombstones.compactBucketedIndex(s, table, "doc_id",
+      sourceOverride = Some(winnowIndexFrame(s, table)))
 
   /** Append a document batch's winnowed fingerprints to an existing
     * [[writeWinnowIndex]] table — the daily-ingest lifecycle. Sound

@@ -394,6 +394,59 @@ object SearchQueries {
   private def resolvedStats(s: SparkSession, path: String): String =
     graft.sources.Tombstones.statsPath(s, path, s"${path}_stats")
 
+  /** The PROBE-VISIBLE postings: base table rows minus tombstones (which
+    * include every buffered-update id) plus the latest buffered
+    * replacement rows — the base∪delta read every probe resolves through.
+    * With no open update window this is exactly the tombstone-filtered
+    * base scan (zero plan overhead), so only a deployment that actually
+    * buffers updates pays the (window-bounded) delta union.
+    */
+  private[graft] def visiblePostings(
+      s: SparkSession, table: String, path: String): DataFrame = {
+    val base = graft.sources.Tombstones.filter(s.table(table), path, "doc_id")
+    graft.sources.Tombstones.deltaLatest(s, path, "doc_id") match {
+      case Some(d) => base.unionByName(d.select(base.columns.map(col).toSeq: _*))
+      case None    => base
+    }
+  }
+
+  /** Buffer one update batch WITHOUT compacting — the amortized form of
+    * [[updateSearchIndex]] (the LSM memtable shape): the updated ids'
+    * tombstone masks their base rows, the replacement postings land in a
+    * delta batch, and the 1-row stats advance by (new − currently-visible)
+    * contribution — all in ONE manifest commit, so probes see the whole
+    * batch or none of it. Probes read base∪delta ([[visiblePostings]]),
+    * and after EVERY batch score exactly as an index rebuilt over the
+    * updated corpus (pinned in TombstoneSpec: N buffered batches + one
+    * fold == N eager updates, with the fold the only physical rewrite).
+    * An id updated twice in one window surfaces only its newest rows.
+    * [[compactSearchIndex]] is the fold: it rewrites base∪delta minus
+    * tombstones into a fresh bucketed table and retires the window.
+    */
+  def bufferSearchUpdate(
+      s: SparkSession, table: String, path: String, docs: DataFrame): Unit = {
+    import s.implicits._
+    val ids = docs.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+    // the replaced versions' contribution comes from the PROBE-VISIBLE
+    // rows (base-unmasked, or an earlier batch of this window — either
+    // way exactly what scoring currently counts), so the stats stay exact
+    // after every batch, including re-updates and fresh inserts
+    val old = visiblePostings(s, table, path)
+      .join(broadcast(ids.toDF("doc_id")), Seq("doc_id"), "left_semi")
+      .select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("nd"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
+      .head
+    val cur = s.read.parquet(resolvedStats(s, path)).head
+    val add = statsOf(docs).head
+    val newStats = s.createDataFrame(Seq((
+        cur.getLong(0) - old.getLong(0) + add.getLong(0),
+        cur.getLong(1) - old.getLong(1) + add.getLong(1))))
+      .toDF("n_docs", "tt")
+    graft.sources.Tombstones.commitUpdateBatch(s, path, ids, Some(newStats)) { d =>
+      postingsOf(docs).write.mode("overwrite").parquet(d)
+    }
+  }
+
   /** Probe the persisted index with the fixed query set: the term In-filter
     * pushes to the postings scan, df rides the term bucketing (no exchange),
     * and raw document text is never read. Results equal the inline query.
@@ -424,6 +477,16 @@ object SearchQueries {
   def deleteFromSearchIndex(
       s: SparkSession, table: String, path: String, docIds: Seq[Long]): Unit = {
     import s.implicits._
+    // a takedown of an id with a buffered update outstanding would mask
+    // the base rows but leave the delta rows serving — fold the window
+    // first (fail loudly, the append-guard discipline)
+    graft.sources.Tombstones.bufferedIdSet(s, path, "doc_id").foreach { b =>
+      val clash = b.join(broadcast(docIds.toDF("doc_id")), Seq("doc_id"), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(clash.isEmpty,
+        s"deleteFromSearchIndex: doc_ids ${clash.mkString(",")} have buffered " +
+          s"updates in $path's open window — run compactSearchIndex first")
+    }
     // membership via a broadcast join, not an isin literal: a bulk
     // takedown (thousands of ids) would otherwise inline a giant In-list
     // into the plan; the id frame broadcasts like every tombstone mask
@@ -471,7 +534,7 @@ object SearchQueries {
     */
   def bm25ProbeIndex(s: SparkSession, table: String, path: String, q: DataFrame): DataFrame = {
     val terms = q.select("term").distinct().collect().map(_.getString(0)).toSeq
-    val p = graft.sources.Tombstones.filter(s.table(table), path, "doc_id")
+    val p = visiblePostings(s, table, path)
       .filter(col("term").isin(terms: _*))
     val dfF = p.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = s.read.parquet(resolvedStats(s, path))
@@ -586,7 +649,7 @@ object SearchQueries {
       s: SparkSession, table: String, path: String, q: DataFrame)
       : (DataFrame, DataFrame) = {
     val terms = q.select("term").distinct().collect().map(_.getString(0)).toSeq
-    val p = graft.sources.Tombstones.filter(s.table(table), path, "doc_id")
+    val p = visiblePostings(s, table, path)
       .filter(col("term").isin(terms: _*))
       .select("term", "doc_id", "tf", "dl")
     val stats = s.read.parquet(resolvedStats(s, path))
@@ -605,7 +668,7 @@ object SearchQueries {
   def bm25FilteredTopkFromIndex(
       s: SparkSession, table: String, path: String, lang: String): DataFrame = {
     val terms = QUERY_TERMS.flatMap(_._2).distinct
-    val p = graft.sources.Tombstones.filter(s.table(table), path, "doc_id")
+    val p = visiblePostings(s, table, path)
       .filter(col("term").isin(terms: _*))
     val dfF = p.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = s.read.parquet(resolvedStats(s, path))
@@ -660,7 +723,7 @@ object SearchQueries {
     */
   def phraseMatchFromIndex(s: SparkSession, table: String, path: String): DataFrame = {
     val words = PHRASES.flatMap(p => Seq(p._2, p._3)).distinct
-    val p = graft.sources.Tombstones.filter(s.table(table), path, "doc_id")
+    val p = visiblePostings(s, table, path)
       .filter(col("term").isin(words: _*))
     val pos = p.select(col("term"), col("doc_id"), explode(col("positions")).as("pos"))
     val m = pos.as("a")
@@ -699,7 +762,11 @@ object SearchQueries {
     * location move.
     */
   def compactSearchIndex(s: SparkSession, table: String, path: String): Unit =
-    graft.sources.Tombstones.compactBucketedIndex(s, table, "doc_id", Some(path))
+    graft.sources.Tombstones.compactBucketedIndex(s, table, "doc_id", Some(path),
+      // the rewrite source is the probe-visible base-minus-tombstones
+      // PLUS any open update window's delta batches — the fold that
+      // retires buffered updates with one physical rewrite
+      Some(visiblePostings(s, table, path)))
 
   // ---- registry -----------------------------------------------------------
 

@@ -1333,8 +1333,20 @@ object SimilarityQueries {
     * index equals a fresh build over the survivors (pinned in
     * TombstoneSpec).
     */
-  def deleteFromIvfIndex(s: SparkSession, path: String, vecIds: Seq[Long]): Unit =
+  def deleteFromIvfIndex(s: SparkSession, path: String, vecIds: Seq[Long]): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    // a takedown of an id with a buffered update outstanding would mask
+    // the base rows but leave the delta rows serving — fold first
+    graft.sources.Tombstones.bufferedIdSet(s, path, "vec_id").foreach { b =>
+      import s.implicits._
+      val clash = b.join(broadcast(vecIds.toDF("vec_id")), Seq("vec_id"), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(clash.isEmpty,
+        s"deleteFromIvfIndex: vec_ids ${clash.mkString(",")} have buffered " +
+          s"updates in $path's open window — run compactIvfIndex first")
+    }
     graft.sources.Tombstones.add(s, path, vecIds)
+  }
 
   /** Replace changed vectors in a persisted IVF index — the UPDATE
     * completing the vector family's CRUD (the updateSearchIndex
@@ -1410,22 +1422,75 @@ object SimilarityQueries {
       .select(col("q_id"), col("qv"), col("qn"), col("seed_id").as("cell"))
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
-    // partition-value inference reads small cell ids back as INT — match
-    // the literals to that type (INT literals ⇒ no cast in the predicate ⇒
-    // clean static pruning), then widen the column for the LONG probe join
-    // deleted vectors drop here, after the pruned cell read: the anti-join
-    // broadcasts the (small) tombstone set, so the index side still never
-    // shuffles and a never-deleted index pays nothing
-    val assign = graft.sources.Tombstones.filter(
-      s.read.parquet(idxData(s, path, path))
-        .filter(col("cell").isin(probedCells.map(c => c.toInt: Any): _*))
-        .withColumn("cell", col("cell").cast("long")),
-      path, "vec_id")
+    val assign = ivfVisibleCells(s, path, probedCells)
     probes.join(assign, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
         VectorOps.cosCol("qv", "v", "qn", "nrm").as("cos"))
       .distinct()
+  }
+
+  /** The PROBE-VISIBLE rows of the probed cells: base index rows minus
+    * tombstones (which include every buffered-update id) plus the latest
+    * buffered replacement rows, both pruned to `probedCells`.
+    * Partition-value inference reads small cell ids back as INT — the
+    * isin literals match that type (no cast in the predicate ⇒ clean
+    * static pruning on base AND delta dirs, both partitioned by cell),
+    * then the column widens for the LONG probe join. Deleted vectors drop
+    * after the pruned cell read: the anti-join broadcasts the (small)
+    * tombstone set, so the index side still never shuffles; with no open
+    * window and no deletions the plan is the bare pruned scan.
+    */
+  private def ivfVisibleCells(
+      s: SparkSession, path: String, probedCells: Array[Long]): DataFrame = {
+    def pruned(df: DataFrame) = df
+      .filter(col("cell").isin(probedCells.map(c => c.toInt: Any): _*))
+      .withColumn("cell", col("cell").cast("long"))
+    val base = graft.sources.Tombstones.filter(
+      pruned(s.read.parquet(idxData(s, path, path))), path, "vec_id")
+    graft.sources.Tombstones.deltaLatest(s, path, "vec_id") match {
+      case Some(d) => base.unionByName(pruned(d).select(base.columns.map(col).toSeq: _*))
+      case None    => base
+    }
+  }
+
+  /** The probe-visible rows of ALL cells — the fold/rewrite source. */
+  private def ivfVisibleAll(s: SparkSession, path: String): DataFrame = {
+    val base = graft.sources.Tombstones.filter(
+      s.read.parquet(idxData(s, path, path)), path, "vec_id")
+    graft.sources.Tombstones.deltaLatest(s, path, "vec_id") match {
+      case Some(d) => base.unionByName(d.select(base.columns.map(col).toSeq: _*))
+      case None    => base
+    }
+  }
+
+  /** Buffer one vector-update batch WITHOUT compacting — the amortized
+    * form of [[updateIvfIndex]]: the updated ids' tombstone masks their
+    * base rows, the re-assigned replacement vectors land in a delta batch
+    * partitioned by cell (so probes prune delta dirs exactly like the
+    * base), and ONE manifest commit makes both visible together. A moved
+    * embedding moves cell, exactly as a rebuild would place it. The fold
+    * ([[compactIvfIndex]]) is the only physical rewrite of the window
+    * (pinned in TombstoneSpec: N buffered batches + one fold == N eager
+    * updates).
+    */
+  def bufferIvfUpdate(
+      s: SparkSession, dir: String, path: String, newRows: DataFrame,
+      nSeeds: Int = N_SEEDS, trained: Boolean = false): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    val ids = newRows.select("vec_id").distinct().collect().map(_.getLong(0)).toSeq
+    val (ns, tr) = quantizerConfigOf(s, path, nSeeds, trained)
+    val em = VectorOps.normalizedMeta(s, dir)
+    val seeds = if (tr) trainedSeedSet(em, ns) else seedSet(em, ns)
+    val nw = newRows
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr(s"sqrt(${VectorOps.dotExpr("v", "v")})"))
+    val assigned = assignToSeeds(nw, seeds)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("seed_id").as("cell"))
+    graft.sources.Tombstones.commitUpdateBatch(s, path, ids, None) { d =>
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(d)
+    }
   }
 
   /** Hard-negative mining served from the PERSISTED IVF index — the
@@ -1489,8 +1554,11 @@ object SimilarityQueries {
     * (pinned in TombstoneSpec).
     */
   def compactIvfIndex(s: SparkSession, path: String): Unit =
-    graft.sources.Tombstones.compactToEpochDir(s, path, path) { (cur, dest) =>
-      graft.sources.Tombstones.filter(s.read.parquet(cur), path, "vec_id")
+    graft.sources.Tombstones.compactToEpochDir(s, path, path) { (_, dest) =>
+      // the rewrite source is the probe-visible view: base minus
+      // tombstones PLUS any open update window's delta batches — the fold
+      // that retires buffered updates with one physical rewrite
+      ivfVisibleAll(s, path)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(dest)
     }
@@ -2029,12 +2097,8 @@ object SimilarityQueries {
     val probes = queryProbes(e, seeds).withColumnRenamed("seed_id", "cell")
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
-    val assign = graft.sources.Tombstones.filter(
-      s.read.parquet(idxData(s, path, path))
-        .filter(col("cell").isin(probedCells.map(c => c.toInt: Any): _*))
-        .filter(col("label") === FILTER_LABEL)
-        .withColumn("cell", col("cell").cast("long")),
-      path, "vec_id")
+    val assign = ivfVisibleCells(s, path, probedCells)
+      .filter(col("label") === FILTER_LABEL)
     val cand = probes.join(assign, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
@@ -2064,12 +2128,8 @@ object SimilarityQueries {
     val probes = queryProbes(e, seeds).withColumnRenamed("seed_id", "cell")
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
-    val members = graft.sources.Tombstones.filter(
-      s.read.parquet(idxData(s, ivfPath, ivfPath))
-        .filter(col("cell").isin(probedCells.map(c => c.toInt: Any): _*))
-        .withColumn("cell", col("cell").cast("long"))
-        .select("cell", "vec_id"),
-      ivfPath, "vec_id")
+    val members = ivfVisibleCells(s, ivfPath, probedCells)
+      .select("cell", "vec_id")
     val cand = probes.select("q_id", "cell").join(members, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select("q_id", "vec_id").distinct()

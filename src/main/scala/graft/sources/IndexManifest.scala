@@ -40,13 +40,16 @@ object IndexManifest {
 
   /** One committed epoch of an index's state. `data`/`stats` of None mean
     * "the build-time default location"; `tombstones` lists the live
-    * fragment directories (empty after a compaction folds them in).
+    * fragment directories and `deltas` the live buffered-update batch
+    * directories, in commit order (both empty after a compaction folds
+    * them in).
     */
   final case class Epoch(
       version: Long,
       data: Option[String],
       stats: Option[String],
-      tombstones: Vector[String])
+      tombstones: Vector[String],
+      deltas: Vector[String] = Vector.empty)
 
   /** TEST HOOK — crash injection at the atomicity boundary: when set, the
     * next [[commit]] throws AFTER every prepared file is durable but
@@ -92,7 +95,7 @@ object IndexManifest {
   def next(s: SparkSession, anchor: String): Epoch =
     current(s, anchor)
       .map(e => e.copy(version = e.version + 1))
-      .getOrElse(Epoch(1L, None, None, Vector.empty))
+      .getOrElse(Epoch(1L, None, None, Vector.empty, Vector.empty))
 
   /** Land `e` as the new current epoch — the single atom of every
     * lifecycle mutation. Fails loudly (never overwrites) if `e.version`
@@ -146,6 +149,7 @@ object IndexManifest {
     e.data.foreach(p => b.append(s"data\t$p\n"))
     e.stats.foreach(p => b.append(s"stats\t$p\n"))
     e.tombstones.foreach(p => b.append(s"tombstone\t$p\n"))
+    e.deltas.foreach(p => b.append(s"delta\t$p\n"))
     b.toString
   }
 
@@ -159,6 +163,7 @@ object IndexManifest {
       version,
       kvs.collectFirst { case ("data", v) => v },
       kvs.collectFirst { case ("stats", v) => v },
-      kvs.collect { case ("tombstone", v) => v }.toVector)
+      kvs.collect { case ("tombstone", v) => v }.toVector,
+      kvs.collect { case ("delta", v) => v }.toVector)
   }
 }

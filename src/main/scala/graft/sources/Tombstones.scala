@@ -130,6 +130,66 @@ object Tombstones {
   def statsPath(s: SparkSession, indexPath: String, default: String): String =
     IndexManifest.statsPath(s, indexPath, default)
 
+  /** Directory holding an index's buffered-update batches (the
+    * LSM-memtable half of the batched update path: tombstones mask the
+    * updated ids' BASE rows, the live batches carry their replacement
+    * rows, and a once-per-window fold rewrites both away).
+    */
+  def deltaDir(indexPath: String): String =
+    indexPath.stripSuffix("/") + "_delta"
+
+  /** Land one buffered update batch in ONE commit: the updated ids'
+    * tombstone fragment (masking their base rows), the batch's replacement
+    * rows, and optionally replacement stored stats — a probe sees all
+    * three or none, and a crashed buffer call changes nothing (the same
+    * atomicity contract as [[addWithStats]]). `writeBatch` materializes
+    * the replacement rows under the directory it is given.
+    */
+  def commitUpdateBatch(
+      s: SparkSession, indexPath: String, ids: Seq[Long],
+      newStats: Option[DataFrame])(writeBatch: String => Unit): Unit = {
+    require(ids.nonEmpty, "Tombstones.commitUpdateBatch: empty id set")
+    val e = IndexManifest.next(s, indexPath)
+    val batch = s"${deltaDir(indexPath)}/b${e.version}"
+    writeBatch(batch)
+    val statsDir = newStats.map { df =>
+      val d = epochStatsDir(indexPath, e.version)
+      df.write.mode("overwrite").parquet(d)
+      d
+    }
+    val frag = writeFragment(s, indexPath, e.version, ids)
+    IndexManifest.commit(s, indexPath,
+      e.copy(stats = statsDir.orElse(e.stats),
+        tombstones = e.tombstones :+ frag,
+        deltas = e.deltas :+ batch))
+  }
+
+  /** The live buffered batches unioned with a `batch_seq` ordinal (commit
+    * order), or None when the window is empty — the common case, costing
+    * probes nothing.
+    */
+  def deltaFrame(s: SparkSession, indexPath: String): Option[DataFrame] = {
+    val bs = IndexManifest.current(s, indexPath).map(_.deltas).getOrElse(Vector.empty)
+    if (bs.isEmpty) None
+    else Some(bs.zipWithIndex.map { case (p, i) =>
+      s.read.parquet(p).withColumn("batch_seq", lit(i))
+    }.reduce(_ unionByName _))
+  }
+
+  /** Latest-batch-per-id view of the live buffered batches: an id updated
+    * twice in one window surfaces only its newest rows (the batches are
+    * window-bounded, so the per-id max is a small aggregate).
+    */
+  def deltaLatest(s: SparkSession, indexPath: String, idCol: String): Option[DataFrame] =
+    deltaFrame(s, indexPath).map { d =>
+      val latest = d.groupBy(col(idCol)).agg(max(col("batch_seq")).as("batch_seq"))
+      d.join(broadcast(latest), Seq(idCol, "batch_seq")).drop("batch_seq")
+    }
+
+  /** Ids with an outstanding buffered batch, if any. */
+  def bufferedIdSet(s: SparkSession, indexPath: String, idCol: String): Option[DataFrame] =
+    deltaFrame(s, indexPath).map(_.select(idCol).distinct())
+
   private def epochStatsDir(indexPath: String, version: Long): String =
     s"${indexPath.stripSuffix("/")}_stats_e$version"
 
@@ -172,11 +232,14 @@ object Tombstones {
     */
   def clear(s: SparkSession, indexPath: String): Unit = {
     val e = IndexManifest.next(s, indexPath)
-    if (e.version > 1 || e.tombstones.nonEmpty)
-      IndexManifest.commit(s, indexPath, e.copy(tombstones = Vector.empty))
-    val p = new org.apache.hadoop.fs.Path(sidecar(indexPath))
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    ()
+    if (e.version > 1 || e.tombstones.nonEmpty || e.deltas.nonEmpty)
+      IndexManifest.commit(s, indexPath,
+        e.copy(tombstones = Vector.empty, deltas = Vector.empty))
+    val conf = s.sparkContext.hadoopConfiguration
+    Seq(sidecar(indexPath), deltaDir(indexPath)).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).delete(p, true)
+    }
   }
 
   /** Erase an anchor's lifecycle state entirely — builders call this so a
@@ -186,9 +249,11 @@ object Tombstones {
     */
   def reset(s: SparkSession, indexPath: String): Unit = {
     IndexManifest.reset(s, indexPath)
-    val p = new org.apache.hadoop.fs.Path(sidecar(indexPath))
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    ()
+    val conf = s.sparkContext.hadoopConfiguration
+    Seq(sidecar(indexPath), deltaDir(indexPath)).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).delete(p, true)
+    }
   }
 
   /** Fold tombstones into a FLAT parquet index directory (PQ/SQ code
@@ -223,13 +288,12 @@ object Tombstones {
     val dest = s"${defaultData.stripSuffix("/")}__e${e.version}"
     rewrite(cur, dest)
     IndexManifest.commit(s, anchorPath,
-      e.copy(data = Some(dest), tombstones = Vector.empty))
+      e.copy(data = Some(dest), tombstones = Vector.empty, deltas = Vector.empty))
     val conf = s.sparkContext.hadoopConfiguration
-    val curP = new org.apache.hadoop.fs.Path(cur)
-    curP.getFileSystem(conf).delete(curP, true)
-    val sideP = new org.apache.hadoop.fs.Path(sidecar(anchorPath))
-    sideP.getFileSystem(conf).delete(sideP, true)
-    ()
+    Seq(cur, sidecar(anchorPath), deltaDir(anchorPath)).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).delete(p, true)
+    }
   }
 
   /** Compact a bucketed catalog-table index, folding tombstones in — the
@@ -255,7 +319,8 @@ object Tombstones {
     */
   def compactBucketedIndex(
       s: SparkSession, table: String, idCol: String,
-      anchor: Option[String] = None): Unit = {
+      anchor: Option[String] = None,
+      sourceOverride: Option[DataFrame] = None): Unit = {
     val ident = s.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = s.sessionState.catalog.getTableMetadata(ident)
     val spec = meta.bucketSpec.getOrElse(
@@ -270,7 +335,10 @@ object Tombstones {
     val prior = s.conf.get(aqeKey)
     s.conf.set(aqeKey, "false")
     try {
-      val compacted = filter(s.table(table), anch, idCol)
+      // `sourceOverride` lets a family with richer visible-row semantics
+      // (the search index's base∪delta window) supply the rewrite source;
+      // the default is the tombstone-filtered base scan
+      val compacted = sourceOverride.getOrElse(filter(s.table(table), anch, idCol))
         .repartition(nb, expr(s"pmod(hash($bcol), $nb)"))
       s.sql(s"DROP TABLE IF EXISTS ${table}__c")
       val w = compacted.write.mode("overwrite").bucketBy(nb, bcol)

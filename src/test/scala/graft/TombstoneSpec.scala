@@ -547,6 +547,98 @@ class TombstoneSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == direct.orderBy("doc_id", "c_id").collect().toSeq)
   }
 
+  test("buffered update window: N batches + one fold == N eager updates, one physical rewrite") {
+    // the amortization knob made real (r14 verdict task): eager updates
+    // compact per call (N physical rewrites); the buffered path lands each
+    // batch as tombstone+delta in one manifest commit, probes read
+    // base∪delta and must equal the eager twin after EVERY batch, and the
+    // fold is the window's only rewrite
+    import graft.operators.SearchQueries
+    val eP = s"$tmp/search_buf_eager"
+    val bP = s"$tmp/search_buf"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_buf_e", eP)
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_buf_b", bP)
+    def upd(mod: Int, suffix: String) = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 13 === mod)
+      .select(col("doc_id"), concat(col("text"), lit(suffix)).as("text"), col("lang"))
+    // batch 3 re-updates batch 1's ids — the within-window supersede case
+    val batches = Seq(
+      upd(2, " zulu yankee"), upd(5, " xray whiskey"), upd(2, " victor uniform"))
+    def loc(t: String) = graft.sources.Tombstones.tableLocation(spark, t)
+    var eagerMoves = 0
+    var prevLoc = loc("search_buf_e")
+    batches.foreach { b =>
+      SearchQueries.updateSearchIndex(spark, "search_buf_e", eP, b)
+      if (loc("search_buf_e") != prevLoc) { eagerMoves += 1; prevLoc = loc("search_buf_e") }
+    }
+    assert(eagerMoves == batches.size, s"eager path rewrote $eagerMoves times")
+    val bufLoc0 = loc("search_buf_b")
+    batches.foreach(b => SearchQueries.bufferSearchUpdate(spark, "search_buf_b", bP, b))
+    val eagerRows = sorted(SearchQueries.bm25TopkFromIndex(spark, "search_buf_e", eP))
+    // parity BEFORE the fold, with zero rewrites of the buffered index
+    assert(loc("search_buf_b") == bufLoc0, "a buffer call must not rewrite the index")
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_buf_b", bP)) == eagerRows)
+    // the fold retires the window in ONE rewrite; parity and clean state
+    SearchQueries.compactSearchIndex(spark, "search_buf_b", bP)
+    assert(loc("search_buf_b") != bufLoc0)
+    assert(graft.sources.Tombstones.idSet(spark, bP).isEmpty)
+    assert(graft.sources.Tombstones.deltaFrame(spark, bP).isEmpty)
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_buf_b", bP)) == eagerRows)
+
+    // ---- IVF: same contract; rewrite count measured on the data pointer --
+    import graft.operators.SimilarityQueries
+    val eIvf = s"$tmp/ivf_buf_eager"
+    val bIvf = s"$tmp/ivf_buf"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, eIvf)
+    SimilarityQueries.writeIvfIndex(spark, sfDir, bIvf)
+    def vupd(m: Int) = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 19 === m && col("vec_id") >= 16)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"), col("label"))
+    def dataOf(p: String) = graft.sources.IndexManifest.dataPath(spark, p, p)
+    val vbatches = Seq(vupd(5), vupd(7), vupd(5))
+    var ivfMoves = 0
+    var prevData = dataOf(eIvf)
+    vbatches.foreach { b =>
+      SimilarityQueries.updateIvfIndex(spark, sfDir, eIvf, b)
+      if (dataOf(eIvf) != prevData) { ivfMoves += 1; prevData = dataOf(eIvf) }
+    }
+    assert(ivfMoves == vbatches.size, s"eager IVF path rewrote $ivfMoves times")
+    val bData0 = dataOf(bIvf)
+    vbatches.foreach(b => SimilarityQueries.bufferIvfUpdate(spark, sfDir, bIvf, b))
+    val eagerIvf = sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, eIvf))
+    assert(dataOf(bIvf) == bData0, "a buffer call must not rewrite the index")
+    assert(sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, bIvf)) == eagerIvf)
+    SimilarityQueries.compactIvfIndex(spark, bIvf)
+    assert(dataOf(bIvf) != bData0)
+    assert(graft.sources.Tombstones.idSet(spark, bIvf).isEmpty)
+    assert(graft.sources.Tombstones.deltaFrame(spark, bIvf).isEmpty)
+    assert(sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, bIvf)) == eagerIvf)
+
+    // ---- winnow: probe-time df over base∪delta -------------------------
+    import graft.operators.{DedupQueries, TextQueries}
+    val thr = DedupQueries.writeWinnowIndex(
+      spark, sfDir, "winnow_buf_e", s"$tmp/winnow_buf_e")
+    DedupQueries.writeWinnowIndex(spark, sfDir, "winnow_buf_b", s"$tmp/winnow_buf_b")
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    def wupd(m: Int, suffix: String) = d
+      .filter(col("doc_id") < thr && col("doc_id") % 13 === m)
+      .select(col("doc_id"), concat(col("text"), lit(suffix)).as("text"))
+    val wbatches = Seq(wupd(2, " zulu yankee xray"), wupd(5, " whiskey victor"),
+      wupd(2, " uniform tango sierra"))
+    wbatches.foreach(b => DedupQueries.updateWinnowIndex(b, "winnow_buf_e"))
+    wbatches.foreach(b => DedupQueries.bufferWinnowUpdate(b, "winnow_buf_b"))
+    val bFps = TextQueries.winnowSelected(d.filter(col("doc_id") >= thr))
+      .select(col("doc_id"), col("fp")).distinct()
+    def wprobe(t: String) = DedupQueries.winnowIncrementalPairs(
+        bFps, DedupQueries.winnowIndexFrame(spark, t))
+      .orderBy("doc_id", "c_id").collect().toSeq
+    val eagerW = wprobe("winnow_buf_e")
+    assert(eagerW.nonEmpty && wprobe("winnow_buf_b") == eagerW)
+    DedupQueries.compactWinnowIndex(spark, "winnow_buf_b")
+    assert(graft.sources.Tombstones.idSetForTable(spark, "winnow_buf_b").isEmpty)
+    assert(wprobe("winnow_buf_b") == eagerW)
+  }
+
   // ---- crash injection at the manifest commit boundary --------------------
   // Every lifecycle mutation prepares its files first and lands them with
   // ONE IndexManifest.commit. These tests kill the writer at exactly that
