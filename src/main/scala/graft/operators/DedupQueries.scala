@@ -1661,6 +1661,96 @@ object DedupQueries {
               |ORDER BY p.doc_id, c_id""".stripMargin)
     ),
 
+    // ---- tombstone-debt audit (the compaction trigger signal) --------------
+    // Every takedown leaves debt: tombstoned ids whose base rows every
+    // probe re-masks until a compaction reclaims them. This entry is the
+    // operational report over the standing fixed-takedown scenarios (the
+    // same delete sets as search_bm25_deleted / dedup_winnow_deleted /
+    // ann_ivf_deleted): per family, the tombstoned-id count, the masked
+    // PHYSICAL base rows (what a fold reclaims), the still-serving rows,
+    // open buffered-update batches (none in this scenario), and the masked
+    // fraction in ppm — the number an operator alerts on. The serving twin
+    // [[graft.sources.Tombstones.debt]] computes the identical report from
+    // a LIVE index's manifest/sidecar (pinned row-for-row in
+    // TombstoneSpec, including a >0 delta_batches case the fixed scenario
+    // cannot stage).
+    GQuery(
+      "q_index_tombstone_debt",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        // search: postings rows are distinct (doc_id, term); takedown % 7 = 3
+        val prow = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .distinct().groupBy("doc_id").agg(count(lit(1)).as("nr"))
+          .withColumn("is_del", (col("doc_id") % 7 === 3).cast("long"))
+        val se = prow.agg(
+            coalesce(sum(col("is_del")), lit(0L)).as("n_tombstones"),
+            coalesce(sum(col("nr") * col("is_del")), lit(0L)).as("masked_rows"),
+            coalesce(sum(col("nr") * (lit(1L) - col("is_del"))), lit(0L)).as("live_rows"))
+          .select(lit("search").as("family"), col("n_tombstones"),
+            col("masked_rows"), col("live_rows"))
+        // winnow: distinct (doc_id, fp) under the ingest threshold; % 11 = 5
+        val thr = broadcast(docs.agg(
+          expr("CAST((max(doc_id) + 1) * 4 div 5 AS BIGINT)").as("thr")))
+        val wfp = TextQueries.winnowSelected(docs)
+          .select(col("doc_id"), col("fp")).distinct()
+          .crossJoin(thr).filter(col("doc_id") < col("thr"))
+          .withColumn("is_del", (col("doc_id") % 11 === 5).cast("long"))
+        val wi = wfp.agg(
+            coalesce(countDistinct(when(col("is_del") === 1L, col("doc_id"))), lit(0L))
+              .as("n_tombstones"),
+            coalesce(sum(col("is_del")), lit(0L)).as("masked_rows"),
+            coalesce(sum(lit(1L) - col("is_del")), lit(0L)).as("live_rows"))
+          .select(lit("winnow").as("family"), col("n_tombstones"),
+            col("masked_rows"), col("live_rows"))
+        // ivf: one row per vector; takedown % 13 = 7
+        val iv = Tables.embeddings(s, dir).select("vec_id")
+          .withColumn("is_del", (col("vec_id") % 13 === 7).cast("long"))
+          .agg(
+            coalesce(sum(col("is_del")), lit(0L)).as("n_tombstones"),
+            coalesce(sum(col("is_del")), lit(0L)).as("masked_rows"),
+            coalesce(sum(lit(1L) - col("is_del")), lit(0L)).as("live_rows"))
+          .select(lit("ivf").as("family"), col("n_tombstones"),
+            col("masked_rows"), col("live_rows"))
+        se.unionByName(wi).unionByName(iv)
+          .withColumn("delta_batches", lit(0L))
+          .withColumn("masked_ppm",
+            expr("masked_rows * 1000000 div (masked_rows + live_rows)"))
+          .orderBy("family")
+      },
+      Some(s"""WITH ${TextQueries.winnowSqlCte},
+              |tdtoks AS (SELECT DISTINCT doc_id,
+              |    unnest(string_split(text, ' ')) AS term FROM documents),
+              |tdprow AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nr,
+              |    CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END AS is_del
+              |  FROM tdtoks GROUP BY doc_id),
+              |tdse AS (SELECT 'search' AS family,
+              |    CAST(COALESCE(SUM(is_del), 0) AS BIGINT) AS n_tombstones,
+              |    CAST(COALESCE(SUM(nr * is_del), 0) AS BIGINT) AS masked_rows,
+              |    CAST(COALESCE(SUM(nr * (1 - is_del)), 0) AS BIGINT) AS live_rows
+              |  FROM tdprow),
+              |tdthr AS (SELECT CAST((MAX(doc_id) + 1) * 4 // 5 AS BIGINT) AS thr FROM documents),
+              |tdwfp AS (SELECT DISTINCT doc_id, fp,
+              |    CASE WHEN doc_id % 11 = 5 THEN 1 ELSE 0 END AS is_del
+              |  FROM wsel, tdthr WHERE doc_id < thr),
+              |tdwi AS (SELECT 'winnow' AS family,
+              |    CAST(COALESCE(COUNT(DISTINCT CASE WHEN is_del = 1 THEN doc_id END), 0) AS BIGINT) AS n_tombstones,
+              |    CAST(COALESCE(SUM(is_del), 0) AS BIGINT) AS masked_rows,
+              |    CAST(COALESCE(SUM(1 - is_del), 0) AS BIGINT) AS live_rows
+              |  FROM tdwfp),
+              |tdiv AS (SELECT 'ivf' AS family,
+              |    CAST(COALESCE(SUM(CASE WHEN vec_id % 13 = 7 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_tombstones,
+              |    CAST(COALESCE(SUM(CASE WHEN vec_id % 13 = 7 THEN 1 ELSE 0 END), 0) AS BIGINT) AS masked_rows,
+              |    CAST(COALESCE(SUM(CASE WHEN vec_id % 13 = 7 THEN 0 ELSE 1 END), 0) AS BIGINT) AS live_rows
+              |  FROM embeddings),
+              |tdall AS (SELECT * FROM tdse UNION ALL SELECT * FROM tdwi
+              |  UNION ALL SELECT * FROM tdiv)
+              |SELECT family, n_tombstones, masked_rows, live_rows,
+              |  CAST(0 AS BIGINT) AS delta_batches,
+              |  masked_rows * 1000000 // (masked_rows + live_rows) AS masked_ppm
+              |FROM tdall ORDER BY family""".stripMargin)
+    ),
+
     // ---- winnow near-dup clusters (two-star over the fingerprint pairs) ----
     // The keep-one-per-cluster consumer the winnow family was missing
     // (minhash, simhash, and phash each have theirs): two-star connected

@@ -190,6 +190,42 @@ object Tombstones {
   def bufferedIdSet(s: SparkSession, indexPath: String, idCol: String): Option[DataFrame] =
     deltaFrame(s, indexPath).map(_.select(idCol).distinct())
 
+  /** One index's outstanding-maintenance report — the operational signal
+    * that triggers compaction: how many ids are tombstoned, how many
+    * PHYSICAL base rows their mask suppresses on every probe (what a fold
+    * would reclaim), how many base rows still serve, how many buffered
+    * update batches are open, and the masked fraction in ppm. `rows` is
+    * the family's physical base frame (the bucketed table scan, the IVF
+    * data dir) — deltas are counted as batches, not rows, because their
+    * cost driver is the per-probe union arm count. Registered as
+    * `q_index_tombstone_debt` (the fixed-takedown scenario, oracle-paired)
+    * and pinned against live indexes in TombstoneSpec.
+    */
+  def debt(family: String, rows: DataFrame, anchor: String, idCol: String): DataFrame = {
+    val s = rows.sparkSession
+    val man = IndexManifest.current(s, anchor)
+    val nBatches = man.map(_.deltas.size.toLong).getOrElse(0L)
+    val nT = idSet(s, anchor).map(_.count()).getOrElse(0L)
+    val flagged = idSet(s, anchor) match {
+      case Some(t) =>
+        rows.select(idCol).join(
+            broadcast(t.withColumnRenamed("id", idCol).withColumn("is_del", lit(1L))),
+            Seq(idCol), "left")
+          .select(coalesce(col("is_del"), lit(0L)).as("is_del"))
+      case None => rows.select(lit(0L).as("is_del"))
+    }
+    flagged.agg(
+        coalesce(sum(col("is_del")), lit(0L)).as("masked_rows"),
+        coalesce(sum(lit(1L) - col("is_del")), lit(0L)).as("live_rows"))
+      .select(
+        lit(family).as("family"),
+        lit(nT).as("n_tombstones"),
+        col("masked_rows"),
+        col("live_rows"),
+        lit(nBatches).as("delta_batches"),
+        expr("masked_rows * 1000000 div (masked_rows + live_rows)").as("masked_ppm"))
+  }
+
   private def epochStatsDir(indexPath: String, version: Long): String =
     s"${indexPath.stripSuffix("/")}_stats_e$version"
 

@@ -639,6 +639,46 @@ class TombstoneSpec extends SparkSpec {
     assert(wprobe("winnow_buf_b") == eagerW)
   }
 
+  test("tombstone-debt audit over live indexes equals the registered report") {
+    // the compaction-trigger signal: Tombstones.debt over real indexes
+    // with the standing fixed takedowns applied must equal the
+    // oracle-paired q_index_tombstone_debt rows, and an open update
+    // window must surface as delta debt
+    import graft.operators.{DedupQueries, SearchQueries, SimilarityQueries}
+    val t = graft.sources.Tombstones
+    val sp = s"$tmp/debt_search"
+    SearchQueries.writeSearchIndex(spark, sfDir, "debt_search_idx", sp)
+    val sDel = Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    SearchQueries.deleteFromSearchIndex(spark, "debt_search_idx", sp, sDel)
+    DedupQueries.writeWinnowIndex(spark, sfDir, "debt_winnow_idx", s"$tmp/debt_winnow")
+    val wDel = spark.table("debt_winnow_idx").filter(col("doc_id") % 11 === 5)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+    DedupQueries.deleteFromWinnowIndex(spark, "debt_winnow_idx", wDel)
+    val ip = s"$tmp/debt_ivf"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, ip)
+    val iDel = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 13 === 7)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    SimilarityQueries.deleteFromIvfIndex(spark, ip, iDel)
+    val live = t.debt("search", spark.table("debt_search_idx"), sp, "doc_id")
+      .unionByName(t.debt("winnow", spark.table("debt_winnow_idx"),
+        t.tableLocation(spark, "debt_winnow_idx"), "doc_id"))
+      .unionByName(t.debt("ivf",
+        spark.read.parquet(graft.sources.IndexManifest.dataPath(spark, ip, ip)),
+        ip, "vec_id"))
+      .orderBy("family")
+    val expect = SparkEntry.queries("q_index_tombstone_debt")(spark, sfDir)
+    assert(live.collect().toSeq == expect.collect().toSeq)
+    // an open update window surfaces as delta debt (the fixed scenario
+    // cannot stage this — pinned here instead)
+    val upd = Tables.documents(spark, sfDir).filter(col("doc_id") % 13 === 1)
+      .select(col("doc_id"), concat(col("text"), lit(" tango")).as("text"), col("lang"))
+    SearchQueries.bufferSearchUpdate(spark, "debt_search_idx", sp, upd)
+    val after = t.debt("search", spark.table("debt_search_idx"), sp, "doc_id").head()
+    assert(after.getLong(4) == 1L, s"delta_batches: $after")
+    assert(after.getLong(1) > sDel.size.toLong, s"buffered ids must tombstone: $after")
+  }
+
   // ---- crash injection at the manifest commit boundary --------------------
   // Every lifecycle mutation prepares its files first and lands them with
   // ONE IndexManifest.commit. These tests kill the writer at exactly that
