@@ -88,6 +88,109 @@ object SearchQueries {
       if (i == 0) s"(CAST($p AS BIGINT), '$a', '$b')" else s"($p, '$a', '$b')"
     }.mkString("ph(p_id, w1, w2) AS (VALUES ", ", ", ")")
 
+  /** k-word phrase queries for `search_phrase_kmatch`: frequent corpus
+    * trigrams (present at every shipped scale factor, checked against
+    * sf0.001/0.01/0.1). The machinery is length-generic — a 4-word probe
+    * is pinned in PartitionBucketSpec at sf0.01.
+    */
+  private[graft] val KPHRASES: Seq[(Long, Seq[String])] = Seq(
+    (0L, Seq("row", "column", "sort")),
+    (1L, Seq("part", "filter", "scan")),
+    (2L, Seq("window", "fast", "query")),
+    (3L, Seq("stream", "table", "hash")))
+
+  /** k-word phrase occurrences over a token-position frame (doc_id, term,
+    * pos): every word's positions normalize to the phrase START (pos − i)
+    * and the k−1 joins become plain EQUI-joins on (doc_id, start) — no
+    * inequality conditions, so Catalyst plans hash joins and each
+    * occurrence survives as exactly one start-position row (n_occ is the
+    * start count). The chain is anchored on the RAREST word when per-word
+    * df is supplied: the anchor's posting list bounds every join's left
+    * side, so a phrase containing one rare word costs its postings, not
+    * the common words' (the classic positional-intersection order).
+    */
+  private def phraseKMatch(
+      posF: DataFrame, phrases: Seq[(Long, Seq[String])],
+      dfOf: Map[String, Long]): DataFrame = {
+    val perPhrase = phrases.map { case (pid, words) =>
+      val a = words.indices.minBy(i => dfOf.getOrElse(words(i), Long.MaxValue))
+      var cur = posF.filter(col("term") === words(a))
+        .select(col("doc_id"), (col("pos") - a).as("p0"))
+      for (i <- words.indices if i != a)
+        cur = cur.join(
+          posF.filter(col("term") === words(i))
+            .select(col("doc_id"), (col("pos") - i).as("p0")),
+          Seq("doc_id", "p0"))
+      cur.groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+        .select(lit(pid).as("p_id"), col("doc_id"), col("n_occ"))
+    }
+    val all = perPhrase.reduce(_ unionByName _)
+    val w = Window.partitionBy("p_id").orderBy(col("n_occ").desc, col("doc_id"))
+    all.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select("p_id", "rank", "doc_id", "n_occ")
+      .orderBy("p_id", "rank")
+  }
+
+  /** Oracle chain for the k-word phrases (left-to-right join order —
+    * anchoring changes the plan, never the rows).
+    */
+  private def phraseKSql: String = {
+    val per = KPHRASES.map { case (pid, words) =>
+      val joins = words.indices.tail.map { i =>
+        val al = s"t$i"
+        s"JOIN ktoks $al ON $al.doc_id = a.doc_id AND $al.pos = a.pos + $i AND $al.term = '${words(i)}'"
+      }.mkString(" ")
+      s"""kp$pid AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ FROM (
+         |  SELECT a.doc_id FROM ktoks a $joins WHERE a.term = '${words.head}')
+         |  GROUP BY doc_id)""".stripMargin
+    }
+    val union = KPHRASES.map { case (pid, _) =>
+      if (pid == 0L) s"SELECT CAST(0 AS BIGINT) AS p_id, doc_id, n_occ FROM kp0"
+      else s"SELECT $pid, doc_id, n_occ FROM kp$pid"
+    }.mkString(" UNION ALL ")
+    s"""ktoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+       |  generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+       |${per.mkString(",\n")},
+       |kall AS ($union),
+       |krank AS (SELECT p_id, doc_id, n_occ,
+       |  CAST(row_number() OVER (PARTITION BY p_id ORDER BY n_occ DESC, doc_id) AS BIGINT) AS rank
+       |  FROM kall)""".stripMargin
+  }
+
+  /** k-word phrase probe against the persisted index: the phrase words'
+    * postings are the only scan (term In-list + bucket pruning, raw text
+    * never read), positions explode from the stored lists, and the
+    * rarest-word anchor comes from the index's own df — a bounded
+    * control-plane read of k word counts. Equals the inline
+    * `search_phrase_kmatch` (pinned in PartitionBucketSpec, including a
+    * 4-word phrase through the same machinery).
+    */
+  def phraseKMatchFromIndex(
+      s: SparkSession, table: String, path: String,
+      phrases: Seq[(Long, Seq[String])] = KPHRASES): DataFrame = {
+    val words = phrases.flatMap(_._2).distinct
+    val p = visiblePostings(s, table, path).filter(col("term").isin(words: _*))
+    val dfOf = p.groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pos = p.select(col("term"), col("doc_id"),
+      explode(col("positions")).as("pos"))
+    phraseKMatch(pos, phrases, dfOf)
+  }
+
+  /** The inline k-word phrase pipeline (shared by the registered entry and
+    * the spec's 4-word generality pin).
+    */
+  private[graft] def phraseKInline(
+      s: SparkSession, dir: String,
+      phrases: Seq[(Long, Seq[String])] = KPHRASES): DataFrame = {
+    val toks = Tables.documents(s, dir).select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+    phraseKMatch(
+      toks.select(col("doc_id"), col("term"), col("pos").cast("long").as("pos")),
+      phrases, Map.empty)
+  }
+
   private def queryTermsSql: String =
     QUERY_TERMS.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .zipWithIndex
@@ -1170,6 +1273,23 @@ object SearchQueries {
               |  CAST(row_number() OVER (PARTITION BY p_id ORDER BY n_occ DESC, doc_id) AS BIGINT) AS rank
               |  FROM m)
               |SELECT p_id, rank, doc_id, n_occ FROM ranked WHERE rank <= $TOP_K
+              |ORDER BY p_id, rank""".stripMargin)
+    ),
+
+    // ---- k-word phrase search (the n-ary completion of the pair above) ------
+    // Every word's positions normalize to the phrase start and the k−1
+    // position joins become plain equi-joins on (doc_id, start) — n_occ is
+    // the surviving start count, so the same machinery serves any phrase
+    // length (a 4-word probe is pinned in PartitionBucketSpec). The
+    // index-served twin [[phraseKMatchFromIndex]] anchors the chain on the
+    // RAREST word from the index's own df, bounding every join by the
+    // smallest posting list; the oracle's left-to-right chain proves
+    // anchoring changes the plan, never the rows.
+    GQuery(
+      "search_phrase_kmatch",
+      (s, dir) => phraseKInline(s, dir),
+      Some(s"""WITH $phraseKSql
+              |SELECT p_id, rank, doc_id, n_occ FROM krank WHERE rank <= $TOP_K
               |ORDER BY p_id, rank""".stripMargin)
     ),
 

@@ -1073,6 +1073,29 @@ class PartitionBucketSpec extends SparkSpec {
       expected.orderBy("o_orderkey").collect().toSeq)
   }
 
+  test("k-word phrase probe on the inverted index: equals inline at k=3 and k=4, no raw-text read") {
+    // the n-ary completion of the two-word phrase probe: positions
+    // normalize to the phrase start, the chain anchors on the rarest word
+    // (df from the index), and the same machinery serves any length
+    import graft.operators.SearchQueries
+    val path = s"$tmp/search_idx_kp"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_idx_kp", path)
+    val probed = SearchQueries.phraseKMatchFromIndex(spark, "search_idx_kp", path)
+    val got = probed.collect()
+    val inline = SparkEntry.queries("search_phrase_kmatch")(spark, sfDir).collect()
+    assert(got.nonEmpty && got.toSeq == inline.toSeq)
+    val plan = probed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("documents.parquet"), s"probe read raw documents:\n$plan")
+    // 4-word phrase through the SAME entry points (the length-generality
+    // the registered trigram set cannot stage — this corpus 4-gram was
+    // checked present at sf0.001)
+    val four = Seq((0L, Seq("small", "big", "order", "scan")))
+    val got4 = SearchQueries.phraseKMatchFromIndex(spark, "search_idx_kp", path, four).collect()
+    val inline4 = SearchQueries.phraseKInline(spark, sfDir, four).collect()
+    assert(got4.nonEmpty && got4.toSeq == inline4.toSeq)
+  }
+
   test("index-served hard negatives: pruned-cell candidates, banded rank equals the registered entry") {
     // the r14 scale-claim made a pinned plan: the miner's candidate
     // generator is the persisted IVF probe (partition-pruned cell read),
