@@ -214,6 +214,21 @@ object SearchQueries {
       s"((tf * 2200 * 1000000) $div ((tf * 1000) + " +
       s"((1200 * (250 + ((750 * dl * 1000) $div ((tt * 1000) $div n_docs)))) $div 1000)))) $div 1000000"
 
+  /** WAND θ-seed pool size, as a multiple of TOP_K. PRICED by the
+    * registered `search_wand_pool_curve` (the ann_rp_recall_vs_depth
+    * discipline applied to the lexical tier): seed-scoring cost grows
+    * linearly in the multiple while the realized skip fraction plateaus
+    * once the pool almost surely contains the true top-K — the operating
+    * rule is "smallest multiple on the plateau". Measured at sf0.1
+    * (19,227 candidates): m=1 → 13.8% skip, m=2 → 24.1%, m=5 → 44.5%,
+    * m=10 → 44.5% — IDENTICAL scored sets at 5 and 10, so the plateau
+    * starts at 5 and a larger pool buys zero extra skip for strictly more
+    * seed scoring; m=1 leaves two-thirds of the audit's skippable set
+    * unrealized because θ_est lands far below θ_true. Exactness never
+    * depends on the choice: any pool's K-th best full score is ≤ θ_true.
+    */
+  private[graft] val WAND_POOL_MULTIPLE = 5
+
   /** Rank docs per query given postings (term, doc_id, tf, dl), per-term df,
     * and the 1-row corpus stats (n_docs, tt). Query/df/stats sides are all
     * broadcast — the postings side is never shuffled before scoring.
@@ -676,7 +691,8 @@ object SearchQueries {
     * Returns (topk, per-query counts (n_cands, n_scored)).
     */
   private def bm25WandRank(
-      postings: DataFrame, stats: DataFrame, q: DataFrame): (DataFrame, DataFrame) = {
+      postings: DataFrame, stats: DataFrame, q: DataFrame,
+      poolMultiple: Int = WAND_POOL_MULTIPLE): (DataFrame, DataFrame) = {
     val perTerm = postings.groupBy("term").agg(
       count(lit(1)).as("df"), max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
     // rename (max_tf, min_dl) into scoreExpr's (tf, dl) slots — UB_t rides
@@ -716,7 +732,7 @@ object SearchQueries {
     // subset's K-th best score is ≤ θ_true.
     val wub = Window.partitionBy("q_id").orderBy(col("ub_sum").desc, col("doc_id"))
     val seeds = ubSum.withColumn("rn", row_number().over(wub))
-      .filter(col("rn") <= 5 * TOP_K).select("q_id", "doc_id")
+      .filter(col("rn") <= poolMultiple * TOP_K).select("q_id", "doc_id")
     val wq = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
     val theta = fullScores(seeds, hintBroadcast = true)
       .withColumn("rk", row_number().over(wq))
@@ -871,6 +887,31 @@ object SearchQueries {
       // retires buffered updates with one physical rewrite
       Some(visiblePostings(s, table, path)))
 
+  /** The WAND seed-pool pricing curve: per pool multiple, exact candidate
+    * count, fully-scored count (survivors ∪ pool), and realized skip ppm —
+    * the measurement behind [[WAND_POOL_MULTIPLE]]'s operating rule.
+    */
+  private[graft] def wandPoolCurve(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val terms = QUERY_TERMS.flatMap(_._2).distinct
+    val p = postingsOf(docs.select(col("doc_id"), col("text"), col("lang")))
+      .filter(col("term").isin(terms: _*))
+      .select("term", "doc_id", "tf", "dl")
+    val pm = Materialize(p) // four pool sizes re-read the same postings
+    val stats = statsOf(docs)
+    val rows = Seq(1, 2, 5, 10).map { m =>
+      val (_, counts) = bm25WandRank(pm, stats, queryTerms(s), m)
+      counts.agg(
+          coalesce(sum(col("n_cands")), lit(0L)).as("n_cands"),
+          coalesce(sum(col("n_scored")), lit(0L)).as("n_scored"))
+        .select(lit(m.toLong).as("pool_multiple"), col("n_cands"), col("n_scored"))
+    }
+    rows.reduce(_ unionByName _)
+      .withColumn("skip_ppm",
+        expr("(n_cands - n_scored) * 1000000 div n_cands"))
+      .orderBy("pool_multiple")
+  }
+
   // ---- registry -----------------------------------------------------------
 
   val defs: Seq[GQuery] = Seq(
@@ -928,6 +969,56 @@ object SearchQueries {
       Some(s"""WITH ${bm25Sql()}
               |SELECT q_id, rank, doc_id, score FROM ranked WHERE rank <= $TOP_K
               |ORDER BY q_id, rank""".stripMargin)
+    ),
+
+    // ---- WAND θ-seed pool pricing curve -------------------------------------
+    // The one knob in the executed WAND path, priced (the
+    // ann_rp_recall_vs_depth discipline applied to the lexical tier): for
+    // pool multiples m ∈ {1,2,5,10}, the exact candidate count, the docs
+    // actually fully scored (θ-survivors ∪ the m·K seed pool — honest
+    // accounting, a pruned seed was still paid), and the realized skip
+    // fraction in ppm. The curve shows the plateau the operating rule
+    // reads: skip jumps from m=1 (θ_est far below θ_true, little pruned)
+    // to the m where the pool almost surely contains the true top-K, then
+    // flattens while seed cost keeps growing linearly — WAND_POOL_MULTIPLE
+    // sits at the smallest plateau point. Everything rides the integer
+    // micro grid, so the DuckDB twin reproduces the curve bit-exactly.
+    GQuery(
+      "search_wand_pool_curve",
+      (s, dir) => wandPoolCurve(s, dir),
+      Some(s"""WITH ${bm25Sql()},
+              |wperm AS (SELECT term, df, CAST(MAX(tf) AS BIGINT) AS tf,
+              |    CAST(MIN(dl) AS BIGINT) AS dl
+              |  FROM tft JOIN dlt USING (doc_id) JOIN dft USING (term)
+              |  JOIN (SELECT DISTINCT term FROM q) USING (term)
+              |  GROUP BY term, df),
+              |wub AS (SELECT term, ${scoreExpr("//")} AS ub FROM wperm CROSS JOIN stats),
+              |wubsum AS (SELECT q_id, tft.doc_id, CAST(SUM(ub) AS BIGINT) AS ub_sum
+              |  FROM tft JOIN q USING (term) JOIN wub USING (term) GROUP BY 1, 2),
+              |wrnk AS (SELECT q_id, doc_id, ub_sum,
+              |    row_number() OVER (PARTITION BY q_id ORDER BY ub_sum DESC, doc_id) AS ubrn
+              |  FROM wubsum),
+              |wpools AS (SELECT unnest([1, 2, 5, 10]) AS m),
+              |wth AS (SELECT m, q_id, score AS theta FROM (
+              |    SELECT p.m, w.q_id, a.score, a.doc_id,
+              |      row_number() OVER (PARTITION BY p.m, w.q_id
+              |        ORDER BY a.score DESC, a.doc_id) AS rk
+              |    FROM wrnk w JOIN wpools p ON w.ubrn <= p.m * $TOP_K
+              |    JOIN aggd a ON a.q_id = w.q_id AND a.doc_id = w.doc_id)
+              |  WHERE rk = $TOP_K),
+              |wsurv AS (SELECT p.m, u.q_id, u.doc_id
+              |  FROM wubsum u CROSS JOIN wpools p
+              |  LEFT JOIN wth t ON t.m = p.m AND t.q_id = u.q_id
+              |  WHERE t.theta IS NULL OR u.ub_sum >= t.theta),
+              |wscored AS (SELECT m, q_id, doc_id FROM wsurv
+              |  UNION SELECT p.m, w.q_id, w.doc_id
+              |    FROM wrnk w JOIN wpools p ON w.ubrn <= p.m * $TOP_K),
+              |wtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cands FROM wubsum)
+              |SELECT CAST(m AS BIGINT) AS pool_multiple, n_cands,
+              |  CAST(COUNT(*) AS BIGINT) AS n_scored,
+              |  (n_cands - CAST(COUNT(*) AS BIGINT)) * 1000000 // n_cands AS skip_ppm
+              |FROM wscored CROSS JOIN wtot
+              |GROUP BY m, n_cands ORDER BY pool_multiple""".stripMargin)
     ),
 
     GQuery(
