@@ -777,6 +777,123 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == direct.orderBy("asset_id", "src_id").collect().toSeq)
   }
 
+  test("streaming ANN probe sees a mid-drain takedown from the next drain on") {
+    // the vector twin of the BM25/winnow mid-stream takedown pins: the
+    // drain splits in two, the takedown lands between them (a true
+    // mid-stream delete — the checkpoint carries across), and each half
+    // must equal the batch probe against the index state IT saw
+    import graft.operators.SimilarityQueries
+    import graft.streaming.EmbeddingsStream
+    import graft.functions.VectorOps
+    val base = java.nio.file.Files.createTempDirectory("graft-vectomb").toString
+    SimilarityQueries.writeIvfIndex(spark, sfDir, s"$base/idx")
+    def queriesOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr(s"sqrt(${VectorOps.dotExpr("v", "v")})"))
+    val qA = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 5)
+    val qB = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= 5 && col("vec_id") < 10)
+    qA.repartition(2).write.mode("append").parquet(s"$base/in")
+    val expectA = SimilarityQueries
+      .ivfProbeIndex(spark, sfDir, s"$base/idx", queriesOf(qA)).collect()
+    EmbeddingsStream.runAnnProbe(
+      spark, sfDir, s"$base/in", s"$base/idx", s"$base/out", s"$base/ckpt")
+    // ---- mid-drain takedown ----
+    val deleted = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 13 === 7)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    SimilarityQueries.deleteFromIvfIndex(spark, s"$base/idx", deleted)
+    qB.repartition(2).write.mode("append").parquet(s"$base/in")
+    EmbeddingsStream.runAnnProbe(
+      spark, sfDir, s"$base/in", s"$base/idx", s"$base/out", s"$base/ckpt")
+    val expectB = SimilarityQueries
+      .ivfProbeIndex(spark, sfDir, s"$base/idx", queriesOf(qB)).collect()
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val got = spark.read.parquet(s"$base/out")
+      .select("q_id", "rank", "cand_id", "cos").collect().sortBy(key)
+    assert(got.nonEmpty &&
+      got.toSeq == (expectA ++ expectB).sortBy(key).toSeq)
+    // the post-takedown half never surfaces a deleted id
+    assert(!expectB.exists(r => deleted.contains(r.getLong(2))))
+  }
+
+  test("streaming cross-modal probe sees a mid-drain takedown from the next drain on") {
+    import graft.operators.{MultimodalQueries, SimilarityQueries}
+    import graft.streaming.EmbeddingsStream
+    import graft.functions.VectorOps
+    val base = java.nio.file.Files.createTempDirectory("graft-xmtomb").toString
+    SimilarityQueries.writeIvfIndex(spark, sfDir, s"$base/idx")
+    def queriesOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr(s"sqrt(${VectorOps.dotExpr("v", "v")})"))
+    def served(df: org.apache.spark.sql.DataFrame) =
+      MultimodalQueries.crossmodalEnrich(spark, sfDir,
+        SimilarityQueries.ivfProbeIndex(spark, sfDir, s"$base/idx", queriesOf(df)))
+    val qA = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 5)
+    val qB = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= 5 && col("vec_id") < 10)
+    qA.repartition(2).write.mode("append").parquet(s"$base/in")
+    val colsA = served(qA).columns
+    val expectA = served(qA).collect()
+    EmbeddingsStream.runCrossmodalProbe(
+      spark, sfDir, s"$base/in", s"$base/idx", s"$base/out", s"$base/ckpt")
+    val deleted = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 13 === 7)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    SimilarityQueries.deleteFromIvfIndex(spark, s"$base/idx", deleted)
+    qB.repartition(2).write.mode("append").parquet(s"$base/in")
+    EmbeddingsStream.runCrossmodalProbe(
+      spark, sfDir, s"$base/in", s"$base/idx", s"$base/out", s"$base/ckpt")
+    val expectB = served(qB).collect()
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    val got = spark.read.parquet(s"$base/out")
+      .select(colsA.map(col).toSeq: _*).collect().sortBy(key)
+    assert(got.nonEmpty &&
+      got.toSeq == (expectA ++ expectB).sortBy(key).toSeq)
+  }
+
+  test("streaming phash probe sees a mid-drain takedown from the next drain on") {
+    import graft.operators.{Multimodal, MultimodalQueries}
+    import graft.streaming.DocumentsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-phtomb").toString
+    MultimodalQueries.writePhashIndex(spark, sfDir, "phash_tomb_stream", s"$base/idx")
+    val variants = Multimodal.assetsWithVariants(spark, sfDir)
+      .filter(col("asset_id") >= 1000000L)
+    // split the drain by variant family (+1e6 re-encodes first, +2e6
+    // second) — variant ids are all even, so parity cannot split them
+    val vA = variants.filter(col("asset_id") < 2000000L)
+    val vB = variants.filter(col("asset_id") >= 2000000L)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      MultimodalQueries.phashProbePairs(
+        MultimodalQueries.phashBandKeys(Multimodal.perceptualHash(df).toDF()),
+        MultimodalQueries.phashIndexFrame(spark, "phash_tomb_stream"))
+    vA.repartition(2).write.mode("append").parquet(s"$base/in")
+    val colsP = pairsOf(vA).columns
+    val expectA = pairsOf(vA).collect()
+    DocumentsStream.runPhashProbe(
+      spark, s"$base/in", "phash_tomb_stream", s"$base/out", s"$base/ckpt")
+    // takedown of HALF the variant SOURCES (sources are % 10 = 0 docs, so
+    // % 20 = 0 removes every other one): their variants must stop
+    // matching from the next drain on
+    val deleted = spark.table("phash_tomb_stream")
+      .filter(col("asset_id") % 20 === 0).select("asset_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(deleted.nonEmpty)
+    MultimodalQueries.deleteFromPhashIndex(spark, "phash_tomb_stream", deleted)
+    vB.repartition(2).write.mode("append").parquet(s"$base/in")
+    DocumentsStream.runPhashProbe(
+      spark, s"$base/in", "phash_tomb_stream", s"$base/out", s"$base/ckpt")
+    val expectB = pairsOf(vB).collect()
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    val got = spark.read.parquet(s"$base/out")
+      .select(colsP.map(col).toSeq: _*).collect().sortBy(key)
+    assert(got.nonEmpty &&
+      got.toSeq == (expectA ++ expectB).sortBy(key).toSeq)
+    // the post-takedown half never matches a deleted original
+    assert(expectB.nonEmpty && !expectB.exists(r => deleted.contains(r.getLong(1))))
+  }
+
   test("streaming Gopher audit equals the batch rule battery") {
     // stateless map-only rules as a TRUE streaming query (file-sink path,
     // no foreachBatch): drain must equal text_gopher_rules row-for-row
