@@ -1715,7 +1715,8 @@ object DedupQueries {
         se.unionByName(wi).unionByName(iv)
           .withColumn("delta_batches", lit(0L))
           .withColumn("masked_ppm",
-            expr("masked_rows * 1000000 div (masked_rows + live_rows)"))
+            expr("CASE WHEN masked_rows + live_rows = 0 THEN 0 " +
+              "ELSE masked_rows * 1000000 div (masked_rows + live_rows) END"))
           .orderBy("family")
       },
       Some(s"""WITH ${TextQueries.winnowSqlCte},
@@ -1747,7 +1748,9 @@ object DedupQueries {
               |  UNION ALL SELECT * FROM tdiv)
               |SELECT family, n_tombstones, masked_rows, live_rows,
               |  CAST(0 AS BIGINT) AS delta_batches,
-              |  masked_rows * 1000000 // (masked_rows + live_rows) AS masked_ppm
+              |  CASE WHEN masked_rows + live_rows = 0 THEN 0
+              |    ELSE masked_rows * 1000000 // (masked_rows + live_rows)
+              |  END AS masked_ppm
               |FROM tdall ORDER BY family""".stripMargin)
     ),
 

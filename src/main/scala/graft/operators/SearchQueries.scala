@@ -907,8 +907,11 @@ object SearchQueries {
         .select(lit(m.toLong).as("pool_multiple"), col("n_cands"), col("n_scored"))
     }
     rows.reduce(_ unionByName _)
+      // a corpus where no query term matches has zero candidates (the
+      // EdgeCorpusSpec degenerate corpora) — skip is 0 by definition there
       .withColumn("skip_ppm",
-        expr("(n_cands - n_scored) * 1000000 div n_cands"))
+        expr("CASE WHEN n_cands = 0 THEN 0 " +
+          "ELSE (n_cands - n_scored) * 1000000 div n_cands END"))
       .orderBy("pool_multiple")
   }
 
@@ -1016,7 +1019,9 @@ object SearchQueries {
               |wtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cands FROM wubsum)
               |SELECT CAST(m AS BIGINT) AS pool_multiple, n_cands,
               |  CAST(COUNT(*) AS BIGINT) AS n_scored,
-              |  (n_cands - CAST(COUNT(*) AS BIGINT)) * 1000000 // n_cands AS skip_ppm
+              |  CASE WHEN n_cands = 0 THEN 0
+              |    ELSE (n_cands - CAST(COUNT(*) AS BIGINT)) * 1000000 // n_cands
+              |  END AS skip_ppm
               |FROM wscored CROSS JOIN wtot
               |GROUP BY m, n_cands ORDER BY pool_multiple""".stripMargin)
     ),

@@ -223,7 +223,9 @@ object Tombstones {
         col("masked_rows"),
         col("live_rows"),
         lit(nBatches).as("delta_batches"),
-        expr("masked_rows * 1000000 div (masked_rows + live_rows)").as("masked_ppm"))
+        expr("CASE WHEN masked_rows + live_rows = 0 THEN 0 " +
+          "ELSE masked_rows * 1000000 div (masked_rows + live_rows) END")
+          .as("masked_ppm"))
   }
 
   private def epochStatsDir(indexPath: String, version: Long): String =

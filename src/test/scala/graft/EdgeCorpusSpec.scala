@@ -64,9 +64,10 @@ class EdgeCorpusSpec extends SparkSpec {
         // cross-modal retrieval ranks through the EMBEDDINGS table
         (n.startsWith("multimodal_") && !n.contains("crossmodal")) ||
         // the semantic decontaminator and hard-negative miner score
-        // EMBEDDINGS-table vectors (they sweep with the vector corpus below)
+        // EMBEDDINGS-table vectors (they sweep with the vector corpus
+        // below), as do their _ivf index-scale twins
         (n.startsWith("pipeline_") && n != "pipeline_decontaminate_semantic" &&
-          n != "pipeline_hard_negatives") ||
+          n != "pipeline_hard_negatives" && !n.endsWith("_ivf")) ||
         // lexical search reads documents only (hybrid and the eval audit
         // also need embeddings for the vector list)
         (n.startsWith("search_") && !n.contains("hybrid") && !n.contains("eval")) ||
@@ -113,7 +114,8 @@ class EdgeCorpusSpec extends SparkSpec {
     val vecQueries = SparkEntry.registry.map(_.name).filter(n =>
       n.startsWith("ann_") || n.startsWith("dedup_semantic") ||
         n == "dedup_embedding_pairs" || n == "pipeline_decontaminate_semantic" ||
-        n == "pipeline_hard_negatives")
+        n == "pipeline_hard_negatives" || n == "pipeline_decontaminate_ivf" ||
+        n == "pipeline_hard_negatives_ivf")
     for (name <- vecQueries) {
       val out = SparkEntry.queries(name)(spark, dir).collect()
       assert(out != null, name) // reaching here means no throw

@@ -712,6 +712,30 @@ class TombstoneSpec extends SparkSpec {
     assert(after == sorted(SparkEntry.queries("search_bm25_deleted")(spark, sfDir)))
   }
 
+  test("crash injection: a buffered update batch that dies before its commit changes nothing") {
+    // the batched-update atom: tombstone + delta rows + advanced stats
+    // land together or not at all — a crashed buffer call leaves probes
+    // on the previous epoch, and its retry lands exactly once
+    import graft.operators.SearchQueries
+    val path = s"$tmp/search_bufcrash"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_bufcrash_idx", path)
+    val before = sorted(SearchQueries.bm25TopkFromIndex(spark, "search_bufcrash_idx", path))
+    val upd = Tables.documents(spark, sfDir).filter(col("doc_id") % 13 === 2)
+      .select(col("doc_id"), concat(col("text"), lit(" zulu")).as("text"), col("lang"))
+    graft.sources.IndexManifest.failNextCommit = true
+    intercept[RuntimeException] {
+      SearchQueries.bufferSearchUpdate(spark, "search_bufcrash_idx", path, upd)
+    }
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_bufcrash_idx", path)) == before)
+    assert(graft.sources.Tombstones.deltaFrame(spark, path).isEmpty)
+    SearchQueries.bufferSearchUpdate(spark, "search_bufcrash_idx", path, upd)
+    val updCorpus = Tables.documents(spark, sfDir)
+      .filter(!(col("doc_id") % 13 === 2)).select("doc_id", "text", "lang")
+      .unionByName(upd)
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_bufcrash_idx", path)) ==
+      sorted(SearchQueries.bm25OverDocs(spark, updCorpus)))
+  }
+
   test("crash injection: a compaction that dies before its commit leaves probes on the old (data, tombstones) pair") {
     import graft.operators.SimilarityQueries
     val path = s"$tmp/ivf_crash"
