@@ -890,21 +890,64 @@ object SearchQueries {
   /** The WAND seed-pool pricing curve: per pool multiple, exact candidate
     * count, fully-scored count (survivors ∪ pool), and realized skip ppm —
     * the measurement behind [[WAND_POOL_MULTIPLE]]'s operating rule.
+    * The four pool sizes SHARE every expensive stage (one tokenization,
+    * one UB ranking, one full-scoring of the largest pool — a smaller
+    * pool is a prefix of the ub-rank order, so its θ derives from the
+    * same scored frame); only the per-m θ windows and count aggregates
+    * branch, which is why this measurement costs ≈ one serving probe, not
+    * four.
     */
   private[graft] def wandPoolCurve(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val terms = QUERY_TERMS.flatMap(_._2).distinct
-    val p = postingsOf(docs.select(col("doc_id"), col("text"), col("lang")))
-      .filter(col("term").isin(terms: _*))
-      .select("term", "doc_id", "tf", "dl")
-    val pm = Materialize(p) // four pool sizes re-read the same postings
+    val p = Materialize(
+      postingsOf(docs.select(col("doc_id"), col("text"), col("lang")))
+        .filter(col("term").isin(terms: _*))
+        .select("term", "doc_id", "tf", "dl"))
     val stats = statsOf(docs)
-    val rows = Seq(1, 2, 5, 10).map { m =>
-      val (_, counts) = bm25WandRank(pm, stats, queryTerms(s), m)
-      counts.agg(
-          coalesce(sum(col("n_cands")), lit(0L)).as("n_cands"),
-          coalesce(sum(col("n_scored")), lit(0L)).as("n_scored"))
-        .select(lit(m.toLong).as("pool_multiple"), col("n_cands"), col("n_scored"))
+    val q = queryTerms(s)
+    val ms = Seq(1L, 2L, 5L, 10L)
+    val maxM = ms.max
+    // one UB derivation + one ub-rank (identical for every pool size)
+    val perTerm = p.groupBy("term").agg(
+      count(lit(1)).as("df"), max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
+    val ubF = perTerm.select(col("term"), col("df"),
+        col("max_tf").as("tf"), col("min_dl").as("dl"))
+      .crossJoin(broadcast(stats))
+      .withColumn("ub", expr(scoreExpr("div")))
+      .select("term", "df", "ub")
+    val wub = Window.partitionBy("q_id").orderBy(col("ub_sum").desc, col("doc_id"))
+    val ranked = Materialize(
+      p.select("term", "doc_id")
+        .join(broadcast(q), Seq("term"))
+        .join(broadcast(ubF.select("term", "ub")), Seq("term"))
+        .groupBy("q_id", "doc_id").agg(sum(col("ub")).as("ub_sum"))
+        .withColumn("ubrn", row_number().over(wub)))
+    // one full-scoring of the LARGEST pool; every smaller pool is an
+    // ubrn-prefix of it, so each θ_m ranks within the same frame
+    val fullPool = Materialize(
+      p.join(broadcast(q), Seq("term"))
+        .join(broadcast(ranked.filter(col("ubrn") <= maxM * TOP_K)
+          .select("q_id", "doc_id", "ubrn")), Seq("q_id", "doc_id"), "inner")
+        .join(broadcast(ubF.select("term", "df")), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("score_t", expr(scoreExpr("div")))
+        .groupBy("q_id", "doc_id", "ubrn").agg(sum(col("score_t")).as("score")))
+    val wq = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+    val rows = ms.map { m =>
+      val theta = fullPool.filter(col("ubrn") <= m * TOP_K)
+        .withColumn("rk", row_number().over(wq))
+        .filter(col("rk") === TOP_K)
+        .select(col("q_id"), col("score").as("theta"))
+      val survivors = ranked.join(broadcast(theta), Seq("q_id"), "left")
+        .filter(col("theta").isNull || col("ub_sum") >= col("theta"))
+        .select("q_id", "doc_id")
+      val scoredSet = survivors.unionByName(
+          ranked.filter(col("ubrn") <= m * TOP_K).select("q_id", "doc_id"))
+        .distinct()
+      ranked.agg(count(lit(1)).as("n_cands"))
+        .crossJoin(scoredSet.agg(count(lit(1)).as("n_scored")))
+        .select(lit(m).as("pool_multiple"), col("n_cands"), col("n_scored"))
     }
     rows.reduce(_ unionByName _)
       // a corpus where no query term matches has zero candidates (the

@@ -190,6 +190,46 @@ object Tombstones {
   def bufferedIdSet(s: SparkSession, indexPath: String, idCol: String): Option[DataFrame] =
     deltaFrame(s, indexPath).map(_.select(idCol).distinct())
 
+  /** Reclaim unreferenced lifecycle artifacts — the GC half of the
+    * prepare-then-commit discipline: every mutation prepares files under
+    * version-derived names (`_stats_e<v>`, `_tombstones/f<v>`,
+    * `_delta/b<v>`, `<data>__e<v>`), so anything with an embedded version
+    * BELOW the current epoch that the current epoch does not reference is
+    * provably garbage — a superseded stats dir, a folded-but-unreclaimed
+    * data epoch, a crashed writer's leavings whose retry landed under the
+    * same names. Candidates are ENUMERATED from the same name derivations
+    * the writers use (never directory listings, so URI-scheme differences
+    * can't cause a miss or a false delete). Artifacts at version
+    * current+1 are deliberately left: they are either a crashed prepare
+    * the retry will overwrite, or an in-flight prepare. Returns the number
+    * of directories reclaimed. Safe at any time under the single-writer
+    * discipline; probes are unaffected (pinned in TombstoneSpec).
+    */
+  def vacuum(
+      s: SparkSession, anchor: String,
+      defaultData: Option[String] = None): Long = {
+    IndexManifest.current(s, anchor) match {
+      case None => 0L
+      case Some(cur) =>
+        val keep = (cur.stats.toSeq ++ cur.data.toSeq ++
+          cur.tombstones ++ cur.deltas).toSet
+        val conf = s.sparkContext.hadoopConfiguration
+        var n = 0L
+        for (v <- 1L until cur.version) {
+          val candidates = Seq(
+            epochStatsDir(anchor, v),
+            s"${sidecar(anchor)}/f$v",
+            s"${deltaDir(anchor)}/b$v") ++
+            defaultData.map(d => s"${d.stripSuffix("/")}__e$v")
+          candidates.filterNot(keep).foreach { c =>
+            val p = new org.apache.hadoop.fs.Path(c)
+            if (p.getFileSystem(conf).delete(p, true)) n += 1
+          }
+        }
+        n
+    }
+  }
+
   /** One index's outstanding-maintenance report — the operational signal
     * that triggers compaction: how many ids are tombstoned, how many
     * PHYSICAL base rows their mask suppresses on every probe (what a fold

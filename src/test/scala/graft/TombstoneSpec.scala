@@ -679,6 +679,54 @@ class TombstoneSpec extends SparkSpec {
     assert(after.getLong(1) > sDel.size.toLong, s"buffered ids must tombstone: $after")
   }
 
+  test("vacuum reclaims superseded lifecycle artifacts, probes unchanged") {
+    // the GC half of prepare-then-commit: superseded epoch-named stats
+    // dirs (each delete/append lands a new one) and planted orphans are
+    // reclaimed; everything the CURRENT epoch references survives
+    import graft.operators.SearchQueries
+    val t = graft.sources.Tombstones
+    val path = s"$tmp/search_vac"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_vac_idx", path)
+    val d1 = Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    SearchQueries.deleteFromSearchIndex(spark, "search_vac_idx", path, d1) // v1
+    SearchQueries.appendSearchIndex(spark, "search_vac_idx", path,        // v2
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id") + 1000000L as "doc_id", col("text"), col("lang")))
+    val d2 = Seq(1000000L + d1.head)
+    SearchQueries.deleteFromSearchIndex(spark, "search_vac_idx", path, d2) // v3
+    val before = sorted(SearchQueries.bm25TopkFromIndex(spark, "search_vac_idx", path))
+    def exists(p: String) = new java.io.File(p).exists()
+    // v1 and v2 stats are superseded by v3's; fragments f1/f3 stay live
+    assert(exists(s"${path}_stats_e1") && exists(s"${path}_stats_e2"))
+    val reclaimed = t.vacuum(spark, path)
+    assert(reclaimed >= 2, s"reclaimed $reclaimed")
+    assert(!exists(s"${path}_stats_e1") && !exists(s"${path}_stats_e2"))
+    assert(exists(s"${path}_stats_e3"))
+    assert(exists(s"${t.sidecar(path)}/f1") && exists(s"${t.sidecar(path)}/f3"))
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_vac_idx", path)) == before)
+    // a planted data-epoch orphan (a crashed compaction cleanup) reclaims
+    // through the defaultData naming; the live artifacts again survive
+    import graft.operators.SimilarityQueries
+    val ip = s"$tmp/ivf_vac"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, ip)
+    SimilarityQueries.deleteFromIvfIndex(spark, ip,
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") % 13 === 7)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq) // v1
+    SimilarityQueries.compactIvfIndex(spark, ip)             // v2: data __e2
+    SimilarityQueries.deleteFromIvfIndex(spark, ip, Seq(3L)) // v3
+    val orphan = new java.io.File(s"${ip}__e1")
+    orphan.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${ip}__e1/junk"), Array[Byte](1))
+    val probed = sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, ip))
+    val got = t.vacuum(spark, ip, Some(ip))
+    assert(got >= 1, s"reclaimed $got")
+    assert(!orphan.exists())
+    assert(exists(s"${ip}__e2"), "the live data epoch must survive")
+    assert(sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, ip)) == probed)
+  }
+
   // ---- crash injection at the manifest commit boundary --------------------
   // Every lifecycle mutation prepares its files first and lands them with
   // ONE IndexManifest.commit. These tests kill the writer at exactly that
