@@ -659,6 +659,39 @@ object SearchQueries {
     bm25Rank(p, dfF, stats, q).orderBy("q_id", "rank")
   }
 
+  /** Probe the persisted index AS OF a committed epoch — time travel over
+    * the manifest, for free: every version file is immutable and
+    * complete, so resolving stats/tombstones/deltas through epoch v
+    * instead of the highest one reproduces exactly what a probe returned
+    * when v was current (version 0 = the build state, before any
+    * mutation). The training-reproducibility read: "score this query
+    * against the corpus state that trained the model". SOUNDNESS
+    * HORIZON: exact across DELETE and BUFFERED-UPDATE epochs — mutations
+    * that never touch standing files — and ends at any append/compaction
+    * (which mutate or supersede the base generation) or at a
+    * [[graft.sources.Tombstones.vacuum]] (which reclaims superseded
+    * epochs' files); a travel past the horizon fails loudly (missing
+    * epoch file or missing stats dir), never silently wrong. Pinned in
+    * TombstoneSpec: as-of 0 == the pre-delete registered ranking, as-of
+    * the delete epoch == the deleted ranking, after later mutations.
+    */
+  def bm25TopkFromIndexAsOf(
+      s: SparkSession, table: String, path: String, version: Long): DataFrame = {
+    val t = graft.sources.Tombstones
+    val ep = graft.sources.IndexManifest.at(s, path, version)
+    val q = queryTerms(s)
+    val terms = q.select("term").distinct().collect().map(_.getString(0)).toSeq
+    val base = t.filterOf(s.table(table), ep, "doc_id")
+    val visible = t.deltaLatestOf(s, ep, "doc_id") match {
+      case Some(d) => base.unionByName(d.select(base.columns.map(col).toSeq: _*))
+      case None    => base
+    }
+    val p = visible.filter(col("term").isin(terms: _*))
+    val dfF = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = s.read.parquet(ep.flatMap(_.stats).getOrElse(s"${path}_stats"))
+    bm25Rank(p, dfF, stats, q).orderBy("q_id", "rank")
+  }
+
   /** Two-phase WAND-style pruned ranking (Broder et al., CIKM 2003 —
     * executed, not just audited): the expensive stage (per-posting score
     * arithmetic + the (q_id, doc_id) aggregate + the rank window) runs

@@ -1404,6 +1404,17 @@ object SimilarityQueries {
     */
   private[graft] def ivfCandidates(
       s: SparkSession, dir: String, path: String, queries: DataFrame,
+      nSeeds: Int = N_SEEDS, trained: Boolean = false): DataFrame =
+    ivfCandidatesAt(s, dir, path, queries,
+      graft.sources.IndexManifest.current(s, path), nSeeds, trained)
+
+  /** [[ivfCandidates]] resolved against a SPECIFIC epoch — the as-of
+    * read's candidate generator (the current-epoch probe is the
+    * one-manifest-read special case).
+    */
+  private def ivfCandidatesAt(
+      s: SparkSession, dir: String, path: String, queries: DataFrame,
+      ep: Option[graft.sources.IndexManifest.Epoch],
       nSeeds: Int = N_SEEDS, trained: Boolean = false): DataFrame = {
     // resolve the quantizer from the index's own sidecar (params are the
     // pre-sidecar fallback) — a sharded caller probing many indexes gets
@@ -1422,7 +1433,7 @@ object SimilarityQueries {
       .select(col("q_id"), col("qv"), col("qn"), col("seed_id").as("cell"))
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
-    val assign = ivfVisibleCells(s, path, probedCells)
+    val assign = ivfVisibleCellsAt(s, path, probedCells, ep)
     probes.join(assign, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
@@ -1442,16 +1453,40 @@ object SimilarityQueries {
     * window and no deletions the plan is the bare pruned scan.
     */
   private def ivfVisibleCells(
-      s: SparkSession, path: String, probedCells: Array[Long]): DataFrame = {
+      s: SparkSession, path: String, probedCells: Array[Long]): DataFrame =
+    ivfVisibleCellsAt(s, path, probedCells,
+      graft.sources.IndexManifest.current(s, path))
+
+  private def ivfVisibleCellsAt(
+      s: SparkSession, path: String, probedCells: Array[Long],
+      ep: Option[graft.sources.IndexManifest.Epoch]): DataFrame = {
     def pruned(df: DataFrame) = df
       .filter(col("cell").isin(probedCells.map(c => c.toInt: Any): _*))
       .withColumn("cell", col("cell").cast("long"))
-    val base = graft.sources.Tombstones.filter(
-      pruned(s.read.parquet(idxData(s, path, path))), path, "vec_id")
-    graft.sources.Tombstones.deltaLatest(s, path, "vec_id") match {
+    val dataDir = ep.flatMap(_.data).getOrElse(path)
+    val base = graft.sources.Tombstones.filterOf(
+      pruned(s.read.parquet(dataDir)), ep, "vec_id")
+    graft.sources.Tombstones.deltaLatestOf(s, ep, "vec_id") match {
       case Some(d) => base.unionByName(pruned(d).select(base.columns.map(col).toSeq: _*))
       case None    => base
     }
+  }
+
+  /** Probe the persisted IVF index AS OF a committed epoch — the vector
+    * twin of `bm25TopkFromIndexAsOf` (same manifest time travel, same
+    * soundness horizon: exact across delete/buffered-update epochs,
+    * bounded by appends/compactions and vacuum, loud past the edge).
+    */
+  def ivfTopkFromIndexAsOf(
+      s: SparkSession, dir: String, path: String, version: Long): DataFrame = {
+    val e = VectorOps.normalized(s, dir)
+    val cand = ivfCandidatesAt(s, dir, path,
+      e.filter(col("vec_id") < N_QUERIES).select("vec_id", "v", "nrm"),
+      graft.sources.IndexManifest.at(s, path, version))
+    val rw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    cand.withColumn("rank", row_number().over(rw).cast("long"))
+      .filter(col("rank") <= TOP_K)
+      .select("q_id", "rank", "cand_id", "cos")
   }
 
   /** The probe-visible rows of ALL cells — the fold/rewrite source. */

@@ -89,6 +89,34 @@ object IndexManifest {
     }
   }
 
+  /** A SPECIFIC committed epoch — the as-of half of the manifest: because
+    * every version file is immutable and complete, reading an index "as
+    * of epoch v" is just resolving through v's pointer instead of the
+    * highest one. Returns None for version 0 (the build state, before any
+    * mutation); throws loudly if the version was never committed.
+    * Soundness horizon (documented at the probe entry points): an as-of
+    * read is exact across DELETE and BUFFERED-UPDATE epochs — mutations
+    * that never touch standing files — and ends at any append/compaction
+    * (which mutate or supersede the base generation) or at a [[Tombstones
+    * .vacuum]] (which reclaims superseded epochs' files).
+    */
+  def at(s: SparkSession, anchor: String, version: Long): Option[Epoch] = {
+    if (version == 0L) None
+    else {
+      val d = new Path(dir(anchor))
+      val f = fs(s, d)
+      val p = new Path(d, fileName(version))
+      require(f.exists(p),
+        s"IndexManifest.at: epoch $version of $anchor was never committed " +
+          "(or its version file was removed)")
+      val in = f.open(p)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(parse(version, body))
+    }
+  }
+
   /** Template for the next epoch: the current state with the version
     * advanced (v1 from nothing). Writers copy-modify it and [[commit]].
     */

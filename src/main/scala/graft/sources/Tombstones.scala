@@ -168,8 +168,14 @@ object Tombstones {
     * order), or None when the window is empty — the common case, costing
     * probes nothing.
     */
-  def deltaFrame(s: SparkSession, indexPath: String): Option[DataFrame] = {
-    val bs = IndexManifest.current(s, indexPath).map(_.deltas).getOrElse(Vector.empty)
+  def deltaFrame(s: SparkSession, indexPath: String): Option[DataFrame] =
+    deltaFrameOf(s, IndexManifest.current(s, indexPath))
+
+  /** [[deltaFrame]] of a SPECIFIC epoch (None = the build state) — the
+    * as-of read's delta arm.
+    */
+  def deltaFrameOf(s: SparkSession, ep: Option[IndexManifest.Epoch]): Option[DataFrame] = {
+    val bs = ep.map(_.deltas).getOrElse(Vector.empty)
     if (bs.isEmpty) None
     else Some(bs.zipWithIndex.map { case (p, i) =>
       s.read.parquet(p).withColumn("batch_seq", lit(i))
@@ -181,7 +187,12 @@ object Tombstones {
     * window-bounded, so the per-id max is a small aggregate).
     */
   def deltaLatest(s: SparkSession, indexPath: String, idCol: String): Option[DataFrame] =
-    deltaFrame(s, indexPath).map { d =>
+    deltaLatestOf(s, IndexManifest.current(s, indexPath), idCol)
+
+  /** [[deltaLatest]] of a SPECIFIC epoch. */
+  def deltaLatestOf(
+      s: SparkSession, ep: Option[IndexManifest.Epoch], idCol: String): Option[DataFrame] =
+    deltaFrameOf(s, ep).map { d =>
       val latest = d.groupBy(col(idCol)).agg(max(col("batch_seq")).as("batch_seq"))
       d.join(broadcast(latest), Seq(idCol, "batch_seq")).drop("batch_seq")
     }
@@ -285,8 +296,23 @@ object Tombstones {
     * no live fragments (the common case — probes pay nothing).
     */
   def idSet(s: SparkSession, indexPath: String): Option[DataFrame] =
-    IndexManifest.current(s, indexPath).filter(_.tombstones.nonEmpty).map { e =>
+    idSetOf(s, IndexManifest.current(s, indexPath))
+
+  /** [[idSet]] of a SPECIFIC epoch (None = the build state) — the as-of
+    * read's tombstone arm.
+    */
+  def idSetOf(s: SparkSession, ep: Option[IndexManifest.Epoch]): Option[DataFrame] =
+    ep.filter(_.tombstones.nonEmpty).map { e =>
       s.read.parquet(e.tombstones: _*).select("id").distinct()
+    }
+
+  /** [[filter]] against a SPECIFIC epoch's tombstones. */
+  def filterOf(
+      df: DataFrame, ep: Option[IndexManifest.Epoch], idCol: String): DataFrame =
+    idSetOf(df.sparkSession, ep) match {
+      case Some(t) =>
+        df.join(broadcast(t.withColumnRenamed("id", idCol)), Seq(idCol), "left_anti")
+      case None => df
     }
 
   /** Drop tombstoned rows from an index scan: broadcast anti-join on

@@ -727,6 +727,52 @@ class TombstoneSpec extends SparkSpec {
     assert(sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, ip)) == probed)
   }
 
+  test("as-of reads reproduce earlier epochs until vacuum bounds the horizon") {
+    // time travel over the manifest: version files are immutable and
+    // complete, so resolving through epoch v reproduces what a probe
+    // returned when v was current — the training-reproducibility read
+    import graft.operators.{SearchQueries, SimilarityQueries}
+    val path = s"$tmp/search_asof"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_asof_idx", path)
+    val deleted = Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    SearchQueries.deleteFromSearchIndex(spark, "search_asof_idx", path, deleted) // v1
+    val upd = Tables.documents(spark, sfDir).filter(col("doc_id") % 13 === 2)
+      .select(col("doc_id"), concat(col("text"), lit(" zulu")).as("text"), col("lang"))
+    SearchQueries.bufferSearchUpdate(spark, "search_asof_idx", path, upd)        // v2
+    // as-of 0 = the build state = the registered pre-delete ranking
+    assert(sorted(SearchQueries.bm25TopkFromIndexAsOf(spark, "search_asof_idx", path, 0L)) ==
+      sorted(SparkEntry.queries("search_bm25_topk")(spark, sfDir)))
+    // as-of 1 = the post-takedown ranking
+    assert(sorted(SearchQueries.bm25TopkFromIndexAsOf(spark, "search_asof_idx", path, 1L)) ==
+      sorted(SparkEntry.queries("search_bm25_deleted")(spark, sfDir)))
+    // as-of the current epoch = the live probe
+    assert(sorted(SearchQueries.bm25TopkFromIndexAsOf(spark, "search_asof_idx", path, 2L)) ==
+      sorted(SearchQueries.bm25TopkFromIndex(spark, "search_asof_idx", path)))
+    // a never-committed epoch fails loudly
+    intercept[IllegalArgumentException] {
+      SearchQueries.bm25TopkFromIndexAsOf(spark, "search_asof_idx", path, 9L)
+    }
+    // vacuum reclaims v1's superseded stats dir → travel to v1 now fails
+    // LOUDLY (missing dir), never silently wrong; v2 (current) still fine
+    graft.sources.Tombstones.vacuum(spark, path)
+    intercept[Exception] {
+      sorted(SearchQueries.bm25TopkFromIndexAsOf(spark, "search_asof_idx", path, 1L))
+    }
+    assert(sorted(SearchQueries.bm25TopkFromIndexAsOf(spark, "search_asof_idx", path, 2L)) ==
+      sorted(SearchQueries.bm25TopkFromIndex(spark, "search_asof_idx", path)))
+    // ---- IVF twin ------------------------------------------------------
+    val ip = s"$tmp/ivf_asof"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, ip)
+    val probe0 = sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, ip))
+    SimilarityQueries.deleteFromIvfIndex(spark, ip,
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") % 13 === 7)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq)                     // v1
+    assert(sorted(SimilarityQueries.ivfTopkFromIndexAsOf(spark, sfDir, ip, 0L)) == probe0)
+    assert(sorted(SimilarityQueries.ivfTopkFromIndexAsOf(spark, sfDir, ip, 1L)) ==
+      sorted(SparkEntry.queries("ann_ivf_deleted")(spark, sfDir)))
+  }
+
   // ---- crash injection at the manifest commit boundary --------------------
   // Every lifecycle mutation prepares its files first and lands them with
   // ONE IndexManifest.commit. These tests kill the writer at exactly that
