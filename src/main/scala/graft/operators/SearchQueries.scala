@@ -626,9 +626,10 @@ object SearchQueries {
     * the append guard), then append the new versions' postings with the
     * stats advance. After it, probes equal an index built over the updated
     * corpus (pinned in TombstoneSpec). The per-call compaction is the
-    * amortization knob: a real deployment buffers update batches and folds
-    * once per window — the semantics are identical, only the rewrite
-    * frequency changes. `docs` carries (doc_id, text, lang); ids absent
+    * amortization knob, and [[bufferSearchUpdate]] is the knob turned: N
+    * batches accumulate as tombstone+delta commits and ONE fold retires
+    * the window (semantics pinned identical, rewrite count measured N → 1
+    * in TombstoneSpec). `docs` carries (doc_id, text, lang); ids absent
     * from the index insert cleanly (the delete is a no-op for them).
     */
   def updateSearchIndex(

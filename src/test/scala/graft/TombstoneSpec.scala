@@ -773,6 +773,23 @@ class TombstoneSpec extends SparkSpec {
       sorted(SparkEntry.queries("ann_ivf_deleted")(spark, sfDir)))
   }
 
+  test("a lost manifest race fails loudly, never last-writer-wins") {
+    // the single-writer discipline's enforcement: two writers that both
+    // templated the same next version cannot both land it — the loser's
+    // commit throws instead of silently clobbering the winner's epoch
+    val m = graft.sources.IndexManifest
+    val anchor = s"$tmp/race_idx"
+    val e1 = m.next(spark, anchor)
+    val e1b = m.next(spark, anchor) // a concurrent writer's identical template
+    m.commit(spark, anchor, e1.copy(stats = Some(s"$anchor/winner")))
+    val err = intercept[IllegalArgumentException] {
+      m.commit(spark, anchor, e1b.copy(stats = Some(s"$anchor/loser")))
+    }
+    assert(err.getMessage.contains("single-writer"), err.getMessage)
+    // the winner's epoch is untouched
+    assert(m.current(spark, anchor).flatMap(_.stats).contains(s"$anchor/winner"))
+  }
+
   // ---- crash injection at the manifest commit boundary --------------------
   // Every lifecycle mutation prepares its files first and lands them with
   // ONE IndexManifest.commit. These tests kill the writer at exactly that
