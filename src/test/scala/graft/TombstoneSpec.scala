@@ -727,6 +727,64 @@ class TombstoneSpec extends SparkSpec {
     assert(sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, ip)) == probed)
   }
 
+  test("k-word phrase probe under takedown and buffered update reads the visible postings") {
+    // the phrase probe resolves visiblePostings, so the lifecycle rides
+    // along for free — pin it: a takedown drops a doc's phrase matches,
+    // and a buffered update's new text matches from the next probe on
+    import graft.operators.SearchQueries
+    val path = s"$tmp/search_kp_life"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_kp_life", path)
+    val phrase = Seq((0L, Seq("stream", "table", "hash")))
+    val before = SearchQueries
+      .phraseKMatchFromIndex(spark, "search_kp_life", path, phrase).collect()
+    assert(before.nonEmpty)
+    // take down one matching doc: it must vanish from the next probe
+    val victim = before.head.getLong(2)
+    SearchQueries.deleteFromSearchIndex(spark, "search_kp_life", path, Seq(victim))
+    val after = SearchQueries
+      .phraseKMatchFromIndex(spark, "search_kp_life", path, phrase).collect()
+    assert(!after.exists(_.getLong(2) == victim))
+    assert(after.map(r => (r.getLong(2), r.getLong(3))).toSet ==
+      before.filter(_.getLong(2) != victim).map(r => (r.getLong(2), r.getLong(3))).toSet)
+    // buffered update: a doc rewritten to contain the phrase matches
+    // without any rewrite of standing files
+    val target = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") =!= victim).orderBy("doc_id").limit(1)
+      .select(col("doc_id"),
+        lit("stream table hash stream table hash").as("text"), col("lang"))
+    val tid = target.head.getLong(0)
+    SearchQueries.bufferSearchUpdate(spark, "search_kp_life", path, target)
+    val buffered = SearchQueries
+      .phraseKMatchFromIndex(spark, "search_kp_life", path, phrase).collect()
+    val hit = buffered.filter(_.getLong(2) == tid)
+    assert(hit.length == 1 && hit.head.getLong(3) == 2L,
+      s"expected the buffered doc with n_occ=2: ${buffered.toSeq}")
+  }
+
+  test("filtered and IVF-PQ probes see buffered vector updates") {
+    // the two composed IVF probes also resolve the base∪delta view — pin
+    // that a buffered update's moved vectors serve through them without a
+    // rewrite (parity vs the eagerly-updated twin index)
+    import graft.operators.SimilarityQueries
+    val eP = s"$tmp/ivf_cmp_eager"
+    val bP = s"$tmp/ivf_cmp_buf"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, eP)
+    SimilarityQueries.writeIvfIndex(spark, sfDir, bP)
+    val mod = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 19 === 5 && col("vec_id") >= 16)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"), col("label"))
+    SimilarityQueries.updateIvfIndex(spark, sfDir, eP, mod)
+    SimilarityQueries.bufferIvfUpdate(spark, sfDir, bP, mod)
+    assert(
+      sorted(SimilarityQueries.ivfFilteredTopkFromIndex(spark, sfDir, bP)) ==
+        sorted(SimilarityQueries.ivfFilteredTopkFromIndex(spark, sfDir, eP)))
+    val pq = s"$tmp/ivf_cmp_pq"
+    SimilarityQueries.writePqIndex(spark, sfDir, pq)
+    assert(
+      sorted(SimilarityQueries.ivfPqTopkFromIndex(spark, sfDir, bP, pq)) ==
+        sorted(SimilarityQueries.ivfPqTopkFromIndex(spark, sfDir, eP, pq)))
+  }
+
   test("as-of reads reproduce earlier epochs until vacuum bounds the horizon") {
     // time travel over the manifest: version files are immutable and
     // complete, so resolving through epoch v reproduces what a probe
