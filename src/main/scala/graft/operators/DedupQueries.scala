@@ -836,8 +836,11 @@ object DedupQueries {
     */
   def winnowIndexFrame(s: SparkSession, table: String): DataFrame = {
     val anchor = graft.sources.Tombstones.tableLocation(s, table)
-    val base = graft.sources.Tombstones.filter(s.table(table), anchor, "doc_id")
-    graft.sources.Tombstones.deltaLatest(s, anchor, "doc_id") match {
+    // ONE epoch resolution threads both arms: a probe racing a commit
+    // sees one consistent (tombstones, deltas) pair, never a torn mix
+    val ep = graft.sources.IndexManifest.current(s, anchor)
+    val base = graft.sources.Tombstones.filterOf(s.table(table), ep, "doc_id")
+    graft.sources.Tombstones.deltaLatestOf(s, ep, "doc_id") match {
       case Some(d) => base.unionByName(d.select(base.columns.map(col).toSeq: _*))
       case None    => base
     }
@@ -940,7 +943,12 @@ object DedupQueries {
   def updateWinnowIndex(docs: DataFrame, table: String): Unit = {
     val s = docs.sparkSession
     val ids = docs.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
-    graft.sources.Tombstones.addForTable(s, table, ids)
+    // through the GUARDED delete: an id with an open buffered batch must
+    // fail loudly — tombstoning it directly would fold its STALE delta
+    // rows into the compacted base, after which the append's
+    // already-present check drops the new version entirely (a silently
+    // lost update)
+    deleteFromWinnowIndex(s, table, ids)
     compactWinnowIndex(s, table)
     appendWinnowIndex(docs, table)
   }

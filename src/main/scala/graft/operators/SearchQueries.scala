@@ -500,10 +500,14 @@ object SearchQueries {
     // be manifest-tracked, i.e. a transactional table format).
     val old = s.read.parquet(resolvedStats(s, path)).head
     val delta = statsOf(newDocs).head
+    // newBaseGeneration: the postings just landed IN the live table —
+    // standing data mutated, so as-of reads across this commit would mix
+    // generations; the bump lets them fail loudly instead
     graft.sources.Tombstones.advanceStats(s, path,
       s.createDataFrame(Seq(
           (old.getLong(0) + delta.getLong(0), old.getLong(1) + delta.getLong(1))))
-        .toDF("n_docs", "tt"))
+        .toDF("n_docs", "tt"),
+      newBaseGeneration = true)
   }
 
   /** The index's current stored-stats directory — `<path>_stats` until a
@@ -520,13 +524,29 @@ object SearchQueries {
     * buffers updates pays the (window-bounded) delta union.
     */
   private[graft] def visiblePostings(
-      s: SparkSession, table: String, path: String): DataFrame = {
-    val base = graft.sources.Tombstones.filter(s.table(table), path, "doc_id")
-    graft.sources.Tombstones.deltaLatest(s, path, "doc_id") match {
+      s: SparkSession, table: String, path: String): DataFrame =
+    visiblePostingsOf(s, table,
+      graft.sources.IndexManifest.current(s, path))
+
+  /** [[visiblePostings]] against a SPECIFIC resolved epoch — probes
+    * resolve the manifest ONCE and thread the epoch through every arm
+    * (tombstones, deltas, stats), so a probe racing a commit sees one
+    * consistent epoch, never a torn mix of two.
+    */
+  private def visiblePostingsOf(
+      s: SparkSession, table: String,
+      ep: Option[graft.sources.IndexManifest.Epoch]): DataFrame = {
+    val base = graft.sources.Tombstones.filterOf(s.table(table), ep, "doc_id")
+    graft.sources.Tombstones.deltaLatestOf(s, ep, "doc_id") match {
       case Some(d) => base.unionByName(d.select(base.columns.map(col).toSeq: _*))
       case None    => base
     }
   }
+
+  private def epochStats(
+      s: SparkSession, path: String,
+      ep: Option[graft.sources.IndexManifest.Epoch]): DataFrame =
+    s.read.parquet(ep.flatMap(_.stats).getOrElse(s"${path}_stats"))
 
   /** Buffer one update batch WITHOUT compacting — the amortized form of
     * [[updateSearchIndex]] (the LSM memtable shape): the updated ids'
@@ -652,11 +672,12 @@ object SearchQueries {
     * are exact for the surviving corpus.
     */
   def bm25ProbeIndex(s: SparkSession, table: String, path: String, q: DataFrame): DataFrame = {
+    val ep = graft.sources.IndexManifest.current(s, path)
     val terms = q.select("term").distinct().collect().map(_.getString(0)).toSeq
-    val p = visiblePostings(s, table, path)
+    val p = visiblePostingsOf(s, table, ep)
       .filter(col("term").isin(terms: _*))
     val dfF = p.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = s.read.parquet(resolvedStats(s, path))
+    val stats = epochStats(s, path, ep)
     bm25Rank(p, dfF, stats, q).orderBy("q_id", "rank")
   }
 
@@ -668,18 +689,22 @@ object SearchQueries {
     * mutation). The training-reproducibility read: "score this query
     * against the corpus state that trained the model". SOUNDNESS
     * HORIZON: exact across DELETE and BUFFERED-UPDATE epochs — mutations
-    * that never touch standing files — and ends at any append/compaction
-    * (which mutate or supersede the base generation) or at a
-    * [[graft.sources.Tombstones.vacuum]] (which reclaims superseded
-    * epochs' files); a travel past the horizon fails loudly (missing
-    * epoch file or missing stats dir), never silently wrong. Pinned in
-    * TombstoneSpec: as-of 0 == the pre-delete registered ranking, as-of
-    * the delete epoch == the deleted ranking, after later mutations.
+    * that never touch standing files. An append or compaction mutates or
+    * supersedes the base generation; every such writer bumps the epoch's
+    * base-generation counter, and this probe REFUSES to travel across the
+    * boundary (the requested epoch's generation must equal the current
+    * one) — without the counter an as-of read after an append would
+    * silently score the appended rows against pre-append stats. Vacuum
+    * reclaims superseded epochs' files, which also fails the travel
+    * loudly (missing stats dir). Pinned in TombstoneSpec: as-of 0 == the
+    * pre-delete registered ranking, as-of the delete epoch == the deleted
+    * ranking after later layered mutations; append/vacuum horizons throw.
     */
   def bm25TopkFromIndexAsOf(
       s: SparkSession, table: String, path: String, version: Long): DataFrame = {
     val t = graft.sources.Tombstones
     val ep = graft.sources.IndexManifest.at(s, path, version)
+    graft.sources.IndexManifest.requireSameGeneration(s, path, ep, version)
     val q = queryTerms(s)
     val terms = q.select("term").distinct().collect().map(_.getString(0)).toSeq
     val base = t.filterOf(s.table(table), ep, "doc_id")
@@ -692,6 +717,8 @@ object SearchQueries {
     val stats = s.read.parquet(ep.flatMap(_.stats).getOrElse(s"${path}_stats"))
     bm25Rank(p, dfF, stats, q).orderBy("q_id", "rank")
   }
+
+
 
   /** Two-phase WAND-style pruned ranking (Broder et al., CIKM 2003 —
     * executed, not just audited): the expensive stage (per-posting score
@@ -801,11 +828,12 @@ object SearchQueries {
   def bm25WandProbeIndex(
       s: SparkSession, table: String, path: String, q: DataFrame)
       : (DataFrame, DataFrame) = {
+    val ep = graft.sources.IndexManifest.current(s, path)
     val terms = q.select("term").distinct().collect().map(_.getString(0)).toSeq
-    val p = visiblePostings(s, table, path)
+    val p = visiblePostingsOf(s, table, ep)
       .filter(col("term").isin(terms: _*))
       .select("term", "doc_id", "tf", "dl")
-    val stats = s.read.parquet(resolvedStats(s, path))
+    val stats = epochStats(s, path, ep)
     bm25WandRank(p, stats, q)
   }
 
@@ -820,11 +848,12 @@ object SearchQueries {
     */
   def bm25FilteredTopkFromIndex(
       s: SparkSession, table: String, path: String, lang: String): DataFrame = {
+    val ep = graft.sources.IndexManifest.current(s, path)
     val terms = QUERY_TERMS.flatMap(_._2).distinct
-    val p = visiblePostings(s, table, path)
+    val p = visiblePostingsOf(s, table, ep)
       .filter(col("term").isin(terms: _*))
     val dfF = p.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = s.read.parquet(resolvedStats(s, path))
+    val stats = epochStats(s, path, ep)
     bm25Rank(p.filter(col("lang") === lang), dfF, stats, queryTerms(s))
       .orderBy("q_id", "rank")
   }

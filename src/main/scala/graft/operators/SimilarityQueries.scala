@@ -1173,10 +1173,11 @@ object SimilarityQueries {
     val (ns, tr) = quantizerConfigOf(s, path, N_SEEDS, false)
     val e = VectorOps.normalized(s, dir)
     val seeds = if (tr) trainedSeedSet(e, ns) else seedSet(e, ns)
-    val evalIdx = graft.sources.Tombstones.filter(
-        s.read.parquet(idxData(s, path, path))
-          .withColumn("cell", col("cell").cast("long")),
-        path, "vec_id")
+    // the full base∪delta view: a buffered eval update (tombstone + delta)
+    // must keep the item screening — masking its base rows without reading
+    // its replacement would silently stop flagging it until the next fold
+    val evalIdx = ivfVisibleAll(s, path)
+      .withColumn("cell", col("cell").cast("long"))
       .select(col("vec_id").as("eval_vec_id"), col("v").as("ev"),
         col("nrm").as("en"), col("cell").as("seed_id"))
     decontamRankIvf(trainProbesIvf(s, dir, seeds), evalIdx)
@@ -1321,6 +1322,10 @@ object SimilarityQueries {
     assignToSeeds(nw, seeds)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("seed_id").as("cell"))
       .write.mode("append").partitionBy("cell").parquet(idxData(s, path, path))
+    // the append just mutated the live data dir in place: mark the new
+    // base generation so as-of reads refuse to cross it (they would
+    // otherwise silently rank the appended rows under an older epoch)
+    graft.sources.Tombstones.bumpBaseGeneration(s, path)
   }
 
   /** Delete vectors from a persisted IVF index — the takedown path: the
@@ -1362,7 +1367,11 @@ object SimilarityQueries {
   def updateIvfIndex(
       s: SparkSession, dir: String, path: String, newRows: DataFrame): Unit = {
     val ids = newRows.select("vec_id").distinct().collect().map(_.getLong(0)).toSeq
-    graft.sources.Tombstones.add(s, path, ids)
+    // through the GUARDED delete: an id with an open buffered batch must
+    // fail loudly here — tombstoning it directly would let the fold write
+    // its stale delta rows into the compacted base and the append then
+    // add the new rows beside them (both versions serving forever)
+    deleteFromIvfIndex(s, path, ids)
     compactIvfIndex(s, path)
     appendIvfIndex(s, dir, path, newRows)
   }
@@ -1479,21 +1488,29 @@ object SimilarityQueries {
     */
   def ivfTopkFromIndexAsOf(
       s: SparkSession, dir: String, path: String, version: Long): DataFrame = {
+    val ep = graft.sources.IndexManifest.at(s, path, version)
+    graft.sources.IndexManifest.requireSameGeneration(s, path, ep, version)
     val e = VectorOps.normalized(s, dir)
     val cand = ivfCandidatesAt(s, dir, path,
-      e.filter(col("vec_id") < N_QUERIES).select("vec_id", "v", "nrm"),
-      graft.sources.IndexManifest.at(s, path, version))
+      e.filter(col("vec_id") < N_QUERIES).select("vec_id", "v", "nrm"), ep)
     val rw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
     cand.withColumn("rank", row_number().over(rw).cast("long"))
       .filter(col("rank") <= TOP_K)
       .select("q_id", "rank", "cand_id", "cos")
   }
 
-  /** The probe-visible rows of ALL cells — the fold/rewrite source. */
-  private def ivfVisibleAll(s: SparkSession, path: String): DataFrame = {
-    val base = graft.sources.Tombstones.filter(
-      s.read.parquet(idxData(s, path, path)), path, "vec_id")
-    graft.sources.Tombstones.deltaLatest(s, path, "vec_id") match {
+  /** The probe-visible rows of ALL cells — the fold/rewrite source and
+    * the unpruned serving view, resolved against ONE epoch read.
+    */
+  private def ivfVisibleAll(s: SparkSession, path: String): DataFrame =
+    ivfVisibleAllAt(s, path, graft.sources.IndexManifest.current(s, path))
+
+  private def ivfVisibleAllAt(
+      s: SparkSession, path: String,
+      ep: Option[graft.sources.IndexManifest.Epoch]): DataFrame = {
+    val base = graft.sources.Tombstones.filterOf(
+      s.read.parquet(ep.flatMap(_.data).getOrElse(path)), ep, "vec_id")
+    graft.sources.Tombstones.deltaLatestOf(s, ep, "vec_id") match {
       case Some(d) => base.unionByName(d.select(base.columns.map(col).toSeq: _*))
       case None    => base
     }

@@ -42,14 +42,19 @@ object IndexManifest {
     * "the build-time default location"; `tombstones` lists the live
     * fragment directories and `deltas` the live buffered-update batch
     * directories, in commit order (both empty after a compaction folds
-    * them in).
+    * them in). `baseGen` counts BASE-GENERATION changes — mutations that
+    * touch or supersede standing data files (appends, compactions) rather
+    * than layering over them (deletes, buffered updates): as-of reads are
+    * exact only within one generation, so they compare generations and
+    * fail loudly across the boundary.
     */
   final case class Epoch(
       version: Long,
       data: Option[String],
       stats: Option[String],
       tombstones: Vector[String],
-      deltas: Vector[String] = Vector.empty)
+      deltas: Vector[String] = Vector.empty,
+      baseGen: Long = 0L)
 
   /** TEST HOOK — crash injection at the atomicity boundary: when set, the
     * next [[commit]] throws AFTER every prepared file is durable but
@@ -123,7 +128,7 @@ object IndexManifest {
   def next(s: SparkSession, anchor: String): Epoch =
     current(s, anchor)
       .map(e => e.copy(version = e.version + 1))
-      .getOrElse(Epoch(1L, None, None, Vector.empty, Vector.empty))
+      .getOrElse(Epoch(1L, None, None, Vector.empty, Vector.empty, 0L))
 
   /** Land `e` as the new current epoch — the single atom of every
     * lifecycle mutation. Fails loudly (never overwrites) if `e.version`
@@ -142,12 +147,45 @@ object IndexManifest {
       throw new RuntimeException(
         s"IndexManifest: injected crash before committing epoch ${e.version} of $anchor")
     }
-    val tmp = new Path(d, s".tmp_${fileName(e.version)}")
+    // writer-unique tmp name: two racers sharing one tmp path could
+    // otherwise interleave (one overwrites the other's content before
+    // either renames) and land the WRONG epoch body under the version
+    val tmp = new Path(d,
+      s".tmp_${fileName(e.version)}_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
     try out.write(serialize(e).getBytes("UTF-8"))
     finally out.close()
-    require(f.rename(tmp, dest),
-      s"IndexManifest.commit: could not land epoch ${e.version} of $anchor")
+    // FileContext.rename without the OVERWRITE option is the
+    // atomic-exclusive landing primitive: it throws if dest appeared
+    // since the check above, so even a true concurrent race (both
+    // writers past the exists check) surfaces loudly — a plain
+    // FileSystem.rename on the local FS maps to POSIX rename(2), which
+    // would silently replace the winner's epoch
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      d.toUri, s.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, dest)
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+          _: org.apache.hadoop.fs.ParentNotDirectoryException =>
+        try f.delete(tmp, false) catch { case _: java.io.IOException => () }
+        throw new IllegalArgumentException(
+          s"IndexManifest.commit: epoch ${e.version} of $anchor already exists — " +
+            "concurrent writer detected (the lifecycle is single-writer per index)")
+    }
+  }
+
+  /** The as-of guard: a travel target whose base generation differs from
+    * the live one would silently mix standing data from one generation
+    * with stats/masks from another — refuse loudly instead.
+    */
+  def requireSameGeneration(
+      s: SparkSession, anchor: String, ep: Option[Epoch], version: Long): Unit = {
+    val curGen = current(s, anchor).map(_.baseGen).getOrElse(0L)
+    val epGen = ep.map(_.baseGen).getOrElse(0L)
+    require(epGen == curGen,
+      s"as-of epoch $version of $anchor is from base generation $epGen but the " +
+        s"index is at generation $curGen — an append or compaction rewrote the " +
+        "standing data, so that epoch can no longer be reproduced")
   }
 
   /** Resolve the index's current data directory (build default when no
@@ -178,6 +216,7 @@ object IndexManifest {
     e.stats.foreach(p => b.append(s"stats\t$p\n"))
     e.tombstones.foreach(p => b.append(s"tombstone\t$p\n"))
     e.deltas.foreach(p => b.append(s"delta\t$p\n"))
+    b.append(s"basegen\t${e.baseGen}\n")
     b.toString
   }
 
@@ -192,6 +231,7 @@ object IndexManifest {
       kvs.collectFirst { case ("data", v) => v },
       kvs.collectFirst { case ("stats", v) => v },
       kvs.collect { case ("tombstone", v) => v }.toVector,
-      kvs.collect { case ("delta", v) => v }.toVector)
+      kvs.collect { case ("delta", v) => v }.toVector,
+      kvs.collectFirst { case ("basegen", v) => v.toLong }.getOrElse(0L))
   }
 }

@@ -117,11 +117,24 @@ object Tombstones {
     * path's stats advance) — same prepare-then-commit atom: a crash leaves
     * the old stats resolved, never a half-written or missing dir.
     */
-  def advanceStats(s: SparkSession, indexPath: String, newStats: DataFrame): Unit = {
+  def advanceStats(
+      s: SparkSession, indexPath: String, newStats: DataFrame,
+      newBaseGeneration: Boolean = false): Unit = {
     val e = IndexManifest.next(s, indexPath)
     val statsDir = epochStatsDir(indexPath, e.version)
     newStats.write.mode("overwrite").parquet(statsDir)
-    IndexManifest.commit(s, indexPath, e.copy(stats = Some(statsDir)))
+    IndexManifest.commit(s, indexPath, e.copy(stats = Some(statsDir),
+      baseGen = if (newBaseGeneration) e.baseGen + 1 else e.baseGen))
+  }
+
+  /** Record a base-generation change with no other state change — the
+    * marker an append that commits no stats (the IVF ingest path) lands so
+    * as-of reads can detect that standing data files were mutated and fail
+    * loudly instead of silently mixing generations.
+    */
+  def bumpBaseGeneration(s: SparkSession, indexPath: String): Unit = {
+    val e = IndexManifest.next(s, indexPath)
+    IndexManifest.commit(s, indexPath, e.copy(baseGen = e.baseGen + 1))
   }
 
   /** The resolved stored-stats directory (build default until a lifecycle
@@ -233,8 +246,10 @@ object Tombstones {
             s"${deltaDir(anchor)}/b$v") ++
             defaultData.map(d => s"${d.stripSuffix("/")}__e$v")
           candidates.filterNot(keep).foreach { c =>
-            val p = new org.apache.hadoop.fs.Path(c)
-            if (p.getFileSystem(conf).delete(p, true)) n += 1
+            try {
+              val p = new org.apache.hadoop.fs.Path(c)
+              if (p.getFileSystem(conf).delete(p, true)) n += 1
+            } catch { case _: java.io.IOException => () } // retry next vacuum
           }
         }
         n
@@ -254,10 +269,12 @@ object Tombstones {
     */
   def debt(family: String, rows: DataFrame, anchor: String, idCol: String): DataFrame = {
     val s = rows.sparkSession
+    // resolve the epoch ONCE: the batch count, the tombstone count, and
+    // the mask all come from the same committed state
     val man = IndexManifest.current(s, anchor)
     val nBatches = man.map(_.deltas.size.toLong).getOrElse(0L)
-    val nT = idSet(s, anchor).map(_.count()).getOrElse(0L)
-    val flagged = idSet(s, anchor) match {
+    val nT = idSetOf(s, man).map(_.count()).getOrElse(0L)
+    val flagged = idSetOf(s, man) match {
       case Some(t) =>
         rows.select(idCol).join(
             broadcast(t.withColumnRenamed("id", idCol).withColumn("is_del", lit(1L))),
@@ -338,11 +355,22 @@ object Tombstones {
     val e = IndexManifest.next(s, indexPath)
     if (e.version > 1 || e.tombstones.nonEmpty || e.deltas.nonEmpty)
       IndexManifest.commit(s, indexPath,
-        e.copy(tombstones = Vector.empty, deltas = Vector.empty))
+        e.copy(tombstones = Vector.empty, deltas = Vector.empty,
+          baseGen = e.baseGen + 1)) // a compaction superseded the base
+    bestEffortDelete(s, Seq(sidecar(indexPath), deltaDir(indexPath)))
+  }
+
+  // post-commit reclaim must never make a COMMITTED mutation surface as
+  // failed: garbage is acceptable (vacuum's job), a spurious retry of a
+  // full physical rewrite is not
+  private def bestEffortDelete(s: SparkSession, dirs: Seq[String]): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
-    Seq(sidecar(indexPath), deltaDir(indexPath)).foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      p.getFileSystem(conf).delete(p, true)
+    dirs.foreach { d =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).delete(p, true)
+        ()
+      } catch { case _: java.io.IOException => () }
     }
   }
 
@@ -392,12 +420,9 @@ object Tombstones {
     val dest = s"${defaultData.stripSuffix("/")}__e${e.version}"
     rewrite(cur, dest)
     IndexManifest.commit(s, anchorPath,
-      e.copy(data = Some(dest), tombstones = Vector.empty, deltas = Vector.empty))
-    val conf = s.sparkContext.hadoopConfiguration
-    Seq(cur, sidecar(anchorPath), deltaDir(anchorPath)).foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      p.getFileSystem(conf).delete(p, true)
-    }
+      e.copy(data = Some(dest), tombstones = Vector.empty, deltas = Vector.empty,
+        baseGen = e.baseGen + 1))
+    bestEffortDelete(s, Seq(cur, sidecar(anchorPath), deltaDir(anchorPath)))
   }
 
   /** Compact a bucketed catalog-table index, folding tombstones in — the

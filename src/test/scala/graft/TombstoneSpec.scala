@@ -785,6 +785,103 @@ class TombstoneSpec extends SparkSpec {
         sorted(SimilarityQueries.ivfPqTopkFromIndex(spark, sfDir, eP, pq)))
   }
 
+  test("eager update of an id with an open buffered batch fails loudly") {
+    // the review-found corruption path, pinned shut: tombstoning a
+    // buffered id directly would let the fold write its STALE delta rows
+    // into the compacted base (IVF: both versions serve forever; winnow:
+    // the new version is silently dropped) — the update must refuse until
+    // the window folds, exactly like the append-path collision guard
+    import graft.operators.{DedupQueries, SearchQueries, SimilarityQueries}
+    val ip = s"$tmp/ivf_updguard"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, ip)
+    val mod = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 19 === 5 && col("vec_id") >= 16)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"), col("label"))
+    SimilarityQueries.bufferIvfUpdate(spark, sfDir, ip, mod)
+    val e1 = intercept[IllegalArgumentException] {
+      SimilarityQueries.updateIvfIndex(spark, sfDir, ip, mod)
+    }
+    assert(e1.getMessage.contains("buffered"), e1.getMessage)
+    // after the fold the same update goes through, and probes equal the
+    // all-eager twin
+    SimilarityQueries.compactIvfIndex(spark, ip)
+    SimilarityQueries.updateIvfIndex(spark, sfDir, ip, mod)
+    val eIp = s"$tmp/ivf_updguard_e"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, eIp)
+    SimilarityQueries.updateIvfIndex(spark, sfDir, eIp, mod)
+    assert(sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, ip)) ==
+      sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, eIp)))
+    // winnow
+    val thr = DedupQueries.writeWinnowIndex(
+      spark, sfDir, "winnow_updguard", s"$tmp/winnow_updguard")
+    val wmod = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < thr && col("doc_id") % 13 === 2)
+      .select(col("doc_id"), concat(col("text"), lit(" zulu")).as("text"))
+    DedupQueries.bufferWinnowUpdate(wmod, "winnow_updguard")
+    val e2 = intercept[IllegalArgumentException] {
+      DedupQueries.updateWinnowIndex(wmod, "winnow_updguard")
+    }
+    assert(e2.getMessage.contains("buffered"), e2.getMessage)
+    // search (already routed through the guarded delete — pin it anyway)
+    val sp = s"$tmp/search_updguard"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_updguard", sp)
+    val smod = Tables.documents(spark, sfDir).filter(col("doc_id") % 13 === 2)
+      .select(col("doc_id"), concat(col("text"), lit(" zulu")).as("text"), col("lang"))
+    SearchQueries.bufferSearchUpdate(spark, "search_updguard", sp, smod)
+    val e3 = intercept[IllegalArgumentException] {
+      SearchQueries.updateSearchIndex(spark, "search_updguard", sp, smod)
+    }
+    assert(e3.getMessage.contains("buffered"), e3.getMessage)
+  }
+
+  test("as-of travel across a base-generation change fails loudly") {
+    // an append mutates the live table in place; without the generation
+    // counter an as-of read below it would SILENTLY score the appended
+    // rows against pre-append stats (neither epoch's ranking)
+    import graft.operators.{SearchQueries, SimilarityQueries}
+    val path = s"$tmp/search_asofgen"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_asofgen", path)
+    SearchQueries.deleteFromSearchIndex(spark, "search_asofgen", path,
+      Seq(Tables.documents(spark, sfDir).agg(min(col("doc_id"))).head.getLong(0))) // v1
+    SearchQueries.appendSearchIndex(spark, "search_asofgen", path,              // v2, gen+1
+      Tables.documents(spark, sfDir).limit(3)
+        .select(col("doc_id") + 5000000L as "doc_id", col("text"), col("lang")))
+    val err = intercept[IllegalArgumentException] {
+      SearchQueries.bm25TopkFromIndexAsOf(spark, "search_asofgen", path, 1L)
+    }
+    assert(err.getMessage.contains("generation"), err.getMessage)
+    // same for the IVF compaction boundary
+    val ip = s"$tmp/ivf_asofgen"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, ip)
+    SimilarityQueries.deleteFromIvfIndex(spark, ip, Seq(17L)) // v1
+    SimilarityQueries.compactIvfIndex(spark, ip)              // v2, gen+1
+    val err2 = intercept[IllegalArgumentException] {
+      SimilarityQueries.ivfTopkFromIndexAsOf(spark, sfDir, ip, 1L)
+    }
+    assert(err2.getMessage.contains("generation"), err2.getMessage)
+  }
+
+  test("index-served decontamination keeps a buffered-updated eval item screening") {
+    // the review-found gap, pinned shut: a buffered eval update masks the
+    // base rows AND supplies replacement rows — the decontaminator must
+    // read both arms (the old code read only the base, silently dropping
+    // the item from screening until the next fold)
+    import graft.operators.SimilarityQueries
+    val bP = s"$tmp/decon_buf"
+    val eP = s"$tmp/decon_eager"
+    SimilarityQueries.writeIvfIndexWhere(spark, sfDir, bP, col("vec_id") % 10 === 0)
+    SimilarityQueries.writeIvfIndexWhere(spark, sfDir, eP, col("vec_id") % 10 === 0)
+    val mod = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 10 === 0 && col("vec_id") % 3 === 0 && col("vec_id") >= 16)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"), col("label"))
+    assert(mod.count() > 0)
+    SimilarityQueries.bufferIvfUpdate(spark, sfDir, bP, mod)
+    SimilarityQueries.updateIvfIndex(spark, sfDir, eP, mod)
+    val got = sorted(SimilarityQueries.decontamVerdictsFromIndex(spark, sfDir, bP))
+    val expect = sorted(SimilarityQueries.decontamVerdictsFromIndex(spark, sfDir, eP))
+    assert(got.nonEmpty && got == expect)
+  }
+
   test("as-of reads reproduce earlier epochs until vacuum bounds the horizon") {
     // time travel over the manifest: version files are immutable and
     // complete, so resolving through epoch v reproduces what a probe
