@@ -1762,6 +1762,56 @@ object DedupQueries {
               |FROM tdall ORDER BY family""".stripMargin)
     ),
 
+    // ---- index mutation log (the DESCRIBE-HISTORY read) ---------------------
+    // The manifest's version files are immutable and complete, so an
+    // index's full mutation history is free to read back: one row per
+    // committed epoch with the mutation kind (derived by diffing
+    // consecutive epochs — state diffs, not stored intent), the live
+    // fragment/delta counts, the epoch's own takedown-batch size, and the
+    // streaming-ingest high-water mark. This entry is the expected log of
+    // the standing fixed scenario (delete %7=3, buffered-update %13=2,
+    // exactly-once ingest %11=5 at batch id 7) computed from the raw
+    // corpus; the serving twin [[graft.sources.Tombstones.manifestLog]]
+    // reads the identical report from a LIVE index's manifest (pinned
+    // row-for-row in TombstoneSpec, including fold and base_mutation rows
+    // the fixed scenario cannot stage).
+    GQuery(
+      "q_index_manifest_log",
+      (s, dir) => {
+        val c = Tables.documents(s, dir).agg(
+          coalesce(sum((col("doc_id") % 7 === 3).cast("long")), lit(0L)).as("n1"),
+          coalesce(sum((col("doc_id") % 13 === 2).cast("long")), lit(0L)).as("n2"),
+          coalesce(sum((col("doc_id") % 11 === 5).cast("long")), lit(0L)).as("n3"))
+        c.select(explode(array(
+            struct(lit(1L).as("version"), lit("delete").as("mutation"),
+              lit(0L).as("base_gen"), lit(1L).as("n_live_frags"),
+              lit(0L).as("n_live_deltas"), col("n1").as("new_tombstoned_ids"),
+              lit(null).cast("long").as("ingest_hwm")),
+            struct(lit(2L).as("version"), lit("update").as("mutation"),
+              lit(0L).as("base_gen"), lit(2L).as("n_live_frags"),
+              lit(1L).as("n_live_deltas"), col("n2").as("new_tombstoned_ids"),
+              lit(null).cast("long").as("ingest_hwm")),
+            struct(lit(3L).as("version"), lit("ingest").as("mutation"),
+              lit(0L).as("base_gen"), lit(3L).as("n_live_frags"),
+              lit(2L).as("n_live_deltas"), col("n3").as("new_tombstoned_ids"),
+              lit(7L).as("ingest_hwm")))).as("r"))
+          .select(col("r.*"))
+          .orderBy("version")
+      },
+      Some("""WITH mcnt AS (SELECT
+             |  CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |  CAST(SUM(CASE WHEN doc_id % 13 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |  CAST(SUM(CASE WHEN doc_id % 11 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+             |  FROM documents)
+             |SELECT CAST(1 AS BIGINT) AS version, 'delete' AS mutation,
+             |  CAST(0 AS BIGINT) AS base_gen, CAST(1 AS BIGINT) AS n_live_frags,
+             |  CAST(0 AS BIGINT) AS n_live_deltas, n1 AS new_tombstoned_ids,
+             |  CAST(NULL AS BIGINT) AS ingest_hwm FROM mcnt
+             |UNION ALL SELECT 2, 'update', 0, 2, 1, n2, NULL FROM mcnt
+             |UNION ALL SELECT 3, 'ingest', 0, 3, 2, n3, 7 FROM mcnt
+             |ORDER BY version""".stripMargin)
+    ),
+
     // ---- winnow near-dup clusters (two-star over the fingerprint pairs) ----
     // The keep-one-per-cluster consumer the winnow family was missing
     // (minhash, simhash, and phash each have theirs): two-star connected

@@ -406,10 +406,13 @@ object SearchQueries {
       .select("term", "doc_id", "tf", "dl", "lang", "positions")
   }
 
+  // tt coalesces so an EMPTY corpus yields (0, 0), not (0, null) — the
+  // stream-from-empty bootstrap ingests into a zero-stats index and every
+  // batch's advance arithmetic stays total
   private def statsOf(docs: DataFrame): DataFrame =
     docs.agg(
       count(lit(1)).as("n_docs"),
-      sum(size(split(col("text"), " ")).cast("long")).as("tt"))
+      coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L)).as("tt"))
 
   /** Postings bucket count — a TEST-SCALE default. Sizing rule (SURVEY
     * §11): buckets ≈ corpus postings bytes / target file size (256 MB–1 GB
@@ -483,6 +486,12 @@ object SearchQueries {
         s"appendSearchIndex: doc_ids ${clash.mkString(",")} were deleted from " +
           s"$table — run compactSearchIndex before re-using deleted ids")
     }
+    // the base-generation bump lands BEFORE the postings mutate the live
+    // table: a crash mid-append then leaves as-of reads REFUSING loudly
+    // (gen mismatch) instead of silently scoring half-appended postings
+    // under an older epoch's stats; a crash between the bump and the
+    // append is merely conservative (table unchanged, live probes exact)
+    graft.sources.Tombstones.bumpBaseGeneration(s, path)
     // no path option on append: the CATALOG owns the table's location, and
     // after a compaction that location has moved — re-specifying the
     // original path would throw a location mismatch (covered in
@@ -496,18 +505,15 @@ object SearchQueries {
     // prepared under a fresh epoch name and landed by one atomic pointer
     // commit — a crash leaves the OLD stats resolved, never a half-written
     // or missing dir. The postings-committed-but-stats-old window remains
-    // (documented; closing it requires the postings segments themselves to
-    // be manifest-tracked, i.e. a transactional table format).
+    // for LIVE probes (documented; closing it requires the postings
+    // segments themselves to be manifest-tracked, i.e. a transactional
+    // table format) — the pre-append bump above already fenced as-of reads.
     val old = s.read.parquet(resolvedStats(s, path)).head
     val delta = statsOf(newDocs).head
-    // newBaseGeneration: the postings just landed IN the live table —
-    // standing data mutated, so as-of reads across this commit would mix
-    // generations; the bump lets them fail loudly instead
     graft.sources.Tombstones.advanceStats(s, path,
       s.createDataFrame(Seq(
           (old.getLong(0) + delta.getLong(0), old.getLong(1) + delta.getLong(1))))
-        .toDF("n_docs", "tt"),
-      newBaseGeneration = true)
+        .toDF("n_docs", "tt"))
   }
 
   /** The index's current stored-stats directory — `<path>_stats` until a
@@ -562,25 +568,57 @@ object SearchQueries {
     * tombstones into a fresh bucketed table and retires the window.
     */
   def bufferSearchUpdate(
-      s: SparkSession, table: String, path: String, docs: DataFrame): Unit = {
+      s: SparkSession, table: String, path: String, docs: DataFrame): Unit =
+    bufferSearchBatch(s, table, path, docs, hwm = None)
+
+  /** EXACTLY-ONCE streaming ingest of one micro-batch — the LSM ingest
+    * path (new or changed documents land as a delta batch through ONE
+    * manifest commit; [[compactSearchIndex]] folds the window): returns
+    * false and changes NOTHING when `batchId` is at or below the index's
+    * committed high-water mark — the at-least-once foreachBatch replay,
+    * fenced because the rows and the mark land in the same commit. This
+    * closes the two ingest hazards [[appendSearchIndex]] documents: the
+    * in-place append is neither idempotent under replay (re-appended
+    * postings double-count) nor atomic (its postings-landed/stats-old
+    * crash window) — the delta route is both, at the price of the
+    * (window-bounded) delta union arm on probes until the next fold.
+    * [[graft.streaming.SearchStream.runSearchIngest]] is the streaming
+    * caller; batch==stream and replay==no-op pinned in StreamingSpec.
+    */
+  def ingestSearchBatch(
+      s: SparkSession, table: String, path: String, docs: DataFrame,
+      batchId: Long): Boolean = {
+    val hwm = graft.sources.Tombstones.ingestHwm(s, path)
+    if (hwm.exists(batchId <= _)) false
+    else { bufferSearchBatch(s, table, path, docs, Some(batchId)); true }
+  }
+
+  private def bufferSearchBatch(
+      s: SparkSession, table: String, path: String, docs: DataFrame,
+      hwm: Option[Long]): Unit = {
     import s.implicits._
+    // resolve the manifest ONCE and thread the epoch through every read
+    // arm (visible rows, stats) — the writer-side half of the probes'
+    // one-epoch-per-operation discipline; only the commit re-reads (its
+    // version check doubles as the single-writer collision guard)
+    val ep = graft.sources.IndexManifest.current(s, path)
     val ids = docs.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
     // the replaced versions' contribution comes from the PROBE-VISIBLE
     // rows (base-unmasked, or an earlier batch of this window — either
     // way exactly what scoring currently counts), so the stats stay exact
     // after every batch, including re-updates and fresh inserts
-    val old = visiblePostings(s, table, path)
+    val old = visiblePostingsOf(s, table, ep)
       .join(broadcast(ids.toDF("doc_id")), Seq("doc_id"), "left_semi")
       .select("doc_id", "dl").distinct()
       .agg(count(lit(1)).as("nd"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
       .head
-    val cur = s.read.parquet(resolvedStats(s, path)).head
+    val cur = epochStats(s, path, ep).head
     val add = statsOf(docs).head
     val newStats = s.createDataFrame(Seq((
         cur.getLong(0) - old.getLong(0) + add.getLong(0),
         cur.getLong(1) - old.getLong(1) + add.getLong(1))))
       .toDF("n_docs", "tt")
-    graft.sources.Tombstones.commitUpdateBatch(s, path, ids, Some(newStats)) { d =>
+    graft.sources.Tombstones.commitUpdateBatch(s, path, ids, Some(newStats), hwm) { d =>
       postingsOf(docs).write.mode("overwrite").parquet(d)
     }
   }
@@ -615,10 +653,17 @@ object SearchQueries {
   def deleteFromSearchIndex(
       s: SparkSession, table: String, path: String, docIds: Seq[Long]): Unit = {
     import s.implicits._
+    // resolve the manifest ONCE and thread the epoch through every read
+    // arm (buffered-window guard, decrement source, stats) — the guard,
+    // the decrement, and the committed template must describe the SAME
+    // committed state; only the commit re-reads (its version check
+    // doubles as the single-writer collision guard)
+    val ep = graft.sources.IndexManifest.current(s, path)
     // a takedown of an id with a buffered update outstanding would mask
     // the base rows but leave the delta rows serving — fold the window
     // first (fail loudly, the append-guard discipline)
-    graft.sources.Tombstones.bufferedIdSet(s, path, "doc_id").foreach { b =>
+    graft.sources.Tombstones.deltaFrameOf(s, ep)
+      .map(_.select("doc_id").distinct()).foreach { b =>
       val clash = b.join(broadcast(docIds.toDF("doc_id")), Seq("doc_id"), "left_semi")
         .limit(5).collect().map(_.getLong(0))
       require(clash.isEmpty,
@@ -628,12 +673,12 @@ object SearchQueries {
     // membership via a broadcast join, not an isin literal: a bulk
     // takedown (thousands of ids) would otherwise inline a giant In-list
     // into the plan; the id frame broadcasts like every tombstone mask
-    val del = graft.sources.Tombstones.filter(s.table(table), path, "doc_id")
+    val del = graft.sources.Tombstones.filterOf(s.table(table), ep, "doc_id")
       .join(broadcast(docIds.toDF("doc_id")), Seq("doc_id"), "left_semi")
       .select("doc_id", "dl").distinct()
       .agg(count(lit(1)).as("nd"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
       .head
-    val old = s.read.parquet(resolvedStats(s, path)).head
+    val old = epochStats(s, path, ep).head
     graft.sources.Tombstones.addWithStats(s, path, docIds,
       s.createDataFrame(Seq(
           (old.getLong(0) - del.getLong(0), old.getLong(1) - del.getLong(1))))
@@ -702,23 +747,17 @@ object SearchQueries {
     */
   def bm25TopkFromIndexAsOf(
       s: SparkSession, table: String, path: String, version: Long): DataFrame = {
-    val t = graft.sources.Tombstones
     val ep = graft.sources.IndexManifest.at(s, path, version)
     graft.sources.IndexManifest.requireSameGeneration(s, path, ep, version)
     val q = queryTerms(s)
     val terms = q.select("term").distinct().collect().map(_.getString(0)).toSeq
-    val base = t.filterOf(s.table(table), ep, "doc_id")
-    val visible = t.deltaLatestOf(s, ep, "doc_id") match {
-      case Some(d) => base.unionByName(d.select(base.columns.map(col).toSeq: _*))
-      case None    => base
-    }
-    val p = visible.filter(col("term").isin(terms: _*))
+    // the live probe's own epoch-resolution helpers, pointed at `ep` — the
+    // as-of read IS the live read against an older pointer, so any fix to
+    // the visible-view logic applies to both by construction
+    val p = visiblePostingsOf(s, table, ep).filter(col("term").isin(terms: _*))
     val dfF = p.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = s.read.parquet(ep.flatMap(_.stats).getOrElse(s"${path}_stats"))
-    bm25Rank(p, dfF, stats, q).orderBy("q_id", "rank")
+    bm25Rank(p, dfF, epochStats(s, path, ep), q).orderBy("q_id", "rank")
   }
-
-
 
   /** Two-phase WAND-style pruned ranking (Broder et al., CIKM 2003 —
     * executed, not just audited): the expensive stage (per-posting score
@@ -1122,14 +1161,20 @@ object SearchQueries {
               |wscored AS (SELECT m, q_id, doc_id FROM wsurv
               |  UNION SELECT p.m, w.q_id, w.doc_id
               |    FROM wrnk w JOIN wpools p ON w.ubrn <= p.m * $TOP_K),
-              |wtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cands FROM wubsum)
-              |SELECT CAST(m AS BIGINT) AS pool_multiple, n_cands,
-              |  CAST(COUNT(*) AS BIGINT) AS n_scored,
-              |  CASE WHEN n_cands = 0 THEN 0
-              |    ELSE (n_cands - CAST(COUNT(*) AS BIGINT)) * 1000000 // n_cands
+              |wtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cands FROM wubsum),
+              |-- rows are driven from wpools (not wscored) so a corpus where no
+              |-- query term matches still yields one all-zero row per pool size,
+              |-- matching the Scala side's global-aggregate rows
+              |wcnt AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n_scored
+              |  FROM wscored GROUP BY m)
+              |SELECT CAST(p.m AS BIGINT) AS pool_multiple, t.n_cands,
+              |  CAST(COALESCE(c.n_scored, 0) AS BIGINT) AS n_scored,
+              |  CASE WHEN t.n_cands = 0 THEN 0
+              |    ELSE (t.n_cands - CAST(COALESCE(c.n_scored, 0) AS BIGINT))
+              |      * 1000000 // t.n_cands
               |  END AS skip_ppm
-              |FROM wscored CROSS JOIN wtot
-              |GROUP BY m, n_cands ORDER BY pool_multiple""".stripMargin)
+              |FROM wpools p CROSS JOIN wtot t LEFT JOIN wcnt c ON c.m = p.m
+              |ORDER BY pool_multiple""".stripMargin)
     ),
 
     GQuery(

@@ -1319,13 +1319,15 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr(s"sqrt(${VectorOps.dotExpr("v", "v")})"))
+    // the bump lands BEFORE the append mutates the live data dir: a crash
+    // mid-append then leaves as-of reads REFUSING loudly (gen mismatch)
+    // instead of silently ranking half-appended rows under an older
+    // epoch's mask; a crash between the bump and the append is merely
+    // conservative (data unchanged, live probes exact)
+    graft.sources.Tombstones.bumpBaseGeneration(s, path)
     assignToSeeds(nw, seeds)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("seed_id").as("cell"))
       .write.mode("append").partitionBy("cell").parquet(idxData(s, path, path))
-    // the append just mutated the live data dir in place: mark the new
-    // base generation so as-of reads refuse to cross it (they would
-    // otherwise silently rank the appended rows under an older epoch)
-    graft.sources.Tombstones.bumpBaseGeneration(s, path)
   }
 
   /** Delete vectors from a persisted IVF index — the takedown path: the
@@ -1528,6 +1530,32 @@ object SimilarityQueries {
     */
   def bufferIvfUpdate(
       s: SparkSession, dir: String, path: String, newRows: DataFrame,
+      nSeeds: Int = N_SEEDS, trained: Boolean = false): Unit =
+    bufferIvfBatch(s, dir, path, newRows, None, nSeeds, trained)
+
+  /** EXACTLY-ONCE streaming ingest of one vector micro-batch — the IVF
+    * twin of [[graft.operators.SearchQueries.ingestSearchBatch]]: returns
+    * false and changes NOTHING when `batchId` is at or below the index's
+    * committed high-water mark (rows and mark land in one manifest
+    * commit, so an at-least-once foreachBatch replay fences cleanly —
+    * including a replay arriving AFTER a fold moved the rows into the
+    * base, since the mark rides through compaction). Unlike
+    * [[appendIvfIndex]]'s in-place partition append, this route is
+    * idempotent and atomic; probes pay the delta union arm until the
+    * next [[compactIvfIndex]]. Streaming caller:
+    * [[graft.streaming.EmbeddingsStream.runAnnIngest]].
+    */
+  def ingestIvfBatch(
+      s: SparkSession, dir: String, path: String, newRows: DataFrame,
+      batchId: Long): Boolean = {
+    val hwm = graft.sources.Tombstones.ingestHwm(s, path)
+    if (hwm.exists(batchId <= _)) false
+    else { bufferIvfBatch(s, dir, path, newRows, Some(batchId)); true }
+  }
+
+  private def bufferIvfBatch(
+      s: SparkSession, dir: String, path: String, newRows: DataFrame,
+      hwm: Option[Long],
       nSeeds: Int = N_SEEDS, trained: Boolean = false): Unit = {
     graft.functions.GraftFunctions.register(s)
     val ids = newRows.select("vec_id").distinct().collect().map(_.getLong(0)).toSeq
@@ -1540,7 +1568,7 @@ object SimilarityQueries {
       .withColumn("nrm", expr(s"sqrt(${VectorOps.dotExpr("v", "v")})"))
     val assigned = assignToSeeds(nw, seeds)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("seed_id").as("cell"))
-    graft.sources.Tombstones.commitUpdateBatch(s, path, ids, None) { d =>
+    graft.sources.Tombstones.commitUpdateBatch(s, path, ids, None, hwm) { d =>
       assigned.write.mode("overwrite").partitionBy("cell").parquet(d)
     }
   }

@@ -46,7 +46,13 @@ object IndexManifest {
     * touch or supersede standing data files (appends, compactions) rather
     * than layering over them (deletes, buffered updates): as-of reads are
     * exact only within one generation, so they compare generations and
-    * fail loudly across the boundary.
+    * fail loudly across the boundary. `ingestHwm` is the streaming-ingest
+    * high-water mark: the highest micro-batch id whose rows are committed.
+    * Spark batch ids are monotone per checkpoint and foreachBatch replays
+    * only an already-processed prefix, so `batchId <= ingestHwm` is the
+    * complete replay test — it rides through every later mutation
+    * INCLUDING compaction (which folds the delta rows into the base), so
+    * a replay arriving after the fold still skips instead of re-inserting.
     */
   final case class Epoch(
       version: Long,
@@ -54,7 +60,8 @@ object IndexManifest {
       stats: Option[String],
       tombstones: Vector[String],
       deltas: Vector[String] = Vector.empty,
-      baseGen: Long = 0L)
+      baseGen: Long = 0L,
+      ingestHwm: Option[Long] = None)
 
   /** TEST HOOK — crash injection at the atomicity boundary: when set, the
     * next [[commit]] throws AFTER every prepared file is durable but
@@ -63,6 +70,16 @@ object IndexManifest {
     * the previous consistent epoch.
     */
   @volatile private[graft] var failNextCommit: Boolean = false
+
+  /** TEST HOOK — crash injection at the Nth commit of a MULTI-commit
+    * mutation (a compaction's pre-swap generation bump is commit 1, its
+    * tombstone-clearing epoch commit 2; an append's bump is commit 1, its
+    * stats advance commit 2): counts down on every commit and throws when
+    * it reaches zero, letting TombstoneSpec stage the mid-mutation states
+    * (bump landed, physical step or follow-up commit missing) and prove
+    * they are loud or consistent, never silently wrong. Negative = off.
+    */
+  @volatile private[graft] var failCommitCountdown: Int = -1
 
   def dir(anchor: String): String = anchor.stripSuffix("/") + "_manifest"
 
@@ -122,6 +139,28 @@ object IndexManifest {
     }
   }
 
+  /** Every committed epoch in version order — the index's mutation log
+    * (the DESCRIBE-HISTORY read): version files are immutable and
+    * complete, so the history is just parsing each one. Control-plane
+    * cost: one listStatus + one small read per epoch.
+    */
+  def history(s: SparkSession, anchor: String): Seq[Epoch] = {
+    val d = new Path(dir(anchor))
+    val f = fs(s, d)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("v\\d{12}"))
+      .sorted
+      .map { name =>
+        val in = f.open(new Path(d, name))
+        val body =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        parse(name.drop(1).toLong, body)
+      }
+  }
+
   /** Template for the next epoch: the current state with the version
     * advanced (v1 from nothing). Writers copy-modify it and [[commit]].
     */
@@ -146,6 +185,12 @@ object IndexManifest {
       failNextCommit = false
       throw new RuntimeException(
         s"IndexManifest: injected crash before committing epoch ${e.version} of $anchor")
+    }
+    if (failCommitCountdown >= 0) {
+      failCommitCountdown -= 1
+      if (failCommitCountdown < 0)
+        throw new RuntimeException(
+          s"IndexManifest: injected crash before committing epoch ${e.version} of $anchor")
     }
     // writer-unique tmp name: two racers sharing one tmp path could
     // otherwise interleave (one overwrites the other's content before
@@ -217,6 +262,7 @@ object IndexManifest {
     e.tombstones.foreach(p => b.append(s"tombstone\t$p\n"))
     e.deltas.foreach(p => b.append(s"delta\t$p\n"))
     b.append(s"basegen\t${e.baseGen}\n")
+    e.ingestHwm.foreach(h => b.append(s"hwm\t$h\n"))
     b.toString
   }
 
@@ -232,6 +278,7 @@ object IndexManifest {
       kvs.collectFirst { case ("stats", v) => v },
       kvs.collect { case ("tombstone", v) => v }.toVector,
       kvs.collect { case ("delta", v) => v }.toVector,
-      kvs.collectFirst { case ("basegen", v) => v.toLong }.getOrElse(0L))
+      kvs.collectFirst { case ("basegen", v) => v.toLong }.getOrElse(0L),
+      kvs.collectFirst { case ("hwm", v) => v.toLong })
   }
 }

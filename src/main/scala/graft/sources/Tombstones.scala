@@ -156,11 +156,16 @@ object Tombstones {
     * rows, and optionally replacement stored stats — a probe sees all
     * three or none, and a crashed buffer call changes nothing (the same
     * atomicity contract as [[addWithStats]]). `writeBatch` materializes
-    * the replacement rows under the directory it is given.
+    * the replacement rows under the directory it is given. `hwm` (the
+    * streaming-ingest path) advances the manifest's ingest high-water
+    * mark IN the same commit — rows and replay fence land atomically, so
+    * an at-least-once redelivery can never observe rows-without-fence or
+    * fence-without-rows.
     */
   def commitUpdateBatch(
       s: SparkSession, indexPath: String, ids: Seq[Long],
-      newStats: Option[DataFrame])(writeBatch: String => Unit): Unit = {
+      newStats: Option[DataFrame], hwm: Option[Long] = None)(
+      writeBatch: String => Unit): Unit = {
     require(ids.nonEmpty, "Tombstones.commitUpdateBatch: empty id set")
     val e = IndexManifest.next(s, indexPath)
     val batch = s"${deltaDir(indexPath)}/b${e.version}"
@@ -174,8 +179,13 @@ object Tombstones {
     IndexManifest.commit(s, indexPath,
       e.copy(stats = statsDir.orElse(e.stats),
         tombstones = e.tombstones :+ frag,
-        deltas = e.deltas :+ batch))
+        deltas = e.deltas :+ batch,
+        ingestHwm = hwm.orElse(e.ingestHwm)))
   }
+
+  /** The index's committed streaming-ingest high-water mark, if any. */
+  def ingestHwm(s: SparkSession, indexPath: String): Option[Long] =
+    IndexManifest.current(s, indexPath).flatMap(_.ingestHwm)
 
   /** The live buffered batches unioned with a `batch_seq` ordinal (commit
     * order), or None when the window is empty — the common case, costing
@@ -222,8 +232,12 @@ object Tombstones {
     * provably garbage — a superseded stats dir, a folded-but-unreclaimed
     * data epoch, a crashed writer's leavings whose retry landed under the
     * same names. Candidates are ENUMERATED from the same name derivations
-    * the writers use (never directory listings, so URI-scheme differences
-    * can't cause a miss or a false delete). Artifacts at version
+    * the writers use (never directory listings). Both the keep set and
+    * the candidates are FS-QUALIFIED before comparison: the manifest
+    * stores paths as the writers spelled them, and a caller spelling the
+    * anchor with a different URI scheme/authority (`file:/x` vs `/x`)
+    * must neither miss garbage nor false-delete a LIVE dir the strings
+    * happen to name differently. Artifacts at version
     * current+1 are deliberately left: they are either a crashed prepare
     * the retry will overwrite, or an in-flight prepare. Returns the number
     * of directories reclaimed. Safe at any time under the single-writer
@@ -235,9 +249,13 @@ object Tombstones {
     IndexManifest.current(s, anchor) match {
       case None => 0L
       case Some(cur) =>
-        val keep = (cur.stats.toSeq ++ cur.data.toSeq ++
-          cur.tombstones ++ cur.deltas).toSet
         val conf = s.sparkContext.hadoopConfiguration
+        def canon(p: String): String = {
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(conf).makeQualified(path).toString
+        }
+        val keep = (cur.stats.toSeq ++ cur.data.toSeq ++
+          cur.tombstones ++ cur.deltas).map(canon).toSet
         var n = 0L
         for (v <- 1L until cur.version) {
           val candidates = Seq(
@@ -245,7 +263,7 @@ object Tombstones {
             s"${sidecar(anchor)}/f$v",
             s"${deltaDir(anchor)}/b$v") ++
             defaultData.map(d => s"${d.stripSuffix("/")}__e$v")
-          candidates.filterNot(keep).foreach { c =>
+          candidates.filterNot(c => keep(canon(c))).foreach { c =>
             try {
               val p = new org.apache.hadoop.fs.Path(c)
               if (p.getFileSystem(conf).delete(p, true)) n += 1
@@ -273,11 +291,16 @@ object Tombstones {
     // the mask all come from the same committed state
     val man = IndexManifest.current(s, anchor)
     val nBatches = man.map(_.deltas.size.toLong).getOrElse(0L)
-    val nT = idSetOf(s, man).map(_.count()).getOrElse(0L)
-    val flagged = idSetOf(s, man) match {
-      case Some(t) =>
+    // ONE fragment read: the id set collects to the driver (a bounded
+    // takedown list — the broadcast below would materialize it there
+    // anyway), serving both the count and the mask side
+    val tsIds = idSetOf(s, man).map(_.collect().map(_.getLong(0)))
+    val nT = tsIds.map(_.length.toLong).getOrElse(0L)
+    val flagged = tsIds.filter(_.nonEmpty) match {
+      case Some(ids) =>
+        import s.implicits._
         rows.select(idCol).join(
-            broadcast(t.withColumnRenamed("id", idCol).withColumn("is_del", lit(1L))),
+            broadcast(ids.toSeq.toDF(idCol).withColumn("is_del", lit(1L))),
             Seq(idCol), "left")
           .select(coalesce(col("is_del"), lit(0L)).as("is_del"))
       case None => rows.select(lit(0L).as("is_del"))
@@ -294,6 +317,77 @@ object Tombstones {
         expr("CASE WHEN masked_rows + live_rows = 0 THEN 0 " +
           "ELSE masked_rows * 1000000 div (masked_rows + live_rows) END")
           .as("masked_ppm"))
+  }
+
+  /** The index's mutation log — one row per committed epoch, with the
+    * mutation KIND derived by diffing consecutive epochs (version files
+    * record state, not intent, so the log reconstructs intent from what
+    * changed — the DESCRIBE-HISTORY read):
+    *   - a delta batch appeared          → `ingest` (the commit also moved
+    *     the high-water mark) or `update` (it did not);
+    *   - only a tombstone fragment       → `delete`;
+    *   - fragments/deltas cleared        → `fold` (a compaction retired
+    *     them; data/stats pointers ride along);
+    *   - only the base generation moved  → `base_mutation` (an append or
+    *     compaction's pre-swap fence);
+    *   - only the stats pointer moved    → `stats_advance` (an append's
+    *     stats commit).
+    * `new_tombstoned_ids` counts the ids in the epoch's OWN fragment (the
+    * takedown/update batch size) — NULL once a later fold/vacuum
+    * physically reclaimed that fragment (the pointer log is immutable;
+    * the files it names are not). Driver-side control-plane reads
+    * throughout — the log is an operational report over a handful of
+    * small files, never a data-plane scan. Registered (fixed scenario) as
+    * `q_index_manifest_log`; live-index parity pinned in TombstoneSpec.
+    */
+  def manifestLog(s: SparkSession, anchor: String): DataFrame = {
+    import s.implicits._
+    val hist = IndexManifest.history(s, anchor)
+    val zero = IndexManifest.Epoch(0L, None, None, Vector.empty)
+    val conf = s.sparkContext.hadoopConfiguration
+    val rows = hist.zip(zero +: hist).map { case (e, prev) =>
+      val newFrags = e.tombstones.filterNot(prev.tombstones.toSet)
+      val deltaAdded = e.deltas.size > prev.deltas.size
+      val cleared = (prev.tombstones.nonEmpty && e.tombstones.isEmpty) ||
+        (prev.deltas.nonEmpty && e.deltas.isEmpty)
+      val mutation =
+        if (cleared) "fold"
+        else if (deltaAdded && e.ingestHwm != prev.ingestHwm) "ingest"
+        else if (deltaAdded) "update"
+        else if (newFrags.nonEmpty) "delete"
+        else if (e.baseGen != prev.baseGen) "base_mutation"
+        else if (e.stats != prev.stats) "stats_advance"
+        else "other"
+      val live = newFrags.filter { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).exists(p)
+      }
+      val newIds =
+        if (newFrags.isEmpty) Some(0L)
+        else if (live.size < newFrags.size) None // reclaimed by a later fold/vacuum
+        else Some(live.map(f => s.read.parquet(f).count()).sum)
+      (e.version, mutation, e.baseGen, e.tombstones.size.toLong,
+        e.deltas.size.toLong, newIds, e.ingestHwm)
+    }
+    rows.toDF("version", "mutation", "base_gen", "n_live_frags",
+      "n_live_deltas", "new_tombstoned_ids", "ingest_hwm")
+  }
+
+  /** The compaction-trigger POLICY over [[debt]] — the operational rule
+    * the audit exists to feed: fold when the masked fraction passes
+    * `maxMaskedPpm` (every probe re-pays the mask until a fold reclaims
+    * it) or the open update window passes `maxDeltaBatches` (every probe
+    * pays one union arm per batch). Defaults: 10% masked or 8 open
+    * batches — deployment knobs, not constants of nature. One debt scan;
+    * the caller composes with its family's compactor (`if
+    * (needsCompaction(..)) compactSearchIndex(..)` — pinned in
+    * TombstoneSpec).
+    */
+  def needsCompaction(
+      family: String, rows: DataFrame, anchor: String, idCol: String,
+      maxMaskedPpm: Long = 100000L, maxDeltaBatches: Long = 8L): Boolean = {
+    val r = debt(family, rows, anchor, idCol).head
+    r.getLong(5) >= maxMaskedPpm || r.getLong(4) >= maxDeltaBatches
   }
 
   private def epochStatsDir(indexPath: String, version: Long): String =
@@ -349,14 +443,18 @@ object Tombstones {
     * live fragments — stats and data pointers ride along unchanged — then
     * best-effort reclaim the now-unreferenced fragment files. A crash
     * between the rewrite and this commit is harmless: the still-listed
-    * tombstones anti-join against rows that no longer exist.
+    * tombstones anti-join against rows that no longer exist. `bump` = false
+    * when the caller already committed the base-generation bump BEFORE its
+    * physical mutation ([[compactBucketedIndex]] — bumping here instead
+    * would leave a crash window in which as-of reads silently return the
+    * compacted table as an older epoch's state).
     */
-  def clear(s: SparkSession, indexPath: String): Unit = {
+  def clear(s: SparkSession, indexPath: String, bump: Boolean = true): Unit = {
     val e = IndexManifest.next(s, indexPath)
     if (e.version > 1 || e.tombstones.nonEmpty || e.deltas.nonEmpty)
       IndexManifest.commit(s, indexPath,
         e.copy(tombstones = Vector.empty, deltas = Vector.empty,
-          baseGen = e.baseGen + 1)) // a compaction superseded the base
+          baseGen = if (bump) e.baseGen + 1 else e.baseGen))
     bestEffortDelete(s, Seq(sidecar(indexPath), deltaDir(indexPath)))
   }
 
@@ -377,9 +475,22 @@ object Tombstones {
   /** Erase an anchor's lifecycle state entirely — builders call this so a
     * rebuild starts from the defaults, and the location-anchored
     * compaction calls it on the superseded location (a dead anchor needs
-    * no tombstone-clearing epoch).
+    * no tombstone-clearing epoch). Before the manifest drops, the epochs'
+    * artifacts are reclaimed — [[vacuum]] for superseded versions, then
+    * the CURRENT epoch's redirected data/stats dirs (the rebuild writes
+    * the defaults, so an epoch-named `_stats_eN`/`__eN` dir the manifest
+    * no longer exists to name would otherwise leak forever: once the
+    * manifest is gone, vacuum is a no-op).
     */
   def reset(s: SparkSession, indexPath: String): Unit = {
+    IndexManifest.current(s, indexPath).foreach { cur =>
+      // the epoch-data naming convention is `<default>__e<v>` — recover
+      // the default from the current pointer so vacuum can enumerate the
+      // superseded data epochs too
+      val defaultData = cur.data.map(_.replaceAll("__e\\d+$", ""))
+      vacuum(s, indexPath, defaultData)
+      bestEffortDelete(s, cur.data.toSeq ++ cur.stats.toSeq)
+    }
     IndexManifest.reset(s, indexPath)
     val conf = s.sparkContext.hadoopConfiguration
     Seq(sidecar(indexPath), deltaDir(indexPath)).foreach { d =>
@@ -476,6 +587,15 @@ object Tombstones {
         .option("path", dest)
         .saveAsTable(s"${table}__c")
     } finally s.conf.set(aqeKey, prior)
+    // the base-generation bump must land BEFORE the catalog swap mutates
+    // what old-epoch readers resolve: a crash between the swap and the
+    // tombstone-clearing commit then leaves as-of reads REFUSING loudly
+    // (gen mismatch) instead of silently returning the compacted table as
+    // an older epoch's state. A crash between this bump and the swap is
+    // merely conservative — the table is unchanged, live probes are
+    // exact, and as-of refuses an epoch it could still have served.
+    // (Location anchors skip it: the anchor dies with the location.)
+    if (anchor.isDefined) bumpBaseGeneration(s, anch)
     s.sql(s"DROP TABLE $table")
     s.sql(s"ALTER TABLE ${table}__c RENAME TO $table")
     // DROP TABLE on an external table leaves files behind — reclaim them
@@ -483,7 +603,8 @@ object Tombstones {
     oldLoc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(oldLoc, true)
     // the rewrite no longer contains the tombstoned rows: retire them — a
     // location anchor dies with its location; an immutable anchor commits
-    // a clearing epoch (stats pointer rides along unchanged)
-    if (anchor.isEmpty) reset(s, cur) else clear(s, anch)
+    // a clearing epoch (stats pointer rides along unchanged; the gen bump
+    // already landed above, pre-swap)
+    if (anchor.isEmpty) reset(s, cur) else clear(s, anch, bump = false)
   }
 }

@@ -62,6 +62,44 @@ object EmbeddingsStream {
     q.awaitTermination()
   }
 
+  /** EXACTLY-ONCE streaming index INGEST — the IVF twin of
+    * [[SearchStream.runSearchIngest]]: arriving vectors land in the
+    * persisted index per micro-batch through
+    * [[SimilarityQueries.ingestIvfBatch]] (the LSM delta route — one
+    * atomic manifest commit per batch carries the cell-assigned rows, the
+    * masking tombstone, and the batch-id high-water mark, so the
+    * at-least-once foreachBatch replay is a no-op; the mark rides through
+    * compaction, so even a post-fold replay cannot re-insert). After the
+    * drain, probes rank every ingested vector exactly as a full rebuild
+    * would (pinned in StreamingSpec). Per trigger the work is one
+    * seed-assignment of the batch; the standing index is never rewritten
+    * between folds. `foldEvery` > 0 closes the LSM loop exactly as in
+    * [[SearchStream.runSearchIngest]] (fold via
+    * [[SimilarityQueries.compactIvfIndex]] when the window reaches that
+    * many batches; the replay fence rides through).
+    */
+  def runAnnIngest(
+      spark: SparkSession, dir: String, inPath: String, indexPath: String,
+      checkpoint: String, foldEvery: Int = 0): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val q = readVectors(spark, inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          SimilarityQueries.ingestIvfBatch(spark, dir, indexPath, batch.toDF(), batchId)
+          if (foldEvery > 0 &&
+              graft.sources.IndexManifest.current(spark, indexPath)
+                .exists(_.deltas.size >= foldEvery))
+            SimilarityQueries.compactIvfIndex(spark, indexPath)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming cross-modal serving — arriving TEXT-query vectors answered
     * with ranked ASSETS from the persisted IVF index: each micro-batch
     * delegates to the same probe + metadata-enrich composition as the

@@ -37,6 +37,55 @@ object SearchStream {
       .option("maxFilesPerTrigger", 1) // several micro-batches, not one gulp
       .parquet(inPath)
 
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  /** EXACTLY-ONCE streaming index INGEST — arriving documents land in the
+    * persisted inverted index per micro-batch through
+    * [[SearchQueries.ingestSearchBatch]] (the LSM delta route: one atomic
+    * manifest commit per batch carries the rows, the masking tombstone,
+    * the stats advance, AND the batch-id high-water mark, so the
+    * at-least-once foreachBatch replay is a no-op — unlike the probe
+    * twins' documented append caveat, this path needs no external dedup).
+    * After the drain, probes score every ingested document exactly as a
+    * full rebuild would (pinned in StreamingSpec: bootstrap + streamed
+    * remainder == one-shot build, and a forced replay changes nothing).
+    * At fleet scale each trigger's work is one postings aggregation over
+    * the batch plus control-plane commits; the standing index is never
+    * rewritten between folds. `foldEvery` > 0 closes the LSM loop: when
+    * the open window reaches that many delta batches, the drain folds
+    * them inline ([[SearchQueries.compactSearchIndex]] — ONE physical
+    * rewrite retires the window, bounding every probe's union-arm count;
+    * the replay fence rides through the fold, so auto-folding changes no
+    * exactly-once property). 0 = never fold (an external cadence, e.g.
+    * [[graft.sources.Tombstones.needsCompaction]], owns it).
+    */
+  def runSearchIngest(
+      spark: SparkSession, inPath: String, table: String, indexPath: String,
+      checkpoint: String, foldEvery: Int = 0): Unit = {
+    val q = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          SearchQueries.ingestSearchBatch(spark, table, indexPath, batch.toDF(), batchId)
+          if (foldEvery > 0 &&
+              graft.sources.IndexManifest.current(spark, indexPath)
+                .exists(_.deltas.size >= foldEvery))
+            SearchQueries.compactSearchIndex(spark, table, indexPath)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain `inPath` with Trigger.AvailableNow, probing the persisted
     * inverted index for each micro-batch's queries; (q_id, rank, doc_id,
     * score) rows land under `outPath`.

@@ -55,6 +55,18 @@ class EdgeCorpusSpec extends SparkSpec {
     assert(r.getLong(0) == 10L && r.getString(1) == "near_dup" && r.getLong(2) == 3L, r)
   }
 
+  test("the WAND pool curve on a zero-candidate corpus is one all-zero row per pool size") {
+    // no edge-corpus doc contains any QUERY_TERMS term, so the curve's
+    // every count is zero — but the ROWS must still appear (one per pool
+    // multiple, from the Scala side's global aggregates), and the DuckDB
+    // oracle drives its rows from the pool table for exactly this reason
+    // (review-found: a wscored-driven GROUP BY returned ZERO rows here,
+    // silently breaking the inline==oracle pairing)
+    val out = SparkEntry.queries("search_wand_pool_curve")(spark, edgeDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(1L, 2L, 5L, 10L).map(m => (m, 0L, 0L, 0L)), out.toSeq)
+  }
+
   test("every documents-only query survives the short-doc corpus") {
     // the full text/dedup/multimodal surface must tolerate degenerate docs
     // (ANSI array indexing turns silent garbage into runtime throws); this

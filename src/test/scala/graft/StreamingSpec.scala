@@ -427,6 +427,93 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == direct.orderBy(cols: _*).collect().toSeq)
   }
 
+  test("streaming index ingest: drained batches serve exactly as a one-shot build") {
+    // the EXACTLY-ONCE ingest twins: a bootstrap index absorbs the
+    // remainder of the corpus as streamed micro-batches (one file = one
+    // batch, each ONE atomic manifest commit carrying rows + stats + the
+    // batch-id high-water mark); after the drain, probes must equal the
+    // registered full-corpus entries row-for-row — and re-draining the
+    // SAME input against the advanced mark must change nothing (the
+    // at-least-once replay fence, unit-pinned across folds in
+    // TombstoneSpec)
+    import graft.operators.{SearchQueries, SimilarityQueries}
+    import graft.streaming.{EmbeddingsStream, SearchStream}
+    val base = java.nio.file.Files.createTempDirectory("graft-ingeststream").toString
+    SearchQueries.writeSearchIndexWhere(
+      spark, sfDir, "search_idx_ing", s"$base/idx", col("doc_id") % 3 === 0)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    Seq(1, 2).foreach { m =>
+      docs.filter(col("doc_id") % 3 === m)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    SearchStream.runSearchIngest(
+      spark, s"$base/in", "search_idx_ing", s"$base/idx", s"$base/ckpt")
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(commits >= 2, s"expected several micro-batches, got $commits")
+    val direct = SparkEntry.queries("search_bm25_topk")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    def probe() = SearchQueries.bm25TopkFromIndex(spark, "search_idx_ing", s"$base/idx")
+      .select(cols: _*).orderBy(cols: _*).collect().toSeq
+    val drained = probe()
+    assert(drained.nonEmpty && drained == direct.orderBy(cols: _*).collect().toSeq)
+    // a fresh checkpoint re-drains the same files as the same batch ids —
+    // every one fenced by the committed mark, the probe unchanged
+    SearchStream.runSearchIngest(
+      spark, s"$base/in", "search_idx_ing", s"$base/idx", s"$base/ckpt2")
+    assert(probe() == drained)
+    // ---- IVF twin ------------------------------------------------------
+    SimilarityQueries.writeIvfIndexWhere(
+      spark, sfDir, s"$base/ividx", col("vec_id") % 2 === 0)
+    val em = Tables.embeddings(spark, sfDir)
+    Seq(1, 3).foreach { m =>
+      em.filter(col("vec_id") % 4 === m)
+        .coalesce(1).write.mode("append").parquet(s"$base/ivin")
+    }
+    EmbeddingsStream.runAnnIngest(
+      spark, sfDir, s"$base/ivin", s"$base/ividx", s"$base/ivckpt")
+    val idirect = SparkEntry.queries("ann_ivf_topk")(spark, sfDir)
+    val icols = idirect.columns.map(col).toSeq
+    def iprobe() = SimilarityQueries.ivfTopkFromIndex(spark, sfDir, s"$base/ividx")
+      .select(icols: _*).orderBy(icols: _*).collect().toSeq
+    val idrained = iprobe()
+    assert(idrained.nonEmpty && idrained == idirect.orderBy(icols: _*).collect().toSeq)
+    EmbeddingsStream.runAnnIngest(
+      spark, sfDir, s"$base/ivin", s"$base/ividx", s"$base/ivckpt2")
+    assert(iprobe() == idrained)
+  }
+
+  test("stream-from-empty ingest with auto-fold equals the one-shot build") {
+    // the complete LSM loop: an EMPTY bootstrap (zero rows, zero stats)
+    // absorbs the whole corpus as streamed batches, folding inline every
+    // time the window reaches 2 delta batches — after the drain the probe
+    // equals the registered full-corpus ranking, the manifest log shows
+    // the folds actually happened, and the final window is below the
+    // threshold (probes pay a bounded union-arm count forever)
+    import graft.operators.SearchQueries
+    import graft.streaming.SearchStream
+    val base = java.nio.file.Files.createTempDirectory("graft-ingestfold").toString
+    SearchQueries.writeSearchIndexWhere(
+      spark, sfDir, "search_idx_ing0", s"$base/idx", lit(false))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    Seq(0, 1, 2).foreach { m =>
+      docs.filter(col("doc_id") % 3 === m)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    SearchStream.runSearchIngest(
+      spark, s"$base/in", "search_idx_ing0", s"$base/idx", s"$base/ckpt",
+      foldEvery = 2)
+    val direct = SparkEntry.queries("search_bm25_topk")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    val got = SearchQueries.bm25TopkFromIndex(spark, "search_idx_ing0", s"$base/idx")
+      .select(cols: _*).orderBy(cols: _*).collect().toSeq
+    assert(got.nonEmpty && got == direct.orderBy(cols: _*).collect().toSeq)
+    val log = graft.sources.Tombstones.manifestLog(spark, s"$base/idx")
+    assert(log.filter(col("mutation") === "fold").count() >= 1, "a fold must have run")
+    assert(graft.sources.IndexManifest.current(spark, s"$base/idx")
+      .exists(_.deltas.size < 2), "the final window must sit below the threshold")
+  }
+
   test("streaming semantic dedup against the IVF index equals the one-shot verdicts") {
     // the embedding twin of the incremental-dedup stream: arriving vectors
     // probe the persisted index per trigger and verdict against tau; the

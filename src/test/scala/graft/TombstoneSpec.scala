@@ -690,20 +690,20 @@ class TombstoneSpec extends SparkSpec {
     val d1 = Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 3)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     SearchQueries.deleteFromSearchIndex(spark, "search_vac_idx", path, d1) // v1
-    SearchQueries.appendSearchIndex(spark, "search_vac_idx", path,        // v2
+    SearchQueries.appendSearchIndex(spark, "search_vac_idx", path,        // v2 (gen bump) + v3 (stats)
       Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 3)
         .select(col("doc_id") + 1000000L as "doc_id", col("text"), col("lang")))
     val d2 = Seq(1000000L + d1.head)
-    SearchQueries.deleteFromSearchIndex(spark, "search_vac_idx", path, d2) // v3
+    SearchQueries.deleteFromSearchIndex(spark, "search_vac_idx", path, d2) // v4
     val before = sorted(SearchQueries.bm25TopkFromIndex(spark, "search_vac_idx", path))
     def exists(p: String) = new java.io.File(p).exists()
-    // v1 and v2 stats are superseded by v3's; fragments f1/f3 stay live
-    assert(exists(s"${path}_stats_e1") && exists(s"${path}_stats_e2"))
+    // v1 and v3 stats are superseded by v4's; fragments f1/f4 stay live
+    assert(exists(s"${path}_stats_e1") && exists(s"${path}_stats_e3"))
     val reclaimed = t.vacuum(spark, path)
     assert(reclaimed >= 2, s"reclaimed $reclaimed")
-    assert(!exists(s"${path}_stats_e1") && !exists(s"${path}_stats_e2"))
-    assert(exists(s"${path}_stats_e3"))
-    assert(exists(s"${t.sidecar(path)}/f1") && exists(s"${t.sidecar(path)}/f3"))
+    assert(!exists(s"${path}_stats_e1") && !exists(s"${path}_stats_e3"))
+    assert(exists(s"${path}_stats_e4"))
+    assert(exists(s"${t.sidecar(path)}/f1") && exists(s"${t.sidecar(path)}/f4"))
     assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_vac_idx", path)) == before)
     // a planted data-epoch orphan (a crashed compaction cleanup) reclaims
     // through the defaultData naming; the live artifacts again survive
@@ -1026,7 +1026,7 @@ class TombstoneSpec extends SparkSpec {
     assert(sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, path)) == probed)
   }
 
-  test("crash injection: a search compaction dying between the catalog swap and the clearing commit stays consistent") {
+  test("crash injection: a search compaction dying at either commit stays consistent, as-of never silently wrong") {
     import graft.operators.SearchQueries
     val path = s"$tmp/search_crash2"
     SearchQueries.writeSearchIndex(spark, sfDir, "search_crash2_idx", path)
@@ -1035,19 +1035,221 @@ class TombstoneSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     SearchQueries.deleteFromSearchIndex(spark, "search_crash2_idx", path, deleted)
     val probed = sorted(SearchQueries.bm25TopkFromIndex(spark, "search_crash2_idx", path))
-    // die AFTER the physical rewrite + catalog swap, BEFORE the
-    // tombstone-clearing epoch lands
-    graft.sources.IndexManifest.failNextCommit = true
+    val asof0 = sorted(SearchQueries.bm25TopkFromIndexAsOf(
+      spark, "search_crash2_idx", path, 0L))
+    // WINDOW 1 — die at the pre-swap generation bump (the compaction's
+    // first commit, after the rewrite is prepared): the table is
+    // unchanged, tombstones still mask, as-of still serves — nothing
+    // happened, and the retry goes through
+    graft.sources.IndexManifest.failCommitCountdown = 0
     intercept[RuntimeException] {
       SearchQueries.compactSearchIndex(spark, "search_crash2_idx", path)
     }
-    // tombstones are still listed but their rows are physically gone: the
-    // anti-join masks nothing, stats rode along untouched — probe parity
     assert(graft.sources.Tombstones.idSet(spark, path).nonEmpty)
     assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_crash2_idx", path)) == probed)
-    // finishing the interrupted step (the clearing commit) changes nothing
-    graft.sources.Tombstones.clear(spark, path)
+    assert(sorted(SearchQueries.bm25TopkFromIndexAsOf(
+      spark, "search_crash2_idx", path, 0L)) == asof0)
+    // WINDOW 2 — the bump lands, the catalog swap lands, the
+    // tombstone-clearing commit dies: tombstones are still listed but
+    // their rows are physically gone, so the anti-join masks nothing and
+    // live probes stay exact — and because the bump landed BEFORE the
+    // swap, an as-of read across the boundary REFUSES loudly instead of
+    // returning the compacted table as the build state (the silent-wrong
+    // window the bump ordering closes)
+    graft.sources.IndexManifest.failCommitCountdown = 1
+    intercept[RuntimeException] {
+      SearchQueries.compactSearchIndex(spark, "search_crash2_idx", path)
+    }
+    assert(graft.sources.Tombstones.idSet(spark, path).nonEmpty)
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_crash2_idx", path)) == probed)
+    val err = intercept[IllegalArgumentException] {
+      SearchQueries.bm25TopkFromIndexAsOf(spark, "search_crash2_idx", path, 0L)
+    }
+    assert(err.getMessage.contains("generation"), err.getMessage)
+    // finishing the interrupted step (the clearing commit — the gen bump
+    // already landed pre-swap) changes nothing
+    graft.sources.Tombstones.clear(spark, path, bump = false)
     assert(graft.sources.Tombstones.idSet(spark, path).isEmpty)
     assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_crash2_idx", path)) == probed)
+  }
+
+  test("vacuum called with a differently-spelled anchor never false-deletes live artifacts") {
+    // the review-found corruption path, pinned shut: the manifest stores
+    // paths as the writers spelled them ('/x/...'), and a vacuum called
+    // with 'file:/x/...' resolves the SAME physical dirs — a raw string
+    // keep-set comparison would pass every live artifact through the
+    // filter and delete it (here: the still-live f1 fragment, whose loss
+    // would un-mask a committed takedown)
+    import graft.operators.SearchQueries
+    val t = graft.sources.Tombstones
+    val path = s"$tmp/search_vacuri"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_vacuri_idx", path)
+    val ids = Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    SearchQueries.deleteFromSearchIndex(spark, "search_vacuri_idx", path,
+      ids.take(ids.size / 2))                                             // v1: stats_e1 + f1
+    SearchQueries.deleteFromSearchIndex(spark, "search_vacuri_idx", path,
+      ids.drop(ids.size / 2))                                             // v2: stats_e2 + f2
+    val before = sorted(SearchQueries.bm25TopkFromIndex(spark, "search_vacuri_idx", path))
+    def exists(p: String) = new java.io.File(p).exists()
+    assert(exists(s"${t.sidecar(path)}/f1") && exists(s"${path}_stats_e1"))
+    val reclaimed = t.vacuum(spark, s"file:$path")
+    assert(reclaimed >= 1, s"reclaimed $reclaimed")
+    // the superseded stats dir is gone; the LIVE v1 fragment survived
+    assert(!exists(s"${path}_stats_e1"), "superseded stats must reclaim across spellings")
+    assert(exists(s"${t.sidecar(path)}/f1"), "a live fragment must never false-delete")
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_vacuri_idx", path)) == before)
+  }
+
+  test("rebuilding over a lived-in anchor reclaims the previous life's epoch artifacts") {
+    // the review-found leak, pinned shut: reset used to drop only the
+    // manifest — the epoch-named data/stats dirs it referenced became
+    // permanently unreachable garbage (vacuum is a no-op once the
+    // manifest is gone). A rebuild must leave no previous-life artifacts.
+    import graft.operators.{SearchQueries, SimilarityQueries}
+    def exists(p: String) = new java.io.File(p).exists()
+    val ip = s"$tmp/ivf_rebuild"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, ip)
+    SimilarityQueries.deleteFromIvfIndex(spark, ip, Seq(17L)) // v1
+    SimilarityQueries.compactIvfIndex(spark, ip)              // v2: data at __e2
+    assert(exists(s"${ip}__e2"))
+    SimilarityQueries.writeIvfIndex(spark, sfDir, ip)         // rebuild = reset + write
+    assert(!exists(s"${ip}__e2"), "the previous life's data epoch must reclaim")
+    assert(sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, ip)).nonEmpty)
+    val sp = s"$tmp/search_rebuild"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_rebuild_idx", sp)
+    SearchQueries.deleteFromSearchIndex(spark, "search_rebuild_idx", sp, Seq(3L)) // v1: stats_e1
+    assert(exists(s"${sp}_stats_e1"))
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_rebuild_idx", sp)
+    assert(!exists(s"${sp}_stats_e1"), "the previous life's stats epoch must reclaim")
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_rebuild_idx", sp)) ==
+      sorted(SparkEntry.queries("search_bm25_topk")(spark, sfDir)))
+  }
+
+  test("exactly-once ingest: batches land once, replays no-op across folds, probe equals full build") {
+    // the LSM ingest route closes appendSearchIndex's two documented
+    // hazards: each batch is ONE atomic manifest commit (rows + stats +
+    // high-water mark), so a replayed batch id is a no-op — even after a
+    // compaction folded its rows into the base, because the mark rides
+    // through the fold
+    import graft.operators.{SearchQueries, SimilarityQueries}
+    val path = s"$tmp/search_ingest"
+    SearchQueries.writeSearchIndexWhere(
+      spark, sfDir, "search_ingest_idx", path, col("doc_id") % 3 === 0)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    assert(SearchQueries.ingestSearchBatch(spark, "search_ingest_idx", path, b1, 0L))
+    assert(SearchQueries.ingestSearchBatch(spark, "search_ingest_idx", path, b2, 1L))
+    val probe = sorted(SearchQueries.bm25TopkFromIndex(spark, "search_ingest_idx", path))
+    // bootstrap third + two ingested thirds == the full-corpus ranking
+    assert(probe == sorted(SparkEntry.queries("search_bm25_topk")(spark, sfDir)))
+    // at-least-once redelivery of either batch: fenced, nothing changes
+    assert(!SearchQueries.ingestSearchBatch(spark, "search_ingest_idx", path, b1, 0L))
+    assert(!SearchQueries.ingestSearchBatch(spark, "search_ingest_idx", path, b2, 1L))
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_ingest_idx", path)) == probe)
+    // the mark survives the fold: a post-compaction replay still skips
+    SearchQueries.compactSearchIndex(spark, "search_ingest_idx", path)
+    assert(!SearchQueries.ingestSearchBatch(spark, "search_ingest_idx", path, b2, 1L))
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_ingest_idx", path)) == probe)
+    // a batch BEYOND the mark lands normally
+    assert(SearchQueries.ingestSearchBatch(spark, "search_ingest_idx", path,
+      docs.limit(2).select(col("doc_id") + 3000000L as "doc_id", col("text"), col("lang")), 2L))
+    // ---- IVF twin ------------------------------------------------------
+    val ip = s"$tmp/ivf_ingest"
+    SimilarityQueries.writeIvfIndexWhere(spark, sfDir, ip, col("vec_id") % 2 === 0)
+    val em = Tables.embeddings(spark, sfDir)
+    val v1 = em.filter(col("vec_id") % 4 === 1)
+    val v2 = em.filter(col("vec_id") % 4 === 3)
+    assert(SimilarityQueries.ingestIvfBatch(spark, sfDir, ip, v1, 0L))
+    assert(SimilarityQueries.ingestIvfBatch(spark, sfDir, ip, v2, 1L))
+    val iprobe = sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, ip))
+    assert(iprobe == sorted(SparkEntry.queries("ann_ivf_topk")(spark, sfDir)))
+    assert(!SimilarityQueries.ingestIvfBatch(spark, sfDir, ip, v1, 1L)) // ≤ mark
+    assert(sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, ip)) == iprobe)
+    SimilarityQueries.compactIvfIndex(spark, ip)
+    assert(!SimilarityQueries.ingestIvfBatch(spark, sfDir, ip, v2, 1L))
+    assert(sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, ip)) == iprobe)
+  }
+
+  test("needsCompaction closes the policy loop over the debt audit") {
+    // the audit's consumer: fold when the masked fraction or the open
+    // window passes its threshold — fresh index never triggers, a ~1/7
+    // takedown trips the default 10% mask rule (but not a 50% one), one
+    // buffered batch trips a window-of-1 rule, and the fold resets both
+    import graft.operators.SearchQueries
+    val t = graft.sources.Tombstones
+    val path = s"$tmp/search_policy"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_policy_idx", path)
+    def need(ppm: Long = 100000L, db: Long = 8L) =
+      t.needsCompaction("search", spark.table("search_policy_idx"), path, "doc_id",
+        maxMaskedPpm = ppm, maxDeltaBatches = db)
+    assert(!need())
+    SearchQueries.deleteFromSearchIndex(spark, "search_policy_idx", path,
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq)
+    assert(need(), "a ~1/7 takedown must trip the 10% mask rule")
+    assert(!need(ppm = 500000L), "but not a 50% one")
+    SearchQueries.bufferSearchUpdate(spark, "search_policy_idx", path,
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 13 === 2)
+        .select(col("doc_id"), concat(col("text"), lit(" echo")).as("text"), col("lang")))
+    // ppm = 2_000_000 is unreachable (ppm caps at 1e6): isolates the
+    // window trigger
+    assert(need(ppm = 2000000L, db = 1L), "one open batch must trip a window-of-1 rule")
+    SearchQueries.compactSearchIndex(spark, "search_policy_idx", path)
+    assert(!need(db = 1L))
+  }
+
+  test("manifest log over a live index equals the registered report; fold and fence rows surface") {
+    import graft.operators.SearchQueries
+    val t = graft.sources.Tombstones
+    val path = s"$tmp/search_mlog"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_mlog_idx", path)
+    val docs = Tables.documents(spark, sfDir)
+    SearchQueries.deleteFromSearchIndex(spark, "search_mlog_idx", path,
+      docs.filter(col("doc_id") % 7 === 3).select("doc_id").collect().map(_.getLong(0)).toSeq)
+    SearchQueries.bufferSearchUpdate(spark, "search_mlog_idx", path,
+      docs.filter(col("doc_id") % 13 === 2)
+        .select(col("doc_id"), concat(col("text"), lit(" zulu")).as("text"), col("lang")))
+    assert(SearchQueries.ingestSearchBatch(spark, "search_mlog_idx", path,
+      docs.filter(col("doc_id") % 11 === 5)
+        .select(col("doc_id") + 2000000L as "doc_id", col("text"), col("lang")), 7L))
+    // the live manifest's log == the registered fixed-scenario report
+    assert(sorted(t.manifestLog(spark, path)) ==
+      sorted(SparkEntry.queries("q_index_manifest_log")(spark, sfDir)))
+    // the fold: the pre-swap generation fence and the clearing epoch both
+    // surface with the diff-derived kinds
+    SearchQueries.compactSearchIndex(spark, "search_mlog_idx", path)
+    val log = t.manifestLog(spark, path).orderBy("version").collect()
+    assert(log.length == 5, log.toSeq)
+    assert(log(3).getString(1) == "base_mutation" && log(3).getLong(2) == 1L, log(3))
+    assert(log(4).getString(1) == "fold" && log(4).getLong(3) == 0L &&
+      log(4).getLong(4) == 0L, log(4))
+    // the high-water mark rode through both
+    assert(log(4).getLong(6) == 7L, log(4))
+  }
+
+  test("crash injection: an append dying after its generation bump leaves as-of refusing, never silently wrong") {
+    // the review-found window, pinned shut: the bump lands BEFORE the
+    // postings mutate the live table, so a crash mid-append (here: after
+    // the postings landed, before the stats advance — the worst point)
+    // leaves every as-of read REFUSING loudly; the old ordering would
+    // have served the half-appended postings as the build state
+    import graft.operators.SearchQueries
+    val path = s"$tmp/search_crash3"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_crash3_idx", path)
+    val asof0 = sorted(SearchQueries.bm25TopkFromIndexAsOf(
+      spark, "search_crash3_idx", path, 0L))
+    assert(asof0.nonEmpty)
+    graft.sources.IndexManifest.failCommitCountdown = 1 // bump lands, stats advance dies
+    intercept[RuntimeException] {
+      SearchQueries.appendSearchIndex(spark, "search_crash3_idx", path,
+        Tables.documents(spark, sfDir).limit(3)
+          .select(col("doc_id") + 7000000L as "doc_id", col("text"), col("lang")))
+    }
+    val err = intercept[IllegalArgumentException] {
+      SearchQueries.bm25TopkFromIndexAsOf(spark, "search_crash3_idx", path, 0L)
+    }
+    assert(err.getMessage.contains("generation"), err.getMessage)
   }
 }
