@@ -759,6 +759,40 @@ object SearchQueries {
     bm25Rank(p, dfF, epochStats(s, path, ep), q).orderBy("q_id", "rank")
   }
 
+  /** Materialize a committed epoch as a STANDALONE frozen index — the
+    * durable form of [[bm25TopkFromIndexAsOf]]: an as-of read dies at the
+    * next append/compaction (generation boundary) or vacuum (reclaimed
+    * files); a clone copies the epoch's probe-visible state into a fresh
+    * bucketed table + stats dir and OWNS it, so it keeps serving that
+    * exact corpus state forever, whatever happens to the source — the
+    * training-reproducibility freeze ("pin the index the model trained
+    * on"). Cost: one bucketed rewrite of the visible rows (a compaction's
+    * price, paid once per freeze); the clone starts a clean lifecycle of
+    * its own (no manifest, no tombstones — it equals a fresh build over
+    * the epoch's surviving corpus, pinned in TombstoneSpec including
+    * survival across a source compaction that kills the as-of read).
+    */
+  def cloneSearchIndexAsOf(
+      s: SparkSession, table: String, path: String, version: Long,
+      destTable: String, destPath: String): Unit = {
+    val ep = graft.sources.IndexManifest.at(s, path, version)
+    graft.sources.IndexManifest.requireSameGeneration(s, path, ep, version)
+    graft.sources.Tombstones.reset(s, destPath)
+    s.sql(s"DROP TABLE IF EXISTS $destTable")
+    val nb = bucketCountOf(s, table)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prior = s.conf.get(aqeKey)
+    s.conf.set(aqeKey, "false") // keep one-file-per-bucket task alignment
+    try visiblePostingsOf(s, table, ep)
+      .repartition(nb, expr(s"pmod(hash(term), $nb)"))
+      .write.mode("overwrite")
+      .bucketBy(nb, "term").sortBy("term")
+      .option("path", destPath)
+      .saveAsTable(destTable)
+    finally s.conf.set(aqeKey, prior)
+    epochStats(s, path, ep).write.mode("overwrite").parquet(s"${destPath}_stats")
+  }
+
   /** Two-phase WAND-style pruned ranking (Broder et al., CIKM 2003 —
     * executed, not just audited): the expensive stage (per-posting score
     * arithmetic + the (q_id, doc_id) aggregate + the rank window) runs

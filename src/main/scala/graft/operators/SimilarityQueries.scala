@@ -1504,6 +1504,30 @@ object SimilarityQueries {
   /** The probe-visible rows of ALL cells — the fold/rewrite source and
     * the unpruned serving view, resolved against ONE epoch read.
     */
+  /** Materialize a committed epoch as a STANDALONE frozen IVF index — the
+    * vector twin of [[graft.operators.SearchQueries.cloneSearchIndexAsOf]]
+    * (same motivation: as-of dies at the generation boundary / vacuum, a
+    * clone OWNS its copy of the epoch's visible rows and serves it
+    * forever). The epoch's base∪delta view rewrites into the destination's
+    * cell partitions, and the quantizer sidecar copies verbatim — cell
+    * geometry IS the quantizer, so the clone probes identically without
+    * being told the config out of band. The clone starts a clean
+    * lifecycle (no manifest/tombstones). Pinned in TombstoneSpec,
+    * including survival across a source compaction.
+    */
+  def cloneIvfIndexAsOf(
+      s: SparkSession, path: String, version: Long, destPath: String): Unit = {
+    val ep = graft.sources.IndexManifest.at(s, path, version)
+    graft.sources.IndexManifest.requireSameGeneration(s, path, ep, version)
+    graft.sources.Tombstones.reset(s, destPath)
+    ivfVisibleAllAt(s, path, ep)
+      .write.mode("overwrite").partitionBy("cell").parquet(destPath)
+    val qs = new org.apache.hadoop.fs.Path(quantizerSidecar(path))
+    if (qs.getFileSystem(s.sparkContext.hadoopConfiguration).exists(qs))
+      s.read.parquet(quantizerSidecar(path))
+        .write.mode("overwrite").parquet(quantizerSidecar(destPath))
+  }
+
   private def ivfVisibleAll(s: SparkSession, path: String): DataFrame =
     ivfVisibleAllAt(s, path, graft.sources.IndexManifest.current(s, path))
 

@@ -2177,6 +2177,91 @@ object TextQueries {
              |ORDER BY train_doc_id, bench_doc_id""".stripMargin)
     ),
 
+    // ---- the curation pipeline END-TO-END: one auditable ledger -------------
+    // The composition every training-data pipeline actually runs, as ONE
+    // query with per-document attribution: eval slice set aside (doc_id %
+    // 10 = 0, the standing decontamination benchmark), Gopher rule battery
+    // (quality), exact dedup among the survivors (keep min doc_id per
+    // md5(text) — dedup AFTER quality so a high-quality copy is never
+    // sacrificed for a failing twin), 8-gram decontamination among the
+    // representatives — every document gets exactly one verdict naming
+    // the FIRST stage that claimed it ('eval_set' / 'gopher' /
+    // 'exact_dup' / 'contaminated' / 'kept'), so corpus composition is
+    // auditable per stage instead of a black-box survivor count. Scale:
+    // the stages compose their registered shapes — gopher is map-only,
+    // dedup is one digest shuffle, decontamination broadcasts the eval
+    // grams — so payloads shuffle exactly once (the dedup digest) and the
+    // verdict assembly is broadcast-joined flags over doc ids.
+    GQuery(
+      "pipeline_curate_ledger",
+      (s, dir) => {
+        def grams(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .filter(size(col("toks")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(toks) - 8), " +
+              "i -> md5(concat_ws(' ', slice(toks, i + 1, 8))))")).as("g"))
+        val docs = Tables.documents(s, dir)
+        val train = docs.filter(col("doc_id") % 10 =!= 0)
+        val rules = gopherRulesOf(train).select(col("doc_id"), col("pass"))
+        val tdocs = train.select("doc_id", "text").join(rules, "doc_id")
+        val reps = tdocs.filter(col("pass"))
+          .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), lit(true).as("is_rep"))
+        val bgr = broadcast(
+          grams(docs.filter(col("doc_id") % 10 === 0)).select("g").distinct())
+        val contam = grams(
+            tdocs.join(reps, Seq("doc_id"), "left_semi").select("doc_id", "text"))
+          .join(bgr, "g").select("doc_id").distinct()
+          .withColumn("is_contam", lit(true))
+        docs.select("doc_id")
+          .join(rules, Seq("doc_id"), "left")
+          .join(broadcast(reps), Seq("doc_id"), "left")
+          .join(broadcast(contam), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 0, "eval_set")
+              .when(!col("pass"), "gopher")
+              .when(col("is_rep").isNull, "exact_dup")
+              .when(col("is_contam").isNotNull, "contaminated")
+              .otherwise("kept").as("verdict"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val en = markerArr(langMarkers.head._2)
+        s"""WITH cg AS (SELECT doc_id,
+           |    CAST(len($toksSql) AS BIGINT) AS n,
+           |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS ch,
+           |    CAST(len(list_filter($toksSql, t -> list_contains([$en], t))) AS BIGINT) AS nstop,
+           |    CAST(len(list_distinct($toksSql)) AS BIGINT) AS ndis,
+           |    CAST(list_max(list_transform(list_distinct($toksSql),
+           |      w -> len(list_filter($toksSql, t -> t = w)))) AS BIGINT) AS maxtf
+           |  FROM documents WHERE doc_id % 10 <> 0),
+           |cr AS (SELECT doc_id,
+           |    (n BETWEEN 30 AND 100000) AND (3 * n <= ch AND ch <= 10 * n)
+           |      AND nstop >= 2 AND 5 * maxtf <= n AND 10 * ndis >= 3 * n AS pass
+           |  FROM cg),
+           |creps AS (SELECT MIN(d.doc_id) AS doc_id
+           |  FROM documents d JOIN cr USING (doc_id) WHERE cr.pass
+           |  GROUP BY md5(d.text)),
+           |ctoks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           |cgrams AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(1, len(toks) - 6),
+           |    i -> md5(array_to_string(toks[i:i+7], ' '))))) AS g8 FROM ctoks),
+           |cbgr AS (SELECT DISTINCT g8 FROM cgrams WHERE doc_id % 10 = 0),
+           |ccontam AS (SELECT DISTINCT cgrams.doc_id
+           |  FROM cgrams JOIN cbgr USING (g8)
+           |  WHERE cgrams.doc_id IN (SELECT doc_id FROM creps))
+           |SELECT d.doc_id,
+           |  CASE WHEN d.doc_id % 10 = 0 THEN 'eval_set'
+           |    WHEN NOT cr.pass THEN 'gopher'
+           |    WHEN d.doc_id NOT IN (SELECT doc_id FROM creps) THEN 'exact_dup'
+           |    WHEN d.doc_id IN (SELECT doc_id FROM ccontam) THEN 'contaminated'
+           |    ELSE 'kept' END AS verdict
+           |FROM documents d LEFT JOIN cr ON d.doc_id = cr.doc_id
+           |ORDER BY d.doc_id""".stripMargin
+      }
+    ),
+
     // ---- Bloom-filter decontamination: the constant-size broadcast path -----
     // pipeline_decontaminate broadcasts the bench side's DISTINCT 8-gram
     // digests — fine while the eval suite is small, but a digest set grows

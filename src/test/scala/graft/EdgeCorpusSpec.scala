@@ -67,6 +67,37 @@ class EdgeCorpusSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L, 5L, 10L).map(m => (m, 0L, 0L, 0L)), out.toSeq)
   }
 
+  test("the curation ledger claims each document at the right stage, including exact_dup") {
+    // the driver corpus has no exact duplicates among gopher-PASSING
+    // train docs (its dups are short), so the ledger's exact_dup branch
+    // needs a purpose-built corpus: ids 1/2 are identical passing texts
+    // (1 is the min-id representative, 2 must read exact_dup), 3 is a
+    // passing text whose words the eval doc 10 reproduces (contaminated),
+    // 4 fails the word-count rule (gopher), 10 is the eval slice
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledger").toString
+    val pass1 = ("the quick brown foxes jumped over lazy dogs while seven " +
+      "wizards brewed strong potions under bright moonlight casting golden " +
+      "shadows across frozen rivers and silent valleys where ancient stones " +
+      "guarded secret pathways")
+    val pass2 = ("the busy harbor welcomed twelve merchant vessels carrying " +
+      "spices silks copper ingots and woven carpets from distant southern " +
+      "ports while dockhands loaded heavy crates onto waiting wagons bound " +
+      "for northern market towns")
+    Seq(
+      (1L, pass1, "en", "s0", pass1.length.toLong),
+      (2L, pass1, "en", "s0", pass1.length.toLong),
+      (3L, pass2, "en", "s1", pass2.length.toLong),
+      (4L, "tiny doc", "en", "s1", 8L),
+      (10L, pass2, "en", "s2", pass2.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("pipeline_curate_ledger")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq(1L -> "kept", 2L -> "exact_dup", 3L -> "contaminated",
+      4L -> "gopher", 10L -> "eval_set"), got)
+  }
+
   test("every documents-only query survives the short-doc corpus") {
     // the full text/dedup/multimodal surface must tolerate degenerate docs
     // (ANSI array indexing turns silent garbage into runtime throws); this

@@ -1172,6 +1172,59 @@ class TombstoneSpec extends SparkSpec {
     assert(sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, ip)) == iprobe)
   }
 
+  test("epoch clones serve their frozen state forever, surviving the boundaries that kill as-of") {
+    // the durable half of time travel: an as-of read dies at the next
+    // compaction (generation boundary); a clone owns a bucketed copy of
+    // the epoch's visible rows + stats and keeps serving that exact
+    // corpus state — the "pin the index the model trained on" freeze
+    import graft.operators.{SearchQueries, SimilarityQueries}
+    val path = s"$tmp/search_clone_src"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_clone_src", path)
+    SearchQueries.deleteFromSearchIndex(spark, "search_clone_src", path,
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq)           // v1
+    SearchQueries.bufferSearchUpdate(spark, "search_clone_src", path,
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 13 === 2)
+        .select(col("doc_id"), concat(col("text"), lit(" zulu")).as("text"),
+          col("lang")))                                                 // v2
+    val c1 = s"$tmp/search_clone_v1"
+    SearchQueries.cloneSearchIndexAsOf(
+      spark, "search_clone_src", path, 1L, "search_clone_v1", c1)
+    val deleted = sorted(SparkEntry.queries("search_bm25_deleted")(spark, sfDir))
+    // the v1 clone == the post-takedown registered ranking (== a rebuild
+    // over the survivors: the clone has no manifest, no tombstones)
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_clone_v1", c1)) == deleted)
+    assert(graft.sources.IndexManifest.current(spark, c1).isEmpty)
+    // the v2 clone (open update window) == the live probe's base∪delta view
+    val c2 = s"$tmp/search_clone_v2"
+    SearchQueries.cloneSearchIndexAsOf(
+      spark, "search_clone_src", path, 2L, "search_clone_v2", c2)
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_clone_v2", c2)) ==
+      sorted(SearchQueries.bm25TopkFromIndex(spark, "search_clone_src", path)))
+    // the compaction KILLS the as-of read (gen boundary) — the clone
+    // keeps serving the frozen epoch
+    SearchQueries.compactSearchIndex(spark, "search_clone_src", path)
+    intercept[IllegalArgumentException] {
+      SearchQueries.bm25TopkFromIndexAsOf(spark, "search_clone_src", path, 1L)
+    }
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_clone_v1", c1)) == deleted)
+    // ---- IVF twin ------------------------------------------------------
+    val ip = s"$tmp/ivf_clone_src"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, ip)
+    SimilarityQueries.deleteFromIvfIndex(spark, ip,
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") % 13 === 7)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq)           // v1
+    val ic = s"$tmp/ivf_clone_v1"
+    SimilarityQueries.cloneIvfIndexAsOf(spark, ip, 1L, ic)
+    val idel = sorted(SparkEntry.queries("ann_ivf_deleted")(spark, sfDir))
+    assert(sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, ic)) == idel)
+    SimilarityQueries.compactIvfIndex(spark, ip)
+    intercept[IllegalArgumentException] {
+      SimilarityQueries.ivfTopkFromIndexAsOf(spark, sfDir, ip, 1L)
+    }
+    assert(sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, ic)) == idel)
+  }
+
   test("needsCompaction closes the policy loop over the debt audit") {
     // the audit's consumer: fold when the masked fraction or the open
     // window passes its threshold — fresh index never triggers, a ~1/7
