@@ -575,27 +575,41 @@ object SearchQueries {
     * path (new or changed documents land as a delta batch through ONE
     * manifest commit; [[compactSearchIndex]] folds the window): returns
     * false and changes NOTHING when `batchId` is at or below the index's
-    * committed high-water mark — the at-least-once foreachBatch replay,
-    * fenced because the rows and the mark land in the same commit. This
-    * closes the two ingest hazards [[appendSearchIndex]] documents: the
-    * in-place append is neither idempotent under replay (re-appended
-    * postings double-count) nor atomic (its postings-landed/stats-old
-    * crash window) — the delta route is both, at the price of the
-    * (window-bounded) delta union arm on probes until the next fold.
-    * [[graft.streaming.SearchStream.runSearchIngest]] is the streaming
-    * caller; batch==stream and replay==no-op pinned in StreamingSpec.
+    * committed high-water mark FOR THE SAME STREAM LINEAGE — the
+    * at-least-once foreachBatch replay, fenced because the rows and the
+    * (stream, mark) pair land in the same commit. A DIFFERENT lineage
+    * (fresh checkpoint) restarts batch ids from 0 — fencing it would
+    * silently drop never-ingested documents, so it fails loudly instead
+    * ([[graft.sources.Tombstones.resetIngestFence]] is the deliberate
+    * override). This closes the two ingest hazards [[appendSearchIndex]]
+    * documents: the in-place append is neither idempotent under replay
+    * (re-appended postings double-count) nor atomic (its
+    * postings-landed/stats-old crash window) — the delta route is both,
+    * at the price of the (window-bounded) delta union arm on probes
+    * until the next fold. [[graft.streaming.SearchStream.runSearchIngest]]
+    * is the streaming caller; batch==stream, replay==no-op, and the
+    * cross-lineage refusal pinned in StreamingSpec/TombstoneSpec.
     */
   def ingestSearchBatch(
       s: SparkSession, table: String, path: String, docs: DataFrame,
-      batchId: Long): Boolean = {
-    val hwm = graft.sources.Tombstones.ingestHwm(s, path)
-    if (hwm.exists(batchId <= _)) false
-    else { bufferSearchBatch(s, table, path, docs, Some(batchId)); true }
+      batchId: Long, streamId: String = "default"): Boolean = {
+    graft.sources.Tombstones.ingestFence(s, path) match {
+      case Some((st, _)) if st != streamId =>
+        throw new IllegalArgumentException(
+          s"ingestSearchBatch: $path was ingested by stream lineage '$st' but this " +
+            s"batch is from '$streamId' — batch ids are monotone only within one " +
+            "checkpoint, so fencing across lineages would silently drop data; reuse " +
+            "the original checkpoint, or run Tombstones.resetIngestFence after " +
+            "verifying the new input is not a replay")
+      case Some((_, h)) if batchId <= h => false
+      case _ =>
+        bufferSearchBatch(s, table, path, docs, Some((streamId, batchId))); true
+    }
   }
 
   private def bufferSearchBatch(
       s: SparkSession, table: String, path: String, docs: DataFrame,
-      hwm: Option[Long]): Unit = {
+      hwm: Option[(String, Long)]): Unit = {
     import s.implicits._
     // resolve the manifest ONCE and thread the epoch through every read
     // arm (visible rows, stats) — the writer-side half of the probes'
@@ -778,7 +792,22 @@ object SearchQueries {
     val ep = graft.sources.IndexManifest.at(s, path, version)
     graft.sources.IndexManifest.requireSameGeneration(s, path, ep, version)
     graft.sources.Tombstones.reset(s, destPath)
+    // DROP TABLE on an EXTERNAL table leaves its files behind — a re-clone
+    // over a lived-in destTable must reclaim the previous freeze's
+    // location and stats (no manifest backs a clone, so nothing else can)
+    val cat = s.sessionState.catalog
+    val ident = s.sessionState.sqlParser.parseTableIdentifier(destTable)
+    val oldLoc = if (cat.tableExists(ident))
+      Some(cat.getTableMetadata(ident).location.toString) else None
     s.sql(s"DROP TABLE IF EXISTS $destTable")
+    oldLoc.foreach { loc =>
+      val conf = s.sparkContext.hadoopConfiguration
+      Seq(loc, s"${loc.stripSuffix("/")}_stats").foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        try { p.getFileSystem(conf).delete(p, true); () }
+        catch { case _: java.io.IOException => () }
+      }
+    }
     val nb = bucketCountOf(s, table)
     val aqeKey = "spark.sql.adaptive.enabled"
     val prior = s.conf.get(aqeKey)

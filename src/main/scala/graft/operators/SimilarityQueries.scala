@@ -1558,12 +1558,15 @@ object SimilarityQueries {
     bufferIvfBatch(s, dir, path, newRows, None, nSeeds, trained)
 
   /** EXACTLY-ONCE streaming ingest of one vector micro-batch — the IVF
-    * twin of [[graft.operators.SearchQueries.ingestSearchBatch]]: returns
-    * false and changes NOTHING when `batchId` is at or below the index's
-    * committed high-water mark (rows and mark land in one manifest
-    * commit, so an at-least-once foreachBatch replay fences cleanly —
-    * including a replay arriving AFTER a fold moved the rows into the
-    * base, since the mark rides through compaction). Unlike
+    * twin of [[graft.operators.SearchQueries.ingestSearchBatch]] (see its
+    * doc for the full fence semantics): returns false and changes NOTHING
+    * when `batchId` is at or below the committed high-water mark of the
+    * SAME stream lineage; refuses a different lineage loudly (a fresh
+    * checkpoint restarts ids from 0 — fencing it would silently drop
+    * data). Rows and (stream, mark) land in one manifest commit, so an
+    * at-least-once foreachBatch replay fences cleanly — including a
+    * replay arriving AFTER a fold moved the rows into the base, since
+    * the mark rides through compaction. Unlike
     * [[appendIvfIndex]]'s in-place partition append, this route is
     * idempotent and atomic; probes pay the delta union arm until the
     * next [[compactIvfIndex]]. Streaming caller:
@@ -1571,15 +1574,24 @@ object SimilarityQueries {
     */
   def ingestIvfBatch(
       s: SparkSession, dir: String, path: String, newRows: DataFrame,
-      batchId: Long): Boolean = {
-    val hwm = graft.sources.Tombstones.ingestHwm(s, path)
-    if (hwm.exists(batchId <= _)) false
-    else { bufferIvfBatch(s, dir, path, newRows, Some(batchId)); true }
+      batchId: Long, streamId: String = "default"): Boolean = {
+    graft.sources.Tombstones.ingestFence(s, path) match {
+      case Some((st, _)) if st != streamId =>
+        throw new IllegalArgumentException(
+          s"ingestIvfBatch: $path was ingested by stream lineage '$st' but this " +
+            s"batch is from '$streamId' — batch ids are monotone only within one " +
+            "checkpoint, so fencing across lineages would silently drop data; reuse " +
+            "the original checkpoint, or run Tombstones.resetIngestFence after " +
+            "verifying the new input is not a replay")
+      case Some((_, h)) if batchId <= h => false
+      case _ =>
+        bufferIvfBatch(s, dir, path, newRows, Some((streamId, batchId))); true
+    }
   }
 
   private def bufferIvfBatch(
       s: SparkSession, dir: String, path: String, newRows: DataFrame,
-      hwm: Option[Long],
+      hwm: Option[(String, Long)],
       nSeeds: Int = N_SEEDS, trained: Boolean = false): Unit = {
     graft.functions.GraftFunctions.register(s)
     val ids = newRows.select("vec_id").distinct().collect().map(_.getLong(0)).toSeq

@@ -2214,10 +2214,14 @@ object TextQueries {
             tdocs.join(reps, Seq("doc_id"), "left_semi").select("doc_id", "text"))
           .join(bgr, "g").select("doc_id").distinct()
           .withColumn("is_contam", lit(true))
+        // reps/contam are O(corpus) per-doc flag frames — plain doc_id
+        // equi-joins (never broadcast-hinted: at fleet scale forcing them
+        // driver-side would OOM; only the eval-gram set above is
+        // legitimately broadcast-sized)
         docs.select("doc_id")
           .join(rules, Seq("doc_id"), "left")
-          .join(broadcast(reps), Seq("doc_id"), "left")
-          .join(broadcast(contam), Seq("doc_id"), "left")
+          .join(reps, Seq("doc_id"), "left")
+          .join(contam, Seq("doc_id"), "left")
           .select(col("doc_id"),
             when(col("doc_id") % 10 === 0, "eval_set")
               .when(!col("pass"), "gopher")

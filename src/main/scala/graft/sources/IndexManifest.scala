@@ -47,12 +47,17 @@ object IndexManifest {
     * than layering over them (deletes, buffered updates): as-of reads are
     * exact only within one generation, so they compare generations and
     * fail loudly across the boundary. `ingestHwm` is the streaming-ingest
-    * high-water mark: the highest micro-batch id whose rows are committed.
-    * Spark batch ids are monotone per checkpoint and foreachBatch replays
-    * only an already-processed prefix, so `batchId <= ingestHwm` is the
+    * high-water mark: the highest micro-batch id whose rows are committed,
+    * PAIRED with `ingestStream`, the lineage that produced it (the
+    * checkpoint identity — Spark batch ids are monotone only WITHIN one
+    * checkpoint). Within the recorded lineage, foreachBatch replays only
+    * an already-processed prefix, so `batchId <= ingestHwm` is the
     * complete replay test — it rides through every later mutation
     * INCLUDING compaction (which folds the delta rows into the base), so
     * a replay arriving after the fold still skips instead of re-inserting.
+    * A DIFFERENT lineage restarts batch ids from 0 and is indistinguishable
+    * from new data at the id level, so the ingest paths REFUSE it loudly
+    * (silently fencing it would drop never-ingested documents).
     */
   final case class Epoch(
       version: Long,
@@ -61,7 +66,8 @@ object IndexManifest {
       tombstones: Vector[String],
       deltas: Vector[String] = Vector.empty,
       baseGen: Long = 0L,
-      ingestHwm: Option[Long] = None)
+      ingestHwm: Option[Long] = None,
+      ingestStream: Option[String] = None)
 
   /** TEST HOOK — crash injection at the atomicity boundary: when set, the
     * next [[commit]] throws AFTER every prepared file is durable but
@@ -263,6 +269,7 @@ object IndexManifest {
     e.deltas.foreach(p => b.append(s"delta\t$p\n"))
     b.append(s"basegen\t${e.baseGen}\n")
     e.ingestHwm.foreach(h => b.append(s"hwm\t$h\n"))
+    e.ingestStream.foreach(t => b.append(s"hwmstream\t$t\n"))
     b.toString
   }
 
@@ -279,6 +286,7 @@ object IndexManifest {
       kvs.collect { case ("tombstone", v) => v }.toVector,
       kvs.collect { case ("delta", v) => v }.toVector,
       kvs.collectFirst { case ("basegen", v) => v.toLong }.getOrElse(0L),
-      kvs.collectFirst { case ("hwm", v) => v.toLong })
+      kvs.collectFirst { case ("hwm", v) => v.toLong },
+      kvs.collectFirst { case ("hwmstream", v) => v })
   }
 }

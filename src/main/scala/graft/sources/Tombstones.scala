@@ -115,16 +115,17 @@ object Tombstones {
 
   /** Swap in replacement stored stats with no new tombstones (the append
     * path's stats advance) — same prepare-then-commit atom: a crash leaves
-    * the old stats resolved, never a half-written or missing dir.
+    * the old stats resolved, never a half-written or missing dir. Never
+    * bumps the base generation: a mutation that also touches standing
+    * data commits its bump BEFORE the physical step
+    * ([[bumpBaseGeneration]] — the as-of crash-window ordering), not here.
     */
   def advanceStats(
-      s: SparkSession, indexPath: String, newStats: DataFrame,
-      newBaseGeneration: Boolean = false): Unit = {
+      s: SparkSession, indexPath: String, newStats: DataFrame): Unit = {
     val e = IndexManifest.next(s, indexPath)
     val statsDir = epochStatsDir(indexPath, e.version)
     newStats.write.mode("overwrite").parquet(statsDir)
-    IndexManifest.commit(s, indexPath, e.copy(stats = Some(statsDir),
-      baseGen = if (newBaseGeneration) e.baseGen + 1 else e.baseGen))
+    IndexManifest.commit(s, indexPath, e.copy(stats = Some(statsDir)))
   }
 
   /** Record a base-generation change with no other state change — the
@@ -157,14 +158,14 @@ object Tombstones {
     * three or none, and a crashed buffer call changes nothing (the same
     * atomicity contract as [[addWithStats]]). `writeBatch` materializes
     * the replacement rows under the directory it is given. `hwm` (the
-    * streaming-ingest path) advances the manifest's ingest high-water
-    * mark IN the same commit — rows and replay fence land atomically, so
-    * an at-least-once redelivery can never observe rows-without-fence or
-    * fence-without-rows.
+    * streaming-ingest path) advances the manifest's (stream, batch-id)
+    * ingest mark IN the same commit — rows and replay fence land
+    * atomically, so an at-least-once redelivery can never observe
+    * rows-without-fence or fence-without-rows.
     */
   def commitUpdateBatch(
       s: SparkSession, indexPath: String, ids: Seq[Long],
-      newStats: Option[DataFrame], hwm: Option[Long] = None)(
+      newStats: Option[DataFrame], hwm: Option[(String, Long)] = None)(
       writeBatch: String => Unit): Unit = {
     require(ids.nonEmpty, "Tombstones.commitUpdateBatch: empty id set")
     val e = IndexManifest.next(s, indexPath)
@@ -180,12 +181,35 @@ object Tombstones {
       e.copy(stats = statsDir.orElse(e.stats),
         tombstones = e.tombstones :+ frag,
         deltas = e.deltas :+ batch,
-        ingestHwm = hwm.orElse(e.ingestHwm)))
+        ingestHwm = hwm.map(_._2).orElse(e.ingestHwm),
+        ingestStream = hwm.map(_._1).orElse(e.ingestStream)))
   }
 
-  /** The index's committed streaming-ingest high-water mark, if any. */
-  def ingestHwm(s: SparkSession, indexPath: String): Option[Long] =
-    IndexManifest.current(s, indexPath).flatMap(_.ingestHwm)
+  /** The committed streaming-ingest fence, if any: (stream lineage,
+    * high-water batch id). The REPLAY test for an arriving (streamId,
+    * batchId): same lineage and batchId at or below the mark → skip;
+    * same lineage above the mark → ingest; a DIFFERENT lineage restarts
+    * ids from 0, so fencing it would silently drop never-ingested data —
+    * the ingest paths refuse it loudly instead (the caller either reuses
+    * the original checkpoint or resets the fence deliberately after
+    * verifying the input is a replay).
+    */
+  def ingestFence(s: SparkSession, indexPath: String): Option[(String, Long)] = {
+    val cur = IndexManifest.current(s, indexPath)
+    for (h <- cur.flatMap(_.ingestHwm))
+      yield (cur.flatMap(_.ingestStream).getOrElse("default"), h)
+  }
+
+  /** Deliberately clear the ingest fence — the operator's escape hatch
+    * for pointing a NEW stream lineage at an index whose previous
+    * lineage is dead (after verifying the new input is not a replay of
+    * already-ingested rows, which this makes re-ingestable).
+    */
+  def resetIngestFence(s: SparkSession, indexPath: String): Unit = {
+    val e = IndexManifest.next(s, indexPath)
+    IndexManifest.commit(s, indexPath,
+      e.copy(ingestHwm = None, ingestStream = None))
+  }
 
   /** The live buffered batches unioned with a `batch_seq` ordinal (commit
     * order), or None when the window is empty — the common case, costing
@@ -348,8 +372,13 @@ object Tombstones {
     val rows = hist.zip(zero +: hist).map { case (e, prev) =>
       val newFrags = e.tombstones.filterNot(prev.tombstones.toSet)
       val deltaAdded = e.deltas.size > prev.deltas.size
+      // a fold either retires outstanding fragments/deltas or — when the
+      // window was already empty (pure small-file maintenance) — moves
+      // the data pointer to the compacted epoch dir; both are the
+      // physical-rewrite commit, distinct from an append's bare fence
       val cleared = (prev.tombstones.nonEmpty && e.tombstones.isEmpty) ||
-        (prev.deltas.nonEmpty && e.deltas.isEmpty)
+        (prev.deltas.nonEmpty && e.deltas.isEmpty) ||
+        e.data != prev.data
       val mutation =
         if (cleared) "fold"
         else if (deltaAdded && e.ingestHwm != prev.ingestHwm) "ingest"
@@ -357,6 +386,8 @@ object Tombstones {
         else if (newFrags.nonEmpty) "delete"
         else if (e.baseGen != prev.baseGen) "base_mutation"
         else if (e.stats != prev.stats) "stats_advance"
+        else if (e.ingestHwm != prev.ingestHwm ||
+          e.ingestStream != prev.ingestStream) "fence_reset"
         else "other"
       val live = newFrags.filter { f =>
         val p = new org.apache.hadoop.fs.Path(f)

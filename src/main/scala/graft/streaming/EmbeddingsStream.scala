@@ -86,7 +86,9 @@ object EmbeddingsStream {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          SimilarityQueries.ingestIvfBatch(spark, dir, indexPath, batch.toDF(), batchId)
+          // the checkpoint IS the lineage (see runSearchIngest)
+          SimilarityQueries.ingestIvfBatch(
+            spark, dir, indexPath, batch.toDF(), batchId, streamId = checkpoint)
           if (foldEvery > 0 &&
               graft.sources.IndexManifest.current(spark, indexPath)
                 .exists(_.deltas.size >= foldEvery))

@@ -72,7 +72,10 @@ object SearchStream {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          SearchQueries.ingestSearchBatch(spark, table, indexPath, batch.toDF(), batchId)
+          // the checkpoint IS the lineage: batch ids are monotone within
+          // it, and a different checkpoint must refuse rather than fence
+          SearchQueries.ingestSearchBatch(
+            spark, table, indexPath, batch.toDF(), batchId, streamId = checkpoint)
           if (foldEvery > 0 &&
               graft.sources.IndexManifest.current(spark, indexPath)
                 .exists(_.deltas.size >= foldEvery))

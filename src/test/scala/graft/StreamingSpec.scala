@@ -457,10 +457,21 @@ class StreamingSpec extends SparkSpec {
       .select(cols: _*).orderBy(cols: _*).collect().toSeq
     val drained = probe()
     assert(drained.nonEmpty && drained == direct.orderBy(cols: _*).collect().toSeq)
-    // a fresh checkpoint re-drains the same files as the same batch ids —
-    // every one fenced by the committed mark, the probe unchanged
+    // a RESTART on the same checkpoint is the legitimate recovery path: no
+    // new files, no batches, nothing changes
     SearchStream.runSearchIngest(
-      spark, s"$base/in", "search_idx_ing", s"$base/idx", s"$base/ckpt2")
+      spark, s"$base/in", "search_idx_ing", s"$base/idx", s"$base/ckpt")
+    assert(probe() == drained)
+    // a FRESH checkpoint is a new lineage whose batch ids restart from 0 —
+    // indistinguishable from new data, so the ingest REFUSES loudly
+    // instead of silently fencing (which would drop genuinely-new docs);
+    // the probe is unchanged because the refusal commits nothing
+    val e = intercept[Exception] {
+      SearchStream.runSearchIngest(
+        spark, s"$base/in", "search_idx_ing", s"$base/idx", s"$base/ckpt2")
+    }
+    assert(e.getMessage.contains("lineage") ||
+      Option(e.getCause).exists(_.getMessage.contains("lineage")), e.getMessage)
     assert(probe() == drained)
     // ---- IVF twin ------------------------------------------------------
     SimilarityQueries.writeIvfIndexWhere(
@@ -478,8 +489,16 @@ class StreamingSpec extends SparkSpec {
       .select(icols: _*).orderBy(icols: _*).collect().toSeq
     val idrained = iprobe()
     assert(idrained.nonEmpty && idrained == idirect.orderBy(icols: _*).collect().toSeq)
+    // same-checkpoint restart: clean no-op; fresh checkpoint: loud refusal
     EmbeddingsStream.runAnnIngest(
-      spark, sfDir, s"$base/ivin", s"$base/ividx", s"$base/ivckpt2")
+      spark, sfDir, s"$base/ivin", s"$base/ividx", s"$base/ivckpt")
+    assert(iprobe() == idrained)
+    val ie = intercept[Exception] {
+      EmbeddingsStream.runAnnIngest(
+        spark, sfDir, s"$base/ivin", s"$base/ividx", s"$base/ivckpt2")
+    }
+    assert(ie.getMessage.contains("lineage") ||
+      Option(ie.getCause).exists(_.getMessage.contains("lineage")), ie.getMessage)
     assert(iprobe() == idrained)
   }
 

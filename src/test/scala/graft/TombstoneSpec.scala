@@ -1155,6 +1155,18 @@ class TombstoneSpec extends SparkSpec {
     // a batch BEYOND the mark lands normally
     assert(SearchQueries.ingestSearchBatch(spark, "search_ingest_idx", path,
       docs.limit(2).select(col("doc_id") + 3000000L as "doc_id", col("text"), col("lang")), 2L))
+    // a DIFFERENT stream lineage restarts batch ids from 0 — fencing it
+    // would silently drop never-ingested docs, so it refuses loudly; the
+    // deliberate fence reset is the operator's override
+    val le = intercept[IllegalArgumentException] {
+      SearchQueries.ingestSearchBatch(spark, "search_ingest_idx", path, b1, 0L,
+        streamId = "other-checkpoint")
+    }
+    assert(le.getMessage.contains("lineage"), le.getMessage)
+    graft.sources.Tombstones.resetIngestFence(spark, path)
+    assert(SearchQueries.ingestSearchBatch(spark, "search_ingest_idx", path,
+      docs.limit(1).select(col("doc_id") + 4000000L as "doc_id", col("text"), col("lang")),
+      0L, streamId = "other-checkpoint"))
     // ---- IVF twin ------------------------------------------------------
     val ip = s"$tmp/ivf_ingest"
     SimilarityQueries.writeIvfIndexWhere(spark, sfDir, ip, col("vec_id") % 2 === 0)
@@ -1223,6 +1235,17 @@ class TombstoneSpec extends SparkSpec {
       SimilarityQueries.ivfTopkFromIndexAsOf(spark, sfDir, ip, 1L)
     }
     assert(sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, ic)) == idel)
+    // re-cloning over a lived-in destTable reclaims the previous freeze's
+    // files (DROP on an external table leaves them; no manifest backs a
+    // clone, so nothing else could ever collect them)
+    val cur = graft.sources.IndexManifest.current(spark, path).get.version
+    val c1b = s"$tmp/search_clone_v1b"
+    SearchQueries.cloneSearchIndexAsOf(
+      spark, "search_clone_src", path, cur, "search_clone_v1", c1b)
+    assert(!new java.io.File(c1).exists(), "the superseded freeze must reclaim")
+    assert(!new java.io.File(s"${c1}_stats").exists())
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_clone_v1", c1b)) ==
+      sorted(SearchQueries.bm25TopkFromIndex(spark, "search_clone_src", path)))
   }
 
   test("needsCompaction closes the policy loop over the debt audit") {
@@ -1280,6 +1303,17 @@ class TombstoneSpec extends SparkSpec {
       log(4).getLong(4) == 0L, log(4))
     // the high-water mark rode through both
     assert(log(4).getLong(6) == 7L, log(4))
+    // a PURE small-file compaction (no outstanding window) still reads
+    // 'fold' — the data pointer moved — not an append's bare fence
+    import graft.operators.SimilarityQueries
+    val ip = s"$tmp/ivf_mlog"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, ip)
+    SimilarityQueries.appendIvfIndex(spark, sfDir, ip,
+      Tables.embeddings(spark, sfDir).limit(3)
+        .select(col("vec_id") + 3000000L as "vec_id", col("embedding"), col("label")))
+    SimilarityQueries.compactIvfIndex(spark, ip)
+    val ilog = t.manifestLog(spark, ip).orderBy("version").collect()
+    assert(ilog.map(_.getString(1)).toSeq == Seq("base_mutation", "fold"), ilog.toSeq)
   }
 
   test("crash injection: an append dying after its generation bump leaves as-of refusing, never silently wrong") {
