@@ -854,14 +854,48 @@ object DedupQueries {
     * batch probes equal a rebuilt index (pinned in TombstoneSpec); the
     * fold ([[compactWinnowIndex]]) is the window's only physical rewrite.
     */
-  def bufferWinnowUpdate(docs: DataFrame, table: String): Unit = {
+  def bufferWinnowUpdate(docs: DataFrame, table: String): Unit =
+    bufferWinnowBatch(docs, table, hwm = None)
+
+  /** EXACTLY-ONCE streaming ingest of one document micro-batch into the
+    * winnow index — the third family's twin of
+    * [[graft.operators.SearchQueries.ingestSearchBatch]] (same fence
+    * semantics: skip `batchId` at or below the SAME lineage's committed
+    * mark, refuse a different lineage loudly, rows + fence in one atomic
+    * commit). The fence is carried across the winnow compaction's
+    * LOCATION MOVE (the location-anchored family's fold re-anchors the
+    * manifest; [[graft.sources.Tombstones.compactBucketedIndex]] re-commits
+    * the fence at the new location), so a post-fold replay still skips.
+    * Streaming caller: [[graft.streaming.DocumentsStream.runWinnowIngest]].
+    */
+  def ingestWinnowBatch(
+      docs: DataFrame, table: String, batchId: Long,
+      streamId: String = "default"): Boolean = {
+    val s = docs.sparkSession
+    val anchor = graft.sources.Tombstones.tableLocation(s, table)
+    graft.sources.Tombstones.ingestFence(s, anchor) match {
+      case Some((st, _)) if st != streamId =>
+        throw new IllegalArgumentException(
+          s"ingestWinnowBatch: $table was ingested by stream lineage '$st' but this " +
+            s"batch is from '$streamId' — batch ids are monotone only within one " +
+            "checkpoint, so fencing across lineages would silently drop data; reuse " +
+            "the original checkpoint, or run Tombstones.resetIngestFence after " +
+            "verifying the new input is not a replay")
+      case Some((_, h)) if batchId <= h => false
+      case _ =>
+        bufferWinnowBatch(docs, table, Some((streamId, batchId))); true
+    }
+  }
+
+  private def bufferWinnowBatch(
+      docs: DataFrame, table: String, hwm: Option[(String, Long)]): Unit = {
     val s = docs.sparkSession
     val anchor = graft.sources.Tombstones.tableLocation(s, table)
     val ids = docs.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
     val fps = TextQueries.winnowSelected(docs)
       .select(col("doc_id"), col("fp")).distinct()
     val rows = fps.join(fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp_c")), "doc_id")
-    graft.sources.Tombstones.commitUpdateBatch(s, anchor, ids, None) { d =>
+    graft.sources.Tombstones.commitUpdateBatch(s, anchor, ids, None, hwm) { d =>
       rows.write.mode("overwrite").parquet(d)
     }
   }

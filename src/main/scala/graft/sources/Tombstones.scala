@@ -387,7 +387,7 @@ object Tombstones {
         else if (e.baseGen != prev.baseGen) "base_mutation"
         else if (e.stats != prev.stats) "stats_advance"
         else if (e.ingestHwm != prev.ingestHwm ||
-          e.ingestStream != prev.ingestStream) "fence_reset"
+          e.ingestStream != prev.ingestStream) "fence" // reset, or carried across a fold
         else "other"
       val live = newFrags.filter { f =>
         val p = new org.apache.hadoop.fs.Path(f)
@@ -633,9 +633,23 @@ object Tombstones {
     val oldLoc = new org.apache.hadoop.fs.Path(cur)
     oldLoc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(oldLoc, true)
     // the rewrite no longer contains the tombstoned rows: retire them — a
-    // location anchor dies with its location; an immutable anchor commits
-    // a clearing epoch (stats pointer rides along unchanged; the gen bump
-    // already landed above, pre-swap)
-    if (anchor.isEmpty) reset(s, cur) else clear(s, anch, bump = false)
+    // location anchor dies with its location (but the ingest fence is
+    // LOGICAL index state, not location state: it must survive the move,
+    // or a post-fold replay of an already-folded batch would re-ingest —
+    // carry it into the new location's first epoch before the old anchor
+    // resets); an immutable anchor commits a clearing epoch (stats
+    // pointer rides along unchanged; the gen bump already landed above,
+    // pre-swap)
+    if (anchor.isEmpty) {
+      val fence = IndexManifest.current(s, cur)
+        .filter(_.ingestHwm.isDefined)
+      reset(s, cur)
+      fence.foreach { f =>
+        val newLoc = tableLocation(s, table)
+        val e = IndexManifest.next(s, newLoc)
+        IndexManifest.commit(s, newLoc,
+          e.copy(ingestHwm = f.ingestHwm, ingestStream = f.ingestStream))
+      }
+    } else clear(s, anch, bump = false)
   }
 }

@@ -39,6 +39,34 @@ object DocumentsStream {
       .option("maxFilesPerTrigger", 1) // several micro-batches, not one gulp
       .parquet(inPath)
 
+  /** EXACTLY-ONCE streaming ingest into the winnow index — the
+    * document-fingerprint twin of
+    * [[SearchStream.runSearchIngest]]/[[EmbeddingsStream.runAnnIngest]]:
+    * each micro-batch lands through
+    * [[graft.operators.DedupQueries.ingestWinnowBatch]] as ONE atomic
+    * manifest commit (re-winnowed rows + masking tombstone + the
+    * (checkpoint, batch-id) fence), so at-least-once replays are fenced,
+    * a fresh checkpoint refuses loudly, and — because the fence is
+    * carried across the winnow compaction's location move — a replay
+    * arriving after a fold still skips. Pinned in StreamingSpec.
+    */
+  def runWinnowIngest(
+      spark: SparkSession, inPath: String, table: String,
+      checkpoint: String): Unit = {
+    val q = readDocs(spark, inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.DedupQueries.ingestWinnowBatch(
+            batch.toDF(), table, batchId, streamId = checkpoint)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain `inPath` with Trigger.AvailableNow, joining every micro-batch
     * against `indexTable` (a [[DedupQueries.writeBandIndex]] bucketed
     * table); candidate pairs land under `outPath`.

@@ -502,6 +502,36 @@ class StreamingSpec extends SparkSpec {
     assert(iprobe() == idrained)
   }
 
+  test("streaming winnow ingest drains into the index exactly once") {
+    // the third family's ingest twin: streamed document batches land in
+    // the winnow index through the same (checkpoint, batch-id) fence;
+    // after the drain the probe-visible frame equals the eagerly-buffered
+    // twin's, and a same-checkpoint restart is a clean no-op
+    import graft.operators.DedupQueries
+    import graft.streaming.DocumentsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-winingest").toString
+    val thr = DedupQueries.writeWinnowIndex(
+      spark, sfDir, "winnow_idx_ing", s"$base/idx")
+    DedupQueries.writeWinnowIndex(spark, sfDir, "winnow_idx_ing_e", s"$base/idxe")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val b1 = docs.filter(col("doc_id") % 13 === 1 && col("doc_id") < thr)
+      .select(col("doc_id") + 5000000L as "doc_id", col("text"))
+    val b2 = docs.filter(col("doc_id") % 13 === 4 && col("doc_id") < thr)
+      .select(col("doc_id") + 6000000L as "doc_id", col("text"))
+    Seq(b1, b2).foreach(_.coalesce(1).write.mode("append").parquet(s"$base/in"))
+    DocumentsStream.runWinnowIngest(
+      spark, s"$base/in", "winnow_idx_ing", s"$base/ckpt")
+    DedupQueries.bufferWinnowUpdate(b1, "winnow_idx_ing_e")
+    DedupQueries.bufferWinnowUpdate(b2, "winnow_idx_ing_e")
+    def frame(t: String) = DedupQueries.winnowIndexFrame(spark, t)
+      .orderBy("doc_id", "fp").collect().toSeq
+    val drained = frame("winnow_idx_ing")
+    assert(drained.nonEmpty && drained == frame("winnow_idx_ing_e"))
+    DocumentsStream.runWinnowIngest(
+      spark, s"$base/in", "winnow_idx_ing", s"$base/ckpt")
+    assert(frame("winnow_idx_ing") == drained)
+  }
+
   test("stream-from-empty ingest with auto-fold equals the one-shot build") {
     // the complete LSM loop: an EMPTY bootstrap (zero rows, zero stats)
     // absorbs the whole corpus as streamed batches, folding inline every

@@ -1276,6 +1276,41 @@ class TombstoneSpec extends SparkSpec {
     assert(!need(db = 1L))
   }
 
+  test("winnow ingest: the fence survives the location-moving fold; batches equal the eager twin") {
+    // the third family's exactly-once ingest — winnow's compaction MOVES
+    // the table location (and with it the manifest anchor), so the fence
+    // must be re-committed at the new location or a post-fold replay
+    // would re-ingest an already-folded batch
+    import graft.operators.DedupQueries
+    val thr = DedupQueries.writeWinnowIndex(
+      spark, sfDir, "winnow_ing_a", s"$tmp/winnow_ing_a")
+    DedupQueries.writeWinnowIndex(spark, sfDir, "winnow_ing_b", s"$tmp/winnow_ing_b")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val b1 = docs.filter(col("doc_id") % 13 === 1 && col("doc_id") < thr)
+      .select(col("doc_id") + 5000000L as "doc_id", col("text"))
+    val b2 = docs.filter(col("doc_id") % 13 === 4 && col("doc_id") < thr)
+      .select(col("doc_id") + 6000000L as "doc_id", col("text"))
+    assert(DedupQueries.ingestWinnowBatch(b1, "winnow_ing_a", 0L))
+    assert(DedupQueries.ingestWinnowBatch(b2, "winnow_ing_a", 1L))
+    DedupQueries.bufferWinnowUpdate(b1, "winnow_ing_b")
+    DedupQueries.bufferWinnowUpdate(b2, "winnow_ing_b")
+    def frame(t: String) = sorted(DedupQueries.winnowIndexFrame(spark, t))
+    assert(frame("winnow_ing_a").nonEmpty &&
+      frame("winnow_ing_a") == frame("winnow_ing_b"))
+    // replay within the lineage: fenced
+    assert(!DedupQueries.ingestWinnowBatch(b1, "winnow_ing_a", 0L))
+    // the fold moves the location — the fence must ride along
+    DedupQueries.compactWinnowIndex(spark, "winnow_ing_a")
+    assert(!DedupQueries.ingestWinnowBatch(b2, "winnow_ing_a", 1L),
+      "a post-fold replay must still fence")
+    assert(frame("winnow_ing_a") == frame("winnow_ing_b"))
+    // a different lineage refuses loudly even after the move
+    val e = intercept[IllegalArgumentException] {
+      DedupQueries.ingestWinnowBatch(b1, "winnow_ing_a", 0L, streamId = "other")
+    }
+    assert(e.getMessage.contains("lineage"), e.getMessage)
+  }
+
   test("manifest log over a live index equals the registered report; fold and fence rows surface") {
     import graft.operators.SearchQueries
     val t = graft.sources.Tombstones
