@@ -627,29 +627,33 @@ object Tombstones {
     // exact, and as-of refuses an epoch it could still have served.
     // (Location anchors skip it: the anchor dies with the location.)
     if (anchor.isDefined) bumpBaseGeneration(s, anch)
+    // the ingest fence is LOGICAL index state, not location state: the
+    // location-anchored fold must carry it to the new location or a
+    // post-fold replay of an already-folded batch would re-ingest. It
+    // lands at the DESTINATION before the swap — at every crash point
+    // either the old location (with its fence) is still what readers
+    // resolve, or the swap happened and the destination's fence is
+    // already committed; the fence can never be lost. The destination's
+    // manifest is reset first so a retried compaction (same __c location)
+    // does not collide with its own previous attempt's fence commit.
+    if (anchor.isEmpty) {
+      reset(s, dest)
+      IndexManifest.current(s, cur).filter(_.ingestHwm.isDefined).foreach { f =>
+        IndexManifest.commit(s, dest,
+          IndexManifest.next(s, dest)
+            .copy(ingestHwm = f.ingestHwm, ingestStream = f.ingestStream))
+      }
+    }
     s.sql(s"DROP TABLE $table")
     s.sql(s"ALTER TABLE ${table}__c RENAME TO $table")
     // DROP TABLE on an external table leaves files behind — reclaim them
     val oldLoc = new org.apache.hadoop.fs.Path(cur)
     oldLoc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(oldLoc, true)
     // the rewrite no longer contains the tombstoned rows: retire them — a
-    // location anchor dies with its location (but the ingest fence is
-    // LOGICAL index state, not location state: it must survive the move,
-    // or a post-fold replay of an already-folded batch would re-ingest —
-    // carry it into the new location's first epoch before the old anchor
-    // resets); an immutable anchor commits a clearing epoch (stats
-    // pointer rides along unchanged; the gen bump already landed above,
-    // pre-swap)
-    if (anchor.isEmpty) {
-      val fence = IndexManifest.current(s, cur)
-        .filter(_.ingestHwm.isDefined)
-      reset(s, cur)
-      fence.foreach { f =>
-        val newLoc = tableLocation(s, table)
-        val e = IndexManifest.next(s, newLoc)
-        IndexManifest.commit(s, newLoc,
-          e.copy(ingestHwm = f.ingestHwm, ingestStream = f.ingestStream))
-      }
-    } else clear(s, anch, bump = false)
+    // location anchor dies with its location (its fence already carried
+    // to the destination above, pre-swap); an immutable anchor commits a
+    // clearing epoch (stats pointer rides along unchanged; the gen bump
+    // already landed above, pre-swap)
+    if (anchor.isEmpty) reset(s, cur) else clear(s, anch, bump = false)
   }
 }

@@ -1299,6 +1299,17 @@ class TombstoneSpec extends SparkSpec {
       frame("winnow_ing_a") == frame("winnow_ing_b"))
     // replay within the lineage: fenced
     assert(!DedupQueries.ingestWinnowBatch(b1, "winnow_ing_a", 0L))
+    // crash injection: the fold dies at the fence-carry commit (which
+    // lands at the DESTINATION before the swap) — the old location is
+    // still what readers resolve, its fence still stands, and the
+    // retried fold goes through
+    graft.sources.IndexManifest.failNextCommit = true
+    intercept[RuntimeException] {
+      DedupQueries.compactWinnowIndex(spark, "winnow_ing_a")
+    }
+    assert(!DedupQueries.ingestWinnowBatch(b1, "winnow_ing_a", 0L),
+      "a replay must still fence after a crashed fold")
+    assert(frame("winnow_ing_a") == frame("winnow_ing_b"))
     // the fold moves the location — the fence must ride along
     DedupQueries.compactWinnowIndex(spark, "winnow_ing_a")
     assert(!DedupQueries.ingestWinnowBatch(b2, "winnow_ing_a", 1L),
