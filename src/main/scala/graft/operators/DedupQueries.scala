@@ -855,7 +855,8 @@ object DedupQueries {
     * fold ([[compactWinnowIndex]]) is the window's only physical rewrite.
     */
   def bufferWinnowUpdate(docs: DataFrame, table: String): Unit =
-    bufferWinnowBatch(docs, table, hwm = None)
+    bufferWinnowBatch(docs,
+      graft.sources.Tombstones.tableLocation(docs.sparkSession, table), hwm = None)
 
   /** EXACTLY-ONCE streaming ingest of one document micro-batch into the
     * winnow index — the third family's twin of
@@ -872,25 +873,17 @@ object DedupQueries {
       docs: DataFrame, table: String, batchId: Long,
       streamId: String = "default"): Boolean = {
     val s = docs.sparkSession
+    // resolve the location-anchor ONCE and thread it through (the
+    // search/IVF twins take their immutable path as a parameter)
     val anchor = graft.sources.Tombstones.tableLocation(s, table)
-    graft.sources.Tombstones.ingestFence(s, anchor) match {
-      case Some((st, _)) if st != streamId =>
-        throw new IllegalArgumentException(
-          s"ingestWinnowBatch: $table was ingested by stream lineage '$st' but this " +
-            s"batch is from '$streamId' — batch ids are monotone only within one " +
-            "checkpoint, so fencing across lineages would silently drop data; reuse " +
-            "the original checkpoint, or run Tombstones.resetIngestFence after " +
-            "verifying the new input is not a replay")
-      case Some((_, h)) if batchId <= h => false
-      case _ =>
-        bufferWinnowBatch(docs, table, Some((streamId, batchId))); true
-    }
+    if (!graft.sources.Tombstones.fenceAdmits(
+        s, anchor, batchId, streamId, "ingestWinnowBatch")) false
+    else { bufferWinnowBatch(docs, anchor, Some((streamId, batchId))); true }
   }
 
   private def bufferWinnowBatch(
-      docs: DataFrame, table: String, hwm: Option[(String, Long)]): Unit = {
+      docs: DataFrame, anchor: String, hwm: Option[(String, Long)]): Unit = {
     val s = docs.sparkSession
-    val anchor = graft.sources.Tombstones.tableLocation(s, table)
     val ids = docs.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
     val fps = TextQueries.winnowSelected(docs)
       .select(col("doc_id"), col("fp")).distinct()

@@ -592,20 +592,10 @@ object SearchQueries {
     */
   def ingestSearchBatch(
       s: SparkSession, table: String, path: String, docs: DataFrame,
-      batchId: Long, streamId: String = "default"): Boolean = {
-    graft.sources.Tombstones.ingestFence(s, path) match {
-      case Some((st, _)) if st != streamId =>
-        throw new IllegalArgumentException(
-          s"ingestSearchBatch: $path was ingested by stream lineage '$st' but this " +
-            s"batch is from '$streamId' — batch ids are monotone only within one " +
-            "checkpoint, so fencing across lineages would silently drop data; reuse " +
-            "the original checkpoint, or run Tombstones.resetIngestFence after " +
-            "verifying the new input is not a replay")
-      case Some((_, h)) if batchId <= h => false
-      case _ =>
-        bufferSearchBatch(s, table, path, docs, Some((streamId, batchId))); true
-    }
-  }
+      batchId: Long, streamId: String = "default"): Boolean =
+    if (!graft.sources.Tombstones.fenceAdmits(
+        s, path, batchId, streamId, "ingestSearchBatch")) false
+    else { bufferSearchBatch(s, table, path, docs, Some((streamId, batchId))); true }
 
   private def bufferSearchBatch(
       s: SparkSession, table: String, path: String, docs: DataFrame,

@@ -1574,20 +1574,10 @@ object SimilarityQueries {
     */
   def ingestIvfBatch(
       s: SparkSession, dir: String, path: String, newRows: DataFrame,
-      batchId: Long, streamId: String = "default"): Boolean = {
-    graft.sources.Tombstones.ingestFence(s, path) match {
-      case Some((st, _)) if st != streamId =>
-        throw new IllegalArgumentException(
-          s"ingestIvfBatch: $path was ingested by stream lineage '$st' but this " +
-            s"batch is from '$streamId' — batch ids are monotone only within one " +
-            "checkpoint, so fencing across lineages would silently drop data; reuse " +
-            "the original checkpoint, or run Tombstones.resetIngestFence after " +
-            "verifying the new input is not a replay")
-      case Some((_, h)) if batchId <= h => false
-      case _ =>
-        bufferIvfBatch(s, dir, path, newRows, Some((streamId, batchId))); true
-    }
-  }
+      batchId: Long, streamId: String = "default"): Boolean =
+    if (!graft.sources.Tombstones.fenceAdmits(
+        s, path, batchId, streamId, "ingestIvfBatch")) false
+    else { bufferIvfBatch(s, dir, path, newRows, Some((streamId, batchId))); true }
 
   private def bufferIvfBatch(
       s: SparkSession, dir: String, path: String, newRows: DataFrame,

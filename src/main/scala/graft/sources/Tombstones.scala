@@ -200,6 +200,29 @@ object Tombstones {
       yield (cur.flatMap(_.ingestStream).getOrElse("default"), h)
   }
 
+  /** The shared admission test of every exactly-once ingest path (the
+    * one source of truth for the fence semantics — search, IVF, and
+    * winnow all delegate here): true = the batch is new, ingest it;
+    * false = an at-least-once replay within the recorded lineage, skip
+    * it; a DIFFERENT lineage throws loudly (its ids restart from 0 —
+    * fencing it would silently drop never-ingested data). `what` names
+    * the calling ingest function in the error.
+    */
+  def fenceAdmits(
+      s: SparkSession, indexPath: String, batchId: Long, streamId: String,
+      what: String): Boolean =
+    ingestFence(s, indexPath) match {
+      case Some((st, _)) if st != streamId =>
+        throw new IllegalArgumentException(
+          s"$what: $indexPath was ingested by stream lineage '$st' but this " +
+            s"batch is from '$streamId' — batch ids are monotone only within one " +
+            "checkpoint, so fencing across lineages would silently drop data; reuse " +
+            "the original checkpoint, or run Tombstones.resetIngestFence after " +
+            "verifying the new input is not a replay")
+      case Some((_, h)) => batchId > h
+      case None => true
+    }
+
   /** Deliberately clear the ingest fence — the operator's escape hatch
     * for pointing a NEW stream lineage at an index whose previous
     * lineage is dead (after verifying the new input is not a replay of
