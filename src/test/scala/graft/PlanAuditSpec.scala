@@ -56,6 +56,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("the curation ledger broadcasts only the eval grams; no cartesian anywhere") {
+    // the end-to-end composition must keep each stage's documented shape:
+    // eval-gram membership broadcasts (one BroadcastHashJoin at least),
+    // the O(corpus) verdict-flag frames must NOT be force-broadcast (the
+    // review-found driver-OOM contradiction — at test scale AQE may still
+    // CHOOSE broadcasts for them, which is why the pin is the absence of
+    // cartesians/BNLJ plus the presence of the gram broadcast rather
+    // than a join-strategy count), and no stage degenerates to a
+    // cartesian or nested-loop product
+    val p = plan("pipeline_curate_ledger")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("TPC-H q10/q18 keep dimension broadcasts and partial aggregation") {
     val p10 = plan("q_tpch_q10")
     assert(p10.contains("BroadcastHashJoin"), p10)
