@@ -485,6 +485,34 @@ class TombstoneSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == expected.toSeq)
   }
 
+  test("hybrid serving over two INGESTED indexes equals the full-build fusion") {
+    // the ingest counterpart of the two-index takedown pin: bootstrap
+    // halves of both indexes, stream the remainders in as exactly-once
+    // batches, and the hybrid composition must equal fusing the two
+    // registered full-corpus lists — base∪delta views compose through
+    // rrfFuse exactly like the tombstone masks do
+    import graft.operators.{SearchQueries, SimilarityQueries}
+    val sPath = s"$tmp/search_idx_hing"
+    val iPath = s"$tmp/ivf_idx_hing"
+    SearchQueries.writeSearchIndexWhere(
+      spark, sfDir, "search_idx_hing", sPath, col("doc_id") % 2 === 0)
+    SimilarityQueries.writeIvfIndexWhere(spark, sfDir, iPath, col("vec_id") % 2 === 0)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    assert(SearchQueries.ingestSearchBatch(spark, "search_idx_hing", sPath,
+      docs.filter(col("doc_id") % 2 === 1), 0L))
+    assert(SimilarityQueries.ingestIvfBatch(spark, sfDir, iPath,
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") % 2 === 1), 0L))
+    val got = SearchQueries.hybridTopkFromIndexes(
+      spark, sfDir, "search_idx_hing", sPath, iPath).collect()
+    val bm = SparkEntry.queries("search_bm25_topk")(spark, sfDir)
+      .select(col("q_id"), col("doc_id"), col("rank").as("rank_t"))
+    val vec = SparkEntry.queries("ann_ivf_topk")(spark, sfDir)
+      .filter(col("q_id") < 4)
+      .select(col("q_id"), col("cand_id").as("doc_id"), col("rank").as("rank_v"))
+    val expected = SearchQueries.rrfFuse(bm, vec).collect()
+    assert(got.nonEmpty && got.toSeq == expected.toSeq)
+  }
+
   test("streaming BM25 probe sees a mid-lifecycle takedown from the next batch on") {
     // the lexical twin of the winnow mid-stream pin: tombstones + the
     // stats decrement laid down before the drain must re-anchor every
