@@ -2469,12 +2469,52 @@ object SimilarityQueries {
       qdists.groupBy(col("vec_id").as("q_id")).agg(dtabCols.head, dtabCols.tail: _*))
   }
 
-  def pqTopkFromIndex(s: SparkSession, dir: String, path: String): DataFrame = {
-    val dtab = queryAdcTable(s, dir, path)
-    val codes = graft.sources.Tombstones.filter(
-      s.read.parquet(idxData(s, path, s"$path/codes")), path, "vec_id")
-    adcTopk(codes, dtab)
+  def pqTopkFromIndex(s: SparkSession, dir: String, path: String): DataFrame =
+    adcTopk(pqVisibleCodes(s, path), queryAdcTable(s, dir, path))
+
+  /** The probe-visible code rows: base minus tombstones plus the latest
+    * buffered/ingested batches, resolved against ONE epoch (the
+    * visiblePostings discipline applied to the flat layout).
+    */
+  private def pqVisibleCodes(s: SparkSession, path: String): DataFrame = {
+    val ep = graft.sources.IndexManifest.current(s, path)
+    val base = graft.sources.Tombstones.filterOf(
+      s.read.parquet(ep.flatMap(_.data).getOrElse(s"$path/codes")), ep, "vec_id")
+    graft.sources.Tombstones.deltaLatestOf(s, ep, "vec_id") match {
+      case Some(d) => base.unionByName(d.select(base.columns.map(col).toSeq: _*))
+      case None    => base
+    }
   }
+
+  /** EXACTLY-ONCE streaming ingest of one vector micro-batch into the PQ
+    * index — encode-on-arrival: the batch encodes against the PERSISTED
+    * codebook (the immutable encoding geometry — new rows never retrain
+    * it, exactly as appends never move IVF cells), and the narrow code
+    * rows land as a delta batch with the same one-atomic-commit
+    * (rows + masking tombstone + (lineage, batch-id) fence) semantics as
+    * [[ingestIvfBatch]]. Probes read base∪delta ([[pqVisibleCodes]]);
+    * [[compactPqIndex]] folds the window into the codes table. At 100 TB
+    * this is the arrival path of encode-once-probe-forever: per batch,
+    * one encode pass over the batch against a broadcast 64-row codebook.
+    */
+  def ingestPqBatch(
+      s: SparkSession, path: String, newRows: DataFrame,
+      batchId: Long, streamId: String = "default"): Boolean =
+    if (!graft.sources.Tombstones.fenceAdmits(
+        s, path, batchId, streamId, "ingestPqBatch")) false
+    else {
+      val ids = newRows.select("vec_id").distinct().collect().map(_.getLong(0)).toSeq
+      val subs = subvectors(newRows
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
+      val cents = broadcast(s.read.parquet(s"$path/codebook"))
+      val (codes, _) = pqPartsFrom(subs, cents)
+      graft.sources.Tombstones.commitUpdateBatch(
+          s, path, ids, None, Some((streamId, batchId))) { d =>
+        codes.write.mode("overwrite").parquet(d)
+      }
+      true
+    }
 
   /** Delete vectors from a persisted PQ index — the takedown path for the
     * codes table: probes mask the tombstoned code rows (broadcast

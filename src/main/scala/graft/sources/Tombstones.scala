@@ -553,22 +553,31 @@ object Tombstones {
     }
   }
 
-  /** Fold tombstones into a FLAT parquet index directory (PQ/SQ code
-    * tables, the RP sketch): write the survivors to a fresh epoch-named
-    * directory and redirect the manifest's data pointer in the same commit
-    * that drops the fragments — no directory rename anywhere, so the swap
-    * is object-store-safe and a crash at any point leaves readers on the
-    * previous (data, tombstones) pair. `anchorPath` is the index's
-    * manifest anchor, which may be a PARENT of `defaultData` (PQ/SQ anchor
-    * at the index root beside codes/codebook) — only call this for the one
-    * component that carries per-vector rows, or tombstones would clear
-    * before every component folded.
+  /** Fold tombstones AND any open update window into a FLAT parquet index
+    * directory (PQ/SQ code tables, the RP sketch): write the visible rows
+    * (base minus tombstones plus latest buffered deltas — deltas MUST fold
+    * in, or the rewrite would drop every ingested-but-unfolded row) to a
+    * fresh epoch-named directory and redirect the manifest's data pointer
+    * in the same commit that drops the fragments and deltas — no directory
+    * rename anywhere, so the swap is object-store-safe and a crash at any
+    * point leaves readers on the previous (data, tombstones, deltas)
+    * triple. `anchorPath` is the index's manifest anchor, which may be a
+    * PARENT of `defaultData` (PQ/SQ anchor at the index root beside
+    * codes/codebook) — only call this for the one component that carries
+    * per-vector rows, or tombstones would clear before every component
+    * folded.
     */
   def compactFlat(
       s: SparkSession, defaultData: String, anchorPath: String, idCol: String): Unit =
     compactToEpochDir(s, defaultData, anchorPath) { (cur, dest) =>
-      filter(s.read.parquet(cur), anchorPath, idCol)
-        .write.mode("overwrite").parquet(dest)
+      val ep = IndexManifest.current(s, anchorPath)
+      val base = filterOf(s.read.parquet(cur), ep, idCol)
+      val visible = deltaLatestOf(s, ep, idCol) match {
+        case Some(d) => base.unionByName(
+          d.select(base.columns.map(org.apache.spark.sql.functions.col).toSeq: _*))
+        case None => base
+      }
+      visible.write.mode("overwrite").parquet(dest)
     }
 
   /** The shared prepare-then-commit skeleton of the path-based compactors:

@@ -485,6 +485,44 @@ class TombstoneSpec extends SparkSpec {
     assert(got.nonEmpty && got.toSeq == expected.toSeq)
   }
 
+  test("PQ ingest: encode-on-arrival against the frozen codebook; the fold preserves it") {
+    // the compressed layout's exactly-once ingest: arriving vectors
+    // encode against the PERSISTED codebook (the immutable geometry) and
+    // serve from the delta window; the fold rewrites base∪delta into one
+    // codes dir through a DIFFERENT read path, so before==after fold is a
+    // genuinely independent check of the visible view — plus the standard
+    // fence battery (replay no-op across the fold, foreign lineage loud)
+    import graft.operators.SimilarityQueries
+    val path = s"$tmp/pq_ingest"
+    SimilarityQueries.writePqIndex(spark, sfDir, path)
+    val before = sorted(SimilarityQueries.pqTopkFromIndex(spark, sfDir, path))
+    // new vectors near the queries: reversed embeddings of low ids, shifted
+    val batch = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= 16 && col("vec_id") < 48)
+      .select(col("vec_id") + 7000000L as "vec_id",
+        reverse(col("embedding")).as("embedding"), col("label"))
+    assert(SimilarityQueries.ingestPqBatch(spark, path, batch, 0L))
+    val ingested = sorted(SimilarityQueries.pqTopkFromIndex(spark, sfDir, path))
+    assert(ingested != before, "ingested codes must be probe-visible")
+    // replay: fenced, nothing changes
+    assert(!SimilarityQueries.ingestPqBatch(spark, path, batch, 0L))
+    assert(sorted(SimilarityQueries.pqTopkFromIndex(spark, sfDir, path)) == ingested)
+    // the fold physically rewrites base∪delta — probe identical after
+    SimilarityQueries.compactPqIndex(spark, path)
+    assert(graft.sources.IndexManifest.current(spark, path).exists(_.deltas.isEmpty))
+    assert(sorted(SimilarityQueries.pqTopkFromIndex(spark, sfDir, path)) == ingested)
+    // the fence rode through the fold; a foreign lineage refuses
+    assert(!SimilarityQueries.ingestPqBatch(spark, path, batch, 0L))
+    val e = intercept[IllegalArgumentException] {
+      SimilarityQueries.ingestPqBatch(spark, path, batch, 0L, streamId = "other")
+    }
+    assert(e.getMessage.contains("lineage"), e.getMessage)
+    // a takedown of an ingested-then-folded id serves the survivors
+    SimilarityQueries.deleteFromPqIndex(spark, path, Seq(7000016L))
+    val after = sorted(SimilarityQueries.pqTopkFromIndex(spark, sfDir, path))
+    assert(!after.exists(_.getLong(2) == 7000016L))
+  }
+
   test("hybrid serving over two INGESTED indexes equals the full-build fusion") {
     // the ingest counterpart of the two-index takedown pin: bootstrap
     // halves of both indexes, stream the remainders in as exactly-once
