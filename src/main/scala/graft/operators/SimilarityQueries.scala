@@ -2473,18 +2473,10 @@ object SimilarityQueries {
     adcTopk(pqVisibleCodes(s, path), queryAdcTable(s, dir, path))
 
   /** The probe-visible code rows: base minus tombstones plus the latest
-    * buffered/ingested batches, resolved against ONE epoch (the
-    * visiblePostings discipline applied to the flat layout).
+    * buffered/ingested batches, resolved against ONE epoch.
     */
-  private def pqVisibleCodes(s: SparkSession, path: String): DataFrame = {
-    val ep = graft.sources.IndexManifest.current(s, path)
-    val base = graft.sources.Tombstones.filterOf(
-      s.read.parquet(ep.flatMap(_.data).getOrElse(s"$path/codes")), ep, "vec_id")
-    graft.sources.Tombstones.deltaLatestOf(s, ep, "vec_id") match {
-      case Some(d) => base.unionByName(d.select(base.columns.map(col).toSeq: _*))
-      case None    => base
-    }
-  }
+  private def pqVisibleCodes(s: SparkSession, path: String): DataFrame =
+    graft.sources.Tombstones.visibleFlat(s, path, s"$path/codes", "vec_id")
 
   /** EXACTLY-ONCE streaming ingest of one vector micro-batch into the PQ
     * index — encode-on-arrival: the batch encodes against the PERSISTED
@@ -2805,12 +2797,18 @@ object SimilarityQueries {
           expr("transform(sort_array(collect_list(struct(pos, mn))), p -> p.mn)").as("mns"),
           expr("transform(sort_array(collect_list(struct(pos, mx))), p -> p.mx)").as("mxs")))
 
-  /** v + (mns, mxs) → int codes in [0, 255] (constant-range dims code to 0). */
+  /** v + (mns, mxs) → int codes in [0, 255] (constant-range dims code to
+    * 0). Clamped at BOTH grid edges: at build time no value falls outside
+    * its own corpus min/max (the lower clamp is a no-op there, so the
+    * DuckDB oracle parity is untouched), but an INGESTED value outside the
+    * frozen build grid must code to the nearest edge bucket, not to a
+    * negative or >255 code.
+    */
   private val sqCodeExpr: String =
-    "transform(v, (x, i) -> CAST(least(CASE " +
+    "transform(v, (x, i) -> CAST(greatest(least(CASE " +
       "WHEN element_at(mxs, i + 1) = element_at(mns, i + 1) THEN 0.0D " +
       "ELSE floor((x - element_at(mns, i + 1)) * 255.0D / " +
-      "(element_at(mxs, i + 1) - element_at(mns, i + 1))) END, 255.0D) AS INT))"
+      "(element_at(mxs, i + 1) - element_at(mns, i + 1))) END, 255.0D), 0.0D) AS INT))"
 
   /** cd + (mns, mxs) → dequantized doubles (bucket midpoints). */
   private val sqDeqExpr: String =
@@ -2862,12 +2860,41 @@ object SimilarityQueries {
     */
   def sqTopkFromIndex(s: SparkSession, dir: String, path: String): DataFrame = {
     val st = broadcast(s.read.parquet(s"$path/stats"))
-    val deq = graft.sources.Tombstones.filter(
-        s.read.parquet(idxData(s, path, s"$path/codes")), path, "vec_id")
+    val deq = graft.sources.Tombstones.visibleFlat(s, path, s"$path/codes", "vec_id")
       .crossJoin(st) // 1-row bound
       .select(col("vec_id"), expr(sqDeqExpr).as("dv"))
     sqRank(deq, sqQuerySide(s, dir))
   }
+
+  /** EXACTLY-ONCE streaming ingest of one vector micro-batch into the SQ8
+    * index — the scalar-quantized twin of [[ingestPqBatch]]: the batch
+    * encodes against the PERSISTED 1-row (mns, mxs) grid (the immutable
+    * quantization geometry — exactly the codebook argument: re-deriving
+    * the grid from arriving values would silently re-interpret every
+    * standing code), and the byte-code rows land as a delta batch under
+    * the same one-atomic-commit fence semantics. Probes read base∪delta;
+    * [[compactSqIndex]] folds the window. A batch value OUTSIDE the build
+    * grid clamps exactly as the build encoder clamps at the grid edge.
+    */
+  def ingestSqBatch(
+      s: SparkSession, path: String, newRows: DataFrame,
+      batchId: Long, streamId: String = "default"): Boolean =
+    if (!graft.sources.Tombstones.fenceAdmits(
+        s, path, batchId, streamId, "ingestSqBatch")) false
+    else {
+      val ids = newRows.select("vec_id").distinct().collect().map(_.getLong(0)).toSeq
+      val st = broadcast(s.read.parquet(s"$path/stats"))
+      val codes = newRows
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .crossJoin(st)
+        .select(col("vec_id"), expr(sqCodeExpr).as("cd"))
+      graft.sources.Tombstones.commitUpdateBatch(
+          s, path, ids, None, Some((streamId, batchId))) { d =>
+        codes.write.mode("overwrite").parquet(d)
+      }
+      true
+    }
 
   /** Delete vectors from a persisted SQ8 index. The 1-row (mns, mxs)
     * STATS are untouched — deliberately: they are the quantization GRID

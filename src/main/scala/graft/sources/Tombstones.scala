@@ -569,16 +569,28 @@ object Tombstones {
     */
   def compactFlat(
       s: SparkSession, defaultData: String, anchorPath: String, idCol: String): Unit =
-    compactToEpochDir(s, defaultData, anchorPath) { (cur, dest) =>
-      val ep = IndexManifest.current(s, anchorPath)
-      val base = filterOf(s.read.parquet(cur), ep, idCol)
-      val visible = deltaLatestOf(s, ep, idCol) match {
-        case Some(d) => base.unionByName(
-          d.select(base.columns.map(org.apache.spark.sql.functions.col).toSeq: _*))
-        case None => base
-      }
-      visible.write.mode("overwrite").parquet(dest)
+    compactToEpochDir(s, defaultData, anchorPath) { (_, dest) =>
+      visibleFlat(s, anchorPath, defaultData, idCol)
+        .write.mode("overwrite").parquet(dest)
     }
+
+  /** The probe-visible rows of a FLAT index layout (PQ/SQ code tables):
+    * the epoch-resolved data dir minus tombstones plus the latest
+    * buffered/ingested batches, all threaded through ONE manifest read —
+    * the `visiblePostings` discipline applied to the flat families.
+    * Shared by the from-index probes and [[compactFlat]]'s fold source.
+    */
+  def visibleFlat(
+      s: SparkSession, anchorPath: String, defaultData: String,
+      idCol: String): DataFrame = {
+    val ep = IndexManifest.current(s, anchorPath)
+    val base = filterOf(
+      s.read.parquet(ep.flatMap(_.data).getOrElse(defaultData)), ep, idCol)
+    deltaLatestOf(s, ep, idCol) match {
+      case Some(d) => base.unionByName(d.select(base.columns.map(col).toSeq: _*))
+      case None    => base
+    }
+  }
 
   /** The shared prepare-then-commit skeleton of the path-based compactors:
     * resolve the current data dir, let `rewrite` materialize the

@@ -523,6 +523,36 @@ class TombstoneSpec extends SparkSpec {
     assert(!after.exists(_.getLong(2) == 7000016L))
   }
 
+  test("SQ ingest: encode-on-arrival against the frozen grid; out-of-grid values clamp") {
+    // the scalar-quantized twin of the PQ ingest pin, plus the grid-edge
+    // case PQ cannot have: an ingested value OUTSIDE the build-time
+    // (mns, mxs) grid must code to the nearest edge bucket (the build
+    // corpus never exercises the lower clamp — only ingest can)
+    import graft.operators.SimilarityQueries
+    val path = s"$tmp/sq_ingest"
+    SimilarityQueries.writeSqIndex(spark, sfDir, path)
+    val before = sorted(SimilarityQueries.sqTopkFromIndex(spark, sfDir, path))
+    val batch = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= 16 && col("vec_id") < 48)
+      .select(col("vec_id") + 8000000L as "vec_id",
+        // scale OUTSIDE the build grid on both sides: 3x pushes maxima
+        // above mxs and minima below mns — the clamp must hold
+        expr("transform(embedding, x -> x * 3.0F)").as("embedding"), col("label"))
+    assert(SimilarityQueries.ingestSqBatch(spark, path, batch, 0L))
+    val ingested = sorted(SimilarityQueries.sqTopkFromIndex(spark, sfDir, path))
+    assert(ingested != before, "ingested codes must be probe-visible")
+    // every delta code is a legal byte despite the out-of-grid values
+    val codes = graft.sources.Tombstones.deltaFrame(spark, path).get
+      .select(explode(col("cd")).as("c"))
+      .agg(min(col("c")).as("lo"), max(col("c")).as("hi")).head
+    assert(codes.getInt(0) >= 0 && codes.getInt(1) <= 255, codes)
+    // replay fences; the fold preserves the probe through the other path
+    assert(!SimilarityQueries.ingestSqBatch(spark, path, batch, 0L))
+    SimilarityQueries.compactSqIndex(spark, path)
+    assert(sorted(SimilarityQueries.sqTopkFromIndex(spark, sfDir, path)) == ingested)
+    assert(!SimilarityQueries.ingestSqBatch(spark, path, batch, 0L))
+  }
+
   test("hybrid serving over two INGESTED indexes equals the full-build fusion") {
     // the ingest counterpart of the two-index takedown pin: bootstrap
     // halves of both indexes, stream the remainders in as exactly-once
