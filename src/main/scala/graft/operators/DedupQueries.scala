@@ -814,17 +814,11 @@ object DedupQueries {
     * physically.
     */
   def deleteFromWinnowIndex(s: SparkSession, table: String, docIds: Seq[Long]): Unit = {
-    import s.implicits._
     val anchor = graft.sources.Tombstones.tableLocation(s, table)
     // a takedown of an id with a buffered update outstanding would mask
     // the base rows but leave the delta rows matching — fold first
-    graft.sources.Tombstones.bufferedIdSet(s, anchor, "doc_id").foreach { b =>
-      val clash = b.join(broadcast(docIds.toDF("doc_id")), Seq("doc_id"), "left_semi")
-        .limit(5).collect().map(_.getLong(0))
-      require(clash.isEmpty,
-        s"deleteFromWinnowIndex: doc_ids ${clash.mkString(",")} have buffered " +
-          s"updates in $table's open window — run compactWinnowIndex first")
-    }
+    graft.sources.Tombstones.requireNoBufferedClash(
+      s, anchor, docIds, "doc_id", "deleteFromWinnowIndex", "compactWinnowIndex")
     graft.sources.Tombstones.add(s, anchor, docIds)
   }
 
@@ -884,7 +878,8 @@ object DedupQueries {
   private def bufferWinnowBatch(
       docs: DataFrame, anchor: String, hwm: Option[(String, Long)]): Unit = {
     val s = docs.sparkSession
-    val ids = docs.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+    val ids = graft.sources.Tombstones.requireUniqueBatchIds(
+      docs, "doc_id", "bufferWinnowUpdate")
     val fps = TextQueries.winnowSelected(docs)
       .select(col("doc_id"), col("fp")).distinct()
     val rows = fps.join(fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp_c")), "doc_id")

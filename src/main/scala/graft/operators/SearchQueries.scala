@@ -606,7 +606,10 @@ object SearchQueries {
     // one-epoch-per-operation discipline; only the commit re-reads (its
     // version check doubles as the single-writer collision guard)
     val ep = graft.sources.IndexManifest.current(s, path)
-    val ids = docs.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+    // duplicate ids within ONE batch have no defined resolution order
+    // (deltaLatestOf dedups across batches only) — fail loudly
+    val ids = graft.sources.Tombstones.requireUniqueBatchIds(
+      docs, "doc_id", "bufferSearchUpdate")
     // the replaced versions' contribution comes from the PROBE-VISIBLE
     // rows (base-unmasked, or an earlier batch of this window — either
     // way exactly what scoring currently counts), so the stats stay exact

@@ -1341,17 +1341,10 @@ object SimilarityQueries {
     * TombstoneSpec).
     */
   def deleteFromIvfIndex(s: SparkSession, path: String, vecIds: Seq[Long]): Unit = {
-    import org.apache.spark.sql.functions.broadcast
     // a takedown of an id with a buffered update outstanding would mask
     // the base rows but leave the delta rows serving — fold first
-    graft.sources.Tombstones.bufferedIdSet(s, path, "vec_id").foreach { b =>
-      import s.implicits._
-      val clash = b.join(broadcast(vecIds.toDF("vec_id")), Seq("vec_id"), "left_semi")
-        .limit(5).collect().map(_.getLong(0))
-      require(clash.isEmpty,
-        s"deleteFromIvfIndex: vec_ids ${clash.mkString(",")} have buffered " +
-          s"updates in $path's open window — run compactIvfIndex first")
-    }
+    graft.sources.Tombstones.requireNoBufferedClash(
+      s, path, vecIds, "vec_id", "deleteFromIvfIndex", "compactIvfIndex")
     graft.sources.Tombstones.add(s, path, vecIds)
   }
 
@@ -1584,7 +1577,8 @@ object SimilarityQueries {
       hwm: Option[(String, Long)],
       nSeeds: Int = N_SEEDS, trained: Boolean = false): Unit = {
     graft.functions.GraftFunctions.register(s)
-    val ids = newRows.select("vec_id").distinct().collect().map(_.getLong(0)).toSeq
+    val ids = graft.sources.Tombstones.requireUniqueBatchIds(
+      newRows, "vec_id", "bufferIvfUpdate")
     val (ns, tr) = quantizerConfigOf(s, path, nSeeds, trained)
     val em = VectorOps.normalizedMeta(s, dir)
     val seeds = if (tr) trainedSeedSet(em, ns) else seedSet(em, ns)
@@ -1660,11 +1654,12 @@ object SimilarityQueries {
     * (pinned in TombstoneSpec).
     */
   def compactIvfIndex(s: SparkSession, path: String): Unit =
-    graft.sources.Tombstones.compactToEpochDir(s, path, path) { (_, dest) =>
-      // the rewrite source is the probe-visible view: base minus
-      // tombstones PLUS any open update window's delta batches — the fold
-      // that retires buffered updates with one physical rewrite
-      ivfVisibleAll(s, path)
+    graft.sources.Tombstones.compactToEpochDir(s, path, path) { (_, dest, ep) =>
+      // the rewrite source is the probe-visible view AT THE FOLD'S OWN
+      // epoch: base minus tombstones PLUS any open update window's delta
+      // batches — the fold that retires buffered updates with one
+      // physical rewrite
+      ivfVisibleAllAt(s, path, ep)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(dest)
     }
@@ -1779,8 +1774,8 @@ object SimilarityQueries {
     */
   def compactKnnGraph(s: SparkSession, path: String): Unit = {
     val t = graft.sources.Tombstones
-    t.compactToEpochDir(s, path, path) { (cur, dest) =>
-      t.filter(t.filter(s.read.parquet(cur), path, "vec_id"), path, "nbr_id")
+    t.compactToEpochDir(s, path, path) { (cur, dest, ep) =>
+      t.filterOf(t.filterOf(s.read.parquet(cur), ep, "vec_id"), ep, "nbr_id")
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(dest)
     }
@@ -2495,7 +2490,12 @@ object SimilarityQueries {
     if (!graft.sources.Tombstones.fenceAdmits(
         s, path, batchId, streamId, "ingestPqBatch")) false
     else {
-      val ids = newRows.select("vec_id").distinct().collect().map(_.getLong(0)).toSeq
+      // the encode pass below plans graft_dot (pqDistExpr) — a fresh
+      // session ingesting against an already-built index must not depend
+      // on some earlier probe having registered it
+      graft.functions.GraftFunctions.register(s)
+      val ids = graft.sources.Tombstones.requireUniqueBatchIds(
+        newRows, "vec_id", "ingestPqBatch")
       val subs = subvectors(newRows
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
@@ -2516,8 +2516,14 @@ object SimilarityQueries {
     * invalidates it — the stats-under-deletion discipline's "immutable
     * encoding artifact" case).
     */
-  def deleteFromPqIndex(s: SparkSession, path: String, vecIds: Seq[Long]): Unit =
+  def deleteFromPqIndex(s: SparkSession, path: String, vecIds: Seq[Long]): Unit = {
+    // an id in the open ingest window would keep serving from its delta
+    // row (tombstones mask the BASE only) and the fold would resurrect it
+    // permanently — fold first, loudly
+    graft.sources.Tombstones.requireNoBufferedClash(
+      s, path, vecIds, "vec_id", "deleteFromPqIndex", "compactPqIndex")
     graft.sources.Tombstones.add(s, path, vecIds)
+  }
 
   /** Fold a PQ index's tombstones in: rewrite codes minus deleted rows,
     * atomic swap, clear the sidecar (codebook untouched).
@@ -2882,7 +2888,8 @@ object SimilarityQueries {
     if (!graft.sources.Tombstones.fenceAdmits(
         s, path, batchId, streamId, "ingestSqBatch")) false
     else {
-      val ids = newRows.select("vec_id").distinct().collect().map(_.getLong(0)).toSeq
+      val ids = graft.sources.Tombstones.requireUniqueBatchIds(
+        newRows, "vec_id", "ingestSqBatch")
       val st = broadcast(s.read.parquet(s"$path/stats"))
       val codes = newRows
         .select(col("vec_id"),
@@ -2905,8 +2912,12 @@ object SimilarityQueries {
     * [[compactSqIndex]] removes them physically, and the grid stays the
     * build-time one until a full rebuild re-encodes.
     */
-  def deleteFromSqIndex(s: SparkSession, path: String, vecIds: Seq[Long]): Unit =
+  def deleteFromSqIndex(s: SparkSession, path: String, vecIds: Seq[Long]): Unit = {
+    // same clash rule as every family with an open-window ingest path
+    graft.sources.Tombstones.requireNoBufferedClash(
+      s, path, vecIds, "vec_id", "deleteFromSqIndex", "compactSqIndex")
     graft.sources.Tombstones.add(s, path, vecIds)
+  }
 
   /** Fold an SQ index's tombstones in: rewrite codes minus deleted rows,
     * atomic swap, clear the sidecar (stats/grid untouched).

@@ -271,6 +271,44 @@ object Tombstones {
   def bufferedIdSet(s: SparkSession, indexPath: String, idCol: String): Option[DataFrame] =
     deltaFrame(s, indexPath).map(_.select(idCol).distinct())
 
+  /** The shared delete-path guard: a takedown of an id with a buffered
+    * update outstanding would mask the BASE rows but leave the delta rows
+    * serving — and the next fold would write those delta rows into the
+    * compacted base while clearing the tombstone, permanently resurrecting
+    * a deleted id. Every family's delete path must fold the window first;
+    * this fails loudly on the clash (`compactHint` names the family's
+    * fold).
+    */
+  def requireNoBufferedClash(
+      s: SparkSession, indexPath: String, ids: Seq[Long], idCol: String,
+      what: String, compactHint: String): Unit =
+    bufferedIdSet(s, indexPath, idCol).foreach { b =>
+      import s.implicits._
+      val clash = b.join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(clash.isEmpty,
+        s"$what: ${idCol}s ${clash.mkString(",")} have buffered updates in " +
+          s"$indexPath's open window — run $compactHint first")
+    }
+
+  /** The shared buffer/ingest-path guard: one batch carrying the same id
+    * TWICE has no defined resolution order (deltaLatestOf dedups across
+    * batches by commit order, never within one), and the PQ encoder would
+    * silently blend two embeddings' subspace codes into one garbage row —
+    * fail loudly and make the upstream resolve versions per batch.
+    * Returns the batch's (verified-unique) collected id list.
+    */
+  def requireUniqueBatchIds(df: DataFrame, idCol: String, what: String): Seq[Long] = {
+    val rows = df.select(idCol).collect().map(_.getLong(0))
+    val ids = rows.distinct.toSeq
+    require(rows.length == ids.length,
+      s"$what: the batch carries duplicate ${idCol}s " +
+        s"(e.g. ${rows.diff(ids).take(5).mkString(",")}) — two versions of one id " +
+        "in a single batch have no defined order; resolve to one version per id " +
+        "upstream (or split into ordered batches)")
+    ids
+  }
+
   /** Reclaim unreferenced lifecycle artifacts — the GC half of the
     * prepare-then-commit discipline: every mutation prepares files under
     * version-derived names (`_stats_e<v>`, `_tombstones/f<v>`,
@@ -569,8 +607,8 @@ object Tombstones {
     */
   def compactFlat(
       s: SparkSession, defaultData: String, anchorPath: String, idCol: String): Unit =
-    compactToEpochDir(s, defaultData, anchorPath) { (_, dest) =>
-      visibleFlat(s, anchorPath, defaultData, idCol)
+    compactToEpochDir(s, defaultData, anchorPath) { (_, dest, ep) =>
+      visibleFlatOf(s, ep, defaultData, idCol)
         .write.mode("overwrite").parquet(dest)
     }
 
@@ -582,8 +620,13 @@ object Tombstones {
     */
   def visibleFlat(
       s: SparkSession, anchorPath: String, defaultData: String,
+      idCol: String): DataFrame =
+    visibleFlatOf(s, IndexManifest.current(s, anchorPath), defaultData, idCol)
+
+  /** [[visibleFlat]] against a SPECIFIC resolved epoch. */
+  def visibleFlatOf(
+      s: SparkSession, ep: Option[IndexManifest.Epoch], defaultData: String,
       idCol: String): DataFrame = {
-    val ep = IndexManifest.current(s, anchorPath)
     val base = filterOf(
       s.read.parquet(ep.flatMap(_.data).getOrElse(defaultData)), ep, idCol)
     deltaLatestOf(s, ep, idCol) match {
@@ -596,15 +639,21 @@ object Tombstones {
     * resolve the current data dir, let `rewrite` materialize the
     * compacted form under the next epoch's name, commit (new data pointer,
     * zero live fragments) as the single atom, then best-effort reclaim the
-    * superseded data dir and fragment files.
+    * superseded data dir and fragment files. The rewrite receives the
+    * RESOLVED epoch (the one-manifest-read-per-operation discipline — its
+    * tombstone/delta/data state is what the commit will retire, so the
+    * fold source and the committed epoch can never describe different
+    * states).
     */
   private[graft] def compactToEpochDir(
       s: SparkSession, defaultData: String, anchorPath: String)(
-      rewrite: (String, String) => Unit): Unit = {
+      rewrite: (String, String, Option[IndexManifest.Epoch]) => Unit): Unit = {
     val e = IndexManifest.next(s, anchorPath)
     val cur = e.data.getOrElse(defaultData)
     val dest = s"${defaultData.stripSuffix("/")}__e${e.version}"
-    rewrite(cur, dest)
+    // the next-template differs from the current epoch only in version —
+    // passing it as the resolved state keeps every read arm on one epoch
+    rewrite(cur, dest, Some(e))
     IndexManifest.commit(s, anchorPath,
       e.copy(data = Some(dest), tombstones = Vector.empty, deltas = Vector.empty,
         baseGen = e.baseGen + 1))

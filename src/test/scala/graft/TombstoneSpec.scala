@@ -521,6 +521,23 @@ class TombstoneSpec extends SparkSpec {
     SimilarityQueries.deleteFromPqIndex(spark, path, Seq(7000016L))
     val after = sorted(SimilarityQueries.pqTopkFromIndex(spark, sfDir, path))
     assert(!after.exists(_.getLong(2) == 7000016L))
+    // review-found corruption paths, pinned shut: (a) deleting an id with
+    // an OPEN delta row would mask only the base and the fold would
+    // resurrect it — must refuse until the fold; (b) one batch carrying
+    // the same id twice would silently BLEND two embeddings' subspace
+    // codes into one garbage row — must refuse upstream
+    SimilarityQueries.compactPqIndex(spark, path)
+    val b2 = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 3L)
+      .select(col("vec_id") + 7100000L as "vec_id", col("embedding"), col("label"))
+    assert(SimilarityQueries.ingestPqBatch(spark, path, b2, 1L))
+    val eDel = intercept[IllegalArgumentException] {
+      SimilarityQueries.deleteFromPqIndex(spark, path, Seq(7100003L))
+    }
+    assert(eDel.getMessage.contains("buffered"), eDel.getMessage)
+    val eDup = intercept[IllegalArgumentException] {
+      SimilarityQueries.ingestPqBatch(spark, path, b2.unionAll(b2), 2L)
+    }
+    assert(eDup.getMessage.contains("duplicate"), eDup.getMessage)
   }
 
   test("SQ ingest: encode-on-arrival against the frozen grid; out-of-grid values clamp") {
