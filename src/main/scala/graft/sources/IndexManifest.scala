@@ -16,9 +16,9 @@ import org.apache.spark.sql.SparkSession
   * fragments. Writers PREPARE everything under fresh names (a new stats
   * dir, a new tombstone fragment, a compacted data dir) — none of which
   * any reader resolves yet — then commit by writing ONE new version file
-  * (temp file + atomic single-FILE rename; unlike the directory swaps this
-  * replaces, a one-file pointer is the primitive object stores can also
-  * provide via if-absent puts). Readers list the manifest dir and resolve
+  * (temp file + single-FILE rename-without-overwrite; unlike the directory
+  * swaps this replaces, a one-file pointer is a primitive every store can
+  * land in one step). Readers list the manifest dir and resolve
   * through the HIGHEST version. A crash anywhere before the pointer lands
   * leaves readers on the previous epoch — internally consistent by
   * construction, because no epoch ever references half of a mutation: the
@@ -206,12 +206,18 @@ object IndexManifest {
     val out = f.create(tmp, true)
     try out.write(serialize(e).getBytes("UTF-8"))
     finally out.close()
-    // FileContext.rename without the OVERWRITE option is the
-    // atomic-exclusive landing primitive: it throws if dest appeared
-    // since the check above, so even a true concurrent race (both
-    // writers past the exists check) surfaces loudly — a plain
-    // FileSystem.rename on the local FS maps to POSIX rename(2), which
-    // would silently replace the winner's epoch
+    // FileContext.rename without the OVERWRITE option is the landing
+    // primitive: it throws if dest appeared since the check above, so a
+    // concurrent race surfaces loudly — a plain FileSystem.rename on the
+    // local FS maps to POSIX rename(2), which would silently replace the
+    // winner's epoch. Guarantee scope (store-dependent): on HDFS this
+    // rename is ATOMIC-exclusive (namenode-arbitrated); on the local
+    // AbstractFileSystem it is a client-side exists check + POSIX rename,
+    // so a true simultaneous race could in principle interleave — safe
+    // here only under the documented single-writer-per-index discipline;
+    // on object stores rename is a non-atomic copy, so a deployment there
+    // must swap this landing step for the store's conditional
+    // (if-absent) put, which is the same one-pointer primitive.
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       d.toUri, s.sparkContext.hadoopConfiguration)
     try fc.rename(tmp, dest)

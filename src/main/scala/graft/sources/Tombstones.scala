@@ -51,6 +51,18 @@ import org.apache.spark.sql.functions._
   */
 object Tombstones {
 
+  /** TEST HOOK — crash injection around [[compactBucketedIndex]]'s
+    * single-statement catalog swap: `failBeforeTableSwap` throws after
+    * the compacted rewrite is fully prepared but BEFORE the `ALTER TABLE
+    * SET LOCATION` lands (the old location must keep serving);
+    * `failAfterTableSwap` throws immediately AFTER it (the new location
+    * must serve, with only reclaimable garbage left behind). TombstoneSpec
+    * stages both to prove no crash point leaves the table unresolvable —
+    * the property the old two-statement DROP+RENAME swap could not give.
+    */
+  @volatile private[graft] var failBeforeTableSwap: Boolean = false
+  @volatile private[graft] var failAfterTableSwap: Boolean = false
+
   /** Sidecar directory holding an index's tombstone fragments. Path-based
     * indexes (IVF, k-NN graph, flat codes) and the search index anchor on
     * their immutable build path; the other catalog-table indexes anchor on
@@ -180,6 +192,38 @@ object Tombstones {
     IndexManifest.commit(s, indexPath,
       e.copy(stats = statsDir.orElse(e.stats),
         tombstones = e.tombstones :+ frag,
+        deltas = e.deltas :+ batch,
+        ingestHwm = hwm.map(_._2).orElse(e.ingestHwm),
+        ingestStream = hwm.map(_._1).orElse(e.ingestStream)))
+  }
+
+  /** Land one INSERT-ONLY batch in ONE commit: the batch's new rows as a
+    * delta batch plus (optionally) advanced stored stats — no masking
+    * tombstone, because the rows are NEW (the caller guards that none of
+    * the ids already serve). This is the atomic form of the plain batch
+    * append: rows and stats become visible together or not at all, the
+    * base generation never moves (no standing file is touched, so as-of
+    * reads stay exact ACROSS appends), and — unlike [[commitUpdateBatch]]
+    * — no id list is collected to the driver, so the batch can be
+    * arbitrarily large (a daily append is data-plane, not a bounded
+    * update request). The fold ([[compactBucketedIndex]]/[[compactFlat]])
+    * does the physical bucket/cell append later. `hwm` threads the
+    * streaming-ingest fence exactly as in [[commitUpdateBatch]].
+    */
+  def commitInsertBatch(
+      s: SparkSession, indexPath: String,
+      newStats: Option[DataFrame], hwm: Option[(String, Long)] = None)(
+      writeBatch: String => Unit): Unit = {
+    val e = IndexManifest.next(s, indexPath)
+    val batch = s"${deltaDir(indexPath)}/b${e.version}"
+    writeBatch(batch)
+    val statsDir = newStats.map { df =>
+      val d = epochStatsDir(indexPath, e.version)
+      df.write.mode("overwrite").parquet(d)
+      d
+    }
+    IndexManifest.commit(s, indexPath,
+      e.copy(stats = statsDir.orElse(e.stats),
         deltas = e.deltas :+ batch,
         ingestHwm = hwm.map(_._2).orElse(e.ingestHwm),
         ingestStream = hwm.map(_._1).orElse(e.ingestStream)))
@@ -326,11 +370,21 @@ object Tombstones {
     * current+1 are deliberately left: they are either a crashed prepare
     * the retry will overwrite, or an in-flight prepare. Returns the number
     * of directories reclaimed. Safe at any time under the single-writer
-    * discipline; probes are unaffected (pinned in TombstoneSpec).
+    * discipline. LIVE probes are unaffected (they resolve the current
+    * epoch, whose references are always kept — pinned in TombstoneSpec);
+    * AS-OF reads are where vacuum bites: it reclaims superseded epochs'
+    * artifacts, so it BOUNDS the time-travel horizon. `keepEpochs` is the
+    * retention window (the Delta `VACUUM RETAIN` shape): the N most
+    * recently superseded epochs' referenced artifacts are kept alongside
+    * the current epoch's, so [[IndexManifest.at]] reads within the window
+    * survive the GC; an as-of read OUTSIDE the window (or a
+    * same-generation as-of after the default full vacuum) fails loudly
+    * mid-plan on the reclaimed path — never silently wrong. The default
+    * (0) keeps only the current epoch: maximal reclaim, no travel.
     */
   def vacuum(
       s: SparkSession, anchor: String,
-      defaultData: Option[String] = None): Long = {
+      defaultData: Option[String] = None, keepEpochs: Int = 0): Long = {
     IndexManifest.current(s, anchor) match {
       case None => 0L
       case Some(cur) =>
@@ -339,8 +393,14 @@ object Tombstones {
           val path = new org.apache.hadoop.fs.Path(p)
           path.getFileSystem(conf).makeQualified(path).toString
         }
-        val keep = (cur.stats.toSeq ++ cur.data.toSeq ++
-          cur.tombstones ++ cur.deltas).map(canon).toSet
+        // the retention window: the current epoch plus the keepEpochs most
+        // recently superseded ones — every artifact any of them references
+        // survives, so as-of reads within the window still resolve
+        val retained: Seq[IndexManifest.Epoch] = cur +:
+          (math.max(1L, cur.version - keepEpochs) until cur.version)
+            .flatMap(v => IndexManifest.at(s, anchor, v))
+        val keep = retained.flatMap(e => e.stats.toSeq ++ e.data.toSeq ++
+          e.tombstones ++ e.deltas).map(canon).toSet
         var n = 0L
         for (v <- 1L until cur.version) {
           val candidates = Seq(
@@ -409,7 +469,9 @@ object Tombstones {
     * record state, not intent, so the log reconstructs intent from what
     * changed — the DESCRIBE-HISTORY read):
     *   - a delta batch appeared          → `ingest` (the commit also moved
-    *     the high-water mark) or `update` (it did not);
+    *     the high-water mark), `update` (a masking fragment rode along —
+    *     the buffered-update shape), or `append` (neither: the
+    *     insert-only one-commit append);
     *   - only a tombstone fragment       → `delete`;
     *   - fragments/deltas cleared        → `fold` (a compaction retired
     *     them; data/stats pointers ride along);
@@ -430,7 +492,27 @@ object Tombstones {
     val hist = IndexManifest.history(s, anchor)
     val zero = IndexManifest.Epoch(0L, None, None, Vector.empty)
     val conf = s.sparkContext.hadoopConfiguration
-    val rows = hist.zip(zero +: hist).map { case (e, prev) =>
+    val pairs = hist.zip(zero +: hist)
+    // ONE counting job for ALL still-live fragments across the whole
+    // history (a count() per fragment per epoch was a driver-side job
+    // storm at depth — fine at 3 epochs, thousands of jobs at thousands):
+    // each fragment reads under a literal ordinal, one union, one groupBy.
+    // Fragment count is control-plane bounded, so the union arm list is too.
+    val allFrags: Seq[String] = pairs
+      .flatMap { case (e, prev) => e.tombstones.filterNot(prev.tombstones.toSet) }
+      .distinct
+      .filter { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).exists(p)
+      }
+    val fragCount: Map[String, Long] =
+      if (allFrags.isEmpty) Map.empty
+      else allFrags.zipWithIndex
+        .map { case (f, i) => s.read.parquet(f).select(lit(i).as("fi")) }
+        .reduce(_ unionAll _)
+        .groupBy("fi").agg(count(lit(1)).as("n"))
+        .collect().map(r => (allFrags(r.getInt(0)), r.getLong(1))).toMap
+    val rows = pairs.map { case (e, prev) =>
       val newFrags = e.tombstones.filterNot(prev.tombstones.toSet)
       val deltaAdded = e.deltas.size > prev.deltas.size
       // a fold either retires outstanding fragments/deltas or — when the
@@ -443,21 +525,19 @@ object Tombstones {
       val mutation =
         if (cleared) "fold"
         else if (deltaAdded && e.ingestHwm != prev.ingestHwm) "ingest"
-        else if (deltaAdded) "update"
+        else if (deltaAdded && newFrags.nonEmpty) "update"
+        else if (deltaAdded) "append"
         else if (newFrags.nonEmpty) "delete"
         else if (e.baseGen != prev.baseGen) "base_mutation"
         else if (e.stats != prev.stats) "stats_advance"
         else if (e.ingestHwm != prev.ingestHwm ||
           e.ingestStream != prev.ingestStream) "fence" // reset, or carried across a fold
         else "other"
-      val live = newFrags.filter { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        p.getFileSystem(conf).exists(p)
-      }
       val newIds =
         if (newFrags.isEmpty) Some(0L)
-        else if (live.size < newFrags.size) None // reclaimed by a later fold/vacuum
-        else Some(live.map(f => s.read.parquet(f).count()).sum)
+        else if (newFrags.exists(f => !fragCount.contains(f)))
+          None // reclaimed by a later fold/vacuum
+        else Some(newFrags.map(fragCount).sum)
       (e.version, mutation, e.baseGen, e.tombstones.size.toLong,
         e.deltas.size.toLong, newIds, e.ingestHwm)
     }
@@ -660,20 +740,32 @@ object Tombstones {
     bestEffortDelete(s, Seq(cur, sidecar(anchorPath), deltaDir(anchorPath)))
   }
 
-  /** Compact a bucketed catalog-table index, folding tombstones in — the
-    * one rewrite all four bucketed families (postings/term, winnow/fp,
-    * MinHash band/bk, phash band/bk) share. Mechanics mirror the original
-    * postings compaction: repartition on the DERIVED bucket id (hash pmod
-    * n — repartitioning on the bucket column itself pattern-matches the
-    * bucket spec and the planner elides the shuffle, leaving one file per
-    * task per bucket), AQE scoped off so its partition merging can't
-    * re-break the alignment, write to a fresh location, swap via catalog
-    * rename (the metastore pointer is the atom here; its two-statement
-    * DROP/RENAME window is the one gap a plain metastore cannot close —
-    * a transactional catalog would), reclaim the superseded directory,
-    * then retire the tombstones. After this, the table is byte-equivalent
-    * to a fresh build over the surviving rows: one file per bucket, no
-    * tombstones outstanding.
+  /** Compact a bucketed catalog-table index, folding tombstones and any
+    * open update window in — the one rewrite all five bucketed families
+    * (postings/term, winnow/fp, MinHash band/bk, phash band/bk,
+    * prefix/x) share. Mechanics mirror the original postings compaction:
+    * repartition on the DERIVED bucket id (hash pmod n — repartitioning
+    * on the bucket column itself pattern-matches the bucket spec and the
+    * planner elides the shuffle, leaving one file per task per bucket),
+    * AQE scoped off so its partition merging can't re-break the
+    * alignment, write the rewrite to a fresh location under a staging
+    * table (which validates the bucket layout), then swap the SERVING
+    * table to the new location with ONE metastore statement — `ALTER
+    * TABLE .. SET LOCATION` — and reclaim the superseded directory. The
+    * single-statement swap is the point: the previous DROP TABLE +
+    * RENAME pair had a crash window with NO serving table at all, while
+    * here every crash point resolves — before the statement the old
+    * location serves (the staged rewrite is reclaimable garbage a retry
+    * overwrites), after it the new one does (crash-injection pinned in
+    * TombstoneSpec via [[failBeforeTableSwap]]/[[failAfterTableSwap]]).
+    * The table's bucket spec lives on the SERVING entry and never
+    * changes; the staged files carry their bucket-id file names, so the
+    * relocated read keeps the exchange-free bucketed plan. (A
+    * manifest-pointer resolution was considered instead — but bucketed
+    * reads need the catalog's bucket spec, so the catalog entry IS this
+    * family's pointer; SET LOCATION is its one-statement commit.)
+    * After this, the table is byte-equivalent to a fresh build over the
+    * surviving rows: one file per bucket, no tombstones outstanding.
     *
     * `anchor`: the tombstone/manifest anchor. None (the location-anchored
     * families) uses the table's current location and RESETS that dead
@@ -737,9 +829,25 @@ object Tombstones {
             .copy(ingestHwm = f.ingestHwm, ingestStream = f.ingestStream))
       }
     }
-    s.sql(s"DROP TABLE $table")
-    s.sql(s"ALTER TABLE ${table}__c RENAME TO $table")
-    // DROP TABLE on an external table leaves files behind — reclaim them
+    if (failBeforeTableSwap) {
+      failBeforeTableSwap = false
+      throw new RuntimeException(
+        s"Tombstones: injected crash before swapping $table to $dest")
+    }
+    // THE swap — one metastore statement: the serving table's location
+    // moves to the staged rewrite. Before this statement the old location
+    // serves; after it the new one does; there is no in-between (the old
+    // DROP+RENAME pair left a window with no serving table at all).
+    s.sql(s"ALTER TABLE $table SET LOCATION '$dest'")
+    s.catalog.refreshTable(table)
+    if (failAfterTableSwap) {
+      failAfterTableSwap = false
+      throw new RuntimeException(
+        s"Tombstones: injected crash after swapping $table to $dest")
+    }
+    // retire the staging entry (external table: metadata-only, the files
+    // it named are now the SERVING files) and reclaim the superseded dir
+    s.sql(s"DROP TABLE IF EXISTS ${table}__c")
     val oldLoc = new org.apache.hadoop.fs.Path(cur)
     oldLoc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(oldLoc, true)
     // the rewrite no longer contains the tombstoned rows: retire them — a
