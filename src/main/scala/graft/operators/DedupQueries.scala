@@ -355,24 +355,88 @@ object DedupQueries {
     * rebuild: the ids land in the tombstone sidecar and [[bandIndexFrame]]
     * (every probe's read) anti-joins them out with the takedown set
     * broadcast, so the standing bucketed table is neither shuffled nor
-    * rewritten. [[compactBandIndex]] folds them in physically.
+    * rewritten. [[compactBandIndex]] folds them in physically. An id with
+    * a buffered/ingested batch outstanding fails loudly (the shared
+    * resurrection guard — fold first).
     */
-  def deleteFromBandIndex(s: SparkSession, table: String, docIds: Seq[Long]): Unit =
-    graft.sources.Tombstones.addForTable(s, table, docIds)
+  def deleteFromBandIndex(s: SparkSession, table: String, docIds: Seq[Long]): Unit = {
+    val anchor = graft.sources.Tombstones.tableLocation(s, table)
+    graft.sources.Tombstones.requireNoBufferedClash(
+      s, anchor, docIds, "doc_id", "deleteFromBandIndex", "compactBandIndex")
+    graft.sources.Tombstones.add(s, anchor, docIds)
+  }
 
   /** The probe-facing view of a persisted band index: the bucketed table
-    * minus its tombstoned documents. Probes join this exactly as they
-    * joined the raw table — the anti-join broadcasts the tombstones, so
-    * the corpus side keeps its exchange-free bucketing.
+    * minus its tombstoned documents, plus any open update window's latest
+    * buffered band keys (base∪delta — the winnowIndexFrame discipline;
+    * with no window this is the bare filtered scan). Probes join this
+    * exactly as they joined the raw table — the anti-join broadcasts the
+    * tombstones, so the corpus side keeps its exchange-free bucketing.
     */
-  def bandIndexFrame(s: SparkSession, table: String): DataFrame =
-    graft.sources.Tombstones.filterTable(s, table, "doc_id")
+  def bandIndexFrame(s: SparkSession, table: String): DataFrame = {
+    val anchor = graft.sources.Tombstones.tableLocation(s, table)
+    // ONE epoch resolution threads both arms — a probe racing a commit
+    // sees one consistent (tombstones, deltas) pair, never a torn mix
+    val ep = graft.sources.IndexManifest.current(s, anchor)
+    val base = graft.sources.Tombstones.filterOf(s.table(table), ep, "doc_id")
+    graft.sources.Tombstones.deltaLatestOf(s, ep, "doc_id") match {
+      case Some(d) => base.unionByName(d.select(base.columns.map(col).toSeq: _*))
+      case None    => base
+    }
+  }
 
-  /** Physically remove tombstoned documents' band keys and restore one
-    * file per bucket (the shared bucketed-index compaction).
+  /** Buffer one document-update batch into the band index WITHOUT
+    * compacting — the MinHash family's LSM memtable: the tombstone masks
+    * the ids' base band keys, the re-signed replacement keys land in a
+    * delta batch, one manifest commit makes both visible. Signatures are
+    * per-doc-local (a doc's band keys depend only on its own text), so
+    * after every batch probes equal a rebuilt index; the fold
+    * ([[compactBandIndex]]) is the window's only physical rewrite.
+    */
+  def bufferBandUpdate(docs: DataFrame, table: String): Unit =
+    bufferBandBatch(docs,
+      graft.sources.Tombstones.tableLocation(docs.sparkSession, table), hwm = None)
+
+  /** EXACTLY-ONCE streaming ingest of one document micro-batch into the
+    * MinHash band index — the fourth location-anchored family to ride
+    * [[graft.sources.Tombstones.fenceAdmits]] (same semantics as
+    * [[graft.operators.SearchQueries.ingestSearchBatch]]: skip a replayed
+    * `batchId` of the SAME lineage, refuse a different lineage loudly,
+    * rows + fence in one atomic commit; the fence is carried across the
+    * compaction's location move, so a post-fold replay still skips).
+    * Streaming caller: [[graft.streaming.DocumentsStream.runBandIngest]].
+    */
+  def ingestBandBatch(
+      docs: DataFrame, table: String, batchId: Long,
+      streamId: String = "default"): Boolean = {
+    val s = docs.sparkSession
+    val anchor = graft.sources.Tombstones.tableLocation(s, table)
+    if (!graft.sources.Tombstones.fenceAdmits(
+        s, anchor, batchId, streamId, "ingestBandBatch")) false
+    else { bufferBandBatch(docs, anchor, Some((streamId, batchId))); true }
+  }
+
+  private def bufferBandBatch(
+      docs: DataFrame, anchor: String, hwm: Option[(String, Long)]): Unit = {
+    val s = docs.sparkSession
+    val ids = graft.sources.Tombstones.requireUniqueBatchIds(
+      docs, "doc_id", "bufferBandUpdate")
+    // sub-3-token docs sign to nothing (no shingles): their ids still
+    // tombstone the base — an update shrinking a doc below the shingle
+    // floor removes it from the index, exactly as a rebuild would
+    val rows = bandKeysOf(signaturesOf(docs))
+    graft.sources.Tombstones.commitUpdateBatch(s, anchor, ids, None, hwm) { d =>
+      rows.write.mode("overwrite").parquet(d)
+    }
+  }
+
+  /** Physically remove tombstoned documents' band keys, fold any open
+    * update window's delta batches in, and restore one file per bucket
+    * (the shared bucketed-index compaction over the probe-visible view).
     */
   def compactBandIndex(s: SparkSession, table: String): Unit =
-    graft.sources.Tombstones.compactBucketedIndex(s, table, "doc_id")
+    graft.sources.Tombstones.compactBucketedIndex(s, table, "doc_id",
+      sourceOverride = Some(bandIndexFrame(s, table)))
 
   /** Min-label propagation over an undirected pair list, with PLUGGABLE
     * per-round materialization — the knob that makes the iterative loop
@@ -637,9 +701,17 @@ object DedupQueries {
     */
   def deleteFromPrefixIndex(s: SparkSession, table: String, docIds: Seq[Long]): Unit = {
     import s.implicits._
-    // membership probe with the BOUNDED id list broadcast (the forward
-    // store is corpus-scale — the semi join stays map-side over it)
-    val present = s.table(s"${table}_fwd").select("doc_id")
+    // an id with a buffered/ingested batch outstanding must fold first
+    // (the shared resurrection guard) — checked before membership so the
+    // error names the actionable step
+    val anchor = graft.sources.Tombstones.tableLocation(s, table)
+    graft.sources.Tombstones.requireNoBufferedClash(
+      s, anchor, docIds, "doc_id", "deleteFromPrefixIndex", "compactPrefixIndex")
+    // membership probe against the VISIBLE forward store (base∪delta —
+    // ingested representatives are takedown targets too) with the BOUNDED
+    // id list broadcast (the forward store is corpus-scale — the semi
+    // join stays map-side over it)
+    val present = prefixIndexFrames(s, table)._2.select("doc_id")
       .join(broadcast(docIds.toDF("doc_id")), Seq("doc_id"), "left_semi")
       .distinct().collect().map(_.getLong(0)).toSet
     val missing = docIds.filterNot(present).take(5)
@@ -653,16 +725,123 @@ object DedupQueries {
   }
 
   /** The probe-facing (inverted, forward) views of a persisted prefix
-    * index, tombstone-masked.
+    * index, tombstone-masked, each unioned with any open update window's
+    * latest buffered rows. The window lives on ONE anchor — the inverted
+    * table's location — and serves BOTH views: the two tables store the
+    * IDENTICAL rows under different bucketings (the build writes fwd from
+    * the inverted scan), so one delta batch is one batch of truth and the
+    * pair can never diverge (committing per-table would be two commits —
+    * a torn window). Tombstones stay per-table (each masks its own base
+    * rows); both views resolve their delta arm through the inverted
+    * anchor's epoch.
     */
-  def prefixIndexFrames(s: SparkSession, table: String): (DataFrame, DataFrame) =
-    (graft.sources.Tombstones.filterTable(s, table, "doc_id"),
-      graft.sources.Tombstones.filterTable(s, s"${table}_fwd", "doc_id"))
+  def prefixIndexFrames(s: SparkSession, table: String): (DataFrame, DataFrame) = {
+    val anchor = graft.sources.Tombstones.tableLocation(s, table)
+    val ep = graft.sources.IndexManifest.current(s, anchor)
+    val delta = graft.sources.Tombstones.deltaLatestOf(s, ep, "doc_id")
+    def arm(base: DataFrame): DataFrame = delta match {
+      case Some(d) => base.unionByName(d.select(base.columns.map(col).toSeq: _*))
+      case None    => base
+    }
+    (arm(graft.sources.Tombstones.filterOf(s.table(table), ep, "doc_id")),
+      arm(graft.sources.Tombstones.filterTable(s, s"${table}_fwd", "doc_id")))
+  }
 
-  /** Physically remove tombstoned documents from both halves. */
+  /** One batch's index rows under the standing index's FROZEN global
+    * token order — the ingest-side computation: per-batch representatives
+    * (min doc_id per distinct text, the build's content unit), shingles,
+    * and prefix selection ranked by the STORED (df_b, x) order. Tokens the
+    * index has never seen take df_b = 0 (they sort first — conservative:
+    * more prefix rows, recall intact, and the assignment is stable because
+    * every later lookup finds the same stored value). The prefix lemma is
+    * exact under ANY fixed total order, so rows ingested under the frozen
+    * order pair exactly as a rebuild under it would — only the ORDER is
+    * frozen, never the pair set (the writePrefixIndex contract).
+    */
+  private def prefixBatchRows(batchDocs: DataFrame, idx: DataFrame): DataFrame = {
+    val reps = batchDocs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("text")).as("text"))
+    val bex = shingled(reps).select(col("doc_id"), explode(col("sh")).as("x"))
+    val bsz = bex.groupBy("doc_id").agg(count(lit(1)).as("n_c"))
+    val ord = idx.select("x", "df_b").distinct()
+    val w = Window.partitionBy("doc_id").orderBy(col("df_b"), col("x"))
+    bex.join(ord, Seq("x"), "left")
+      .select(col("doc_id"), col("x"), coalesce(col("df_b"), lit(0L)).as("df_b"))
+      .withColumn("rn", row_number().over(w))
+      .join(bsz, "doc_id")
+      .withColumn("is_prefix",
+        col("rn") <= col("n_c") - expr("(3 * n_c + 4) div 5") + 1)
+      .select("doc_id", "x", "n_c", "df_b", "is_prefix")
+  }
+
+  /** Buffer one document batch into the prefix index WITHOUT compacting.
+    * The batch's representatives are the ingest unit (min doc_id per
+    * distinct text WITHIN the batch — the build's own content grouping,
+    * applied per batch): a batch doc whose text already stands in the
+    * index lands as a second representative and surfaces as a
+    * jac = 10000 pair at the next probe — the verdict the dedup pipeline
+    * exists to produce; retiring the loser is the takedown path's job.
+    */
+  def bufferPrefixUpdate(docs: DataFrame, table: String): Unit =
+    bufferPrefixBatch(docs, table,
+      graft.sources.Tombstones.tableLocation(docs.sparkSession, table), hwm = None)
+
+  /** EXACTLY-ONCE streaming ingest of one document micro-batch into the
+    * prefix (PPJoin) index — same fence semantics as
+    * [[ingestBandBatch]]; the fence rides the inverted anchor and is
+    * carried across [[compactPrefixIndex]]'s location move. Streaming
+    * caller: [[graft.streaming.DocumentsStream.runPrefixIngest]].
+    */
+  def ingestPrefixBatch(
+      docs: DataFrame, table: String, batchId: Long,
+      streamId: String = "default"): Boolean = {
+    val s = docs.sparkSession
+    val anchor = graft.sources.Tombstones.tableLocation(s, table)
+    if (!graft.sources.Tombstones.fenceAdmits(
+        s, anchor, batchId, streamId, "ingestPrefixBatch")) false
+    else { bufferPrefixBatch(docs, table, anchor, Some((streamId, batchId))); true }
+  }
+
+  private def bufferPrefixBatch(
+      docs: DataFrame, table: String, anchor: String,
+      hwm: Option[(String, Long)]): Unit = {
+    val s = docs.sparkSession
+    // uniqueness over the RAW batch ids: two texts under one doc_id could
+    // otherwise both become representatives — one id, two row sets
+    graft.sources.Tombstones.requireUniqueBatchIds(
+      docs, "doc_id", "bufferPrefixUpdate")
+    // the frozen order comes from the VISIBLE inverted view (build rows
+    // plus earlier batches — so a token first seen by ingest keeps its
+    // assigned order everywhere)
+    val rows = prefixBatchRows(docs, prefixIndexFrames(s, table)._1)
+    // the masked ids are the batch's REPRESENTATIVES (the only ids that
+    // own index rows — re-ingesting changed content replaces its rows)
+    val ids = rows.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+    require(ids.nonEmpty,
+      "bufferPrefixUpdate: no indexable representatives in the batch " +
+        "(all docs under 3 tokens, or the batch is empty)")
+    graft.sources.Tombstones.commitUpdateBatch(s, anchor, ids, None, hwm) { d =>
+      rows.write.mode("overwrite").parquet(d)
+    }
+  }
+
+  /** Physically remove tombstoned documents from both halves, folding any
+    * open update window in. Order matters: the FORWARD table folds first —
+    * its visible view resolves the delta arm through the INVERTED anchor,
+    * which the inverted fold (second) retires along with the window; the
+    * ingest fence is carried to the new inverted location by the shared
+    * compactor. A crash between the two folds is consistent: both views
+    * still serve the identical visible rows (fwd physically folded,
+    * inverted still base∪delta-masked).
+    */
   def compactPrefixIndex(s: SparkSession, table: String): Unit = {
-    graft.sources.Tombstones.compactBucketedIndex(s, table, "doc_id")
-    graft.sources.Tombstones.compactBucketedIndex(s, s"${table}_fwd", "doc_id")
+    val (inv, fwd) = prefixIndexFrames(s, table)
+    graft.sources.Tombstones.compactBucketedIndex(s, s"${table}_fwd", "doc_id",
+      sourceOverride = Some(fwd))
+    graft.sources.Tombstones.compactBucketedIndex(s, table, "doc_id",
+      sourceOverride = Some(inv))
   }
 
   /** Batch-vs-corpus PPJoin probe with the family's EXACT-recall
@@ -897,27 +1076,32 @@ object DedupQueries {
       sourceOverride = Some(winnowIndexFrame(s, table)))
 
   /** Append a document batch's winnowed fingerprints to an existing
-    * [[writeWinnowIndex]] table — the daily-ingest lifecycle. Sound
-    * WITHOUT rewriting standing rows because the index is per-doc-local:
-    * winnowing selection and the denormalized n_fp_c depend only on the
-    * doc's own text, so new docs' rows are simply more rows in the same
-    * bucket layout (Spark validates the bucket spec on append). The df
-    * cap stays correct because probes derive it from the index AT PROBE
-    * TIME (winnowIncrementalPairs' groupBy rides the bucketing) rather
-    * than storing it — a stored df would go stale on every append.
+    * [[writeWinnowIndex]] table — the daily-ingest lifecycle, now ATOMIC:
+    * the batch lands as an INSERT-ONLY delta through ONE manifest commit
+    * ([[graft.sources.Tombstones.commitInsertBatch]]), so a crashed
+    * append changes nothing and no standing file is touched (as-of reads
+    * stay exact across appends). The physical bucket-append is the fold's
+    * job ([[compactWinnowIndex]] rewrites base∪delta into fresh fp
+    * buckets). Sound because the index is per-doc-local: winnowing
+    * selection and the denormalized n_fp_c depend only on the doc's own
+    * text, and the df cap derives from the visible rows AT PROBE TIME —
+    * a stored df would go stale on every append.
     * Append-then-probe == rebuild-then-probe is pinned in
     * PartitionBucketSpec.
     */
   def appendWinnowIndex(docs: DataFrame, table: String): Unit = {
     val s = docs.sparkSession
+    val anchor = graft.sources.Tombstones.tableLocation(s, table)
+    // ONE epoch resolution threads the guards and the visible view
+    val ep = graft.sources.IndexManifest.current(s, anchor)
     // idempotency guard: a replayed batch (operator retry, scheduler rerun)
     // must not append its rows twice — duplicated (doc_id, fp) rows double
     // shared_fp counts and push df toward the cap, silently changing probe
-    // results. Docs already present in the index are dropped BEFORE
-    // winnowing: the membership check broadcasts the (small) batch id set
-    // against the index scan, so the standing index is never shuffled, and
-    // the resulting already-present set is tiny. Net effect: the
-    // append-then-probe == rebuild-then-probe contract holds under replay,
+    // results. Docs already VISIBLE (base or an open delta batch) are
+    // dropped BEFORE winnowing: the membership check broadcasts the (small)
+    // batch id set against the visible scan, so the standing index is
+    // never shuffled, and the resulting already-present set is tiny. Net
+    // effect: append-then-probe == rebuild-then-probe holds under replay,
     // not just for disjoint batches.
     val batchIds = docs.select("doc_id").distinct()
     // a deleted id may NOT be re-used before a compaction has folded its
@@ -925,7 +1109,7 @@ object DedupQueries {
     // the re-appended ones too (silent suppression), and skipping the
     // tombstone check would resurrect the old rows (silent undelete) —
     // both are data corruption, so the collision fails loudly instead
-    graft.sources.Tombstones.idSetForTable(s, table).foreach { t =>
+    graft.sources.Tombstones.idSetOf(s, ep).foreach { t =>
       val clash = t.withColumnRenamed("id", "doc_id")
         .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
         .limit(5).collect().map(_.getLong(0))
@@ -933,24 +1117,27 @@ object DedupQueries {
         s"appendWinnowIndex: doc_ids ${clash.mkString(",")} were deleted from " +
           s"$table — run compactWinnowIndex before re-using deleted ids")
     }
-    // materialize the already-present set EAGERLY (collect, not a lazy
-    // subplan): it is bounded by the batch id count, and folding it back in
-    // as a literal frame keeps the append's write plan free of any scan of
-    // the table being appended to — self-read-append is rejected by some
-    // catalogs (V1 PreWriteCheck) and races file-listing snapshots on
-    // others, so the read must complete before the write plan exists.
-    val present: Array[Long] = s.table(table).select("doc_id")
+    val visibleBase = graft.sources.Tombstones.filterOf(s.table(table), ep, "doc_id")
+    val visible = graft.sources.Tombstones.deltaLatestOf(s, ep, "doc_id") match {
+      case Some(d) =>
+        visibleBase.unionByName(d.select(visibleBase.columns.map(col).toSeq: _*))
+      case None => visibleBase
+    }
+    val present: Array[Long] = visible.select("doc_id")
       .join(broadcast(batchIds), Seq("doc_id"), "left_semi").distinct()
       .collect().map(_.getLong(0))
     import s.implicits._
     val fresh = docs.join(
       broadcast(present.toSeq.toDF("doc_id")), Seq("doc_id"), "left_anti")
+    // a fully-replayed batch leaves nothing fresh — a clean no-op, not an
+    // empty delta commit
+    if (fresh.isEmpty) return
     val fps = TextQueries.winnowSelected(fresh)
       .select(col("doc_id"), col("fp")).distinct()
-    fps.join(fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp_c")), "doc_id")
-      .write.mode("append")
-      .bucketBy(8, "fp").sortBy("fp")
-      .saveAsTable(table)
+    val rows = fps.join(fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp_c")), "doc_id")
+    graft.sources.Tombstones.commitInsertBatch(s, anchor, None) { d =>
+      rows.write.mode("overwrite").parquet(d)
+    }
   }
 
   /** Replace changed documents in the winnow index — delete + fold +

@@ -499,23 +499,89 @@ object MultimodalQueries {
     */
   def deleteFromPhashIndex(
       s: org.apache.spark.sql.SparkSession, table: String,
-      assetIds: Seq[Long]): Unit =
-    graft.sources.Tombstones.addForTable(s, table, assetIds)
+      assetIds: Seq[Long]): Unit = {
+    val anchor = graft.sources.Tombstones.tableLocation(s, table)
+    // an id with a buffered/ingested batch outstanding must fold first
+    // (the shared resurrection guard)
+    graft.sources.Tombstones.requireNoBufferedClash(
+      s, anchor, assetIds, "asset_id", "deleteFromPhashIndex", "compactPhashIndex")
+    graft.sources.Tombstones.add(s, anchor, assetIds)
+  }
 
   /** The probe-facing view of a persisted phash index: the bk-bucketed
-    * table minus its tombstoned assets.
+    * table minus its tombstoned assets, plus any open update window's
+    * latest buffered signatures (base∪delta; with no window this is the
+    * bare filtered scan).
     */
   def phashIndexFrame(
       s: org.apache.spark.sql.SparkSession, table: String)
-      : org.apache.spark.sql.DataFrame =
-    graft.sources.Tombstones.filterTable(s, table, "asset_id")
+      : org.apache.spark.sql.DataFrame = {
+    val anchor = graft.sources.Tombstones.tableLocation(s, table)
+    val ep = graft.sources.IndexManifest.current(s, anchor)
+    val base = graft.sources.Tombstones.filterOf(s.table(table), ep, "asset_id")
+    graft.sources.Tombstones.deltaLatestOf(s, ep, "asset_id") match {
+      case Some(d) => base.unionByName(d.select(base.columns.map(col).toSeq: _*))
+      case None    => base
+    }
+  }
 
-  /** Physically remove tombstoned assets' band keys and restore one file
-    * per bucket (the shared bucketed-index compaction).
+  /** Buffer one asset-update batch into the phash index WITHOUT
+    * compacting — the media family's LSM memtable: the tombstone masks
+    * the ids' base band keys, the re-hashed replacement signatures land
+    * in a delta batch, one manifest commit makes both visible. Hashing is
+    * per-asset-local, so after every batch probes equal a rebuilt index.
+    */
+  def bufferPhashUpdate(
+      assets: org.apache.spark.sql.DataFrame, table: String): Unit =
+    bufferPhashBatch(assets,
+      graft.sources.Tombstones.tableLocation(assets.sparkSession, table), hwm = None)
+
+  /** EXACTLY-ONCE streaming ingest of one asset micro-batch into the
+    * phash index — the media family joins
+    * [[graft.sources.Tombstones.fenceAdmits]] (same semantics as the
+    * search/IVF/winnow/band/prefix twins: skip a replayed `batchId` of
+    * the SAME lineage, refuse a different lineage loudly, rows + fence in
+    * one atomic commit, fence carried across the compaction's location
+    * move). `assets` carries (asset_id, payload, format). Streaming
+    * caller: [[graft.streaming.DocumentsStream.runPhashIngest]].
+    */
+  def ingestPhashBatch(
+      assets: org.apache.spark.sql.DataFrame, table: String, batchId: Long,
+      streamId: String = "default"): Boolean = {
+    val s = assets.sparkSession
+    val anchor = graft.sources.Tombstones.tableLocation(s, table)
+    if (!graft.sources.Tombstones.fenceAdmits(
+        s, anchor, batchId, streamId, "ingestPhashBatch")) false
+    else { bufferPhashBatch(assets, anchor, Some((streamId, batchId))); true }
+  }
+
+  private def bufferPhashBatch(
+      assets: org.apache.spark.sql.DataFrame, anchor: String,
+      hwm: Option[(String, Long)]): Unit = {
+    val s = assets.sparkSession
+    val ids = graft.sources.Tombstones.requireUniqueBatchIds(
+      assets, "asset_id", "bufferPhashUpdate")
+    // the same GLOBAL id bound the build enforces eagerly: every probe
+    // classifies asset_id >= 1e6 as a planted variant, so an ingested
+    // collision would misfile from this batch on — fail here, not there
+    require(ids.forall(_ < 1000000L),
+      s"bufferPhashUpdate: asset_ids ${ids.filter(_ >= 1000000L).take(5).mkString(",")} " +
+        ">= 1e6 collide with the planted-variant id offsets — widen the " +
+        "offsets (and the oracle) first")
+    val rows = phashBandKeys(Multimodal.perceptualHash(assets).toDF())
+    graft.sources.Tombstones.commitUpdateBatch(s, anchor, ids, None, hwm) { d =>
+      rows.write.mode("overwrite").parquet(d)
+    }
+  }
+
+  /** Physically remove tombstoned assets' band keys, fold any open update
+    * window's delta batches in, and restore one file per bucket (the
+    * shared bucketed-index compaction over the probe-visible view).
     */
   def compactPhashIndex(
       s: org.apache.spark.sql.SparkSession, table: String): Unit =
-    graft.sources.Tombstones.compactBucketedIndex(s, table, "asset_id")
+    graft.sources.Tombstones.compactBucketedIndex(s, table, "asset_id",
+      sourceOverride = Some(phashIndexFrame(s, table)))
 
   private def phashPairs(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {

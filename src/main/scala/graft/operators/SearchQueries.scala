@@ -464,21 +464,37 @@ object SearchQueries {
     statsOf(docs).write.mode("overwrite").parquet(s"${path}_stats")
   }
 
-  /** Incremental index maintenance — the ingest path: new documents'
-    * postings are APPENDED into the bucketed table (same bucketing spec, so
-    * new files land in their term buckets; standing files are never
-    * rewritten) and the 1-row stats are advanced by cell-wise addition.
-    * Probe-side df counts postings across all segments, so after an append
-    * every probe scores EXACTLY as if the index had been built over the
-    * full corpus — bootstrap-plus-append parity is pinned in
-    * PartitionBucketSpec. `newDocs` carries (doc_id, text, lang).
+  /** Incremental index maintenance — the batch-append path, now ATOMIC:
+    * new documents' postings land as an INSERT-ONLY delta batch and the
+    * 1-row stats advance by cell-wise addition IN THE SAME manifest
+    * commit ([[graft.sources.Tombstones.commitInsertBatch]]), so a probe
+    * sees rows-with-stats or neither — the postings-landed/stats-old
+    * crash window the old in-place bucket append carried is structurally
+    * gone, and a crashed append changes NOTHING (retry-safe). No standing
+    * file is touched, so the base generation never moves: as-of reads
+    * stay exact ACROSS appends (they resolve the pre-append epoch's
+    * delta list — an improvement over the old path, which had to fence
+    * them with a generation bump). The physical bucket-append is now the
+    * fold's job: [[compactSearchIndex]] rewrites base∪delta into fresh
+    * term buckets and retires the window; until then probes pay one
+    * (window-bounded) delta union arm. Probe-side df counts postings
+    * across base and delta, so after an append every probe scores EXACTLY
+    * as if the index had been built over the full corpus —
+    * bootstrap-plus-append parity is pinned in PartitionBucketSpec.
+    * `newDocs` carries (doc_id, text, lang) and must be NEW ids — an id
+    * already serving fails loudly (no masking tombstone on this path;
+    * replacements go through [[bufferSearchUpdate]]).
     */
   def appendSearchIndex(
       s: SparkSession, table: String, path: String, newDocs: DataFrame): Unit = {
+    // ONE epoch resolution threads every read arm (deleted-id guard,
+    // present guard, stats base) — the writer-side one-epoch discipline;
+    // only the commit re-reads (its version check is the collision guard)
+    val ep = graft.sources.IndexManifest.current(s, path)
     // a deleted id may not be re-used before a compaction folds its
     // tombstone in: the probe-side anti-join would silently suppress the
     // re-appended rows (the appendWinnowIndex discipline) — fail loudly
-    graft.sources.Tombstones.idSet(s, path).foreach { t =>
+    graft.sources.Tombstones.idSetOf(s, ep).foreach { t =>
       val clash = t.withColumnRenamed("id", "doc_id")
         .join(broadcast(newDocs.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
         .limit(5).collect().map(_.getLong(0))
@@ -486,41 +502,25 @@ object SearchQueries {
         s"appendSearchIndex: doc_ids ${clash.mkString(",")} were deleted from " +
           s"$table — run compactSearchIndex before re-using deleted ids")
     }
-    // the base-generation bump lands BEFORE the postings mutate the live
-    // table: a crash mid-append then leaves as-of reads REFUSING loudly
-    // (gen mismatch) instead of silently scoring half-appended postings
-    // under an older epoch's stats; a crash between the bump and the
-    // append is merely conservative (table unchanged, live probes exact)
-    graft.sources.Tombstones.bumpBaseGeneration(s, path)
-    // no path option on append: the CATALOG owns the table's location, and
-    // after a compaction that location has moved — re-specifying the
-    // original path would throw a location mismatch (covered in
-    // PartitionBucketSpec's compact-then-append test). `path` is only the
-    // stats anchor, which compaction never moves.
-    postingsOf(newDocs)
-      .write.mode("append")
-      .bucketBy(bucketCountOf(s, table), "term").sortBy("term")
-      .saveAsTable(table)
-    // advance the 1-row stats through the manifest: the new stats dir is
-    // prepared under a fresh epoch name and landed by one atomic pointer
-    // commit — a crash leaves the OLD stats resolved, never a half-written
-    // or missing dir. The postings-committed-but-stats-old window remains
-    // for LIVE probes (documented; closing it requires the postings
-    // segments themselves to be manifest-tracked, i.e. a transactional
-    // table format) — the pre-append bump above already fenced as-of reads.
-    val old = s.read.parquet(resolvedStats(s, path)).head
+    // an id already serving would end up DOUBLE-served (insert-only means
+    // no masking tombstone) — the silent-corruption twin of the deleted-id
+    // clash; fail loudly toward the update path instead
+    val present = visiblePostingsOf(s, table, ep).select("doc_id")
+      .join(broadcast(newDocs.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
+      .limit(5).collect().map(_.getLong(0))
+    require(present.isEmpty,
+      s"appendSearchIndex: doc_ids ${present.mkString(",")} already serve in " +
+        s"$table — appends are insert-only; replace changed documents through " +
+        "bufferSearchUpdate/updateSearchIndex")
+    val old = epochStats(s, path, ep).head
     val delta = statsOf(newDocs).head
-    graft.sources.Tombstones.advanceStats(s, path,
-      s.createDataFrame(Seq(
-          (old.getLong(0) + delta.getLong(0), old.getLong(1) + delta.getLong(1))))
-        .toDF("n_docs", "tt"))
+    val newStats = s.createDataFrame(Seq(
+        (old.getLong(0) + delta.getLong(0), old.getLong(1) + delta.getLong(1))))
+      .toDF("n_docs", "tt")
+    graft.sources.Tombstones.commitInsertBatch(s, path, Some(newStats)) { d =>
+      postingsOf(newDocs).write.mode("overwrite").parquet(d)
+    }
   }
-
-  /** The index's current stored-stats directory — `<path>_stats` until a
-    * lifecycle commit (append advance, delete decrement) redirected it.
-    */
-  private def resolvedStats(s: SparkSession, path: String): String =
-    graft.sources.Tombstones.statsPath(s, path, s"${path}_stats")
 
   /** The PROBE-VISIBLE postings: base table rows minus tombstones (which
     * include every buffered-update id) plus the latest buffered
@@ -581,12 +581,12 @@ object SearchQueries {
     * (fresh checkpoint) restarts batch ids from 0 — fencing it would
     * silently drop never-ingested documents, so it fails loudly instead
     * ([[graft.sources.Tombstones.resetIngestFence]] is the deliberate
-    * override). This closes the two ingest hazards [[appendSearchIndex]]
-    * documents: the in-place append is neither idempotent under replay
-    * (re-appended postings double-count) nor atomic (its
-    * postings-landed/stats-old crash window) — the delta route is both,
-    * at the price of the (window-bounded) delta union arm on probes
-    * until the next fold. [[graft.streaming.SearchStream.runSearchIngest]]
+    * override). Both this and [[appendSearchIndex]] ride the one-commit
+    * delta route (atomic by construction); this fenced form additionally
+    * handles REPLACEMENTS (masking tombstone + visible-contribution stats
+    * adjustment), where the insert-only append refuses ids that already
+    * serve. Probes pay the (window-bounded) delta union arm until the
+    * next fold. [[graft.streaming.SearchStream.runSearchIngest]]
     * is the streaming caller; batch==stream, replay==no-op, and the
     * cross-lineage refusal pinned in StreamingSpec/TombstoneSpec.
     */

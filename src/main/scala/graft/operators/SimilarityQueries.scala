@@ -1282,24 +1282,32 @@ object SimilarityQueries {
     } else (fallbackNSeeds, fallbackTrained)
   }
 
-  /** Incremental index maintenance — the 100 TB ingest path: new vectors
-    * are assigned against the index's EXISTING seed set (cells never move
-    * once built) and appended into their cell partitions. No rebuild, no
-    * rewrite of standing files — each append touches only the partitions
-    * its rows land in, and probes see old + new rows identically
+  /** Incremental index maintenance — the 100 TB ingest path, now ATOMIC:
+    * new vectors are assigned against the index's EXISTING seed set
+    * (cells never move once built) and land as an INSERT-ONLY delta batch
+    * partitioned by cell through ONE manifest commit
+    * ([[graft.sources.Tombstones.commitInsertBatch]]) — a crashed append
+    * changes nothing, no standing file is touched (as-of reads stay exact
+    * across appends — the old in-place partition append had to fence them
+    * with a generation bump), and probes prune delta dirs by cell exactly
+    * like the base. The physical cell-append is the fold's job
+    * ([[compactIvfIndex]]); probes see old + new rows identically
     * (append-parity pinned in PartitionBucketSpec). `newRows` carries the
-    * embeddings schema (vec_id, embedding, label).
+    * embeddings schema (vec_id, embedding, label) and must be NEW ids —
+    * replacements go through [[bufferIvfUpdate]]/[[updateIvfIndex]].
     */
   def appendIvfIndex(
       s: SparkSession, dir: String, path: String, newRows: DataFrame,
       nSeeds: Int = N_SEEDS, trained: Boolean = false): Unit = {
     graft.functions.GraftFunctions.register(s)
+    // ONE epoch resolution threads both guards' read arms
+    val ep = graft.sources.IndexManifest.current(s, path)
     // a deleted id may not be re-used before a compaction folds its
     // tombstone in: every probe's anti-join would silently MASK the
     // re-appended rows (silent suppression — the corruption the
     // appendSearchIndex/appendWinnowIndex guards exist to prevent); fail
     // loudly instead
-    graft.sources.Tombstones.idSet(s, path).foreach { t =>
+    graft.sources.Tombstones.idSetOf(s, ep).foreach { t =>
       val clash = t.withColumnRenamed("id", "vec_id")
         .join(broadcast(newRows.select("vec_id").distinct()), Seq("vec_id"), "left_semi")
         .limit(5).collect().map(_.getLong(0))
@@ -1307,6 +1315,20 @@ object SimilarityQueries {
         s"appendIvfIndex: vec_ids ${clash.mkString(",")} were deleted from " +
           s"$path — run compactIvfIndex before re-using deleted ids")
     }
+    // an id already serving (base or an open delta) would double-serve
+    // under an insert-only append — fail loudly toward the update path
+    val baseRows = s.read.parquet(ep.flatMap(_.data).getOrElse(path))
+    val visIds = graft.sources.Tombstones.deltaFrameOf(s, ep) match {
+      case Some(d) => baseRows.select("vec_id").unionByName(d.select("vec_id"))
+      case None    => baseRows.select("vec_id")
+    }
+    val present = visIds
+      .join(broadcast(newRows.select("vec_id").distinct()), Seq("vec_id"), "left_semi")
+      .limit(5).collect().map(_.getLong(0))
+    require(present.isEmpty,
+      s"appendIvfIndex: vec_ids ${present.mkString(",")} already serve in " +
+        s"$path — appends are insert-only; replace changed vectors through " +
+        "bufferIvfUpdate/updateIvfIndex")
     // the append must assign with the SAME quantizer the index was built
     // with — a trained index appended against raw seeds would scatter new
     // rows into the wrong cells (geometry is the contract, as on probes).
@@ -1319,15 +1341,11 @@ object SimilarityQueries {
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("nrm", expr(s"sqrt(${VectorOps.dotExpr("v", "v")})"))
-    // the bump lands BEFORE the append mutates the live data dir: a crash
-    // mid-append then leaves as-of reads REFUSING loudly (gen mismatch)
-    // instead of silently ranking half-appended rows under an older
-    // epoch's mask; a crash between the bump and the append is merely
-    // conservative (data unchanged, live probes exact)
-    graft.sources.Tombstones.bumpBaseGeneration(s, path)
-    assignToSeeds(nw, seeds)
+    val assigned = assignToSeeds(nw, seeds)
       .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("seed_id").as("cell"))
-      .write.mode("append").partitionBy("cell").parquet(idxData(s, path, path))
+    graft.sources.Tombstones.commitInsertBatch(s, path, None) { d =>
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(d)
+    }
   }
 
   /** Delete vectors from a persisted IVF index — the takedown path: the

@@ -1,0 +1,146 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Advisory writer lease for the single-writer-per-index lifecycle — the
+  * automation piece the manifest's loud collision check deliberately does
+  * not provide (reference anchor: the reference serializes its lifecycle
+  * behind one Streamlit session, `app.py:176-246`; a scheduled fleet has
+  * no such implicit mutex).
+  *
+  * The manifest itself stays the CORRECTNESS guard: a true concurrent
+  * commit still fails loudly on the version-file collision, lease or no
+  * lease. What the lease adds is operational: without it, a crashed
+  * writer's successor learns about the corpse only by colliding (a page);
+  * with it, the successor WAITS for the corpse's lease to expire and then
+  * proceeds — the page becomes a bounded delay. Expiry makes the lease
+  * crash-safe: a holder that dies stops renewing, and any later claimant
+  * may break the stale lease.
+  *
+  * Mechanics: one lease file beside the manifest
+  * (`<anchor>_manifest/_lease`) holding (holder id, expiry epoch-millis).
+  * Acquisition creates it with `create(overwrite = false)` — the
+  * loudest exists-check primitive the stores offer (HDFS: namenode-
+  * arbitrated; local FS: best-effort, which is fine for an ADVISORY
+  * lock backed by the manifest's own collision check). A claimant that
+  * finds a live lease either returns false (fail-fast policy) or polls
+  * until the deadline ([[acquireOrWait]]); one that finds an EXPIRED
+  * lease deletes it and retries. Release deletes the file only if the
+  * holder still owns it — releasing someone else's lease (the classic
+  * expired-then-reacquired race) is refused.
+  *
+  * The lease file's name starts with '_' so [[IndexManifest]]'s version
+  * listing (`v\d{12}`) never sees it.
+  */
+object WriterLease {
+
+  final case class Lease(holder: String, expiresAtMs: Long)
+
+  def leasePath(anchor: String): String =
+    IndexManifest.dir(anchor) + "/_lease"
+
+  private def fs(s: SparkSession, p: Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** The current lease, if a lease file exists (expired or not). */
+  def current(s: SparkSession, anchor: String): Option[Lease] = {
+    val p = new Path(leasePath(anchor))
+    val f = fs(s, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val i = body.indexOf('\t')
+      require(i > 0, s"WriterLease: malformed lease file '$body'")
+      Some(Lease(body.substring(0, i), body.substring(i + 1).trim.toLong))
+    }
+  }
+
+  /** Try to take the write lease for `ttlMs`. Returns true if `holder`
+    * now owns it (including re-acquiring/renewing its own live lease);
+    * false if another holder's UNEXPIRED lease stands. An expired lease
+    * is broken (deleted) and the claim retried.
+    */
+  def acquire(
+      s: SparkSession, anchor: String, holder: String, ttlMs: Long,
+      nowMs: () => Long = () => System.currentTimeMillis()): Boolean = {
+    require(holder.nonEmpty && !holder.contains("\t") && !holder.contains("\n"),
+      "WriterLease: holder id must be non-empty and tab/newline-free")
+    val p = new Path(leasePath(anchor))
+    val f = fs(s, p)
+    current(s, anchor) match {
+      case Some(l) if l.holder == holder =>
+        // renewal: the owner extends its own lease (overwrite is safe —
+        // nobody else may legally touch a live lease)
+        val out = f.create(p, true)
+        try out.write(s"$holder\t${nowMs() + ttlMs}\n".getBytes("UTF-8"))
+        finally out.close()
+        true
+      case Some(l) if l.expiresAtMs >= nowMs() =>
+        false // live foreign lease — wait or fail, caller's policy
+      case other =>
+        // expired foreign lease (break it) or no lease at all
+        if (other.isDefined) f.delete(p, false)
+        val parent = p.getParent
+        if (!f.exists(parent)) f.mkdirs(parent)
+        try {
+          val out = f.create(p, false) // loud if a racer landed first
+          try out.write(s"$holder\t${nowMs() + ttlMs}\n".getBytes("UTF-8"))
+          finally out.close()
+          true
+        } catch {
+          case _: java.io.IOException => false // lost the creation race
+        }
+    }
+  }
+
+  /** [[acquire]] with a bounded wait: polls every `pollMs` until the
+    * claim lands or `waitMs` elapses. The bounded-delay form of the
+    * crashed-writer page: a successor parks here for at most
+    * (predecessor TTL + poll slack) instead of failing on the collision.
+    */
+  def acquireOrWait(
+      s: SparkSession, anchor: String, holder: String, ttlMs: Long,
+      waitMs: Long, pollMs: Long = 200L,
+      nowMs: () => Long = () => System.currentTimeMillis()): Boolean = {
+    val deadline = nowMs() + waitMs
+    var got = acquire(s, anchor, holder, ttlMs, nowMs)
+    while (!got && nowMs() <= deadline) {
+      Thread.sleep(math.max(1L, pollMs))
+      got = acquire(s, anchor, holder, ttlMs, nowMs)
+    }
+    got
+  }
+
+  /** Release `holder`'s lease. A no-op if no lease stands; REFUSES loudly
+    * if someone else's lease stands (the expired-then-reacquired race:
+    * deleting it would hand the index to a third claimant while the
+    * second still believes it is the writer).
+    */
+  def release(s: SparkSession, anchor: String, holder: String): Unit =
+    current(s, anchor).foreach { l =>
+      require(l.holder == holder,
+        s"WriterLease.release: $anchor is leased by '${l.holder}', not " +
+          s"'$holder' — refusing to break a lease this holder does not own")
+      fs(s, new Path(leasePath(anchor))).delete(new Path(leasePath(anchor)), false)
+      ()
+    }
+
+  /** Run `body` under the lease, releasing on every exit path. Throws
+    * (rather than waiting) if the lease cannot be claimed within
+    * `waitMs` — the fail-deadline policy for scheduled jobs, where a
+    * writer that cannot start by its slot should page rather than queue.
+    */
+  def withLease[T](
+      s: SparkSession, anchor: String, holder: String,
+      ttlMs: Long = 600000L, waitMs: Long = 0L)(body: => T): T = {
+    require(acquireOrWait(s, anchor, holder, ttlMs, waitMs),
+      s"WriterLease: could not claim $anchor within ${waitMs}ms " +
+        s"(held by ${current(s, anchor).map(_.holder).getOrElse("?")})")
+    try body
+    finally release(s, anchor, holder)
+  }
+}

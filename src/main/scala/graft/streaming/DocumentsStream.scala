@@ -67,6 +67,86 @@ object DocumentsStream {
     q.awaitTermination()
   }
 
+  /** EXACTLY-ONCE streaming ingest into the MinHash band index — the
+    * candidate-generation side of near-dup detection under a stream:
+    * each micro-batch's signatures land through
+    * [[graft.operators.DedupQueries.ingestBandBatch]] as ONE atomic
+    * manifest commit (band keys + masking tombstone + the (checkpoint,
+    * batch-id) fence), so at-least-once replays are fenced, a fresh
+    * checkpoint refuses loudly, and the fence rides the compaction's
+    * location move. Pinned in StreamingSpec.
+    */
+  def runBandIngest(
+      spark: SparkSession, inPath: String, table: String,
+      checkpoint: String): Unit = {
+    val q = readDocs(spark, inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.DedupQueries.ingestBandBatch(
+            batch.toDF(), table, batchId, streamId = checkpoint)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** EXACTLY-ONCE streaming ingest into the prefix (PPJoin) index — the
+    * exact-recall family's ingest twin: per-batch representatives'
+    * prefix rows (under the index's frozen token order) land through
+    * [[graft.operators.DedupQueries.ingestPrefixBatch]] as one atomic
+    * commit serving BOTH halves (inverted and forward read the same
+    * delta). Pinned in StreamingSpec.
+    */
+  def runPrefixIngest(
+      spark: SparkSession, inPath: String, table: String,
+      checkpoint: String): Unit = {
+    val q = readDocs(spark, inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.DedupQueries.ingestPrefixBatch(
+            batch.toDF(), table, batchId, streamId = checkpoint)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** EXACTLY-ONCE streaming ingest into the phash index — the media
+    * family's ingest twin: arriving binary assets are perceptual-hashed
+    * per micro-batch and their band keys land through
+    * [[graft.operators.MultimodalQueries.ingestPhashBatch]] as one atomic
+    * commit. Pinned in StreamingSpec.
+    */
+  def runPhashIngest(
+      spark: SparkSession, inPath: String, table: String,
+      checkpoint: String): Unit = {
+    val assetSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("payload", org.apache.spark.sql.types.BinaryType),
+      StructField("format", StringType)))
+    val q = spark.readStream
+      .schema(assetSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.MultimodalQueries.ingestPhashBatch(
+            batch.toDF(), table, batchId, streamId = checkpoint)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain `inPath` with Trigger.AvailableNow, joining every micro-batch
     * against `indexTable` (a [[DedupQueries.writeBandIndex]] bucketed
     * table); candidate pairs land under `outPath`.
@@ -78,7 +158,10 @@ object DocumentsStream {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val bands = DedupQueries.bandKeysOf(DedupQueries.signaturesOf(batch.toDF()))
-        val idx = spark.table(indexTable)
+        // the VISIBLE index view (tombstones masked, ingested batches
+        // included) — a mid-stream takedown stops matching and a
+        // mid-stream ingest starts matching from the next micro-batch on
+        val idx = DedupQueries.bandIndexFrame(spark, indexTable)
           .select(col("doc_id").as("c_id"), col("bk"))
         bands.join(idx, "bk")
           .select("doc_id", "c_id").distinct()

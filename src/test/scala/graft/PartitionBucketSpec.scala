@@ -91,9 +91,10 @@ class PartitionBucketSpec extends SparkSpec {
   }
 
   test("IVF index compaction: one file per cell afterwards, probe parity preserved") {
-    // appends accumulate one file per touched cell per batch; compaction
-    // must collapse each cell to a single file, atomically, without
-    // changing any probe result
+    // appends accumulate delta batches (the atomic insert-only route
+    // never touches the standing cell files); compaction must fold the
+    // window into a single file per cell, atomically, without changing
+    // any probe result
     import graft.operators.SimilarityQueries
     val path = s"$tmp/ivf_index_cmp"
     SimilarityQueries.writeIvfIndexWhere(spark, sfDir, path, col("vec_id") < 300)
@@ -107,10 +108,16 @@ class PartitionBucketSpec extends SparkSpec {
         graft.sources.IndexManifest.dataPath(spark, path, path)).listFiles()
       .filter(_.getName.startsWith("cell=")).toSeq
       .map(_.listFiles().count(_.getName.endsWith(".parquet")))
-    assert(filesPerCell.exists(_ > 1), s"appends did not fragment: $filesPerCell")
+    // the appends opened a two-batch delta window; the base files are
+    // untouched (that is the atomicity: no standing file ever mutates)
+    assert(graft.sources.IndexManifest.current(spark, path)
+      .exists(_.deltas.size == 2), "appends must land as delta batches")
+    assert(filesPerCell.forall(_ == 1), s"append mutated the base: $filesPerCell")
     SimilarityQueries.compactIvfIndex(spark, path)
     val after = filesPerCell
     assert(after.nonEmpty && after.forall(_ == 1), s"not compacted: $after")
+    assert(graft.sources.IndexManifest.current(spark, path)
+      .forall(_.deltas.isEmpty), "the fold must retire the delta window")
     val probed = SimilarityQueries.ivfTopkFromIndex(spark, sfDir, path)
     val direct = SparkEntry.queries("ann_ivf_topk")(spark, sfDir)
     val cols = direct.columns.map(col).toSeq
@@ -314,8 +321,10 @@ class PartitionBucketSpec extends SparkSpec {
       d.filter(col("doc_id") >= half && col("doc_id") < thr), "winnow_idx_appnd")
     val bFps = TextQueries.winnowSelected(d.filter(col("doc_id") >= thr))
       .select(col("doc_id"), col("fp")).distinct()
+    // probe the VISIBLE view (base ∪ the append's delta batch — the
+    // atomic append never touches the bucketed table's standing files)
     val appended = DedupQueries
-      .winnowIncrementalPairs(bFps, spark.table("winnow_idx_appnd"))
+      .winnowIncrementalPairs(bFps, DedupQueries.winnowIndexFrame(spark, "winnow_idx_appnd"))
       .orderBy("doc_id", "c_id").collect()
     val rebuilt = SparkEntry.queries("dedup_winnow_incremental")(spark, sfDir).collect()
     assert(appended.nonEmpty && appended.toSeq == rebuilt.toSeq,
@@ -339,18 +348,25 @@ class PartitionBucketSpec extends SparkSpec {
       .option("path", s"$tmp/winnow_idx_replay").saveAsTable("winnow_idx_replay")
     val batch = d.filter(col("doc_id") >= half && col("doc_id") < thr)
     DedupQueries.appendWinnowIndex(batch, "winnow_idx_replay")
-    val rowsAfterFirst = spark.table("winnow_idx_replay").count()
+    def visibleRows = DedupQueries.winnowIndexFrame(spark, "winnow_idx_replay").count()
+    def openDeltas = graft.sources.IndexManifest.current(spark,
+        graft.sources.Tombstones.tableLocation(spark, "winnow_idx_replay"))
+      .map(_.deltas.size).getOrElse(0)
+    val rowsAfterFirst = visibleRows
+    assert(openDeltas == 1, "the append must land as one delta batch")
     val bFps = TextQueries.winnowSelected(d.filter(col("doc_id") >= thr))
       .select(col("doc_id"), col("fp")).distinct()
     val probeAfterFirst = DedupQueries
-      .winnowIncrementalPairs(bFps, spark.table("winnow_idx_replay"))
+      .winnowIncrementalPairs(bFps, DedupQueries.winnowIndexFrame(spark, "winnow_idx_replay"))
       .orderBy("doc_id", "c_id").collect()
-    // the replay: same batch, appended again
+    // the replay: same batch, appended again — a clean no-op (no visible
+    // rows added AND no empty delta batch committed)
     DedupQueries.appendWinnowIndex(batch, "winnow_idx_replay")
-    assert(spark.table("winnow_idx_replay").count() == rowsAfterFirst,
+    assert(visibleRows == rowsAfterFirst,
       "replayed append added rows — idempotency guard lost")
+    assert(openDeltas == 1, "replayed append committed an empty delta batch")
     val probeAfterReplay = DedupQueries
-      .winnowIncrementalPairs(bFps, spark.table("winnow_idx_replay"))
+      .winnowIncrementalPairs(bFps, DedupQueries.winnowIndexFrame(spark, "winnow_idx_replay"))
       .orderBy("doc_id", "c_id").collect()
     assert(probeAfterFirst.nonEmpty && probeAfterReplay.toSeq == probeAfterFirst.toSeq)
   }
@@ -473,8 +489,9 @@ class PartitionBucketSpec extends SparkSpec {
   }
 
   test("inverted-index compaction: one file per bucket afterwards, probe parity") {
-    // append-fragmented postings buckets (one file per bucket per append)
-    // must compact to one file per bucket with every probe result intact
+    // the atomic append opens a delta window (the standing bucket files
+    // never mutate); compaction must fold the window back to one file per
+    // bucket with every probe result intact
     import graft.operators.SearchQueries
     val path = s"$tmp/search_idx_c"
     val thr = Tables.documents(spark, sfDir)
@@ -486,21 +503,25 @@ class PartitionBucketSpec extends SparkSpec {
         .select(col("doc_id"), col("text"), col("lang")))
     val before = SearchQueries.bm25TopkFromIndex(spark, "search_idx_c", path).collect()
     def files(t: String): Array[String] = spark.table(t).inputFiles
-    assert(files("search_idx_c").length > 8, "append did not fragment buckets")
+    assert(files("search_idx_c").length <= 8, "append mutated the bucketed table")
+    assert(graft.sources.IndexManifest.current(spark, path)
+      .exists(_.deltas.size == 1), "the append must land as one delta batch")
     SearchQueries.compactSearchIndex(spark, "search_idx_c", path)
     val after = files("search_idx_c")
     assert(after.length <= 8, s"still ${after.length} files after compaction")
     assert(after.forall(_.contains("search_idx_c__c")), "location did not move")
+    assert(graft.sources.IndexManifest.current(spark, path)
+      .forall(_.deltas.isEmpty), "the fold must retire the delta window")
     val probed = SearchQueries.bm25TopkFromIndex(spark, "search_idx_c", path).collect()
     assert(probed.nonEmpty && probed.toSeq == before.toSeq)
-    // the lifecycle composes: an append AFTER a compaction must land at the
-    // table's moved location (no stale-path write), leaving probes exact.
+    // the lifecycle composes: an append AFTER a compaction serves from the
+    // visible view regardless of the table's moved location.
     // Re-append a disjoint id range by shifting ids out past the corpus.
     val extra = Tables.documents(spark, sfDir)
       .filter(col("doc_id") < 5)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang"))
     SearchQueries.appendSearchIndex(spark, "search_idx_c", path, extra)
-    val appended = spark.table("search_idx_c")
+    val appended = SearchQueries.visiblePostings(spark, "search_idx_c", path)
       .filter(col("doc_id") >= 1000000L).select("doc_id").distinct().count()
     assert(appended == 5, s"append after compaction lost rows: $appended")
   }

@@ -532,6 +532,117 @@ class StreamingSpec extends SparkSpec {
     assert(frame("winnow_idx_ing") == drained)
   }
 
+  test("streaming band ingest drains exactly once; the fence rides the fold") {
+    // the MinHash family's ingest twin: streamed batches land through the
+    // same (checkpoint, batch-id) fence as search/IVF/winnow; drained
+    // probe-visible frame == eagerly-buffered twin; replays no-op both
+    // before AND after the compaction's location move; a foreign lineage
+    // refuses loudly
+    import graft.operators.DedupQueries
+    import graft.streaming.DocumentsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-bandingest").toString
+    val thr = DedupQueries.writeBandIndex(spark, sfDir, "band_idx_ing", s"$base/idx")
+    DedupQueries.writeBandIndex(spark, sfDir, "band_idx_ing_e", s"$base/idxe")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val b1 = docs.filter(col("doc_id") % 13 === 1 && col("doc_id") < thr)
+      .select(col("doc_id") + 5000000L as "doc_id", col("text"))
+    val b2 = docs.filter(col("doc_id") % 13 === 4 && col("doc_id") < thr)
+      .select(col("doc_id") + 6000000L as "doc_id", col("text"))
+    Seq(b1, b2).foreach(_.coalesce(1).write.mode("append").parquet(s"$base/in"))
+    DocumentsStream.runBandIngest(spark, s"$base/in", "band_idx_ing", s"$base/ckpt")
+    DedupQueries.bufferBandUpdate(b1, "band_idx_ing_e")
+    DedupQueries.bufferBandUpdate(b2, "band_idx_ing_e")
+    def frame(t: String) = DedupQueries.bandIndexFrame(spark, t)
+      .orderBy("doc_id", "bk").collect().toSeq
+    val drained = frame("band_idx_ing")
+    assert(drained.nonEmpty && drained == frame("band_idx_ing_e"))
+    // an at-least-once redelivery of an already-committed batch id no-ops
+    assert(!DedupQueries.ingestBandBatch(b2, "band_idx_ing", 1L,
+      streamId = s"$base/ckpt"))
+    // the fence rides the fold's location move: the replay still skips
+    DedupQueries.compactBandIndex(spark, "band_idx_ing")
+    assert(frame("band_idx_ing") == drained)
+    assert(!DedupQueries.ingestBandBatch(b2, "band_idx_ing", 1L,
+      streamId = s"$base/ckpt"))
+    assert(frame("band_idx_ing") == drained)
+    // a different lineage refuses loudly instead of silently fencing
+    val e = intercept[IllegalArgumentException] {
+      DedupQueries.ingestBandBatch(b1, "band_idx_ing", 0L, streamId = "other")
+    }
+    assert(e.getMessage.contains("lineage"), e.getMessage)
+  }
+
+  test("streaming prefix ingest drains exactly once and serves both halves") {
+    // the exact-recall family's ingest twin: one committed delta serves
+    // BOTH the inverted and forward views; drained == eagerly-buffered
+    // twin on each; replay no-ops; foreign lineage refuses
+    import graft.operators.DedupQueries
+    import graft.streaming.DocumentsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-prefingest").toString
+    val thr = DedupQueries.writePrefixIndex(spark, sfDir, "prefix_idx_ing", s"$base/idx")
+    DedupQueries.writePrefixIndex(spark, sfDir, "prefix_idx_ing_e", s"$base/idxe")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val b1 = docs.filter(col("doc_id") % 13 === 1 && col("doc_id") < thr)
+      .select(col("doc_id") + 5000000L as "doc_id", col("text"))
+    val b2 = docs.filter(col("doc_id") % 13 === 4 && col("doc_id") < thr)
+      .select(col("doc_id") + 6000000L as "doc_id", col("text"))
+    Seq(b1, b2).foreach(_.coalesce(1).write.mode("append").parquet(s"$base/in"))
+    DocumentsStream.runPrefixIngest(spark, s"$base/in", "prefix_idx_ing", s"$base/ckpt")
+    DedupQueries.bufferPrefixUpdate(b1, "prefix_idx_ing_e")
+    DedupQueries.bufferPrefixUpdate(b2, "prefix_idx_ing_e")
+    def frames(t: String) = {
+      val (i, f) = DedupQueries.prefixIndexFrames(spark, t)
+      (i.orderBy("doc_id", "x").collect().toSeq,
+        f.orderBy("doc_id", "x").collect().toSeq)
+    }
+    val drained = frames("prefix_idx_ing")
+    assert(drained._1.nonEmpty && drained == frames("prefix_idx_ing_e"))
+    // the ingested rows serve the FORWARD view from the same one commit
+    assert(drained._2.exists(_.getLong(0) >= 5000000L),
+      "ingested representatives must reach the forward store view")
+    assert(!DedupQueries.ingestPrefixBatch(b2, "prefix_idx_ing", 1L,
+      streamId = s"$base/ckpt"))
+    assert(frames("prefix_idx_ing") == drained)
+    val e = intercept[IllegalArgumentException] {
+      DedupQueries.ingestPrefixBatch(b1, "prefix_idx_ing", 0L, streamId = "other")
+    }
+    assert(e.getMessage.contains("lineage"), e.getMessage)
+  }
+
+  test("streaming phash ingest drains exactly once") {
+    // the media family's ingest twin: streamed binary assets hash per
+    // micro-batch and land through the shared fence; drained ==
+    // eagerly-buffered twin; replay no-ops; foreign lineage refuses
+    import graft.operators.{Multimodal, MultimodalQueries}
+    import graft.streaming.DocumentsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-phashingest").toString
+    MultimodalQueries.writePhashIndex(spark, sfDir, "phash_idx_ing", s"$base/idx")
+    MultimodalQueries.writePhashIndex(spark, sfDir, "phash_idx_ing_e", s"$base/idxe")
+    val assets = Multimodal.documentsAsAssets(spark, sfDir)
+      .select("asset_id", "payload", "format")
+    // fresh ids BELOW the 1e6 variant offset (the ingest guard's bound)
+    val b1 = assets.filter(col("asset_id") % 13 === 1)
+      .select(col("asset_id") + 300000L as "asset_id", col("payload"), col("format"))
+    val b2 = assets.filter(col("asset_id") % 13 === 4)
+      .select(col("asset_id") + 400000L as "asset_id", col("payload"), col("format"))
+    Seq(b1, b2).foreach(_.coalesce(1).write.mode("append").parquet(s"$base/in"))
+    DocumentsStream.runPhashIngest(spark, s"$base/in", "phash_idx_ing", s"$base/ckpt")
+    MultimodalQueries.bufferPhashUpdate(b1, "phash_idx_ing_e")
+    MultimodalQueries.bufferPhashUpdate(b2, "phash_idx_ing_e")
+    def frame(t: String) = MultimodalQueries.phashIndexFrame(spark, t)
+      .orderBy("asset_id", "bk").collect().toSeq
+    val drained = frame("phash_idx_ing")
+    assert(drained.nonEmpty && drained == frame("phash_idx_ing_e"))
+    assert(drained.exists(_.getLong(0) >= 300000L), "ingested signatures must serve")
+    assert(!MultimodalQueries.ingestPhashBatch(b2, "phash_idx_ing", 1L,
+      streamId = s"$base/ckpt"))
+    assert(frame("phash_idx_ing") == drained)
+    val e = intercept[IllegalArgumentException] {
+      MultimodalQueries.ingestPhashBatch(b1, "phash_idx_ing", 0L, streamId = "other")
+    }
+    assert(e.getMessage.contains("lineage"), e.getMessage)
+  }
+
   test("stream-from-empty ingest with auto-fold equals the one-shot build") {
     // the complete LSM loop: an EMPTY bootstrap (zero rows, zero stats)
     // absorbs the whole corpus as streamed batches, folding inline every

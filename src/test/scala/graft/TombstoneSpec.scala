@@ -139,12 +139,13 @@ class TombstoneSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("deleted"), e.getMessage)
     // after compaction the id is genuinely gone and may be re-appended
+    // (visible through the frame — the atomic append lands as a delta)
     DedupQueries.compactWinnowIndex(spark, "winnow_del_clash")
     DedupQueries.appendWinnowIndex(
       Tables.documents(spark, sfDir)
         .filter(col("doc_id") === someId).select("doc_id", "text"),
       "winnow_del_clash")
-    assert(spark.table("winnow_del_clash")
+    assert(DedupQueries.winnowIndexFrame(spark, "winnow_del_clash")
       .filter(col("doc_id") === someId).count() > 0)
   }
 
@@ -803,20 +804,25 @@ class TombstoneSpec extends SparkSpec {
     val d1 = Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 3)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     SearchQueries.deleteFromSearchIndex(spark, "search_vac_idx", path, d1) // v1
-    SearchQueries.appendSearchIndex(spark, "search_vac_idx", path,        // v2 (gen bump) + v3 (stats)
+    SearchQueries.appendSearchIndex(spark, "search_vac_idx", path,        // v2 (ONE commit: delta + stats)
       Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 3)
         .select(col("doc_id") + 1000000L as "doc_id", col("text"), col("lang")))
-    val d2 = Seq(1000000L + d1.head)
-    SearchQueries.deleteFromSearchIndex(spark, "search_vac_idx", path, d2) // v4
+    // a second ORIGINAL-id takedown (an appended id sits in the open delta
+    // window, where the delete path correctly refuses until a fold)
+    val d2 = Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 2)
+      .select("doc_id").limit(1).collect().map(_.getLong(0)).toSeq
+    SearchQueries.deleteFromSearchIndex(spark, "search_vac_idx", path, d2) // v3
     val before = sorted(SearchQueries.bm25TopkFromIndex(spark, "search_vac_idx", path))
     def exists(p: String) = new java.io.File(p).exists()
-    // v1 and v3 stats are superseded by v4's; fragments f1/f4 stay live
-    assert(exists(s"${path}_stats_e1") && exists(s"${path}_stats_e3"))
+    // v1 and v2 stats are superseded by v3's; fragments f1/f3 and the
+    // append's delta b2 stay live
+    assert(exists(s"${path}_stats_e1") && exists(s"${path}_stats_e2"))
     val reclaimed = t.vacuum(spark, path)
     assert(reclaimed >= 2, s"reclaimed $reclaimed")
-    assert(!exists(s"${path}_stats_e1") && !exists(s"${path}_stats_e3"))
-    assert(exists(s"${path}_stats_e4"))
-    assert(exists(s"${t.sidecar(path)}/f1") && exists(s"${t.sidecar(path)}/f4"))
+    assert(!exists(s"${path}_stats_e1") && !exists(s"${path}_stats_e2"))
+    assert(exists(s"${path}_stats_e3"))
+    assert(exists(s"${t.sidecar(path)}/f1") && exists(s"${t.sidecar(path)}/f3"))
+    assert(exists(s"${t.deltaDir(path)}/b2"), "the live delta batch must survive")
     assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_vac_idx", path)) == before)
     // a planted data-epoch orphan (a crashed compaction cleanup) reclaims
     // through the defaultData naming; the live artifacts again survive
@@ -947,18 +953,26 @@ class TombstoneSpec extends SparkSpec {
     assert(e3.getMessage.contains("buffered"), e3.getMessage)
   }
 
-  test("as-of travel across a base-generation change fails loudly") {
-    // an append mutates the live table in place; without the generation
-    // counter an as-of read below it would SILENTLY score the appended
-    // rows against pre-append stats (neither epoch's ranking)
+  test("as-of travel survives appends (insert-only deltas) and fails loudly across a compaction") {
+    // the atomic append never touches standing files, so the base
+    // generation holds and travel below an append stays EXACT (the old
+    // in-place append had to fence it); a compaction rewrites the base,
+    // so travel across it refuses loudly — without the generation counter
+    // an as-of read below it would SILENTLY mix epochs
     import graft.operators.{SearchQueries, SimilarityQueries}
     val path = s"$tmp/search_asofgen"
     SearchQueries.writeSearchIndex(spark, sfDir, "search_asofgen", path)
     SearchQueries.deleteFromSearchIndex(spark, "search_asofgen", path,
       Seq(Tables.documents(spark, sfDir).agg(min(col("doc_id"))).head.getLong(0))) // v1
-    SearchQueries.appendSearchIndex(spark, "search_asofgen", path,              // v2, gen+1
+    val atV1 = sorted(SearchQueries.bm25TopkFromIndexAsOf(spark, "search_asofgen", path, 1L))
+    SearchQueries.appendSearchIndex(spark, "search_asofgen", path,              // v2, same gen
       Tables.documents(spark, sfDir).limit(3)
         .select(col("doc_id") + 5000000L as "doc_id", col("text"), col("lang")))
+    // travel below the append reproduces the pre-append ranking exactly
+    assert(sorted(SearchQueries.bm25TopkFromIndexAsOf(
+      spark, "search_asofgen", path, 1L)) == atV1)
+    // the compaction is the generation boundary: travel below it refuses
+    SearchQueries.compactSearchIndex(spark, "search_asofgen", path)
     val err = intercept[IllegalArgumentException] {
       SearchQueries.bm25TopkFromIndexAsOf(spark, "search_asofgen", path, 1L)
     }
@@ -1462,8 +1476,8 @@ class TombstoneSpec extends SparkSpec {
       log(4).getLong(4) == 0L, log(4))
     // the high-water mark rode through both
     assert(log(4).getLong(6) == 7L, log(4))
-    // a PURE small-file compaction (no outstanding window) still reads
-    // 'fold' — the data pointer moved — not an append's bare fence
+    // an insert-only append reads 'append' (delta, no fragment, no fence
+    // move); the fold that retires it reads 'fold' (the data pointer moved)
     import graft.operators.SimilarityQueries
     val ip = s"$tmp/ivf_mlog"
     SimilarityQueries.writeIvfIndex(spark, sfDir, ip)
@@ -1472,30 +1486,327 @@ class TombstoneSpec extends SparkSpec {
         .select(col("vec_id") + 3000000L as "vec_id", col("embedding"), col("label")))
     SimilarityQueries.compactIvfIndex(spark, ip)
     val ilog = t.manifestLog(spark, ip).orderBy("version").collect()
-    assert(ilog.map(_.getString(1)).toSeq == Seq("base_mutation", "fold"), ilog.toSeq)
+    assert(ilog.map(_.getString(1)).toSeq == Seq("append", "fold"), ilog.toSeq)
   }
 
-  test("crash injection: an append dying after its generation bump leaves as-of refusing, never silently wrong") {
-    // the review-found window, pinned shut: the bump lands BEFORE the
-    // postings mutate the live table, so a crash mid-append (here: after
-    // the postings landed, before the stats advance — the worst point)
-    // leaves every as-of read REFUSING loudly; the old ordering would
-    // have served the half-appended postings as the build state
+  test("crash injection: an append dying before its one commit changes nothing") {
+    // the append is ONE commit now (rows + stats land together), so the
+    // old postings-landed/stats-old window cannot exist: a crash at the
+    // atomicity boundary leaves the prepared delta and stats dirs
+    // unreferenced, live probes on the previous epoch, and as-of reads
+    // serving — and the RETRY succeeds cleanly over the old state
     import graft.operators.SearchQueries
     val path = s"$tmp/search_crash3"
     SearchQueries.writeSearchIndex(spark, sfDir, "search_crash3_idx", path)
     val asof0 = sorted(SearchQueries.bm25TopkFromIndexAsOf(
       spark, "search_crash3_idx", path, 0L))
     assert(asof0.nonEmpty)
-    graft.sources.IndexManifest.failCommitCountdown = 1 // bump lands, stats advance dies
+    val live0 = sorted(SearchQueries.bm25TopkFromIndex(spark, "search_crash3_idx", path))
+    val batch = Tables.documents(spark, sfDir).limit(3)
+      .select(col("doc_id") + 7000000L as "doc_id", col("text"), col("lang"))
+    graft.sources.IndexManifest.failNextCommit = true
     intercept[RuntimeException] {
-      SearchQueries.appendSearchIndex(spark, "search_crash3_idx", path,
-        Tables.documents(spark, sfDir).limit(3)
-          .select(col("doc_id") + 7000000L as "doc_id", col("text"), col("lang")))
+      SearchQueries.appendSearchIndex(spark, "search_crash3_idx", path, batch)
     }
-    val err = intercept[IllegalArgumentException] {
-      SearchQueries.bm25TopkFromIndexAsOf(spark, "search_crash3_idx", path, 0L)
+    assert(sorted(SearchQueries.bm25TopkFromIndex(
+      spark, "search_crash3_idx", path)) == live0)
+    assert(sorted(SearchQueries.bm25TopkFromIndexAsOf(
+      spark, "search_crash3_idx", path, 0L)) == asof0)
+    // the retry lands, and the appended ids serve
+    SearchQueries.appendSearchIndex(spark, "search_crash3_idx", path, batch)
+    assert(SearchQueries.visiblePostings(spark, "search_crash3_idx", path)
+      .filter(col("doc_id") >= 7000000L).select("doc_id").distinct().count() == 3)
+    // and as-of travel below the landed append still reproduces the build
+    assert(sorted(SearchQueries.bm25TopkFromIndexAsOf(
+      spark, "search_crash3_idx", path, 0L)) == asof0)
+  }
+
+  test("band-index buffered ingest: base∪delta probes equal a rebuilt index; the fold retires the window") {
+    import graft.operators.DedupQueries
+    val thr = DedupQueries.writeBandIndex(spark, sfDir, "band_ing_idx", s"$tmp/band_ing")
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val arriving = d.filter(col("doc_id") >= thr)
+    val b1 = arriving.filter(col("doc_id") % 2 === 0)
+    val b2 = arriving.filter(col("doc_id") % 2 === 1)
+    def probe(): Seq[org.apache.spark.sql.Row] = {
+      val batchBands = DedupQueries.bandKeysOf(DedupQueries.signaturesOf(
+        d.filter(col("doc_id") < thr && col("doc_id") % 17 === 3)))
+      batchBands.join(
+          DedupQueries.bandIndexFrame(spark, "band_ing_idx")
+            .select(col("doc_id").as("c_id"), col("bk")), "bk")
+        .select("doc_id", "c_id").distinct()
+        .orderBy("doc_id", "c_id").collect().toSeq
     }
-    assert(err.getMessage.contains("generation"), err.getMessage)
+    def inline(corpus: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] = {
+      val all = DedupQueries.bandKeysOf(DedupQueries.signaturesOf(corpus))
+      DedupQueries.bandKeysOf(DedupQueries.signaturesOf(
+          d.filter(col("doc_id") < thr && col("doc_id") % 17 === 3)))
+        .join(all.select(col("doc_id").as("c_id"), col("bk")), "bk")
+        .select("doc_id", "c_id").distinct()
+        .orderBy("doc_id", "c_id").collect().toSeq
+    }
+    DedupQueries.bufferBandUpdate(b1, "band_ing_idx")
+    val after1 = probe()
+    assert(after1 == inline(d.filter(col("doc_id") < thr).unionByName(b1)))
+    // a crashed buffer changes nothing — the prepared delta is never named
+    graft.sources.IndexManifest.failNextCommit = true
+    intercept[RuntimeException] { DedupQueries.bufferBandUpdate(b2, "band_ing_idx") }
+    assert(probe() == after1)
+    DedupQueries.bufferBandUpdate(b2, "band_ing_idx")
+    val after2 = probe()
+    assert(after2 == inline(d))
+    // deleting an id with a buffered batch outstanding fails loudly
+    // (picked from the shingle-able docs — short docs own no index rows)
+    val buffered = b2.filter(size(split(col("text"), " ")) >= 3)
+      .select("doc_id").limit(1).collect().head.getLong(0)
+    val clash = intercept[IllegalArgumentException] {
+      DedupQueries.deleteFromBandIndex(spark, "band_ing_idx", Seq(buffered))
+    }
+    assert(clash.getMessage.contains("compactBandIndex"), clash.getMessage)
+    // the fold: window retired, rows physical, probe unchanged
+    DedupQueries.compactBandIndex(spark, "band_ing_idx")
+    val anchor = graft.sources.Tombstones.tableLocation(spark, "band_ing_idx")
+    assert(graft.sources.IndexManifest.current(spark, anchor)
+      .forall(e => e.deltas.isEmpty && e.tombstones.isEmpty))
+    assert(probe() == after2)
+    assert(spark.table("band_ing_idx")
+      .filter(col("doc_id") === buffered).count() > 0)
+    // and the folded id is deletable now
+    DedupQueries.deleteFromBandIndex(spark, "band_ing_idx", Seq(buffered))
+    assert(DedupQueries.bandIndexFrame(spark, "band_ing_idx")
+      .filter(col("doc_id") === buffered).count() == 0)
+  }
+
+  test("phash buffered ingest: re-hashed signatures land atomically; probes equal the inline union") {
+    import graft.operators.{Multimodal, MultimodalQueries}
+    MultimodalQueries.writePhashIndex(spark, sfDir, "phash_ing_idx", s"$tmp/phash_ing")
+    val base = Multimodal.documentsAsAssets(spark, sfDir)
+    // fresh ids BELOW the 1e6 variant offset (the guard must admit these);
+    // deterministic filters, not limit() — the batch frame re-evaluates
+    val batch = base.filter(col("asset_id") % 13 === 2).select(
+      col("asset_id") + 400000L as "asset_id", col("payload"), col("format"))
+    val probeKeys = MultimodalQueries.phashBandKeys(
+      Multimodal.perceptualHash(
+        base.filter(col("asset_id") % 13 === 2 || col("asset_id") % 17 === 3).select(
+          col("asset_id") + 800000L as "asset_id", col("payload"), col("format"))).toDF())
+    def probe() = MultimodalQueries.phashProbePairs(
+        probeKeys, MultimodalQueries.phashIndexFrame(spark, "phash_ing_idx"))
+      .orderBy("asset_id", "src_id").collect().toSeq
+    val before = probe()
+    MultimodalQueries.bufferPhashUpdate(batch, "phash_ing_idx")
+    val after = probe()
+    val inlineKeys = MultimodalQueries.phashBandKeys(
+      Multimodal.perceptualHash(base.unionByName(batch)).toDF())
+    val expect = MultimodalQueries.phashProbePairs(probeKeys, inlineKeys)
+      .orderBy("asset_id", "src_id").collect().toSeq
+    assert(after == expect && after != before,
+      s"ingested signatures must serve (${after.size} vs ${expect.size})")
+    // the variant-offset id bound holds at the ingest entry too
+    val bad = intercept[IllegalArgumentException] {
+      MultimodalQueries.bufferPhashUpdate(
+        base.limit(1).select(col("asset_id") + 2000000L as "asset_id",
+          col("payload"), col("format")), "phash_ing_idx")
+    }
+    assert(bad.getMessage.contains("1e6"), bad.getMessage)
+    // fold parity
+    MultimodalQueries.compactPhashIndex(spark, "phash_ing_idx")
+    assert(probe() == after)
+  }
+
+  test("prefix-index buffered ingest under the frozen order: verified pairs equal the content pipeline") {
+    import graft.operators.DedupQueries
+    val thr = DedupQueries.writePrefixIndex(
+      spark, sfDir, "prefix_ing_idx", s"$tmp/prefix_ing")
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = d.filter(col("doc_id") < thr)
+    // ingest batches TEXT-DISJOINT from the corpus (an ingested duplicate
+    // text deliberately becomes a second representative — the jac=10000
+    // verdict is the probe's job — so rebuild-parity needs disjoint text)
+    val corpusTexts = corpus.select(md5(col("text")).as("h")).distinct()
+    val arriving = d.filter(col("doc_id") >= thr)
+      .join(corpusTexts, md5(col("text")) === col("h"), "left_anti")
+      .select("doc_id", "text")
+    val b1 = arriving.filter(col("doc_id") % 2 === 0)
+    val b2 = arriving.filter(col("doc_id") % 2 === 1)
+    val probeBatch = corpus.filter(col("doc_id") % 17 === 3)
+    def probe(): Seq[org.apache.spark.sql.Row] = {
+      val (idx, fwd) = DedupQueries.prefixIndexFrames(spark, "prefix_ing_idx")
+      DedupQueries.prefixIncrementalPairs(probeBatch, idx, fwd)
+        .orderBy("doc_id", "c_id").collect().toSeq
+    }
+    def inline(all: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] = {
+      val rows = DedupQueries.prefixIndexRows(all)
+      DedupQueries.prefixIncrementalPairs(probeBatch, rows, rows)
+        .orderBy("doc_id", "c_id").collect().toSeq
+    }
+    DedupQueries.bufferPrefixUpdate(b1, "prefix_ing_idx")
+    val after1 = probe()
+    // the index ranks under its FROZEN build order, the rebuilt inline
+    // under the union's global order — the VERIFIED pair set is exact
+    // under both (the prefix lemma's order-indifference, now pinned for
+    // ingest as well as delete)
+    assert(after1 == inline(corpus.unionByName(b1)))
+    assert(after1.nonEmpty, "corpus probe docs must at least pair with their reps")
+    DedupQueries.bufferPrefixUpdate(b2, "prefix_ing_idx")
+    val after2 = probe()
+    assert(after2 == inline(corpus.unionByName(b1).unionByName(b2)))
+    // the fold retires the window on BOTH halves; probe parity holds
+    DedupQueries.compactPrefixIndex(spark, "prefix_ing_idx")
+    val anchor = graft.sources.Tombstones.tableLocation(spark, "prefix_ing_idx")
+    assert(graft.sources.IndexManifest.current(spark, anchor)
+      .forall(e => e.deltas.isEmpty && e.tombstones.isEmpty))
+    assert(probe() == after2)
+    // an ingested-then-folded representative is takedown-able, and the
+    // delete serves from the next probe (both halves masked); picked from
+    // the FWD store so it is guaranteed to be a representative
+    val ingested = DedupQueries.prefixIndexFrames(spark, "prefix_ing_idx")._2
+      .filter(col("doc_id") >= thr).select("doc_id")
+      .limit(1).collect().head.getLong(0)
+    DedupQueries.deleteFromPrefixIndex(spark, "prefix_ing_idx", Seq(ingested))
+    val (idx3, fwd3) = DedupQueries.prefixIndexFrames(spark, "prefix_ing_idx")
+    assert(idx3.filter(col("doc_id") === ingested).count() == 0)
+    assert(fwd3.filter(col("doc_id") === ingested).count() == 0)
+  }
+
+  test("crash injection: the compaction swap is loud-or-consistent on both sides of its one statement") {
+    // the single-statement swap's whole point, staged: a crash BEFORE the
+    // ALTER TABLE SET LOCATION leaves the OLD location serving (staged
+    // rewrite = reclaimable garbage, retry succeeds); a crash AFTER it
+    // leaves the NEW location serving — at no point is the table
+    // unresolvable (the old DROP+RENAME pair had exactly that window)
+    import graft.operators.DedupQueries
+    val t = graft.sources.Tombstones
+    val thr = DedupQueries.writeBandIndex(spark, sfDir, "band_swap_idx", s"$tmp/band_swap")
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val deleted = d.filter(col("doc_id") < thr && col("doc_id") % 11 === 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    DedupQueries.deleteFromBandIndex(spark, "band_swap_idx", deleted)
+    def probe(): Seq[org.apache.spark.sql.Row] = {
+      val batchBands = DedupQueries.bandKeysOf(
+        DedupQueries.signaturesOf(d.filter(col("doc_id") >= thr)))
+      batchBands.join(
+          DedupQueries.bandIndexFrame(spark, "band_swap_idx")
+            .select(col("doc_id").as("c_id"), col("bk")), "bk")
+        .select("doc_id", "c_id").distinct()
+        .orderBy("doc_id", "c_id").collect().toSeq
+    }
+    val before = probe()
+    assert(before.nonEmpty)
+    // crash BEFORE the swap: old location serves, tombstones still mask
+    t.failBeforeTableSwap = true
+    intercept[RuntimeException] { DedupQueries.compactBandIndex(spark, "band_swap_idx") }
+    assert(probe() == before)
+    assert(t.idSetForTable(spark, "band_swap_idx").nonEmpty,
+      "tombstones must still mask after a pre-swap crash")
+    // crash AFTER the swap: the new location serves the folded rows
+    t.failAfterTableSwap = true
+    intercept[RuntimeException] { DedupQueries.compactBandIndex(spark, "band_swap_idx") }
+    assert(probe() == before)
+    // post-swap the location anchor is fresh: no tombstones outstanding,
+    // the masked rows are physically gone
+    assert(t.idSetForTable(spark, "band_swap_idx").isEmpty)
+    assert(spark.table("band_swap_idx")
+      .filter(col("doc_id").isin(deleted.map(i => i: Any): _*)).count() == 0)
+    // and a retry over the already-swapped table is a clean no-op fold
+    DedupQueries.compactBandIndex(spark, "band_swap_idx")
+    assert(probe() == before)
+  }
+
+  test("manifest resolution price: measured, and immaterial next to any probe") {
+    // the r16 verdict's pricing ask: every probe pays one listStatus +
+    // one small-file read to resolve its epoch. Measure it on a
+    // mutated index (one epoch to parse) and print the figure —
+    // recorded in BASELINE.md; the assert is a 100x canary, not a
+    // benchmark. (No cache: at the measured sub-ms local cost a cache
+    // saves nothing, and a same-JVM cache would go stale against a
+    // cross-session writer — the coherence bug is worse than the read.)
+    import graft.operators.SearchQueries
+    val path = s"$tmp/res_price"
+    SearchQueries.writeSearchIndex(spark, sfDir, "res_price_idx", path)
+    graft.sources.Tombstones.add(spark, path, Seq(1L))
+    (1 to 50).foreach(_ => graft.sources.IndexManifest.current(spark, path))
+    val n = 1000
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < n) {
+      assert(graft.sources.IndexManifest.current(spark, path).isDefined)
+      i += 1
+    }
+    val usPerOp = (System.nanoTime() - t0) / 1000.0 / n
+    println(f"MANIFEST_RESOLUTION_US_PER_OP=$usPerOp%.1f")
+    assert(usPerOp < 50000, f"manifest resolution cost exploded: $usPerOp%.1f us/op")
+  }
+
+  test("writer lease: one writer proceeds, a live foreign lease fails or waits, crash-expiry breaks") {
+    // the automation layer over the single-writer discipline: the
+    // manifest's collision check stays the correctness guard (a true
+    // race still fails loudly at commit); the lease turns a crashed
+    // writer's successor from a page into a bounded wait
+    val wl = graft.sources.WriterLease
+    val anchor = s"$tmp/lease_anchor"
+    assert(wl.acquire(spark, anchor, "writer-a", ttlMs = 60000))
+    // a foreign claimant fails fast while the lease is live...
+    assert(!wl.acquire(spark, anchor, "writer-b", ttlMs = 60000))
+    // ...and the waiting policy parks, polls, and gives up at its deadline
+    assert(!wl.acquireOrWait(spark, anchor, "writer-b", 60000,
+      waitMs = 300, pollMs = 50))
+    // the owner renews its own live lease
+    assert(wl.acquire(spark, anchor, "writer-a", ttlMs = 60000))
+    wl.release(spark, anchor, "writer-a")
+    // crash-expiry under a controllable clock: the holder stops renewing,
+    // the TTL passes, a successor breaks the stale lease and proceeds
+    var now = System.currentTimeMillis()
+    val clock = () => now
+    assert(wl.acquire(spark, anchor, "writer-a", ttlMs = 1000, nowMs = clock))
+    now += 5000 // writer-a crashed; its lease expired un-renewed
+    assert(wl.acquire(spark, anchor, "writer-b", ttlMs = 60000, nowMs = clock))
+    // the corpse coming back cannot release the successor's lease
+    val e = intercept[IllegalArgumentException] {
+      wl.release(spark, anchor, "writer-a")
+    }
+    assert(e.getMessage.contains("writer-b"), e.getMessage)
+    wl.release(spark, anchor, "writer-b")
+    // withLease: claims, runs, releases on every exit path
+    assert(wl.withLease(spark, anchor, "writer-c") { 42 } == 42)
+    assert(wl.current(spark, anchor).isEmpty)
+    // and fails loudly past its wait deadline while someone holds it
+    assert(wl.acquire(spark, anchor, "writer-d", ttlMs = 60000))
+    val e2 = intercept[IllegalArgumentException] {
+      wl.withLease(spark, anchor, "writer-e", waitMs = 200) { 1 }
+    }
+    assert(e2.getMessage.contains("writer-d"), e2.getMessage)
+    wl.release(spark, anchor, "writer-d")
+  }
+
+  test("vacuum retention window: as-of travel survives inside keepEpochs, refuses loudly outside") {
+    import graft.operators.SearchQueries
+    val t = graft.sources.Tombstones
+    val path = s"$tmp/search_vacret"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_vacret_idx", path)
+    val ids = Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 3)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(ids.length >= 3)
+    SearchQueries.deleteFromSearchIndex(spark, "search_vacret_idx", path, Seq(ids(0))) // v1
+    SearchQueries.deleteFromSearchIndex(spark, "search_vacret_idx", path, Seq(ids(1))) // v2
+    SearchQueries.deleteFromSearchIndex(spark, "search_vacret_idx", path, Seq(ids(2))) // v3
+    val asof1 = sorted(SearchQueries.bm25TopkFromIndexAsOf(spark, "search_vacret_idx", path, 1L))
+    val asof2 = sorted(SearchQueries.bm25TopkFromIndexAsOf(spark, "search_vacret_idx", path, 2L))
+    val live = sorted(SearchQueries.bm25TopkFromIndex(spark, "search_vacret_idx", path))
+    // keepEpochs = 1: v2 (the one most recently superseded epoch) stays
+    // travel-able, v1's superseded stats are reclaimed
+    val n = t.vacuum(spark, path, keepEpochs = 1)
+    assert(n >= 1, s"reclaimed $n")
+    assert(sorted(SearchQueries.bm25TopkFromIndexAsOf(
+      spark, "search_vacret_idx", path, 2L)) == asof2)
+    assert(sorted(SearchQueries.bm25TopkFromIndex(
+      spark, "search_vacret_idx", path)) == live)
+    val gone = intercept[Exception] {
+      SearchQueries.bm25TopkFromIndexAsOf(spark, "search_vacret_idx", path, 1L)
+        .collect()
+    }
+    assert(gone.getMessage.contains("stats_e1") ||
+      Option(gone.getCause).exists(_.getMessage.contains("stats_e1")),
+      s"expected a loud missing-path failure, got: ${gone.getMessage}")
+    assert(asof1 != null) // the pre-vacuum read really did serve
   }
 }
