@@ -1693,21 +1693,50 @@ object SimilarityQueries {
     * clustered-corpus NN-Descent measurement in NnDescentSpec) can run the
     * IDENTICAL pipeline on a synthetic embeddings frame.
     */
-  private[graft] def knnGraphOfE(e: DataFrame): DataFrame = {
-    val assign = Materialize(
-      assignToSeeds(e, seedSet(e)).select("vec_id", "v", "nrm", "seed_id"))
+  private[graft] def knnGraphOfE(e: DataFrame): DataFrame =
+    knnEdgesOfAssign(Materialize(
+      assignToSeeds(e, seedSet(e)).select("vec_id", "v", "nrm", "seed_id")))
+      .select("vec_id", "rank", "nbr_id", "cos")
+
+  /** Top-3 same-cell edges over an already-assigned frame (vec_id, v,
+    * nrm, seed_id) — the pair/rank core shared by the inline graph, the
+    * persisted build, and the ingest path's touched-cell recompute.
+    * Emits (vec_id, rank, nbr_id, cos, cell).
+    */
+  private def knnEdgesOfAssign(assign: DataFrame): DataFrame = {
     val a = assign.select(col("seed_id"), col("vec_id"),
       col("v").as("av"), col("nrm").as("an"))
     val b = assign.select(col("seed_id"), col("vec_id").as("nbr_id"),
       col("v").as("bv"), col("nrm").as("bn"))
     val pairs = a.join(b, Seq("seed_id"))
       .filter(col("vec_id") =!= col("nbr_id"))
-      .select(col("vec_id"), col("nbr_id"),
+      .select(col("vec_id"), col("nbr_id"), col("seed_id").as("cell"),
         VectorOps.cosCol("av", "bv", "an", "bn").as("cos"))
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
     pairs.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
-      .select("vec_id", "rank", "nbr_id", "cos")
+      .select("vec_id", "rank", "nbr_id", "cos", "cell")
+  }
+
+  /** The persisted seed-graph's FULL row set over `rows` under an explicit
+    * (frozen) seed geometry: the top-3 edges PLUS one rank-0 MEMBERSHIP
+    * SENTINEL (nbr_id = -1) for every assigned node that has no same-cell
+    * peer — without it, isolated nodes would be invisible to the graph's
+    * own membership reads and an ingest could never pair against them
+    * (a rebuild would). Every row carries the node's `cell` so the ingest
+    * path can find a touched cell's standing members from the graph scan
+    * instead of re-assigning the corpus per batch. Serving reads filter
+    * `nbr_id >= 0`; sentinels never surface.
+    */
+  private[graft] def graphIndexRowsSeeded(rows: DataFrame, seeds: DataFrame): DataFrame = {
+    val assign = Materialize(
+      assignToSeeds(rows, seeds).select("vec_id", "v", "nrm", "seed_id"))
+    val edges = knnEdgesOfAssign(assign)
+    val sentinels = assign
+      .join(edges.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit(0L).as("rank"), lit(-1L).as("nbr_id"),
+        lit(0.0).as("cos"), col("seed_id").as("cell"))
+    edges.unionByName(sentinels)
   }
 
   /** Persist the k-NN graph for "related items" serving: built ONCE, written
@@ -1717,9 +1746,20 @@ object SimilarityQueries {
     * the IVF index, applied to the derived graph.
     */
   def writeKnnGraph(s: SparkSession, dir: String, path: String,
-                    buckets: Long = KNN_BUCKETS): Unit = {
+                    buckets: Long = KNN_BUCKETS): Unit =
+    writeKnnGraphWhere(s, dir, path, lit(true), buckets)
+
+  /** As [[writeKnnGraph]] but indexing only corpus rows matching `pred`,
+    * under the FULL-corpus seed geometry (the writeIvfIndexWhere
+    * convention: geometry is the contract, membership is the filter) —
+    * the bootstrap half of the graph-ingest lifecycle test.
+    */
+  def writeKnnGraphWhere(s: SparkSession, dir: String, path: String,
+                         pred: org.apache.spark.sql.Column,
+                         buckets: Long = KNN_BUCKETS): Unit = {
     graft.sources.Tombstones.reset(s, path)
-    knnGraphOf(s, dir)
+    val e = VectorOps.normalized(s, dir)
+    graphIndexRowsSeeded(e.filter(pred), seedSet(e))
       .withColumn("bucket", pmod(col("vec_id"), lit(buckets)))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
   }
@@ -1763,13 +1803,27 @@ object SimilarityQueries {
     */
   def knnNeighborsFromGraph(s: SparkSession, path: String, ids: Seq[Long],
                             nBuckets: Long = KNN_BUCKETS): DataFrame = {
+    // ONE epoch resolution threads every arm (base, delta override,
+    // tombstone masks) — the probes' one-epoch-per-operation discipline
+    val ep = graft.sources.IndexManifest.current(s, path)
     val buckets = ids.map(_ % nBuckets).distinct.sorted
-    val rows = s.read.parquet(idxData(s, path, path))
+    def arm(df: DataFrame): DataFrame = df
       .filter(col("bucket").isin(buckets.map(b => b.toInt: Any): _*))
       .filter(col("vec_id").isin(ids.map(i => i: Any): _*))
       .select("vec_id", "rank", "nbr_id", "cos")
-    graft.sources.Tombstones.filter(
-        graft.sources.Tombstones.filter(rows, path, "vec_id"), path, "nbr_id")
+    val base = arm(s.read.parquet(ep.flatMap(_.data).getOrElse(path)))
+    // delta-override read: a node with ingested/replacement rows serves
+    // its LATEST rows only (base adjacency superseded by key, no mask
+    // needed); with no open window this is the bare pruned scan
+    val rows = graft.sources.Tombstones.deltaLatestOf(s, ep, "vec_id") match {
+      case Some(d) =>
+        base.join(broadcast(d.select("vec_id").distinct()), Seq("vec_id"), "left_anti")
+          .unionByName(arm(d))
+      case None => base
+    }
+    graft.sources.Tombstones.filterOf(
+        graft.sources.Tombstones.filterOf(
+          rows.filter(col("nbr_id") >= 0), ep, "vec_id"), ep, "nbr_id")
       .orderBy("vec_id", "rank")
   }
 
@@ -1784,16 +1838,177 @@ object SimilarityQueries {
   def deleteFromKnnGraph(s: SparkSession, path: String, vecIds: Seq[Long]): Unit =
     graft.sources.Tombstones.add(s, path, vecIds)
 
-  /** Fold a graph's tombstones in physically: rewrite without rows whose
+  /** Insert a batch of corpus vectors into a persisted k-NN graph WITHOUT
+    * a rebuild — the FreshDiskANN insert re-expressed rebuild-EXACT under
+    * the cell-scoped graph's geometry: the batch assigns against the
+    * index's frozen full-corpus seed set, every TOUCHED cell recomputes
+    * top-3 over (standing members ∪ batch), and the delta carries (a) the
+    * new nodes' rows (or membership sentinels when a cell has no peers)
+    * and (b) replacement rows for exactly the standing nodes whose top-3
+    * admitted a batch node — for an INSERT, a standing node's ranking can
+    * change only by admitting a new candidate, so "top-3 contains a new
+    * neighbor" is the complete change test (this is why the path is
+    * insert-only: a changed VECTOR could also evict itself from others'
+    * lists, which only delete+fold+re-ingest reproduces). Probes serve
+    * the delta by KEY OVERRIDE (a node in the open window serves only its
+    * newest adjacency), so no masking fragment is needed and takedown
+    * tombstones keep their result-surface-only semantics; ONE
+    * [[graft.sources.Tombstones.commitInsertBatch]] commit makes the
+    * whole batch visible or nothing.
+    *
+    * SYSTEM-OF-RECORD CONTRACT: the graph stores topology, never vectors
+    * — scoring always reads the embeddings table — so batch ids MUST
+    * already exist there (checked loudly). The stream that feeds this
+    * tails the corpus table's own append; a graph that served ids the
+    * corpus cannot score would go dark at the next fold.
+    */
+  def bufferGraphInsert(
+      s: SparkSession, dir: String, path: String, newRows: DataFrame,
+      nBuckets: Long = KNN_BUCKETS): Unit =
+    bufferGraphBatch(s, dir, path, newRows, None, nBuckets)
+
+  /** EXACTLY-ONCE streaming ingest of one vector micro-batch into the
+    * k-NN graph — the LAST index family joins the shared fence (see
+    * [[graft.operators.SearchQueries.ingestSearchBatch]] for the
+    * semantics: skip a replayed `batchId` of the SAME lineage, refuse a
+    * different lineage loudly, rows + fence in one atomic commit, fence
+    * rides through [[compactKnnGraph]]'s fold). Streaming caller:
+    * [[graft.streaming.EmbeddingsStream.runGraphIngest]].
+    */
+  def ingestGraphBatch(
+      s: SparkSession, dir: String, path: String, newRows: DataFrame,
+      batchId: Long, streamId: String = "default",
+      nBuckets: Long = KNN_BUCKETS): Boolean =
+    if (!graft.sources.Tombstones.fenceAdmits(
+        s, path, batchId, streamId, "ingestGraphBatch")) false
+    else {
+      bufferGraphBatch(s, dir, path, newRows, Some((streamId, batchId)), nBuckets)
+      true
+    }
+
+  private def bufferGraphBatch(
+      s: SparkSession, dir: String, path: String, newRows: DataFrame,
+      hwm: Option[(String, Long)], nBuckets: Long = KNN_BUCKETS): Unit = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val ep = graft.sources.IndexManifest.current(s, path)
+    val ids = graft.sources.Tombstones.requireUniqueBatchIds(
+      newRows, "vec_id", "bufferGraphInsert")
+    // a deleted id may not re-enter before a fold (the shared guard)
+    graft.sources.Tombstones.idSetOf(s, ep).foreach { t =>
+      val clash = t.withColumnRenamed("id", "vec_id")
+        .join(broadcast(ids.toDF("vec_id")), Seq("vec_id"), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(clash.isEmpty,
+        s"bufferGraphInsert: vec_ids ${clash.mkString(",")} were deleted from " +
+          s"$path — run compactKnnGraph before re-using deleted ids")
+    }
+    val visible = graphRowsVisibleOf(s, ep, path)
+    // insert-only: an id already a graph MEMBER (edge rows or sentinel)
+    // would double-define its adjacency — refuse toward delete+re-ingest
+    val present = visible.select("vec_id").distinct()
+      .join(broadcast(ids.toDF("vec_id")), Seq("vec_id"), "left_semi")
+      .limit(5).collect().map(_.getLong(0))
+    require(present.isEmpty,
+      s"bufferGraphInsert: vec_ids ${present.mkString(",")} are already graph " +
+        s"members in $path — inserts only; replace via deleteFromKnnGraph + " +
+        "compactKnnGraph + re-ingest")
+    // the system-of-record check: every batch id must score from the
+    // corpus table (bounded id list broadcast; the corpus never shuffles)
+    val e = VectorOps.normalized(s, dir)
+    val inCorpus = e.select("vec_id")
+      .join(broadcast(ids.toDF("vec_id")), Seq("vec_id"), "left_semi")
+      .distinct().collect().map(_.getLong(0)).toSet
+    val missing = ids.filterNot(inCorpus).take(5)
+    require(missing.isEmpty,
+      s"bufferGraphInsert: vec_ids ${missing.mkString(",")} are not in the " +
+        s"embeddings corpus under '$dir' — the graph stores topology only; " +
+        "land the corpus append first (probes score from the corpus table)")
+    // frozen geometry: the same full-corpus seed set the build used
+    val seeds = seedSet(e)
+    val nw = newRows
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr(s"sqrt(${VectorOps.dotExpr("v", "v")})"))
+    val nwA = assignToSeeds(nw, seeds).select("vec_id", "v", "nrm", "seed_id")
+    // touched cells — bounded by the batch (≤ N_SEEDS)
+    val touched = nwA.select("seed_id").distinct().collect().map(_.getLong(0)).toSeq
+    // standing members of the touched cells, FROM THE GRAPH's own rows
+    // (cell is a stored column — no per-batch corpus re-assignment), with
+    // vectors fetched from the corpus table by membership join
+    val memberCells = visible
+      .filter(col("cell").isin(touched.map(c => c: Any): _*))
+      .select("vec_id", "cell").distinct()
+    val exA = e.join(memberCells, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell").as("seed_id"))
+    val cand = exA.withColumn("is_new", lit(false))
+      .unionByName(nwA.withColumn("is_new", lit(true)))
+    // touched-cell top-3 over (members ∪ batch) — the rebuild's own pair
+    // computation, scoped to the cells the batch can affect
+    val a = cand.select(col("seed_id"), col("vec_id"),
+      col("v").as("av"), col("nrm").as("an"), col("is_new").as("a_new"))
+    val b = cand.select(col("seed_id"), col("vec_id").as("nbr_id"),
+      col("v").as("bv"), col("nrm").as("bn"), col("is_new").as("b_new"))
+    val pairs = a.join(b, Seq("seed_id"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("a_new"), col("nbr_id"), col("b_new"),
+        col("seed_id").as("cell"),
+        VectorOps.cosCol("av", "bv", "an", "bn").as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr_id"))
+    val top3 = pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+    // changed = every new node + every standing node whose top-3 admitted
+    // a new neighbor (complete under insert-only — see the Scaladoc)
+    val changedIds = top3.groupBy("vec_id")
+      .agg(max(when(col("a_new") || col("b_new"), 1).otherwise(0)).as("chg"))
+      .filter(col("chg") === 1).select("vec_id")
+    val rows = top3.join(changedIds, Seq("vec_id"), "left_semi")
+      .select("vec_id", "rank", "nbr_id", "cos", "cell")
+    // isolated new nodes (no same-cell peer) get membership sentinels —
+    // exactly what the build writes for them
+    val sentinels = nwA
+      .join(rows.select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), lit(0L).as("rank"), lit(-1L).as("nbr_id"),
+        lit(0.0).as("cos"), col("seed_id").as("cell"))
+    val delta = rows.unionByName(sentinels)
+      .withColumn("bucket", pmod(col("vec_id"), lit(nBuckets)))
+    graft.sources.Tombstones.commitInsertBatch(s, path, None, hwm) { d =>
+      delta.write.mode("overwrite").partitionBy("bucket").parquet(d)
+    }
+  }
+
+  /** The probe-visible rows of a persisted graph against a SPECIFIC
+    * epoch: base rows overridden BY KEY with the latest delta rows (a
+    * node present in the open window serves only its newest adjacency —
+    * the graph family's update mechanism needs no masking fragment, so
+    * takedown tombstones keep their pure result-surface semantics), and
+    * sentinels ride along (callers serving edges filter `nbr_id >= 0`).
+    */
+  private[graft] def graphRowsVisibleOf(
+      s: SparkSession, ep: Option[graft.sources.IndexManifest.Epoch],
+      defaultData: String): DataFrame = {
+    val base = s.read.parquet(ep.flatMap(_.data).getOrElse(defaultData))
+    graft.sources.Tombstones.deltaLatestOf(s, ep, "vec_id") match {
+      case Some(d) =>
+        base.join(broadcast(d.select("vec_id").distinct()), Seq("vec_id"), "left_anti")
+          .unionByName(d.select(base.columns.map(col).toSeq: _*))
+      case None => base
+    }
+  }
+
+  /** Fold a graph's tombstones AND any open ingest window in physically:
+    * rewrite the visible rows (delta-overridden) without rows whose
     * EITHER endpoint is deleted (a surviving node must not list a deleted
-    * neighbor), one file per bucket partition, landed by the shared
-    * epoch-dir manifest commit (the compactIvfIndex mechanics — data
-    * pointer and fragment drop in one atom, no directory renames).
+    * neighbor; a sentinel's -1 pseudo-neighbor is never tombstoned so
+    * membership rows survive their node), one file per bucket partition,
+    * landed by the shared epoch-dir manifest commit (the compactIvfIndex
+    * mechanics — data pointer, fragment drop, and window retirement in
+    * one atom, no directory renames).
     */
   def compactKnnGraph(s: SparkSession, path: String): Unit = {
     val t = graft.sources.Tombstones
     t.compactToEpochDir(s, path, path) { (cur, dest, ep) =>
-      t.filterOf(t.filterOf(s.read.parquet(cur), ep, "vec_id"), ep, "nbr_id")
+      t.filterOf(t.filterOf(graphRowsVisibleOf(s, ep, cur), ep, "vec_id"), ep, "nbr_id")
         .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket").parquet(dest)
     }
@@ -1921,6 +2136,9 @@ object SimilarityQueries {
                          queries: DataFrame,
                          nBuckets: Long = KNN_BUCKETS): DataFrame = {
     import s.implicits._
+    // ONE epoch resolution threads every arm (hop reads, delta override,
+    // result mask) — a probe racing a commit sees one consistent epoch
+    val ep = graft.sources.IndexManifest.current(s, path)
     val e = VectorOps.normalized(s, dir)
     val q = broadcast(queries
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))
@@ -1931,7 +2149,7 @@ object SimilarityQueries {
     // directly-scored candidate (caught by TombstoneSpec). The membership
     // read is the same bucket-pruned In-list as a beam hop.
     val seedIds = (0L until N_SEEDS).toSeq
-    val presentSeeds = beamHopRead(s, path, seedIds, nBuckets)
+    val presentSeeds = beamHopReadOf(s, ep, path, seedIds, nBuckets)
       .select("vec_id").distinct()
     val entries = broadcast(e.filter(col("vec_id") < N_SEEDS)
       .join(presentSeeds, Seq("vec_id"), "left_semi")
@@ -1946,7 +2164,7 @@ object SimilarityQueries {
       val beamRows = cand.withColumn("rn", row_number().over(bw))
         .filter(col("rn") <= BEAM_W).select("q_id", "cand_id").collect()
       val beamIds = beamRows.map(_.getLong(1)).distinct.sorted.toSeq
-      val hop = beamHopRead(s, path, beamIds, nBuckets)
+      val hop = beamHopReadOf(s, ep, path, beamIds, nBuckets)
       val beamDf = broadcast(beamRows.toSeq
         .map(r => (r.getLong(0), r.getLong(1))).toDF("q_id", "bid"))
       val expPairs = beamDf.join(hop, beamDf("bid") === hop("vec_id"))
@@ -1965,7 +2183,7 @@ object SimilarityQueries {
     // deleted vectors stay navigable above (routing hops — the
     // FreshDiskANN discipline) but must not SURFACE: drop them from the
     // pool before ranking so survivor ranks stay contiguous
-    graft.sources.Tombstones.filter(cand, path, "cand_id")
+    graft.sources.Tombstones.filterOf(cand, ep, "cand_id")
       .withColumn("rank", row_number().over(bw).cast("long"))
       .filter(col("rank") <= TOP_K)
       .select("q_id", "rank", "cand_id", "cos")
@@ -1975,14 +2193,31 @@ object SimilarityQueries {
   /** One beam hop's graph read: bucket In-list prunes partitions at the
     * file source, vec_id In-list pushes into the pruned files — the probe
     * opens only the beam's graph buckets (pinned in PartitionBucketSpec).
+    * Sentinel rows (nbr_id = -1) are membership markers, not edges —
+    * dropped here; the delta-override arm serves ingested/replacement
+    * adjacency (same bucket pruning — delta batches are bucket-partitioned).
     */
   private[graft] def beamHopRead(s: SparkSession, path: String,
-                                 beamIds: Seq[Long], nBuckets: Long): DataFrame = {
+                                 beamIds: Seq[Long], nBuckets: Long): DataFrame =
+    beamHopReadOf(s, graft.sources.IndexManifest.current(s, path), path,
+      beamIds, nBuckets)
+
+  private def beamHopReadOf(
+      s: SparkSession, ep: Option[graft.sources.IndexManifest.Epoch],
+      defaultData: String, beamIds: Seq[Long], nBuckets: Long): DataFrame = {
     val hotBuckets = beamIds.map(_ % nBuckets).distinct.sorted
-    s.read.parquet(idxData(s, path, path))
+    def arm(df: DataFrame): DataFrame = df
       .filter(col("bucket").isin(hotBuckets.map(b => b.toInt: Any): _*))
       .filter(col("vec_id").isin(beamIds.map(i => i: Any): _*))
+      .filter(col("nbr_id") >= 0)
       .select("vec_id", "nbr_id")
+    val base = arm(s.read.parquet(ep.flatMap(_.data).getOrElse(defaultData)))
+    graft.sources.Tombstones.deltaLatestOf(s, ep, "vec_id") match {
+      case Some(d) =>
+        base.join(broadcast(d.select("vec_id").distinct()), Seq("vec_id"), "left_anti")
+          .unionByName(arm(d))
+      case None => base
+    }
   }
 
   /** One beam round's candidate-vector fetch: the In-list on vec_id pushes

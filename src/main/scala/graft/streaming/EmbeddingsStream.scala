@@ -102,6 +102,39 @@ object EmbeddingsStream {
     q.awaitTermination()
   }
 
+  /** EXACTLY-ONCE streaming ingest into the persisted k-NN graph — the
+    * last index family's twin of [[runAnnIngest]]: each micro-batch's
+    * vectors insert through
+    * [[graft.operators.SimilarityQueries.ingestGraphBatch]] (touched-cell
+    * top-3 recompute, new-node rows + changed standing nodes' replacement
+    * rows + the fence in ONE commit; a replay of a committed batch id
+    * no-ops, a foreign lineage refuses loudly). `foldEvery` composes the
+    * debt policy inline: fold once the open window reaches N batches.
+    * Pinned in StreamingSpec.
+    */
+  def runGraphIngest(
+      spark: SparkSession, dir: String, inPath: String, graphPath: String,
+      checkpoint: String, foldEvery: Int = 0): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val q = readVectors(spark, inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          SimilarityQueries.ingestGraphBatch(
+            spark, dir, graphPath, batch.toDF(), batchId, streamId = checkpoint)
+          if (foldEvery > 0 &&
+              graft.sources.IndexManifest.current(spark, graphPath)
+                .exists(_.deltas.size >= foldEvery))
+            SimilarityQueries.compactKnnGraph(spark, graphPath)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming cross-modal serving — arriving TEXT-query vectors answered
     * with ranked ASSETS from the persisted IVF index: each micro-batch
     * delegates to the same probe + metadata-enrich composition as the

@@ -609,6 +609,47 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("lineage"), e.getMessage)
   }
 
+  test("streaming graph ingest drains exactly once") {
+    // the k-NN graph — the last family — under a stream: drained
+    // visible rows == the eagerly-inserted twin's; replay no-ops;
+    // foreign lineage refuses loudly
+    import graft.operators.SimilarityQueries
+    import graft.streaming.EmbeddingsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-graphingest").toString
+    SimilarityQueries.writeKnnGraphWhere(
+      spark, sfDir, s"$base/idx", col("vec_id") < 400)
+    SimilarityQueries.writeKnnGraphWhere(
+      spark, sfDir, s"$base/idxe", col("vec_id") < 400)
+    val emb = Tables.embeddings(spark, sfDir)
+    val b1 = emb.filter(col("vec_id") >= 400 && col("vec_id") % 2 === 0)
+    val b2 = emb.filter(col("vec_id") >= 400 && col("vec_id") % 2 === 1)
+    Seq(b1, b2).foreach(_.coalesce(1).write.mode("append").parquet(s"$base/in"))
+    EmbeddingsStream.runGraphIngest(
+      spark, sfDir, s"$base/in", s"$base/idx", s"$base/ckpt")
+    SimilarityQueries.bufferGraphInsert(spark, sfDir, s"$base/idxe", b1)
+    SimilarityQueries.bufferGraphInsert(spark, sfDir, s"$base/idxe", b2)
+    def frame(p: String) = SimilarityQueries.graphRowsVisibleOf(spark,
+        graft.sources.IndexManifest.current(spark, p), p)
+      .select("vec_id", "rank", "nbr_id", "cos", "cell")
+      .orderBy("vec_id", "rank", "nbr_id").collect().toSeq
+    val drained = frame(s"$base/idx")
+    assert(drained.nonEmpty && drained == frame(s"$base/idxe"))
+    assert(drained.exists(_.getLong(0) >= 400L), "ingested nodes must serve")
+    // a redelivered committed batch id no-ops — including after a fold
+    assert(!SimilarityQueries.ingestGraphBatch(
+      spark, sfDir, s"$base/idx", b2, 1L, streamId = s"$base/ckpt"))
+    SimilarityQueries.compactKnnGraph(spark, s"$base/idx")
+    assert(frame(s"$base/idx") == drained)
+    assert(!SimilarityQueries.ingestGraphBatch(
+      spark, sfDir, s"$base/idx", b2, 1L, streamId = s"$base/ckpt"))
+    assert(frame(s"$base/idx") == drained)
+    val e = intercept[IllegalArgumentException] {
+      SimilarityQueries.ingestGraphBatch(
+        spark, sfDir, s"$base/idx", b1, 0L, streamId = "other")
+    }
+    assert(e.getMessage.contains("lineage"), e.getMessage)
+  }
+
   test("streaming phash ingest drains exactly once") {
     // the media family's ingest twin: streamed binary assets hash per
     // micro-batch and land through the shared fence; drained ==

@@ -1712,6 +1712,81 @@ class TombstoneSpec extends SparkSpec {
     assert(probe() == before)
   }
 
+  test("knn-graph ingest: touched-cell recompute equals the seeded rebuild; the fold retires the window") {
+    // the LAST index family's ingest: inserts recompute top-3 only in the
+    // cells the batch touches, over (standing members ∪ batch) — after
+    // every batch the visible rows equal a graph REBUILT over the union
+    // under the same frozen geometry (the complete-change-test argument:
+    // an insert can change a standing node's top-3 only by admitting a
+    // new neighbor)
+    import graft.operators.SimilarityQueries
+    import graft.functions.VectorOps
+    val path = s"$tmp/knn_ing"
+    SimilarityQueries.writeKnnGraphWhere(spark, sfDir, path, col("vec_id") < 400)
+    val e = VectorOps.normalized(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val b1 = emb.filter(col("vec_id") >= 400 && col("vec_id") % 2 === 0)
+    val b2 = emb.filter(col("vec_id") >= 400 && col("vec_id") % 2 === 1)
+    val probeCols = Seq("vec_id", "rank", "nbr_id", "cos", "cell")
+    def vis(): Seq[org.apache.spark.sql.Row] =
+      SimilarityQueries.graphRowsVisibleOf(spark,
+          graft.sources.IndexManifest.current(spark, path), path)
+        .select(probeCols.map(col): _*)
+        .orderBy(probeCols.map(col): _*).collect().toSeq
+    def reb(pred: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Row] =
+      SimilarityQueries.graphIndexRowsSeeded(
+          e.filter(pred), SimilarityQueries.seedSet(e))
+        .select(probeCols.map(col): _*)
+        .orderBy(probeCols.map(col): _*).collect().toSeq
+    SimilarityQueries.bufferGraphInsert(spark, sfDir, path, b1)
+    val after1 = vis()
+    assert(after1.nonEmpty &&
+      after1 == reb(col("vec_id") < 400 ||
+        (col("vec_id") >= 400 && col("vec_id") % 2 === 0)))
+    // a crashed insert changes nothing
+    graft.sources.IndexManifest.failNextCommit = true
+    intercept[RuntimeException] {
+      SimilarityQueries.bufferGraphInsert(spark, sfDir, path, b2)
+    }
+    assert(vis() == after1)
+    SimilarityQueries.bufferGraphInsert(spark, sfDir, path, b2)
+    assert(vis() == reb(lit(true)))
+    // guards: membership refusal, corpus-system-of-record refusal
+    val dup = intercept[IllegalArgumentException] {
+      SimilarityQueries.bufferGraphInsert(spark, sfDir, path, b1)
+    }
+    assert(dup.getMessage.contains("members"), dup.getMessage)
+    val orphanRows = emb.limit(1)
+      .select(col("vec_id") + 9000000L as "vec_id", col("embedding"), col("label"))
+    val orphan = intercept[IllegalArgumentException] {
+      SimilarityQueries.bufferGraphInsert(spark, sfDir, path, orphanRows)
+    }
+    assert(orphan.getMessage.contains("corpus"), orphan.getMessage)
+    // serving parity: the ingested graph beams exactly like a one-shot
+    // full build (every hop reads base∪delta through the key override)
+    val fullPath = s"$tmp/knn_ing_full"
+    SimilarityQueries.writeKnnGraph(spark, sfDir, fullPath)
+    val q = e.filter(col("vec_id") < 10)
+    val servedIngested = sorted(
+      SimilarityQueries.graphBeamFromIndex(spark, sfDir, path, q))
+    assert(servedIngested.nonEmpty && servedIngested ==
+      sorted(SimilarityQueries.graphBeamFromIndex(spark, sfDir, fullPath, q)))
+    // the fold: window retired, rows physical, serving unchanged
+    SimilarityQueries.compactKnnGraph(spark, path)
+    assert(graft.sources.IndexManifest.current(spark, path)
+      .forall(_.deltas.isEmpty))
+    assert(vis() == reb(lit(true)))
+    assert(sorted(SimilarityQueries.graphBeamFromIndex(spark, sfDir, path, q))
+      == servedIngested)
+    assert(spark.read.parquet(graft.sources.IndexManifest.dataPath(spark, path, path))
+      .filter(col("vec_id") >= 400).count() > 0)
+    // an ingested-then-folded node is takedown-able
+    val victim = b1.select("vec_id").limit(1).collect().head.getLong(0)
+    SimilarityQueries.deleteFromKnnGraph(spark, path, Seq(victim))
+    assert(!SimilarityQueries.graphBeamFromIndex(spark, sfDir, path, q)
+      .collect().exists(_.getLong(2) == victim))
+  }
+
   test("manifest resolution price: measured, and immaterial next to any probe") {
     // the r16 verdict's pricing ask: every probe pays one listStatus +
     // one small-file read to resolve its epoch. Measure it on a
