@@ -1979,11 +1979,13 @@ object DedupQueries {
     // fragment/delta counts, the epoch's own takedown-batch size, and the
     // streaming-ingest high-water mark. This entry is the expected log of
     // the standing fixed scenario (delete %7=3, buffered-update %13=2,
-    // exactly-once ingest %11=5 at batch id 7) computed from the raw
-    // corpus; the serving twin [[graft.sources.Tombstones.manifestLog]]
-    // reads the identical report from a LIVE index's manifest (pinned
-    // row-for-row in TombstoneSpec, including fold and base_mutation rows
-    // the fixed scenario cannot stage).
+    // exactly-once ingest %11=5 at batch id 7, then one insert-only
+    // APPEND — no fragment, no fence move, so its takedown size is 0 and
+    // the hwm rides along) computed from the raw corpus; the serving twin
+    // [[graft.sources.Tombstones.manifestLog]] reads the identical report
+    // from a LIVE index's manifest (pinned row-for-row in TombstoneSpec,
+    // including fold and base_mutation rows the fixed scenario cannot
+    // stage).
     GQuery(
       "q_index_manifest_log",
       (s, dir) => {
@@ -2003,6 +2005,10 @@ object DedupQueries {
             struct(lit(3L).as("version"), lit("ingest").as("mutation"),
               lit(0L).as("base_gen"), lit(3L).as("n_live_frags"),
               lit(2L).as("n_live_deltas"), col("n3").as("new_tombstoned_ids"),
+              lit(7L).as("ingest_hwm")),
+            struct(lit(4L).as("version"), lit("append").as("mutation"),
+              lit(0L).as("base_gen"), lit(3L).as("n_live_frags"),
+              lit(3L).as("n_live_deltas"), lit(0L).as("new_tombstoned_ids"),
               lit(7L).as("ingest_hwm")))).as("r"))
           .select(col("r.*"))
           .orderBy("version")
@@ -2018,6 +2024,7 @@ object DedupQueries {
              |  CAST(NULL AS BIGINT) AS ingest_hwm FROM mcnt
              |UNION ALL SELECT 2, 'update', 0, 2, 1, n2, NULL FROM mcnt
              |UNION ALL SELECT 3, 'ingest', 0, 3, 2, n3, 7 FROM mcnt
+             |UNION ALL SELECT 4, 'append', 0, 3, 3, CAST(0 AS BIGINT), 7 FROM mcnt
              |ORDER BY version""".stripMargin)
     ),
 

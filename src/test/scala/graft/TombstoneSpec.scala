@@ -1463,6 +1463,10 @@ class TombstoneSpec extends SparkSpec {
     assert(SearchQueries.ingestSearchBatch(spark, "search_mlog_idx", path,
       docs.filter(col("doc_id") % 11 === 5)
         .select(col("doc_id") + 2000000L as "doc_id", col("text"), col("lang")), 7L))
+    // v4: the insert-only atomic append — no fragment, hwm rides along
+    SearchQueries.appendSearchIndex(spark, "search_mlog_idx", path,
+      docs.filter(col("doc_id") % 9 === 4)
+        .select(col("doc_id") + 3000000L as "doc_id", col("text"), col("lang")))
     // the live manifest's log == the registered fixed-scenario report
     assert(sorted(t.manifestLog(spark, path)) ==
       sorted(SparkEntry.queries("q_index_manifest_log")(spark, sfDir)))
@@ -1470,12 +1474,12 @@ class TombstoneSpec extends SparkSpec {
     // surface with the diff-derived kinds
     SearchQueries.compactSearchIndex(spark, "search_mlog_idx", path)
     val log = t.manifestLog(spark, path).orderBy("version").collect()
-    assert(log.length == 5, log.toSeq)
-    assert(log(3).getString(1) == "base_mutation" && log(3).getLong(2) == 1L, log(3))
-    assert(log(4).getString(1) == "fold" && log(4).getLong(3) == 0L &&
-      log(4).getLong(4) == 0L, log(4))
-    // the high-water mark rode through both
-    assert(log(4).getLong(6) == 7L, log(4))
+    assert(log.length == 6, log.toSeq)
+    assert(log(4).getString(1) == "base_mutation" && log(4).getLong(2) == 1L, log(4))
+    assert(log(5).getString(1) == "fold" && log(5).getLong(3) == 0L &&
+      log(5).getLong(4) == 0L, log(5))
+    // the high-water mark rode through all three
+    assert(log(5).getLong(6) == 7L, log(5))
     // an insert-only append reads 'append' (delta, no fragment, no fence
     // move); the fold that retires it reads 'fold' (the data pointer moved)
     import graft.operators.SimilarityQueries
