@@ -385,6 +385,14 @@ object DedupQueries {
     }
   }
 
+  /** [[bandIndexFrame]] AS OF committed epoch `version` — time travel
+    * over the MinHash index's delete/update/ingest history (exact: none
+    * of those epochs touch standing files; the fold ends the horizon —
+    * see [[graft.sources.Tombstones.tableFrameAsOf]]).
+    */
+  def bandIndexFrameAsOf(s: SparkSession, table: String, version: Long): DataFrame =
+    graft.sources.Tombstones.tableFrameAsOf(s, table, "doc_id", version)
+
   /** Buffer one document-update batch into the band index WITHOUT
     * compacting — the MinHash family's LSM memtable: the tombstone masks
     * the ids' base band keys, the re-signed replacement keys land in a
@@ -747,6 +755,29 @@ object DedupQueries {
       arm(graft.sources.Tombstones.filterTable(s, s"${table}_fwd", "doc_id")))
   }
 
+  /** [[prefixIndexFrames]] AS OF committed epoch `version` of the
+    * INVERTED anchor — the family's epoch authority: every mutation that
+    * creates an epoch commits its fragment/delta there first (ingest only
+    * there), and a delete lands the SAME id set on both anchors, so the
+    * inverted epoch's masks reproduce both views' state at that commit.
+    * The fold ends the horizon (location move — the old anchor dies).
+    */
+  def prefixIndexFramesAsOf(
+      s: SparkSession, table: String, version: Long): (DataFrame, DataFrame) = {
+    val anchor = graft.sources.Tombstones.tableLocation(s, table)
+    val ep = graft.sources.IndexManifest.at(s, anchor, version)
+    graft.sources.IndexManifest.requireSameGeneration(s, anchor, ep, version)
+    val delta = graft.sources.Tombstones.deltaLatestOf(s, ep, "doc_id")
+    def arm(base: DataFrame): DataFrame = {
+      val masked = graft.sources.Tombstones.filterOf(base, ep, "doc_id")
+      delta match {
+        case Some(d) => masked.unionByName(d.select(masked.columns.map(col).toSeq: _*))
+        case None    => masked
+      }
+    }
+    (arm(s.table(table)), arm(s.table(s"${table}_fwd")))
+  }
+
   /** One batch's index rows under the standing index's FROZEN global
     * token order — the ingest-side computation: per-batch representatives
     * (min doc_id per distinct text, the build's content unit), shingles,
@@ -1018,6 +1049,13 @@ object DedupQueries {
       case None    => base
     }
   }
+
+  /** [[winnowIndexFrame]] AS OF committed epoch `version` — time travel
+    * over the winnow index's delete/update/ingest history (the fold ends
+    * the horizon; see [[graft.sources.Tombstones.tableFrameAsOf]]).
+    */
+  def winnowIndexFrameAsOf(s: SparkSession, table: String, version: Long): DataFrame =
+    graft.sources.Tombstones.tableFrameAsOf(s, table, "doc_id", version)
 
   /** Buffer one document-update batch WITHOUT compacting — the amortized
     * form of [[updateWinnowIndex]]: tombstone masks the base rows, the

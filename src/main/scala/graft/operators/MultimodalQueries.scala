@@ -525,6 +525,15 @@ object MultimodalQueries {
     }
   }
 
+  /** [[phashIndexFrame]] AS OF committed epoch `version` — time travel
+    * over the phash index's takedown/update/ingest history (the fold ends
+    * the horizon; see [[graft.sources.Tombstones.tableFrameAsOf]]).
+    */
+  def phashIndexFrameAsOf(
+      s: org.apache.spark.sql.SparkSession, table: String, version: Long)
+      : org.apache.spark.sql.DataFrame =
+    graft.sources.Tombstones.tableFrameAsOf(s, table, "asset_id", version)
+
   /** Buffer one asset-update batch into the phash index WITHOUT
     * compacting — the media family's LSM memtable: the tombstone masks
     * the ids' base band keys, the re-hashed replacement signatures land

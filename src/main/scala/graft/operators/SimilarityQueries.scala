@@ -2134,11 +2134,30 @@ object SimilarityQueries {
     */
   def graphBeamFromIndex(s: SparkSession, dir: String, path: String,
                          queries: DataFrame,
-                         nBuckets: Long = KNN_BUCKETS): DataFrame = {
-    import s.implicits._
+                         nBuckets: Long = KNN_BUCKETS): DataFrame =
     // ONE epoch resolution threads every arm (hop reads, delta override,
     // result mask) — a probe racing a commit sees one consistent epoch
-    val ep = graft.sources.IndexManifest.current(s, path)
+    graphBeamFromIndexOf(s, dir, path, queries,
+      graft.sources.IndexManifest.current(s, path), nBuckets)
+
+  /** [[graphBeamFromIndex]] AS OF committed epoch `version` — the graph
+    * joins the search/IVF time-travel set: exact across delete and
+    * insert-only ingest epochs (neither touches standing files), loudly
+    * bounded by the fold's generation bump and by vacuum.
+    */
+  def graphBeamFromIndexAsOf(s: SparkSession, dir: String, path: String,
+                             queries: DataFrame, version: Long,
+                             nBuckets: Long = KNN_BUCKETS): DataFrame = {
+    val ep = graft.sources.IndexManifest.at(s, path, version)
+    graft.sources.IndexManifest.requireSameGeneration(s, path, ep, version)
+    graphBeamFromIndexOf(s, dir, path, queries, ep, nBuckets)
+  }
+
+  private def graphBeamFromIndexOf(
+      s: SparkSession, dir: String, path: String, queries: DataFrame,
+      ep: Option[graft.sources.IndexManifest.Epoch],
+      nBuckets: Long): DataFrame = {
+    import s.implicits._
     val e = VectorOps.normalized(s, dir)
     val q = broadcast(queries
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")))

@@ -96,6 +96,31 @@ object Tombstones {
   def idSetForTable(s: SparkSession, table: String): Option[DataFrame] =
     idSet(s, tableLocation(s, table))
 
+  /** The probe-visible view of a catalog-table index AS OF committed
+    * epoch `version` — the bucketed families' time-travel read, shared by
+    * the winnow/band/phash/prefix `*FrameAsOf` wrappers: resolve the
+    * location anchor's epoch `version` (immutable, complete), guard the
+    * base generation (exact across delete/update/ingest/append epochs —
+    * none touch standing files), and serve base∪delta under THAT epoch's
+    * masks. The horizon for these LOCATION-ANCHORED families ends at
+    * every fold twice over: the fold both bumps what a generation guard
+    * would compare and MOVES the anchor (the old anchor dies with its
+    * location), so a post-fold travel request fails loudly on the fresh
+    * anchor's missing epoch — never silently serves the folded table as
+    * an older state.
+    */
+  def tableFrameAsOf(
+      s: SparkSession, table: String, idCol: String, version: Long): DataFrame = {
+    val anchor = tableLocation(s, table)
+    val ep = IndexManifest.at(s, anchor, version)
+    IndexManifest.requireSameGeneration(s, anchor, ep, version)
+    val base = filterOf(s.table(table), ep, idCol)
+    deltaLatestOf(s, ep, idCol) match {
+      case Some(d) => base.unionByName(d.select(base.columns.map(col).toSeq: _*))
+      case None    => base
+    }
+  }
+
   /** Record `ids` as deleted: one immutable fragment + one manifest
     * commit. All-or-nothing — a crash before the commit leaves the new
     * fragment unreferenced and the index unchanged.

@@ -1791,6 +1791,94 @@ class TombstoneSpec extends SparkSpec {
       .collect().exists(_.getLong(2) == victim))
   }
 
+  test("as-of frames are family-uniform: bucketed families and the graph travel; folds end the horizon") {
+    // r17 closes the as-of asymmetry: search/IVF had time travel, the
+    // location-anchored bucketed families and the graph did not. Pin the
+    // winnow/band shapes (delete epoch, then an update/ingest epoch,
+    // travel between them), the prefix two-view read, the graph beam
+    // as-of, and the loud post-fold refusal (the location anchor dies
+    // with its location, so travel fails on the fresh anchor's missing
+    // epoch rather than silently serving the folded table)
+    import graft.operators.{DedupQueries, SimilarityQueries}
+    import graft.functions.VectorOps
+    // winnow: v1 delete, v2 buffered update
+    val thr = DedupQueries.writeWinnowIndex(
+      spark, sfDir, "winnow_asof", s"$tmp/winnow_asof")
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val wdel = d.filter(col("doc_id") < thr && col("doc_id") % 11 === 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    DedupQueries.deleteFromWinnowIndex(spark, "winnow_asof", wdel)      // v1
+    val atV1 = DedupQueries.winnowIndexFrameAsOf(spark, "winnow_asof", 1L)
+      .orderBy("doc_id", "fp").collect().toSeq
+    assert(atV1 == DedupQueries.winnowIndexFrame(spark, "winnow_asof")
+      .orderBy("doc_id", "fp").collect().toSeq)
+    DedupQueries.bufferWinnowUpdate(                                    // v2
+      d.filter(col("doc_id") < thr && col("doc_id") % 13 === 2)
+        .select(col("doc_id"), concat(col("text"), lit(" zulu")).as("text")),
+      "winnow_asof")
+    // v1 still reproduces the pre-update state; v2 equals live
+    assert(DedupQueries.winnowIndexFrameAsOf(spark, "winnow_asof", 1L)
+      .orderBy("doc_id", "fp").collect().toSeq == atV1)
+    assert(DedupQueries.winnowIndexFrameAsOf(spark, "winnow_asof", 2L)
+      .orderBy("doc_id", "fp").collect().toSeq ==
+      DedupQueries.winnowIndexFrame(spark, "winnow_asof")
+        .orderBy("doc_id", "fp").collect().toSeq)
+    // the fold moves the location; the old anchor's epochs die LOUDLY
+    DedupQueries.compactWinnowIndex(spark, "winnow_asof")
+    val gone = intercept[Exception] {
+      DedupQueries.winnowIndexFrameAsOf(spark, "winnow_asof", 1L).collect()
+    }
+    assert(gone.getMessage.contains("never committed") ||
+      gone.getMessage.contains("generation"), gone.getMessage)
+    // band: v1 ingest-style buffer, travel to it after a later delete
+    DedupQueries.writeBandIndex(spark, sfDir, "band_asof", s"$tmp/band_asof")
+    val bnew = d.filter(col("doc_id") < thr && col("doc_id") % 13 === 1)
+      .select(col("doc_id") + 4000000L as "doc_id", col("text"))
+    DedupQueries.bufferBandUpdate(bnew, "band_asof")                    // v1
+    val bAt1 = DedupQueries.bandIndexFrameAsOf(spark, "band_asof", 1L)
+      .orderBy("doc_id", "bk").collect().toSeq
+    DedupQueries.deleteFromBandIndex(spark, "band_asof",               // v2
+      d.filter(col("doc_id") < thr && col("doc_id") % 11 === 5)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq)
+    assert(DedupQueries.bandIndexFrameAsOf(spark, "band_asof", 1L)
+      .orderBy("doc_id", "bk").collect().toSeq == bAt1)
+    assert(DedupQueries.bandIndexFrameAsOf(spark, "band_asof", 2L)
+      .orderBy("doc_id", "bk").collect().toSeq !=  bAt1)
+    // prefix: the two-view as-of reads both halves under the inverted epoch
+    DedupQueries.writePrefixIndex(spark, sfDir, "prefix_asof", s"$tmp/prefix_asof")
+    val pdel = spark.table("prefix_asof").select("doc_id").distinct()
+      .filter(col("doc_id") % 11 === 5).collect().map(_.getLong(0)).toSeq
+    DedupQueries.deleteFromPrefixIndex(spark, "prefix_asof", pdel)      // v1 (each anchor)
+    val (pi1, pf1) = DedupQueries.prefixIndexFramesAsOf(spark, "prefix_asof", 1L)
+    val (piL, pfL) = DedupQueries.prefixIndexFrames(spark, "prefix_asof")
+    assert(pi1.orderBy("doc_id", "x").collect().toSeq ==
+      piL.orderBy("doc_id", "x").collect().toSeq)
+    assert(pf1.orderBy("doc_id", "x").collect().toSeq ==
+      pfL.orderBy("doc_id", "x").collect().toSeq)
+    // graph: beam travel below a later delete reproduces the post-ingest
+    // walk — pinned against a FULL one-shot build (epoch v1 = bootstrap +
+    // the whole remainder, which IS the full corpus graph)
+    val gp = s"$tmp/graph_asof"
+    SimilarityQueries.writeKnnGraphWhere(spark, sfDir, gp, col("vec_id") < 400)
+    val e = VectorOps.normalized(spark, sfDir)
+    val q = e.filter(col("vec_id") < 10)
+    val rest = Tables.embeddings(spark, sfDir).filter(col("vec_id") >= 400)
+    SimilarityQueries.bufferGraphInsert(spark, sfDir, gp, rest)         // v1
+    val victim = rest.agg(min(col("vec_id"))).head.getLong(0)
+    SimilarityQueries.deleteFromKnnGraph(spark, gp, Seq(victim))        // v2
+    val gAt1 = sorted(SimilarityQueries.graphBeamFromIndexAsOf(spark, sfDir, gp, q, 1L))
+    val full = s"$tmp/graph_asof_full"
+    SimilarityQueries.writeKnnGraph(spark, sfDir, full)
+    assert(gAt1.nonEmpty &&
+      gAt1 == sorted(SimilarityQueries.graphBeamFromIndex(spark, sfDir, full, q)))
+    // the fold bumps the generation: travel below it refuses loudly
+    SimilarityQueries.compactKnnGraph(spark, gp)
+    val gerr = intercept[IllegalArgumentException] {
+      SimilarityQueries.graphBeamFromIndexAsOf(spark, sfDir, gp, q, 1L)
+    }
+    assert(gerr.getMessage.contains("generation"), gerr.getMessage)
+  }
+
   test("manifest resolution price: measured, and immaterial next to any probe") {
     // the r16 verdict's pricing ask: every probe pays one listStatus +
     // one small-file read to resolve its epoch. Measure it on a
