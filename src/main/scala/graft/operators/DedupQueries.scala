@@ -378,11 +378,7 @@ object DedupQueries {
     // ONE epoch resolution threads both arms — a probe racing a commit
     // sees one consistent (tombstones, deltas) pair, never a torn mix
     val ep = graft.sources.IndexManifest.current(s, anchor)
-    val base = graft.sources.Tombstones.filterOf(s.table(table), ep, "doc_id")
-    graft.sources.Tombstones.deltaLatestOf(s, ep, "doc_id") match {
-      case Some(d) => base.unionByName(d.select(base.columns.map(col).toSeq: _*))
-      case None    => base
-    }
+    graft.sources.Tombstones.maskedOverrideFrame(s, ep, s.table(table), "doc_id")
   }
 
   /** [[bandIndexFrame]] AS OF committed epoch `version` — time travel
@@ -431,8 +427,13 @@ object DedupQueries {
       docs, "doc_id", "bufferBandUpdate")
     // sub-3-token docs sign to nothing (no shingles): their ids still
     // tombstone the base — an update shrinking a doc below the shingle
-    // floor removes it from the index, exactly as a rebuild would
+    // floor removes it from the index, exactly as a rebuild would; but a
+    // REMOVAL of a window-resident id cannot take effect (mask covers
+    // base only) — refuse toward the fold
     val rows = bandKeysOf(signaturesOf(docs))
+    val rowIds = rows.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+    graft.sources.Tombstones.requireRemovalsNotBuffered(
+      s, anchor, ids, rowIds, "doc_id", "bufferBandUpdate", "compactBandIndex")
     graft.sources.Tombstones.commitUpdateBatch(s, anchor, ids, None, hwm) { d =>
       rows.write.mode("overwrite").parquet(d)
     }
@@ -728,32 +729,43 @@ object DedupQueries {
         s"representatives in $table — the index stores min(doc_id) per " +
         "distinct text; resolve each id to its text-group representative " +
         "(the content-level takedown unit) before tombstoning")
-    graft.sources.Tombstones.addForTable(s, table, docIds)
-    graft.sources.Tombstones.addForTable(s, s"${table}_fwd", docIds)
+    // ONE fragment on ONE anchor — the inverted table's location is the
+    // family's single mask authority (both views resolve it), so the
+    // takedown is one atomic commit; the old two-anchor double-write was
+    // a torn window (a crash between the commits masked one view only)
+    graft.sources.Tombstones.add(s, anchor, docIds)
   }
 
   /** The probe-facing (inverted, forward) views of a persisted prefix
-    * index, tombstone-masked, each unioned with any open update window's
-    * latest buffered rows. The window lives on ONE anchor — the inverted
-    * table's location — and serves BOTH views: the two tables store the
-    * IDENTICAL rows under different bucketings (the build writes fwd from
-    * the inverted scan), so one delta batch is one batch of truth and the
-    * pair can never diverge (committing per-table would be two commits —
-    * a torn window). Tombstones stay per-table (each masks its own base
-    * rows); both views resolve their delta arm through the inverted
-    * anchor's epoch.
+    * index. ONE anchor — the inverted table's location — is the family's
+    * mask-and-window authority, and BOTH views resolve through its epoch:
+    * the two tables store the IDENTICAL rows under different bucketings
+    * (the build writes fwd from the inverted scan), so one fragment is
+    * one takedown and one delta batch is one batch of truth; per-table
+    * masks would be two commits — a torn window. Each view is the
+    * KEY-OVERRIDE read: tombstones mask its base, then rows whose ids
+    * live in the open window are superseded by the window's latest rows
+    * (anti-join on the broadcast delta-id set) — override rather than
+    * plain union because [[compactPrefixIndex]] folds the two tables
+    * SEQUENTIALLY: between the folds (or after a crash there) the
+    * already-folded table's base physically contains the window's rows,
+    * and a plain union would serve them twice; the override is exact in
+    * every fold state.
     */
   def prefixIndexFrames(s: SparkSession, table: String): (DataFrame, DataFrame) = {
     val anchor = graft.sources.Tombstones.tableLocation(s, table)
     val ep = graft.sources.IndexManifest.current(s, anchor)
-    val delta = graft.sources.Tombstones.deltaLatestOf(s, ep, "doc_id")
-    def arm(base: DataFrame): DataFrame = delta match {
-      case Some(d) => base.unionByName(d.select(base.columns.map(col).toSeq: _*))
-      case None    => base
-    }
-    (arm(graft.sources.Tombstones.filterOf(s.table(table), ep, "doc_id")),
-      arm(graft.sources.Tombstones.filterTable(s, s"${table}_fwd", "doc_id")))
+    (prefixArmOf(s, ep, s.table(table)),
+      prefixArmOf(s, ep, s.table(s"${table}_fwd")))
   }
+
+  /** One prefix view under one (inverted-anchor) epoch: mask, override,
+    * union — shared by the live and as-of reads of both tables.
+    */
+  private def prefixArmOf(
+      s: SparkSession, ep: Option[graft.sources.IndexManifest.Epoch],
+      base: DataFrame): DataFrame =
+    graft.sources.Tombstones.maskedOverrideFrame(s, ep, base, "doc_id")
 
   /** [[prefixIndexFrames]] AS OF committed epoch `version` of the
     * INVERTED anchor — the family's epoch authority: every mutation that
@@ -767,15 +779,8 @@ object DedupQueries {
     val anchor = graft.sources.Tombstones.tableLocation(s, table)
     val ep = graft.sources.IndexManifest.at(s, anchor, version)
     graft.sources.IndexManifest.requireSameGeneration(s, anchor, ep, version)
-    val delta = graft.sources.Tombstones.deltaLatestOf(s, ep, "doc_id")
-    def arm(base: DataFrame): DataFrame = {
-      val masked = graft.sources.Tombstones.filterOf(base, ep, "doc_id")
-      delta match {
-        case Some(d) => masked.unionByName(d.select(masked.columns.map(col).toSeq: _*))
-        case None    => masked
-      }
-    }
-    (arm(s.table(table)), arm(s.table(s"${table}_fwd")))
+    (prefixArmOf(s, ep, s.table(table)),
+      prefixArmOf(s, ep, s.table(s"${table}_fwd")))
   }
 
   /** One batch's index rows under the standing index's FROZEN global
@@ -839,33 +844,48 @@ object DedupQueries {
       docs: DataFrame, table: String, anchor: String,
       hwm: Option[(String, Long)]): Unit = {
     val s = docs.sparkSession
+    import s.implicits._
     // uniqueness over the RAW batch ids: two texts under one doc_id could
     // otherwise both become representatives — one id, two row sets
-    graft.sources.Tombstones.requireUniqueBatchIds(
+    val rawIds = graft.sources.Tombstones.requireUniqueBatchIds(
       docs, "doc_id", "bufferPrefixUpdate")
     // the frozen order comes from the VISIBLE inverted view (build rows
     // plus earlier batches — so a token first seen by ingest keeps its
     // assigned order everywhere)
-    val rows = prefixBatchRows(docs, prefixIndexFrames(s, table)._1)
-    // the masked ids are the batch's REPRESENTATIVES (the only ids that
-    // own index rows — re-ingesting changed content replaces its rows)
-    val ids = rows.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
-    require(ids.nonEmpty,
-      "bufferPrefixUpdate: no indexable representatives in the batch " +
-        "(all docs under 3 tokens, or the batch is empty)")
-    graft.sources.Tombstones.commitUpdateBatch(s, anchor, ids, None, hwm) { d =>
+    val visInv = prefixIndexFrames(s, table)._1
+    val rows = prefixBatchRows(docs, visInv)
+    val repIds = rows.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+    // the masked ids: the batch's representatives (their rows are
+    // replaced) PLUS any batch id already standing whose new content
+    // yields no rows — a doc shrunk below the 3-token shingle floor is an
+    // update that REMOVES it, exactly as a rebuild would. A batch of
+    // all-short UNKNOWN docs is a clean no-op, never a thrown poison pill:
+    // the streaming caller would otherwise replay the same batch forever
+    val standing = visInv.select("doc_id").distinct()
+      .join(broadcast(rawIds.toDF("doc_id")), Seq("doc_id"), "left_semi")
+      .collect().map(_.getLong(0)).toSeq
+    val maskIds = (repIds ++ standing).distinct
+    if (maskIds.isEmpty) return
+    // a REMOVAL (standing id, no replacement rows) of a window-resident
+    // id cannot take effect — the mask covers base only; fold first
+    graft.sources.Tombstones.requireRemovalsNotBuffered(
+      s, anchor, maskIds, repIds, "doc_id", "bufferPrefixUpdate", "compactPrefixIndex")
+    graft.sources.Tombstones.commitUpdateBatch(s, anchor, maskIds, None, hwm) { d =>
       rows.write.mode("overwrite").parquet(d)
     }
   }
 
   /** Physically remove tombstoned documents from both halves, folding any
     * open update window in. Order matters: the FORWARD table folds first —
-    * its visible view resolves the delta arm through the INVERTED anchor,
-    * which the inverted fold (second) retires along with the window; the
-    * ingest fence is carried to the new inverted location by the shared
-    * compactor. A crash between the two folds is consistent: both views
-    * still serve the identical visible rows (fwd physically folded,
-    * inverted still base∪delta-masked).
+    * its visible view resolves masks and window through the INVERTED
+    * anchor, which the inverted fold (second) retires along with the
+    * window; the ingest fence is carried to the new inverted location by
+    * the shared compactor. A crash between the two folds is consistent
+    * BECAUSE the views are key-override reads ([[prefixArmOf]]): the
+    * folded fwd base physically contains the window's rows, the still-open
+    * window supersedes them by id (identical content), and a RETRY re-runs
+    * both folds over the exact visible rows — no duplication in any crash
+    * state (crash-injection pinned in TombstoneSpec).
     */
   def compactPrefixIndex(s: SparkSession, table: String): Unit = {
     val (inv, fwd) = prefixIndexFrames(s, table)
@@ -1043,11 +1063,7 @@ object DedupQueries {
     // ONE epoch resolution threads both arms: a probe racing a commit
     // sees one consistent (tombstones, deltas) pair, never a torn mix
     val ep = graft.sources.IndexManifest.current(s, anchor)
-    val base = graft.sources.Tombstones.filterOf(s.table(table), ep, "doc_id")
-    graft.sources.Tombstones.deltaLatestOf(s, ep, "doc_id") match {
-      case Some(d) => base.unionByName(d.select(base.columns.map(col).toSeq: _*))
-      case None    => base
-    }
+    graft.sources.Tombstones.maskedOverrideFrame(s, ep, s.table(table), "doc_id")
   }
 
   /** [[winnowIndexFrame]] AS OF committed epoch `version` — time travel
@@ -1100,6 +1116,11 @@ object DedupQueries {
     val fps = TextQueries.winnowSelected(docs)
       .select(col("doc_id"), col("fp")).distinct()
     val rows = fps.join(fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp_c")), "doc_id")
+    // a doc shrunk below the fingerprint floor is a REMOVAL — refuse if
+    // its current rows live in the open window (mask covers base only)
+    val rowIds = rows.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+    graft.sources.Tombstones.requireRemovalsNotBuffered(
+      s, anchor, ids, rowIds, "doc_id", "bufferWinnowUpdate", "compactWinnowIndex")
     graft.sources.Tombstones.commitUpdateBatch(s, anchor, ids, None, hwm) { d =>
       rows.write.mode("overwrite").parquet(d)
     }
@@ -1155,12 +1176,8 @@ object DedupQueries {
         s"appendWinnowIndex: doc_ids ${clash.mkString(",")} were deleted from " +
           s"$table — run compactWinnowIndex before re-using deleted ids")
     }
-    val visibleBase = graft.sources.Tombstones.filterOf(s.table(table), ep, "doc_id")
-    val visible = graft.sources.Tombstones.deltaLatestOf(s, ep, "doc_id") match {
-      case Some(d) =>
-        visibleBase.unionByName(d.select(visibleBase.columns.map(col).toSeq: _*))
-      case None => visibleBase
-    }
+    val visible = graft.sources.Tombstones.maskedOverrideFrame(
+      s, ep, s.table(table), "doc_id")
     val present: Array[Long] = visible.select("doc_id")
       .join(broadcast(batchIds), Seq("doc_id"), "left_semi").distinct()
       .collect().map(_.getLong(0))

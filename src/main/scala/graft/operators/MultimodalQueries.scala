@@ -518,11 +518,7 @@ object MultimodalQueries {
       : org.apache.spark.sql.DataFrame = {
     val anchor = graft.sources.Tombstones.tableLocation(s, table)
     val ep = graft.sources.IndexManifest.current(s, anchor)
-    val base = graft.sources.Tombstones.filterOf(s.table(table), ep, "asset_id")
-    graft.sources.Tombstones.deltaLatestOf(s, ep, "asset_id") match {
-      case Some(d) => base.unionByName(d.select(base.columns.map(col).toSeq: _*))
-      case None    => base
-    }
+    graft.sources.Tombstones.maskedOverrideFrame(s, ep, s.table(table), "asset_id")
   }
 
   /** [[phashIndexFrame]] AS OF committed epoch `version` — time travel

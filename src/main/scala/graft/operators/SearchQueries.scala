@@ -487,6 +487,17 @@ object SearchQueries {
     */
   def appendSearchIndex(
       s: SparkSession, table: String, path: String, newDocs: DataFrame): Unit = {
+    // an empty batch is a clean no-op (no empty delta commit)
+    if (newDocs.isEmpty) return
+    // one doc_id, two texts in ONE batch has no defined resolution order
+    // and would double-serve under an insert-only append — refuse
+    // (distributed check: append batches are data-plane-sized)
+    val dups = newDocs.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("doc_id")
+      .limit(5).collect().map(_.getLong(0))
+    require(dups.isEmpty,
+      s"appendSearchIndex: doc_ids ${dups.mkString(",")} appear more than " +
+        "once in the batch — resolve to one version per id upstream")
     // ONE epoch resolution threads every read arm (deleted-id guard,
     // present guard, stats base) — the writer-side one-epoch discipline;
     // only the commit re-reads (its version check is the collision guard)
@@ -537,17 +548,19 @@ object SearchQueries {
   /** [[visiblePostings]] against a SPECIFIC resolved epoch — probes
     * resolve the manifest ONCE and thread the epoch through every arm
     * (tombstones, deltas, stats), so a probe racing a commit sees one
-    * consistent epoch, never a torn mix of two.
+    * consistent epoch, never a torn mix of two. The delta arm is a
+    * KEY-OVERRIDE (base rows of window-resident ids superseded, not
+    * unioned): buffered-update ids are base-masked by their tombstone
+    * anyway, but INSERT-only append ids have no mask, and the fold's
+    * swap-then-clear pair has a crash point where the new base already
+    * contains the window's rows while the window is still open — a plain
+    * union would double-serve them there; the override is exact in every
+    * fold state (crash-injection pinned in TombstoneSpec).
     */
   private def visiblePostingsOf(
       s: SparkSession, table: String,
-      ep: Option[graft.sources.IndexManifest.Epoch]): DataFrame = {
-    val base = graft.sources.Tombstones.filterOf(s.table(table), ep, "doc_id")
-    graft.sources.Tombstones.deltaLatestOf(s, ep, "doc_id") match {
-      case Some(d) => base.unionByName(d.select(base.columns.map(col).toSeq: _*))
-      case None    => base
-    }
-  }
+      ep: Option[graft.sources.IndexManifest.Epoch]): DataFrame =
+    graft.sources.Tombstones.maskedOverrideFrame(s, ep, s.table(table), "doc_id")
 
   private def epochStats(
       s: SparkSession, path: String,
@@ -625,8 +638,14 @@ object SearchQueries {
         cur.getLong(0) - old.getLong(0) + add.getLong(0),
         cur.getLong(1) - old.getLong(1) + add.getLong(1))))
       .toDF("n_docs", "tt")
+    val rows = postingsOf(docs)
+    // a doc whose new text yields no postings is a REMOVAL — refuse if
+    // its current postings live in the open window (mask covers base only)
+    val rowIds = rows.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+    graft.sources.Tombstones.requireRemovalsNotBuffered(
+      s, path, ids, rowIds, "doc_id", "bufferSearchUpdate", "compactSearchIndex")
     graft.sources.Tombstones.commitUpdateBatch(s, path, ids, Some(newStats), hwm) { d =>
-      postingsOf(docs).write.mode("overwrite").parquet(d)
+      rows.write.mode("overwrite").parquet(d)
     }
   }
 

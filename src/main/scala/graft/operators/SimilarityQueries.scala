@@ -1300,6 +1300,22 @@ object SimilarityQueries {
       s: SparkSession, dir: String, path: String, newRows: DataFrame,
       nSeeds: Int = N_SEEDS, trained: Boolean = false): Unit = {
     graft.functions.GraftFunctions.register(s)
+    // an empty batch is a clean no-op — committing it would land an
+    // EMPTY cell-partitioned delta dir (a dynamic-partition write with
+    // zero rows produces no schema-bearing file), which every later
+    // delta read chokes on: the previously harmless zero-row scheduled
+    // append must not brick the index
+    if (newRows.isEmpty) return
+    // one id, two vectors in ONE batch has no defined resolution order
+    // and would double-serve under an insert-only append — refuse (the
+    // requireUniqueBatchIds contract, checked DISTRIBUTED here because
+    // append batches are data-plane-sized, never driver-collected)
+    val dups = newRows.groupBy("vec_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("vec_id")
+      .limit(5).collect().map(_.getLong(0))
+    require(dups.isEmpty,
+      s"appendIvfIndex: vec_ids ${dups.mkString(",")} appear more than once " +
+        "in the batch — resolve to one row per id upstream")
     // ONE epoch resolution threads both guards' read arms
     val ep = graft.sources.IndexManifest.current(s, path)
     // a deleted id may not be re-used before a compaction folds its
@@ -1891,6 +1907,9 @@ object SimilarityQueries {
       hwm: Option[(String, Long)], nBuckets: Long = KNN_BUCKETS): Unit = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
+    // empty batch = clean no-op: an empty bucket-partitioned delta dir
+    // has no schema-bearing file and would brick every later delta read
+    if (newRows.isEmpty) return
     val ep = graft.sources.IndexManifest.current(s, path)
     val ids = graft.sources.Tombstones.requireUniqueBatchIds(
       newRows, "vec_id", "bufferGraphInsert")

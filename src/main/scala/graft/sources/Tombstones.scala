@@ -96,6 +96,31 @@ object Tombstones {
   def idSetForTable(s: SparkSession, table: String): Option[DataFrame] =
     idSet(s, tableLocation(s, table))
 
+  /** The shared visible-view read of a base frame under ONE resolved
+    * epoch: tombstones mask the base, then rows whose ids live in the
+    * open window are SUPERSEDED by the window's latest rows (anti-join on
+    * the broadcast delta-id set) — key-override, not plain union, because
+    * two states make the union double-serve: insert-only append ids have
+    * no masking fragment, and the bucketed fold's swap-then-clear pair
+    * has a crash point where the new base already contains the window's
+    * rows while the window is still open. The override is exact in every
+    * state: pre-fold it equals mask+union (window ids' base rows are
+    * masked or absent), mid-crash it collapses the duplication
+    * (crash-injection pinned in TombstoneSpec). With no window it is the
+    * bare masked scan — zero plan overhead.
+    */
+  def maskedOverrideFrame(
+      s: SparkSession, ep: Option[IndexManifest.Epoch], base: DataFrame,
+      idCol: String): DataFrame = {
+    val masked = filterOf(base, ep, idCol)
+    deltaLatestOf(s, ep, idCol) match {
+      case Some(d) =>
+        masked.join(broadcast(d.select(idCol).distinct()), Seq(idCol), "left_anti")
+          .unionByName(d.select(masked.columns.map(col).toSeq: _*))
+      case None => masked
+    }
+  }
+
   /** The probe-visible view of a catalog-table index AS OF committed
     * epoch `version` — the bucketed families' time-travel read, shared by
     * the winnow/band/phash/prefix `*FrameAsOf` wrappers: resolve the
@@ -114,11 +139,7 @@ object Tombstones {
     val anchor = tableLocation(s, table)
     val ep = IndexManifest.at(s, anchor, version)
     IndexManifest.requireSameGeneration(s, anchor, ep, version)
-    val base = filterOf(s.table(table), ep, idCol)
-    deltaLatestOf(s, ep, idCol) match {
-      case Some(d) => base.unionByName(d.select(base.columns.map(col).toSeq: _*))
-      case None    => base
-    }
+    maskedOverrideFrame(s, ep, s.table(table), idCol)
   }
 
   /** Record `ids` as deleted: one immutable fragment + one manifest
@@ -359,6 +380,24 @@ object Tombstones {
         s"$what: ${idCol}s ${clash.mkString(",")} have buffered updates in " +
           s"$indexPath's open window — run $compactHint first")
     }
+
+  /** The buffered-update REMOVAL guard: a batch id with NO replacement
+    * rows (a document shrunk below its family's indexability floor — no
+    * shingles, no fingerprints, no postings) is a removal, and a removal
+    * takes effect through the masking fragment, WHICH COVERS BASE ROWS
+    * ONLY — if the id's current rows live in the open window (an earlier
+    * batch of this window updated it), deltaLatest would keep serving
+    * them and the "removed" id would silently survive. Fold first; fail
+    * loudly (the requireNoBufferedClash discipline applied to the
+    * removal subset). `rowIds` is the batch's replacement-row id set.
+    */
+  def requireRemovalsNotBuffered(
+      s: SparkSession, indexPath: String, ids: Seq[Long], rowIds: Seq[Long],
+      idCol: String, what: String, compactHint: String): Unit = {
+    val removing = ids.filterNot(rowIds.toSet)
+    if (removing.nonEmpty)
+      requireNoBufferedClash(s, indexPath, removing, idCol, what, compactHint)
+  }
 
   /** The shared buffer/ingest-path guard: one batch carrying the same id
     * TWICE has no defined resolution order (deltaLatestOf dedups across
@@ -846,12 +885,21 @@ object Tombstones {
     // already committed; the fence can never be lost. The destination's
     // manifest is reset first so a retried compaction (same __c location)
     // does not collide with its own previous attempt's fence commit.
+    // The carried epoch CONTINUES the old lineage's version numbering and
+    // bumps the generation: starting the fresh anchor at v1 would let an
+    // as-of read of pre-fold "epoch 1" silently resolve the carried
+    // (folded) state as an older epoch's — version continuation keeps
+    // every pre-fold version a loud missing-epoch failure, and the bump
+    // records that the fold rewrote the base.
     if (anchor.isEmpty) {
       reset(s, dest)
       IndexManifest.current(s, cur).filter(_.ingestHwm.isDefined).foreach { f =>
         IndexManifest.commit(s, dest,
-          IndexManifest.next(s, dest)
-            .copy(ingestHwm = f.ingestHwm, ingestStream = f.ingestStream))
+          IndexManifest.Epoch(
+            version = f.version + 1, data = None, stats = None,
+            tombstones = Vector.empty, deltas = Vector.empty,
+            baseGen = f.baseGen + 1,
+            ingestHwm = f.ingestHwm, ingestStream = f.ingestStream))
       }
     }
     if (failBeforeTableSwap) {

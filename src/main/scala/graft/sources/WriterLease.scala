@@ -43,7 +43,14 @@ object WriterLease {
   private def fs(s: SparkSession, p: Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** The current lease, if a lease file exists (expired or not). */
+  /** The current lease, if a lease file exists (expired or not). A
+    * zero-byte or torn file — a writer that died between creating and
+    * writing the lease — parses as an already-EXPIRED lease under the
+    * reserved holder `<torn>`: hard-failing here would make the corpse's
+    * lease permanently unbreakable (no claimant could ever reach the
+    * expired-break branch), which is the exact page the lease exists to
+    * bound.
+    */
   def current(s: SparkSession, anchor: String): Option[Lease] = {
     val p = new Path(leasePath(anchor))
     val f = fs(s, p)
@@ -54,8 +61,11 @@ object WriterLease {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       val i = body.indexOf('\t')
-      require(i > 0, s"WriterLease: malformed lease file '$body'")
-      Some(Lease(body.substring(0, i), body.substring(i + 1).trim.toLong))
+      val parsed =
+        if (i > 0) scala.util.Try(
+          Lease(body.substring(0, i), body.substring(i + 1).trim.toLong)).toOption
+        else None
+      Some(parsed.getOrElse(Lease("<torn>", Long.MinValue)))
     }
   }
 
@@ -133,6 +143,11 @@ object WriterLease {
     * (rather than waiting) if the lease cannot be claimed within
     * `waitMs` — the fail-deadline policy for scheduled jobs, where a
     * writer that cannot start by its slot should page rather than queue.
+    * The exit release is RELEASE-IF-STILL-HELD: a body that outlives its
+    * TTL (size `ttlMs` to the body, or renew inside it via [[acquire]])
+    * may find its lease broken and re-taken — the successor's lease must
+    * not be torn down, and a completed body must not be reported failed
+    * over it (nor may a lost lease shadow the body's own exception).
     */
   def withLease[T](
       s: SparkSession, anchor: String, holder: String,
@@ -141,6 +156,9 @@ object WriterLease {
       s"WriterLease: could not claim $anchor within ${waitMs}ms " +
         s"(held by ${current(s, anchor).map(_.holder).getOrElse("?")})")
     try body
-    finally release(s, anchor, holder)
+    finally {
+      if (current(s, anchor).exists(_.holder == holder))
+        release(s, anchor, holder)
+    }
   }
 }

@@ -1791,6 +1791,194 @@ class TombstoneSpec extends SparkSpec {
       .collect().exists(_.getLong(2) == victim))
   }
 
+  test("prefix update of a standing representative replaces its rows in BOTH views; short updates remove") {
+    // review-found (r17): the live forward view previously missed the
+    // update-window masks (they land on the inverted anchor only), so a
+    // re-ingested standing rep double-served in fwd and the fold baked
+    // the divergence in. Both views now resolve the inverted epoch.
+    import graft.operators.DedupQueries
+    DedupQueries.writePrefixIndex(spark, sfDir, "prefix_upd", s"$tmp/prefix_upd")
+    val victim = spark.table("prefix_upd_fwd").select("doc_id").distinct()
+      .agg(min(col("doc_id"))).head.getLong(0)
+    val newText = "zulu victor whiskey xray yankee unique tokens nowhere else"
+    import spark.implicits._
+    DedupQueries.bufferPrefixUpdate(
+      Seq((victim, newText)).toDF("doc_id", "text"), "prefix_upd")
+    val (inv, fwd) = DedupQueries.prefixIndexFrames(spark, "prefix_upd")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("doc_id") === victim).select("doc_id", "x", "n_c")
+      .orderBy("x").collect().toSeq
+    val iRows = rows(inv)
+    val fRows = rows(fwd)
+    // identical row sets in both views, and ONLY the new text's shingles
+    // (7 of them — 9 tokens → 7 trigrams)
+    assert(iRows == fRows, s"views diverged: ${iRows.size} vs ${fRows.size}")
+    assert(iRows.size == 7 && iRows.forall(_.getLong(2) == 7L), iRows.toString)
+    // shrinking a WINDOW-RESIDENT id below the shingle floor is a removal
+    // the mask cannot reach (its rows live in the delta, not the base) —
+    // it must refuse toward the fold, never silently keep serving
+    val shrinkBuffered = intercept[IllegalArgumentException] {
+      DedupQueries.bufferPrefixUpdate(
+        Seq((victim, "too short")).toDF("doc_id", "text"), "prefix_upd")
+    }
+    assert(shrinkBuffered.getMessage.contains("compactPrefixIndex"),
+      shrinkBuffered.getMessage)
+    // a BASE-resident rep shrinking below the floor removes cleanly (the
+    // mask-only batch), from both views
+    val victim2 = spark.table("prefix_upd_fwd").select("doc_id").distinct()
+      .filter(col("doc_id") =!= victim)
+      .agg(min(col("doc_id"))).head.getLong(0)
+    DedupQueries.bufferPrefixUpdate(
+      Seq((victim2, "too short")).toDF("doc_id", "text"), "prefix_upd")
+    val (inv2, fwd2) = DedupQueries.prefixIndexFrames(spark, "prefix_upd")
+    assert(inv2.filter(col("doc_id") === victim2).count() == 0)
+    assert(fwd2.filter(col("doc_id") === victim2).count() == 0)
+    // an all-short batch of UNKNOWN ids is a clean no-op, never a thrown
+    // poison pill (the streaming caller would replay it forever)
+    DedupQueries.bufferPrefixUpdate(
+      Seq((8888888L, "na")).toDF("doc_id", "text"), "prefix_upd")
+    val anchor = graft.sources.Tombstones.tableLocation(spark, "prefix_upd")
+    assert(graft.sources.IndexManifest.current(spark, anchor)
+      .exists(_.deltas.size == 2), "the no-op batch must not commit")
+    // the fold bakes the final state cleanly into both tables; after it
+    // the previously-refused shrink of the first victim proceeds
+    DedupQueries.compactPrefixIndex(spark, "prefix_upd")
+    DedupQueries.bufferPrefixUpdate(
+      Seq((victim, "too short")).toDF("doc_id", "text"), "prefix_upd")
+    val (inv3, fwd3) = DedupQueries.prefixIndexFrames(spark, "prefix_upd")
+    assert(inv3.filter(col("doc_id") === victim).count() == 0)
+    assert(fwd3.filter(col("doc_id") === victim).count() == 0)
+    assert(inv3.filter(col("doc_id") === victim2).count() == 0)
+  }
+
+  test("crash between the prefix folds leaves both views exact; the retry is clean") {
+    // review-found (r17): the fwd table folds first, physically baking
+    // the open window into its base while the window is still live — a
+    // plain union would double-serve every window row there (and a retry
+    // would bake the duplicates in). The key-override read makes every
+    // fold state exact; pinned by crashing right after the fwd swap.
+    import graft.operators.DedupQueries
+    val t = graft.sources.Tombstones
+    val thr = DedupQueries.writePrefixIndex(
+      spark, sfDir, "prefix_foldcrash", s"$tmp/prefix_foldcrash")
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpusTexts = d.filter(col("doc_id") < thr)
+      .select(md5(col("text")).as("h")).distinct()
+    val batch = d.filter(col("doc_id") >= thr)
+      .join(corpusTexts, md5(col("text")) === col("h"), "left_anti")
+      .select("doc_id", "text")
+    DedupQueries.bufferPrefixUpdate(batch, "prefix_foldcrash")
+    def frames() = {
+      val (i, f) = DedupQueries.prefixIndexFrames(spark, "prefix_foldcrash")
+      (i.orderBy("doc_id", "x").collect().toSeq,
+        f.orderBy("doc_id", "x").collect().toSeq)
+    }
+    val before = frames()
+    assert(before._1.nonEmpty && before._1 == before._2)
+    t.failAfterTableSwap = true
+    intercept[RuntimeException] {
+      DedupQueries.compactPrefixIndex(spark, "prefix_foldcrash")
+    }
+    // between the folds: fwd base contains the baked window, the window
+    // is still open — the override keeps both views exactly pre-crash
+    assert(frames() == before, "mid-fold state double-served window rows")
+    // the retry folds both tables; views unchanged, window retired
+    DedupQueries.compactPrefixIndex(spark, "prefix_foldcrash")
+    assert(frames() == before)
+    val anchor = graft.sources.Tombstones.tableLocation(spark, "prefix_foldcrash")
+    assert(graft.sources.IndexManifest.current(spark, anchor)
+      .forall(_.deltas.isEmpty))
+  }
+
+  test("crash between the search fold's swap and clear: probes stay exact, the retry is clean") {
+    // review-found (r17): the search anchor is immutable, so after the
+    // swap the new base already contains the folded window while the
+    // window is still open — insert-only append deltas have no masking
+    // fragment, so a plain union would double-count their postings in df
+    // and tf. The override read keeps every crash state exact.
+    import graft.operators.SearchQueries
+    val t = graft.sources.Tombstones
+    val path = s"$tmp/search_foldcrash"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_foldcrash", path)
+    SearchQueries.appendSearchIndex(spark, "search_foldcrash", path,
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 17 === 3)
+        .select(col("doc_id") + 7100000L as "doc_id", col("text"), col("lang")))
+    val before = sorted(SearchQueries.bm25TopkFromIndex(spark, "search_foldcrash", path))
+    t.failAfterTableSwap = true
+    intercept[RuntimeException] {
+      SearchQueries.compactSearchIndex(spark, "search_foldcrash", path)
+    }
+    assert(sorted(SearchQueries.bm25TopkFromIndex(
+      spark, "search_foldcrash", path)) == before,
+      "post-swap pre-clear state double-served the append window")
+    SearchQueries.compactSearchIndex(spark, "search_foldcrash", path)
+    assert(sorted(SearchQueries.bm25TopkFromIndex(
+      spark, "search_foldcrash", path)) == before)
+    assert(graft.sources.IndexManifest.current(spark, path)
+      .forall(_.deltas.isEmpty))
+  }
+
+  test("post-fold as-of on a FENCED index refuses pre-fold epochs instead of serving the carry") {
+    // review-found (r17): the fold's fence-carry commit used to start the
+    // fresh anchor at v1, so as-of 'epoch 1' silently resolved the FOLDED
+    // table as a pre-fold state. The carry now CONTINUES the old
+    // lineage's version numbering (and bumps the generation), so every
+    // pre-fold version is a loud missing-epoch failure and the carried
+    // epoch truthfully reads as the post-fold state.
+    import graft.operators.DedupQueries
+    DedupQueries.writeBandIndex(spark, sfDir, "band_fasof", s"$tmp/band_fasof")
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val b1 = d.filter(col("doc_id") % 13 === 1)
+      .select(col("doc_id") + 5100000L as "doc_id", col("text"))
+    val b2 = d.filter(col("doc_id") % 13 === 4)
+      .select(col("doc_id") + 5200000L as "doc_id", col("text"))
+    assert(DedupQueries.ingestBandBatch(b1, "band_fasof", 0L, streamId = "s1")) // v1
+    assert(DedupQueries.ingestBandBatch(b2, "band_fasof", 1L, streamId = "s1")) // v2
+    val live = DedupQueries.bandIndexFrame(spark, "band_fasof")
+      .orderBy("doc_id", "bk").collect().toSeq
+    DedupQueries.compactBandIndex(spark, "band_fasof") // carry: epoch v3, gen+1
+    val gone = intercept[IllegalArgumentException] {
+      DedupQueries.bandIndexFrameAsOf(spark, "band_fasof", 1L).collect()
+    }
+    assert(gone.getMessage.contains("never committed"), gone.getMessage)
+    // the carried epoch is addressable and truthful: it IS the folded state
+    assert(DedupQueries.bandIndexFrameAsOf(spark, "band_fasof", 3L)
+      .orderBy("doc_id", "bk").collect().toSeq == live)
+    // and the fence still skips a replay after the fold
+    assert(!DedupQueries.ingestBandBatch(b2, "band_fasof", 1L, streamId = "s1"))
+  }
+
+  test("append hygiene: empty batches no-op, within-batch duplicate ids refuse") {
+    // review-found (r17): an empty cell-partitioned delta write produces
+    // no schema-bearing file — committing it would brick every later
+    // delta read (probes AND the fold); and a batch carrying one id twice
+    // would double-serve under an insert-only append
+    import graft.operators.{SearchQueries, SimilarityQueries}
+    val ip = s"$tmp/ivf_hyg"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, ip)
+    val before = sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, ip))
+    val emb = Tables.embeddings(spark, sfDir)
+    SimilarityQueries.appendIvfIndex(spark, sfDir, ip,
+      emb.filter(col("vec_id") < -1)) // empty: clean no-op
+    assert(graft.sources.IndexManifest.current(spark, ip).isEmpty ||
+      graft.sources.IndexManifest.current(spark, ip).exists(_.deltas.isEmpty))
+    assert(sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, ip)) == before)
+    val doubled = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id") + 7200000L as "vec_id", col("embedding"), col("label"))
+    val e1 = intercept[IllegalArgumentException] {
+      SimilarityQueries.appendIvfIndex(spark, sfDir, ip, doubled.unionAll(doubled))
+    }
+    assert(e1.getMessage.contains("more than once"), e1.getMessage)
+    val sp = s"$tmp/search_hyg"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_hyg", sp)
+    val sdoc = Tables.documents(spark, sfDir).filter(col("doc_id") === 0L)
+      .select(col("doc_id") + 7300000L as "doc_id", col("text"), col("lang"))
+    val e2 = intercept[IllegalArgumentException] {
+      SearchQueries.appendSearchIndex(spark, "search_hyg", sp, sdoc.unionAll(sdoc))
+    }
+    assert(e2.getMessage.contains("more than once"), e2.getMessage)
+  }
+
   test("as-of frames are family-uniform: bucketed families and the graph travel; folds end the horizon") {
     // r17 closes the as-of asymmetry: search/IVF had time travel, the
     // location-anchored bucketed families and the graph did not. Pin the
@@ -1943,6 +2131,26 @@ class TombstoneSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("writer-d"), e2.getMessage)
     wl.release(spark, anchor, "writer-d")
+    // review-found (r17): a zero-byte lease — a writer dead between
+    // create and write — must be BREAKABLE, not a permanent page (the
+    // old hard-fail made the expired-break branch unreachable)
+    val leaseFile = new java.io.File(wl.leasePath(anchor).stripPrefix("file:"))
+    leaseFile.getParentFile.mkdirs()
+    assert(leaseFile.createNewFile())
+    assert(wl.current(spark, anchor).exists(_.holder == "<torn>"))
+    assert(wl.acquire(spark, anchor, "writer-f", ttlMs = 60000))
+    wl.release(spark, anchor, "writer-f")
+    // review-found (r17): a body that loses its lease mid-run (expiry +
+    // takeover) still completes, must NOT tear down the successor's
+    // lease, and must not be reported failed over it
+    val r = wl.withLease(spark, anchor, "writer-g") {
+      assert(leaseFile.delete()) // simulate the TTL expiring + break
+      assert(wl.acquire(spark, anchor, "writer-h", ttlMs = 60000))
+      7
+    }
+    assert(r == 7)
+    assert(wl.current(spark, anchor).exists(_.holder == "writer-h"))
+    wl.release(spark, anchor, "writer-h")
   }
 
   test("vacuum retention window: as-of travel survives inside keepEpochs, refuses loudly outside") {
