@@ -52,13 +52,16 @@ object DocumentsStream {
     */
   def runWinnowIngest(
       spark: SparkSession, inPath: String, table: String,
-      checkpoint: String): Unit = {
+      checkpoint: String, foldEvery: Int = 0): Unit = {
     val q = readDocs(spark, inPath)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           graft.operators.DedupQueries.ingestWinnowBatch(
             batch.toDF(), table, batchId, streamId = checkpoint)
+          foldIfDue(spark, table, foldEvery,
+            graft.operators.DedupQueries.compactWinnowIndex(spark, table))
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -66,6 +69,21 @@ object DocumentsStream {
       .start()
     q.awaitTermination()
   }
+
+  /** The inline LSM fold policy shared by the ingest runners (the
+    * runSearchIngest/runAnnIngest `foldEvery` shape for the
+    * location-anchored families): fold once the open window reaches
+    * `foldEvery` delta batches. The fence rides the fold's location move,
+    * so replays of already-folded batches still skip.
+    */
+  private def foldIfDue(
+      spark: SparkSession, table: String, foldEvery: Int,
+      fold: => Unit): Unit =
+    if (foldEvery > 0 &&
+        graft.sources.IndexManifest.current(spark,
+            graft.sources.Tombstones.tableLocation(spark, table))
+          .exists(_.deltas.size >= foldEvery))
+      fold
 
   /** EXACTLY-ONCE streaming ingest into the MinHash band index — the
     * candidate-generation side of near-dup detection under a stream:
@@ -78,13 +96,16 @@ object DocumentsStream {
     */
   def runBandIngest(
       spark: SparkSession, inPath: String, table: String,
-      checkpoint: String): Unit = {
+      checkpoint: String, foldEvery: Int = 0): Unit = {
     val q = readDocs(spark, inPath)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           graft.operators.DedupQueries.ingestBandBatch(
             batch.toDF(), table, batchId, streamId = checkpoint)
+          foldIfDue(spark, table, foldEvery,
+            graft.operators.DedupQueries.compactBandIndex(spark, table))
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -102,13 +123,16 @@ object DocumentsStream {
     */
   def runPrefixIngest(
       spark: SparkSession, inPath: String, table: String,
-      checkpoint: String): Unit = {
+      checkpoint: String, foldEvery: Int = 0): Unit = {
     val q = readDocs(spark, inPath)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           graft.operators.DedupQueries.ingestPrefixBatch(
             batch.toDF(), table, batchId, streamId = checkpoint)
+          foldIfDue(spark, table, foldEvery,
+            graft.operators.DedupQueries.compactPrefixIndex(spark, table))
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -125,7 +149,7 @@ object DocumentsStream {
     */
   def runPhashIngest(
       spark: SparkSession, inPath: String, table: String,
-      checkpoint: String): Unit = {
+      checkpoint: String, foldEvery: Int = 0): Unit = {
     val assetSchema = StructType(Seq(
       StructField("asset_id", LongType),
       StructField("payload", org.apache.spark.sql.types.BinaryType),
@@ -136,9 +160,12 @@ object DocumentsStream {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           graft.operators.MultimodalQueries.ingestPhashBatch(
             batch.toDF(), table, batchId, streamId = checkpoint)
+          foldIfDue(spark, table, foldEvery,
+            graft.operators.MultimodalQueries.compactPhashIndex(spark, table))
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

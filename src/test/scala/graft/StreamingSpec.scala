@@ -570,6 +570,18 @@ class StreamingSpec extends SparkSpec {
       DedupQueries.ingestBandBatch(b1, "band_idx_ing", 0L, streamId = "other")
     }
     assert(e.getMessage.contains("lineage"), e.getMessage)
+    // the inline fold policy (foldEvery = 1): every batch folds as it
+    // lands, the drained frame is unchanged, the window never
+    // accumulates, and the fence still skips a replay after the folds
+    DedupQueries.writeBandIndex(spark, sfDir, "band_idx_ing_f", s"$base/idxf")
+    DocumentsStream.runBandIngest(
+      spark, s"$base/in", "band_idx_ing_f", s"$base/ckptf", foldEvery = 1)
+    assert(frame("band_idx_ing_f") == drained)
+    assert(graft.sources.IndexManifest.current(spark,
+        graft.sources.Tombstones.tableLocation(spark, "band_idx_ing_f"))
+      .forall(_.deltas.isEmpty), "auto-fold left an open window")
+    assert(!DedupQueries.ingestBandBatch(b2, "band_idx_ing_f", 1L,
+      streamId = s"$base/ckptf"))
   }
 
   test("streaming prefix ingest drains exactly once and serves both halves") {
