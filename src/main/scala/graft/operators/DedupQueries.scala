@@ -429,14 +429,17 @@ object DedupQueries {
     // tombstone the base — an update shrinking a doc below the shingle
     // floor removes it from the index, exactly as a rebuild would; but a
     // REMOVAL of a window-resident id cannot take effect (mask covers
-    // base only) — refuse toward the fold
-    val rows = bandKeysOf(signaturesOf(docs))
-    val rowIds = rows.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
-    graft.sources.Tombstones.requireRemovalsNotBuffered(
-      s, anchor, ids, rowIds, "doc_id", "bufferBandUpdate", "compactBandIndex")
-    graft.sources.Tombstones.commitUpdateBatch(s, anchor, ids, None, hwm) { d =>
-      rows.write.mode("overwrite").parquet(d)
-    }
+    // base only) — refuse toward the fold. Persisted: the rows feed both
+    // the removal check and the delta write.
+    val rows = bandKeysOf(signaturesOf(docs)).persist()
+    try {
+      val rowIds = rows.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+      graft.sources.Tombstones.requireRemovalsNotBuffered(
+        s, anchor, ids, rowIds, "doc_id", "bufferBandUpdate", "compactBandIndex")
+      graft.sources.Tombstones.commitUpdateBatch(s, anchor, ids, None, hwm) { d =>
+        rows.write.mode("overwrite").parquet(d)
+      }
+    } finally rows.unpersist(false)
   }
 
   /** Physically remove tombstoned documents' band keys, fold any open
@@ -768,11 +771,14 @@ object DedupQueries {
     graft.sources.Tombstones.maskedOverrideFrame(s, ep, base, "doc_id")
 
   /** [[prefixIndexFrames]] AS OF committed epoch `version` of the
-    * INVERTED anchor — the family's epoch authority: every mutation that
-    * creates an epoch commits its fragment/delta there first (ingest only
-    * there), and a delete lands the SAME id set on both anchors, so the
-    * inverted epoch's masks reproduce both views' state at that commit.
-    * The fold ends the horizon (location move — the old anchor dies).
+    * INVERTED anchor — the family's SINGLE epoch authority: every
+    * mutation (delete fragment, update/ingest delta) commits there and
+    * ONLY there, and both views resolve masks and window through that one
+    * epoch (the forward anchor carries no lifecycle state of its own), so
+    * the inverted epoch's masks reproduce both views' state at that
+    * commit. The fold ends the horizon (location move — the old anchor
+    * dies; its carry epoch continues the version numbering so pre-fold
+    * versions fail loudly).
     */
   def prefixIndexFramesAsOf(
       s: SparkSession, table: String, version: Long): (DataFrame, DataFrame) = {
@@ -853,26 +859,36 @@ object DedupQueries {
     // plus earlier batches — so a token first seen by ingest keeps its
     // assigned order everywhere)
     val visInv = prefixIndexFrames(s, table)._1
-    val rows = prefixBatchRows(docs, visInv)
-    val repIds = rows.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
-    // the masked ids: the batch's representatives (their rows are
-    // replaced) PLUS any batch id already standing whose new content
-    // yields no rows — a doc shrunk below the 3-token shingle floor is an
-    // update that REMOVES it, exactly as a rebuild would. A batch of
-    // all-short UNKNOWN docs is a clean no-op, never a thrown poison pill:
-    // the streaming caller would otherwise replay the same batch forever
-    val standing = visInv.select("doc_id").distinct()
-      .join(broadcast(rawIds.toDF("doc_id")), Seq("doc_id"), "left_semi")
-      .collect().map(_.getLong(0)).toSeq
-    val maskIds = (repIds ++ standing).distinct
-    if (maskIds.isEmpty) return
-    // a REMOVAL (standing id, no replacement rows) of a window-resident
-    // id cannot take effect — the mask covers base only; fold first
-    graft.sources.Tombstones.requireRemovalsNotBuffered(
-      s, anchor, maskIds, repIds, "doc_id", "bufferPrefixUpdate", "compactPrefixIndex")
-    graft.sources.Tombstones.commitUpdateBatch(s, anchor, maskIds, None, hwm) { d =>
-      rows.write.mode("overwrite").parquet(d)
-    }
+    // persisted: the rows feed both the rep-id collect and the delta
+    // write — without the cache the whole shingle/rank computation runs
+    // twice per micro-batch
+    val rows = prefixBatchRows(docs, visInv).persist()
+    try {
+      val repIds = rows.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+      // the masked ids: the batch's representatives (their rows are
+      // replaced) PLUS any batch id already standing whose new content
+      // yields no rows — a doc shrunk below the 3-token shingle floor is
+      // an update that REMOVES it, exactly as a rebuild would. A batch of
+      // all-short UNKNOWN docs is a clean no-op, never a thrown poison
+      // pill (the streaming caller would replay it forever). The standing
+      // lookup runs ONLY when removal candidates exist (driver-decidable
+      // — the common all-indexable batch skips the index scan entirely).
+      val removalCandidates = rawIds.filterNot(repIds.toSet)
+      val standingRemovals: Seq[Long] =
+        if (removalCandidates.isEmpty) Seq.empty
+        else visInv.select("doc_id").distinct()
+          .join(broadcast(removalCandidates.toDF("doc_id")), Seq("doc_id"), "left_semi")
+          .collect().map(_.getLong(0)).toSeq
+      val maskIds = repIds ++ standingRemovals
+      if (maskIds.isEmpty) return
+      // a REMOVAL (standing id, no replacement rows) of a window-resident
+      // id cannot take effect — the mask covers base only; fold first
+      graft.sources.Tombstones.requireRemovalsNotBuffered(
+        s, anchor, maskIds, repIds, "doc_id", "bufferPrefixUpdate", "compactPrefixIndex")
+      graft.sources.Tombstones.commitUpdateBatch(s, anchor, maskIds, None, hwm) { d =>
+        rows.write.mode("overwrite").parquet(d)
+      }
+    } finally rows.unpersist(false)
   }
 
   /** Physically remove tombstoned documents from both halves, folding any
@@ -1115,15 +1131,19 @@ object DedupQueries {
       docs, "doc_id", "bufferWinnowUpdate")
     val fps = TextQueries.winnowSelected(docs)
       .select(col("doc_id"), col("fp")).distinct()
+    // persisted: the rows feed both the removal check and the delta write
     val rows = fps.join(fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp_c")), "doc_id")
-    // a doc shrunk below the fingerprint floor is a REMOVAL — refuse if
-    // its current rows live in the open window (mask covers base only)
-    val rowIds = rows.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
-    graft.sources.Tombstones.requireRemovalsNotBuffered(
-      s, anchor, ids, rowIds, "doc_id", "bufferWinnowUpdate", "compactWinnowIndex")
-    graft.sources.Tombstones.commitUpdateBatch(s, anchor, ids, None, hwm) { d =>
-      rows.write.mode("overwrite").parquet(d)
-    }
+      .persist()
+    try {
+      // a doc shrunk below the fingerprint floor is a REMOVAL — refuse if
+      // its current rows live in the open window (mask covers base only)
+      val rowIds = rows.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+      graft.sources.Tombstones.requireRemovalsNotBuffered(
+        s, anchor, ids, rowIds, "doc_id", "bufferWinnowUpdate", "compactWinnowIndex")
+      graft.sources.Tombstones.commitUpdateBatch(s, anchor, ids, None, hwm) { d =>
+        rows.write.mode("overwrite").parquet(d)
+      }
+    } finally rows.unpersist(false)
   }
 
   /** Physically remove tombstoned documents' fingerprints, fold any open

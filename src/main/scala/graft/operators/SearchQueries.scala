@@ -638,15 +638,18 @@ object SearchQueries {
         cur.getLong(0) - old.getLong(0) + add.getLong(0),
         cur.getLong(1) - old.getLong(1) + add.getLong(1))))
       .toDF("n_docs", "tt")
-    val rows = postingsOf(docs)
-    // a doc whose new text yields no postings is a REMOVAL — refuse if
-    // its current postings live in the open window (mask covers base only)
-    val rowIds = rows.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
-    graft.sources.Tombstones.requireRemovalsNotBuffered(
-      s, path, ids, rowIds, "doc_id", "bufferSearchUpdate", "compactSearchIndex")
-    graft.sources.Tombstones.commitUpdateBatch(s, path, ids, Some(newStats), hwm) { d =>
-      rows.write.mode("overwrite").parquet(d)
-    }
+    // persisted: the rows feed both the removal check and the delta write
+    val rows = postingsOf(docs).persist()
+    try {
+      // a doc whose new text yields no postings is a REMOVAL — refuse if
+      // its current postings live in the open window (mask covers base only)
+      val rowIds = rows.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+      graft.sources.Tombstones.requireRemovalsNotBuffered(
+        s, path, ids, rowIds, "doc_id", "bufferSearchUpdate", "compactSearchIndex")
+      graft.sources.Tombstones.commitUpdateBatch(s, path, ids, Some(newStats), hwm) { d =>
+        rows.write.mode("overwrite").parquet(d)
+      }
+    } finally rows.unpersist(false)
   }
 
   /** Probe the persisted index with the fixed query set: the term In-filter

@@ -82,16 +82,6 @@ object Tombstones {
       .getTableMetadata(s.sessionState.sqlParser.parseTableIdentifier(table))
       .location.toString
 
-  /** [[add]] for a catalog-table index. */
-  def addForTable(s: SparkSession, table: String, ids: Seq[Long]): Unit =
-    add(s, tableLocation(s, table), ids)
-
-  /** The tombstone-filtered scan of a catalog-table index — what every
-    * probe reads in place of `s.table(table)`.
-    */
-  def filterTable(s: SparkSession, table: String, idCol: String): DataFrame =
-    filter(s.table(table), tableLocation(s, table), idCol)
-
   /** The distinct tombstoned ids of a catalog-table index, if any. */
   def idSetForTable(s: SparkSession, table: String): Option[DataFrame] =
     idSet(s, tableLocation(s, table))
@@ -250,11 +240,16 @@ object Tombstones {
     * append: rows and stats become visible together or not at all, the
     * base generation never moves (no standing file is touched, so as-of
     * reads stay exact ACROSS appends), and — unlike [[commitUpdateBatch]]
-    * — no id list is collected to the driver, so the batch can be
-    * arbitrarily large (a daily append is data-plane, not a bounded
-    * update request). The fold ([[compactBucketedIndex]]/[[compactFlat]])
-    * does the physical bucket/cell append later. `hwm` threads the
-    * streaming-ingest fence exactly as in [[commitUpdateBatch]].
+    * — no id list is collected to the driver, so the COMMIT is O(1) in
+    * batch size (a daily append is data-plane, not a bounded update
+    * request). PROBES, however, pay one broadcast of the open window's
+    * distinct id set until the fold ([[maskedOverrideFrame]] — the same
+    * cardinality [[deltaLatestOf]] already broadcasts), so the fold
+    * cadence (`foldEvery`, [[needsCompaction]]) must keep the open window
+    * broadcast-sized: land a huge append, fold promptly. The fold
+    * ([[compactBucketedIndex]]/[[compactFlat]]) does the physical
+    * bucket/cell append. `hwm` threads the streaming-ingest fence exactly
+    * as in [[commitUpdateBatch]].
     */
   def commitInsertBatch(
       s: SparkSession, indexPath: String,
@@ -323,6 +318,15 @@ object Tombstones {
     IndexManifest.commit(s, indexPath,
       e.copy(ingestHwm = None, ingestStream = None))
   }
+
+  /** The inline fold trigger every streaming ingest runner shares: true
+    * once the open window holds at least `foldEvery` delta batches
+    * (foldEvery <= 0 disables). One manifest read — the single policy
+    * point, so a cadence change lands once, not per runner.
+    */
+  def windowReached(s: SparkSession, anchor: String, foldEvery: Int): Boolean =
+    foldEvery > 0 &&
+      IndexManifest.current(s, anchor).exists(_.deltas.size >= foldEvery)
 
   /** The live buffered batches unioned with a `batch_seq` ordinal (commit
     * order), or None when the window is empty — the common case, costing
@@ -459,10 +463,14 @@ object Tombstones {
         }
         // the retention window: the current epoch plus the keepEpochs most
         // recently superseded ones — every artifact any of them references
-        // survives, so as-of reads within the window still resolve
-        val retained: Seq[IndexManifest.Epoch] = cur +:
-          (math.max(1L, cur.version - keepEpochs) until cur.version)
-            .flatMap(v => IndexManifest.at(s, anchor, v))
+        // survives, so as-of reads within the window still resolve.
+        // Resolved through history() rather than a dense version range:
+        // a fold's carry epoch CONTINUES the previous lineage's numbering
+        // on a fresh anchor, so histories legitimately have holes, and a
+        // dense-range at() would throw on them (review-found).
+        val retained: Seq[IndexManifest.Epoch] =
+          IndexManifest.history(s, anchor)
+            .filter(_.version >= cur.version - keepEpochs)
         val keep = retained.flatMap(e => e.stats.toSeq ++ e.data.toSeq ++
           e.tombstones ++ e.deltas).map(canon).toSet
         var n = 0L
@@ -887,13 +895,17 @@ object Tombstones {
     // does not collide with its own previous attempt's fence commit.
     // The carried epoch CONTINUES the old lineage's version numbering and
     // bumps the generation: starting the fresh anchor at v1 would let an
-    // as-of read of pre-fold "epoch 1" silently resolve the carried
-    // (folded) state as an older epoch's — version continuation keeps
-    // every pre-fold version a loud missing-epoch failure, and the bump
-    // records that the fold rewrote the base.
+    // as-of read of pre-fold "epoch 1" silently resolve a post-fold state
+    // as an older epoch's — version continuation keeps every pre-fold
+    // version a loud missing-epoch failure, and the bump records that the
+    // fold rewrote the base. The carry lands UNCONDITIONALLY whenever the
+    // old anchor lived (not only when a fence exists — review-found: an
+    // unfenced delete-maintained index would otherwise restart at v1/gen0
+    // on its next mutation and alias pre-fold version numbers); a
+    // never-mutated anchor has no epochs to alias and carries nothing.
     if (anchor.isEmpty) {
       reset(s, dest)
-      IndexManifest.current(s, cur).filter(_.ingestHwm.isDefined).foreach { f =>
+      IndexManifest.current(s, cur).foreach { f =>
         IndexManifest.commit(s, dest,
           IndexManifest.Epoch(
             version = f.version + 1, data = None, stats = None,

@@ -43,13 +43,23 @@ object WriterLease {
   private def fs(s: SparkSession, p: Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** Grace before a TORN (zero-byte/unparseable) lease file becomes
+    * breakable, measured from the file's modification time: long enough
+    * that a racer reading mid-initial-write never breaks a LIVE claim,
+    * short enough that a writer dead between create and write stops
+    * paging within a minute.
+    */
+  val TORN_GRACE_MS: Long = 60000L
+
   /** The current lease, if a lease file exists (expired or not). A
     * zero-byte or torn file — a writer that died between creating and
-    * writing the lease — parses as an already-EXPIRED lease under the
-    * reserved holder `<torn>`: hard-failing here would make the corpse's
-    * lease permanently unbreakable (no claimant could ever reach the
-    * expired-break branch), which is the exact page the lease exists to
-    * bound.
+    * writing the lease — parses as a lease under the reserved holder
+    * `<torn>` that EXPIRES [[TORN_GRACE_MS]] after the file's mtime:
+    * hard-failing would make the corpse's lease permanently unbreakable
+    * (the page the lease exists to bound), while treating it as
+    * instantly expired would let a claimant racing the non-atomic
+    * INITIAL write break a live claim (review-found; renewals are
+    * tmp+rename-atomic, so only first acquisition has the window).
     */
   def current(s: SparkSession, anchor: String): Option[Lease] = {
     val p = new Path(leasePath(anchor))
@@ -65,7 +75,8 @@ object WriterLease {
         if (i > 0) scala.util.Try(
           Lease(body.substring(0, i), body.substring(i + 1).trim.toLong)).toOption
         else None
-      Some(parsed.getOrElse(Lease("<torn>", Long.MinValue)))
+      Some(parsed.getOrElse(
+        Lease("<torn>", f.getFileStatus(p).getModificationTime + TORN_GRACE_MS)))
     }
   }
 
@@ -83,11 +94,18 @@ object WriterLease {
     val f = fs(s, p)
     current(s, anchor) match {
       case Some(l) if l.holder == holder =>
-        // renewal: the owner extends its own lease (overwrite is safe —
-        // nobody else may legally touch a live lease)
-        val out = f.create(p, true)
+        // renewal: the owner extends its own lease ATOMICALLY (tmp +
+        // single-file rename-with-overwrite) — a truncate-then-write
+        // renewal would expose a zero-byte window a polling claimant
+        // could mistake for a torn corpse and break (review-found)
+        val tmp = new Path(p.getParent,
+          s".tmp_lease_${java.util.UUID.randomUUID().toString.take(8)}")
+        val out = f.create(tmp, true)
         try out.write(s"$holder\t${nowMs() + ttlMs}\n".getBytes("UTF-8"))
         finally out.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          p.toUri, s.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         true
       case Some(l) if l.expiresAtMs >= nowMs() =>
         false // live foreign lease — wait or fail, caller's policy
@@ -157,8 +175,15 @@ object WriterLease {
         s"(held by ${current(s, anchor).map(_.holder).getOrElse("?")})")
     try body
     finally {
+      // release-if-still-held, with the residual TOCTOU tolerated: a
+      // takeover can land between this check and release()'s own re-read,
+      // and release() then refuses (correctly protecting the successor) —
+      // that refusal must not surface from a finally, where it would
+      // report the completed body failed or shadow the body's own
+      // exception (review-found)
       if (current(s, anchor).exists(_.holder == holder))
-        release(s, anchor, holder)
+        try release(s, anchor, holder)
+        catch { case _: IllegalArgumentException => () }
     }
   }
 }

@@ -70,19 +70,16 @@ object DocumentsStream {
     q.awaitTermination()
   }
 
-  /** The inline LSM fold policy shared by the ingest runners (the
-    * runSearchIngest/runAnnIngest `foldEvery` shape for the
-    * location-anchored families): fold once the open window reaches
-    * `foldEvery` delta batches. The fence rides the fold's location move,
-    * so replays of already-folded batches still skip.
+  /** The inline LSM fold policy for the location-anchored runners: the
+    * shared [[graft.sources.Tombstones.windowReached]] trigger against
+    * the table's current location anchor. The fence rides the fold's
+    * location move, so replays of already-folded batches still skip.
     */
   private def foldIfDue(
       spark: SparkSession, table: String, foldEvery: Int,
       fold: => Unit): Unit =
-    if (foldEvery > 0 &&
-        graft.sources.IndexManifest.current(spark,
-            graft.sources.Tombstones.tableLocation(spark, table))
-          .exists(_.deltas.size >= foldEvery))
+    if (graft.sources.Tombstones.windowReached(spark,
+        graft.sources.Tombstones.tableLocation(spark, table), foldEvery))
       fold
 
   /** EXACTLY-ONCE streaming ingest into the MinHash band index — the

@@ -89,9 +89,7 @@ object EmbeddingsStream {
           // the checkpoint IS the lineage (see runSearchIngest)
           SimilarityQueries.ingestIvfBatch(
             spark, dir, indexPath, batch.toDF(), batchId, streamId = checkpoint)
-          if (foldEvery > 0 &&
-              graft.sources.IndexManifest.current(spark, indexPath)
-                .exists(_.deltas.size >= foldEvery))
+          if (graft.sources.Tombstones.windowReached(spark, indexPath, foldEvery))
             SimilarityQueries.compactIvfIndex(spark, indexPath)
         }
         ()
@@ -122,9 +120,7 @@ object EmbeddingsStream {
         if (!batch.isEmpty) {
           SimilarityQueries.ingestGraphBatch(
             spark, dir, graphPath, batch.toDF(), batchId, streamId = checkpoint)
-          if (foldEvery > 0 &&
-              graft.sources.IndexManifest.current(spark, graphPath)
-                .exists(_.deltas.size >= foldEvery))
+          if (graft.sources.Tombstones.windowReached(spark, graphPath, foldEvery))
             SimilarityQueries.compactKnnGraph(spark, graphPath)
         }
         ()

@@ -76,9 +76,7 @@ object SearchStream {
           // it, and a different checkpoint must refuse rather than fence
           SearchQueries.ingestSearchBatch(
             spark, table, indexPath, batch.toDF(), batchId, streamId = checkpoint)
-          if (foldEvery > 0 &&
-              graft.sources.IndexManifest.current(spark, indexPath)
-                .exists(_.deltas.size >= foldEvery))
+          if (graft.sources.Tombstones.windowReached(spark, indexPath, foldEvery))
             SearchQueries.compactSearchIndex(spark, table, indexPath)
         }
         ()

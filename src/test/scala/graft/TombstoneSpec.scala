@@ -1946,6 +1946,13 @@ class TombstoneSpec extends SparkSpec {
       .orderBy("doc_id", "bk").collect().toSeq == live)
     // and the fence still skips a replay after the fold
     assert(!DedupQueries.ingestBandBatch(b2, "band_fasof", 1L, streamId = "s1"))
+    // vacuum with a retention window must tolerate the carry's SPARSE
+    // version history (second-review finding: a dense-range at() threw
+    // on the holes the version-continuing carry creates)
+    val anchor = graft.sources.Tombstones.tableLocation(spark, "band_fasof")
+    assert(graft.sources.Tombstones.vacuum(spark, anchor, keepEpochs = 1) >= 0)
+    assert(DedupQueries.bandIndexFrame(spark, "band_fasof")
+      .orderBy("doc_id", "bk").collect().toSeq == live)
   }
 
   test("append hygiene: empty batches no-op, within-batch duplicate ids refuse") {
@@ -2018,6 +2025,16 @@ class TombstoneSpec extends SparkSpec {
     }
     assert(gone.getMessage.contains("never committed") ||
       gone.getMessage.contains("generation"), gone.getMessage)
+    // and a POST-fold mutation must not recreate a pre-fold version
+    // number (second-review aliasing: without the UNCONDITIONAL version-
+    // continuing carry, an unfenced anchor restarted at v1 and 'epoch 1'
+    // silently resolved to the post-fold state)
+    DedupQueries.deleteFromWinnowIndex(spark, "winnow_asof", Seq(wdel.head))
+    val gone2 = intercept[Exception] {
+      DedupQueries.winnowIndexFrameAsOf(spark, "winnow_asof", 1L).collect()
+    }
+    assert(gone2.getMessage.contains("never committed") ||
+      gone2.getMessage.contains("generation"), gone2.getMessage)
     // band: v1 ingest-style buffer, travel to it after a later delete
     DedupQueries.writeBandIndex(spark, sfDir, "band_asof", s"$tmp/band_asof")
     val bnew = d.filter(col("doc_id") < thr && col("doc_id") % 13 === 1)
@@ -2132,13 +2149,20 @@ class TombstoneSpec extends SparkSpec {
     assert(e2.getMessage.contains("writer-d"), e2.getMessage)
     wl.release(spark, anchor, "writer-d")
     // review-found (r17): a zero-byte lease — a writer dead between
-    // create and write — must be BREAKABLE, not a permanent page (the
-    // old hard-fail made the expired-break branch unreachable)
+    // create and write — must be BREAKABLE after a grace, not a permanent
+    // page (the old hard-fail made the expired-break branch unreachable);
+    // but a FRESH torn file may be a racer mid-initial-write, so within
+    // the grace it is NOT breakable (the second review pass's race)
     val leaseFile = new java.io.File(wl.leasePath(anchor).stripPrefix("file:"))
     leaseFile.getParentFile.mkdirs()
     assert(leaseFile.createNewFile())
     assert(wl.current(spark, anchor).exists(_.holder == "<torn>"))
-    assert(wl.acquire(spark, anchor, "writer-f", ttlMs = 60000))
+    assert(!wl.acquire(spark, anchor, "writer-f", ttlMs = 60000),
+      "a fresh torn lease (possible mid-write racer) must not break")
+    assert(leaseFile.setLastModified(
+      System.currentTimeMillis() - wl.TORN_GRACE_MS - 5000))
+    assert(wl.acquire(spark, anchor, "writer-f", ttlMs = 60000),
+      "an aged torn lease (dead creator) must break")
     wl.release(spark, anchor, "writer-f")
     // review-found (r17): a body that loses its lease mid-run (expiry +
     // takeover) still completes, must NOT tear down the successor's
