@@ -436,6 +436,8 @@ object DedupQueries {
       val rowIds = rows.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
       graft.sources.Tombstones.requireRemovalsNotBuffered(
         s, anchor, ids, rowIds, "doc_id", "bufferBandUpdate", "compactBandIndex")
+      graft.sources.Tombstones.requireNoResurrect(
+        s, anchor, ids, "doc_id", "bufferBandUpdate", "compactBandIndex")
       graft.sources.Tombstones.commitUpdateBatch(s, anchor, ids, None, hwm) { d =>
         rows.write.mode("overwrite").parquet(d)
       }
@@ -885,6 +887,8 @@ object DedupQueries {
       // id cannot take effect — the mask covers base only; fold first
       graft.sources.Tombstones.requireRemovalsNotBuffered(
         s, anchor, maskIds, repIds, "doc_id", "bufferPrefixUpdate", "compactPrefixIndex")
+      graft.sources.Tombstones.requireNoResurrect(
+        s, anchor, rawIds, "doc_id", "bufferPrefixUpdate", "compactPrefixIndex")
       graft.sources.Tombstones.commitUpdateBatch(s, anchor, maskIds, None, hwm) { d =>
         rows.write.mode("overwrite").parquet(d)
       }
@@ -1140,6 +1144,8 @@ object DedupQueries {
       val rowIds = rows.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
       graft.sources.Tombstones.requireRemovalsNotBuffered(
         s, anchor, ids, rowIds, "doc_id", "bufferWinnowUpdate", "compactWinnowIndex")
+      graft.sources.Tombstones.requireNoResurrect(
+        s, anchor, ids, "doc_id", "bufferWinnowUpdate", "compactWinnowIndex")
       graft.sources.Tombstones.commitUpdateBatch(s, anchor, ids, None, hwm) { d =>
         rows.write.mode("overwrite").parquet(d)
       }

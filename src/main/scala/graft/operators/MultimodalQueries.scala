@@ -573,6 +573,8 @@ object MultimodalQueries {
       s"bufferPhashUpdate: asset_ids ${ids.filter(_ >= 1000000L).take(5).mkString(",")} " +
         ">= 1e6 collide with the planted-variant id offsets — widen the " +
         "offsets (and the oracle) first")
+    graft.sources.Tombstones.requireNoResurrect(
+      s, anchor, ids, "asset_id", "bufferPhashUpdate", "compactPhashIndex")
     val rows = phashBandKeys(Multimodal.perceptualHash(assets).toDF())
     graft.sources.Tombstones.commitUpdateBatch(s, anchor, ids, None, hwm) { d =>
       rows.write.mode("overwrite").parquet(d)

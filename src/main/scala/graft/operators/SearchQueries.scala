@@ -646,6 +646,8 @@ object SearchQueries {
       val rowIds = rows.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
       graft.sources.Tombstones.requireRemovalsNotBuffered(
         s, path, ids, rowIds, "doc_id", "bufferSearchUpdate", "compactSearchIndex")
+      graft.sources.Tombstones.requireNoResurrect(
+        s, path, ids, "doc_id", "bufferSearchUpdate", "compactSearchIndex")
       graft.sources.Tombstones.commitUpdateBatch(s, path, ids, Some(newStats), hwm) { d =>
         rows.write.mode("overwrite").parquet(d)
       }

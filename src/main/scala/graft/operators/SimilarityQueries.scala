@@ -1613,6 +1613,8 @@ object SimilarityQueries {
     graft.functions.GraftFunctions.register(s)
     val ids = graft.sources.Tombstones.requireUniqueBatchIds(
       newRows, "vec_id", "bufferIvfUpdate")
+    graft.sources.Tombstones.requireNoResurrect(
+      s, path, ids, "vec_id", "bufferIvfUpdate", "compactIvfIndex")
     val (ns, tr) = quantizerConfigOf(s, path, nSeeds, trained)
     val em = VectorOps.normalizedMeta(s, dir)
     val seeds = if (tr) trainedSeedSet(em, ns) else seedSet(em, ns)
@@ -2186,8 +2188,15 @@ object SimilarityQueries {
     // from the living — an e-only entry set would resurrect it as a
     // directly-scored candidate (caught by TombstoneSpec). The membership
     // read is the same bucket-pruned In-list as a beam hop.
+    // membership resolves WITHOUT the nbr_id >= 0 edge filter: a live
+    // isolated seed (sole member of its cell) is present in the graph as
+    // its rank-0 sentinel row ONLY — the sentinel exists precisely to
+    // make such members visible, and the edge-filtered read would exclude
+    // it from direct scoring forever (review-found); hops keep the
+    // sentinel drop (a -1 pseudo-neighbor is not an edge to walk)
     val seedIds = (0L until N_SEEDS).toSeq
-    val presentSeeds = beamHopReadOf(s, ep, path, seedIds, nBuckets)
+    val presentSeeds = beamHopReadOf(s, ep, path, seedIds, nBuckets,
+        edgesOnly = false)
       .select("vec_id").distinct()
     val entries = broadcast(e.filter(col("vec_id") < N_SEEDS)
       .join(presentSeeds, Seq("vec_id"), "left_semi")
@@ -2242,13 +2251,19 @@ object SimilarityQueries {
 
   private def beamHopReadOf(
       s: SparkSession, ep: Option[graft.sources.IndexManifest.Epoch],
-      defaultData: String, beamIds: Seq[Long], nBuckets: Long): DataFrame = {
+      defaultData: String, beamIds: Seq[Long], nBuckets: Long,
+      edgesOnly: Boolean = true): DataFrame = {
     val hotBuckets = beamIds.map(_ % nBuckets).distinct.sorted
-    def arm(df: DataFrame): DataFrame = df
-      .filter(col("bucket").isin(hotBuckets.map(b => b.toInt: Any): _*))
-      .filter(col("vec_id").isin(beamIds.map(i => i: Any): _*))
-      .filter(col("nbr_id") >= 0)
-      .select("vec_id", "nbr_id")
+    // edgesOnly = false is the MEMBERSHIP read (entry-seed resolution):
+    // sentinel rows count as presence, so an isolated live node is
+    // reachable as an entry even though it has no edges to walk
+    def arm(df: DataFrame): DataFrame = {
+      val pruned = df
+        .filter(col("bucket").isin(hotBuckets.map(b => b.toInt: Any): _*))
+        .filter(col("vec_id").isin(beamIds.map(i => i: Any): _*))
+      (if (edgesOnly) pruned.filter(col("nbr_id") >= 0) else pruned)
+        .select("vec_id", "nbr_id")
+    }
     val base = arm(s.read.parquet(ep.flatMap(_.data).getOrElse(defaultData)))
     graft.sources.Tombstones.deltaLatestOf(s, ep, "vec_id") match {
       case Some(d) =>

@@ -403,6 +403,41 @@ object Tombstones {
       requireNoBufferedClash(s, indexPath, removing, idCol, what, compactHint)
   }
 
+  /** The shared buffer/ingest-path RESURRECT guard: an id that was
+    * REMOVED — tombstoned with no window-resident replacement rows (a
+    * takedown, or an update that shrank the doc below its family's
+    * indexability floor) — may not be re-used by a buffered update before
+    * a fold retires the tombstone: the mask covers BASE rows only, so the
+    * batch's delta rows would serve immediately and the next fold would
+    * persist them, silently undoing the takedown — while the insert-only
+    * append paths refuse the very same ids as corruption (review-found
+    * asymmetry). Ids tombstoned BY an open update stay window-resident
+    * (their replacement rows serve), so re-updating them within the
+    * window remains legal — only the truly-removed set refuses, toward
+    * the fold.
+    */
+  def requireNoResurrect(
+      s: SparkSession, indexPath: String, ids: Seq[Long], idCol: String,
+      what: String, compactHint: String): Unit = {
+    val ep = IndexManifest.current(s, indexPath)
+    idSetOf(s, ep).foreach { t =>
+      import s.implicits._
+      val removed = deltaFrameOf(s, ep) match {
+        case Some(d) =>
+          t.join(d.select(col(idCol).as("id")).distinct(), Seq("id"), "left_anti")
+        case None => t
+      }
+      val clash = removed.withColumnRenamed("id", idCol)
+        .join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(clash.isEmpty,
+        s"$what: ${idCol}s ${clash.mkString(",")} were deleted from " +
+          s"$indexPath — a buffered update would resurrect the takedown " +
+          s"(its delta rows serve while the mask covers base rows only); " +
+          s"run $compactHint before re-using deleted ids")
+    }
+  }
+
   /** The shared buffer/ingest-path guard: one batch carrying the same id
     * TWICE has no defined resolution order (deltaLatestOf dedups across
     * batches by commit order, never within one), and the PQ encoder would
@@ -467,10 +502,14 @@ object Tombstones {
         // Resolved through history() rather than a dense version range:
         // a fold's carry epoch CONTINUES the previous lineage's numbering
         // on a fresh anchor, so histories legitimately have holes, and a
-        // dense-range at() would throw on them (review-found).
+        // dense-range at() would throw on them (review-found). The window
+        // is the last keepEpochs+1 COMMITTED entries, not a version-
+        // arithmetic filter: across a hole the arithmetic window silently
+        // retains FEWER epochs than requested, and an as-of read nominally
+        // inside it would fail (review-found).
         val retained: Seq[IndexManifest.Epoch] =
           IndexManifest.history(s, anchor)
-            .filter(_.version >= cur.version - keepEpochs)
+            .sortBy(_.version).takeRight(keepEpochs + 1)
         val keep = retained.flatMap(e => e.stats.toSeq ++ e.data.toSeq ++
           e.tombstones ++ e.deltas).map(canon).toSet
         var n = 0L

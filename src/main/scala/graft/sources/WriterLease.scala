@@ -61,8 +61,10 @@ object WriterLease {
     * INITIAL write break a live claim (review-found; renewals are
     * tmp+rename-atomic, so only first acquisition has the window).
     */
-  def current(s: SparkSession, anchor: String): Option[Lease] = {
-    val p = new Path(leasePath(anchor))
+  def current(s: SparkSession, anchor: String): Option[Lease] =
+    readLease(s, new Path(leasePath(anchor)))
+
+  private def readLease(s: SparkSession, p: Path): Option[Lease] = {
     val f = fs(s, p)
     if (!f.exists(p)) None
     else {
@@ -77,6 +79,55 @@ object WriterLease {
         else None
       Some(parsed.getOrElse(
         Lease("<torn>", f.getFileStatus(p).getModificationTime + TORN_GRACE_MS)))
+    }
+  }
+
+  /** Break an EXPIRED lease atomically: rename the lease file to a unique
+    * tomb (rename is the one-winner primitive — the source disappears for
+    * every other racer), then VERIFY the tombed content is the expired
+    * lease the claimant observed. The previous delete-then-create break
+    * had a two-holder window (review-found): claimant B that read the
+    * stale lease could delete claimant A's FRESHLY CREATED lease (A broke
+    * the corpse and claimed between B's read and B's delete) and create
+    * its own — both then believe they own the index. With rename+verify,
+    * B that tombs a lease it did not observe knows it raced someone and
+    * RESTORES the tombed lease (rename back; if a third claimant landed
+    * meanwhile, their lease stands and the tomb is dropped — never two
+    * live lease files). Returns true only if the observed expired lease
+    * was the one broken; callers treat false as a lost race and re-read.
+    * The manifest's version-collision check remains the CORRECTNESS guard
+    * beneath all of this — the lease is advisory bounded-wait, and on a
+    * store without atomic rename the residual is documented at
+    * [[IndexManifest.commit]]'s landing primitive.
+    */
+  private[graft] def breakExpired(
+      s: SparkSession, anchor: String, observed: Lease): Boolean = {
+    val p = new Path(leasePath(anchor))
+    val f = fs(s, p)
+    val tomb = new Path(p.getParent,
+      s".tomb_lease_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, s.sparkContext.hadoopConfiguration)
+    try fc.rename(p, tomb)
+    catch {
+      // source gone: another claimant tombed it first — lost the race
+      case _: java.io.IOException => return false
+    }
+    val broken = readLease(s, tomb)
+    if (broken.contains(observed)) {
+      try f.delete(tomb, false) catch { case _: java.io.IOException => () }
+      true
+    } else {
+      // tombed a lease we never observed — someone broke-and-reclaimed
+      // between our read and our rename; put it back (or, if a third
+      // claimant created meanwhile, leave THEIR lease standing and drop
+      // the tomb: exactly one live lease file on every path)
+      try fc.rename(tomb, p)
+      catch {
+        case _: java.io.IOException =>
+          try f.delete(tomb, false) catch { case _: java.io.IOException => () }
+      }
+      false
     }
   }
 
@@ -110,8 +161,10 @@ object WriterLease {
       case Some(l) if l.expiresAtMs >= nowMs() =>
         false // live foreign lease — wait or fail, caller's policy
       case other =>
-        // expired foreign lease (break it) or no lease at all
-        if (other.isDefined) f.delete(p, false)
+        // expired foreign lease (break it atomically — rename-to-tomb
+        // with content verification, never delete+create) or no lease at
+        // all; a lost break race reports false and the caller re-reads
+        if (other.isDefined && !breakExpired(s, anchor, other.get)) return false
         val parent = p.getParent
         if (!f.exists(parent)) f.mkdirs(parent)
         try {

@@ -2208,4 +2208,161 @@ class TombstoneSpec extends SparkSpec {
       s"expected a loud missing-path failure, got: ${gone.getMessage}")
     assert(asof1 != null) // the pre-vacuum read really did serve
   }
+
+  test("lease break is atomic: rename+verify restores a reclaimed lease instead of stealing it") {
+    // review-found (r17 ADVICE): the old break was delete-then-create —
+    // claimant B that read a STALE lease could delete claimant A's
+    // freshly created lease and create its own, leaving two holders. The
+    // rename-to-tomb break verifies the tombed content IS the expired
+    // lease the claimant observed; a mismatch restores it and reports
+    // the race lost.
+    val wl = graft.sources.WriterLease
+    val anchor = s"$tmp/lease_break"
+    var now = System.currentTimeMillis()
+    val clock = () => now
+    assert(wl.acquire(spark, anchor, "writer-a", ttlMs = 1000, nowMs = clock))
+    val staleA = wl.current(spark, anchor).get
+    now += 5000 // writer-a crashed; its lease expired un-renewed
+    // between B's read of the stale lease and B's break, writer-c breaks
+    // and reclaims — the two-holder race window
+    assert(wl.acquire(spark, anchor, "writer-c", ttlMs = 600000, nowMs = clock))
+    val cLease = wl.current(spark, anchor).get
+    assert(cLease.holder == "writer-c")
+    // B acts on its stale observation: the break must detect the
+    // mismatch, RESTORE writer-c's live lease, and report the loss
+    assert(!wl.breakExpired(spark, anchor, staleA),
+      "a break acting on a stale observation must lose, not steal")
+    assert(wl.current(spark, anchor).contains(cLease),
+      "the reclaimed lease must be restored exactly")
+    // ...and writer-c's lease still gates claimants end-to-end
+    assert(!wl.acquire(spark, anchor, "writer-b", ttlMs = 60000, nowMs = clock))
+    // the honest path still breaks: observing the ACTUAL expired lease
+    now += 700000 // writer-c's lease expired too
+    val staleC = wl.current(spark, anchor).get
+    assert(wl.breakExpired(spark, anchor, staleC))
+    assert(wl.current(spark, anchor).isEmpty)
+  }
+
+  test("resurrect guard: a buffered update of a DELETED id refuses toward the fold; window-resident re-updates stay legal") {
+    import graft.operators.{DedupQueries, SimilarityQueries}
+    // band: delete id A, then try to buffer an update of A — the mask
+    // covers base rows only, so the delta rows would serve immediately
+    // and the next fold would persist them, silently undoing the
+    // takedown (review-found: the append paths refused this while the
+    // buffer paths accepted it)
+    val thr = DedupQueries.writeBandIndex(
+      spark, sfDir, "band_resur", s"$tmp/band_resur")
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < thr)
+    val ids = docs.filter(col("doc_id") % 17 === 4)
+      .select("doc_id").limit(2).collect().map(_.getLong(0))
+    assert(ids.length == 2)
+    val (a, b) = (ids(0), ids(1))
+    DedupQueries.deleteFromBandIndex(spark, "band_resur", Seq(a))
+    def upd(id: Long, suffix: String) = docs.filter(col("doc_id") === id)
+      .select(col("doc_id"), concat(col("text"), lit(suffix)).as("text"))
+    val e1 = intercept[IllegalArgumentException] {
+      DedupQueries.bufferBandUpdate(upd(a, " zulu"), "band_resur")
+    }
+    assert(e1.getMessage.contains("resurrect"), e1.getMessage)
+    // an id tombstoned BY an open update stays window-resident: its
+    // replacement rows serve, so a second update of it remains legal
+    DedupQueries.bufferBandUpdate(upd(b, " zulu"), "band_resur")
+    DedupQueries.bufferBandUpdate(upd(b, " zulu two"), "band_resur")
+    // the fold retires the tombstone; the once-deleted id is re-usable
+    // and probes equal an index that never saw the detour
+    DedupQueries.compactBandIndex(spark, "band_resur")
+    DedupQueries.bufferBandUpdate(upd(a, " back"), "band_resur")
+    assert(DedupQueries.bandIndexFrame(spark, "band_resur")
+      .filter(col("doc_id") === a).count() > 0)
+    // IVF: same discipline on the vector family (the buffer path had no
+    // guard at all)
+    val ip = s"$tmp/ivf_resur"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, ip)
+    val vid = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 19 === 6).select("vec_id")
+      .limit(1).collect().head.getLong(0)
+    SimilarityQueries.deleteFromIvfIndex(spark, ip, Seq(vid))
+    val vrows = Tables.embeddings(spark, sfDir).filter(col("vec_id") === vid)
+    val e2 = intercept[IllegalArgumentException] {
+      SimilarityQueries.bufferIvfUpdate(spark, sfDir, ip, vrows)
+    }
+    assert(e2.getMessage.contains("resurrect"), e2.getMessage)
+    SimilarityQueries.compactIvfIndex(spark, ip)
+    SimilarityQueries.bufferIvfUpdate(spark, sfDir, ip, vrows)
+    ()
+  }
+
+  test("graph beam: a live isolated seed (sentinel-only cell) is reachable; a deleted one never surfaces") {
+    // review-found (r17 ADVICE): entry-seed membership resolved through
+    // the EDGE read (nbr_id >= 0), which drops sentinel rows — so a live
+    // seed that is the sole member of its cell could never surface as a
+    // result even though the sentinel exists precisely to mark it present
+    import graft.operators.SimilarityQueries
+    val gp = s"$tmp/knn_iso_full"
+    SimilarityQueries.writeKnnGraph(spark, sfDir, gp)
+    val rows = spark.read.parquet(gp)
+    // pick a seed and isolate it: rebuild the graph without the other
+    // members of its cell (full-corpus seed geometry, membership filter)
+    val s0 = rows.filter(col("vec_id") < SimilarityQueries.N_SEEDS)
+      .select("vec_id").limit(1).collect().head.getLong(0)
+    val c0 = rows.filter(col("vec_id") === s0)
+      .select("cell").limit(1).collect().head.getLong(0)
+    val others = rows.filter(col("cell") === c0 && col("vec_id") =!= s0)
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSeq
+    val gp2 = s"$tmp/knn_iso"
+    SimilarityQueries.writeKnnGraphWhere(spark, sfDir, gp2,
+      if (others.isEmpty) lit(true) else !col("vec_id").isin(others.map(i => i: Any): _*))
+    // the isolated seed's only row is its rank-0 membership sentinel
+    val s0rows = spark.read.parquet(gp2).filter(col("vec_id") === s0)
+      .select("rank", "nbr_id").collect()
+    assert(s0rows.length == 1 && s0rows.head.getLong(1) == -1L,
+      s"expected a single sentinel row for $s0, got ${s0rows.mkString(",")}")
+    // a query AT the isolated seed's vector must surface it at rank 1
+    val e = graft.functions.VectorOps.normalized(spark, sfDir)
+    val q = e.filter(col("vec_id") === s0)
+      .select(lit(999999L).as("vec_id"), col("v"), col("nrm"))
+    val top = SimilarityQueries.graphBeamFromIndex(spark, sfDir, gp2, q)
+      .filter(col("rank") === 1).collect().head
+    assert(top.getLong(2) == s0 && top.getDouble(3) > 0.999,
+      s"isolated live seed must be reachable as an entry, got $top")
+    // negative control: DELETE the isolated seed — it stays navigable as
+    // routing state but must never surface as a result
+    SimilarityQueries.deleteFromKnnGraph(spark, gp2, Seq(s0))
+    assert(!SimilarityQueries.graphBeamFromIndex(spark, sfDir, gp2, q)
+      .collect().exists(_.getLong(2) == s0))
+  }
+
+  test("vacuum retention counts committed epochs, not version arithmetic (sparse post-carry history)") {
+    // review-found (r17 ADVICE): the retention window is the last
+    // keepEpochs+1 COMMITTED entries of history() — a version-range
+    // filter undercounts across the fold-carry's numbering hole. Pin the
+    // promise directly: on an anchor whose history starts far above v1,
+    // keepEpochs = 1 keeps exactly the most recently superseded epoch
+    // travel-able and reclaims the older one.
+    import graft.operators.SearchQueries
+    val t = graft.sources.Tombstones
+    val path = s"$tmp/search_vacsparse"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_vacsparse_idx", path)
+    // simulate the post-carry numbering: the first committed epoch starts
+    // at v41 (a carried lineage), later mutations continue densely
+    val e0 = graft.sources.IndexManifest.next(spark, path).copy(version = 41L)
+    graft.sources.IndexManifest.commit(spark, path, e0)
+    val ids = Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 3)
+      .select("doc_id").collect().map(_.getLong(0))
+    SearchQueries.deleteFromSearchIndex(spark, "search_vacsparse_idx", path, Seq(ids(0))) // v42
+    SearchQueries.deleteFromSearchIndex(spark, "search_vacsparse_idx", path, Seq(ids(1))) // v43
+    SearchQueries.deleteFromSearchIndex(spark, "search_vacsparse_idx", path, Seq(ids(2))) // v44
+    val asof43 = sorted(SearchQueries.bm25TopkFromIndexAsOf(
+      spark, "search_vacsparse_idx", path, 43L))
+    assert(t.vacuum(spark, path, keepEpochs = 1) >= 1)
+    // inside the window: the one most recently superseded epoch serves
+    assert(sorted(SearchQueries.bm25TopkFromIndexAsOf(
+      spark, "search_vacsparse_idx", path, 43L)) == asof43)
+    // outside: reclaimed, loud
+    intercept[Exception] {
+      SearchQueries.bm25TopkFromIndexAsOf(spark, "search_vacsparse_idx", path, 42L)
+        .collect()
+    }
+    ()
+  }
 }
