@@ -2059,8 +2059,10 @@ object DedupQueries {
     // consecutive epochs — state diffs, not stored intent), the live
     // fragment/delta counts, the epoch's own takedown-batch size, and the
     // streaming-ingest high-water mark. This entry is the expected log of
-    // the standing fixed scenario (delete %7=3, buffered-update %13=2,
-    // exactly-once ingest %11=5 at batch id 7, then one insert-only
+    // the standing fixed scenario (delete %7=3, buffered-update %13=2
+    // EXCLUDING the deleted %7=3 residue — the resurrect guard refuses
+    // deleted ids until a fold, so the scenario's update batch cannot
+    // carry them — exactly-once ingest %11=5 at batch id 7, then one insert-only
     // APPEND — no fragment, no fence move, so its takedown size is 0 and
     // the hwm rides along) computed from the raw corpus; the serving twin
     // [[graft.sources.Tombstones.manifestLog]] reads the identical report
@@ -2072,7 +2074,8 @@ object DedupQueries {
       (s, dir) => {
         val c = Tables.documents(s, dir).agg(
           coalesce(sum((col("doc_id") % 7 === 3).cast("long")), lit(0L)).as("n1"),
-          coalesce(sum((col("doc_id") % 13 === 2).cast("long")), lit(0L)).as("n2"),
+          coalesce(sum((col("doc_id") % 13 === 2 && col("doc_id") % 7 =!= 3)
+            .cast("long")), lit(0L)).as("n2"),
           coalesce(sum((col("doc_id") % 11 === 5).cast("long")), lit(0L)).as("n3"))
         c.select(explode(array(
             struct(lit(1L).as("version"), lit("delete").as("mutation"),
@@ -2096,7 +2099,7 @@ object DedupQueries {
       },
       Some("""WITH mcnt AS (SELECT
              |  CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-             |  CAST(SUM(CASE WHEN doc_id % 13 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             |  CAST(SUM(CASE WHEN doc_id % 13 = 2 AND doc_id % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
              |  CAST(SUM(CASE WHEN doc_id % 11 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n3
              |  FROM documents)
              |SELECT CAST(1 AS BIGINT) AS version, 'delete' AS mutation,

@@ -15,11 +15,12 @@ import org.apache.spark.sql.SparkSession
   * directory, current stats directory, and the list of live tombstone
   * fragments. Writers PREPARE everything under fresh names (a new stats
   * dir, a new tombstone fragment, a compacted data dir) — none of which
-  * any reader resolves yet — then commit by writing ONE new version file
-  * (temp file + single-FILE rename-without-overwrite; unlike the directory
-  * swaps this replaces, a one-file pointer is a primitive every store can
-  * land in one step). Readers list the manifest dir and resolve
-  * through the HIGHEST version. A crash anywhere before the pointer lands
+  * any reader resolves yet — then commit by landing ONE new version file
+  * through the selectable [[Landing]] primitive (rename-without-overwrite
+  * or conditional create — unlike the directory swaps this replaces, a
+  * one-file pointer is a primitive every store can land in one step).
+  * Readers list the manifest dir and resolve through the HIGHEST complete
+  * version. A crash anywhere before the pointer lands
   * leaves readers on the previous epoch — internally consistent by
   * construction, because no epoch ever references half of a mutation: the
   * prepared files are unreferenced garbage, and re-running the mutation
@@ -58,6 +59,13 @@ object IndexManifest {
     * A DIFFERENT lineage restarts batch ids from 0 and is indistinguishable
     * from new data at the id level, so the ingest paths REFUSE it loudly
     * (silently fencing it would drop never-ingested documents).
+    * `layout` is the INDEX LAYOUT VERSION the writing library assumed —
+    * the physical contract the pointer cannot otherwise record (postings
+    * columns, signature width, the graph's sentinel convention): an epoch
+    * written by a NEWER library layout refuses loudly at every read
+    * ([[UnsupportedIndexLayoutException]]) instead of failing confusingly
+    * mid-plan or, worse, silently misreading. Absent = 1 (every index
+    * written before the field existed is layout 1 by definition).
     */
   final case class Epoch(
       version: Long,
@@ -67,7 +75,21 @@ object IndexManifest {
       deltas: Vector[String] = Vector.empty,
       baseGen: Long = 0L,
       ingestHwm: Option[Long] = None,
-      ingestStream: Option[String] = None)
+      ingestStream: Option[String] = None,
+      layout: Int = CURRENT_LAYOUT)
+
+  /** The index layout this library version reads and writes. Bump it when
+    * a persisted family's physical contract changes (columns, widths,
+    * sentinel conventions) so long-lived indexes fail LOUDLY under an
+    * older reader instead of confusingly or silently.
+    */
+  val CURRENT_LAYOUT: Int = 1
+
+  /** The named refusal a layout-from-the-future read raises — catchable
+    * and greppable, unlike the downstream schema soup it preempts.
+    */
+  final class UnsupportedIndexLayoutException(msg: String)
+    extends RuntimeException(msg)
 
   /** TEST HOOK — crash injection at the atomicity boundary: when set, the
     * next [[commit]] throws AFTER every prepared file is durable but
@@ -94,6 +116,76 @@ object IndexManifest {
   private def fs(s: SparkSession, p: Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  // ---- the landing primitive -----------------------------------------------
+  // Every atomicity guarantee in the library bottoms out in ONE step: how a
+  // prepared version file becomes the committed pointer. That step is
+  // store-dependent, so it is a selectable seam (spark conf
+  // `graft.manifest.landing`), not a comment:
+  //
+  //   "rename" (default) — write a writer-unique tmp file, then a single-file
+  //   rename-WITHOUT-overwrite onto the version name. On HDFS the rename is
+  //   namenode-arbitrated atomic-exclusive; on the local FS it is a
+  //   client-side exists check + POSIX rename(2), safe under the documented
+  //   single-writer-per-index discipline; on object stores rename is a
+  //   non-atomic copy — select "create" there instead.
+  //
+  //   "create" — land the complete body straight at the version name with a
+  //   CONDITIONAL (if-absent) create: kernel-atomic O_EXCL (CREATE_NEW) on
+  //   the local FS, namenode-arbitrated `create(overwrite = false)` on HDFS
+  //   — the stronger primitive on both, and the exact shape of an object
+  //   store's conditional put (S3 If-None-Match / GCS if-generation-match),
+  //   which a deployment there swaps in at this one seam. The residual is a
+  //   writer dying BETWEEN create and close leaving a TORN version file;
+  //   the format makes that detectable (every complete body ends in the
+  //   `eot` marker), readers SKIP torn files (the commit never completed —
+  //   exactly the crash contract), and a retry reclaims them after
+  //   [[TORN_GRACE_MS]] (within the grace a torn file may be a live racer
+  //   mid-write, so the collision stays loud — the WriterLease discipline).
+
+  sealed trait Landing
+  case object RenameLanding extends Landing
+  case object ConditionalCreateLanding extends Landing
+
+  /** The session's selected landing primitive (conf
+    * `graft.manifest.landing` = "rename" | "create").
+    */
+  def landingOf(s: SparkSession): Landing =
+    s.conf.get("graft.manifest.landing", "rename") match {
+      case "rename" => RenameLanding
+      case "create" => ConditionalCreateLanding
+      case other => throw new IllegalArgumentException(
+        s"graft.manifest.landing must be 'rename' or 'create', got '$other'")
+    }
+
+  /** Every COMPLETE version file ends in this marker — what lets readers
+    * distinguish a committed epoch from a torn landing (a writer dead
+    * between create and close) without trusting file length or mtime.
+    */
+  private val EOT = "eot\t1\n"
+
+  /** Grace before a torn version file becomes reclaimable by a retry,
+    * measured from its mtime: long enough that a racer mid-initial-write
+    * is never clobbered, short enough that a crashed landing stops
+    * blocking its version within a minute (the [[WriterLease]] torn-file
+    * discipline applied to the pointer itself).
+    */
+  val TORN_GRACE_MS: Long = 60000L
+
+  private def readBody(f: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Parse one version file; None = torn (the landing never completed —
+    * readers resolve through the previous epoch, the crash contract).
+    */
+  private def readEpochFile(
+      f: org.apache.hadoop.fs.FileSystem, d: Path, name: String): Option[Epoch] = {
+    val body = readBody(f, new Path(d, name))
+    if (body.endsWith(EOT)) Some(parse(name.drop(1).toLong, body)) else None
+  }
+
   /** The current epoch, or None for a never-mutated (or freshly reset)
     * index. One listStatus + one small-file read — control-plane cost.
     */
@@ -102,18 +194,16 @@ object IndexManifest {
     val f = fs(s, d)
     if (!f.exists(d)) None
     else {
+      // zero-padded names: lexicographic order = numeric order. Torn
+      // landings (no eot marker — a create-landed writer dead mid-write)
+      // are SKIPPED: their commit never completed, so the previous
+      // complete epoch is the committed state. The common case still
+      // reads one file.
       val versions = f.listStatus(d).toSeq
         .map(_.getPath.getName)
         .filter(_.matches("v\\d{12}"))
-      if (versions.isEmpty) None
-      else {
-        val top = versions.max // zero-padded: lexicographic max = numeric max
-        val in = f.open(new Path(d, top))
-        val body =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        Some(parse(top.drop(1).toLong, body))
-      }
+        .sorted(Ordering[String].reverse)
+      versions.iterator.flatMap(n => readEpochFile(f, d, n)).nextOption()
     }
   }
 
@@ -137,11 +227,11 @@ object IndexManifest {
       require(f.exists(p),
         s"IndexManifest.at: epoch $version of $anchor was never committed " +
           "(or its version file was removed)")
-      val in = f.open(p)
-      val body =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      Some(parse(version, body))
+      val e = readEpochFile(f, d, fileName(version))
+      require(e.isDefined,
+        s"IndexManifest.at: epoch $version of $anchor is a TORN landing — " +
+          "the writer died mid-commit and the epoch never took effect")
+      e
     }
   }
 
@@ -158,13 +248,7 @@ object IndexManifest {
       .map(_.getPath.getName)
       .filter(_.matches("v\\d{12}"))
       .sorted
-      .map { name =>
-        val in = f.open(new Path(d, name))
-        val body =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        parse(name.drop(1).toLong, body)
-      }
+      .flatMap(name => readEpochFile(f, d, name)) // torn landings never committed
   }
 
   /** Template for the next epoch: the current state with the version
@@ -180,13 +264,15 @@ object IndexManifest {
     * was already committed, surfacing a violated single-writer assumption.
     */
   def commit(s: SparkSession, anchor: String, e: Epoch): Unit = {
+    if (e.layout > CURRENT_LAYOUT)
+      throw new UnsupportedIndexLayoutException(
+        s"IndexManifest.commit: refusing to write epoch ${e.version} of $anchor " +
+          s"under layout ${e.layout} — this library writes layout <= $CURRENT_LAYOUT")
     val d = new Path(dir(anchor))
     val f = fs(s, d)
     if (!f.exists(d)) f.mkdirs(d)
     val dest = new Path(d, fileName(e.version))
-    require(!f.exists(dest),
-      s"IndexManifest.commit: epoch ${e.version} of $anchor already exists — " +
-        "concurrent writer detected (the lifecycle is single-writer per index)")
+    requireDestFree(f, anchor, dest, e.version)
     if (failNextCommit) {
       failNextCommit = false
       throw new RuntimeException(
@@ -198,26 +284,53 @@ object IndexManifest {
         throw new RuntimeException(
           s"IndexManifest: injected crash before committing epoch ${e.version} of $anchor")
     }
+    val body = serialize(e).getBytes("UTF-8")
+    landingOf(s) match {
+      case RenameLanding => landByRename(s, f, d, dest, body, anchor, e.version)
+      case ConditionalCreateLanding =>
+        landByConditionalCreate(f, dest, body, anchor, e.version)
+    }
+  }
+
+  /** The shared loud collision (the single-writer discipline's surface). */
+  private def collision(anchor: String, version: Long): Nothing =
+    throw new IllegalArgumentException(
+      s"IndexManifest.commit: epoch $version of $anchor already exists — " +
+        "concurrent writer detected (the lifecycle is single-writer per index)")
+
+  /** Pre-landing destination check: a COMPLETE file at the version name is
+    * a genuine collision (loud); a TORN one within the grace may be a
+    * racer mid-initial-write (still loud); a torn one past the grace is a
+    * crashed predecessor's landing — reclaimed so the retry can land.
+    */
+  private def requireDestFree(
+      f: org.apache.hadoop.fs.FileSystem, anchor: String, dest: Path,
+      version: Long): Unit =
+    if (f.exists(dest)) {
+      if (readBody(f, dest).endsWith(EOT)) collision(anchor, version)
+      val age = System.currentTimeMillis() - f.getFileStatus(dest).getModificationTime
+      if (age < TORN_GRACE_MS)
+        throw new IllegalArgumentException(
+          s"IndexManifest.commit: epoch $version of $anchor has a fresh TORN " +
+            s"landing (a writer may be mid-commit) — retry after the " +
+            s"${TORN_GRACE_MS}ms grace")
+      f.delete(dest, false)
+      ()
+    }
+
+  // tmp-write + single-file rename-without-overwrite (see the Landing doc
+  // for the per-store guarantee scope)
+  private def landByRename(
+      s: SparkSession, f: org.apache.hadoop.fs.FileSystem, d: Path, dest: Path,
+      body: Array[Byte], anchor: String, version: Long): Unit = {
     // writer-unique tmp name: two racers sharing one tmp path could
     // otherwise interleave (one overwrites the other's content before
     // either renames) and land the WRONG epoch body under the version
     val tmp = new Path(d,
-      s".tmp_${fileName(e.version)}_${java.util.UUID.randomUUID().toString.take(8)}")
+      s".tmp_${fileName(version)}_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
-    try out.write(serialize(e).getBytes("UTF-8"))
+    try out.write(body)
     finally out.close()
-    // FileContext.rename without the OVERWRITE option is the landing
-    // primitive: it throws if dest appeared since the check above, so a
-    // concurrent race surfaces loudly — a plain FileSystem.rename on the
-    // local FS maps to POSIX rename(2), which would silently replace the
-    // winner's epoch. Guarantee scope (store-dependent): on HDFS this
-    // rename is ATOMIC-exclusive (namenode-arbitrated); on the local
-    // AbstractFileSystem it is a client-side exists check + POSIX rename,
-    // so a true simultaneous race could in principle interleave — safe
-    // here only under the documented single-writer-per-index discipline;
-    // on object stores rename is a non-atomic copy, so a deployment there
-    // must swap this landing step for the store's conditional
-    // (if-absent) put, which is the same one-pointer primitive.
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       d.toUri, s.sparkContext.hadoopConfiguration)
     try fc.rename(tmp, dest)
@@ -225,9 +338,39 @@ object IndexManifest {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
           _: org.apache.hadoop.fs.ParentNotDirectoryException =>
         try f.delete(tmp, false) catch { case _: java.io.IOException => () }
-        throw new IllegalArgumentException(
-          s"IndexManifest.commit: epoch ${e.version} of $anchor already exists — " +
-            "concurrent writer detected (the lifecycle is single-writer per index)")
+        collision(anchor, version)
+    }
+  }
+
+  // conditional (if-absent) create straight at the version name: O_EXCL on
+  // the local FS (kernel-atomic — the check-then-create inside Hadoop's
+  // RawLocalFileSystem is NOT), namenode-arbitrated create on HDFS; an
+  // object-store deployment swaps this one method for the store's
+  // conditional put. A crash between create and close leaves a TORN file
+  // the readers skip and [[requireDestFree]] reclaims after the grace.
+  private def landByConditionalCreate(
+      f: org.apache.hadoop.fs.FileSystem, dest: Path, body: Array[Byte],
+      anchor: String, version: Long): Unit = {
+    val isLocal = f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (isLocal) {
+      val nio = java.nio.file.Paths.get(dest.toUri.getPath)
+      val out =
+        try java.nio.file.Files.newOutputStream(nio,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            collision(anchor, version)
+        }
+      try out.write(body)
+      finally out.close()
+    } else {
+      val out =
+        try f.create(dest, false)
+        catch { case _: java.io.IOException => collision(anchor, version) }
+      try out.write(body)
+      finally out.close()
     }
   }
 
@@ -269,6 +412,7 @@ object IndexManifest {
   private def serialize(e: Epoch): String = {
     val b = new StringBuilder
     b.append(s"version\t${e.version}\n")
+    b.append(s"layout\t${e.layout}\n")
     e.data.foreach(p => b.append(s"data\t$p\n"))
     e.stats.foreach(p => b.append(s"stats\t$p\n"))
     e.tombstones.foreach(p => b.append(s"tombstone\t$p\n"))
@@ -276,6 +420,9 @@ object IndexManifest {
     b.append(s"basegen\t${e.baseGen}\n")
     e.ingestHwm.foreach(h => b.append(s"hwm\t$h\n"))
     e.ingestStream.foreach(t => b.append(s"hwmstream\t$t\n"))
+    // the completeness marker MUST be last: readers treat any version file
+    // not ending in it as a torn landing that never committed
+    b.append(EOT)
     b.toString
   }
 
@@ -285,6 +432,18 @@ object IndexManifest {
       require(i > 0, s"IndexManifest: malformed line '$line'")
       (line.substring(0, i), line.substring(i + 1))
     }
+    // the layout gate sits in parse so EVERY read entry point (current,
+    // at, history) refuses a layout-from-the-future epoch loudly — a
+    // pre-layout manifest (absent field) is layout 1 by definition
+    val layout = kvs.collectFirst { case ("layout", v) => v.toInt }
+      .getOrElse(1)
+    if (layout > CURRENT_LAYOUT)
+      throw new UnsupportedIndexLayoutException(
+        s"IndexManifest: epoch $version was written under index layout " +
+          s"$layout but this library reads layout <= $CURRENT_LAYOUT — " +
+          "upgrade the reader (or rebuild the index under this version); " +
+          "serving it anyway would misread the physical contract the " +
+          "newer writer assumed")
     Epoch(
       version,
       kvs.collectFirst { case ("data", v) => v },
@@ -293,6 +452,7 @@ object IndexManifest {
       kvs.collect { case ("delta", v) => v }.toVector,
       kvs.collectFirst { case ("basegen", v) => v.toLong }.getOrElse(0L),
       kvs.collectFirst { case ("hwm", v) => v.toLong },
-      kvs.collectFirst { case ("hwmstream", v) => v })
+      kvs.collectFirst { case ("hwmstream", v) => v },
+      layout)
   }
 }

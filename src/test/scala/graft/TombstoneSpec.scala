@@ -785,7 +785,8 @@ class TombstoneSpec extends SparkSpec {
     assert(live.collect().toSeq == expect.collect().toSeq)
     // an open update window surfaces as delta debt (the fixed scenario
     // cannot stage this — pinned here instead)
-    val upd = Tables.documents(spark, sfDir).filter(col("doc_id") % 13 === 1)
+    val upd = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 13 === 1 && col("doc_id") % 7 =!= 3) // deleted ids refuse (resurrect guard)
       .select(col("doc_id"), concat(col("text"), lit(" tango")).as("text"), col("lang"))
     SearchQueries.bufferSearchUpdate(spark, "debt_search_idx", sp, upd)
     val after = t.debt("search", spark.table("debt_search_idx"), sp, "doc_id").head()
@@ -1019,7 +1020,8 @@ class TombstoneSpec extends SparkSpec {
     val deleted = Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 3)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     SearchQueries.deleteFromSearchIndex(spark, "search_asof_idx", path, deleted) // v1
-    val upd = Tables.documents(spark, sfDir).filter(col("doc_id") % 13 === 2)
+    val upd = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 13 === 2 && col("doc_id") % 7 =!= 3) // deleted ids refuse (resurrect guard)
       .select(col("doc_id"), concat(col("text"), lit(" zulu")).as("text"), col("lang"))
     SearchQueries.bufferSearchUpdate(spark, "search_asof_idx", path, upd)        // v2
     // as-of 0 = the build state = the registered pre-delete ranking
@@ -1323,7 +1325,8 @@ class TombstoneSpec extends SparkSpec {
       Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 3)
         .select("doc_id").collect().map(_.getLong(0)).toSeq)           // v1
     SearchQueries.bufferSearchUpdate(spark, "search_clone_src", path,
-      Tables.documents(spark, sfDir).filter(col("doc_id") % 13 === 2)
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 13 === 2 && col("doc_id") % 7 =!= 3)
         .select(col("doc_id"), concat(col("text"), lit(" zulu")).as("text"),
           col("lang")))                                                 // v2
     val c1 = s"$tmp/search_clone_v1"
@@ -1394,7 +1397,8 @@ class TombstoneSpec extends SparkSpec {
     assert(need(), "a ~1/7 takedown must trip the 10% mask rule")
     assert(!need(ppm = 500000L), "but not a 50% one")
     SearchQueries.bufferSearchUpdate(spark, "search_policy_idx", path,
-      Tables.documents(spark, sfDir).filter(col("doc_id") % 13 === 2)
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 13 === 2 && col("doc_id") % 7 =!= 3)
         .select(col("doc_id"), concat(col("text"), lit(" echo")).as("text"), col("lang")))
     // ppm = 2_000_000 is unreachable (ppm caps at 1e6): isolates the
     // window trigger
@@ -1458,7 +1462,7 @@ class TombstoneSpec extends SparkSpec {
     SearchQueries.deleteFromSearchIndex(spark, "search_mlog_idx", path,
       docs.filter(col("doc_id") % 7 === 3).select("doc_id").collect().map(_.getLong(0)).toSeq)
     SearchQueries.bufferSearchUpdate(spark, "search_mlog_idx", path,
-      docs.filter(col("doc_id") % 13 === 2)
+      docs.filter(col("doc_id") % 13 === 2 && col("doc_id") % 7 =!= 3)
         .select(col("doc_id"), concat(col("text"), lit(" zulu")).as("text"), col("lang")))
     assert(SearchQueries.ingestSearchBatch(spark, "search_mlog_idx", path,
       docs.filter(col("doc_id") % 11 === 5)
@@ -2008,7 +2012,8 @@ class TombstoneSpec extends SparkSpec {
     assert(atV1 == DedupQueries.winnowIndexFrame(spark, "winnow_asof")
       .orderBy("doc_id", "fp").collect().toSeq)
     DedupQueries.bufferWinnowUpdate(                                    // v2
-      d.filter(col("doc_id") < thr && col("doc_id") % 13 === 2)
+      d.filter(col("doc_id") < thr && col("doc_id") % 13 === 2 &&
+          col("doc_id") % 11 =!= 5) // deleted ids refuse (resurrect guard)
         .select(col("doc_id"), concat(col("text"), lit(" zulu")).as("text")),
       "winnow_asof")
     // v1 still reproduces the pre-update state; v2 equals live
@@ -2364,5 +2369,139 @@ class TombstoneSpec extends SparkSpec {
         .collect()
     }
     ()
+  }
+
+  test("landing primitives: rename and conditional-create both land atomically, collide loudly, and reclaim torn landings") {
+    // the r17-verdict seam: every atomicity claim bottoms out in how the
+    // version pointer lands; both selectable primitives must satisfy the
+    // same contract — exactly one racer wins, losers fail loudly, a torn
+    // landing never serves and is reclaimable after the grace
+    val m = graft.sources.IndexManifest
+    for (mode <- Seq("rename", "create")) {
+      spark.conf.set("graft.manifest.landing", mode)
+      try {
+        val anchor = s"$tmp/land_$mode"
+        // basic commit → read round-trip
+        val e1 = m.next(spark, anchor)
+        m.commit(spark, anchor, e1.copy(stats = Some(s"$anchor/s1")))
+        assert(m.current(spark, anchor).flatMap(_.stats).contains(s"$anchor/s1"))
+        // sequential collision: the same version cannot land twice
+        val err = intercept[IllegalArgumentException] {
+          m.commit(spark, anchor, e1.copy(stats = Some(s"$anchor/loser")))
+        }
+        assert(err.getMessage.contains("single-writer"), err.getMessage)
+        // RACING writers: 8 threads template the same next version and
+        // commit simultaneously. Run against the ARBITRATED primitive only
+        // (O_EXCL local create here; HDFS arbitrates both): exactly one
+        // winner, every loser loud, deterministically. The local-FS rename
+        // TOCTOU is real — an early version of this test drove 8
+        // simultaneous renames through it and produced two "winners" with
+        // crossed content — which is precisely why rename-on-local is
+        // documented single-writer-discipline-only and why the
+        // conditional-create landing exists.
+        val cur =
+          if (mode == "rename") m.current(spark, anchor).get
+          else {
+            val eRace = m.next(spark, anchor)
+            val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+            val start = new java.util.concurrent.CountDownLatch(1)
+            val threads = (1 to 8).map { i =>
+              new Thread(() => {
+                start.await()
+                try {
+                  m.commit(spark, anchor,
+                    eRace.copy(stats = Some(s"$anchor/racer$i")))
+                  results.add(s"win:$i")
+                } catch {
+                  case ex: IllegalArgumentException
+                      if ex.getMessage.contains("single-writer") ||
+                        ex.getMessage.contains("TORN") => results.add(s"lose:$i")
+                }
+              })
+            }
+            threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+            import scala.jdk.CollectionConverters._
+            val wins = results.asScala.count(_.startsWith("win"))
+            assert(wins == 1 && results.size == 8,
+              s"create landing must have ONE winner: ${results.asScala.mkString(",")}")
+            // the committed state is the one winner's complete epoch
+            val c = m.current(spark, anchor).get
+            assert(c.version == eRace.version && c.stats.exists(_.contains("racer")))
+            c
+          }
+        // TORN landing: a version file without the eot marker (a writer
+        // dead between create and close) never serves — readers resolve
+        // the previous epoch, as-of refuses loudly
+        val tornName = f"v${cur.version + 1}%012d"
+        val tornFile = new java.io.File(
+          m.dir(anchor).stripPrefix("file:"), tornName)
+        val w = new java.io.FileWriter(tornFile)
+        w.write(s"version\t${cur.version + 1}\nlayout\t1\nstats\t$anchor/torn\n")
+        w.close()
+        assert(m.current(spark, anchor).contains(cur),
+          "a torn landing must never resolve as the current epoch")
+        assert(m.history(spark, anchor).forall(_.version <= cur.version))
+        val tornErr = intercept[IllegalArgumentException] {
+          m.at(spark, anchor, cur.version + 1)
+        }
+        assert(tornErr.getMessage.contains("TORN"), tornErr.getMessage)
+        // a FRESH torn landing blocks its version loudly (may be a racer
+        // mid-write)...
+        val freshErr = intercept[IllegalArgumentException] {
+          m.commit(spark, anchor, cur.copy(version = cur.version + 1))
+        }
+        assert(freshErr.getMessage.contains("TORN"), freshErr.getMessage)
+        // ...and past the grace the retry reclaims it and lands
+        assert(tornFile.setLastModified(
+          System.currentTimeMillis() - m.TORN_GRACE_MS - 5000))
+        m.commit(spark, anchor,
+          cur.copy(version = cur.version + 1, stats = Some(s"$anchor/retry")))
+        assert(m.current(spark, anchor).flatMap(_.stats).contains(s"$anchor/retry"))
+      } finally spark.conf.set("graft.manifest.landing", "rename")
+    }
+    // crash injection holds under BOTH landings (the injection fires
+    // before the landing step, so a crashed mutation changes nothing)
+    for (mode <- Seq("rename", "create")) {
+      spark.conf.set("graft.manifest.landing", mode)
+      try {
+        val anchor = s"$tmp/land_crash_$mode"
+        val e1 = m.next(spark, anchor)
+        m.commit(spark, anchor, e1.copy(stats = Some(s"$anchor/base")))
+        graft.sources.IndexManifest.failNextCommit = true
+        intercept[RuntimeException] {
+          m.commit(spark, anchor, m.next(spark, anchor))
+        }
+        assert(m.current(spark, anchor).flatMap(_.stats).contains(s"$anchor/base"))
+      } finally spark.conf.set("graft.manifest.landing", "rename")
+    }
+  }
+
+  test("index layout version: a layout-from-the-future epoch refuses loudly at every read") {
+    val m = graft.sources.IndexManifest
+    val anchor = s"$tmp/layout_idx"
+    m.commit(spark, anchor, m.next(spark, anchor))
+    // current epochs carry the library's layout implicitly
+    assert(m.current(spark, anchor).exists(_.layout == m.CURRENT_LAYOUT))
+    // a manifest written by a NEWER library layout (hand-written complete
+    // file) refuses with the NAMED error at current/at/history — never a
+    // confusing downstream schema failure
+    val f99 = new java.io.File(m.dir(anchor).stripPrefix("file:"), "v000000000002")
+    val w = new java.io.FileWriter(f99)
+    w.write("version\t2\nlayout\t99\nbasegen\t0\neot\t1\n")
+    w.close()
+    intercept[m.UnsupportedIndexLayoutException] { m.current(spark, anchor) }
+    intercept[m.UnsupportedIndexLayoutException] { m.at(spark, anchor, 2L) }
+    intercept[m.UnsupportedIndexLayoutException] { m.history(spark, anchor) }
+    // an ABSENT layout field parses as layout 1 (pre-field manifests)
+    assert(f99.delete())
+    val fOld = new java.io.File(m.dir(anchor).stripPrefix("file:"), "v000000000003")
+    val w2 = new java.io.FileWriter(fOld)
+    w2.write("version\t3\nbasegen\t0\neot\t1\n")
+    w2.close()
+    assert(m.current(spark, anchor).exists(e => e.version == 3L && e.layout == 1))
+    // and the write side refuses a future layout too
+    intercept[m.UnsupportedIndexLayoutException] {
+      m.commit(spark, anchor, m.next(spark, anchor).copy(layout = 99))
+    }
   }
 }
