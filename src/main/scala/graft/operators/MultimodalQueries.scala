@@ -586,9 +586,10 @@ object MultimodalQueries {
     * shared bucketed-index compaction over the probe-visible view).
     */
   def compactPhashIndex(
-      s: org.apache.spark.sql.SparkSession, table: String): Unit =
+      s: org.apache.spark.sql.SparkSession, table: String,
+      reclaim: Boolean = false): Unit =
     graft.sources.Tombstones.compactBucketedIndex(s, table, "asset_id",
-      sourceOverride = Some(phashIndexFrame(s, table)))
+      sourceOverride = Some(phashIndexFrame(s, table)), reclaim = reclaim)
 
   private def phashPairs(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {

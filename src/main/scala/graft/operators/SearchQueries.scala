@@ -1062,12 +1062,14 @@ object SearchQueries {
     * tombstone-clearing epoch keeps the stats pointer alive across the
     * location move.
     */
-  def compactSearchIndex(s: SparkSession, table: String, path: String): Unit =
+  def compactSearchIndex(
+      s: SparkSession, table: String, path: String,
+      reclaim: Boolean = false): Unit =
     graft.sources.Tombstones.compactBucketedIndex(s, table, "doc_id", Some(path),
       // the rewrite source is the probe-visible base-minus-tombstones
       // PLUS any open update window's delta batches — the fold that
       // retires buffered updates with one physical rewrite
-      Some(visiblePostings(s, table, path)))
+      Some(visiblePostings(s, table, path)), reclaim = reclaim)
 
   /** The WAND seed-pool pricing curve: per pool multiple, exact candidate
     * count, fully-scored count (survivors ∪ pool), and realized skip ppm —

@@ -59,6 +59,12 @@ object IndexManifest {
     * A DIFFERENT lineage restarts batch ids from 0 and is indistinguishable
     * from new data at the id level, so the ingest paths REFUSE it loudly
     * (silently fencing it would drop never-ingested documents).
+    * `retired` lists index LOCATIONS this epoch superseded (a deferred-
+    * reclaim fold records the directory it replaced instead of deleting
+    * it eagerly — in-flight probes planned pre-fold keep executing; a
+    * later [[Tombstones.vacuum]] reclaims them honoring its retention
+    * window). Each epoch lists only what IT retired; chained folds are
+    * reclaimed recursively through the retired location's own manifest.
     * `layout` is the INDEX LAYOUT VERSION the writing library assumed —
     * the physical contract the pointer cannot otherwise record (postings
     * columns, signature width, the graph's sentinel convention): an epoch
@@ -76,7 +82,8 @@ object IndexManifest {
       baseGen: Long = 0L,
       ingestHwm: Option[Long] = None,
       ingestStream: Option[String] = None,
-      layout: Int = CURRENT_LAYOUT)
+      layout: Int = CURRENT_LAYOUT,
+      retired: Vector[String] = Vector.empty)
 
   /** The index layout this library version reads and writes. Bump it when
     * a persisted family's physical contract changes (columns, widths,
@@ -253,10 +260,12 @@ object IndexManifest {
 
   /** Template for the next epoch: the current state with the version
     * advanced (v1 from nothing). Writers copy-modify it and [[commit]].
+    * `retired` never carries forward — each epoch lists only the
+    * locations ITS mutation superseded.
     */
   def next(s: SparkSession, anchor: String): Epoch =
     current(s, anchor)
-      .map(e => e.copy(version = e.version + 1))
+      .map(e => e.copy(version = e.version + 1, retired = Vector.empty))
       .getOrElse(Epoch(1L, None, None, Vector.empty, Vector.empty, 0L))
 
   /** Land `e` as the new current epoch — the single atom of every
@@ -420,6 +429,7 @@ object IndexManifest {
     b.append(s"basegen\t${e.baseGen}\n")
     e.ingestHwm.foreach(h => b.append(s"hwm\t$h\n"))
     e.ingestStream.foreach(t => b.append(s"hwmstream\t$t\n"))
+    e.retired.foreach(p => b.append(s"retired\t$p\n"))
     // the completeness marker MUST be last: readers treat any version file
     // not ending in it as a torn landing that never committed
     b.append(EOT)
@@ -453,6 +463,7 @@ object IndexManifest {
       kvs.collectFirst { case ("basegen", v) => v.toLong }.getOrElse(0L),
       kvs.collectFirst { case ("hwm", v) => v.toLong },
       kvs.collectFirst { case ("hwmstream", v) => v },
-      layout)
+      layout,
+      kvs.collect { case ("retired", v) => v }.toVector)
   }
 }

@@ -507,11 +507,16 @@ object Tombstones {
         // arithmetic filter: across a hole the arithmetic window silently
         // retains FEWER epochs than requested, and an as-of read nominally
         // inside it would fail (review-found).
-        val retained: Seq[IndexManifest.Epoch] =
-          IndexManifest.history(s, anchor)
-            .sortBy(_.version).takeRight(keepEpochs + 1)
+        val hist = IndexManifest.history(s, anchor).sortBy(_.version)
+        val retained: Seq[IndexManifest.Epoch] = hist.takeRight(keepEpochs + 1)
+        // the bare default data dir is referenced by every retained epoch
+        // that does NOT redirect data — keep it for them; once every
+        // retained epoch points at an epoch-named fold dir, the default
+        // is the first fold's superseded source (deferred-reclaim garbage)
         val keep = retained.flatMap(e => e.stats.toSeq ++ e.data.toSeq ++
-          e.tombstones ++ e.deltas).map(canon).toSet
+          e.tombstones ++ e.deltas).map(canon).toSet ++
+          (if (retained.exists(_.data.isEmpty))
+            defaultData.map(canon).toSet else Set.empty[String])
         var n = 0L
         for (v <- 1L until cur.version) {
           val candidates = Seq(
@@ -526,8 +531,45 @@ object Tombstones {
             } catch { case _: java.io.IOException => () } // retry next vacuum
           }
         }
+        defaultData.filterNot(d => keep(canon(d))).foreach { d =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(d)
+            if (p.getFileSystem(conf).delete(p, true)) n += 1
+          } catch { case _: java.io.IOException => () }
+        }
+        // RETIRED locations — whole directories a deferred-reclaim fold
+        // superseded: reclaimed once the epoch that retired them falls
+        // outside the last `keepEpochs` commits (keepEpochs = 0 reclaims
+        // them all — the retired dir serves nobody but in-flight pre-fold
+        // plans, never an as-of read, which refuses across folds anyway).
+        // Recursive: a retired location's own manifest may name locations
+        // IT retired (chained folds).
+        val protectedVersions =
+          hist.takeRight(keepEpochs).map(_.version).toSet
+        hist.filterNot(e => protectedVersions(e.version))
+          .flatMap(_.retired).distinct
+          .foreach(loc => n += reclaimRetiredLocation(s, loc))
         n
     }
+  }
+
+  /** Reclaim one retired index location whole: its own retired chain
+    * first (depth-first — chained folds), then its manifest, sidecar,
+    * delta dir, and the location itself. Best-effort per dir (a failed
+    * delete retries at the next vacuum).
+    */
+  private def reclaimRetiredLocation(s: SparkSession, loc: String): Long = {
+    var n = 0L
+    IndexManifest.history(s, loc).flatMap(_.retired).distinct
+      .foreach(l => n += reclaimRetiredLocation(s, l))
+    val conf = s.sparkContext.hadoopConfiguration
+    Seq(IndexManifest.dir(loc), sidecar(loc), deltaDir(loc), loc).foreach { d =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(d)
+        if (p.getFileSystem(conf).delete(p, true)) n += 1
+      } catch { case _: java.io.IOException => () }
+    }
+    n
   }
 
   /** One index's outstanding-maintenance report — the operational signal
@@ -730,15 +772,24 @@ object Tombstones {
     * when the caller already committed the base-generation bump BEFORE its
     * physical mutation ([[compactBucketedIndex]] — bumping here instead
     * would leave a crash window in which as-of reads silently return the
-    * compacted table as an older epoch's state).
+    * compacted table as an older epoch's state). `retired` records the
+    * location(s) the fold superseded for deferred reclaim; `reclaim` =
+    * false (the deferred default) leaves the folded fragment/delta files
+    * on disk for in-flight pre-fold plans — vacuum enumerates them by
+    * version and reclaims them honoring its retention window.
     */
-  def clear(s: SparkSession, indexPath: String, bump: Boolean = true): Unit = {
+  def clear(
+      s: SparkSession, indexPath: String, bump: Boolean = true,
+      retired: Vector[String] = Vector.empty, reclaim: Boolean = true): Unit = {
     val e = IndexManifest.next(s, indexPath)
-    if (e.version > 1 || e.tombstones.nonEmpty || e.deltas.nonEmpty)
+    if (e.version > 1 || e.tombstones.nonEmpty || e.deltas.nonEmpty ||
+        retired.nonEmpty)
       IndexManifest.commit(s, indexPath,
         e.copy(tombstones = Vector.empty, deltas = Vector.empty,
-          baseGen = if (bump) e.baseGen + 1 else e.baseGen))
-    bestEffortDelete(s, Seq(sidecar(indexPath), deltaDir(indexPath)))
+          baseGen = if (bump) e.baseGen + 1 else e.baseGen,
+          retired = retired))
+    if (reclaim)
+      bestEffortDelete(s, Seq(sidecar(indexPath), deltaDir(indexPath)))
   }
 
   // post-commit reclaim must never make a COMMITTED mutation surface as
@@ -797,8 +848,9 @@ object Tombstones {
     * folded.
     */
   def compactFlat(
-      s: SparkSession, defaultData: String, anchorPath: String, idCol: String): Unit =
-    compactToEpochDir(s, defaultData, anchorPath) { (_, dest, ep) =>
+      s: SparkSession, defaultData: String, anchorPath: String, idCol: String,
+      reclaim: Boolean = false): Unit =
+    compactToEpochDir(s, defaultData, anchorPath, reclaim) { (_, dest, ep) =>
       visibleFlatOf(s, ep, defaultData, idCol)
         .write.mode("overwrite").parquet(dest)
     }
@@ -834,10 +886,15 @@ object Tombstones {
     * RESOLVED epoch (the one-manifest-read-per-operation discipline — its
     * tombstone/delta/data state is what the commit will retire, so the
     * fold source and the committed epoch can never describe different
-    * states).
+    * states). `reclaim` = false (the default) DEFERS the superseded data
+    * dir, folded fragments, and delta batches to [[vacuum]] — a probe
+    * planned pre-fold keeps executing against files that still exist,
+    * the Delta/Iceberg discipline; `reclaim` = true restores the eager
+    * r17 behavior (reclaim at the fold, in-flight readers die loudly).
     */
   private[graft] def compactToEpochDir(
-      s: SparkSession, defaultData: String, anchorPath: String)(
+      s: SparkSession, defaultData: String, anchorPath: String,
+      reclaim: Boolean = false)(
       rewrite: (String, String, Option[IndexManifest.Epoch]) => Unit): Unit = {
     val e = IndexManifest.next(s, anchorPath)
     val cur = e.data.getOrElse(defaultData)
@@ -848,7 +905,11 @@ object Tombstones {
     IndexManifest.commit(s, anchorPath,
       e.copy(data = Some(dest), tombstones = Vector.empty, deltas = Vector.empty,
         baseGen = e.baseGen + 1))
-    bestEffortDelete(s, Seq(cur, sidecar(anchorPath), deltaDir(anchorPath)))
+    // deferred (default): the superseded dir/fragments/deltas are all
+    // version-enumerable, so vacuum reclaims them with its retention
+    // window — no retired record needed for the epoch-named families
+    if (reclaim)
+      bestEffortDelete(s, Seq(cur, sidecar(anchorPath), deltaDir(anchorPath)))
   }
 
   /** Compact a bucketed catalog-table index, folding tombstones and any
@@ -879,15 +940,24 @@ object Tombstones {
     * surviving rows: one file per bucket, no tombstones outstanding.
     *
     * `anchor`: the tombstone/manifest anchor. None (the location-anchored
-    * families) uses the table's current location and RESETS that dead
-    * anchor after the swap; Some(path) (the search index, whose manifest
-    * also carries the stats pointer) keeps the anchor alive and commits a
-    * fragment-clearing epoch instead.
+    * families) uses the table's current location and — in eager mode —
+    * RESETS that dead anchor after the swap; Some(path) (the search
+    * index, whose manifest also carries the stats pointer) keeps the
+    * anchor alive and commits a fragment-clearing epoch instead.
+    *
+    * `reclaim` = false (the default) DEFERS reclaiming the superseded
+    * location: the old directory, its manifest, sidecar, and delta dirs
+    * stay on disk, recorded as `retired` in the carried/clearing epoch,
+    * so a probe DataFrame planned pre-fold executes successfully
+    * post-fold (the Delta/Iceberg discipline — the fold is invisible to
+    * in-flight readers); [[vacuum]] reclaims them honoring `keepEpochs`.
+    * `reclaim` = true restores the eager r17 behavior.
     */
   def compactBucketedIndex(
       s: SparkSession, table: String, idCol: String,
       anchor: Option[String] = None,
-      sourceOverride: Option[DataFrame] = None): Unit = {
+      sourceOverride: Option[DataFrame] = None,
+      reclaim: Boolean = false): Unit = {
     val ident = s.sessionState.sqlParser.parseTableIdentifier(table)
     val meta = s.sessionState.catalog.getTableMetadata(ident)
     val spec = meta.bucketSpec.getOrElse(
@@ -944,14 +1014,26 @@ object Tombstones {
     // never-mutated anchor has no epochs to alias and carries nothing.
     if (anchor.isEmpty) {
       reset(s, dest)
-      IndexManifest.current(s, cur).foreach { f =>
-        IndexManifest.commit(s, dest,
-          IndexManifest.Epoch(
+      val old = IndexManifest.current(s, cur)
+      val carry = old match {
+        case Some(f) =>
+          Some(IndexManifest.Epoch(
             version = f.version + 1, data = None, stats = None,
             tombstones = Vector.empty, deltas = Vector.empty,
             baseGen = f.baseGen + 1,
-            ingestHwm = f.ingestHwm, ingestStream = f.ingestStream))
+            ingestHwm = f.ingestHwm, ingestStream = f.ingestStream,
+            retired = if (reclaim) Vector.empty else Vector(cur)))
+        case None if !reclaim =>
+          // never-mutated old anchor: nothing to carry, but the deferred
+          // retirement must still be RECORDED or the superseded location
+          // would leak forever (vacuum only reclaims what an epoch names)
+          Some(IndexManifest.Epoch(
+            version = 1L, data = None, stats = None,
+            tombstones = Vector.empty, deltas = Vector.empty,
+            baseGen = 1L, retired = Vector(cur)))
+        case None => None
       }
+      carry.foreach(IndexManifest.commit(s, dest, _))
     }
     if (failBeforeTableSwap) {
       failBeforeTableSwap = false
@@ -970,15 +1052,24 @@ object Tombstones {
         s"Tombstones: injected crash after swapping $table to $dest")
     }
     // retire the staging entry (external table: metadata-only, the files
-    // it named are now the SERVING files) and reclaim the superseded dir
+    // it named are now the SERVING files)
     s.sql(s"DROP TABLE IF EXISTS ${table}__c")
-    val oldLoc = new org.apache.hadoop.fs.Path(cur)
-    oldLoc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(oldLoc, true)
+    if (reclaim) {
+      // eager mode: reclaim the superseded dir at the fold (in-flight
+      // pre-fold plans die loudly on the deleted path)
+      val oldLoc = new org.apache.hadoop.fs.Path(cur)
+      oldLoc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(oldLoc, true)
+    }
     // the rewrite no longer contains the tombstoned rows: retire them — a
     // location anchor dies with its location (its fence already carried
     // to the destination above, pre-swap); an immutable anchor commits a
     // clearing epoch (stats pointer rides along unchanged; the gen bump
-    // already landed above, pre-swap)
-    if (anchor.isEmpty) reset(s, cur) else clear(s, anch, bump = false)
+    // already landed above, pre-swap). Deferred mode leaves the old
+    // location, manifest, sidecar, and delta dirs for in-flight pre-fold
+    // plans — the `retired` record hands them to vacuum.
+    if (anchor.isEmpty) { if (reclaim) reset(s, cur) }
+    else clear(s, anch, bump = false,
+      retired = if (reclaim) Vector.empty else Vector(cur),
+      reclaim = reclaim)
   }
 }

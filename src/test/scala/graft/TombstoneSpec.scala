@@ -2476,6 +2476,82 @@ class TombstoneSpec extends SparkSpec {
     }
   }
 
+  test("fold-deferred reclaim: a probe planned pre-fold executes post-fold; vacuum reclaims retired state; eager stays available") {
+    import graft.operators.{DedupQueries, SimilarityQueries}
+    val t = graft.sources.Tombstones
+    def dirExists(p: String) =
+      new java.io.File(p.stripPrefix("file:")).exists()
+    // ---- flat family (IVF): the fold redirects the data pointer to an
+    // epoch dir and now LEAVES the superseded dir for vacuum
+    val ip = s"$tmp/ivf_defer"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, ip)
+    val deleted = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 13 === 7)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    SimilarityQueries.deleteFromIvfIndex(spark, ip, deleted)
+    // plan the probe BEFORE the fold: its file listing resolves the
+    // pre-fold data dir and tombstone fragments
+    val preplanned = SimilarityQueries.ivfTopkFromIndex(spark, sfDir, ip)
+    SimilarityQueries.compactIvfIndex(spark, ip) // deferred (default)
+    assert(dirExists(ip), "deferred fold must leave the superseded data dir")
+    // the pre-fold plan executes successfully post-fold — the fold is
+    // invisible to in-flight readers (with eager reclaim this died
+    // mid-plan on the deleted path)
+    val pre = sorted(preplanned)
+    assert(pre == sorted(SparkEntry.queries("ann_ivf_deleted")(spark, sfDir)))
+    // ...and equals a freshly planned probe of the folded index
+    assert(pre == sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, ip)))
+    // vacuum reclaims the superseded default dir + folded fragments
+    assert(t.vacuum(spark, ip, Some(ip)) >= 2)
+    assert(!dirExists(ip), "vacuum must reclaim the superseded default dir")
+    assert(pre == sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, ip)))
+    // ---- bucketed location-anchored family (band): the swap retires the
+    // old location; the carry epoch records it; vacuum honors keepEpochs
+    val thr = DedupQueries.writeBandIndex(
+      spark, sfDir, "band_defer", s"$tmp/band_defer")
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < thr)
+    DedupQueries.deleteFromBandIndex(spark, "band_defer",
+      docs.filter(col("doc_id") % 17 === 4)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq)
+    val loc1 = t.tableLocation(spark, "band_defer")
+    val prePlannedBand = DedupQueries.bandIndexFrame(spark, "band_defer")
+    val preBand = prePlannedBand.count()
+    DedupQueries.compactBandIndex(spark, "band_defer") // deferred
+    val loc2 = t.tableLocation(spark, "band_defer")
+    assert(loc2 != loc1 && dirExists(loc1),
+      "deferred fold must leave the superseded location")
+    assert(dirExists(graft.sources.IndexManifest.dir(loc1)),
+      "…and its manifest, for in-flight pre-fold plans")
+    assert(prePlannedBand.count() == preBand,
+      "a probe planned pre-fold must execute post-fold")
+    // the carry epoch records the retirement
+    val carry = graft.sources.IndexManifest.current(spark, loc2).get
+    assert(carry.retired == Vector(loc1), carry.toString)
+    // keepEpochs = 1 protects the most recent commit's retirements…
+    assert(t.vacuum(spark, loc2, keepEpochs = 1) == 0L)
+    assert(dirExists(loc1))
+    // …keepEpochs = 0 reclaims the retired location whole (dir, manifest,
+    // sidecar) and probes are untouched
+    assert(t.vacuum(spark, loc2) >= 1L)
+    assert(!dirExists(loc1) &&
+      !dirExists(graft.sources.IndexManifest.dir(loc1)))
+    assert(DedupQueries.bandIndexFrame(spark, "band_defer").count() == preBand)
+    // chained folds reclaim recursively: fold again (pure maintenance),
+    // then vacuum walks loc2's retirement through its dead manifest
+    DedupQueries.compactBandIndex(spark, "band_defer")
+    val loc3 = t.tableLocation(spark, "band_defer")
+    assert(dirExists(loc2))
+    assert(t.vacuum(spark, loc3) >= 1L)
+    assert(!dirExists(loc2) && dirExists(loc3))
+    // ---- eager mode stays available: reclaim = true restores the r17
+    // fold-time delete
+    val ip2 = s"$tmp/ivf_eager"
+    SimilarityQueries.writeIvfIndex(spark, sfDir, ip2)
+    SimilarityQueries.deleteFromIvfIndex(spark, ip2, deleted.take(1))
+    SimilarityQueries.compactIvfIndex(spark, ip2, reclaim = true)
+    assert(!dirExists(ip2), "eager fold must reclaim at the fold")
+    ()
+  }
+
   test("index layout version: a layout-from-the-future epoch refuses loudly at every read") {
     val m = graft.sources.IndexManifest
     val anchor = s"$tmp/layout_idx"
