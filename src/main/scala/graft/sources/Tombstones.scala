@@ -548,7 +548,7 @@ object Tombstones {
           hist.takeRight(keepEpochs).map(_.version).toSet
         hist.filterNot(e => protectedVersions(e.version))
           .flatMap(_.retired).distinct
-          .foreach(loc => n += reclaimRetiredLocation(s, loc))
+          .foreach(loc => n += reclaimRetiredLocation(s, loc, Set(canon(anchor))))
         n
     }
   }
@@ -556,18 +556,33 @@ object Tombstones {
   /** Reclaim one retired index location whole: its own retired chain
     * first (depth-first — chained folds), then its manifest, sidecar,
     * delta dir, and the location itself. Best-effort per dir (a failed
-    * delete retries at the next vacuum).
+    * delete retries at the next vacuum). `visited` carries the LIVE
+    * anchor and every location already on the recursion path: a retired
+    * location that IS the live anchor (the search family's first fold
+    * retires its anchor-path table dir — the anchor and the initial table
+    * location are the same string) reclaims the superseded DATA directory
+    * only, never the live manifest/sidecar/delta dirs, and never recurses
+    * into its own history (which would loop forever).
     */
-  private def reclaimRetiredLocation(s: SparkSession, loc: String): Long = {
-    var n = 0L
-    IndexManifest.history(s, loc).flatMap(_.retired).distinct
-      .foreach(l => n += reclaimRetiredLocation(s, l))
+  private def reclaimRetiredLocation(
+      s: SparkSession, loc: String, visited: Set[String]): Long = {
     val conf = s.sparkContext.hadoopConfiguration
-    Seq(IndexManifest.dir(loc), sidecar(loc), deltaDir(loc), loc).foreach { d =>
+    def canon(p: String): String = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(conf).makeQualified(path).toString
+    }
+    var n = 0L
+    def del(d: String): Unit =
       try {
         val p = new org.apache.hadoop.fs.Path(d)
         if (p.getFileSystem(conf).delete(p, true)) n += 1
       } catch { case _: java.io.IOException => () }
+    val c = canon(loc)
+    if (visited(c)) del(loc)
+    else {
+      IndexManifest.history(s, loc).flatMap(_.retired).distinct
+        .foreach(l => n += reclaimRetiredLocation(s, l, visited + c))
+      Seq(IndexManifest.dir(loc), sidecar(loc), deltaDir(loc), loc).foreach(del)
     }
     n
   }

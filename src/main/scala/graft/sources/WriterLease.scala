@@ -220,6 +220,24 @@ object WriterLease {
     * not be torn down, and a completed body must not be reported failed
     * over it (nor may a lost lease shadow the body's own exception).
     */
+  /** The lease the streaming ingest runners take around each micro-batch
+    * by default (holder = the stream's checkpoint, its lineage identity):
+    * a crashed co-writer's successor waits out the corpse's TTL instead
+    * of paging on the manifest collision, and two live mutators
+    * SERIALIZE — the second templates its epoch only after the first
+    * released, so neither ever sees the collision page (pinned in
+    * StreamingSpec). `waitMs` < 0 opts the lease out entirely (the
+    * caller owns exclusion). For the location-anchored families the
+    * anchor moves at each fold; the per-batch re-resolution keeps
+    * claimants colliding on the CURRENT location's lease, and the
+    * manifest's version check remains the correctness guard beneath.
+    */
+  def withIngestLease[T](
+      s: SparkSession, anchor: String, holder: String,
+      waitMs: Long)(body: => T): T =
+    if (waitMs < 0) body
+    else withLease(s, anchor, holder, ttlMs = 600000L, waitMs = waitMs)(body)
+
   def withLease[T](
       s: SparkSession, anchor: String, holder: String,
       ttlMs: Long = 600000L, waitMs: Long = 0L)(body: => T): T = {

@@ -52,15 +52,23 @@ object DocumentsStream {
     */
   def runWinnowIngest(
       spark: SparkSession, inPath: String, table: String,
-      checkpoint: String, foldEvery: Int = 0): Unit = {
+      checkpoint: String, foldEvery: Int = 0,
+      leaseWaitMs: Long = 600000L): Unit = {
     val q = readDocs(spark, inPath)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.operators.DedupQueries.ingestWinnowBatch(
-            batch.toDF(), table, batchId, streamId = checkpoint)
-          foldIfDue(spark, table, foldEvery,
-            graft.operators.DedupQueries.compactWinnowIndex(spark, table))
+          // per-batch writer lease on the CURRENT location anchor (the
+          // fold moves it; re-resolution keeps claimants colliding on the
+          // live lease); holder = this lineage's checkpoint; < 0 opts out
+          graft.sources.WriterLease.withIngestLease(spark,
+              graft.sources.Tombstones.tableLocation(spark, table),
+              checkpoint, leaseWaitMs) {
+            graft.operators.DedupQueries.ingestWinnowBatch(
+              batch.toDF(), table, batchId, streamId = checkpoint)
+            foldIfDue(spark, table, foldEvery,
+              graft.operators.DedupQueries.compactWinnowIndex(spark, table))
+          }
         }
         ()
       }
@@ -93,15 +101,23 @@ object DocumentsStream {
     */
   def runBandIngest(
       spark: SparkSession, inPath: String, table: String,
-      checkpoint: String, foldEvery: Int = 0): Unit = {
+      checkpoint: String, foldEvery: Int = 0,
+      leaseWaitMs: Long = 600000L): Unit = {
     val q = readDocs(spark, inPath)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.operators.DedupQueries.ingestBandBatch(
-            batch.toDF(), table, batchId, streamId = checkpoint)
-          foldIfDue(spark, table, foldEvery,
-            graft.operators.DedupQueries.compactBandIndex(spark, table))
+          // per-batch writer lease on the CURRENT location anchor (the
+          // fold moves it; re-resolution keeps claimants colliding on the
+          // live lease); holder = this lineage's checkpoint; < 0 opts out
+          graft.sources.WriterLease.withIngestLease(spark,
+              graft.sources.Tombstones.tableLocation(spark, table),
+              checkpoint, leaseWaitMs) {
+            graft.operators.DedupQueries.ingestBandBatch(
+              batch.toDF(), table, batchId, streamId = checkpoint)
+            foldIfDue(spark, table, foldEvery,
+              graft.operators.DedupQueries.compactBandIndex(spark, table))
+          }
         }
         ()
       }
@@ -120,15 +136,23 @@ object DocumentsStream {
     */
   def runPrefixIngest(
       spark: SparkSession, inPath: String, table: String,
-      checkpoint: String, foldEvery: Int = 0): Unit = {
+      checkpoint: String, foldEvery: Int = 0,
+      leaseWaitMs: Long = 600000L): Unit = {
     val q = readDocs(spark, inPath)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.operators.DedupQueries.ingestPrefixBatch(
-            batch.toDF(), table, batchId, streamId = checkpoint)
-          foldIfDue(spark, table, foldEvery,
-            graft.operators.DedupQueries.compactPrefixIndex(spark, table))
+          // per-batch writer lease on the CURRENT location anchor (the
+          // fold moves it; re-resolution keeps claimants colliding on the
+          // live lease); holder = this lineage's checkpoint; < 0 opts out
+          graft.sources.WriterLease.withIngestLease(spark,
+              graft.sources.Tombstones.tableLocation(spark, table),
+              checkpoint, leaseWaitMs) {
+            graft.operators.DedupQueries.ingestPrefixBatch(
+              batch.toDF(), table, batchId, streamId = checkpoint)
+            foldIfDue(spark, table, foldEvery,
+              graft.operators.DedupQueries.compactPrefixIndex(spark, table))
+          }
         }
         ()
       }
@@ -146,7 +170,8 @@ object DocumentsStream {
     */
   def runPhashIngest(
       spark: SparkSession, inPath: String, table: String,
-      checkpoint: String, foldEvery: Int = 0): Unit = {
+      checkpoint: String, foldEvery: Int = 0,
+      leaseWaitMs: Long = 600000L): Unit = {
     val assetSchema = StructType(Seq(
       StructField("asset_id", LongType),
       StructField("payload", org.apache.spark.sql.types.BinaryType),
@@ -158,10 +183,17 @@ object DocumentsStream {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.operators.MultimodalQueries.ingestPhashBatch(
-            batch.toDF(), table, batchId, streamId = checkpoint)
-          foldIfDue(spark, table, foldEvery,
-            graft.operators.MultimodalQueries.compactPhashIndex(spark, table))
+          // per-batch writer lease on the CURRENT location anchor (the
+          // fold moves it; re-resolution keeps claimants colliding on the
+          // live lease); holder = this lineage's checkpoint; < 0 opts out
+          graft.sources.WriterLease.withIngestLease(spark,
+              graft.sources.Tombstones.tableLocation(spark, table),
+              checkpoint, leaseWaitMs) {
+            graft.operators.MultimodalQueries.ingestPhashBatch(
+              batch.toDF(), table, batchId, streamId = checkpoint)
+            foldIfDue(spark, table, foldEvery,
+              graft.operators.MultimodalQueries.compactPhashIndex(spark, table))
+          }
         }
         ()
       }

@@ -80,17 +80,22 @@ object EmbeddingsStream {
     */
   def runAnnIngest(
       spark: SparkSession, dir: String, inPath: String, indexPath: String,
-      checkpoint: String, foldEvery: Int = 0): Unit = {
+      checkpoint: String, foldEvery: Int = 0,
+      leaseWaitMs: Long = 600000L): Unit = {
     graft.functions.GraftFunctions.register(spark)
     val q = readVectors(spark, inPath)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          // the checkpoint IS the lineage (see runSearchIngest)
-          SimilarityQueries.ingestIvfBatch(
-            spark, dir, indexPath, batch.toDF(), batchId, streamId = checkpoint)
-          if (graft.sources.Tombstones.windowReached(spark, indexPath, foldEvery))
-            SimilarityQueries.compactIvfIndex(spark, indexPath)
+          // the checkpoint IS the lineage (see runSearchIngest); the
+          // per-batch lease serializes concurrent mutators of this index
+          graft.sources.WriterLease.withIngestLease(
+              spark, indexPath, checkpoint, leaseWaitMs) {
+            SimilarityQueries.ingestIvfBatch(
+              spark, dir, indexPath, batch.toDF(), batchId, streamId = checkpoint)
+            if (graft.sources.Tombstones.windowReached(spark, indexPath, foldEvery))
+              SimilarityQueries.compactIvfIndex(spark, indexPath)
+          }
         }
         ()
       }
@@ -112,16 +117,20 @@ object EmbeddingsStream {
     */
   def runGraphIngest(
       spark: SparkSession, dir: String, inPath: String, graphPath: String,
-      checkpoint: String, foldEvery: Int = 0): Unit = {
+      checkpoint: String, foldEvery: Int = 0,
+      leaseWaitMs: Long = 600000L): Unit = {
     graft.functions.GraftFunctions.register(spark)
     val q = readVectors(spark, inPath)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          SimilarityQueries.ingestGraphBatch(
-            spark, dir, graphPath, batch.toDF(), batchId, streamId = checkpoint)
-          if (graft.sources.Tombstones.windowReached(spark, graphPath, foldEvery))
-            SimilarityQueries.compactKnnGraph(spark, graphPath)
+          graft.sources.WriterLease.withIngestLease(
+              spark, graphPath, checkpoint, leaseWaitMs) {
+            SimilarityQueries.ingestGraphBatch(
+              spark, dir, graphPath, batch.toDF(), batchId, streamId = checkpoint)
+            if (graft.sources.Tombstones.windowReached(spark, graphPath, foldEvery))
+              SimilarityQueries.compactKnnGraph(spark, graphPath)
+          }
         }
         ()
       }

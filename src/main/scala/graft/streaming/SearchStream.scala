@@ -64,7 +64,8 @@ object SearchStream {
     */
   def runSearchIngest(
       spark: SparkSession, inPath: String, table: String, indexPath: String,
-      checkpoint: String, foldEvery: Int = 0): Unit = {
+      checkpoint: String, foldEvery: Int = 0,
+      leaseWaitMs: Long = 600000L): Unit = {
     val q = spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", 1)
@@ -72,12 +73,18 @@ object SearchStream {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          // the checkpoint IS the lineage: batch ids are monotone within
-          // it, and a different checkpoint must refuse rather than fence
-          SearchQueries.ingestSearchBatch(
-            spark, table, indexPath, batch.toDF(), batchId, streamId = checkpoint)
-          if (graft.sources.Tombstones.windowReached(spark, indexPath, foldEvery))
-            SearchQueries.compactSearchIndex(spark, table, indexPath)
+          // per-batch writer lease (holder = this lineage's checkpoint):
+          // a concurrent mutator waits instead of paging on the manifest
+          // collision; < 0 opts out
+          graft.sources.WriterLease.withIngestLease(
+              spark, indexPath, checkpoint, leaseWaitMs) {
+            // the checkpoint IS the lineage: batch ids are monotone within
+            // it, and a different checkpoint must refuse rather than fence
+            SearchQueries.ingestSearchBatch(
+              spark, table, indexPath, batch.toDF(), batchId, streamId = checkpoint)
+            if (graft.sources.Tombstones.windowReached(spark, indexPath, foldEvery))
+              SearchQueries.compactSearchIndex(spark, table, indexPath)
+          }
         }
         ()
       }

@@ -727,6 +727,110 @@ class StreamingSpec extends SparkSpec {
       .exists(_.deltas.size < 2), "the final window must sit below the threshold")
   }
 
+  test("writer lease serializes concurrent mutators: one waits-then-proceeds, zero collision pages") {
+    // the r17 verdict's integration ask: WriterLease existed but nothing
+    // called it. The ingest runners now take a per-micro-batch lease
+    // (holder = the lineage's checkpoint); this pins the serialization
+    // property end-to-end — two concurrent mutators of ONE index, each
+    // templating its epoch only inside the lease: the second WAITS for
+    // the first to release and then proceeds, so neither ever sees the
+    // manifest's collision page (which a true unleased race still raises,
+    // pinned in TombstoneSpec).
+    import graft.operators.SearchQueries
+    val base = java.nio.file.Files.createTempDirectory("graft-leaseint").toString
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_lease_idx", s"$base/idx")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def mutator(holder: String, m: Int, offset: Long) = new Thread(() => {
+      try {
+        gate.await()
+        graft.sources.WriterLease.withIngestLease(
+            spark, s"$base/idx", holder, waitMs = 120000L) {
+          SearchQueries.appendSearchIndex(spark, "search_lease_idx", s"$base/idx",
+            docs.filter(col("doc_id") % 2 === m)
+              .select((col("doc_id") + offset).as("doc_id"), col("text"), col("lang")))
+        }
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val a = mutator("writer-a", 0, 5000000L)
+    val b = mutator("writer-b", 1, 6000000L)
+    a.start(); b.start(); gate.countDown(); a.join(180000); b.join(180000)
+    assert(errs.isEmpty, s"zero collision pages expected, got: ${errs.peek()}")
+    // both mutations landed: two insert epochs, two open delta batches
+    val cur = graft.sources.IndexManifest.current(spark, s"$base/idx").get
+    assert(cur.version == 2L && cur.deltas.size == 2, cur.toString)
+    // and the lease is released on both exit paths
+    assert(graft.sources.WriterLease.current(spark, s"$base/idx").isEmpty)
+  }
+
+  test("streaming soak: 30+ micro-batches with foldEvery=4 — bounded window, linear epochs, mid-stream vacuum, exact final probe") {
+    // the compressed "runs for a week" pin: an empty bootstrap absorbs
+    // the corpus as 32 single-file micro-batches under the inline fold
+    // policy. The open window must never exceed the fold cadence, the
+    // manifest must grow linearly (no epoch leak), a vacuum between
+    // drain phases must reclaim without disturbing the lineage, and the
+    // final probe must equal the one-shot build.
+    import graft.operators.SearchQueries
+    import graft.streaming.SearchStream
+    val base = java.nio.file.Files.createTempDirectory("graft-soak").toString
+    SearchQueries.writeSearchIndexWhere(
+      spark, sfDir, "search_soak_idx", s"$base/idx", lit(false))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    // phase 1: 16 micro-batches
+    (0 until 16).foreach { m =>
+      docs.filter(col("doc_id") % 32 === m)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    SearchStream.runSearchIngest(
+      spark, s"$base/in", "search_soak_idx", s"$base/idx", s"$base/ckpt",
+      foldEvery = 4)
+    // mid-stream vacuum: reclaims the deferred fold leavings without
+    // touching the lineage (the fence lives in the manifest, not on disk
+    // artifacts vacuum reclaims)
+    assert(graft.sources.Tombstones.vacuum(spark, s"$base/idx") >= 1L)
+    // phase 2: 16 more batches through the SAME checkpoint — the
+    // legitimate long-running-stream shape
+    (16 until 32).foreach { m =>
+      docs.filter(col("doc_id") % 32 === m)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    SearchStream.runSearchIngest(
+      spark, s"$base/in", "search_soak_idx", s"$base/idx", s"$base/ckpt",
+      foldEvery = 4)
+    val hist = graft.sources.IndexManifest.history(spark, s"$base/idx")
+    // the open window NEVER exceeded the cadence: every committed epoch
+    // holds at most foldEvery delta batches (the fold fires inline the
+    // moment the 4th lands), including the final state
+    assert(hist.nonEmpty && hist.forall(_.deltas.size <= 4),
+      hist.map(e => (e.version, e.deltas.size)).mkString(","))
+    // linear growth, no leak: <= one ingest epoch per batch + two epochs
+    // per fold (gen fence + clearing commit) + the vacuum-era slack
+    val nFolds = hist.sliding(2).count {
+      case Seq(a, b) => a.deltas.nonEmpty && b.deltas.isEmpty
+      case _ => false
+    }
+    assert(nFolds >= 6, s"expected ~8 folds at cadence 4 over 32 batches, got $nFolds")
+    assert(hist.size <= 32 + 2 * nFolds + 4,
+      s"epoch leak: ${hist.size} epochs for 32 batches + $nFolds folds")
+    // the final window is below the cadence and the fence is at the tail
+    val fin = graft.sources.IndexManifest.current(spark, s"$base/idx").get
+    assert(fin.deltas.size < 4 && fin.ingestHwm.exists(_ >= 30L), fin.toString)
+    // exactness: the drained+folded+vacuumed index equals the one-shot
+    // full-corpus build, row for row
+    val direct = SparkEntry.queries("search_bm25_topk")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    val got = SearchQueries.bm25TopkFromIndex(spark, "search_soak_idx", s"$base/idx")
+      .select(cols: _*).orderBy(cols: _*).collect().toSeq
+    assert(got.nonEmpty && got == direct.orderBy(cols: _*).collect().toSeq)
+    // and a replay of the whole input is still a clean no-op post-soak
+    SearchStream.runSearchIngest(
+      spark, s"$base/in", "search_soak_idx", s"$base/idx", s"$base/ckpt",
+      foldEvery = 4)
+    assert(SearchQueries.bm25TopkFromIndex(spark, "search_soak_idx", s"$base/idx")
+      .select(cols: _*).orderBy(cols: _*).collect().toSeq == got)
+  }
+
   test("streaming semantic dedup against the IVF index equals the one-shot verdicts") {
     // the embedding twin of the incremental-dedup stream: arriving vectors
     // probe the persisted index per trigger and verdict against tau; the
