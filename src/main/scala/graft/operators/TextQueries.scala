@@ -1281,6 +1281,102 @@ object TextQueries {
     ),
 
     GQuery(
+      // Per-domain share caps — the CCNet/RefinedWeb hygiene rule the mix
+      // family was missing: no single domain may exceed P = 20% of the
+      // FINAL kept mix (a crawl burst or SEO farm must not dominate the
+      // training set). That "share of the final total" makes the cap a
+      // FIXED POINT — capping the head shrinks the total, which tightens
+      // the cap — solved exactly by the standard water-fill scan: sort
+      // domains by count desc; for each candidate number j of capped
+      // domains, the maximal integer cap is C(j) = ⌊P·S_j / (1 − j·P)⌋
+      // (S_j = the uncapped remainder's mass, all in ppm arithmetic), and
+      // the unique consistent j is the one where the j-th largest domain
+      // exceeds C(j) while the (j+1)-th fits under it. Every kept share
+      // is then ≤ P by construction and C is maximal. The corpus's own
+      // `source` column is uniform by construction (a cap never binds),
+      // so the domain key models the Zipf head a real crawl has — a
+      // deterministic doc_id bucketing with 52/24/12/6/3/3% mass, which
+      // drives the scan through a 3-level cascade (d0, d1 AND d2 all
+      // cap, each landing at exactly 20% of the final mix). Scale: one
+      // census shuffle; the scan is a ≤ n_domains-row control plane
+      // (the global windows sort 6 rows, not data); the per-doc keep
+      // rule (lowest doc_ids within a capped domain) composes downstream
+      // without another shuffle. Registered output is the allocation
+      // table an operator audits: (domain, n_docs, kept, capped).
+      "pipeline_source_caps",
+      (s, dir) => {
+        val P = 200000L // cap, ppm of the FINAL kept total
+        val domCol = """CASE WHEN doc_id % 100 < 52 THEN 'd0'
+                       |WHEN doc_id % 100 < 76 THEN 'd1'
+                       |WHEN doc_id % 100 < 88 THEN 'd2'
+                       |WHEN doc_id % 100 < 94 THEN 'd3'
+                       |WHEN doc_id % 100 < 97 THEN 'd4'
+                       |ELSE 'd5' END""".stripMargin.replace('\n', ' ')
+        val cnt = Tables.documents(s, dir)
+          .select(expr(domCol).as("domain"))
+          .groupBy("domain").agg(count(lit(1)).as("n"))
+        val tot = cnt.agg(sum(col("n")).as("total"))
+        // global window over <= n_domains census rows — control plane
+        val wd = Window.orderBy(col("n").desc, col("domain"))
+        val ranked = cnt
+          .withColumn("j", row_number().over(wd).cast("long"))
+          .withColumn("pref", sum(col("n")).over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("njp1", lead(col("n"), 1).over(wd))
+          .crossJoin(broadcast(tot))
+        val candJ = ranked.select(col("j"), col("n").as("nj"), col("njp1"),
+          (col("total") - col("pref")).as("sj"))
+        val cand0 = ranked.filter(col("j") === 1)
+          .select(lit(0L).as("j"), lit(null).cast("long").as("nj"),
+            col("n").as("njp1"), col("total").as("sj"))
+        val fixedPoint = cand0.unionByName(candJ)
+          .filter(lit(1000000L) - col("j") * lit(P) > 0)
+          .withColumn("cap", expr(s"($P * sj) div (1000000 - j * $P)"))
+          // consistency: the j-th largest really needs the cap, the next
+          // one really fits under it (a tie at the boundary keeps the
+          // SMALLEST consistent j — capping at exactly n is a no-op)
+          .filter((col("nj").isNull || col("nj") > col("cap")) &&
+            (col("njp1").isNull || col("njp1") <= col("cap")))
+          .orderBy("j").limit(1)
+        cnt.crossJoin(broadcast(fixedPoint.select(col("cap"))))
+          .select(col("domain"), col("n").as("n_docs"),
+            least(col("n"), col("cap")).as("kept"),
+            (col("n") > col("cap")).as("capped"))
+          .orderBy("domain")
+      },
+      Some("""WITH spd AS (SELECT
+             |    CASE WHEN doc_id % 100 < 52 THEN 'd0'
+             |         WHEN doc_id % 100 < 76 THEN 'd1'
+             |         WHEN doc_id % 100 < 88 THEN 'd2'
+             |         WHEN doc_id % 100 < 94 THEN 'd3'
+             |         WHEN doc_id % 100 < 97 THEN 'd4'
+             |         ELSE 'd5' END AS domain
+             |  FROM documents),
+             |spc AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM spd GROUP BY domain),
+             |spt AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM spc),
+             |spr AS (SELECT domain, n,
+             |    CAST(row_number() OVER (ORDER BY n DESC, domain) AS BIGINT) AS j,
+             |    CAST(SUM(n) OVER (ORDER BY n DESC, domain
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pref,
+             |    lead(n) OVER (ORDER BY n DESC, domain) AS njp1
+             |  FROM spc),
+             |spcand AS (SELECT CAST(0 AS BIGINT) AS j, CAST(NULL AS BIGINT) AS nj,
+             |    (SELECT n FROM spr WHERE j = 1) AS njp1, total AS sj
+             |  FROM spt
+             |  UNION ALL
+             |  SELECT j, n AS nj, njp1, total - pref AS sj FROM spr, spt),
+             |spfix AS (SELECT j, (200000 * sj) // (1000000 - j * 200000) AS cap
+             |  FROM spcand
+             |  WHERE 1000000 - j * 200000 > 0
+             |    AND (nj IS NULL OR nj > (200000 * sj) // (1000000 - j * 200000))
+             |    AND (njp1 IS NULL OR njp1 <= (200000 * sj) // (1000000 - j * 200000))
+             |  ORDER BY j LIMIT 1)
+             |SELECT domain, n AS n_docs, least(n, cap) AS kept, n > cap AS capped
+             |FROM spc, spfix ORDER BY domain""".stripMargin)
+    ),
+
+    GQuery(
       // Marker-word language ID with deterministic argmax tie order
       // (es > de > fr > en on strict-greater comparisons).
       "text_langid",
