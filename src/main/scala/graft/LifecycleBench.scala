@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lifecycle benchmark main — the measured cost basis the fold-cadence
+  * policy tunes against (r17 verdict: probe costs were benched and
+  * manifest resolution priced, but build/ingest/fold/vacuum appeared
+  * nowhere, and `foldEvery`/`needsCompaction` had no numbers behind
+  * their defaults).
+  *
+  * For one representative family per lifecycle shape — search (bucketed
+  * catalog table with stored stats), IVF (flat epoch-dir), band
+  * (location-anchored bucketed) — it times, at `SPARK_GRAFT_SF_DIR`:
+  *   - the one-shot BUILD;
+  *   - one streaming-shaped INGEST batch (1/32 of the corpus, new ids,
+  *     through the same exactly-once `ingest*Batch` one-commit path the
+  *     runners use);
+  *   - the PROBE at open windows of 0 / 1 / 4 / 16 batches (min-of-2 —
+  *     the curve that justifies the fold cadence: every open batch adds
+  *     one union arm and one id-set broadcast to every probe);
+  *   - the FOLD with the 16-batch window open (the realistic fold);
+  *   - the probe again post-fold (the cost the fold buys back);
+  *   - VACUUM of the deferred-reclaim leavings;
+  *   - the writer-lease acquire+release pair (per-op milliseconds).
+  *
+  * Prints ONE JSON line `{"metric":"lifecycle","unit":"sec","steps":{..}}`
+  * (compact, totals last — the Bench.scala contract shape). Numbers are
+  * recorded per-round in BASELINE.md.
+  */
+object LifecycleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    // warmup (JVM/codegen startup off the first timed step)
+    try Tables.nation(spark, sfDir).groupBy("n_regionkey").count().count()
+    catch { case _: Throwable => () }
+
+    val steps = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def time(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      steps(name) = (System.nanoTime() - t0) / 1e9
+    }
+    // probes report min-of-2 (the Bench.scala stability discipline) and
+    // hash every output column so map-only plans pay their real cost
+    def timeProbe(name: String)(build: => DataFrame): Unit = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val df = build
+        df.agg(max(xxhash64(df.columns.map(df.col): _*))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      steps(name) = math.min(once(), once())
+    }
+
+    val base = java.nio.file.Files.createTempDirectory("graft-lifebench").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    val em = Tables.embeddings(spark, sfDir)
+
+    // ---- search: bucketed catalog table + stored stats ---------------------
+    {
+      import graft.operators.SearchQueries
+      val path = s"$base/search_idx"
+      time("search_build") {
+        SearchQueries.writeSearchIndex(spark, sfDir, "lb_search", path)
+      }
+      timeProbe("search_probe_w0") {
+        SearchQueries.bm25TopkFromIndex(spark, "lb_search", path)
+      }
+      def batch(i: Int): DataFrame = docs.filter(col("doc_id") % 32 === i)
+        .select((col("doc_id") + (i + 1) * 10000000L).as("doc_id"),
+          col("text"), col("lang"))
+      time("search_ingest_batch") {
+        SearchQueries.ingestSearchBatch(spark, "lb_search", path, batch(0), 0L, "lb")
+      }
+      timeProbe("search_probe_w1") {
+        SearchQueries.bm25TopkFromIndex(spark, "lb_search", path)
+      }
+      (1 until 4).foreach(i =>
+        SearchQueries.ingestSearchBatch(spark, "lb_search", path, batch(i), i.toLong, "lb"))
+      timeProbe("search_probe_w4") {
+        SearchQueries.bm25TopkFromIndex(spark, "lb_search", path)
+      }
+      (4 until 16).foreach(i =>
+        SearchQueries.ingestSearchBatch(spark, "lb_search", path, batch(i), i.toLong, "lb"))
+      timeProbe("search_probe_w16") {
+        SearchQueries.bm25TopkFromIndex(spark, "lb_search", path)
+      }
+      time("search_fold") { SearchQueries.compactSearchIndex(spark, "lb_search", path) }
+      timeProbe("search_probe_postfold") {
+        SearchQueries.bm25TopkFromIndex(spark, "lb_search", path)
+      }
+      time("search_vacuum") {
+        graft.sources.Tombstones.vacuum(spark, path)
+        ()
+      }
+    }
+
+    // ---- IVF: flat epoch-dir index ------------------------------------------
+    {
+      import graft.operators.SimilarityQueries
+      val path = s"$base/ivf_idx"
+      time("ivf_build") { SimilarityQueries.writeIvfIndex(spark, sfDir, path) }
+      timeProbe("ivf_probe_w0") {
+        SimilarityQueries.ivfTopkFromIndex(spark, sfDir, path)
+      }
+      def vbatch(i: Int): DataFrame = em.filter(col("vec_id") % 32 === i)
+        .select((col("vec_id") + (i + 1) * 10000000L).as("vec_id"),
+          col("label"), col("embedding"))
+      time("ivf_ingest_batch") {
+        SimilarityQueries.ingestIvfBatch(spark, sfDir, path, vbatch(0), 0L, "lb")
+        ()
+      }
+      timeProbe("ivf_probe_w1") {
+        SimilarityQueries.ivfTopkFromIndex(spark, sfDir, path)
+      }
+      (1 until 4).foreach(i =>
+        SimilarityQueries.ingestIvfBatch(spark, sfDir, path, vbatch(i), i.toLong, "lb"))
+      timeProbe("ivf_probe_w4") {
+        SimilarityQueries.ivfTopkFromIndex(spark, sfDir, path)
+      }
+      (4 until 16).foreach(i =>
+        SimilarityQueries.ingestIvfBatch(spark, sfDir, path, vbatch(i), i.toLong, "lb"))
+      timeProbe("ivf_probe_w16") {
+        SimilarityQueries.ivfTopkFromIndex(spark, sfDir, path)
+      }
+      time("ivf_fold") { SimilarityQueries.compactIvfIndex(spark, path) }
+      timeProbe("ivf_probe_postfold") {
+        SimilarityQueries.ivfTopkFromIndex(spark, sfDir, path)
+      }
+      time("ivf_vacuum") {
+        graft.sources.Tombstones.vacuum(spark, path, Some(path))
+        ()
+      }
+    }
+
+    // ---- band: location-anchored bucketed index -----------------------------
+    {
+      import graft.operators.DedupQueries
+      var thr = 0L
+      time("band_build") {
+        thr = DedupQueries.writeBandIndex(spark, sfDir, "lb_band", s"$base/band_idx")
+      }
+      val below = docs.filter(col("doc_id") < thr)
+      def probeFrame(): DataFrame = DedupQueries.bandIndexFrame(spark, "lb_band")
+      timeProbe("band_probe_w0")(probeFrame())
+      def bbatch(i: Int): DataFrame = below.filter(col("doc_id") % 32 === i)
+        .select((col("doc_id") + (i + 1) * 10000000L).as("doc_id"), col("text"))
+      time("band_ingest_batch") {
+        DedupQueries.ingestBandBatch(bbatch(0), "lb_band", 0L, "lb")
+        ()
+      }
+      timeProbe("band_probe_w1")(probeFrame())
+      (1 until 4).foreach(i =>
+        DedupQueries.ingestBandBatch(bbatch(i), "lb_band", i.toLong, "lb"))
+      timeProbe("band_probe_w4")(probeFrame())
+      (4 until 16).foreach(i =>
+        DedupQueries.ingestBandBatch(bbatch(i), "lb_band", i.toLong, "lb"))
+      timeProbe("band_probe_w16")(probeFrame())
+      time("band_fold") { DedupQueries.compactBandIndex(spark, "lb_band") }
+      timeProbe("band_probe_postfold")(probeFrame())
+      time("band_vacuum") {
+        graft.sources.Tombstones.vacuum(
+          spark, graft.sources.Tombstones.tableLocation(spark, "lb_band"))
+        ()
+      }
+    }
+
+    // ---- the writer lease: per-op cost of acquire+release -------------------
+    {
+      val anchor = s"$base/lease_anchor"
+      val wl = graft.sources.WriterLease
+      (1 to 10).foreach { _ =>
+        wl.acquire(spark, anchor, "lb", 60000); wl.release(spark, anchor, "lb")
+      }
+      val n = 200
+      val t0 = System.nanoTime()
+      (1 to n).foreach { _ =>
+        wl.acquire(spark, anchor, "lb", 60000); wl.release(spark, anchor, "lb")
+      }
+      steps("lease_op_ms") = (System.nanoTime() - t0) / 1e6 / n
+    }
+
+    val js = steps.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = steps.filterNot(_._1 == "lease_op_ms").values.sum
+    println(s"""{"metric":"lifecycle","steps":$js,"sf":"$sfDir","unit":"sec","value":$total}""")
+    spark.stop()
+  }
+}
