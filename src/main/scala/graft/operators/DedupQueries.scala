@@ -434,10 +434,14 @@ object DedupQueries {
     val rows = bandKeysOf(signaturesOf(docs)).persist()
     try {
       val rowIds = rows.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
-      graft.sources.Tombstones.requireRemovalsNotBuffered(
-        s, anchor, ids, rowIds, "doc_id", "bufferBandUpdate", "compactBandIndex")
-      graft.sources.Tombstones.requireNoResurrect(
-        s, anchor, ids, "doc_id", "bufferBandUpdate", "compactBandIndex")
+      // ONE epoch threads both guards (the writer-side discipline); the
+      // resurrect guard takes the ROW-LANDING ids — a removed id
+      // redelivered sub-floor lands nothing and stays a clean no-op
+      val ep = graft.sources.IndexManifest.current(s, anchor)
+      graft.sources.Tombstones.requireRemovalsNotBufferedOf(
+        s, ep, anchor, ids, rowIds, "doc_id", "bufferBandUpdate", "compactBandIndex")
+      graft.sources.Tombstones.requireNoResurrectOf(
+        s, ep, anchor, rowIds, "doc_id", "bufferBandUpdate", "compactBandIndex")
       graft.sources.Tombstones.commitUpdateBatch(s, anchor, ids, None, hwm) { d =>
         rows.write.mode("overwrite").parquet(d)
       }
@@ -886,10 +890,15 @@ object DedupQueries {
       if (maskIds.isEmpty) return
       // a REMOVAL (standing id, no replacement rows) of a window-resident
       // id cannot take effect — the mask covers base only; fold first
-      graft.sources.Tombstones.requireRemovalsNotBuffered(
-        s, anchor, maskIds, repIds, "doc_id", "bufferPrefixUpdate", "compactPrefixIndex")
-      graft.sources.Tombstones.requireNoResurrect(
-        s, anchor, rawIds, "doc_id", "bufferPrefixUpdate", "compactPrefixIndex")
+      // ONE epoch threads both guards; the resurrect guard takes the
+      // representatives (the row-landing ids) — a removed id redelivered
+      // sub-floor lands nothing and stays a clean no-op, never a poison
+      // pill the streaming runner replays forever (review-found)
+      val ep = graft.sources.IndexManifest.current(s, anchor)
+      graft.sources.Tombstones.requireRemovalsNotBufferedOf(
+        s, ep, anchor, maskIds, repIds, "doc_id", "bufferPrefixUpdate", "compactPrefixIndex")
+      graft.sources.Tombstones.requireNoResurrectOf(
+        s, ep, anchor, repIds, "doc_id", "bufferPrefixUpdate", "compactPrefixIndex")
       graft.sources.Tombstones.commitUpdateBatch(s, anchor, maskIds, None, hwm) { d =>
         rows.write.mode("overwrite").parquet(d)
       }
@@ -1144,10 +1153,11 @@ object DedupQueries {
       // a doc shrunk below the fingerprint floor is a REMOVAL — refuse if
       // its current rows live in the open window (mask covers base only)
       val rowIds = rows.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
-      graft.sources.Tombstones.requireRemovalsNotBuffered(
-        s, anchor, ids, rowIds, "doc_id", "bufferWinnowUpdate", "compactWinnowIndex")
-      graft.sources.Tombstones.requireNoResurrect(
-        s, anchor, ids, "doc_id", "bufferWinnowUpdate", "compactWinnowIndex")
+      val ep = graft.sources.IndexManifest.current(s, anchor)
+      graft.sources.Tombstones.requireRemovalsNotBufferedOf(
+        s, ep, anchor, ids, rowIds, "doc_id", "bufferWinnowUpdate", "compactWinnowIndex")
+      graft.sources.Tombstones.requireNoResurrectOf(
+        s, ep, anchor, rowIds, "doc_id", "bufferWinnowUpdate", "compactWinnowIndex")
       graft.sources.Tombstones.commitUpdateBatch(s, anchor, ids, None, hwm) { d =>
         rows.write.mode("overwrite").parquet(d)
       }

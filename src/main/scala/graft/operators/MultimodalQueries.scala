@@ -573,8 +573,10 @@ object MultimodalQueries {
       s"bufferPhashUpdate: asset_ids ${ids.filter(_ >= 1000000L).take(5).mkString(",")} " +
         ">= 1e6 collide with the planted-variant id offsets — widen the " +
         "offsets (and the oracle) first")
-    graft.sources.Tombstones.requireNoResurrect(
-      s, anchor, ids, "asset_id", "bufferPhashUpdate", "compactPhashIndex")
+    // every asset hashes, so the batch id list IS the row-landing set
+    graft.sources.Tombstones.requireNoResurrectOf(
+      s, graft.sources.IndexManifest.current(s, anchor),
+      anchor, ids, "asset_id", "bufferPhashUpdate", "compactPhashIndex")
     val rows = phashBandKeys(Multimodal.perceptualHash(assets).toDF())
     graft.sources.Tombstones.commitUpdateBatch(s, anchor, ids, None, hwm) { d =>
       rows.write.mode("overwrite").parquet(d)

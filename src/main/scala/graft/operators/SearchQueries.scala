@@ -644,10 +644,10 @@ object SearchQueries {
       // a doc whose new text yields no postings is a REMOVAL — refuse if
       // its current postings live in the open window (mask covers base only)
       val rowIds = rows.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
-      graft.sources.Tombstones.requireRemovalsNotBuffered(
-        s, path, ids, rowIds, "doc_id", "bufferSearchUpdate", "compactSearchIndex")
-      graft.sources.Tombstones.requireNoResurrect(
-        s, path, ids, "doc_id", "bufferSearchUpdate", "compactSearchIndex")
+      graft.sources.Tombstones.requireRemovalsNotBufferedOf(
+        s, ep, path, ids, rowIds, "doc_id", "bufferSearchUpdate", "compactSearchIndex")
+      graft.sources.Tombstones.requireNoResurrectOf(
+        s, ep, path, rowIds, "doc_id", "bufferSearchUpdate", "compactSearchIndex")
       graft.sources.Tombstones.commitUpdateBatch(s, path, ids, Some(newStats), hwm) { d =>
         rows.write.mode("overwrite").parquet(d)
       }

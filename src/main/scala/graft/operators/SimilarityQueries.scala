@@ -1614,8 +1614,11 @@ object SimilarityQueries {
     graft.functions.GraftFunctions.register(s)
     val ids = graft.sources.Tombstones.requireUniqueBatchIds(
       newRows, "vec_id", "bufferIvfUpdate")
-    graft.sources.Tombstones.requireNoResurrect(
-      s, path, ids, "vec_id", "bufferIvfUpdate", "compactIvfIndex")
+    // every IVF batch row is a replacement row, so the batch id list IS
+    // the row-landing set
+    graft.sources.Tombstones.requireNoResurrectOf(
+      s, graft.sources.IndexManifest.current(s, path),
+      path, ids, "vec_id", "bufferIvfUpdate", "compactIvfIndex")
     val (ns, tr) = quantizerConfigOf(s, path, nSeeds, trained)
     val em = VectorOps.normalizedMeta(s, dir)
     val seeds = if (tr) trainedSeedSet(em, ns) else seedSet(em, ns)
@@ -2805,6 +2808,13 @@ object SimilarityQueries {
       graft.functions.GraftFunctions.register(s)
       val ids = graft.sources.Tombstones.requireUniqueBatchIds(
         newRows, "vec_id", "ingestPqBatch")
+      // a deleted id may not re-enter before a fold (review-found: PQ/SQ
+      // were the two families missing the shared resurrect guard — the
+      // delta code rows would serve under a base-only mask and the fold
+      // would persist them, silently undoing the takedown)
+      graft.sources.Tombstones.requireNoResurrectOf(
+        s, graft.sources.IndexManifest.current(s, path),
+        path, ids, "vec_id", "ingestPqBatch", "compactPqIndex")
       val subs = subvectors(newRows
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
@@ -3200,6 +3210,9 @@ object SimilarityQueries {
     else {
       val ids = graft.sources.Tombstones.requireUniqueBatchIds(
         newRows, "vec_id", "ingestSqBatch")
+      graft.sources.Tombstones.requireNoResurrectOf(
+        s, graft.sources.IndexManifest.current(s, path),
+        path, ids, "vec_id", "ingestSqBatch", "compactSqIndex")
       val st = broadcast(s.read.parquet(s"$path/stats"))
       val codes = newRows
         .select(col("vec_id"),

@@ -167,6 +167,15 @@ object IndexManifest {
   /** Every COMPLETE version file ends in this marker — what lets readers
     * distinguish a committed epoch from a torn landing (a writer dead
     * between create and close) without trusting file length or mtime.
+    * FORMAT CUT (deliberate, r18): the marker and the conditional-create
+    * landing entered the format TOGETHER — every marker-less file a
+    * deployment of this library could hold predates both, and none were
+    * ever persisted across a library upgrade (indexes rebuild per
+    * lifecycle), so marker-less = torn is sound here. A deployment that
+    * DID carry pre-marker manifests forward would need a one-shot
+    * migration (re-land each version file with the marker) before
+    * upgrading — readers must not guess, because a torn create-landed
+    * prefix is indistinguishable from a complete legacy body by content.
     */
   private val EOT = "eot\t1\n"
 
@@ -261,11 +270,17 @@ object IndexManifest {
   /** Template for the next epoch: the current state with the version
     * advanced (v1 from nothing). Writers copy-modify it and [[commit]].
     * `retired` never carries forward — each epoch lists only the
-    * locations ITS mutation superseded.
+    * locations ITS mutation superseded. `layout` is STAMPED with the
+    * writing library's CURRENT_LAYOUT, never carried: the new epoch's
+    * own artifacts (stats dirs, delta batches) are written in THIS
+    * library's physical format, and carrying an older number forward
+    * would let an old reader accept — and misread — them (review-found;
+    * the refusal gate is only as good as the stamp).
     */
   def next(s: SparkSession, anchor: String): Epoch =
     current(s, anchor)
-      .map(e => e.copy(version = e.version + 1, retired = Vector.empty))
+      .map(e => e.copy(version = e.version + 1, retired = Vector.empty,
+        layout = CURRENT_LAYOUT))
       .getOrElse(Epoch(1L, None, None, Vector.empty, Vector.empty, 0L))
 
   /** Land `e` as the new current epoch — the single atom of every
@@ -281,7 +296,7 @@ object IndexManifest {
     val f = fs(s, d)
     if (!f.exists(d)) f.mkdirs(d)
     val dest = new Path(d, fileName(e.version))
-    requireDestFree(f, anchor, dest, e.version)
+    requireDestFree(s, f, anchor, dest, e.version)
     if (failNextCommit) {
       failNextCommit = false
       throw new RuntimeException(
@@ -310,11 +325,15 @@ object IndexManifest {
   /** Pre-landing destination check: a COMPLETE file at the version name is
     * a genuine collision (loud); a TORN one within the grace may be a
     * racer mid-initial-write (still loud); a torn one past the grace is a
-    * crashed predecessor's landing — reclaimed so the retry can land.
+    * crashed predecessor's landing — set aside so the retry can land.
+    * The set-aside is a RENAME to a dot-prefixed `.torn_` name, never a
+    * delete: if the classification were ever wrong (a hand-authored or
+    * foreign-format file at a version name), the evidence survives for
+    * an operator instead of being silently destroyed (review-found).
     */
   private def requireDestFree(
-      f: org.apache.hadoop.fs.FileSystem, anchor: String, dest: Path,
-      version: Long): Unit =
+      s: SparkSession, f: org.apache.hadoop.fs.FileSystem, anchor: String,
+      dest: Path, version: Long): Unit =
     if (f.exists(dest)) {
       if (readBody(f, dest).endsWith(EOT)) collision(anchor, version)
       val age = System.currentTimeMillis() - f.getFileStatus(dest).getModificationTime
@@ -323,8 +342,11 @@ object IndexManifest {
           s"IndexManifest.commit: epoch $version of $anchor has a fresh TORN " +
             s"landing (a writer may be mid-commit) — retry after the " +
             s"${TORN_GRACE_MS}ms grace")
-      f.delete(dest, false)
-      ()
+      val aside = new Path(dest.getParent,
+        s".torn_${dest.getName}_${java.util.UUID.randomUUID().toString.take(8)}")
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dest.toUri, s.sparkContext.hadoopConfiguration)
+      fc.rename(dest, aside)
     }
 
   // tmp-write + single-file rename-without-overwrite (see the Landing doc
@@ -375,9 +397,17 @@ object IndexManifest {
       try out.write(body)
       finally out.close()
     } else {
+      // only the exists-collision maps to the single-writer page; any
+      // other IOException (transient namenode/network, quota, permission)
+      // propagates as itself — misreporting it as a concurrent writer
+      // would page an operator at a phantom discipline violation when the
+      // commit merely needs a retry (review-found)
       val out =
         try f.create(dest, false)
-        catch { case _: java.io.IOException => collision(anchor, version) }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            collision(anchor, version)
+        }
       try out.write(body)
       finally out.close()
     }

@@ -376,7 +376,18 @@ object Tombstones {
   def requireNoBufferedClash(
       s: SparkSession, indexPath: String, ids: Seq[Long], idCol: String,
       what: String, compactHint: String): Unit =
-    bufferedIdSet(s, indexPath, idCol).foreach { b =>
+    requireNoBufferedClashOf(s, IndexManifest.current(s, indexPath),
+      indexPath, ids, idCol, what, compactHint)
+
+  /** [[requireNoBufferedClash]] against a pre-resolved epoch — the
+    * writer-side one-epoch-per-operation discipline (a buffer path that
+    * resolves once threads the same epoch through every guard and can
+    * never validate against state its commit no longer sees).
+    */
+  def requireNoBufferedClashOf(
+      s: SparkSession, ep: Option[IndexManifest.Epoch], indexPath: String,
+      ids: Seq[Long], idCol: String, what: String, compactHint: String): Unit =
+    deltaFrameOf(s, ep).map(_.select(idCol).distinct()).foreach { b =>
       import s.implicits._
       val clash = b.join(broadcast(ids.toDF(idCol)), Seq(idCol), "left_semi")
         .limit(5).collect().map(_.getLong(0))
@@ -397,29 +408,47 @@ object Tombstones {
     */
   def requireRemovalsNotBuffered(
       s: SparkSession, indexPath: String, ids: Seq[Long], rowIds: Seq[Long],
-      idCol: String, what: String, compactHint: String): Unit = {
+      idCol: String, what: String, compactHint: String): Unit =
+    requireRemovalsNotBufferedOf(s, IndexManifest.current(s, indexPath),
+      indexPath, ids, rowIds, idCol, what, compactHint)
+
+  /** [[requireRemovalsNotBuffered]] against a pre-resolved epoch. */
+  def requireRemovalsNotBufferedOf(
+      s: SparkSession, ep: Option[IndexManifest.Epoch], indexPath: String,
+      ids: Seq[Long], rowIds: Seq[Long], idCol: String,
+      what: String, compactHint: String): Unit = {
     val removing = ids.filterNot(rowIds.toSet)
     if (removing.nonEmpty)
-      requireNoBufferedClash(s, indexPath, removing, idCol, what, compactHint)
+      requireNoBufferedClashOf(s, ep, indexPath, removing, idCol, what, compactHint)
   }
 
   /** The shared buffer/ingest-path RESURRECT guard: an id that was
     * REMOVED — tombstoned with no window-resident replacement rows (a
     * takedown, or an update that shrank the doc below its family's
-    * indexability floor) — may not be re-used by a buffered update before
-    * a fold retires the tombstone: the mask covers BASE rows only, so the
+    * indexability floor) — may not land NEW REPLACEMENT ROWS before a
+    * fold retires the tombstone: the mask covers BASE rows only, so the
     * batch's delta rows would serve immediately and the next fold would
     * persist them, silently undoing the takedown — while the insert-only
     * append paths refuse the very same ids as corruption (review-found
-    * asymmetry). Ids tombstoned BY an open update stay window-resident
-    * (their replacement rows serve), so re-updating them within the
-    * window remains legal — only the truly-removed set refuses, toward
-    * the fold.
+    * asymmetry). Two deliberate scopings: (1) ids tombstoned BY an open
+    * update stay window-resident (their replacement rows serve), so
+    * re-updating them within the window remains legal; (2) the caller
+    * passes the batch's ROW-LANDING id set, not its raw id list — a
+    * removed id redelivered with sub-floor content lands no rows, so
+    * nothing can resurrect and the batch must stay a clean no-op for it,
+    * never a poison pill the streaming runner replays forever
+    * (review-found on the prefix path).
     */
   def requireNoResurrect(
       s: SparkSession, indexPath: String, ids: Seq[Long], idCol: String,
-      what: String, compactHint: String): Unit = {
-    val ep = IndexManifest.current(s, indexPath)
+      what: String, compactHint: String): Unit =
+    requireNoResurrectOf(s, IndexManifest.current(s, indexPath),
+      indexPath, ids, idCol, what, compactHint)
+
+  /** [[requireNoResurrect]] against a pre-resolved epoch. */
+  def requireNoResurrectOf(
+      s: SparkSession, ep: Option[IndexManifest.Epoch], indexPath: String,
+      ids: Seq[Long], idCol: String, what: String, compactHint: String): Unit =
     idSetOf(s, ep).foreach { t =>
       import s.implicits._
       val removed = deltaFrameOf(s, ep) match {
@@ -436,7 +465,6 @@ object Tombstones {
           s"(its delta rows serve while the mask covers base rows only); " +
           s"run $compactHint before re-using deleted ids")
     }
-  }
 
   /** The shared buffer/ingest-path guard: one batch carrying the same id
     * TWICE has no defined resolution order (deltaLatestOf dedups across
@@ -485,6 +513,27 @@ object Tombstones {
     * mid-plan on the reclaimed path — never silently wrong. The default
     * (0) keeps only the current epoch: maximal reclaim, no travel.
     */
+  /** FS-qualify a path string for set comparison (the manifest stores
+    * paths as the writers spelled them; `file:/x` and `/x` must compare
+    * equal). Shared by [[vacuum]] and [[reclaimRetiredLocation]].
+    */
+  private def canonPath(
+      conf: org.apache.hadoop.conf.Configuration, p: String): String = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    path.getFileSystem(conf).makeQualified(path).toString
+  }
+
+  /** Recursive best-effort delete: Some(existed-and-deleted) on success,
+    * None on IOException (the caller decides whether the failure blocks
+    * anything — vacuum retries at its next run).
+    */
+  private def quietDelete(
+      conf: org.apache.hadoop.conf.Configuration, d: String): Option[Boolean] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(d)
+      Some(p.getFileSystem(conf).delete(p, true))
+    } catch { case _: java.io.IOException => None }
+
   def vacuum(
       s: SparkSession, anchor: String,
       defaultData: Option[String] = None, keepEpochs: Int = 0): Long = {
@@ -492,10 +541,7 @@ object Tombstones {
       case None => 0L
       case Some(cur) =>
         val conf = s.sparkContext.hadoopConfiguration
-        def canon(p: String): String = {
-          val path = new org.apache.hadoop.fs.Path(p)
-          path.getFileSystem(conf).makeQualified(path).toString
-        }
+        def canon(p: String): String = canonPath(conf, p)
         // the retention window: the current epoch plus the keepEpochs most
         // recently superseded ones — every artifact any of them references
         // survives, so as-of reads within the window still resolve.
@@ -525,17 +571,11 @@ object Tombstones {
             s"${deltaDir(anchor)}/b$v") ++
             defaultData.map(d => s"${d.stripSuffix("/")}__e$v")
           candidates.filterNot(c => keep(canon(c))).foreach { c =>
-            try {
-              val p = new org.apache.hadoop.fs.Path(c)
-              if (p.getFileSystem(conf).delete(p, true)) n += 1
-            } catch { case _: java.io.IOException => () } // retry next vacuum
+            if (quietDelete(conf, c).contains(true)) n += 1 // IOException: retry next vacuum
           }
         }
         defaultData.filterNot(d => keep(canon(d))).foreach { d =>
-          try {
-            val p = new org.apache.hadoop.fs.Path(d)
-            if (p.getFileSystem(conf).delete(p, true)) n += 1
-          } catch { case _: java.io.IOException => () }
+          if (quietDelete(conf, d).contains(true)) n += 1
         }
         // RETIRED locations — whole directories a deferred-reclaim fold
         // superseded: reclaimed once the epoch that retired them falls
@@ -548,43 +588,47 @@ object Tombstones {
           hist.takeRight(keepEpochs).map(_.version).toSet
         hist.filterNot(e => protectedVersions(e.version))
           .flatMap(_.retired).distinct
-          .foreach(loc => n += reclaimRetiredLocation(s, loc, Set(canon(anchor))))
+          .foreach(loc => n += reclaimRetiredLocation(s, loc, Set(canon(anchor)))._1)
         n
     }
   }
 
   /** Reclaim one retired index location whole: its own retired chain
-    * first (depth-first — chained folds), then its manifest, sidecar,
-    * delta dir, and the location itself. Best-effort per dir (a failed
-    * delete retries at the next vacuum). `visited` carries the LIVE
-    * anchor and every location already on the recursion path: a retired
-    * location that IS the live anchor (the search family's first fold
-    * retires its anchor-path table dir — the anchor and the initial table
-    * location are the same string) reclaims the superseded DATA directory
-    * only, never the live manifest/sidecar/delta dirs, and never recurses
-    * into its own history (which would loop forever).
+    * first (depth-first — chained folds), then its sidecar, delta dir,
+    * and the location itself, and its MANIFEST LAST — only once
+    * everything else (children included) deleted cleanly, because the
+    * manifest is the only record naming the chained children: deleting it
+    * over a transient child failure would turn "retry at the next vacuum"
+    * into a permanent leak (review-found). Returns (dirs reclaimed,
+    * everything-clean). `visited` carries the LIVE anchor and every
+    * location already on the recursion path: a retired location that IS
+    * the live anchor (the search family's first fold retires its
+    * anchor-path table dir — the anchor and the initial table location
+    * are the same string) reclaims the superseded DATA directory only,
+    * never the live manifest/sidecar/delta dirs, and never recurses into
+    * its own history (which would loop forever).
     */
   private def reclaimRetiredLocation(
-      s: SparkSession, loc: String, visited: Set[String]): Long = {
+      s: SparkSession, loc: String, visited: Set[String]): (Long, Boolean) = {
     val conf = s.sparkContext.hadoopConfiguration
-    def canon(p: String): String = {
-      val path = new org.apache.hadoop.fs.Path(p)
-      path.getFileSystem(conf).makeQualified(path).toString
-    }
     var n = 0L
-    def del(d: String): Unit =
-      try {
-        val p = new org.apache.hadoop.fs.Path(d)
-        if (p.getFileSystem(conf).delete(p, true)) n += 1
-      } catch { case _: java.io.IOException => () }
-    val c = canon(loc)
+    var ok = true
+    def del(d: String): Unit = quietDelete(conf, d) match {
+      case Some(deleted) => if (deleted) n += 1
+      case None => ok = false
+    }
+    val c = canonPath(conf, loc)
     if (visited(c)) del(loc)
     else {
-      IndexManifest.history(s, loc).flatMap(_.retired).distinct
-        .foreach(l => n += reclaimRetiredLocation(s, l, visited + c))
-      Seq(IndexManifest.dir(loc), sidecar(loc), deltaDir(loc), loc).foreach(del)
+      IndexManifest.history(s, loc).flatMap(_.retired).distinct.foreach { l =>
+        val (cn, cok) = reclaimRetiredLocation(s, l, visited + c)
+        n += cn
+        ok &&= cok
+      }
+      Seq(sidecar(loc), deltaDir(loc), loc).foreach(del)
+      if (ok) del(IndexManifest.dir(loc))
     }
-    n
+    (n, ok)
   }
 
   /** One index's outstanding-maintenance report — the operational signal

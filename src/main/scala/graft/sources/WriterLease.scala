@@ -104,6 +104,12 @@ object WriterLease {
       s: SparkSession, anchor: String, observed: Lease): Boolean = {
     val p = new Path(leasePath(anchor))
     val f = fs(s, p)
+    // re-read immediately before the rename: a claimant acting on a
+    // MINUTES-old observation must not tomb a lease that already changed
+    // hands — this shrinks the tomb-a-live-lease window (during which a
+    // third claimant's create would strand the tombed holder, see below)
+    // from "since the caller's read" to the read-vs-rename microseconds
+    if (!readLease(s, p).contains(observed)) return false
     val tomb = new Path(p.getParent,
       s".tomb_lease_${java.util.UUID.randomUUID().toString.take(8)}")
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
@@ -119,9 +125,14 @@ object WriterLease {
       true
     } else {
       // tombed a lease we never observed — someone broke-and-reclaimed
-      // between our read and our rename; put it back (or, if a third
-      // claimant created meanwhile, leave THEIR lease standing and drop
-      // the tomb: exactly one live lease file on every path)
+      // between our read and our rename; put it back. If a THIRD claimant
+      // created meanwhile, their lease stands and the tomb drops (exactly
+      // one live lease file on every path) — the tombed holder is
+      // stranded, the residual this primitive cannot close on a store
+      // without compare-and-swap: its next renewal re-creates its lease
+      // and the manifest's version-collision check remains the
+      // correctness guard beneath both. The pre-rename re-read above
+      // bounds the window to microseconds.
       try fc.rename(tomb, p)
       catch {
         case _: java.io.IOException =>
@@ -231,12 +242,15 @@ object WriterLease {
     * anchor moves at each fold; the per-batch re-resolution keeps
     * claimants colliding on the CURRENT location's lease, and the
     * manifest's version check remains the correctness guard beneath.
+    * `ttlMs` must be sized to the micro-batch INCLUDING an inline fold
+    * (review-found: a hardcoded TTL silently loses the lease mid-fold
+    * exactly when batches get slow) — the runners expose it.
     */
   def withIngestLease[T](
       s: SparkSession, anchor: String, holder: String,
-      waitMs: Long)(body: => T): T =
+      waitMs: Long, ttlMs: Long = 600000L)(body: => T): T =
     if (waitMs < 0) body
-    else withLease(s, anchor, holder, ttlMs = 600000L, waitMs = waitMs)(body)
+    else withLease(s, anchor, holder, ttlMs = ttlMs, waitMs = waitMs)(body)
 
   def withLease[T](
       s: SparkSession, anchor: String, holder: String,

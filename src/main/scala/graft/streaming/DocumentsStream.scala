@@ -53,7 +53,7 @@ object DocumentsStream {
   def runWinnowIngest(
       spark: SparkSession, inPath: String, table: String,
       checkpoint: String, foldEvery: Int = 0,
-      leaseWaitMs: Long = 600000L): Unit = {
+      leaseWaitMs: Long = 600000L, leaseTtlMs: Long = 600000L): Unit = {
     val q = readDocs(spark, inPath)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -63,7 +63,7 @@ object DocumentsStream {
           // live lease); holder = this lineage's checkpoint; < 0 opts out
           graft.sources.WriterLease.withIngestLease(spark,
               graft.sources.Tombstones.tableLocation(spark, table),
-              checkpoint, leaseWaitMs) {
+              checkpoint, leaseWaitMs, leaseTtlMs) {
             graft.operators.DedupQueries.ingestWinnowBatch(
               batch.toDF(), table, batchId, streamId = checkpoint)
             foldIfDue(spark, table, foldEvery,
@@ -102,7 +102,7 @@ object DocumentsStream {
   def runBandIngest(
       spark: SparkSession, inPath: String, table: String,
       checkpoint: String, foldEvery: Int = 0,
-      leaseWaitMs: Long = 600000L): Unit = {
+      leaseWaitMs: Long = 600000L, leaseTtlMs: Long = 600000L): Unit = {
     val q = readDocs(spark, inPath)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -112,7 +112,7 @@ object DocumentsStream {
           // live lease); holder = this lineage's checkpoint; < 0 opts out
           graft.sources.WriterLease.withIngestLease(spark,
               graft.sources.Tombstones.tableLocation(spark, table),
-              checkpoint, leaseWaitMs) {
+              checkpoint, leaseWaitMs, leaseTtlMs) {
             graft.operators.DedupQueries.ingestBandBatch(
               batch.toDF(), table, batchId, streamId = checkpoint)
             foldIfDue(spark, table, foldEvery,
@@ -137,7 +137,7 @@ object DocumentsStream {
   def runPrefixIngest(
       spark: SparkSession, inPath: String, table: String,
       checkpoint: String, foldEvery: Int = 0,
-      leaseWaitMs: Long = 600000L): Unit = {
+      leaseWaitMs: Long = 600000L, leaseTtlMs: Long = 600000L): Unit = {
     val q = readDocs(spark, inPath)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -147,7 +147,7 @@ object DocumentsStream {
           // live lease); holder = this lineage's checkpoint; < 0 opts out
           graft.sources.WriterLease.withIngestLease(spark,
               graft.sources.Tombstones.tableLocation(spark, table),
-              checkpoint, leaseWaitMs) {
+              checkpoint, leaseWaitMs, leaseTtlMs) {
             graft.operators.DedupQueries.ingestPrefixBatch(
               batch.toDF(), table, batchId, streamId = checkpoint)
             foldIfDue(spark, table, foldEvery,
@@ -171,7 +171,7 @@ object DocumentsStream {
   def runPhashIngest(
       spark: SparkSession, inPath: String, table: String,
       checkpoint: String, foldEvery: Int = 0,
-      leaseWaitMs: Long = 600000L): Unit = {
+      leaseWaitMs: Long = 600000L, leaseTtlMs: Long = 600000L): Unit = {
     val assetSchema = StructType(Seq(
       StructField("asset_id", LongType),
       StructField("payload", org.apache.spark.sql.types.BinaryType),
@@ -188,7 +188,7 @@ object DocumentsStream {
           // live lease); holder = this lineage's checkpoint; < 0 opts out
           graft.sources.WriterLease.withIngestLease(spark,
               graft.sources.Tombstones.tableLocation(spark, table),
-              checkpoint, leaseWaitMs) {
+              checkpoint, leaseWaitMs, leaseTtlMs) {
             graft.operators.MultimodalQueries.ingestPhashBatch(
               batch.toDF(), table, batchId, streamId = checkpoint)
             foldIfDue(spark, table, foldEvery,

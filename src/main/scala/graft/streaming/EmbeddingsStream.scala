@@ -81,7 +81,7 @@ object EmbeddingsStream {
   def runAnnIngest(
       spark: SparkSession, dir: String, inPath: String, indexPath: String,
       checkpoint: String, foldEvery: Int = 0,
-      leaseWaitMs: Long = 600000L): Unit = {
+      leaseWaitMs: Long = 600000L, leaseTtlMs: Long = 600000L): Unit = {
     graft.functions.GraftFunctions.register(spark)
     val q = readVectors(spark, inPath)
       .writeStream
@@ -90,7 +90,7 @@ object EmbeddingsStream {
           // the checkpoint IS the lineage (see runSearchIngest); the
           // per-batch lease serializes concurrent mutators of this index
           graft.sources.WriterLease.withIngestLease(
-              spark, indexPath, checkpoint, leaseWaitMs) {
+              spark, indexPath, checkpoint, leaseWaitMs, leaseTtlMs) {
             SimilarityQueries.ingestIvfBatch(
               spark, dir, indexPath, batch.toDF(), batchId, streamId = checkpoint)
             if (graft.sources.Tombstones.windowReached(spark, indexPath, foldEvery))
@@ -118,14 +118,14 @@ object EmbeddingsStream {
   def runGraphIngest(
       spark: SparkSession, dir: String, inPath: String, graphPath: String,
       checkpoint: String, foldEvery: Int = 0,
-      leaseWaitMs: Long = 600000L): Unit = {
+      leaseWaitMs: Long = 600000L, leaseTtlMs: Long = 600000L): Unit = {
     graft.functions.GraftFunctions.register(spark)
     val q = readVectors(spark, inPath)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           graft.sources.WriterLease.withIngestLease(
-              spark, graphPath, checkpoint, leaseWaitMs) {
+              spark, graphPath, checkpoint, leaseWaitMs, leaseTtlMs) {
             SimilarityQueries.ingestGraphBatch(
               spark, dir, graphPath, batch.toDF(), batchId, streamId = checkpoint)
             if (graft.sources.Tombstones.windowReached(spark, graphPath, foldEvery))

@@ -65,7 +65,7 @@ object SearchStream {
   def runSearchIngest(
       spark: SparkSession, inPath: String, table: String, indexPath: String,
       checkpoint: String, foldEvery: Int = 0,
-      leaseWaitMs: Long = 600000L): Unit = {
+      leaseWaitMs: Long = 600000L, leaseTtlMs: Long = 600000L): Unit = {
     val q = spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", 1)
@@ -77,7 +77,7 @@ object SearchStream {
           // a concurrent mutator waits instead of paging on the manifest
           // collision; < 0 opts out
           graft.sources.WriterLease.withIngestLease(
-              spark, indexPath, checkpoint, leaseWaitMs) {
+              spark, indexPath, checkpoint, leaseWaitMs, leaseTtlMs) {
             // the checkpoint IS the lineage: batch ids are monotone within
             // it, and a different checkpoint must refuse rather than fence
             SearchQueries.ingestSearchBatch(

@@ -2294,6 +2294,34 @@ class TombstoneSpec extends SparkSpec {
     assert(e2.getMessage.contains("resurrect"), e2.getMessage)
     SimilarityQueries.compactIvfIndex(spark, ip)
     SimilarityQueries.bufferIvfUpdate(spark, sfDir, ip, vrows)
+    // review-found scope fix: a REMOVED id redelivered with SUB-FLOOR
+    // content lands no replacement rows — nothing can resurrect, so a
+    // mixed batch carrying it must be a clean no-op for that id, never a
+    // poison pill a streaming runner would replay forever
+    DedupQueries.deleteFromBandIndex(spark, "band_resur", Seq(b))
+    val mixed = docs.filter(col("doc_id") === b)
+      .select(col("doc_id"), lit("x y").as("text")) // below the 3-token floor
+      .unionByName(upd(ids(0), " mixed"))
+    DedupQueries.bufferBandUpdate(mixed, "band_resur") // must NOT throw
+    assert(DedupQueries.bandIndexFrame(spark, "band_resur")
+      .filter(col("doc_id") === b).count() == 0, "the takedown must stand")
+    // review-found family gap: PQ and SQ ingest were missing the guard —
+    // a deleted vec_id's encoded delta rows would serve under a base-only
+    // mask and the fold would persist them
+    val pqp = s"$tmp/pq_resur"
+    SimilarityQueries.writePqIndex(spark, sfDir, pqp)
+    SimilarityQueries.deleteFromPqIndex(spark, pqp, Seq(vid))
+    val e3 = intercept[IllegalArgumentException] {
+      SimilarityQueries.ingestPqBatch(spark, pqp, vrows, 0L, "resur")
+    }
+    assert(e3.getMessage.contains("resurrect"), e3.getMessage)
+    val sqp = s"$tmp/sq_resur"
+    SimilarityQueries.writeSqIndex(spark, sfDir, sqp)
+    SimilarityQueries.deleteFromSqIndex(spark, sqp, Seq(vid))
+    val e4 = intercept[IllegalArgumentException] {
+      SimilarityQueries.ingestSqBatch(spark, sqp, vrows, 0L, "resur")
+    }
+    assert(e4.getMessage.contains("resurrect"), e4.getMessage)
     ()
   }
 
@@ -2451,12 +2479,17 @@ class TombstoneSpec extends SparkSpec {
           m.commit(spark, anchor, cur.copy(version = cur.version + 1))
         }
         assert(freshErr.getMessage.contains("TORN"), freshErr.getMessage)
-        // ...and past the grace the retry reclaims it and lands
+        // ...and past the grace the retry sets it ASIDE (renamed, never
+        // deleted — forensic evidence survives a misclassification) and
+        // lands
         assert(tornFile.setLastModified(
           System.currentTimeMillis() - m.TORN_GRACE_MS - 5000))
         m.commit(spark, anchor,
           cur.copy(version = cur.version + 1, stats = Some(s"$anchor/retry")))
         assert(m.current(spark, anchor).flatMap(_.stats).contains(s"$anchor/retry"))
+        assert(new java.io.File(m.dir(anchor).stripPrefix("file:")).listFiles()
+          .exists(_.getName.startsWith(s".torn_$tornName")),
+          "the torn landing must be set aside, not destroyed")
       } finally spark.conf.set("graft.manifest.landing", "rename")
     }
     // crash injection holds under BOTH landings (the injection fires
@@ -2575,6 +2608,11 @@ class TombstoneSpec extends SparkSpec {
     w2.write("version\t3\nbasegen\t0\neot\t1\n")
     w2.close()
     assert(m.current(spark, anchor).exists(e => e.version == 3L && e.layout == 1))
+    // next() STAMPS the writing library's layout rather than carrying the
+    // previous epoch's forward (review-found: the new epoch's own
+    // artifacts are written in THIS library's format — carrying an older
+    // number would let an old reader accept and misread them)
+    assert(m.next(spark, anchor).layout == m.CURRENT_LAYOUT)
     // and the write side refuses a future layout too
     intercept[m.UnsupportedIndexLayoutException] {
       m.commit(spark, anchor, m.next(spark, anchor).copy(layout = 99))
