@@ -524,13 +524,23 @@ object SearchQueries {
         s"$table — appends are insert-only; replace changed documents through " +
         "bufferSearchUpdate/updateSearchIndex")
     val old = epochStats(s, path, ep).head
-    val delta = statsOf(newDocs).head
-    val newStats = s.createDataFrame(Seq(
-        (old.getLong(0) + delta.getLong(0), old.getLong(1) + delta.getLong(1))))
-      .toDF("n_docs", "tt")
-    graft.sources.Tombstones.commitInsertBatch(s, path, Some(newStats)) { d =>
-      postingsOf(newDocs).write.mode("overwrite").parquet(d)
-    }
+    // the stats delta derives from the batch's POSTINGS (the
+    // bufferSearchBatch discipline): a sub-floor insert that lands no
+    // postings must count 0, not +1 n_docs — the stored stats always
+    // describe the serve set. Persisted: the delta agg and the delta
+    // write share the postings computation.
+    val posts = postingsOf(newDocs).persist()
+    try {
+      val delta = posts.select("doc_id", "dl").distinct()
+        .agg(count(lit(1)).as("nd"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
+        .head
+      val newStats = s.createDataFrame(Seq(
+          (old.getLong(0) + delta.getLong(0), old.getLong(1) + delta.getLong(1))))
+        .toDF("n_docs", "tt")
+      graft.sources.Tombstones.commitInsertBatch(s, path, Some(newStats)) { d =>
+        posts.write.mode("overwrite").parquet(d)
+      }
+    } finally posts.unpersist(false)
   }
 
   /** The PROBE-VISIBLE postings: base table rows minus tombstones (which
@@ -633,14 +643,24 @@ object SearchQueries {
       .agg(count(lit(1)).as("nd"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
       .head
     val cur = epochStats(s, path, ep).head
-    val add = statsOf(docs).head
-    val newStats = s.createDataFrame(Seq((
-        cur.getLong(0) - old.getLong(0) + add.getLong(0),
-        cur.getLong(1) - old.getLong(1) + add.getLong(1))))
-      .toDF("n_docs", "tt")
-    // persisted: the rows feed both the removal check and the delta write
+    // persisted: the rows feed the stats add-side, the removal check, and
+    // the delta write
     val rows = postingsOf(docs).persist()
     try {
+      // the ADD side comes from the batch's POSTINGS (what will actually
+      // serve), never a raw batch-row count: a doc whose new text yields
+      // no postings is a REMOVAL and must count as 0 — statsOf(docs)
+      // counted it (+1 n_docs), permanently inflating the stored stats on
+      // every sub-floor update or removed-id sub-floor redelivery until a
+      // fold recomputed them (review-found: pre-fold and post-fold
+      // rankings diverged with no data change)
+      val add = rows.select("doc_id", "dl").distinct()
+        .agg(count(lit(1)).as("nd"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
+        .head
+      val newStats = s.createDataFrame(Seq((
+          cur.getLong(0) - old.getLong(0) + add.getLong(0),
+          cur.getLong(1) - old.getLong(1) + add.getLong(1))))
+        .toDF("n_docs", "tt")
       // a doc whose new text yields no postings is a REMOVAL — refuse if
       // its current postings live in the open window (mask covers base only)
       val rowIds = rows.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq

@@ -275,7 +275,15 @@ object IndexManifest {
     * own artifacts (stats dirs, delta batches) are written in THIS
     * library's physical format, and carrying an older number forward
     * would let an old reader accept — and misread — them (review-found;
-    * the refusal gate is only as good as the stamp).
+    * the refusal gate is only as good as the stamp). A single scalar
+    * cannot describe a MIXED state (a metadata-only mutation by an
+    * upgraded library leaves carried data pointers physically old-format
+    * under a new-format stamp) — the stamp deliberately errs LOUD: an
+    * old reader over-refuses data it could still have read (recoverable
+    * by upgrading the reader), where carrying would under-refuse and
+    * silently misread the epoch's own new artifacts. A layout bump that
+    * must keep old readers serving needs a migration rewrite, not a
+    * pointer flag.
     */
   def next(s: SparkSession, anchor: String): Epoch =
     current(s, anchor)
@@ -335,18 +343,27 @@ object IndexManifest {
       s: SparkSession, f: org.apache.hadoop.fs.FileSystem, anchor: String,
       dest: Path, version: Long): Unit =
     if (f.exists(dest)) {
-      if (readBody(f, dest).endsWith(EOT)) collision(anchor, version)
-      val age = System.currentTimeMillis() - f.getFileStatus(dest).getModificationTime
-      if (age < TORN_GRACE_MS)
-        throw new IllegalArgumentException(
-          s"IndexManifest.commit: epoch $version of $anchor has a fresh TORN " +
-            s"landing (a writer may be mid-commit) — retry after the " +
-            s"${TORN_GRACE_MS}ms grace")
-      val aside = new Path(dest.getParent,
-        s".torn_${dest.getName}_${java.util.UUID.randomUUID().toString.take(8)}")
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        dest.toUri, s.sparkContext.hadoopConfiguration)
-      fc.rename(dest, aside)
+      try {
+        if (readBody(f, dest).endsWith(EOT)) collision(anchor, version)
+        val age = System.currentTimeMillis() - f.getFileStatus(dest).getModificationTime
+        if (age < TORN_GRACE_MS)
+          throw new IllegalArgumentException(
+            s"IndexManifest.commit: epoch $version of $anchor has a fresh TORN " +
+              s"landing (a writer may be mid-commit) — retry after the " +
+              s"${TORN_GRACE_MS}ms grace")
+        val aside = new Path(dest.getParent,
+          s".torn_${dest.getName}_${java.util.UUID.randomUUID().toString.take(8)}")
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          dest.toUri, s.sparkContext.hadoopConfiguration)
+        fc.rename(dest, aside)
+      } catch {
+        // a concurrent retry set the torn file aside between our exists
+        // check and the read/rename — dest is free, proceed to land (the
+        // landing itself still collides loudly if that retry lands first);
+        // review-found: the raw FileNotFoundException otherwise escaped
+        // commit as an unclassified failure
+        case _: java.io.FileNotFoundException => ()
+      }
     }
 
   // tmp-write + single-file rename-without-overwrite (see the Landing doc

@@ -614,7 +614,17 @@ object Tombstones {
     var n = 0L
     var ok = true
     def del(d: String): Unit = quietDelete(conf, d) match {
-      case Some(deleted) => if (deleted) n += 1
+      case Some(true) => n += 1
+      case Some(false) =>
+        // delete() returns false BOTH for "didn't exist" and for a
+        // PARTIAL recursive failure (Hadoop's fullyDelete swallows and
+        // reports false rather than throwing) — only a verified absence
+        // counts as clean, or a partial failure would let the manifest
+        // delete below proceed and orphan the leftovers (review-found)
+        try {
+          val p = new org.apache.hadoop.fs.Path(d)
+          if (p.getFileSystem(conf).exists(p)) ok = false
+        } catch { case _: java.io.IOException => ok = false }
       case None => ok = false
     }
     val c = canonPath(conf, loc)

@@ -2585,6 +2585,54 @@ class TombstoneSpec extends SparkSpec {
     ()
   }
 
+  test("search stats track the SERVE set: sub-floor updates and removed-id redeliveries never inflate n_docs") {
+    // review-found (second pass): the update path's stats ADD side used a
+    // raw batch-row count, so a doc whose new text lands no postings (a
+    // removal-by-update) kept its +1 n_docs forever, and a removed id
+    // redelivered sub-floor re-inflated the stats on every delivery. The
+    // add side now derives from the batch's POSTINGS — stats always
+    // describe what serves.
+    import graft.operators.SearchQueries
+    val path = s"$tmp/search_statsfloor"
+    SearchQueries.writeSearchIndex(spark, sfDir, "search_statsfloor", path)
+    def stats() = spark.read.parquet(
+      graft.sources.Tombstones.statsPath(spark, path, s"${path}_stats"))
+      .select("n_docs", "tt").head
+    val docs = Tables.documents(spark, sfDir)
+    val x = docs.filter(col("doc_id") % 23 === 5).select("doc_id", "text")
+      .limit(1).collect().head
+    val (xid, dlx) = (x.getLong(0), x.getString(1).split(" ").length.toLong)
+    val st0 = stats()
+    // removal-by-update: the stats drop by exactly the removed doc's own
+    // contribution, and probes equal a rebuild over the survivors
+    SearchQueries.bufferSearchUpdate(spark, "search_statsfloor", path,
+      docs.filter(col("doc_id") === xid)
+        .select(col("doc_id"), lit(null).cast("string").as("text"), col("lang")))
+    val st1 = stats()
+    assert(st1.getLong(0) == st0.getLong(0) - 1 &&
+      st1.getLong(1) == st0.getLong(1) - dlx, s"$st0 -> $st1 (dlx=$dlx)")
+    val rb = s"$tmp/search_statsfloor_rb"
+    SearchQueries.writeSearchIndexWhere(
+      spark, sfDir, "search_statsfloor_rb", rb, col("doc_id") =!= xid)
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_statsfloor", path)) ==
+      sorted(SearchQueries.bm25TopkFromIndex(spark, "search_statsfloor_rb", rb)))
+    // removed-id sub-floor redelivery: a mixed batch changes the stats by
+    // the NORMAL doc's delta only — the dead id contributes 0 every time
+    SearchQueries.compactSearchIndex(spark, "search_statsfloor", path)
+    val z = docs.filter(col("doc_id") % 23 === 7).select("doc_id", "text")
+      .limit(1).collect().head
+    val (zid, dlz) = (z.getLong(0), z.getString(1).split(" ").length.toLong)
+    val st2 = stats()
+    SearchQueries.bufferSearchUpdate(spark, "search_statsfloor", path,
+      docs.filter(col("doc_id") === xid)
+        .select(col("doc_id"), lit(null).cast("string").as("text"), col("lang"))
+      .unionByName(docs.filter(col("doc_id") === zid)
+        .select(col("doc_id"), concat(col("text"), lit(" q")).as("text"), col("lang"))))
+    val st3 = stats()
+    assert(st3.getLong(0) == st2.getLong(0) &&
+      st3.getLong(1) == st2.getLong(1) + 1, s"$st2 -> $st3")
+  }
+
   test("index layout version: a layout-from-the-future epoch refuses loudly at every read") {
     val m = graft.sources.IndexManifest
     val anchor = s"$tmp/layout_idx"
