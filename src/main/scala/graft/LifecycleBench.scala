@@ -188,12 +188,16 @@ object LifecycleBench {
       (1 to n).foreach { _ =>
         wl.acquire(spark, anchor, "lb", 60000); wl.release(spark, anchor, "lb")
       }
-      steps("lease_op_ms") = (System.nanoTime() - t0) / 1e6 / n
+      // in SECONDS like every other steps value — the JSON line declares
+      // one unit and adjudication tooling trusts it (review-found: the
+      // previous lease_op_ms key was milliseconds inside a "unit":"sec"
+      // line); still excluded from the total (per-op cost, not a step)
+      steps("lease_op") = (System.nanoTime() - t0) / 1e9 / n
     }
 
     val js = steps.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = steps.filterNot(_._1 == "lease_op_ms").values.sum
+    val total = steps.filterNot(_._1 == "lease_op").values.sum
     println(s"""{"metric":"lifecycle","steps":$js,"sf":"$sfDir","unit":"sec","value":$total}""")
     spark.stop()
   }

@@ -184,6 +184,15 @@ object IndexManifest {
     * is never clobbered, short enough that a crashed landing stops
     * blocking its version within a minute (the [[WriterLease]] torn-file
     * discipline applied to the pointer itself).
+    *
+    * CLOCK ASSUMPTION: the age test compares the claimant's wall clock to
+    * the file's store-stamped mtime, so on a SHARED store the grace must
+    * absorb the worst cross-host clock skew — a claimant whose clock runs
+    * more than the grace AHEAD of the store's could set aside another
+    * writer's in-flight landing still inside its true grace. 60 s is
+    * ample under NTP (skew typically < 1 s); a deployment without clock
+    * discipline should size the grace to (write time + max skew), not
+    * shrink it.
     */
   val TORN_GRACE_MS: Long = 60000L
 
@@ -195,11 +204,40 @@ object IndexManifest {
 
   /** Parse one version file; None = torn (the landing never completed —
     * readers resolve through the previous epoch, the crash contract).
+    * The torn classification is LANDING-SCOPED: under the conditional-
+    * create primitive a writer dead between create and close genuinely
+    * leaves a marker-less prefix, so skipping is the crash contract —
+    * but under the rename landing a version file appears ATOMICALLY
+    * complete or not at all, so a marker-less file there can only be a
+    * legacy (pre-marker) manifest carried forward or a foreign-format
+    * file at a version name, and silently skipping it would let a later
+    * commit set the old pointer aside and restart the lineage at v1,
+    * dropping tombstones/hwm (resurrecting takedowns). Refuse LOUDLY
+    * instead: the operator either re-lands the legacy files with the
+    * marker or selects the create landing if the file really is a torn
+    * landing from a create-configured co-writer. A file that VANISHES
+    * between the caller's listing and this read was a torn landing a
+    * concurrent commit-retry just set aside — gone is gone, skip it
+    * (matching the skip-torn semantics) in both modes.
     */
   private def readEpochFile(
-      f: org.apache.hadoop.fs.FileSystem, d: Path, name: String): Option[Epoch] = {
-    val body = readBody(f, new Path(d, name))
-    if (body.endsWith(EOT)) Some(parse(name.drop(1).toLong, body)) else None
+      f: org.apache.hadoop.fs.FileSystem, d: Path, name: String,
+      landing: Landing): Option[Epoch] = {
+    val body =
+      try readBody(f, new Path(d, name))
+      catch { case _: java.io.FileNotFoundException => return None }
+    if (body.endsWith(EOT)) Some(parse(name.drop(1).toLong, body))
+    else landing match {
+      case ConditionalCreateLanding => None
+      case RenameLanding => throw new IllegalStateException(
+        s"IndexManifest: version file $name under $d has no completeness " +
+          "marker. Under the rename landing a torn file cannot occur, so " +
+          "this is a legacy pre-marker manifest (re-land its version files " +
+          "with the marker before upgrading) or a foreign file at a version " +
+          "name — skipping it would silently reset the lineage and drop " +
+          "its tombstones. Select graft.manifest.landing=create only if a " +
+          "create-configured writer could have torn this landing.")
+    }
   }
 
   /** The current epoch, or None for a never-mutated (or freshly reset)
@@ -215,11 +253,12 @@ object IndexManifest {
       // are SKIPPED: their commit never completed, so the previous
       // complete epoch is the committed state. The common case still
       // reads one file.
+      val landing = landingOf(s)
       val versions = f.listStatus(d).toSeq
         .map(_.getPath.getName)
         .filter(_.matches("v\\d{12}"))
         .sorted(Ordering[String].reverse)
-      versions.iterator.flatMap(n => readEpochFile(f, d, n)).nextOption()
+      versions.iterator.flatMap(n => readEpochFile(f, d, n, landing)).nextOption()
     }
   }
 
@@ -243,7 +282,7 @@ object IndexManifest {
       require(f.exists(p),
         s"IndexManifest.at: epoch $version of $anchor was never committed " +
           "(or its version file was removed)")
-      val e = readEpochFile(f, d, fileName(version))
+      val e = readEpochFile(f, d, fileName(version), landingOf(s))
       require(e.isDefined,
         s"IndexManifest.at: epoch $version of $anchor is a TORN landing — " +
           "the writer died mid-commit and the epoch never took effect")
@@ -260,11 +299,14 @@ object IndexManifest {
     val d = new Path(dir(anchor))
     val f = fs(s, d)
     if (!f.exists(d)) Seq.empty
-    else f.listStatus(d).toSeq
-      .map(_.getPath.getName)
-      .filter(_.matches("v\\d{12}"))
-      .sorted
-      .flatMap(name => readEpochFile(f, d, name)) // torn landings never committed
+    else {
+      val landing = landingOf(s)
+      f.listStatus(d).toSeq
+        .map(_.getPath.getName)
+        .filter(_.matches("v\\d{12}"))
+        .sorted
+        .flatMap(name => readEpochFile(f, d, name, landing)) // torn never committed
+    }
   }
 
   /** Template for the next epoch: the current state with the version

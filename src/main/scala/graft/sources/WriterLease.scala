@@ -178,13 +178,39 @@ object WriterLease {
         if (other.isDefined && !breakExpired(s, anchor, other.get)) return false
         val parent = p.getParent
         if (!f.exists(parent)) f.mkdirs(parent)
-        try {
-          val out = f.create(p, false) // loud if a racer landed first
-          try out.write(s"$holder\t${nowMs() + ttlMs}\n".getBytes("UTF-8"))
-          finally out.close()
-          true
-        } catch {
-          case _: java.io.IOException => false // lost the creation race
+        // initial claim via the same conditional-create primitive the
+        // manifest's create landing uses: on the local FS Hadoop's
+        // create(overwrite = false) is a non-atomic check-then-create
+        // (two claimants can both "win"), so take kernel-atomic O_EXCL
+        // there; HDFS arbitrates create(false) at the namenode. The
+        // lease stays advisory either way — the manifest's version
+        // collision remains the correctness guard — but the two
+        // primitives now agree (review-found inconsistency).
+        val isLocal = f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+          f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+        val body = s"$holder\t${nowMs() + ttlMs}\n".getBytes("UTF-8")
+        if (isLocal) {
+          val nio = java.nio.file.Paths.get(p.toUri.getPath)
+          try {
+            val out = java.nio.file.Files.newOutputStream(nio,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            try out.write(body)
+            finally out.close()
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: java.io.IOException => false // lost the creation race
+          }
+        } else {
+          try {
+            val out = f.create(p, false) // loud if a racer landed first
+            try out.write(body)
+            finally out.close()
+            true
+          } catch {
+            case _: java.io.IOException => false // lost the creation race
+          }
         }
     }
   }

@@ -2458,21 +2458,35 @@ class TombstoneSpec extends SparkSpec {
             c
           }
         // TORN landing: a version file without the eot marker (a writer
-        // dead between create and close) never serves — readers resolve
-        // the previous epoch, as-of refuses loudly
+        // dead between create and close). Under the CREATE landing this
+        // is the documented crash shape — it never serves, readers
+        // resolve the previous epoch, as-of refuses loudly. Under the
+        // RENAME landing a torn file cannot occur (the rename is
+        // all-or-nothing), so a marker-less file is a legacy pre-marker
+        // manifest or a foreign file — every read pages LOUDLY instead
+        // of silently skipping, because a skip would let a later commit
+        // set the legacy pointer aside and restart the lineage at v1,
+        // dropping its tombstones/hwm (the r18 ADVICE finding).
         val tornName = f"v${cur.version + 1}%012d"
         val tornFile = new java.io.File(
           m.dir(anchor).stripPrefix("file:"), tornName)
         val w = new java.io.FileWriter(tornFile)
         w.write(s"version\t${cur.version + 1}\nlayout\t1\nstats\t$anchor/torn\n")
         w.close()
-        assert(m.current(spark, anchor).contains(cur),
-          "a torn landing must never resolve as the current epoch")
-        assert(m.history(spark, anchor).forall(_.version <= cur.version))
-        val tornErr = intercept[IllegalArgumentException] {
-          m.at(spark, anchor, cur.version + 1)
+        if (mode == "create") {
+          assert(m.current(spark, anchor).contains(cur),
+            "a torn landing must never resolve as the current epoch")
+          assert(m.history(spark, anchor).forall(_.version <= cur.version))
+          val tornErr = intercept[IllegalArgumentException] {
+            m.at(spark, anchor, cur.version + 1)
+          }
+          assert(tornErr.getMessage.contains("TORN"), tornErr.getMessage)
+        } else {
+          val le = intercept[IllegalStateException] { m.current(spark, anchor) }
+          assert(le.getMessage.contains("marker"), le.getMessage)
+          intercept[IllegalStateException] { m.history(spark, anchor) }
+          intercept[IllegalStateException] { m.at(spark, anchor, cur.version + 1) }
         }
-        assert(tornErr.getMessage.contains("TORN"), tornErr.getMessage)
         // a FRESH torn landing blocks its version loudly (may be a racer
         // mid-write)...
         val freshErr = intercept[IllegalArgumentException] {
