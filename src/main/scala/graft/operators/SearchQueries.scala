@@ -1035,6 +1035,42 @@ object SearchQueries {
     rrfFuse(bm, vec)
   }
 
+  /** Hybrid retrieval from a MUTUALLY CONSISTENT snapshot of both
+    * indexes — the serving read for a group mid-ingest: the ingest group
+    * ([[graft.streaming.DocumentsStream.runCorpusIngest]]) commits
+    * siblings in a fixed order, so between sibling commits the lexical
+    * index can be a batch ahead of the vector index (or vice versa), and
+    * the LIVE [[hybridTopkFromIndexes]] would fuse two different corpus
+    * states — a document ranked lexically that the vector list has never
+    * seen. This read instead resolves the min common (lineage, batch-id)
+    * fence across both manifests
+    * ([[graft.sources.Tombstones.commonIngestFence]] — loud refusal when
+    * no common lineage exists) and probes each index AS OF its epoch at
+    * that mark, composing the existing as-of reads: the fused result is
+    * exactly the hybrid over the COMMON prefix, equal to the batch twin
+    * over that prefix (pinned in StreamingSpec). Cost over the live
+    * probe: two manifest history reads (control-plane). Horizon: a fold
+    * past the resolved epoch refuses loudly (the as-of generation guard)
+    * — fold cadence and snapshot reads are the same trade as every as-of.
+    */
+  def hybridTopkFromIndexesConsistent(
+      s: SparkSession, dir: String, table: String, path: String,
+      ivfPath: String): DataFrame = {
+    val (_, hwm) = graft.sources.Tombstones.commonIngestFence(
+      s, Seq(path, ivfPath))
+    val bmV = graft.sources.Tombstones.versionAtIngestHwm(s, path, hwm)
+    val ivfV = graft.sources.Tombstones.versionAtIngestHwm(s, ivfPath, hwm)
+    val bm = bm25TopkFromIndexAsOf(s, table, path, bmV)
+      .select(col("q_id"), col("doc_id"), col("rank").as("rank_t"))
+    // the SAME query vectors as the live hybrid (this family's N_QUERIES,
+    // not the vector family's own fixed probe set)
+    val e = VectorOps.normalized(s, dir)
+    val vec = SimilarityQueries.ivfProbeIndexAsOf(s, dir, ivfPath,
+        e.filter(col("vec_id") < N_QUERIES).select("vec_id", "v", "nrm"), ivfV)
+      .select(col("q_id"), col("cand_id").as("doc_id"), col("rank").as("rank_v"))
+    rrfFuse(bm, vec)
+  }
+
   /** Phrase probe against the persisted index: restrict the scan to the
     * PHRASE WORDS' postings (term In-list + bucket pruning, the BM25 probe
     * shape), explode their position lists, and run the adjacency equi-join

@@ -1518,11 +1518,25 @@ object SimilarityQueries {
     */
   def ivfTopkFromIndexAsOf(
       s: SparkSession, dir: String, path: String, version: Long): DataFrame = {
+    val e = VectorOps.normalized(s, dir)
+    ivfProbeIndexAsOf(s, dir, path,
+      e.filter(col("vec_id") < N_QUERIES).select("vec_id", "v", "nrm"), version)
+  }
+
+  /** [[ivfProbeIndex]] AS OF a committed epoch, for an ARBITRARY query
+    * frame — the as-of serving entry the cross-index consistent snapshot
+    * composes ([[graft.operators.SearchQueries
+    * .hybridTopkFromIndexesConsistent]] must probe the SAME query set as
+    * its live twin, not this family's fixed one). Same guards and
+    * horizon as [[ivfTopkFromIndexAsOf]].
+    */
+  def ivfProbeIndexAsOf(
+      s: SparkSession, dir: String, path: String, queries: DataFrame,
+      version: Long): DataFrame = {
     val ep = graft.sources.IndexManifest.at(s, path, version)
     graft.sources.IndexManifest.requireSameGeneration(s, path, ep, version)
-    val e = VectorOps.normalized(s, dir)
     val cand = ivfCandidatesAt(s, dir, path,
-      e.filter(col("vec_id") < N_QUERIES).select("vec_id", "v", "nrm"), ep)
+      queries.select("vec_id", "v", "nrm"), ep)
     val rw = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
     cand.withColumn("rank", row_number().over(rw).cast("long"))
       .filter(col("rank") <= TOP_K)

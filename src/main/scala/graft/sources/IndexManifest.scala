@@ -90,7 +90,16 @@ object IndexManifest {
     * sentinel conventions) so long-lived indexes fail LOUDLY under an
     * older reader instead of confusingly or silently.
     */
-  val CURRENT_LAYOUT: Int = 1
+  def CURRENT_LAYOUT: Int = layoutForTest
+
+  /** TEST HOOK — the value behind [[CURRENT_LAYOUT]], overridable so the
+    * layout-migration path ([[Tombstones.migrateIndexLayout]]) is
+    * testable before a real layout bump exists: a spec sets 2 to act as
+    * "the upgraded library" (stamping and migrating real manifests),
+    * then restores 1 to act as the stale reader that must refuse them.
+    * Production never touches it.
+    */
+  @volatile private[graft] var layoutForTest: Int = 1
 
   /** The named refusal a layout-from-the-future read raises — catchable
     * and greppable, unlike the downstream schema soup it preempts.
@@ -259,6 +268,47 @@ object IndexManifest {
         .filter(_.matches("v\\d{12}"))
         .sorted(Ordering[String].reverse)
       versions.iterator.flatMap(n => readEpochFile(f, d, n, landing)).nextOption()
+    }
+  }
+
+  // ---- optional TTL cache over current() ------------------------------------
+  // On HDFS/local FS a manifest resolution is one cheap listStatus + one
+  // small read; on a high-LIST-latency object store a probe-heavy serving
+  // tier pays that round-trip per probe. The cache is OPT-IN per read
+  // (current() itself never consults it — the default path is unchanged)
+  // and bounded by a TTL the caller chooses. STALENESS BOUND: a cache hit
+  // can serve an epoch up to ttl after a writer superseded it — including
+  // the caching process's OWN commits (no invalidation anywhere, by
+  // design: cross-process writers are invisible to this map, so local
+  // invalidation would only narrow the window misleadingly). Size ttl ≤
+  // the writers' lease TTL and the bound composes with the lease
+  // discipline: a superseded epoch a hit serves is at most (lease wait +
+  // ttl) old, and — because folds DEFER reclaim to vacuum — its files
+  // still exist for at least the vacuum retention window, so a stale hit
+  // reads a complete older state, never a half-reclaimed one. Keyed by
+  // the anchor string as the caller spells it (two spellings of one
+  // anchor cache independently — correct, just not shared).
+
+  private val epochCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[Epoch])]()
+
+  /** [[current]] through the TTL cache: a hit younger than `ttlMs`
+    * returns without touching the store; a miss (or expiry) re-resolves
+    * and refreshes. `nowMs` is injectable for tests. Pinned in
+    * TombstoneSpec: a hit within ttl serves the superseded epoch, the
+    * first post-expiry read sees the new one.
+    */
+  def cachedCurrent(
+      s: SparkSession, anchor: String, ttlMs: Long,
+      nowMs: () => Long = () => System.currentTimeMillis()): Option[Epoch] = {
+    require(ttlMs > 0, "IndexManifest.cachedCurrent: ttlMs must be positive")
+    val hit = epochCache.get(anchor)
+    val t = nowMs()
+    if (hit != null && t - hit._1 < ttlMs) hit._2
+    else {
+      val e = current(s, anchor)
+      epochCache.put(anchor, (t, e))
+      e
     }
   }
 

@@ -308,6 +308,58 @@ object Tombstones {
       case None => true
     }
 
+  /** The MIN COMMON ingest fence across a group of sibling indexes — the
+    * serving snapshot a multi-index reader
+    * ([[graft.operators.SearchQueries.hybridTopkFromIndexesConsistent]])
+    * resolves when the group is mid-ingest: the ingest group
+    * ([[graft.streaming.DocumentsStream.runCorpusIngest]]) commits
+    * siblings in a fixed order, so between sibling commits one index is
+    * a batch ahead of another; the highest batch id ALL of them have
+    * committed (same lineage) is the newest mutually consistent state.
+    * Refuses LOUDLY when any index has no fence or the lineages differ
+    * (batch ids are monotone only within one checkpoint, so a min across
+    * lineages would be meaningless — the caller either probes each index
+    * live and accepts the divergence window, or re-points the group at
+    * one checkpoint).
+    */
+  def commonIngestFence(
+      s: SparkSession, anchors: Seq[String]): (String, Long) = {
+    require(anchors.nonEmpty, "commonIngestFence: empty anchor group")
+    val fences = anchors.map { a =>
+      a -> ingestFence(s, a).getOrElse(throw new IllegalArgumentException(
+        s"commonIngestFence: $a has no committed ingest fence — it was " +
+          "never stream-ingested, so no common snapshot across the group " +
+          "exists; probe it live or ingest it into the group first"))
+    }
+    val lineages = fences.map(_._2._1).distinct
+    require(lineages.size == 1,
+      s"commonIngestFence: the group spans ingest lineages " +
+        s"${lineages.mkString("', '", "', '", "")} — batch ids are monotone " +
+        "only within one checkpoint, so no common high-water mark is defined " +
+        "across them; feed the group from one runCorpusIngest checkpoint")
+    (lineages.head, fences.map(_._2._2).min)
+  }
+
+  /** The committed epoch VERSION of `anchor` at ingest high-water mark
+    * `hwm` — the highest version whose fence is at or below the mark (the
+    * fence is carried by every later same-window mutation, so this is the
+    * newest committed state not past the mark). The as-of read of that
+    * version serves the index exactly as it stood at the mark (exact
+    * across delete/update/ingest epochs; a FOLD between the resolved
+    * version and now moves the base generation and the as-of guard
+    * refuses loudly — resolve the snapshot before folding past it, or
+    * accept live reads). Throws when no committed epoch sits at or below
+    * the mark (the index joined the group's lineage after `hwm`).
+    */
+  def versionAtIngestHwm(s: SparkSession, anchor: String, hwm: Long): Long = {
+    val hits = IndexManifest.history(s, anchor)
+      .filter(_.ingestHwm.exists(_ <= hwm))
+    require(hits.nonEmpty,
+      s"versionAtIngestHwm: $anchor has no committed epoch at or below " +
+        s"ingest mark $hwm — its lineage started past the requested snapshot")
+    hits.map(_.version).max
+  }
+
   /** Deliberately clear the ingest fence — the operator's escape hatch
     * for pointing a NEW stream lineage at an index whose previous
     * lineage is dead (after verifying the new input is not a replay of
@@ -640,6 +692,48 @@ object Tombstones {
     }
     (n, ok)
   }
+
+  /** Re-encode a committed index under this library's CURRENT layout —
+    * the rewrite a layout bump needs when old indexes must keep serving
+    * (the [[IndexManifest]] layout stamp refuses a FUTURE layout loudly;
+    * a PAST layout reads fine under this library's compatibility window,
+    * but its physical files still carry the old contract, and the next
+    * library version may drop the compat read path — migration is how an
+    * index crosses that boundary once instead of every probe paying the
+    * compat branch forever). Mechanics: the migration IS the family's
+    * fold (`fold` — compactSearchIndex / compactIvfIndex /
+    * compactBucketedIndex / compactFlat), because a fold already rewrites
+    * every standing file through this library's writers and lands as ONE
+    * commit with the generation bump; the commit path stamps
+    * CURRENT_LAYOUT on the new epoch ([[IndexManifest.next]]), so after
+    * it the manifest's layout matches the physical files by
+    * construction. As-of travel across the migration refuses loudly
+    * exactly like any fold (the generation guard). Returns true when a
+    * rewrite ran; false when the index is already at the current layout
+    * (or never mutated — an unmanifested index carries no stamp to
+    * migrate and reads at layout 1 by definition: fold it once if its
+    * FILES predate the current contract). Pinned in TombstoneSpec via
+    * the [[IndexManifest.layoutForTest]] hook. `anchorAfter` re-resolves
+    * the anchor for the post-fold stamp check — the location-anchored
+    * families' fold MOVES the anchor (pass `() =>
+    * tableLocation(s, table)`); the immutable-anchor families omit it.
+    */
+  def migrateIndexLayout(
+      s: SparkSession, anchor: String,
+      anchorAfter: Option[() => String] = None)(fold: => Unit): Boolean =
+    IndexManifest.current(s, anchor) match {
+      case Some(cur) if cur.layout != IndexManifest.CURRENT_LAYOUT =>
+        fold
+        val after = IndexManifest.current(
+          s, anchorAfter.map(_.apply()).getOrElse(anchor))
+        require(after.exists(_.layout == IndexManifest.CURRENT_LAYOUT),
+          s"migrateIndexLayout: $anchor's fold committed layout " +
+            s"${after.map(_.layout).getOrElse(-1)}, expected " +
+            s"${IndexManifest.CURRENT_LAYOUT} — the family's fold must land " +
+            "its epoch through IndexManifest.next/commit")
+        true
+      case _ => false
+    }
 
   /** One index's outstanding-maintenance report — the operational signal
     * that triggers compaction: how many ids are tombstoned, how many

@@ -203,6 +203,125 @@ object DocumentsStream {
     q.awaitTermination()
   }
 
+  /** The sibling indexes one corpus ingest group feeds — each optional,
+    * so a deployment composes exactly the families it serves. `search` is
+    * (table, immutable index path); the other three are catalog tables
+    * (their manifests anchor on the table's current location).
+    */
+  final case class CorpusIngestTargets(
+      search: Option[(String, String)] = None,
+      band: Option[String] = None,
+      winnow: Option[String] = None,
+      prefix: Option[String] = None) {
+    require(search.isDefined || band.isDefined || winnow.isDefined ||
+      prefix.isDefined, "CorpusIngestTargets: at least one target family")
+  }
+
+  /** MULTI-INDEX streaming ingest group — the way a real pipeline uses
+    * the per-family runners: ONE document batch feeds every sibling index
+    * (postings + MinHash band + winnow + prefix) inside one
+    * `foreachBatch`, each family through its existing fence + lease, in
+    * a FIXED commit order (search → band → winnow → prefix — the order
+    * below, deterministic so every crash point is a prefix of it).
+    *
+    * Atomicity composition: there is deliberately NO cross-index
+    * transaction — each family lands its (rows + masking tombstone +
+    * (checkpoint, batch-id) fence) as its own single manifest commit
+    * ([[graft.sources.Tombstones.fenceAdmits]]), because one pointer
+    * cannot atomically name four independent manifests. What makes the
+    * GROUP exactly-once is that every family fences the same (lineage,
+    * batch-id) pair: a crash BETWEEN sibling commits (family k landed,
+    * k+1 did not) leaves Spark's checkpoint un-advanced, so the restart
+    * REPLAYS the batch — families ≤ k skip on their fence (batchId at
+    * the mark), families > k ingest, and the group provably CONVERGES to
+    * the same state as an uncrashed drain (crash-injection pinned in
+    * StreamingSpec). Replay-after-success is a no-op on all N for the
+    * same reason. Divergence is therefore bounded to one batch and only
+    * BETWEEN a crash and its restart — the serving side that needs the
+    * sibling indexes mutually consistent mid-ingest reads them at the
+    * min common fence instead
+    * ([[graft.operators.SearchQueries.hybridTopkFromIndexesConsistent]]).
+    *
+    * Scale shape per trigger: the batch is read ONCE (persisted) and
+    * each family derives its rows from it (postings aggregation, MinHash
+    * banding, winnow selection, prefix tokens) — four small jobs over
+    * one micro-batch, never a re-read of the input; the standing indexes
+    * are untouched between folds. `foldEvery` applies per family (each
+    * window advances independently — a fold in one family never blocks
+    * the others' commits).
+    */
+  def runCorpusIngest(
+      spark: SparkSession, inPath: String, targets: CorpusIngestTargets,
+      checkpoint: String, foldEvery: Int = 0,
+      leaseWaitMs: Long = 600000L, leaseTtlMs: Long = 600000L): Unit = {
+    val corpusSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType)))
+    val q = spark.readStream
+      .schema(corpusSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          // one persisted read of the batch feeds all sibling derivations
+          val docs = batch.toDF().persist()
+          try {
+            // FIXED ORDER — a crash leaves a deterministic prefix of it
+            targets.search.foreach { case (table, path) =>
+              graft.sources.WriterLease.withIngestLease(spark, path,
+                  checkpoint, leaseWaitMs, leaseTtlMs) {
+                graft.operators.SearchQueries.ingestSearchBatch(
+                  spark, table, path, docs.select("doc_id", "text", "lang"),
+                  batchId, streamId = checkpoint)
+                if (graft.sources.Tombstones.windowReached(spark, path, foldEvery))
+                  graft.operators.SearchQueries.compactSearchIndex(spark, table, path)
+              }
+            }
+            targets.band.foreach { table =>
+              graft.sources.WriterLease.withIngestLease(spark,
+                  graft.sources.Tombstones.tableLocation(spark, table),
+                  checkpoint, leaseWaitMs, leaseTtlMs) {
+                graft.operators.DedupQueries.ingestBandBatch(
+                  docs.select("doc_id", "text"), table, batchId,
+                  streamId = checkpoint)
+                foldIfDue(spark, table, foldEvery,
+                  graft.operators.DedupQueries.compactBandIndex(spark, table))
+              }
+            }
+            targets.winnow.foreach { table =>
+              graft.sources.WriterLease.withIngestLease(spark,
+                  graft.sources.Tombstones.tableLocation(spark, table),
+                  checkpoint, leaseWaitMs, leaseTtlMs) {
+                graft.operators.DedupQueries.ingestWinnowBatch(
+                  docs.select("doc_id", "text"), table, batchId,
+                  streamId = checkpoint)
+                foldIfDue(spark, table, foldEvery,
+                  graft.operators.DedupQueries.compactWinnowIndex(spark, table))
+              }
+            }
+            targets.prefix.foreach { table =>
+              graft.sources.WriterLease.withIngestLease(spark,
+                  graft.sources.Tombstones.tableLocation(spark, table),
+                  checkpoint, leaseWaitMs, leaseTtlMs) {
+                graft.operators.DedupQueries.ingestPrefixBatch(
+                  docs.select("doc_id", "text"), table, batchId,
+                  streamId = checkpoint)
+                foldIfDue(spark, table, foldEvery,
+                  graft.operators.DedupQueries.compactPrefixIndex(spark, table))
+              }
+            }
+          } finally docs.unpersist(false)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain `inPath` with Trigger.AvailableNow, joining every micro-batch
     * against `indexTable` (a [[DedupQueries.writeBandIndex]] bucketed
     * table); candidate pairs land under `outPath`.

@@ -1343,6 +1343,211 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("multi-index corpus ingest group: one batch feeds four siblings; crash between siblings converges on replay") {
+    // the composed form of the per-family runners: one document batch
+    // lands in postings + band + winnow + prefix inside one foreachBatch,
+    // each family through its own fence + lease, in a fixed commit order.
+    // Pins: (a) full drain == the eagerly-buffered twins on every family;
+    // (b) a crash injected BETWEEN sibling commits (search landed, band
+    // did not) leaves a divergence the replay provably converges; (c) a
+    // replay after success is a no-op on all four.
+    import graft.operators.{DedupQueries, SearchQueries}
+    import graft.streaming.DocumentsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-groupingest").toString
+    SearchQueries.writeSearchIndex(spark, sfDir, "grp_search_idx", s"$base/sidx")
+    val thr = DedupQueries.writeBandIndex(spark, sfDir, "grp_band_idx", s"$base/bidx")
+    DedupQueries.writeWinnowIndex(spark, sfDir, "grp_winnow_idx", s"$base/widx")
+    DedupQueries.writePrefixIndex(spark, sfDir, "grp_prefix_idx", s"$base/pidx")
+    SearchQueries.writeSearchIndex(spark, sfDir, "grp_search_idx_e", s"$base/sidxe")
+    DedupQueries.writeBandIndex(spark, sfDir, "grp_band_idx_e", s"$base/bidxe")
+    DedupQueries.writeWinnowIndex(spark, sfDir, "grp_winnow_idx_e", s"$base/widxe")
+    DedupQueries.writePrefixIndex(spark, sfDir, "grp_prefix_idx_e", s"$base/pidxe")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    def mk(m: Int, off: Long) =
+      docs.filter(col("doc_id") % 13 === m && col("doc_id") < thr)
+        .select(col("doc_id") + off as "doc_id", col("text"), col("lang"))
+    val b1 = mk(1, 5000000L)
+    val b2 = mk(4, 6000000L)
+    Seq(b1, b2).foreach(_.coalesce(1).write.mode("append").parquet(s"$base/in"))
+    val targets = DocumentsStream.CorpusIngestTargets(
+      search = Some(("grp_search_idx", s"$base/sidx")),
+      band = Some("grp_band_idx"),
+      winnow = Some("grp_winnow_idx"),
+      prefix = Some("grp_prefix_idx"))
+    DocumentsStream.runCorpusIngest(spark, s"$base/in", targets, s"$base/ckpt")
+    def eager(b: org.apache.spark.sql.DataFrame): Unit = {
+      SearchQueries.bufferSearchUpdate(spark, "grp_search_idx_e", s"$base/sidxe", b)
+      DedupQueries.bufferBandUpdate(b.select("doc_id", "text"), "grp_band_idx_e")
+      DedupQueries.bufferWinnowUpdate(b.select("doc_id", "text"), "grp_winnow_idx_e")
+      DedupQueries.bufferPrefixUpdate(b.select("doc_id", "text"), "grp_prefix_idx_e")
+    }
+    Seq(b1, b2).foreach(eager)
+    def state(): Seq[Seq[org.apache.spark.sql.Row]] = Seq(
+      SearchQueries.bm25TopkFromIndex(spark, "grp_search_idx", s"$base/sidx")
+        .collect().toSeq,
+      DedupQueries.bandIndexFrame(spark, "grp_band_idx")
+        .orderBy("doc_id", "bk").collect().toSeq,
+      DedupQueries.winnowIndexFrame(spark, "grp_winnow_idx")
+        .orderBy("doc_id", "fp").collect().toSeq,
+      DedupQueries.prefixIndexFrames(spark, "grp_prefix_idx")._1
+        .orderBy("doc_id", "x").collect().toSeq)
+    def twinState(): Seq[Seq[org.apache.spark.sql.Row]] = Seq(
+      SearchQueries.bm25TopkFromIndex(spark, "grp_search_idx_e", s"$base/sidxe")
+        .collect().toSeq,
+      DedupQueries.bandIndexFrame(spark, "grp_band_idx_e")
+        .orderBy("doc_id", "bk").collect().toSeq,
+      DedupQueries.winnowIndexFrame(spark, "grp_winnow_idx_e")
+        .orderBy("doc_id", "fp").collect().toSeq,
+      DedupQueries.prefixIndexFrames(spark, "grp_prefix_idx_e")._1
+        .orderBy("doc_id", "x").collect().toSeq)
+    val drained = state()
+    assert(drained.forall(_.nonEmpty) && drained == twinState(),
+      "group drain must equal the per-family eager twins")
+    // ---- crash BETWEEN sibling commits: search (1st in order) lands
+    // batch 2, band's commit throws before its pointer lands ------------
+    val b3 = mk(7, 7000000L)
+    b3.coalesce(1).write.mode("append").parquet(s"$base/in")
+    graft.sources.IndexManifest.failCommitCountdown = 1
+    val crash = intercept[Exception] {
+      DocumentsStream.runCorpusIngest(spark, s"$base/in", targets, s"$base/ckpt")
+    }
+    assert(crash.getMessage.contains("injected") ||
+      Option(crash.getCause).exists(_.getMessage.contains("injected")),
+      crash.getMessage)
+    // the divergence the crash leaves: search fenced batch 2, the other
+    // three still at batch 1 — exactly one sibling ahead
+    def fence(anchor: String) =
+      graft.sources.Tombstones.ingestFence(spark, anchor).map(_._2)
+    assert(fence(s"$base/sidx").contains(2L), "search must have committed batch 2")
+    Seq("grp_band_idx", "grp_winnow_idx", "grp_prefix_idx").foreach { t =>
+      assert(fence(graft.sources.Tombstones.tableLocation(spark, t)).contains(1L),
+        s"$t must still be at batch 1 after the mid-group crash")
+    }
+    // REPLAY converges: the restart re-delivers batch 2; search skips on
+    // its fence, the other three ingest — every family equals its twin
+    DocumentsStream.runCorpusIngest(spark, s"$base/in", targets, s"$base/ckpt")
+    eager(b3)
+    val converged = state()
+    assert(converged == twinState(),
+      "the replay must converge every sibling to the one-shot state")
+    // replay-after-success: a no-op on all four
+    DocumentsStream.runCorpusIngest(spark, s"$base/in", targets, s"$base/ckpt")
+    assert(state() == converged)
+  }
+
+  test("consistent cross-index snapshot: mid-ingest hybrid serves the min common fence; no common lineage refuses loudly") {
+    // the serving half of the ingest group: between sibling commits the
+    // lexical index is a batch ahead of the vector index, and the naive
+    // live fuse would mix two corpus states. The consistent read resolves
+    // both indexes AS OF the min common (lineage, batch-id) fence and
+    // must equal the live hybrid over twin indexes built one-shot on the
+    // COMMON prefix.
+    import graft.operators.{SearchQueries, SimilarityQueries}
+    val base = java.nio.file.Files.createTempDirectory("graft-chyb").toString
+    SearchQueries.writeSearchIndexWhere(
+      spark, sfDir, "chyb_search", s"$base/sidx", col("doc_id") % 4 =!= 3)
+    SimilarityQueries.writeIvfIndexWhere(
+      spark, sfDir, s"$base/ividx", col("vec_id") % 4 =!= 3)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    val em = Tables.embeddings(spark, sfDir)
+    val d0 = docs.filter(col("doc_id") % 8 === 3)
+    val v0 = em.filter(col("vec_id") % 8 === 3)
+    val d1 = docs.filter(col("doc_id") % 8 === 7)
+    // batch 0 lands in BOTH; batch 1 in search only — the exact mid-group
+    // state a crash (or an in-flight trigger) leaves
+    assert(SearchQueries.ingestSearchBatch(
+      spark, "chyb_search", s"$base/sidx", d0, 0L, streamId = "grp"))
+    assert(SimilarityQueries.ingestIvfBatch(
+      spark, sfDir, s"$base/ividx", v0, 0L, streamId = "grp"))
+    assert(SearchQueries.ingestSearchBatch(
+      spark, "chyb_search", s"$base/sidx", d1, 1L, streamId = "grp"))
+    // twins: one-shot builds over the common prefix (bootstrap + batch 0)
+    SearchQueries.writeSearchIndexWhere(
+      spark, sfDir, "chyb_search_t", s"$base/sidxt",
+      col("doc_id") % 4 =!= 3 || col("doc_id") % 8 === 3)
+    SimilarityQueries.writeIvfIndexWhere(
+      spark, sfDir, s"$base/ividxt",
+      col("vec_id") % 4 =!= 3 || col("vec_id") % 8 === 3)
+    val want = SearchQueries.hybridTopkFromIndexes(
+        spark, sfDir, "chyb_search_t", s"$base/sidxt", s"$base/ividxt")
+      .collect().toSeq
+    val got = SearchQueries.hybridTopkFromIndexesConsistent(
+        spark, sfDir, "chyb_search", s"$base/sidx", s"$base/ividx")
+      .collect().toSeq
+    assert(got.nonEmpty && got == want,
+      "the consistent hybrid must equal the batch twin over the common prefix")
+    // refusal 1: a sibling that was never stream-ingested has no fence —
+    // no common snapshot exists, say so loudly
+    val e1 = intercept[IllegalArgumentException] {
+      SearchQueries.hybridTopkFromIndexesConsistent(
+        spark, sfDir, "chyb_search", s"$base/sidx", s"$base/ividxt")
+    }
+    assert(e1.getMessage.contains("fence"), e1.getMessage)
+    // refusal 2: siblings ingested under DIFFERENT lineages — batch ids
+    // are incomparable across checkpoints
+    assert(SimilarityQueries.ingestIvfBatch(
+      spark, sfDir, s"$base/ividxt", v0, 0L, streamId = "other"))
+    val e2 = intercept[IllegalArgumentException] {
+      SearchQueries.hybridTopkFromIndexesConsistent(
+        spark, sfDir, "chyb_search", s"$base/sidx", s"$base/ividxt")
+    }
+    assert(e2.getMessage.contains("lineage"), e2.getMessage)
+  }
+
+  test("one-call maintenance runs concurrently with a draining ingest: lease-serialized, policy-triggered folds, exact final probe") {
+    // Lifecycle.maintain as an operator would cron it — a SEPARATE thread
+    // looping debt-check → fold-if-due → vacuum against an index a
+    // streaming drain is actively mutating. The shared per-anchor lease
+    // serializes the two writers (zero collision pages), the fold policy
+    // fires at least once at this cadence, and the drained+maintained
+    // index still equals the one-shot build.
+    import graft.operators.SearchQueries
+    import graft.streaming.SearchStream
+    val base = java.nio.file.Files.createTempDirectory("graft-maint").toString
+    SearchQueries.writeSearchIndexWhere(
+      spark, sfDir, "maint_idx", s"$base/idx", lit(false))
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    (0 until 12).foreach { m =>
+      docs.filter(col("doc_id") % 12 === m)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    @volatile var stop = false
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val folds = new java.util.concurrent.atomic.AtomicInteger()
+    def maintainOnce() = graft.sources.Lifecycle.maintain(
+      spark, s"$base/idx", "search", spark.table("maint_idx"), "doc_id",
+      SearchQueries.compactSearchIndex(spark, "maint_idx", s"$base/idx"),
+      maxDeltaBatches = 3L, holder = "maint",
+      leaseWaitMs = 120000L)
+    val maintainer = new Thread(() => {
+      while (!stop) {
+        try { if (maintainOnce().folded) folds.incrementAndGet() }
+        catch { case t: Throwable => errs.add(t) }
+        Thread.sleep(500)
+      }
+    })
+    maintainer.start()
+    try SearchStream.runSearchIngest(
+      spark, s"$base/in", "maint_idx", s"$base/idx", s"$base/ckpt")
+    finally { stop = true; maintainer.join(180000) }
+    assert(!maintainer.isAlive, "maintenance thread must stop")
+    assert(errs.isEmpty, s"maintenance must never page: ${errs.peek()}")
+    // a final pass settles any residue the drain left past the threshold
+    maintainOnce()
+    assert(folds.get() >= 1, "the fold policy must have fired at this cadence")
+    // the lease is released on every exit path
+    assert(graft.sources.WriterLease.current(spark, s"$base/idx").isEmpty)
+    // the maintained index still serves exactly the one-shot build
+    val direct = SparkEntry.queries("search_bm25_topk")(spark, sfDir)
+    val cols = direct.columns.map(col).toSeq
+    val got = SearchQueries.bm25TopkFromIndex(spark, "maint_idx", s"$base/idx")
+      .select(cols: _*).orderBy(cols: _*).collect().toSeq
+    assert(got.nonEmpty && got == direct.orderBy(cols: _*).collect().toSeq)
+    // and the settled window sits below the fold threshold
+    assert(graft.sources.IndexManifest.current(spark, s"$base/idx")
+      .forall(_.deltas.size < 3), "maintenance must keep the window bounded")
+  }
+
   test("streaming helpers restore the nanosAsLong conf after the drain") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     spark.conf.unset(key)
