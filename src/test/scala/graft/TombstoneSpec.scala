@@ -1080,60 +1080,79 @@ class TombstoneSpec extends SparkSpec {
   // boundary (all prepared files durable, pointer missing) and prove a
   // probe always sees a consistent epoch — the closure of the r14-verdict
   // stats-swap/tombstone and rename crash windows.
+  //
+  // [r19] Each injection class runs under BOTH selectable landing
+  // primitives (`graft.manifest.landing` = rename | create): the 8-way
+  // race was pinned under `create`, but the rest of the set had only ever
+  // executed under the default `rename` — and `create` is the primitive
+  // an object-store deployment selects. The injected crash fires before
+  // the landing step, so the crashed-mutation half is primitive-
+  // independent by construction; what the second run proves is the whole
+  // RETRY path — requireDestFree, torn-classification, and the landing
+  // itself — under the other primitive.
 
-  test("crash injection: a delete that dies before its commit changes nothing; its retry lands exactly once") {
+  private def withLanding(mode: String)(body: => Unit): Unit = {
+    spark.conf.set("graft.manifest.landing", mode)
+    try body finally spark.conf.set("graft.manifest.landing", "rename")
+  }
+
+  for (mode <- Seq("rename", "create")) {
+
+  test(s"crash injection [$mode landing]: a delete that dies before its commit changes nothing; its retry lands exactly once") { withLanding(mode) {
     import graft.operators.SearchQueries
-    val path = s"$tmp/search_crash"
-    SearchQueries.writeSearchIndex(spark, sfDir, "search_crash_idx", path)
-    val before = sorted(SearchQueries.bm25TopkFromIndex(spark, "search_crash_idx", path))
+    val path = s"$tmp/search_crash_$mode"
+    val tbl = s"search_crash_${mode}_idx"
+    SearchQueries.writeSearchIndex(spark, sfDir, tbl, path)
+    val before = sorted(SearchQueries.bm25TopkFromIndex(spark, tbl, path))
     val deleted = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 7 === 3)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
     graft.sources.IndexManifest.failNextCommit = true
     val e = intercept[RuntimeException] {
-      SearchQueries.deleteFromSearchIndex(spark, "search_crash_idx", path, deleted)
+      SearchQueries.deleteFromSearchIndex(spark, tbl, path, deleted)
     }
     assert(e.getMessage.contains("injected crash"), e.getMessage)
     // the decremented stats dir and the tombstone fragment are on disk but
     // unreferenced: probes resolve the PREVIOUS epoch — neither the
     // old-code stats-new/tombstone-old skew nor any partial takedown
-    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_crash_idx", path)) == before)
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, tbl, path)) == before)
     assert(graft.sources.Tombstones.idSet(spark, path).isEmpty)
     // the retry recomputes the decrement FROM the old epoch, so it cannot
     // double-decrement (the hazard of the pre-manifest ordering, where a
     // crashed delete left stats already decremented)
-    SearchQueries.deleteFromSearchIndex(spark, "search_crash_idx", path, deleted)
-    val after = sorted(SearchQueries.bm25TopkFromIndex(spark, "search_crash_idx", path))
+    SearchQueries.deleteFromSearchIndex(spark, tbl, path, deleted)
+    val after = sorted(SearchQueries.bm25TopkFromIndex(spark, tbl, path))
     assert(after == sorted(SparkEntry.queries("search_bm25_deleted")(spark, sfDir)))
-  }
+  }}
 
-  test("crash injection: a buffered update batch that dies before its commit changes nothing") {
+  test(s"crash injection [$mode landing]: a buffered update batch that dies before its commit changes nothing") { withLanding(mode) {
     // the batched-update atom: tombstone + delta rows + advanced stats
     // land together or not at all — a crashed buffer call leaves probes
     // on the previous epoch, and its retry lands exactly once
     import graft.operators.SearchQueries
-    val path = s"$tmp/search_bufcrash"
-    SearchQueries.writeSearchIndex(spark, sfDir, "search_bufcrash_idx", path)
-    val before = sorted(SearchQueries.bm25TopkFromIndex(spark, "search_bufcrash_idx", path))
+    val path = s"$tmp/search_bufcrash_$mode"
+    val tbl = s"search_bufcrash_${mode}_idx"
+    SearchQueries.writeSearchIndex(spark, sfDir, tbl, path)
+    val before = sorted(SearchQueries.bm25TopkFromIndex(spark, tbl, path))
     val upd = Tables.documents(spark, sfDir).filter(col("doc_id") % 13 === 2)
       .select(col("doc_id"), concat(col("text"), lit(" zulu")).as("text"), col("lang"))
     graft.sources.IndexManifest.failNextCommit = true
     intercept[RuntimeException] {
-      SearchQueries.bufferSearchUpdate(spark, "search_bufcrash_idx", path, upd)
+      SearchQueries.bufferSearchUpdate(spark, tbl, path, upd)
     }
-    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_bufcrash_idx", path)) == before)
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, tbl, path)) == before)
     assert(graft.sources.Tombstones.deltaFrame(spark, path).isEmpty)
-    SearchQueries.bufferSearchUpdate(spark, "search_bufcrash_idx", path, upd)
+    SearchQueries.bufferSearchUpdate(spark, tbl, path, upd)
     val updCorpus = Tables.documents(spark, sfDir)
       .filter(!(col("doc_id") % 13 === 2)).select("doc_id", "text", "lang")
       .unionByName(upd)
-    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_bufcrash_idx", path)) ==
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, tbl, path)) ==
       sorted(SearchQueries.bm25OverDocs(spark, updCorpus)))
-  }
+  }}
 
-  test("crash injection: a compaction that dies before its commit leaves probes on the old (data, tombstones) pair") {
+  test(s"crash injection [$mode landing]: a compaction that dies before its commit leaves probes on the old (data, tombstones) pair") { withLanding(mode) {
     import graft.operators.SimilarityQueries
-    val path = s"$tmp/ivf_crash"
+    val path = s"$tmp/ivf_crash_$mode"
     SimilarityQueries.writeIvfIndex(spark, sfDir, path)
     val deleted = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") % 13 === 7)
@@ -1153,31 +1172,32 @@ class TombstoneSpec extends SparkSpec {
     SimilarityQueries.compactIvfIndex(spark, path)
     assert(graft.sources.Tombstones.idSet(spark, path).isEmpty)
     assert(sorted(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, path)) == probed)
-  }
+  }}
 
-  test("crash injection: a search compaction dying at either commit stays consistent, as-of never silently wrong") {
+  test(s"crash injection [$mode landing]: a search compaction dying at either commit stays consistent, as-of never silently wrong") { withLanding(mode) {
     import graft.operators.SearchQueries
-    val path = s"$tmp/search_crash2"
-    SearchQueries.writeSearchIndex(spark, sfDir, "search_crash2_idx", path)
+    val path = s"$tmp/search_crash2_$mode"
+    val tbl = s"search_crash2_${mode}_idx"
+    SearchQueries.writeSearchIndex(spark, sfDir, tbl, path)
     val deleted = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 7 === 3)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
-    SearchQueries.deleteFromSearchIndex(spark, "search_crash2_idx", path, deleted)
-    val probed = sorted(SearchQueries.bm25TopkFromIndex(spark, "search_crash2_idx", path))
+    SearchQueries.deleteFromSearchIndex(spark, tbl, path, deleted)
+    val probed = sorted(SearchQueries.bm25TopkFromIndex(spark, tbl, path))
     val asof0 = sorted(SearchQueries.bm25TopkFromIndexAsOf(
-      spark, "search_crash2_idx", path, 0L))
+      spark, tbl, path, 0L))
     // WINDOW 1 — die at the pre-swap generation bump (the compaction's
     // first commit, after the rewrite is prepared): the table is
     // unchanged, tombstones still mask, as-of still serves — nothing
     // happened, and the retry goes through
     graft.sources.IndexManifest.failCommitCountdown = 0
     intercept[RuntimeException] {
-      SearchQueries.compactSearchIndex(spark, "search_crash2_idx", path)
+      SearchQueries.compactSearchIndex(spark, tbl, path)
     }
     assert(graft.sources.Tombstones.idSet(spark, path).nonEmpty)
-    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_crash2_idx", path)) == probed)
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, tbl, path)) == probed)
     assert(sorted(SearchQueries.bm25TopkFromIndexAsOf(
-      spark, "search_crash2_idx", path, 0L)) == asof0)
+      spark, tbl, path, 0L)) == asof0)
     // WINDOW 2 — the bump lands, the catalog swap lands, the
     // tombstone-clearing commit dies: tombstones are still listed but
     // their rows are physically gone, so the anti-join masks nothing and
@@ -1187,20 +1207,22 @@ class TombstoneSpec extends SparkSpec {
     // window the bump ordering closes)
     graft.sources.IndexManifest.failCommitCountdown = 1
     intercept[RuntimeException] {
-      SearchQueries.compactSearchIndex(spark, "search_crash2_idx", path)
+      SearchQueries.compactSearchIndex(spark, tbl, path)
     }
     assert(graft.sources.Tombstones.idSet(spark, path).nonEmpty)
-    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_crash2_idx", path)) == probed)
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, tbl, path)) == probed)
     val err = intercept[IllegalArgumentException] {
-      SearchQueries.bm25TopkFromIndexAsOf(spark, "search_crash2_idx", path, 0L)
+      SearchQueries.bm25TopkFromIndexAsOf(spark, tbl, path, 0L)
     }
     assert(err.getMessage.contains("generation"), err.getMessage)
     // finishing the interrupted step (the clearing commit — the gen bump
     // already landed pre-swap) changes nothing
     graft.sources.Tombstones.clear(spark, path, bump = false)
     assert(graft.sources.Tombstones.idSet(spark, path).isEmpty)
-    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, "search_crash2_idx", path)) == probed)
-  }
+    assert(sorted(SearchQueries.bm25TopkFromIndex(spark, tbl, path)) == probed)
+  }}
+
+  } // for mode
 
   test("vacuum called with a differently-spelled anchor never false-deletes live artifacts") {
     // the review-found corruption path, pinned shut: the manifest stores
@@ -1497,37 +1519,39 @@ class TombstoneSpec extends SparkSpec {
     assert(ilog.map(_.getString(1)).toSeq == Seq("append", "fold"), ilog.toSeq)
   }
 
-  test("crash injection: an append dying before its one commit changes nothing") {
+  for (mode <- Seq("rename", "create"))
+  test(s"crash injection [$mode landing]: an append dying before its one commit changes nothing") { withLanding(mode) {
     // the append is ONE commit now (rows + stats land together), so the
     // old postings-landed/stats-old window cannot exist: a crash at the
     // atomicity boundary leaves the prepared delta and stats dirs
     // unreferenced, live probes on the previous epoch, and as-of reads
     // serving — and the RETRY succeeds cleanly over the old state
     import graft.operators.SearchQueries
-    val path = s"$tmp/search_crash3"
-    SearchQueries.writeSearchIndex(spark, sfDir, "search_crash3_idx", path)
+    val path = s"$tmp/search_crash3_$mode"
+    val tbl = s"search_crash3_${mode}_idx"
+    SearchQueries.writeSearchIndex(spark, sfDir, tbl, path)
     val asof0 = sorted(SearchQueries.bm25TopkFromIndexAsOf(
-      spark, "search_crash3_idx", path, 0L))
+      spark, tbl, path, 0L))
     assert(asof0.nonEmpty)
-    val live0 = sorted(SearchQueries.bm25TopkFromIndex(spark, "search_crash3_idx", path))
+    val live0 = sorted(SearchQueries.bm25TopkFromIndex(spark, tbl, path))
     val batch = Tables.documents(spark, sfDir).limit(3)
       .select(col("doc_id") + 7000000L as "doc_id", col("text"), col("lang"))
     graft.sources.IndexManifest.failNextCommit = true
     intercept[RuntimeException] {
-      SearchQueries.appendSearchIndex(spark, "search_crash3_idx", path, batch)
+      SearchQueries.appendSearchIndex(spark, tbl, path, batch)
     }
     assert(sorted(SearchQueries.bm25TopkFromIndex(
-      spark, "search_crash3_idx", path)) == live0)
+      spark, tbl, path)) == live0)
     assert(sorted(SearchQueries.bm25TopkFromIndexAsOf(
-      spark, "search_crash3_idx", path, 0L)) == asof0)
+      spark, tbl, path, 0L)) == asof0)
     // the retry lands, and the appended ids serve
-    SearchQueries.appendSearchIndex(spark, "search_crash3_idx", path, batch)
-    assert(SearchQueries.visiblePostings(spark, "search_crash3_idx", path)
+    SearchQueries.appendSearchIndex(spark, tbl, path, batch)
+    assert(SearchQueries.visiblePostings(spark, tbl, path)
       .filter(col("doc_id") >= 7000000L).select("doc_id").distinct().count() == 3)
     // and as-of travel below the landed append still reproduces the build
     assert(sorted(SearchQueries.bm25TopkFromIndexAsOf(
-      spark, "search_crash3_idx", path, 0L)) == asof0)
-  }
+      spark, tbl, path, 0L)) == asof0)
+  }}
 
   test("band-index buffered ingest: base∪delta probes equal a rebuilt index; the fold retires the window") {
     import graft.operators.DedupQueries
@@ -2679,5 +2703,56 @@ class TombstoneSpec extends SparkSpec {
     intercept[m.UnsupportedIndexLayoutException] {
       m.commit(spark, anchor, m.next(spark, anchor).copy(layout = 99))
     }
+  }
+
+  test("layout migration: a past-layout index re-encodes under the current layout in one fold — probe parity, loud as-of, idempotent") {
+    import graft.operators.SearchQueries
+    val m = graft.sources.IndexManifest
+    val t = graft.sources.Tombstones
+    val path = s"$tmp/layout_mig"
+    val tbl = "layout_mig_idx"
+    // built + mutated under the OLD library (layout 1): the delete lands
+    // the manifest epoch that carries the writer's layout stamp
+    SearchQueries.writeSearchIndex(spark, sfDir, tbl, path)
+    val deleted = Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    SearchQueries.deleteFromSearchIndex(spark, tbl, path, deleted)
+    assert(m.current(spark, path).exists(_.layout == 1))
+    val probed = sorted(SearchQueries.bm25TopkFromIndex(spark, tbl, path))
+    try {
+      // the library upgrades: CURRENT_LAYOUT becomes 2. The standing index
+      // is now a PAST layout — it keeps serving under the compat window
+      m.layoutForTest = 2
+      assert(sorted(SearchQueries.bm25TopkFromIndex(spark, tbl, path)) == probed)
+      // migration IS the family's fold, landing through the normal commit
+      // path (which stamps CURRENT_LAYOUT) — true means a rewrite ran
+      assert(t.migrateIndexLayout(spark, path) {
+        SearchQueries.compactSearchIndex(spark, tbl, path)
+      })
+      assert(m.current(spark, path).exists(_.layout == 2))
+      // probe parity: the migrated index serves exactly what it served
+      // pre-migration, which itself equals a fresh build over the
+      // survivors (the registered inline deleted entry)
+      assert(sorted(SearchQueries.bm25TopkFromIndex(spark, tbl, path)) == probed)
+      assert(probed == sorted(SparkEntry.queries("search_bm25_deleted")(spark, sfDir)))
+      // as-of travel across the migration refuses loudly like any fold
+      // (the generation guard — the physical build state no longer exists)
+      val err = intercept[IllegalArgumentException] {
+        SearchQueries.bm25TopkFromIndexAsOf(spark, tbl, path, 0L)
+      }
+      assert(err.getMessage.contains("generation"), err.getMessage)
+      // idempotent: an index already at the current layout never re-folds
+      assert(!t.migrateIndexLayout(spark, path) {
+        fail("migrate must not fold an index already at the current layout")
+      })
+      // and to a DOWNGRADED reader the migrated epoch is now a
+      // layout-from-the-future: it refuses with the named error instead
+      // of misreading the newer physical contract
+      m.layoutForTest = 1
+      intercept[m.UnsupportedIndexLayoutException] {
+        SearchQueries.bm25TopkFromIndex(spark, tbl, path).collect()
+      }
+      ()
+    } finally m.layoutForTest = 1
   }
 }
