@@ -63,6 +63,10 @@ object LifecycleBench {
       steps(name) = math.min(once(), once())
     }
 
+    // concurrent-probe sample counts per phase (dimensionless — kept out
+    // of `steps`, whose declared unit is seconds)
+    val serveCounts = scala.collection.mutable.LinkedHashMap[String, Int]()
+
     val base = java.nio.file.Files.createTempDirectory("graft-lifebench").toString
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
     val em = Tables.embeddings(spark, sfDir)
@@ -176,6 +180,77 @@ object LifecycleBench {
       }
     }
 
+    // ---- serving under mutation: K probe threads vs a live ingest+fold drain
+    // The number the fold-cadence policy needs beyond the per-step table:
+    // what a CONCURRENT reader pays while the index drains — mean probe
+    // latency with the index idle (w0), while ingest batches land
+    // (mid-window), and while a fold rewrites underneath (the deferred-
+    // reclaim guarantee under real concurrency). Any probe FAILURE during
+    // the drain fails the whole run: a fold or vacuum must never be
+    // observable as an error by an in-flight reader.
+    {
+      import graft.operators.SearchQueries
+      val path = s"$base/serve_idx"
+      time("serve_build") {
+        SearchQueries.writeSearchIndex(spark, sfDir, "lb_serve", path)
+      }
+      val phase = new java.util.concurrent.atomic.AtomicReference[String]("w0")
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+      val lat = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+      val probeThreads = (1 to 4).map { _ =>
+        new Thread(() => {
+          while (!stop.get()) {
+            val ph = phase.get() // attributed at probe START
+            val t0 = System.nanoTime()
+            try {
+              val df = SearchQueries.bm25TopkFromIndex(spark, "lb_serve", path)
+              df.agg(max(xxhash64(df.columns.map(df.col): _*))).collect()
+              lat.add((ph, (System.nanoTime() - t0) / 1e9))
+            } catch {
+              case e: Throwable =>
+                failures.incrementAndGet()
+                System.err.println(s"serve probe FAILED in phase $ph: $e")
+            }
+          }
+        })
+      }
+      probeThreads.foreach(_.start())
+      Thread.sleep(4000) // the idle-index baseline window
+      def sbatch(i: Int): DataFrame = docs.filter(col("doc_id") % 32 === i)
+        .select((col("doc_id") + (i + 1) * 10000000L).as("doc_id"),
+          col("text"), col("lang"))
+      time("serve_drain") {
+        for (i <- 0 until 12) {
+          phase.set("ingest")
+          SearchQueries.ingestSearchBatch(
+            spark, "lb_serve", path, sbatch(i), i.toLong, "lbserve")
+          if (i % 4 == 3) { // the production foldEvery=4 cadence
+            phase.set("fold")
+            SearchQueries.compactSearchIndex(spark, "lb_serve", path)
+            // keepEpochs=2 keeps the retired pre-fold location alive for
+            // exactly the in-flight plans these probe threads hold
+            graft.sources.Tombstones.vacuum(spark, path, keepEpochs = 2)
+          }
+        }
+      }
+      stop.set(true)
+      probeThreads.foreach(_.join())
+      require(failures.get() == 0,
+        s"${failures.get()} concurrent probe failures during the drain — " +
+          "the deferred-reclaim serving guarantee is broken")
+      import scala.jdk.CollectionConverters._
+      val byPhase = lat.asScala.toSeq.groupBy(_._1)
+      // mean concurrent-probe latency per phase, in SECONDS like every
+      // other steps value; per-op costs, excluded from the total
+      Seq("w0" -> "serve_probe_w0", "ingest" -> "serve_probe_ingest",
+          "fold" -> "serve_probe_fold").foreach { case (ph, k) =>
+        val v = byPhase.getOrElse(ph, Seq.empty).map(_._2)
+        if (v.nonEmpty) steps(k) = v.sum / v.size
+        serveCounts(ph) = v.size
+      }
+    }
+
     // ---- the writer lease: per-op cost of acquire+release -------------------
     {
       val anchor = s"$base/lease_anchor"
@@ -197,8 +272,14 @@ object LifecycleBench {
 
     val js = steps.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = steps.filterNot(_._1 == "lease_op").values.sum
-    println(s"""{"metric":"lifecycle","steps":$js,"sf":"$sfDir","unit":"sec","value":$total}""")
+    // per-op metrics (lease, concurrent-probe means) are unit-consistent
+    // latencies but not pipeline steps — excluded from the total
+    val total = steps
+      .filterNot { case (k, _) => k == "lease_op" || k.startsWith("serve_probe_") }
+      .values.sum
+    val cj = serveCounts.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"lifecycle","steps":$js,"serve_probe_counts":$cj,"sf":"$sfDir","unit":"sec","value":$total}""")
     spark.stop()
   }
 }

@@ -268,14 +268,19 @@ object SearchQueries {
   }
 
   /** Oracle CTE block ending in `ranked` (q_id, doc_id, score, rank).
-    * `candWhere` mirrors [[bm25Inline]]'s candidate predicate.
+    * `candWhere` mirrors [[bm25Inline]]'s candidate predicate; `docsFrom`
+    * swaps the corpus source (a preceding CTE name) so a snapshot oracle
+    * can rank over a corpus SUBSET with self-contained df/stats — the
+    * [[bm25OverDocs]] semantics, where an index epoch's stored stats
+    * reflect exactly its own corpus.
     */
-  private def bm25Sql(candWhere: String = "TRUE"): String =
-    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-       |dlt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+  private def bm25Sql(
+      candWhere: String = "TRUE", docsFrom: String = "documents"): String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM $docsFrom),
+       |dlt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM $docsFrom),
        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tt FROM documents),
-       |cand AS (SELECT doc_id FROM documents WHERE $candWhere),
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tt FROM $docsFrom),
+       |cand AS (SELECT doc_id FROM $docsFrom WHERE $candWhere),
        |tft AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
        |dft AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1),
        |$queryTermsSql,
@@ -1562,6 +1567,81 @@ object SearchQueries {
       (s, dir) => hybridInline(s, dir),
       Some(s"""WITH ${bm25Sql()},
               |$hybridSqlBlock
+              |SELECT q_id, rank, doc_id, rrf_micro FROM franked WHERE rank <= $TOP_K
+              |ORDER BY q_id, rank""".stripMargin)
+    ),
+
+    // ---- hybrid over a CONSISTENT mid-ingest snapshot ------------------------
+    // The registered twin of [[hybridTopkFromIndexesConsistent]]'s serving
+    // read at the staged mid-group state: a corpus ingest group
+    // (runCorpusIngest) committed batch 0 to BOTH the lexical and the
+    // vector index but batch 1 only to the lexical one (the exact state a
+    // crash or an in-flight trigger leaves between sibling commits), so
+    // the newest mutually consistent corpus is the COMMON PREFIX —
+    // bootstrap (id % 4 <> 3) plus batch 0 (id % 8 = 3). This entry is
+    // the hybrid over that prefix with each side's index semantics: BM25
+    // with SELF-CONTAINED df/stats over the prefix corpus (an epoch's
+    // stored stats reflect exactly its own corpus — bm25OverDocs), the
+    // vector side an IVF PROBE (seeds from the full corpus — the
+    // writeIvfIndexWhere frozen-geometry invariant — assignment restricted
+    // to the prefix, N_PROBE probed cells), fused by the same integer RRF.
+    // StreamingSpec pins the LIVE consistent read — two indexes resolved
+    // at their min common (lineage, batch-id) fence via as-of epochs —
+    // row-for-row equal to this entry; the driver's DuckDB compare proves
+    // the entry itself. Batch 1 (id % 8 = 7) must be INVISIBLE here even
+    // though the lexical index has committed it.
+    GQuery(
+      "search_hybrid_snapshot",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text", "lang")
+        val dPre = col("doc_id") % 4 =!= 3 || col("doc_id") % 8 === 3
+        val bm = bm25OverDocs(s, docs.filter(dPre))
+          .select(col("q_id"), col("doc_id"), col("rank").as("rank_t"))
+        val vr = SimilarityQueries.ivfTopkWith(s, dir,
+            SimilarityQueries.seedSet(VectorOps.normalized(s, dir)),
+            expr("vec_id % 4 <> 3 OR vec_id % 8 = 3"))
+          // the hybrid's query set (this family's N_QUERIES), not the
+          // vector family's own probe set — per-query lists are
+          // independent, so the post-filter equals probing 4 queries
+          .filter(col("q_id") < N_QUERIES)
+          .select(col("q_id"), col("cand_id").as("doc_id"), col("rank").as("rank_v"))
+        rrfFuse(bm, vr)
+      },
+      Some(s"""WITH hsdocs AS (SELECT * FROM documents WHERE doc_id % 4 <> 3 OR doc_id % 8 = 3),
+              |${bm25Sql(docsFrom = "hsdocs")},
+              |bm AS (SELECT q_id, doc_id, rank AS rank_t FROM ranked WHERE rank <= $TOP_K),
+              |${VectorOps.normalizedSql},
+              |hsseeds AS (SELECT vec_id AS seed_id, v AS sv, nrm AS sn FROM e
+              |  WHERE vec_id < ${SimilarityQueries.N_SEEDS}),
+              |hsassign0 AS (SELECT e.vec_id, e.v, e.nrm, hsseeds.seed_id,
+              |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              |    ${VectorOps.cosSql("e.v", "hsseeds.sv", "e.nrm", "hsseeds.sn")} DESC, hsseeds.seed_id) AS rn
+              |  FROM e CROSS JOIN hsseeds),
+              |hsassign AS (SELECT vec_id, v, nrm, seed_id FROM hsassign0
+              |  WHERE rn = 1 AND (vec_id % 4 <> 3 OR vec_id % 8 = 3)),
+              |hsq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < $N_QUERIES),
+              |hsprobes0 AS (SELECT hsq.q_id, hsq.qv, hsq.qn, hsseeds.seed_id,
+              |  row_number() OVER (PARTITION BY hsq.q_id ORDER BY
+              |    ${VectorOps.cosSql("hsq.qv", "hsseeds.sv", "hsq.qn", "hsseeds.sn")} DESC, hsseeds.seed_id) AS rn
+              |  FROM hsq CROSS JOIN hsseeds),
+              |hsprobes AS (SELECT q_id, qv, qn, seed_id FROM hsprobes0
+              |  WHERE rn <= ${SimilarityQueries.N_PROBE}),
+              |hscand AS (SELECT DISTINCT hsprobes.q_id, hsassign.vec_id AS doc_id,
+              |  ${VectorOps.cosSql("hsprobes.qv", "hsassign.v", "hsprobes.qn", "hsassign.nrm")} AS cos
+              |  FROM hsprobes JOIN hsassign ON hsprobes.seed_id = hsassign.seed_id
+              |  WHERE hsassign.vec_id <> hsprobes.q_id),
+              |hsvr0 AS (SELECT q_id, doc_id,
+              |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_v
+              |  FROM hscand),
+              |vr AS (SELECT q_id, doc_id, rank_v FROM hsvr0 WHERE rank_v <= $TOP_K),
+              |fused AS (SELECT COALESCE(bm.q_id, vr.q_id) AS q_id,
+              |    COALESCE(bm.doc_id, vr.doc_id) AS doc_id,
+              |    COALESCE(1000000 // ($RRF_K + rank_t), 0) +
+              |    COALESCE(1000000 // ($RRF_K + rank_v), 0) AS rrf_micro
+              |  FROM bm FULL JOIN vr ON bm.q_id = vr.q_id AND bm.doc_id = vr.doc_id),
+              |franked AS (SELECT q_id, doc_id, rrf_micro,
+              |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+              |  FROM fused)
               |SELECT q_id, rank, doc_id, rrf_micro FROM franked WHERE rank <= $TOP_K
               |ORDER BY q_id, rank""".stripMargin)
     ),

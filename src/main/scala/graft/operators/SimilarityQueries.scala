@@ -46,7 +46,7 @@ object SimilarityQueries {
   val KNN_BUCKETS = 16L
   /** Semantic-dedup cosine threshold — see dedup_semantic's calibration note. */
   private val SEM_TAU = 0.4
-  private val N_PROBE = 4
+  private[graft] val N_PROBE = 4
   private val TOP_K = 10
 
   /** Deterministic ±1 hyperplane weights: sign of the first md5 nibble of

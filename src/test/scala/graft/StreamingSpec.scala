@@ -1476,6 +1476,12 @@ class StreamingSpec extends SparkSpec {
       .collect().toSeq
     assert(got.nonEmpty && got == want,
       "the consistent hybrid must equal the batch twin over the common prefix")
+    // ...and the registered (oracle-paired) inline twin — the chain the
+    // driver's DuckDB compare closes: oracle == search_hybrid_snapshot ==
+    // this serving read
+    assert(got == SparkEntry.queries("search_hybrid_snapshot")(spark, sfDir)
+      .collect().toSeq,
+      "the consistent hybrid must equal the registered snapshot entry")
     // refusal 1: a sibling that was never stream-ingested has no fence —
     // no common snapshot exists, say so loudly
     val e1 = intercept[IllegalArgumentException] {
