@@ -2705,6 +2705,35 @@ class TombstoneSpec extends SparkSpec {
     }
   }
 
+  test("TTL manifest cache: a hit within ttl serves the superseded epoch; the first post-expiry read re-resolves") {
+    val m = graft.sources.IndexManifest
+    val anchor = s"$tmp/cache_idx"
+    m.commit(spark, anchor, m.next(spark, anchor).copy(stats = Some(s"$anchor/s1")))
+    var now = 1000L
+    val clock = () => now
+    // prime the cache
+    assert(m.cachedCurrent(spark, anchor, 500L, clock)
+      .flatMap(_.stats).contains(s"$anchor/s1"))
+    // a writer supersedes the epoch
+    m.commit(spark, anchor, m.next(spark, anchor).copy(stats = Some(s"$anchor/s2")))
+    // the DEFAULT path is unchanged: current() sees the new epoch now
+    assert(m.current(spark, anchor).flatMap(_.stats).contains(s"$anchor/s2"))
+    // a hit within ttl serves the SUPERSEDED epoch — the documented
+    // staleness bound, visible and chosen, never an accident
+    now = 1400L
+    assert(m.cachedCurrent(spark, anchor, 500L, clock)
+      .flatMap(_.stats).contains(s"$anchor/s1"))
+    // the first post-expiry read re-resolves and refreshes the window
+    now = 1600L
+    assert(m.cachedCurrent(spark, anchor, 500L, clock)
+      .flatMap(_.stats).contains(s"$anchor/s2"))
+    // ...which then serves hits of its own
+    m.commit(spark, anchor, m.next(spark, anchor).copy(stats = Some(s"$anchor/s3")))
+    now = 1900L
+    assert(m.cachedCurrent(spark, anchor, 500L, clock)
+      .flatMap(_.stats).contains(s"$anchor/s2"))
+  }
+
   test("layout migration: a past-layout index re-encodes under the current layout in one fold — probe parity, loud as-of, idempotent") {
     import graft.operators.SearchQueries
     val m = graft.sources.IndexManifest
