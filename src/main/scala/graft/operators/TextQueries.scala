@@ -1377,6 +1377,113 @@ object TextQueries {
     ),
 
     GQuery(
+      // Epoch-budgeted source allocation — the data-constrained scaling
+      // rule (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+      // Models"): given per-source UNIQUE token pools U_s and a total
+      // training-token budget B, repeating a source beyond ~4 epochs
+      // contributes almost nothing, so each source carries an absolute
+      // ceiling cap_s = R·U_s (R = 4). Uniform target weights (each
+      // curated source is an equal-priority bucket) make the allocation a
+      // WATER-FILL: a small source saturates at its cap and its unused
+      // share redistributes among the unsaturated — sort sources by cap
+      // ASCENDING; for a candidate saturated-prefix size j the common
+      // level is L(j) = (B − Σ_{i≤j} cap_i) div (n − j), and the unique
+      // consistent j has cap_j ≤ L(j) < cap_{j+1} (smallest consistent j
+      // on boundary ties — the pipeline_source_caps discipline; negative
+      // remainders are filtered BEFORE the division on both engines,
+      // since Spark `div` truncates where DuckDB `//` floors). Budget
+      // here: B = 2·ΣU (two average epochs), which with the Zipf domain
+      // head drives a 4-deep saturation cascade — the tail sources train
+      // 4 full epochs, the mid source ~2.2, the head ~1. All integer;
+      // epochs_ppm = alloc·1e6 div U is the per-source repetition factor
+      // an operator reads off. Scale: one token-census shuffle (map-side
+      // combined); the scan is a ≤ n_sources-row control plane, and the
+      // per-doc sampling rule it implies (keep alloc_s of cap_s tokens)
+      // composes downstream without another shuffle. At real corpus
+      // scale, widen the ppm grid before multiplying (alloc·1e6 must fit
+      // int64).
+      "pipeline_epoch_budget",
+      (s, dir) => {
+        val R = 4L
+        val domCol = """CASE WHEN doc_id % 100 < 52 THEN 'd0'
+                       |WHEN doc_id % 100 < 76 THEN 'd1'
+                       |WHEN doc_id % 100 < 88 THEN 'd2'
+                       |WHEN doc_id % 100 < 94 THEN 'd3'
+                       |WHEN doc_id % 100 < 97 THEN 'd4'
+                       |ELSE 'd5' END""".stripMargin.replace('\n', ' ')
+        val u = Tables.documents(s, dir)
+          .select(expr(domCol).as("domain"),
+            size(split(col("text"), " ")).cast("long").as("nt"))
+          .groupBy("domain").agg(sum(col("nt")).as("u"))
+          .withColumn("cap", col("u") * R)
+        val tot = u.agg(sum(col("u")).as("usum"), count(lit(1)).as("nsrc"))
+        // global window over <= n_sources census rows — control plane
+        val wd = Window.orderBy(col("cap").asc, col("domain"))
+        val ranked = u
+          .withColumn("j", row_number().over(wd).cast("long"))
+          .withColumn("pref", sum(col("cap")).over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("cjp1", lead(col("cap"), 1).over(wd))
+          .crossJoin(broadcast(tot))
+          .withColumn("b", col("usum") * lit(2L))
+        val candJ = ranked.select(col("j"), col("cap").as("cj"), col("cjp1"),
+          (col("b") - col("pref")).as("sj"), col("nsrc"))
+        val cand0 = ranked.filter(col("j") === 1)
+          .select(lit(0L).as("j"), lit(null).cast("long").as("cj"),
+            col("cap").as("cjp1"), col("b").as("sj"), col("nsrc"))
+        val fixedPoint = cand0.unionByName(candJ)
+          .filter(col("sj") >= 0 && col("nsrc") > col("j"))
+          .withColumn("lvl", expr("sj div (nsrc - j)"))
+          .filter((col("cj").isNull || col("cj") <= col("lvl")) &&
+            (col("cjp1").isNull || col("cjp1") > col("lvl")))
+          .orderBy("j").limit(1)
+        u.crossJoin(broadcast(fixedPoint.select(col("lvl"))))
+          .select(col("domain"), col("u").as("unique_tokens"),
+            col("cap").as("cap_tokens"),
+            least(col("cap"), col("lvl")).as("alloc_tokens"),
+            expr("least(cap, lvl) * 1000000 div u").as("epochs_ppm"),
+            (col("cap") <= col("lvl")).as("saturated"))
+          .orderBy("domain")
+      },
+      Some("""WITH ebd AS (SELECT
+             |    CASE WHEN doc_id % 100 < 52 THEN 'd0'
+             |         WHEN doc_id % 100 < 76 THEN 'd1'
+             |         WHEN doc_id % 100 < 88 THEN 'd2'
+             |         WHEN doc_id % 100 < 94 THEN 'd3'
+             |         WHEN doc_id % 100 < 97 THEN 'd4'
+             |         ELSE 'd5' END AS domain,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+             |  FROM documents),
+             |ebu AS (SELECT domain, CAST(SUM(nt) AS BIGINT) AS u,
+             |    CAST(SUM(nt) * 4 AS BIGINT) AS cap
+             |  FROM ebd GROUP BY domain),
+             |ebt AS (SELECT CAST(SUM(u) AS BIGINT) AS usum,
+             |    CAST(COUNT(*) AS BIGINT) AS nsrc,
+             |    CAST(SUM(u) * 2 AS BIGINT) AS b FROM ebu),
+             |ebr AS (SELECT domain, u, cap,
+             |    CAST(row_number() OVER (ORDER BY cap, domain) AS BIGINT) AS j,
+             |    CAST(SUM(cap) OVER (ORDER BY cap, domain
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pref,
+             |    lead(cap) OVER (ORDER BY cap, domain) AS cjp1
+             |  FROM ebu),
+             |ebcand AS (SELECT CAST(0 AS BIGINT) AS j, CAST(NULL AS BIGINT) AS cj,
+             |    (SELECT cap FROM ebr WHERE j = 1) AS cjp1, b AS sj, nsrc
+             |  FROM ebt
+             |  UNION ALL
+             |  SELECT j, cap AS cj, cjp1, b - pref AS sj, nsrc FROM ebr, ebt),
+             |ebfix AS (SELECT j, sj // (nsrc - j) AS lvl FROM ebcand
+             |  WHERE sj >= 0 AND nsrc > j
+             |    AND (cj IS NULL OR cj <= sj // (nsrc - j))
+             |    AND (cjp1 IS NULL OR cjp1 > sj // (nsrc - j))
+             |  ORDER BY j LIMIT 1)
+             |SELECT domain, u AS unique_tokens, cap AS cap_tokens,
+             |  least(cap, lvl) AS alloc_tokens,
+             |  least(cap, lvl) * 1000000 // u AS epochs_ppm,
+             |  cap <= lvl AS saturated
+             |FROM ebu, ebfix ORDER BY domain""".stripMargin)
+    ),
+
+    GQuery(
       // Marker-word language ID with deterministic argmax tie order
       // (es > de > fr > en on strict-greater comparisons).
       "text_langid",

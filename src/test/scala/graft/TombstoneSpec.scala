@@ -2784,4 +2784,41 @@ class TombstoneSpec extends SparkSpec {
       ()
     } finally m.layoutForTest = 1
   }
+
+  test("layout migration: a location-anchored family re-anchors through its fold — the carry epoch carries the new layout") {
+    import graft.operators.DedupQueries
+    val m = graft.sources.IndexManifest
+    val t = graft.sources.Tombstones
+    // built + stream-ingested under layout 1 (the ingest commits the
+    // manifest whose epoch carries the stamp AND the fence)
+    val thr = DedupQueries.writeBandIndex(
+      spark, sfDir, "layout_mig_band", s"$tmp/layout_mig_band")
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val b = docs.filter(col("doc_id") % 13 === 1 && col("doc_id") < thr)
+      .select(col("doc_id") + 9100000L as "doc_id", col("text"))
+    assert(DedupQueries.ingestBandBatch(b, "layout_mig_band", 0L, "lm"))
+    def loc() = t.tableLocation(spark, "layout_mig_band")
+    assert(m.current(spark, loc()).exists(_.layout == 1))
+    val probed = sorted(DedupQueries.bandIndexFrame(spark, "layout_mig_band"))
+    try {
+      m.layoutForTest = 2
+      // the fold MOVES the anchor — anchorAfter re-resolves it for the
+      // post-fold stamp check; the carry epoch at the destination is
+      // stamped with the writing library's layout
+      assert(t.migrateIndexLayout(spark, loc(), Some(() => loc())) {
+        DedupQueries.compactBandIndex(spark, "layout_mig_band")
+      })
+      assert(m.current(spark, loc()).exists(_.layout == 2))
+      // probe parity across the migration
+      assert(sorted(DedupQueries.bandIndexFrame(spark, "layout_mig_band")) == probed)
+      // the ingest fence rides the migration: the folded batch stays fenced
+      assert(!DedupQueries.ingestBandBatch(b, "layout_mig_band", 0L, "lm"),
+        "a replay of the migrated-through batch must still fence")
+      // idempotent at the current layout
+      assert(!t.migrateIndexLayout(spark, loc(), Some(() => loc())) {
+        fail("migrate must not fold an index already at the current layout")
+      })
+      ()
+    } finally m.layoutForTest = 1
+  }
 }
