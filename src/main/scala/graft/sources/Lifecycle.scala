@@ -32,12 +32,25 @@ object Lifecycle {
     * `rows` is the family's physical base frame (the debt denominator —
     * lazy, only evaluated under the lease); `fold` the family's compactor
     * (compactSearchIndex / compactIvfIndex / compactBucketedIndex /
-    * compactFlat); `anchorAfter` re-resolves the anchor when the fold
-    * MOVES it (the location-anchored families — pass
-    * `() => Tombstones.tableLocation(s, table)`); `defaultData` lets
+    * compactFlat); `anchorAfter` is the LIVE anchor resolver for
+    * location-anchored families (pass
+    * `() => Tombstones.tableLocation(s, table)`) — it re-resolves the
+    * anchor after a fold moves it AND backs the verified lease claim
+    * (without it a concurrent writer's fold between the caller's anchor
+    * snapshot and the lease acquisition leaves two claimants holding
+    * different generations of the anchor — exclusion voided; see
+    * [[WriterLease.withResolvedIngestLease]]); `defaultData` lets
     * vacuum enumerate epoch-named data dirs for the flat families.
     * `keepEpochs` is the vacuum retention window (how far back as-of
-    * reads survive). The fold thresholds are [[Tombstones
+    * reads survive) — it DEFAULTS TO 1, not 0: maintain's whole point
+    * is running beside live planners (the ingest runner it crons next
+    * to, serving probes), and a pass that folds and then reclaims the
+    * just-retired location in the same breath turns the fold's
+    * deferred-reclaim invisibility into a reader-side FILE_NOT_EXIST
+    * for any plan built against the pre-fold location — the group-drain
+    * pin reproduced exactly this on the prefix family before the
+    * default changed. Pass 0 only for an index this maintainer
+    * exclusively owns. The fold thresholds are [[Tombstones
     * .needsCompaction]]'s knobs. `leaseWaitMs` < 0 opts the lease out
     * (the caller owns exclusion).
     *
@@ -48,21 +61,30 @@ object Lifecycle {
       s: SparkSession, anchor: String, family: String, rows: => DataFrame,
       idCol: String, fold: => Unit,
       anchorAfter: Option[() => String] = None,
-      defaultData: Option[String] = None, keepEpochs: Int = 0,
+      defaultData: Option[String] = None, keepEpochs: Int = 1,
       maxMaskedPpm: Long = 100000L, maxDeltaBatches: Long = 8L,
       holder: String = "maintenance",
       leaseWaitMs: Long = 600000L, leaseTtlMs: Long = 600000L): Maintenance =
-    WriterLease.withIngestLease(s, anchor, holder, leaseWaitMs, leaseTtlMs) {
-      if (IndexManifest.current(s, anchor).isEmpty)
+    // VERIFIED lease claim: for a location-anchored family the caller's
+    // `anchor` snapshot can be stale by the time the lease lands (a
+    // concurrent runner's or maintainer's fold moved the location between
+    // resolution and acquisition — two claimants then hold DIFFERENT
+    // generations of the anchor and exclusion voids; the group-drain pin
+    // reproduced this). `anchorAfter` doubles as the live resolver;
+    // immutable-anchor families omit it and the verify is a no-op.
+    WriterLease.withResolvedIngestLease(
+        s, anchorAfter.getOrElse(() => anchor), holder,
+        leaseWaitMs, leaseTtlMs) { a =>
+      if (IndexManifest.current(s, a).isEmpty)
         Maintenance(folded = false, reclaimed = 0L)
       else {
         val due = Tombstones.needsCompaction(
-          family, rows, anchor, idCol, maxMaskedPpm, maxDeltaBatches)
+          family, rows, a, idCol, maxMaskedPpm, maxDeltaBatches)
         if (due) fold
         // vacuum where the index lives NOW — a location-moving fold
-        // retired `anchor` and recorded it at the destination
+        // retired the pre-fold location and recorded it at the destination
         val anchorNow =
-          if (due) anchorAfter.map(_.apply()).getOrElse(anchor) else anchor
+          if (due) anchorAfter.map(_.apply()).getOrElse(a) else a
         Maintenance(due,
           Tombstones.vacuum(s, anchorNow, defaultData, keepEpochs))
       }

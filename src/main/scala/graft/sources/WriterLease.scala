@@ -278,6 +278,44 @@ object WriterLease {
     if (waitMs < 0) body
     else withLease(s, anchor, holder, ttlMs = ttlMs, waitMs = waitMs)(body)
 
+  /** [[withIngestLease]] for a LOCATION-ANCHORED family, whose anchor
+    * MOVES at every fold: resolve → acquire → RE-RESOLVE under the lease,
+    * and if a fold moved the location between resolution and acquisition,
+    * release and retry at the new one. Without the verify step, two
+    * claimants can end up holding "the" family's lease at DIFFERENT
+    * generations of its anchor — one resolved pre-fold, one post-fold —
+    * and mutual exclusion silently voids: the group-drain + concurrent-
+    * maintenance pin reproduced the full consequence chain (a runner
+    * blocked on the pre-fold location's lease acquires it after the
+    * maintainer folds away; the maintainer's next pass claims the new
+    * location UNCONTENDED and its fold/vacuum run under the runner's
+    * still-executing plan — FILE_NOT_EXIST on the read path, and the
+    * runner's commit would land at a retired anchor) before this
+    * primitive existed. Once the VERIFIED lease is held the location
+    * cannot move underneath the body, because a fold itself only lands
+    * under this same lease. The body receives the verified anchor.
+    * `waitMs` < 0 opts out like [[withIngestLease]].
+    */
+  def withResolvedIngestLease[T](
+      s: SparkSession, resolve: () => String, holder: String,
+      waitMs: Long, ttlMs: Long = 600000L)(body: String => T): T = {
+    if (waitMs < 0) return body(resolve())
+    var attempts = 0
+    while (attempts < 64) {
+      val a = resolve()
+      val out = withIngestLease(s, a, holder, waitMs, ttlMs) {
+        if (resolve() == a) Some(body(a)) else None
+      }
+      out match {
+        case Some(t) => return t
+        case None => attempts += 1 // a fold moved the anchor mid-claim — retry at the new location
+      }
+    }
+    throw new IllegalStateException(
+      s"WriterLease: anchor for '$holder' kept moving across 64 claim " +
+        "attempts — a fold storm, or a resolver that does not settle")
+  }
+
   def withLease[T](
       s: SparkSession, anchor: String, holder: String,
       ttlMs: Long = 600000L, waitMs: Long = 0L)(body: => T): T = {

@@ -58,12 +58,16 @@ object DocumentsStream {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          // per-batch writer lease on the CURRENT location anchor (the
-          // fold moves it; re-resolution keeps claimants colliding on the
-          // live lease); holder = this lineage's checkpoint; < 0 opts out
-          graft.sources.WriterLease.withIngestLease(spark,
-              graft.sources.Tombstones.tableLocation(spark, table),
-              checkpoint, leaseWaitMs, leaseTtlMs) {
+          // per-batch VERIFIED writer lease on the CURRENT location anchor
+          // (the fold moves it; resolve → acquire → re-resolve, retrying
+          // if a concurrent fold moved the location mid-claim — plain
+          // re-resolution alone leaves a window where two claimants hold
+          // different generations of the anchor and exclusion voids);
+          // holder = this lineage's checkpoint; < 0 opts out
+          graft.sources.WriterLease.withResolvedIngestLease(spark,
+              () => graft.sources.Tombstones.tableLocation(spark, table),
+              checkpoint, leaseWaitMs, leaseTtlMs) { _ =>
+            refreshFamilyTables(spark, batch.toDF(), table)
             graft.operators.DedupQueries.ingestWinnowBatch(
               batch.toDF(), table, batchId, streamId = checkpoint)
             foldIfDue(spark, table, foldEvery,
@@ -77,6 +81,25 @@ object DocumentsStream {
       .start()
     q.awaitTermination()
   }
+
+  /** Invalidate the session-local cached relations of a family's catalog
+    * tables before an arm reads them. `foreachBatch` executes on the
+    * streaming query's CLONED session, whose table-relation cache is
+    * separate from the main session's: a fold by a CONCURRENT process
+    * ([[graft.sources.Lifecycle.maintain]] cron-looping on the main
+    * session) swaps the table's location and refreshes only its own
+    * cache, so the stream clone keeps planning over the PRE-FOLD
+    * location — silently stale reads while the old files last,
+    * FILE_NOT_EXIST once vacuum reclaims them (the group-drain +
+    * concurrent-maintenance pin reproduced both). Refreshing under the
+    * verified lease makes every arm plan over the live location; on the
+    * uncontended path it costs one metadata invalidation per arm.
+    */
+  private[streaming] def refreshFamilyTables(
+      outer: SparkSession, batchDf: DataFrame, tables: String*): Unit =
+    Seq(outer, batchDf.sparkSession).distinct.foreach { ss =>
+      tables.foreach(t => ss.catalog.refreshTable(t))
+    }
 
   /** The inline LSM fold policy for the location-anchored runners: the
     * shared [[graft.sources.Tombstones.windowReached]] trigger against
@@ -107,12 +130,16 @@ object DocumentsStream {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          // per-batch writer lease on the CURRENT location anchor (the
-          // fold moves it; re-resolution keeps claimants colliding on the
-          // live lease); holder = this lineage's checkpoint; < 0 opts out
-          graft.sources.WriterLease.withIngestLease(spark,
-              graft.sources.Tombstones.tableLocation(spark, table),
-              checkpoint, leaseWaitMs, leaseTtlMs) {
+          // per-batch VERIFIED writer lease on the CURRENT location anchor
+          // (the fold moves it; resolve → acquire → re-resolve, retrying
+          // if a concurrent fold moved the location mid-claim — plain
+          // re-resolution alone leaves a window where two claimants hold
+          // different generations of the anchor and exclusion voids);
+          // holder = this lineage's checkpoint; < 0 opts out
+          graft.sources.WriterLease.withResolvedIngestLease(spark,
+              () => graft.sources.Tombstones.tableLocation(spark, table),
+              checkpoint, leaseWaitMs, leaseTtlMs) { _ =>
+            refreshFamilyTables(spark, batch.toDF(), table)
             graft.operators.DedupQueries.ingestBandBatch(
               batch.toDF(), table, batchId, streamId = checkpoint)
             foldIfDue(spark, table, foldEvery,
@@ -142,12 +169,16 @@ object DocumentsStream {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          // per-batch writer lease on the CURRENT location anchor (the
-          // fold moves it; re-resolution keeps claimants colliding on the
-          // live lease); holder = this lineage's checkpoint; < 0 opts out
-          graft.sources.WriterLease.withIngestLease(spark,
-              graft.sources.Tombstones.tableLocation(spark, table),
-              checkpoint, leaseWaitMs, leaseTtlMs) {
+          // per-batch VERIFIED writer lease on the CURRENT location anchor
+          // (the fold moves it; resolve → acquire → re-resolve, retrying
+          // if a concurrent fold moved the location mid-claim — plain
+          // re-resolution alone leaves a window where two claimants hold
+          // different generations of the anchor and exclusion voids);
+          // holder = this lineage's checkpoint; < 0 opts out
+          graft.sources.WriterLease.withResolvedIngestLease(spark,
+              () => graft.sources.Tombstones.tableLocation(spark, table),
+              checkpoint, leaseWaitMs, leaseTtlMs) { _ =>
+            refreshFamilyTables(spark, batch.toDF(), table, s"${table}_fwd")
             graft.operators.DedupQueries.ingestPrefixBatch(
               batch.toDF(), table, batchId, streamId = checkpoint)
             foldIfDue(spark, table, foldEvery,
@@ -183,12 +214,16 @@ object DocumentsStream {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          // per-batch writer lease on the CURRENT location anchor (the
-          // fold moves it; re-resolution keeps claimants colliding on the
-          // live lease); holder = this lineage's checkpoint; < 0 opts out
-          graft.sources.WriterLease.withIngestLease(spark,
-              graft.sources.Tombstones.tableLocation(spark, table),
-              checkpoint, leaseWaitMs, leaseTtlMs) {
+          // per-batch VERIFIED writer lease on the CURRENT location anchor
+          // (the fold moves it; resolve → acquire → re-resolve, retrying
+          // if a concurrent fold moved the location mid-claim — plain
+          // re-resolution alone leaves a window where two claimants hold
+          // different generations of the anchor and exclusion voids);
+          // holder = this lineage's checkpoint; < 0 opts out
+          graft.sources.WriterLease.withResolvedIngestLease(spark,
+              () => graft.sources.Tombstones.tableLocation(spark, table),
+              checkpoint, leaseWaitMs, leaseTtlMs) { _ =>
+            refreshFamilyTables(spark, batch.toDF(), table)
             graft.operators.MultimodalQueries.ingestPhashBatch(
               batch.toDF(), table, batchId, streamId = checkpoint)
             foldIfDue(spark, table, foldEvery,
@@ -272,6 +307,7 @@ object DocumentsStream {
             targets.search.foreach { case (table, path) =>
               graft.sources.WriterLease.withIngestLease(spark, path,
                   checkpoint, leaseWaitMs, leaseTtlMs) {
+                refreshFamilyTables(spark, docs, table)
                 graft.operators.SearchQueries.ingestSearchBatch(
                   spark, table, path, docs.select("doc_id", "text", "lang"),
                   batchId, streamId = checkpoint)
@@ -280,9 +316,10 @@ object DocumentsStream {
               }
             }
             targets.band.foreach { table =>
-              graft.sources.WriterLease.withIngestLease(spark,
-                  graft.sources.Tombstones.tableLocation(spark, table),
-                  checkpoint, leaseWaitMs, leaseTtlMs) {
+              graft.sources.WriterLease.withResolvedIngestLease(spark,
+                  () => graft.sources.Tombstones.tableLocation(spark, table),
+                  checkpoint, leaseWaitMs, leaseTtlMs) { _ =>
+                refreshFamilyTables(spark, docs, table)
                 graft.operators.DedupQueries.ingestBandBatch(
                   docs.select("doc_id", "text"), table, batchId,
                   streamId = checkpoint)
@@ -291,9 +328,10 @@ object DocumentsStream {
               }
             }
             targets.winnow.foreach { table =>
-              graft.sources.WriterLease.withIngestLease(spark,
-                  graft.sources.Tombstones.tableLocation(spark, table),
-                  checkpoint, leaseWaitMs, leaseTtlMs) {
+              graft.sources.WriterLease.withResolvedIngestLease(spark,
+                  () => graft.sources.Tombstones.tableLocation(spark, table),
+                  checkpoint, leaseWaitMs, leaseTtlMs) { _ =>
+                refreshFamilyTables(spark, docs, table)
                 graft.operators.DedupQueries.ingestWinnowBatch(
                   docs.select("doc_id", "text"), table, batchId,
                   streamId = checkpoint)
@@ -302,9 +340,10 @@ object DocumentsStream {
               }
             }
             targets.prefix.foreach { table =>
-              graft.sources.WriterLease.withIngestLease(spark,
-                  graft.sources.Tombstones.tableLocation(spark, table),
-                  checkpoint, leaseWaitMs, leaseTtlMs) {
+              graft.sources.WriterLease.withResolvedIngestLease(spark,
+                  () => graft.sources.Tombstones.tableLocation(spark, table),
+                  checkpoint, leaseWaitMs, leaseTtlMs) { _ =>
+                refreshFamilyTables(spark, docs, table, s"${table}_fwd")
                 graft.operators.DedupQueries.ingestPrefixBatch(
                   docs.select("doc_id", "text"), table, batchId,
                   streamId = checkpoint)

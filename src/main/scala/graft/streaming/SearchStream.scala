@@ -78,6 +78,12 @@ object SearchStream {
           // collision; < 0 opts out
           graft.sources.WriterLease.withIngestLease(
               spark, indexPath, checkpoint, leaseWaitMs, leaseTtlMs) {
+            // the search table's LOCATION moves at folds even though its
+            // manifest anchor (indexPath) does not — a concurrent
+            // maintainer's fold leaves this stream clone's relation cache
+            // on the pre-fold location (see DocumentsStream
+            // .refreshFamilyTables); refresh under the lease
+            DocumentsStream.refreshFamilyTables(spark, batch.toDF(), table)
             // the checkpoint IS the lineage: batch ids are monotone within
             // it, and a different checkpoint must refuse rather than fence
             SearchQueries.ingestSearchBatch(

@@ -1554,6 +1554,112 @@ class StreamingSpec extends SparkSpec {
       .forall(_.deltas.size < 3), "maintenance must keep the window bounded")
   }
 
+  test("group drain + concurrent per-family maintenance: four cron loops against one corpus ingest group, exact final state") {
+    // the deployment split the composed lifecycle implies: the GROUP
+    // runner only ingests (foldEvery = 0), and a separate maintenance
+    // process crons Lifecycle.maintain per family — four loops, one per
+    // anchor, each serialized against the runner by that anchor's lease.
+    // Pins: no maintenance pass ever pages, the fold policy fires on at
+    // least one family mid-drain, every family's final state equals its
+    // eagerly-buffered twin, and every settled window sits below the
+    // fold threshold.
+    import graft.operators.{DedupQueries, SearchQueries}
+    import graft.streaming.DocumentsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-groupmaint").toString
+    SearchQueries.writeSearchIndex(spark, sfDir, "gm_search_idx", s"$base/sidx")
+    val thr = DedupQueries.writeBandIndex(spark, sfDir, "gm_band_idx", s"$base/bidx")
+    DedupQueries.writeWinnowIndex(spark, sfDir, "gm_winnow_idx", s"$base/widx")
+    DedupQueries.writePrefixIndex(spark, sfDir, "gm_prefix_idx", s"$base/pidx")
+    SearchQueries.writeSearchIndex(spark, sfDir, "gm_search_idx_e", s"$base/sidxe")
+    DedupQueries.writeBandIndex(spark, sfDir, "gm_band_idx_e", s"$base/bidxe")
+    DedupQueries.writeWinnowIndex(spark, sfDir, "gm_winnow_idx_e", s"$base/widxe")
+    DedupQueries.writePrefixIndex(spark, sfDir, "gm_prefix_idx_e", s"$base/pidxe")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    val batches = (0 until 6).map(m =>
+      docs.filter(col("doc_id") % 11 === m && col("doc_id") < thr)
+        .select(col("doc_id") + (m + 1) * 1000000L as "doc_id",
+          col("text"), col("lang")))
+    batches.foreach(_.coalesce(1).write.mode("append").parquet(s"$base/in"))
+    val targets = DocumentsStream.CorpusIngestTargets(
+      search = Some(("gm_search_idx", s"$base/sidx")),
+      band = Some("gm_band_idx"),
+      winnow = Some("gm_winnow_idx"),
+      prefix = Some("gm_prefix_idx"))
+    @volatile var stop = false
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val folds = new java.util.concurrent.atomic.AtomicInteger()
+    def loc(t: String) = graft.sources.Tombstones.tableLocation(spark, t)
+    // one maintain pass per family — location-anchored families resolve
+    // their CURRENT location per pass and hand maintain the re-resolver
+    def passes(): Seq[() => graft.sources.Lifecycle.Maintenance] = Seq(
+      () => graft.sources.Lifecycle.maintain(
+        spark, s"$base/sidx", "search", spark.table("gm_search_idx"), "doc_id",
+        SearchQueries.compactSearchIndex(spark, "gm_search_idx", s"$base/sidx"),
+        maxDeltaBatches = 2L, holder = "gm_maint", leaseWaitMs = 120000L),
+      () => graft.sources.Lifecycle.maintain(
+        spark, loc("gm_band_idx"), "band", spark.table("gm_band_idx"), "doc_id",
+        DedupQueries.compactBandIndex(spark, "gm_band_idx"),
+        anchorAfter = Some(() => loc("gm_band_idx")),
+        maxDeltaBatches = 2L, holder = "gm_maint", leaseWaitMs = 120000L),
+      () => graft.sources.Lifecycle.maintain(
+        spark, loc("gm_winnow_idx"), "winnow", spark.table("gm_winnow_idx"), "doc_id",
+        DedupQueries.compactWinnowIndex(spark, "gm_winnow_idx"),
+        anchorAfter = Some(() => loc("gm_winnow_idx")),
+        maxDeltaBatches = 2L, holder = "gm_maint", leaseWaitMs = 120000L),
+      () => graft.sources.Lifecycle.maintain(
+        spark, loc("gm_prefix_idx"), "prefix", spark.table("gm_prefix_idx"), "doc_id",
+        DedupQueries.compactPrefixIndex(spark, "gm_prefix_idx"),
+        anchorAfter = Some(() => loc("gm_prefix_idx")),
+        maxDeltaBatches = 2L, holder = "gm_maint", leaseWaitMs = 120000L))
+    val maintainer = new Thread(() => {
+      while (!stop) {
+        passes().foreach { p =>
+          try { if (p().folded) folds.incrementAndGet() }
+          catch { case t: Throwable => errs.add(t) }
+        }
+        Thread.sleep(300)
+      }
+    })
+    maintainer.start()
+    try DocumentsStream.runCorpusIngest(
+      spark, s"$base/in", targets, s"$base/ckpt")
+    finally { stop = true; maintainer.join(180000) }
+    assert(!maintainer.isAlive, "maintenance thread must stop")
+    assert(errs.isEmpty, s"maintenance must never page: ${errs.peek()}")
+    // settle any residue past the threshold, then check the windows
+    passes().foreach(p => p())
+    assert(folds.get() >= 1, "the fold policy must have fired mid-drain")
+    Seq(s"$base/sidx", loc("gm_band_idx"), loc("gm_winnow_idx"),
+        loc("gm_prefix_idx")).foreach { a =>
+      assert(graft.sources.WriterLease.current(spark, a).isEmpty,
+        s"the lease at $a must be released on every exit path")
+      assert(graft.sources.IndexManifest.current(spark, a)
+        .forall(_.deltas.size < 2), s"window at $a must settle below the threshold")
+    }
+    // exactness: every family equals its eagerly-buffered twin
+    batches.foreach { b =>
+      SearchQueries.bufferSearchUpdate(spark, "gm_search_idx_e", s"$base/sidxe", b)
+      DedupQueries.bufferBandUpdate(b.select("doc_id", "text"), "gm_band_idx_e")
+      DedupQueries.bufferWinnowUpdate(b.select("doc_id", "text"), "gm_winnow_idx_e")
+      DedupQueries.bufferPrefixUpdate(b.select("doc_id", "text"), "gm_prefix_idx_e")
+    }
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col).toSeq: _*).collect().toSeq
+    assert(sortedRows(SearchQueries.bm25TopkFromIndex(
+        spark, "gm_search_idx", s"$base/sidx")) ==
+      sortedRows(SearchQueries.bm25TopkFromIndex(
+        spark, "gm_search_idx_e", s"$base/sidxe")))
+    val bandGot = sortedRows(DedupQueries.bandIndexFrame(spark, "gm_band_idx"))
+    assert(bandGot.nonEmpty &&
+      bandGot == sortedRows(DedupQueries.bandIndexFrame(spark, "gm_band_idx_e")))
+    val winGot = sortedRows(DedupQueries.winnowIndexFrame(spark, "gm_winnow_idx"))
+    assert(winGot.nonEmpty &&
+      winGot == sortedRows(DedupQueries.winnowIndexFrame(spark, "gm_winnow_idx_e")))
+    val pfxGot = sortedRows(DedupQueries.prefixIndexFrames(spark, "gm_prefix_idx")._1)
+    assert(pfxGot.nonEmpty &&
+      pfxGot == sortedRows(DedupQueries.prefixIndexFrames(spark, "gm_prefix_idx_e")._1))
+  }
+
   test("streaming helpers restore the nanosAsLong conf after the drain") {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     spark.conf.unset(key)

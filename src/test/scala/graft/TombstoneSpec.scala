@@ -2238,6 +2238,40 @@ class TombstoneSpec extends SparkSpec {
     assert(asof1 != null) // the pre-vacuum read really did serve
   }
 
+  test("verified lease claim: a fold moving the anchor mid-claim retries at the new location; a never-settling resolver pages") {
+    // the stale-generation race the group-drain soak caught: a claimant
+    // resolves the anchor, a concurrent fold moves the location before
+    // the lease lands, and without the verify step the claimant holds a
+    // DEAD generation's lease while the live one goes uncontended
+    val wl = graft.sources.WriterLease
+    val l1 = s"$tmp/rlease_gen1"
+    val l2 = s"$tmp/rlease_gen2"
+    // the "fold" lands between the claimant's resolution and its verify:
+    // first resolution says l1, every later one says l2
+    val calls = new java.util.concurrent.atomic.AtomicInteger()
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    val got = wl.withResolvedIngestLease(spark,
+        () => if (calls.getAndIncrement() == 0) l1 else l2,
+        "claimant", waitMs = 5000L) { a =>
+      seen += a; a
+    }
+    // the body ran EXACTLY ONCE, at the post-fold location, and the
+    // stale first-generation lease was released on the retry path
+    assert(got == l2 && seen.toSeq == Seq(l2))
+    assert(wl.current(spark, l1).isEmpty && wl.current(spark, l2).isEmpty)
+    // a resolver that never settles (a fold storm, or a broken resolver)
+    // pages loudly instead of spinning forever
+    val n = new java.util.concurrent.atomic.AtomicInteger()
+    val err = intercept[IllegalStateException] {
+      wl.withResolvedIngestLease(spark,
+          () => s"$tmp/rlease_storm_${n.getAndIncrement()}",
+          "claimant", waitMs = 5000L) { _ => fail("body must never run") }
+    }
+    assert(err.getMessage.contains("claim"), err.getMessage)
+    // opting the lease out resolves once and runs the body directly
+    assert(wl.withResolvedIngestLease(spark, () => l1, "x", waitMs = -1L)(identity) == l1)
+  }
+
   test("lease break is atomic: rename+verify restores a reclaimed lease instead of stealing it") {
     // review-found (r17 ADVICE): the old break was delete-then-create —
     // claimant B that read a STALE lease could delete claimant A's
