@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions._
   *   - the FOLD with the 16-batch window open (the realistic fold);
   *   - the probe again post-fold (the cost the fold buys back);
   *   - VACUUM of the deferred-reclaim leavings;
-  *   - the writer-lease acquire+release pair (per-op milliseconds).
+  *   - the writer-lease acquire+release pair (per-op milliseconds);
+  *   - [r20] the serving-under-mutation section drains a HYBRID group
+  *     (search + IVF under one lineage) and prices the consistent
+  *     cross-index snapshot probe (`serve_probe_consistent` — two
+  *     manifest history reads + as-of arms) against the live probe
+  *     under the same drain, reporting its as-of-horizon retry rate.
   *
   * Prints ONE JSON line `{"metric":"lifecycle","unit":"sec","steps":{..}}`
   * (compact, totals last — the Bench.scala contract shape). Numbers are
@@ -189,15 +194,30 @@ object LifecycleBench {
     // the drain fails the whole run: a fold or vacuum must never be
     // observable as an error by an in-flight reader.
     {
-      import graft.operators.SearchQueries
+      import graft.operators.{SearchQueries, SimilarityQueries}
       val path = s"$base/serve_idx"
+      val ivfPath = s"$base/serve_ivf"
       time("serve_build") {
         SearchQueries.writeSearchIndex(spark, sfDir, "lb_serve", path)
       }
+      SimilarityQueries.writeIvfIndex(spark, sfDir, ivfPath)
+      def sbatch(i: Int): DataFrame = docs.filter(col("doc_id") % 32 === i)
+        .select((col("doc_id") + (i + 1) * 10000000L).as("doc_id"),
+          col("text"), col("lang"))
+      def vbatch(i: Int): DataFrame = em.filter(col("vec_id") % 32 === i)
+        .select((col("vec_id") + (i + 1) * 10000000L).as("vec_id"),
+          col("label"), col("embedding"))
+      // batch 0 lands in BOTH siblings before any probe starts: the
+      // consistent read's common (lineage, batch-id) fence exists from
+      // the first sample on
+      SearchQueries.ingestSearchBatch(spark, "lb_serve", path, sbatch(0), 0L, "lbserve")
+      SimilarityQueries.ingestIvfBatch(spark, sfDir, ivfPath, vbatch(0), 0L, "lbserve")
       val phase = new java.util.concurrent.atomic.AtomicReference[String]("w0")
       val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
       val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+      val consistentRetries = new java.util.concurrent.atomic.AtomicInteger(0)
       val lat = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+      val consLat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
       val probeThreads = (1 to 4).map { _ =>
         new Thread(() => {
           while (!stop.get()) {
@@ -215,40 +235,79 @@ object LifecycleBench {
           }
         })
       }
-      probeThreads.foreach(_.start())
+      // the consistent-snapshot probe under the SAME drain — what its two
+      // manifest history reads + as-of arms cost vs the live probe. A
+      // fold landing between a thread's fence resolution and its as-of
+      // guard surfaces as the DOCUMENTED loud generation refusal (the
+      // as-of horizon, not a serving failure) — a serving tier re-resolves
+      // and retries, so the bench does too and REPORTS the retry rate;
+      // anything else is a real failure and fails the run.
+      val consistentThreads = (1 to 2).map { _ =>
+        new Thread(() => {
+          while (!stop.get()) {
+            val t0 = System.nanoTime()
+            try {
+              val df = SearchQueries.hybridTopkFromIndexesConsistent(
+                spark, sfDir, "lb_serve", path, ivfPath)
+              df.agg(max(xxhash64(df.columns.map(df.col): _*))).collect()
+              consLat.add((System.nanoTime() - t0) / 1e9)
+            } catch {
+              case e: IllegalArgumentException
+                  if e.getMessage != null && e.getMessage.contains("generation") =>
+                consistentRetries.incrementAndGet()
+              case e: Throwable =>
+                failures.incrementAndGet()
+                System.err.println(s"consistent probe FAILED: $e")
+            }
+          }
+        })
+      }
+      (probeThreads ++ consistentThreads).foreach(_.start())
       Thread.sleep(4000) // the idle-index baseline window
-      def sbatch(i: Int): DataFrame = docs.filter(col("doc_id") % 32 === i)
-        .select((col("doc_id") + (i + 1) * 10000000L).as("doc_id"),
-          col("text"), col("lang"))
       time("serve_drain") {
-        for (i <- 0 until 12) {
+        for (i <- 1 until 12) {
           phase.set("ingest")
           SearchQueries.ingestSearchBatch(
             spark, "lb_serve", path, sbatch(i), i.toLong, "lbserve")
+          SimilarityQueries.ingestIvfBatch(
+            spark, sfDir, ivfPath, vbatch(i), i.toLong, "lbserve")
           if (i % 4 == 3) { // the production foldEvery=4 cadence
             phase.set("fold")
             SearchQueries.compactSearchIndex(spark, "lb_serve", path)
-            // keepEpochs=2 keeps the retired pre-fold location alive for
+            SimilarityQueries.compactIvfIndex(spark, ivfPath)
+            // keepEpochs=2 keeps the retired pre-fold epochs alive for
             // exactly the in-flight plans these probe threads hold
             graft.sources.Tombstones.vacuum(spark, path, keepEpochs = 2)
+            graft.sources.Tombstones.vacuum(spark, ivfPath, Some(ivfPath), keepEpochs = 2)
           }
         }
       }
       stop.set(true)
-      probeThreads.foreach(_.join())
+      (probeThreads ++ consistentThreads).foreach(_.join())
       require(failures.get() == 0,
         s"${failures.get()} concurrent probe failures during the drain — " +
           "the deferred-reclaim serving guarantee is broken")
       import scala.jdk.CollectionConverters._
       val byPhase = lat.asScala.toSeq.groupBy(_._1)
       // mean concurrent-probe latency per phase, in SECONDS like every
-      // other steps value; per-op costs, excluded from the total
+      // other steps value; per-op costs, excluded from the total. Every
+      // phase must have recorded samples — a silently absent key would
+      // vary the output schema between runs and drop the fold-phase
+      // number this section exists to measure (review-found)
       Seq("w0" -> "serve_probe_w0", "ingest" -> "serve_probe_ingest",
           "fold" -> "serve_probe_fold").foreach { case (ph, k) =>
         val v = byPhase.getOrElse(ph, Seq.empty).map(_._2)
-        if (v.nonEmpty) steps(k) = v.sum / v.size
+        require(v.nonEmpty,
+          s"phase '$ph' recorded zero probe samples — lengthen the drain " +
+            "or the idle window so every phase is measured")
+        steps(k) = v.sum / v.size
         serveCounts(ph) = v.size
       }
+      val cv = consLat.asScala.toSeq
+      require(cv.nonEmpty, "the consistent probe recorded zero samples")
+      steps("serve_probe_consistent") = cv.sum / cv.size
+      serveCounts("consistent") = cv.size
+      serveCounts("consistent_retries") = consistentRetries.get()
     }
 
     // ---- the writer lease: per-op cost of acquire+release -------------------

@@ -1076,6 +1076,42 @@ object SearchQueries {
     rrfFuse(bm, vec)
   }
 
+  /** Freeze a hybrid group's CONSISTENT snapshot as STANDALONE clones —
+    * the group-wide training-reproducibility export ("pin the index SET
+    * the model trained on"): resolve the min common (lineage, batch-id)
+    * fence across the lexical and vector manifests (the
+    * [[hybridTopkFromIndexesConsistent]] resolution verbatim — loud
+    * refusal when no common lineage exists), resolve each index's epoch
+    * at that mark, and materialize BOTH via the per-family clones
+    * ([[cloneSearchIndexAsOf]] / [[graft.operators.SimilarityQueries
+    * .cloneIvfIndexAsOf]]). The clones OWN their copies and start clean
+    * lifecycles, so the frozen hybrid keeps serving that exact corpus
+    * state across any later source fold, vacuum, or generation bump —
+    * where the consistent READ dies at the as-of horizon, the clone set
+    * does not (pinned in StreamingSpec, including survival across a
+    * source fold + vacuum). `fence` pins an EARLIER mark than the live
+    * common one (both indexes must have committed epochs at or below it
+    * — the [[graft.sources.Tombstones.versionAtIngestHwm]] refusal);
+    * None takes the newest mutually consistent state. Returns the
+    * (lineage, mark) actually frozen, for the caller's training ledger.
+    */
+  def cloneHybridGroupAsOf(
+      s: SparkSession, table: String, path: String, ivfPath: String,
+      destTable: String, destPath: String, destIvfPath: String,
+      fence: Option[Long] = None): (String, Long) = {
+    val (lineage, liveHwm) = graft.sources.Tombstones.commonIngestFence(
+      s, Seq(path, ivfPath))
+    val hwm = fence.getOrElse(liveHwm)
+    require(hwm <= liveHwm,
+      s"cloneHybridGroupAsOf: requested fence $hwm is past the group's " +
+        s"common ingest mark $liveHwm — no sibling-consistent state exists there yet")
+    val bmV = graft.sources.Tombstones.versionAtIngestHwm(s, path, hwm)
+    val ivfV = graft.sources.Tombstones.versionAtIngestHwm(s, ivfPath, hwm)
+    cloneSearchIndexAsOf(s, table, path, bmV, destTable, destPath)
+    SimilarityQueries.cloneIvfIndexAsOf(s, ivfPath, ivfV, destIvfPath)
+    (lineage, hwm)
+  }
+
   /** Phrase probe against the persisted index: restrict the scan to the
     * PHRASE WORDS' postings (term In-list + bucket pruning, the BM25 probe
     * shape), explode their position lists, and run the adjacency equi-join

@@ -251,8 +251,39 @@ object IndexManifest {
 
   /** The current epoch, or None for a never-mutated (or freshly reset)
     * index. One listStatus + one small-file read — control-plane cost.
+    * [r20] CONF-ROUTED: with `graft.manifest.cacheTtlMs` > 0 (default 0 =
+    * off) the resolution goes through the TTL cache — the one-flag
+    * deployment choice for a probe-heavy serving tier on a high-LIST-
+    * latency object store. The flag is for SERVING sessions: every
+    * mutation templates its epoch through [[next]], which REFUSES loudly
+    * under the flag (see there), so a cached resolution can never feed a
+    * commit's content. Writer-critical resolution ([[next]],
+    * [[requireSameGeneration]], the ingest fence) bypasses the cache via
+    * [[currentUncached]] regardless of the flag.
     */
   def current(s: SparkSession, anchor: String): Option[Epoch] = {
+    val ttl = cacheTtlMs(s)
+    if (ttl <= 0L) resolveCurrent(s, anchor)
+    else cachedCurrent(s, anchor, ttl)
+  }
+
+  /** The session's cache-TTL flag (`graft.manifest.cacheTtlMs`, ms; 0 =
+    * off). One deployment flag: set it on serving sessions so every probe's
+    * `current()` resolution hits the TTL cache instead of the store.
+    */
+  def cacheTtlMs(s: SparkSession): Long =
+    s.conf.get("graft.manifest.cacheTtlMs", "0").toLong
+
+  /** [[current]] WITHOUT the conf-routed cache — the writer-critical
+    * resolution: epoch templating, the as-of generation guard, and the
+    * exactly-once ingest fence must see the true committed state, never a
+    * ≤-ttl-stale hit (a stale fence would re-admit a committed batch; a
+    * stale generation guard would let an as-of read mix generations).
+    */
+  private[graft] def currentUncached(s: SparkSession, anchor: String): Option[Epoch] =
+    resolveCurrent(s, anchor)
+
+  private def resolveCurrent(s: SparkSession, anchor: String): Option[Epoch] = {
     val d = new Path(dir(anchor))
     val f = fs(s, d)
     if (!f.exists(d)) None
@@ -271,23 +302,25 @@ object IndexManifest {
     }
   }
 
-  // ---- optional TTL cache over current() ------------------------------------
+  // ---- TTL cache over current() ----------------------------------------------
   // On HDFS/local FS a manifest resolution is one cheap listStatus + one
   // small read; on a high-LIST-latency object store a probe-heavy serving
-  // tier pays that round-trip per probe. The cache is OPT-IN per read
-  // (current() itself never consults it — the default path is unchanged)
-  // and bounded by a TTL the caller chooses. STALENESS BOUND: a cache hit
-  // can serve an epoch up to ttl after a writer superseded it — including
-  // the caching process's OWN commits (no invalidation anywhere, by
-  // design: cross-process writers are invisible to this map, so local
-  // invalidation would only narrow the window misleadingly). Size ttl ≤
-  // the writers' lease TTL and the bound composes with the lease
-  // discipline: a superseded epoch a hit serves is at most (lease wait +
-  // ttl) old, and — because folds DEFER reclaim to vacuum — its files
-  // still exist for at least the vacuum retention window, so a stale hit
-  // reads a complete older state, never a half-reclaimed one. Keyed by
-  // the anchor string as the caller spells it (two spellings of one
-  // anchor cache independently — correct, just not shared).
+  // tier pays that round-trip per probe. Two ways in: the conf flag above
+  // (routes every current() — the deployment choice) or the explicit
+  // [[cachedCurrent]] call (per-read opt-in, the r19 API). Bounded by a
+  // TTL. STALENESS BOUND: a hit can serve an epoch up to ttl after a
+  // CROSS-PROCESS writer superseded it; this process's OWN [[commit]] and
+  // [[reset]] invalidate the anchor's entry (read-your-writes — without
+  // it a writer-session flag flip could stale this process against its
+  // own mutations; cross-process writers remain invisible to the map, the
+  // honest residual). Size ttl ≤ the writers' lease TTL and the bound
+  // composes with the lease discipline: a superseded epoch a hit serves
+  // is at most (lease wait + ttl) old, and — because folds DEFER reclaim
+  // to vacuum — its files still exist for at least the vacuum retention
+  // window, so a stale hit reads a complete older state, never a
+  // half-reclaimed one. Keyed by the anchor string as the caller spells
+  // it (two spellings of one anchor cache independently — correct, just
+  // not shared).
 
   private val epochCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[Epoch])]()
@@ -295,8 +328,9 @@ object IndexManifest {
   /** [[current]] through the TTL cache: a hit younger than `ttlMs`
     * returns without touching the store; a miss (or expiry) re-resolves
     * and refreshes. `nowMs` is injectable for tests. Pinned in
-    * TombstoneSpec: a hit within ttl serves the superseded epoch, the
-    * first post-expiry read sees the new one.
+    * TombstoneSpec: a hit within ttl serves an epoch a FOREIGN writer
+    * superseded, the first post-expiry read sees the new one, and this
+    * process's own commit is visible immediately (invalidation).
     */
   def cachedCurrent(
       s: SparkSession, anchor: String, ttlMs: Long,
@@ -306,7 +340,7 @@ object IndexManifest {
     val t = nowMs()
     if (hit != null && t - hit._1 < ttlMs) hit._2
     else {
-      val e = current(s, anchor)
+      val e = resolveCurrent(s, anchor)
       epochCache.put(anchor, (t, e))
       e
     }
@@ -377,11 +411,28 @@ object IndexManifest {
     * must keep old readers serving needs a migration rewrite, not a
     * pointer flag.
     */
-  def next(s: SparkSession, anchor: String): Epoch =
-    current(s, anchor)
+  def next(s: SparkSession, anchor: String): Epoch = {
+    // every mutation passes through here, so this is the one choke point
+    // that makes the conf-routed cache safe by construction: a MUTATING
+    // session under the flag could derive a fold's or ingest's CONTENT
+    // from a ≤-ttl-stale hit and silently fold away another process's
+    // fresh commit (the version numbers would not even collide — next()
+    // itself resolves uncached). Refuse loudly instead: serve through the
+    // flag, mutate without it (or use the explicit cachedCurrent at probe
+    // call sites when one session must do both).
+    if (cacheTtlMs(s) > 0L)
+      throw new IllegalStateException(
+        "IndexManifest.next: refusing to template a mutation while " +
+          "graft.manifest.cacheTtlMs is set — a cached current() hit could " +
+          "feed this mutation's content a stale epoch and silently drop a " +
+          "concurrent sub-ttl commit. The cache flag is for serving " +
+          "sessions; mutate with it unset (probe-side code may still opt " +
+          "in per read via cachedCurrent).")
+    currentUncached(s, anchor)
       .map(e => e.copy(version = e.version + 1, retired = Vector.empty,
         layout = CURRENT_LAYOUT))
       .getOrElse(Epoch(1L, None, None, Vector.empty, Vector.empty, 0L))
+  }
 
   /** Land `e` as the new current epoch — the single atom of every
     * lifecycle mutation. Fails loudly (never overwrites) if `e.version`
@@ -414,6 +465,11 @@ object IndexManifest {
       case ConditionalCreateLanding =>
         landByConditionalCreate(f, dest, body, anchor, e.version)
     }
+    // read-your-writes for the TTL cache: this process's own commit must
+    // be visible to its own cached reads immediately (invalidate, don't
+    // refresh — the next cached read re-resolves under ITS clock)
+    epochCache.remove(anchor)
+    ()
   }
 
   /** The shared loud collision (the single-writer discipline's surface). */
@@ -528,7 +584,9 @@ object IndexManifest {
     */
   def requireSameGeneration(
       s: SparkSession, anchor: String, ep: Option[Epoch], version: Long): Unit = {
-    val curGen = current(s, anchor).map(_.baseGen).getOrElse(0L)
+    // uncached on purpose: a ≤-ttl-stale generation would let an as-of
+    // read silently mix standing data across a fresh append/fold boundary
+    val curGen = currentUncached(s, anchor).map(_.baseGen).getOrElse(0L)
     val epGen = ep.map(_.baseGen).getOrElse(0L)
     require(epGen == curGen,
       s"as-of epoch $version of $anchor is from base generation $epGen but the " +
@@ -553,6 +611,7 @@ object IndexManifest {
   def reset(s: SparkSession, anchor: String): Unit = {
     val d = new Path(dir(anchor))
     fs(s, d).delete(d, true)
+    epochCache.remove(anchor) // read-your-writes, like commit
     ()
   }
 

@@ -50,7 +50,10 @@ object Lifecycle {
     * for any plan built against the pre-fold location — the group-drain
     * pin reproduced exactly this on the prefix family before the
     * default changed. Pass 0 only for an index this maintainer
-    * exclusively owns. The fold thresholds are [[Tombstones
+    * exclusively owns. BEHAVIOR CHANGE (r19 — release note): the
+    * default was 0 through r18, so a pre-r19 caller relying on it now
+    * retains one extra retired epoch per anchor between passes; pass
+    * `keepEpochs = 0` explicitly to keep full reclamation. The fold thresholds are [[Tombstones
     * .needsCompaction]]'s knobs. `leaseWaitMs` < 0 opts the lease out
     * (the caller owns exclusion).
     *
@@ -89,4 +92,65 @@ object Lifecycle {
           Tombstones.vacuum(s, anchorNow, defaultData, keepEpochs))
       }
     }
+
+  /** One maintenance pass over EVERY family of a corpus ingest group —
+    * the cron entry a deployment points at the same
+    * [[graft.streaming.DocumentsStream.CorpusIngestTargets]] its runner
+    * takes ([[graft.streaming.DocumentsStream.runCorpusIngest]] /
+    * `runHybridIngest`), deriving each family's anchor, debt frame,
+    * fold, and (for the location-anchored families) live anchor resolver
+    * exactly the way the runner does — before r20 the group-drain +
+    * concurrent-maintenance soak hand-rolled four per-family [[maintain]]
+    * calls; this is that composition as one call, and the soak now runs
+    * against it. Families maintain INDEPENDENTLY (each under its own
+    * verified per-anchor lease, serialized against the runner's
+    * per-batch claim): one family's fold never blocks another's, and a
+    * failure in one family propagates after the earlier families'
+    * passes already committed — safe, because a maintenance pass is
+    * idempotent (debt re-checks, vacuum re-enumerates). Returns what
+    * each family's pass did, keyed by family name, in commit order.
+    */
+  def maintainGroup(
+      s: SparkSession,
+      targets: graft.streaming.DocumentsStream.CorpusIngestTargets,
+      keepEpochs: Int = 1,
+      maxMaskedPpm: Long = 100000L, maxDeltaBatches: Long = 8L,
+      holder: String = "maintenance",
+      leaseWaitMs: Long = 600000L, leaseTtlMs: Long = 600000L): Map[String, Maintenance] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, Maintenance]()
+    def locTable(family: String, table: String, fold: => Unit): Unit = {
+      def loc() = Tombstones.tableLocation(s, table)
+      out(family) = maintain(s, loc(), family, s.table(table), "doc_id",
+        fold, anchorAfter = Some(() => loc()),
+        keepEpochs = keepEpochs, maxMaskedPpm = maxMaskedPpm,
+        maxDeltaBatches = maxDeltaBatches, holder = holder,
+        leaseWaitMs = leaseWaitMs, leaseTtlMs = leaseTtlMs)
+    }
+    targets.search.foreach { case (table, path) =>
+      out("search") = maintain(s, path, "search", s.table(table), "doc_id",
+        graft.operators.SearchQueries.compactSearchIndex(s, table, path),
+        keepEpochs = keepEpochs, maxMaskedPpm = maxMaskedPpm,
+        maxDeltaBatches = maxDeltaBatches, holder = holder,
+        leaseWaitMs = leaseWaitMs, leaseTtlMs = leaseTtlMs)
+    }
+    targets.band.foreach(t => locTable("band", t,
+      graft.operators.DedupQueries.compactBandIndex(s, t)))
+    targets.winnow.foreach(t => locTable("winnow", t,
+      graft.operators.DedupQueries.compactWinnowIndex(s, t)))
+    targets.prefix.foreach(t => locTable("prefix", t,
+      graft.operators.DedupQueries.compactPrefixIndex(s, t)))
+    targets.ivf.foreach { path =>
+      // flat epoch-dir family: the debt denominator is the CURRENT base
+      // frame (resolved lazily under the lease — a fold may redirect it),
+      // and vacuum needs the build path to enumerate epoch-named dirs
+      out("ivf") = maintain(s, path, "ivf",
+        s.read.parquet(IndexManifest.dataPath(s, path, path)), "vec_id",
+        graft.operators.SimilarityQueries.compactIvfIndex(s, path),
+        defaultData = Some(path),
+        keepEpochs = keepEpochs, maxMaskedPpm = maxMaskedPpm,
+        maxDeltaBatches = maxDeltaBatches, holder = holder,
+        leaseWaitMs = leaseWaitMs, leaseTtlMs = leaseTtlMs)
+    }
+    out.toMap
+  }
 }

@@ -280,7 +280,10 @@ object Tombstones {
     * verifying the input is a replay).
     */
   def ingestFence(s: SparkSession, indexPath: String): Option[(String, Long)] = {
-    val cur = IndexManifest.current(s, indexPath)
+    // uncached on purpose: the exactly-once admission ([[fenceAdmits]])
+    // must see the true committed mark — a ≤-ttl-stale fence would
+    // re-admit an already-committed batch as new
+    val cur = IndexManifest.currentUncached(s, indexPath)
     for (h <- cur.flatMap(_.ingestHwm))
       yield (cur.flatMap(_.ingestStream).getOrElse("default"), h)
   }

@@ -300,15 +300,28 @@ object WriterLease {
       s: SparkSession, resolve: () => String, holder: String,
       waitMs: Long, ttlMs: Long = 600000L)(body: String => T): T = {
     if (waitMs < 0) return body(resolve())
+    // TWO bounds, not one: the attempt cap alone would let a pathological
+    // fold storm park a claimant for attempts × waitMs (hours at the
+    // 600 s default) before paging — `waitMs` is the caller's TOTAL
+    // patience, so the wall-clock deadline derives from it and each
+    // attempt claims only the remaining budget (review-found).
+    val deadline = System.currentTimeMillis() + waitMs
     var attempts = 0
     while (attempts < 64) {
       val a = resolve()
-      val out = withIngestLease(s, a, holder, waitMs, ttlMs) {
+      val remaining = math.max(0L, deadline - System.currentTimeMillis())
+      val out = withIngestLease(s, a, holder, remaining, ttlMs) {
         if (resolve() == a) Some(body(a)) else None
       }
       out match {
         case Some(t) => return t
-        case None => attempts += 1 // a fold moved the anchor mid-claim — retry at the new location
+        case None => // a fold moved the anchor mid-claim — retry at the new location
+          attempts += 1
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"WriterLease: anchor for '$holder' still moving when the " +
+                s"${waitMs}ms claim budget expired after $attempts attempts " +
+                "— a fold storm, or a resolver that does not settle")
       }
     }
     throw new IllegalStateException(

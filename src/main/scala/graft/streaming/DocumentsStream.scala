@@ -240,16 +240,83 @@ object DocumentsStream {
 
   /** The sibling indexes one corpus ingest group feeds — each optional,
     * so a deployment composes exactly the families it serves. `search` is
-    * (table, immutable index path); the other three are catalog tables
-    * (their manifests anchor on the table's current location).
+    * (table, immutable index path); `band`/`winnow`/`prefix` are catalog
+    * tables (their manifests anchor on the table's current location);
+    * `ivf` is the VECTOR family's immutable index path — the modality
+    * sibling [[runHybridIngest]] feeds from the same (lineage, batch-id)
+    * fence, closing the group for
+    * [[graft.operators.SearchQueries.hybridTopkFromIndexesConsistent]]
+    * (before r20 that consistent read's common-lineage precondition was
+    * only producible by hand-staged ingestIvfBatch calls).
     */
   final case class CorpusIngestTargets(
       search: Option[(String, String)] = None,
       band: Option[String] = None,
       winnow: Option[String] = None,
-      prefix: Option[String] = None) {
+      prefix: Option[String] = None,
+      ivf: Option[String] = None) {
     require(search.isDefined || band.isDefined || winnow.isDefined ||
-      prefix.isDefined, "CorpusIngestTargets: at least one target family")
+      prefix.isDefined || ivf.isDefined,
+      "CorpusIngestTargets: at least one target family")
+  }
+
+  /** One micro-batch through every LEXICAL sibling of a corpus ingest
+    * group, in the fixed commit order (search → band → winnow → prefix) —
+    * the shared body of [[runCorpusIngest]] and [[runHybridIngest]].
+    * `docs` must carry (doc_id, text, lang) and be persisted by the
+    * caller (each family derives its rows from the one cached read).
+    */
+  private def ingestLexicalFamilies(
+      spark: SparkSession, docs: DataFrame, targets: CorpusIngestTargets,
+      batchId: Long, checkpoint: String, foldEvery: Int,
+      leaseWaitMs: Long, leaseTtlMs: Long): Unit = {
+    targets.search.foreach { case (table, path) =>
+      graft.sources.WriterLease.withIngestLease(spark, path,
+          checkpoint, leaseWaitMs, leaseTtlMs) {
+        refreshFamilyTables(spark, docs, table)
+        graft.operators.SearchQueries.ingestSearchBatch(
+          spark, table, path, docs.select("doc_id", "text", "lang"),
+          batchId, streamId = checkpoint)
+        if (graft.sources.Tombstones.windowReached(spark, path, foldEvery))
+          graft.operators.SearchQueries.compactSearchIndex(spark, table, path)
+      }
+    }
+    targets.band.foreach { table =>
+      graft.sources.WriterLease.withResolvedIngestLease(spark,
+          () => graft.sources.Tombstones.tableLocation(spark, table),
+          checkpoint, leaseWaitMs, leaseTtlMs) { _ =>
+        refreshFamilyTables(spark, docs, table)
+        graft.operators.DedupQueries.ingestBandBatch(
+          docs.select("doc_id", "text"), table, batchId,
+          streamId = checkpoint)
+        foldIfDue(spark, table, foldEvery,
+          graft.operators.DedupQueries.compactBandIndex(spark, table))
+      }
+    }
+    targets.winnow.foreach { table =>
+      graft.sources.WriterLease.withResolvedIngestLease(spark,
+          () => graft.sources.Tombstones.tableLocation(spark, table),
+          checkpoint, leaseWaitMs, leaseTtlMs) { _ =>
+        refreshFamilyTables(spark, docs, table)
+        graft.operators.DedupQueries.ingestWinnowBatch(
+          docs.select("doc_id", "text"), table, batchId,
+          streamId = checkpoint)
+        foldIfDue(spark, table, foldEvery,
+          graft.operators.DedupQueries.compactWinnowIndex(spark, table))
+      }
+    }
+    targets.prefix.foreach { table =>
+      graft.sources.WriterLease.withResolvedIngestLease(spark,
+          () => graft.sources.Tombstones.tableLocation(spark, table),
+          checkpoint, leaseWaitMs, leaseTtlMs) { _ =>
+        refreshFamilyTables(spark, docs, table, s"${table}_fwd")
+        graft.operators.DedupQueries.ingestPrefixBatch(
+          docs.select("doc_id", "text"), table, batchId,
+          streamId = checkpoint)
+        foldIfDue(spark, table, foldEvery,
+          graft.operators.DedupQueries.compactPrefixIndex(spark, table))
+      }
+    }
   }
 
   /** MULTI-INDEX streaming ingest group — the way a real pipeline uses
@@ -289,6 +356,10 @@ object DocumentsStream {
       spark: SparkSession, inPath: String, targets: CorpusIngestTargets,
       checkpoint: String, foldEvery: Int = 0,
       leaseWaitMs: Long = 600000L, leaseTtlMs: Long = 600000L): Unit = {
+    require(targets.ivf.isEmpty,
+      "runCorpusIngest reads a text-only corpus (doc_id, text, lang) — a " +
+        "vector-family target needs the (doc, embedding) schema of " +
+        "runHybridIngest, which fences the IVF sibling under the same lineage")
     val corpusSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -302,56 +373,88 @@ object DocumentsStream {
         if (!batch.isEmpty) {
           // one persisted read of the batch feeds all sibling derivations
           val docs = batch.toDF().persist()
+          // FIXED ORDER — a crash leaves a deterministic prefix of it
+          try ingestLexicalFamilies(spark, docs, targets, batchId,
+            checkpoint, foldEvery, leaseWaitMs, leaseTtlMs)
+          finally docs.unpersist(false)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** MULTI-MODAL streaming ingest group — [[runCorpusIngest]] with the
+    * VECTOR family as a first-class sibling: one logical corpus batch
+    * carries each document's text AND its embedding
+    * (doc_id, text, lang, label, embedding float[]), the lexical families
+    * ingest the text projection and the IVF index ingests the vector
+    * projection (doc_id serves as vec_id — one corpus, one id space),
+    * every commit fenced by the SAME (checkpoint, batch-id) pair. Commit
+    * order extends the lexical group's with ivf LAST
+    * (search → band → winnow → prefix → ivf), so a crash anywhere —
+    * including BETWEEN the modality siblings — leaves a deterministic
+    * prefix that the checkpoint replay provably converges (the
+    * [[runCorpusIngest]] argument verbatim: families at the mark skip on
+    * their fence, families behind it ingest; crash-injection pinned
+    * across the modality boundary in StreamingSpec).
+    *
+    * This is what makes
+    * [[graft.operators.SearchQueries.hybridTopkFromIndexesConsistent]]
+    * deployable: its common-lineage precondition (both manifests fenced
+    * by one checkpoint) is now PRODUCED by a shipped runner instead of
+    * hand-staged ingest calls — mid-drain, the consistent read serves
+    * the group's own output at the min common fence with no divergence
+    * window beyond the one batch in flight.
+    *
+    * Scale shape per trigger: unchanged from [[runCorpusIngest]] for the
+    * lexical families (one persisted batch read, small per-family
+    * derivations); the vector arm re-assigns only the BATCH's vectors to
+    * the index's frozen seed geometry (a broadcast-seed map job) and
+    * lands them as one delta-batch commit — the standing cells are
+    * untouched between folds. `dir` is the corpus root the IVF family's
+    * quantizer geometry derives from (the
+    * [[graft.operators.SimilarityQueries.ingestIvfBatch]] contract).
+    */
+  def runHybridIngest(
+      spark: SparkSession, inPath: String, dir: String,
+      targets: CorpusIngestTargets, checkpoint: String, foldEvery: Int = 0,
+      leaseWaitMs: Long = 600000L, leaseTtlMs: Long = 600000L): Unit = {
+    val hybridSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("label", org.apache.spark.sql.types.IntegerType),
+      StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val q = spark.readStream
+      .schema(hybridSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          // one persisted read of the batch feeds all sibling derivations
+          val rows = batch.toDF().persist()
           try {
-            // FIXED ORDER — a crash leaves a deterministic prefix of it
-            targets.search.foreach { case (table, path) =>
+            // FIXED ORDER — lexical prefix first, the vector sibling last
+            ingestLexicalFamilies(spark, rows, targets, batchId,
+              checkpoint, foldEvery, leaseWaitMs, leaseTtlMs)
+            targets.ivf.foreach { path =>
               graft.sources.WriterLease.withIngestLease(spark, path,
                   checkpoint, leaseWaitMs, leaseTtlMs) {
-                refreshFamilyTables(spark, docs, table)
-                graft.operators.SearchQueries.ingestSearchBatch(
-                  spark, table, path, docs.select("doc_id", "text", "lang"),
+                graft.operators.SimilarityQueries.ingestIvfBatch(
+                  spark, dir, path,
+                  rows.select(col("doc_id").as("vec_id"), col("label"),
+                    col("embedding")),
                   batchId, streamId = checkpoint)
                 if (graft.sources.Tombstones.windowReached(spark, path, foldEvery))
-                  graft.operators.SearchQueries.compactSearchIndex(spark, table, path)
+                  graft.operators.SimilarityQueries.compactIvfIndex(spark, path)
               }
             }
-            targets.band.foreach { table =>
-              graft.sources.WriterLease.withResolvedIngestLease(spark,
-                  () => graft.sources.Tombstones.tableLocation(spark, table),
-                  checkpoint, leaseWaitMs, leaseTtlMs) { _ =>
-                refreshFamilyTables(spark, docs, table)
-                graft.operators.DedupQueries.ingestBandBatch(
-                  docs.select("doc_id", "text"), table, batchId,
-                  streamId = checkpoint)
-                foldIfDue(spark, table, foldEvery,
-                  graft.operators.DedupQueries.compactBandIndex(spark, table))
-              }
-            }
-            targets.winnow.foreach { table =>
-              graft.sources.WriterLease.withResolvedIngestLease(spark,
-                  () => graft.sources.Tombstones.tableLocation(spark, table),
-                  checkpoint, leaseWaitMs, leaseTtlMs) { _ =>
-                refreshFamilyTables(spark, docs, table)
-                graft.operators.DedupQueries.ingestWinnowBatch(
-                  docs.select("doc_id", "text"), table, batchId,
-                  streamId = checkpoint)
-                foldIfDue(spark, table, foldEvery,
-                  graft.operators.DedupQueries.compactWinnowIndex(spark, table))
-              }
-            }
-            targets.prefix.foreach { table =>
-              graft.sources.WriterLease.withResolvedIngestLease(spark,
-                  () => graft.sources.Tombstones.tableLocation(spark, table),
-                  checkpoint, leaseWaitMs, leaseTtlMs) { _ =>
-                refreshFamilyTables(spark, docs, table, s"${table}_fwd")
-                graft.operators.DedupQueries.ingestPrefixBatch(
-                  docs.select("doc_id", "text"), table, batchId,
-                  streamId = checkpoint)
-                foldIfDue(spark, table, foldEvery,
-                  graft.operators.DedupQueries.compactPrefixIndex(spark, table))
-              }
-            }
-          } finally docs.unpersist(false)
+          } finally rows.unpersist(false)
         }
         ()
       }

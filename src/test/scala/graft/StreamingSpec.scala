@@ -1500,6 +1500,148 @@ class StreamingSpec extends SparkSpec {
     assert(e2.getMessage.contains("lineage"), e2.getMessage)
   }
 
+  test("hybrid ingest group: one corpus batch feeds lexical + vector siblings; modality-boundary crash converges; consistent read and group clone serve the group's own output") {
+    // the r19 group pin extended across the MODALITY boundary: one
+    // runner (runHybridIngest) fences the lexical postings AND the IVF
+    // index under one (checkpoint, batch-id) lineage, so the consistent
+    // hybrid read resolves the group's OWN output with no hand-staged
+    // ingestIvfBatch calls — the exact composition the r19 chyb pin had
+    // to stage by hand. Staging constants are the registered
+    // search_hybrid_snapshot entry's (bootstrap id % 4 <> 3, batch 0 =
+    // id % 8 = 3, batch 1 = id % 8 = 7), so every state along the way
+    // compares against an ORACLE-PAIRED entry, never a hand-computed
+    // expectation.
+    import graft.operators.{SearchQueries, SimilarityQueries}
+    import graft.streaming.DocumentsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-hybgrp").toString
+    SearchQueries.writeSearchIndexWhere(
+      spark, sfDir, "hg_search", s"$base/sidx", col("doc_id") % 4 =!= 3)
+    SimilarityQueries.writeIvfIndexWhere(
+      spark, sfDir, s"$base/ividx", col("vec_id") % 4 =!= 3)
+    // one corpus row = a document AND its embedding (aligned id spaces)
+    val rows = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+      .join(Tables.embeddings(spark, sfDir),
+        col("doc_id") === col("vec_id"))
+      .select("doc_id", "text", "lang", "label", "embedding")
+    val targets = DocumentsStream.CorpusIngestTargets(
+      search = Some(("hg_search", s"$base/sidx")),
+      ivf = Some(s"$base/ividx"))
+    def fence(anchor: String) =
+      graft.sources.Tombstones.ingestFence(spark, anchor).map(_._2)
+    def consistent() = SearchQueries.hybridTopkFromIndexesConsistent(
+      spark, sfDir, "hg_search", s"$base/sidx", s"$base/ividx").collect().toSeq
+    // ---- batch 0 drains into BOTH modalities under one lineage --------
+    rows.filter(col("doc_id") % 8 === 3)
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    DocumentsStream.runHybridIngest(
+      spark, s"$base/in", sfDir, targets, s"$base/ckpt")
+    assert(fence(s"$base/sidx").contains(0L) && fence(s"$base/ividx").contains(0L),
+      "one drain must fence both modalities at batch 0")
+    val snapshotEntry = SparkEntry.queries("search_hybrid_snapshot")(spark, sfDir)
+      .collect().toSeq
+    assert(snapshotEntry.nonEmpty && consistent() == snapshotEntry,
+      "with both siblings at the mark, the consistent read equals the " +
+        "oracle-paired prefix hybrid")
+    // ---- crash BETWEEN the modality siblings: search (lexical prefix)
+    // lands batch 1, the IVF commit dies before its pointer -------------
+    rows.filter(col("doc_id") % 8 === 7)
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    graft.sources.IndexManifest.failCommitCountdown = 1
+    val crash = intercept[Exception] {
+      DocumentsStream.runHybridIngest(
+        spark, s"$base/in", sfDir, targets, s"$base/ckpt")
+    }
+    assert(crash.getMessage.contains("injected") ||
+      Option(crash.getCause).exists(_.getMessage.contains("injected")),
+      crash.getMessage)
+    assert(fence(s"$base/sidx").contains(1L),
+      "the lexical sibling must have committed batch 1")
+    assert(fence(s"$base/ividx").contains(0L),
+      "the vector sibling must still be at batch 0 after the mid-group crash")
+    // the serving guarantee mid-divergence: the consistent read refuses
+    // to mix the two corpus states and serves the COMMON prefix — still
+    // the oracle-paired entry, with batch 1 invisible although the
+    // lexical index has committed it
+    assert(consistent() == snapshotEntry,
+      "mid-divergence the consistent read must serve the common prefix")
+    // ---- group snapshot export at the common fence --------------------
+    // freeze the index SET a model would train on: both clones at the
+    // min common (lineage, batch-id) mark, owning their copies
+    val (_, hwm) = SearchQueries.cloneHybridGroupAsOf(
+      spark, "hg_search", s"$base/sidx", s"$base/ividx",
+      "hg_search_clone", s"$base/sidxc", s"$base/ividxc")
+    assert(hwm == 0L, s"the common fence mid-divergence is batch 0, got $hwm")
+    def cloneHybrid() = SearchQueries.hybridTopkFromIndexes(
+      spark, sfDir, "hg_search_clone", s"$base/sidxc", s"$base/ividxc")
+      .collect().toSeq
+    assert(cloneHybrid() == snapshotEntry,
+      "the frozen group must probe exactly the consistent state it cloned")
+    // a fence PAST the common mark refuses loudly
+    val ePast = intercept[IllegalArgumentException] {
+      SearchQueries.cloneHybridGroupAsOf(
+        spark, "hg_search", s"$base/sidx", s"$base/ividx",
+        "hg_x", s"$base/x1", s"$base/x2", fence = Some(1L))
+    }
+    assert(ePast.getMessage.contains("common"), ePast.getMessage)
+    // ---- replay converges the group across the modality boundary ------
+    DocumentsStream.runHybridIngest(
+      spark, s"$base/in", sfDir, targets, s"$base/ckpt")
+    assert(fence(s"$base/sidx").contains(1L) && fence(s"$base/ividx").contains(1L))
+    // both modalities now hold the FULL corpus: every probe equals its
+    // oracle-paired full-corpus entry (search skipped the replayed batch
+    // on its fence; ivf ingested it)
+    val bmEntry = SparkEntry.queries("search_bm25_topk")(spark, sfDir)
+    val bmCols = bmEntry.columns.map(col).toSeq
+    assert(SearchQueries.bm25TopkFromIndex(spark, "hg_search", s"$base/sidx")
+        .select(bmCols: _*).orderBy(bmCols: _*).collect().toSeq ==
+      bmEntry.orderBy(bmCols: _*).collect().toSeq,
+      "the lexical sibling must converge to the full-corpus ranking")
+    val ivfEntry = SparkEntry.queries("ann_ivf_topk")(spark, sfDir)
+    val ivfCols = ivfEntry.columns.map(col).toSeq
+    assert(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, s"$base/ividx")
+        .select(ivfCols: _*).orderBy(ivfCols: _*).collect().toSeq ==
+      ivfEntry.orderBy(ivfCols: _*).collect().toSeq,
+      "the vector sibling must converge to the full-corpus ranking")
+    // converged ⇒ the consistent read equals the LIVE index-served hybrid
+    // (whose component lists were just pinned to their oracle-paired
+    // entries; the registered search_hybrid_rrf is the brute-force-vector
+    // fusion, a different system by design)
+    val fullHybrid = SearchQueries.hybridTopkFromIndexes(
+      spark, sfDir, "hg_search", s"$base/sidx", s"$base/ividx").collect().toSeq
+    assert(fullHybrid.nonEmpty && consistent() == fullHybrid,
+      "with the group converged, the consistent read equals the live hybrid")
+    // replay-after-success: a no-op on both modalities
+    DocumentsStream.runHybridIngest(
+      spark, s"$base/in", sfDir, targets, s"$base/ckpt")
+    assert(fence(s"$base/sidx").contains(1L) && fence(s"$base/ividx").contains(1L))
+    assert(consistent() == fullHybrid)
+    // ---- group maintenance + clone survival ---------------------------
+    // one maintainGroup call folds whatever is due across the group
+    // (both windows hold 1–2 open batches, past a threshold of 1)...
+    val m = graft.sources.Lifecycle.maintainGroup(
+      spark, targets, maxDeltaBatches = 1L, holder = "hg_maint",
+      leaseWaitMs = 120000L)
+    assert(m.keySet == Set("search", "ivf") && m.values.forall(_.folded),
+      s"both families were past the fold threshold: $m")
+    Seq(s"$base/sidx", s"$base/ividx").foreach { a =>
+      assert(graft.sources.IndexManifest.current(spark, a)
+        .forall(_.deltas.isEmpty), s"window at $a must fold to empty")
+      assert(graft.sources.WriterLease.current(spark, a).isEmpty,
+        s"the lease at $a must be released")
+    }
+    // ...vacuum reclaims everything the folds retired (the group clones
+    // OWN their copies, so total reclaim cannot touch them)...
+    graft.sources.Tombstones.vacuum(spark, s"$base/sidx", keepEpochs = 0)
+    graft.sources.Tombstones.vacuum(
+      spark, s"$base/ividx", Some(s"$base/ividx"), keepEpochs = 0)
+    // ...the live group still serves (fence rode the folds), and the
+    // frozen group still serves the state it was cloned at
+    assert(consistent() == fullHybrid,
+      "the consistent read must survive the group fold + vacuum")
+    assert(cloneHybrid() == snapshotEntry,
+      "the group clone must outlive the source folds and vacuum")
+  }
+
   test("one-call maintenance runs concurrently with a draining ingest: lease-serialized, policy-triggered folds, exact final probe") {
     // Lifecycle.maintain as an operator would cron it — a SEPARATE thread
     // looping debt-check → fold-if-due → vacuum against an index a
@@ -1589,34 +1731,18 @@ class StreamingSpec extends SparkSpec {
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val folds = new java.util.concurrent.atomic.AtomicInteger()
     def loc(t: String) = graft.sources.Tombstones.tableLocation(spark, t)
-    // one maintain pass per family — location-anchored families resolve
-    // their CURRENT location per pass and hand maintain the re-resolver
-    def passes(): Seq[() => graft.sources.Lifecycle.Maintenance] = Seq(
-      () => graft.sources.Lifecycle.maintain(
-        spark, s"$base/sidx", "search", spark.table("gm_search_idx"), "doc_id",
-        SearchQueries.compactSearchIndex(spark, "gm_search_idx", s"$base/sidx"),
-        maxDeltaBatches = 2L, holder = "gm_maint", leaseWaitMs = 120000L),
-      () => graft.sources.Lifecycle.maintain(
-        spark, loc("gm_band_idx"), "band", spark.table("gm_band_idx"), "doc_id",
-        DedupQueries.compactBandIndex(spark, "gm_band_idx"),
-        anchorAfter = Some(() => loc("gm_band_idx")),
-        maxDeltaBatches = 2L, holder = "gm_maint", leaseWaitMs = 120000L),
-      () => graft.sources.Lifecycle.maintain(
-        spark, loc("gm_winnow_idx"), "winnow", spark.table("gm_winnow_idx"), "doc_id",
-        DedupQueries.compactWinnowIndex(spark, "gm_winnow_idx"),
-        anchorAfter = Some(() => loc("gm_winnow_idx")),
-        maxDeltaBatches = 2L, holder = "gm_maint", leaseWaitMs = 120000L),
-      () => graft.sources.Lifecycle.maintain(
-        spark, loc("gm_prefix_idx"), "prefix", spark.table("gm_prefix_idx"), "doc_id",
-        DedupQueries.compactPrefixIndex(spark, "gm_prefix_idx"),
-        anchorAfter = Some(() => loc("gm_prefix_idx")),
-        maxDeltaBatches = 2L, holder = "gm_maint", leaseWaitMs = 120000L))
+    // ONE call per cron tick: maintainGroup derives every family's
+    // anchor, debt frame, fold, and live-location resolver from the SAME
+    // CorpusIngestTargets the runner drains — this soak hand-rolled four
+    // per-family maintain() loops before r20
+    def passGroup(): Map[String, graft.sources.Lifecycle.Maintenance] =
+      graft.sources.Lifecycle.maintainGroup(
+        spark, targets, maxDeltaBatches = 2L, holder = "gm_maint",
+        leaseWaitMs = 120000L)
     val maintainer = new Thread(() => {
       while (!stop) {
-        passes().foreach { p =>
-          try { if (p().folded) folds.incrementAndGet() }
-          catch { case t: Throwable => errs.add(t) }
-        }
+        try passGroup().values.foreach(m => if (m.folded) folds.incrementAndGet())
+        catch { case t: Throwable => errs.add(t) }
         Thread.sleep(300)
       }
     })
@@ -1627,7 +1753,7 @@ class StreamingSpec extends SparkSpec {
     assert(!maintainer.isAlive, "maintenance thread must stop")
     assert(errs.isEmpty, s"maintenance must never page: ${errs.peek()}")
     // settle any residue past the threshold, then check the windows
-    passes().foreach(p => p())
+    assert(passGroup().keySet == Set("search", "band", "winnow", "prefix"))
     assert(folds.get() >= 1, "the fold policy must have fired mid-drain")
     Seq(s"$base/sidx", loc("gm_band_idx"), loc("gm_winnow_idx"),
         loc("gm_prefix_idx")).foreach { a =>

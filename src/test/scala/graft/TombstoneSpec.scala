@@ -1092,8 +1092,15 @@ class TombstoneSpec extends SparkSpec {
   // itself — under the other primitive.
 
   private def withLanding(mode: String)(body: => Unit): Unit = {
+    // restore the PRIOR value, not a hard-coded "rename": a future
+    // suite-level default of create must not be silently clobbered for
+    // every test that runs after this one (review-found)
+    val prior = spark.conf.getOption("graft.manifest.landing")
     spark.conf.set("graft.manifest.landing", mode)
-    try body finally spark.conf.set("graft.manifest.landing", "rename")
+    try body finally prior match {
+      case Some(v) => spark.conf.set("graft.manifest.landing", v)
+      case None    => spark.conf.unset("graft.manifest.landing")
+    }
   }
 
   for (mode <- Seq("rename", "create")) {
@@ -2739,7 +2746,7 @@ class TombstoneSpec extends SparkSpec {
     }
   }
 
-  test("TTL manifest cache: a hit within ttl serves the superseded epoch; the first post-expiry read re-resolves") {
+  test("TTL manifest cache: a hit within ttl serves a foreign-superseded epoch; post-expiry re-resolves; own commits invalidate") {
     val m = graft.sources.IndexManifest
     val anchor = s"$tmp/cache_idx"
     m.commit(spark, anchor, m.next(spark, anchor).copy(stats = Some(s"$anchor/s1")))
@@ -2748,8 +2755,15 @@ class TombstoneSpec extends SparkSpec {
     // prime the cache
     assert(m.cachedCurrent(spark, anchor, 500L, clock)
       .flatMap(_.stats).contains(s"$anchor/s1"))
-    // a writer supersedes the epoch
-    m.commit(spark, anchor, m.next(spark, anchor).copy(stats = Some(s"$anchor/s2")))
+    // a FOREIGN writer supersedes the epoch — hand-land a complete
+    // version file, exactly what a cross-process commit looks like to
+    // this JVM's cache (this process's OWN commit path invalidates the
+    // entry — read-your-writes, pinned below — so the genuine staleness
+    // window only ever spans writers the map cannot see)
+    val f2 = new java.io.File(m.dir(anchor).stripPrefix("file:"), "v000000000002")
+    val w = new java.io.FileWriter(f2)
+    w.write(s"version\t2\nlayout\t1\nstats\t$anchor/s2\nbasegen\t0\neot\t1\n")
+    w.close()
     // the DEFAULT path is unchanged: current() sees the new epoch now
     assert(m.current(spark, anchor).flatMap(_.stats).contains(s"$anchor/s2"))
     // a hit within ttl serves the SUPERSEDED epoch — the documented
@@ -2761,11 +2775,49 @@ class TombstoneSpec extends SparkSpec {
     now = 1600L
     assert(m.cachedCurrent(spark, anchor, 500L, clock)
       .flatMap(_.stats).contains(s"$anchor/s2"))
-    // ...which then serves hits of its own
+    // this process's OWN commit invalidates the entry: the very next
+    // cached read re-resolves to it, ttl notwithstanding
+    // (read-your-writes — without it a writer flipping the cache flag
+    // could stale itself against its own mutations)
     m.commit(spark, anchor, m.next(spark, anchor).copy(stats = Some(s"$anchor/s3")))
     now = 1900L
     assert(m.cachedCurrent(spark, anchor, 500L, clock)
-      .flatMap(_.stats).contains(s"$anchor/s2"))
+      .flatMap(_.stats).contains(s"$anchor/s3"))
+  }
+
+  test("conf-routed manifest cache: one flag serves probes from the cache, writer-critical sites stay uncached, mutations refuse") {
+    val m = graft.sources.IndexManifest
+    val anchor = s"$tmp/confcache_idx"
+    m.commit(spark, anchor, m.next(spark, anchor).copy(stats = Some(s"$anchor/s1")))
+    val prior = spark.conf.getOption("graft.manifest.cacheTtlMs")
+    spark.conf.set("graft.manifest.cacheTtlMs", "600000")
+    try {
+      // prime through the routed path
+      assert(m.current(spark, anchor).flatMap(_.stats).contains(s"$anchor/s1"))
+      // destroy the manifest OUT-OF-BAND (raw FS — simulating what only a
+      // foreign process could do): the cached probe path never touches the
+      // store, so current() still serves the epoch...
+      val d = new java.io.File(m.dir(anchor).stripPrefix("file:"))
+      d.listFiles().foreach(_.delete()); assert(d.delete())
+      assert(m.current(spark, anchor).flatMap(_.stats).contains(s"$anchor/s1"),
+        "a cache hit within ttl must not touch the store")
+      // ...while the writer-critical resolution (fence admission, epoch
+      // templating, the as-of generation guard) resolves UNCACHED and
+      // sees the truth
+      assert(graft.sources.Tombstones.ingestFence(spark, anchor).isEmpty,
+        "the ingest fence must resolve uncached")
+      // a MUTATION under the flag refuses loudly at the one choke point
+      // every commit passes through — the flag is for serving sessions,
+      // and a cached resolution must never feed a commit's content
+      val e = intercept[IllegalStateException] { m.next(spark, anchor) }
+      assert(e.getMessage.contains("cacheTtlMs"), e.getMessage)
+    } finally prior match {
+      case Some(v) => spark.conf.set("graft.manifest.cacheTtlMs", v)
+      case None    => spark.conf.unset("graft.manifest.cacheTtlMs")
+    }
+    // flag off: the default path is byte-identical to r19 — the store is
+    // gone and current() says so
+    assert(m.current(spark, anchor).isEmpty)
   }
 
   test("layout migration: a past-layout index re-encodes under the current layout in one fold — probe parity, loud as-of, idempotent") {
