@@ -139,18 +139,52 @@ object Lifecycle {
       graft.operators.DedupQueries.compactWinnowIndex(s, t)))
     targets.prefix.foreach(t => locTable("prefix", t,
       graft.operators.DedupQueries.compactPrefixIndex(s, t)))
-    targets.ivf.foreach { path =>
-      // flat epoch-dir family: the debt denominator is the CURRENT base
-      // frame (resolved lazily under the lease — a fold may redirect it),
-      // and vacuum needs the build path to enumerate epoch-named dirs
-      out("ivf") = maintain(s, path, "ivf",
-        s.read.parquet(IndexManifest.dataPath(s, path, path)), "vec_id",
-        graft.operators.SimilarityQueries.compactIvfIndex(s, path),
-        defaultData = Some(path),
+    targets.ivf.foreach(path => out("ivf") =
+      maintainIvf(s, path, keepEpochs, maxMaskedPpm, maxDeltaBatches,
+        holder, leaseWaitMs, leaseTtlMs))
+    out.toMap
+  }
+
+  /** [[maintainGroup]] for a MEDIA-ASSET group
+    * ([[graft.streaming.DocumentsStream.AssetIngestTargets]] — the
+    * phash + embedding siblings `runAssetIngest` drains).
+    */
+  def maintainAssetGroup(
+      s: SparkSession,
+      targets: graft.streaming.DocumentsStream.AssetIngestTargets,
+      keepEpochs: Int = 1,
+      maxMaskedPpm: Long = 100000L, maxDeltaBatches: Long = 8L,
+      holder: String = "maintenance",
+      leaseWaitMs: Long = 600000L, leaseTtlMs: Long = 600000L): Map[String, Maintenance] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, Maintenance]()
+    targets.phash.foreach { table =>
+      def loc() = Tombstones.tableLocation(s, table)
+      out("phash") = maintain(s, loc(), "phash", s.table(table), "asset_id",
+        graft.operators.MultimodalQueries.compactPhashIndex(s, table),
+        anchorAfter = Some(() => loc()),
         keepEpochs = keepEpochs, maxMaskedPpm = maxMaskedPpm,
         maxDeltaBatches = maxDeltaBatches, holder = holder,
         leaseWaitMs = leaseWaitMs, leaseTtlMs = leaseTtlMs)
     }
+    targets.ivf.foreach(path => out("ivf") =
+      maintainIvf(s, path, keepEpochs, maxMaskedPpm, maxDeltaBatches,
+        holder, leaseWaitMs, leaseTtlMs))
     out.toMap
   }
+
+  // flat epoch-dir family shared by both groups: the debt denominator is
+  // the CURRENT base frame (resolved lazily under the lease — a fold may
+  // redirect it), and vacuum needs the build path to enumerate
+  // epoch-named dirs
+  private def maintainIvf(
+      s: SparkSession, path: String, keepEpochs: Int, maxMaskedPpm: Long,
+      maxDeltaBatches: Long, holder: String, leaseWaitMs: Long,
+      leaseTtlMs: Long): Maintenance =
+    maintain(s, path, "ivf",
+      s.read.parquet(IndexManifest.dataPath(s, path, path)), "vec_id",
+      graft.operators.SimilarityQueries.compactIvfIndex(s, path),
+      defaultData = Some(path),
+      keepEpochs = keepEpochs, maxMaskedPpm = maxMaskedPpm,
+      maxDeltaBatches = maxDeltaBatches, holder = holder,
+      leaseWaitMs = leaseWaitMs, leaseTtlMs = leaseTtlMs)
 }

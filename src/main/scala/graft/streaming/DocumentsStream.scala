@@ -464,6 +464,89 @@ object DocumentsStream {
     q.awaitTermination()
   }
 
+  /** The sibling indexes one MEDIA-ASSET ingest group feeds — the
+    * non-text modality's [[CorpusIngestTargets]]: `phash` is the
+    * perceptual-hash catalog table (location-anchored), `ivf` the
+    * embedding index path (an encoder's vectors for the same assets).
+    */
+  final case class AssetIngestTargets(
+      phash: Option[String] = None,
+      ivf: Option[String] = None) {
+    require(phash.isDefined || ivf.isDefined,
+      "AssetIngestTargets: at least one target family")
+  }
+
+  /** MULTI-INDEX streaming ingest group for MEDIA ASSETS — the
+    * [[runHybridIngest]] symmetry for the non-text modality: one asset
+    * batch carries the binary payload AND its encoder embedding
+    * (asset_id, payload, format, label, embedding float[]); the phash
+    * family ingests the payload projection (perceptual-hash band keys),
+    * the IVF family the vector projection (asset_id serves as vec_id —
+    * one asset corpus, one id space), every commit fenced by the SAME
+    * (checkpoint, batch-id) pair in fixed order (phash → ivf). The
+    * crash-between-siblings convergence argument is [[runCorpusIngest]]'s
+    * verbatim, pinned across this modality boundary in StreamingSpec —
+    * with this runner every persisted family the library ships composes
+    * into a fenced group (text: search/band/winnow/prefix/ivf; media:
+    * phash/ivf). Scale shape per trigger: payloads hash map-only and
+    * never shuffle; the vector arm re-assigns only the batch against the
+    * broadcast seed geometry.
+    */
+  def runAssetIngest(
+      spark: SparkSession, inPath: String, dir: String,
+      targets: AssetIngestTargets, checkpoint: String, foldEvery: Int = 0,
+      leaseWaitMs: Long = 600000L, leaseTtlMs: Long = 600000L): Unit = {
+    val assetSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("payload", org.apache.spark.sql.types.BinaryType),
+      StructField("format", StringType),
+      StructField("label", org.apache.spark.sql.types.IntegerType),
+      StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val q = spark.readStream
+      .schema(assetSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inPath)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val rows = batch.toDF().persist()
+          try {
+            // FIXED ORDER — phash first, the vector sibling last
+            targets.phash.foreach { table =>
+              graft.sources.WriterLease.withResolvedIngestLease(spark,
+                  () => graft.sources.Tombstones.tableLocation(spark, table),
+                  checkpoint, leaseWaitMs, leaseTtlMs) { _ =>
+                refreshFamilyTables(spark, rows, table)
+                graft.operators.MultimodalQueries.ingestPhashBatch(
+                  rows.select("asset_id", "payload", "format"), table, batchId,
+                  streamId = checkpoint)
+                foldIfDue(spark, table, foldEvery,
+                  graft.operators.MultimodalQueries.compactPhashIndex(spark, table))
+              }
+            }
+            targets.ivf.foreach { path =>
+              graft.sources.WriterLease.withIngestLease(spark, path,
+                  checkpoint, leaseWaitMs, leaseTtlMs) {
+                graft.operators.SimilarityQueries.ingestIvfBatch(
+                  spark, dir, path,
+                  rows.select(col("asset_id").as("vec_id"), col("label"),
+                    col("embedding")),
+                  batchId, streamId = checkpoint)
+                if (graft.sources.Tombstones.windowReached(spark, path, foldEvery))
+                  graft.operators.SimilarityQueries.compactIvfIndex(spark, path)
+              }
+            }
+          } finally rows.unpersist(false)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain `inPath` with Trigger.AvailableNow, joining every micro-batch
     * against `indexTable` (a [[DedupQueries.writeBandIndex]] bucketed
     * table); candidate pairs land under `outPath`.

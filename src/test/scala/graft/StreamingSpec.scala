@@ -1642,6 +1642,89 @@ class StreamingSpec extends SparkSpec {
       "the group clone must outlive the source folds and vacuum")
   }
 
+  test("asset ingest group: one media batch feeds phash + embedding siblings; modality-boundary crash converges; one-call group maintenance settles it") {
+    // the non-text modality's group symmetry: runAssetIngest fences the
+    // perceptual-hash index AND the asset-embedding IVF index under one
+    // (checkpoint, batch-id) lineage — with it, every persisted family
+    // the library ships composes into a fenced group.
+    import graft.operators.{Multimodal, MultimodalQueries, SimilarityQueries}
+    import graft.streaming.DocumentsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-assetgrp").toString
+    MultimodalQueries.writePhashIndex(spark, sfDir, "ag_phash", s"$base/pidx")
+    MultimodalQueries.writePhashIndex(spark, sfDir, "ag_phash_e", s"$base/pidxe")
+    SimilarityQueries.writeIvfIndex(spark, sfDir, s"$base/vidx")
+    SimilarityQueries.writeIvfIndex(spark, sfDir, s"$base/vidxe")
+    // one asset row = the binary payload AND its encoder embedding
+    // (aligned id spaces); fresh ids below the 1e6 variant bound
+    val assets = Multimodal.documentsAsAssets(spark, sfDir)
+      .select("asset_id", "payload", "format")
+      .join(Tables.embeddings(spark, sfDir), col("asset_id") === col("vec_id"))
+      .select("asset_id", "payload", "format", "label", "embedding")
+    def mk(m: Int, off: Long) = assets.filter(col("asset_id") % 13 === m)
+      .select(col("asset_id") + off as "asset_id", col("payload"),
+        col("format"), col("label"), col("embedding"))
+    val b1 = mk(1, 300000L)
+    val b2 = mk(4, 400000L)
+    val targets = DocumentsStream.AssetIngestTargets(
+      phash = Some("ag_phash"), ivf = Some(s"$base/vidx"))
+    def fence(anchor: String) =
+      graft.sources.Tombstones.ingestFence(spark, anchor).map(_._2)
+    def ploc() = graft.sources.Tombstones.tableLocation(spark, "ag_phash")
+    // ---- batch 0 drains into BOTH modalities under one lineage --------
+    b1.coalesce(1).write.mode("append").parquet(s"$base/in")
+    DocumentsStream.runAssetIngest(
+      spark, s"$base/in", sfDir, targets, s"$base/ckpt")
+    assert(fence(ploc()).contains(0L) && fence(s"$base/vidx").contains(0L),
+      "one drain must fence both modalities at batch 0")
+    // ---- crash BETWEEN the modality siblings --------------------------
+    b2.coalesce(1).write.mode("append").parquet(s"$base/in")
+    graft.sources.IndexManifest.failCommitCountdown = 1
+    val crash = intercept[Exception] {
+      DocumentsStream.runAssetIngest(
+        spark, s"$base/in", sfDir, targets, s"$base/ckpt")
+    }
+    assert(crash.getMessage.contains("injected") ||
+      Option(crash.getCause).exists(_.getMessage.contains("injected")),
+      crash.getMessage)
+    assert(fence(ploc()).contains(1L), "phash must have committed batch 1")
+    assert(fence(s"$base/vidx").contains(0L),
+      "the embedding sibling must still be at batch 0 after the crash")
+    // ---- replay converges both; every family equals its eager twin ----
+    DocumentsStream.runAssetIngest(
+      spark, s"$base/in", sfDir, targets, s"$base/ckpt")
+    assert(fence(ploc()).contains(1L) && fence(s"$base/vidx").contains(1L))
+    Seq(b1, b2).foreach { b =>
+      MultimodalQueries.bufferPhashUpdate(
+        b.select("asset_id", "payload", "format"), "ag_phash_e")
+      SimilarityQueries.bufferIvfUpdate(spark, sfDir, s"$base/vidxe",
+        b.select(col("asset_id").as("vec_id"), col("label"), col("embedding")))
+    }
+    def pframe(t: String) = MultimodalQueries.phashIndexFrame(spark, t)
+      .orderBy("asset_id", "bk").collect().toSeq
+    val pGot = pframe("ag_phash")
+    assert(pGot.nonEmpty && pGot == pframe("ag_phash_e"))
+    def vprobe(p: String) = SimilarityQueries.ivfTopkFromIndex(spark, sfDir, p)
+      .orderBy("q_id", "rank").collect().toSeq
+    val vGot = vprobe(s"$base/vidx")
+    assert(vGot.nonEmpty && vGot == vprobe(s"$base/vidxe"))
+    // replay-after-success: a no-op on both
+    DocumentsStream.runAssetIngest(
+      spark, s"$base/in", sfDir, targets, s"$base/ckpt")
+    assert(pframe("ag_phash") == pGot && vprobe(s"$base/vidx") == vGot)
+    // ---- one-call group maintenance settles both windows --------------
+    val m = graft.sources.Lifecycle.maintainAssetGroup(
+      spark, targets, maxDeltaBatches = 1L, holder = "ag_maint",
+      leaseWaitMs = 120000L)
+    assert(m.keySet == Set("phash", "ivf") && m.values.forall(_.folded), s"$m")
+    Seq(ploc(), s"$base/vidx").foreach { a =>
+      assert(graft.sources.IndexManifest.current(spark, a)
+        .forall(_.deltas.isEmpty), s"window at $a must fold to empty")
+      assert(graft.sources.WriterLease.current(spark, a).isEmpty)
+    }
+    // folds preserve every probe result
+    assert(pframe("ag_phash") == pGot && vprobe(s"$base/vidx") == vGot)
+  }
+
   test("one-call maintenance runs concurrently with a draining ingest: lease-serialized, policy-triggered folds, exact final probe") {
     // Lifecycle.maintain as an operator would cron it — a SEPARATE thread
     // looping debt-check → fold-if-due → vacuum against an index a

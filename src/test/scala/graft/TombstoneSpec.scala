@@ -2820,6 +2820,36 @@ class TombstoneSpec extends SparkSpec {
     assert(m.current(spark, anchor).isEmpty)
   }
 
+  test("conf-routed manifest cache on a PROBE path: the index probe resolves its epoch from the cache, not the store") {
+    import graft.operators.SearchQueries
+    val m = graft.sources.IndexManifest
+    val path = s"$tmp/confcache_probe"
+    val tbl = "confcache_probe_idx"
+    SearchQueries.writeSearchIndex(spark, sfDir, tbl, path)
+    // a mutation, so the manifest is LOAD-BEARING for the probe (its
+    // tombstone masks rows a manifest-less resolution would serve)
+    val del = Tables.documents(spark, sfDir).filter(col("doc_id") % 7 === 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    SearchQueries.deleteFromSearchIndex(spark, tbl, path, del)
+    val masked = sorted(SearchQueries.bm25TopkFromIndex(spark, tbl, path))
+    val prior = spark.conf.getOption("graft.manifest.cacheTtlMs")
+    spark.conf.set("graft.manifest.cacheTtlMs", "600000")
+    try {
+      // first probe under the flag resolves from the store and caches
+      assert(sorted(SearchQueries.bm25TopkFromIndex(spark, tbl, path)) == masked)
+      // destroy the manifest out-of-band: if the next probe touched the
+      // store it would resolve NO manifest — no tombstones — and serve
+      // the deleted rows; the cache hit keeps serving the masked state
+      val d = new java.io.File(m.dir(path).stripPrefix("file:"))
+      d.listFiles().foreach(_.delete()); assert(d.delete())
+      assert(sorted(SearchQueries.bm25TopkFromIndex(spark, tbl, path)) == masked,
+        "the probe's epoch resolution must come from the cache, not the store")
+    } finally prior match {
+      case Some(v) => spark.conf.set("graft.manifest.cacheTtlMs", v)
+      case None    => spark.conf.unset("graft.manifest.cacheTtlMs")
+    }
+  }
+
   test("layout migration: a past-layout index re-encodes under the current layout in one fold — probe parity, loud as-of, idempotent") {
     import graft.operators.SearchQueries
     val m = graft.sources.IndexManifest
