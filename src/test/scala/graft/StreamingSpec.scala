@@ -1642,6 +1642,77 @@ class StreamingSpec extends SparkSpec {
       "the group clone must outlive the source folds and vacuum")
   }
 
+  test("hybrid group drain + concurrent group maintenance: maintainGroup crons beside runHybridIngest across the modality boundary") {
+    // the r19 lexical soak's missing surface: the VECTOR family
+    // maintained (debt-check → compactIvfIndex → vacuum) while the same
+    // index drains ingest batches — the runner's per-batch lease and the
+    // maintainer's verified lease serialize on the immutable IVF anchor
+    // exactly as the location-anchored families do on their moving one.
+    // Pins: zero maintenance pages, the fold policy fires mid-drain,
+    // windows settle, and BOTH modalities equal their eager twins.
+    import graft.operators.{SearchQueries, SimilarityQueries}
+    import graft.streaming.DocumentsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-hybmaint").toString
+    SearchQueries.writeSearchIndex(spark, sfDir, "hm_search", s"$base/sidx")
+    SearchQueries.writeSearchIndex(spark, sfDir, "hm_search_e", s"$base/sidxe")
+    SimilarityQueries.writeIvfIndex(spark, sfDir, s"$base/vidx")
+    SimilarityQueries.writeIvfIndex(spark, sfDir, s"$base/vidxe")
+    val rows = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+      .join(Tables.embeddings(spark, sfDir), col("doc_id") === col("vec_id"))
+      .select("doc_id", "text", "lang", "label", "embedding")
+    val batches = (0 until 6).map(m =>
+      rows.filter(col("doc_id") % 11 === m)
+        .select(col("doc_id") + (m + 1) * 1000000L as "doc_id",
+          col("text"), col("lang"), col("label"), col("embedding")))
+    batches.foreach(_.coalesce(1).write.mode("append").parquet(s"$base/in"))
+    val targets = DocumentsStream.CorpusIngestTargets(
+      search = Some(("hm_search", s"$base/sidx")), ivf = Some(s"$base/vidx"))
+    @volatile var stop = false
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val folds = new java.util.concurrent.atomic.AtomicInteger()
+    def passGroup() = graft.sources.Lifecycle.maintainGroup(
+      spark, targets, maxDeltaBatches = 2L, holder = "hm_maint",
+      leaseWaitMs = 120000L)
+    val maintainer = new Thread(() => {
+      while (!stop) {
+        try passGroup().values.foreach(m => if (m.folded) folds.incrementAndGet())
+        catch { case t: Throwable => errs.add(t) }
+        Thread.sleep(300)
+      }
+    })
+    maintainer.start()
+    try DocumentsStream.runHybridIngest(
+      spark, s"$base/in", sfDir, targets, s"$base/ckpt")
+    finally { stop = true; maintainer.join(180000) }
+    assert(!maintainer.isAlive, "maintenance thread must stop")
+    assert(errs.isEmpty, s"maintenance must never page: ${errs.peek()}")
+    val settled = passGroup()
+    assert(settled.keySet == Set("search", "ivf"))
+    assert(folds.get() >= 1, "the fold policy must have fired mid-drain")
+    Seq(s"$base/sidx", s"$base/vidx").foreach { a =>
+      assert(graft.sources.WriterLease.current(spark, a).isEmpty,
+        s"the lease at $a must be released on every exit path")
+      assert(graft.sources.IndexManifest.current(spark, a)
+        .forall(_.deltas.size < 2), s"window at $a must settle below the threshold")
+    }
+    // exactness across the boundary: each modality equals its eager twin
+    batches.foreach { b =>
+      SearchQueries.bufferSearchUpdate(spark, "hm_search_e", s"$base/sidxe",
+        b.select("doc_id", "text", "lang"))
+      SimilarityQueries.bufferIvfUpdate(spark, sfDir, s"$base/vidxe",
+        b.select(col("doc_id").as("vec_id"), col("label"), col("embedding")))
+    }
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col).toSeq: _*).collect().toSeq
+    val bmGot = sortedRows(
+      SearchQueries.bm25TopkFromIndex(spark, "hm_search", s"$base/sidx"))
+    assert(bmGot.nonEmpty && bmGot == sortedRows(
+      SearchQueries.bm25TopkFromIndex(spark, "hm_search_e", s"$base/sidxe")))
+    val vGot = sortedRows(SimilarityQueries.ivfTopkFromIndex(spark, sfDir, s"$base/vidx"))
+    assert(vGot.nonEmpty && vGot == sortedRows(
+      SimilarityQueries.ivfTopkFromIndex(spark, sfDir, s"$base/vidxe")))
+  }
+
   test("asset ingest group: one media batch feeds phash + embedding siblings; modality-boundary crash converges; one-call group maintenance settles it") {
     // the non-text modality's group symmetry: runAssetIngest fences the
     // perceptual-hash index AND the asset-embedding IVF index under one
