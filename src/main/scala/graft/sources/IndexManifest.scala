@@ -271,8 +271,14 @@ object IndexManifest {
     * off). One deployment flag: set it on serving sessions so every probe's
     * `current()` resolution hits the TTL cache instead of the store.
     */
-  def cacheTtlMs(s: SparkSession): Long =
-    s.conf.get("graft.manifest.cacheTtlMs", "0").toLong
+  def cacheTtlMs(s: SparkSession): Long = {
+    val v = s.conf.get("graft.manifest.cacheTtlMs", "0")
+    try v.toLong
+    catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft.manifest.cacheTtlMs must be a millisecond count, got '$v'")
+    }
+  }
 
   /** [[current]] WITHOUT the conf-routed cache — the writer-critical
     * resolution: epoch templating, the as-of generation guard, and the
