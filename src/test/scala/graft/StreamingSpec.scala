@@ -1615,6 +1615,18 @@ class StreamingSpec extends SparkSpec {
       spark, s"$base/in", sfDir, targets, s"$base/ckpt")
     assert(fence(s"$base/sidx").contains(1L) && fence(s"$base/ividx").contains(1L))
     assert(consistent() == fullHybrid)
+    // an EXPLICIT earlier fence pins a PAST group state while the live
+    // common mark is ahead (the training-ledger use: re-freeze the set a
+    // model trained on) — exact while its epochs are within the current
+    // generation, i.e. before a fold
+    assert(SearchQueries.cloneHybridGroupAsOf(
+      spark, "hg_search", s"$base/sidx", s"$base/ividx",
+      "hg_search_clone0", s"$base/sidxc0", s"$base/ividxc0",
+      fence = Some(0L)) == (s"$base/ckpt", 0L))
+    assert(SearchQueries.hybridTopkFromIndexes(
+        spark, sfDir, "hg_search_clone0", s"$base/sidxc0", s"$base/ividxc0")
+      .collect().toSeq == snapshotEntry,
+      "the explicit-fence clone must freeze the batch-0 group state")
     // ---- group maintenance + clone survival ---------------------------
     // one maintainGroup call folds whatever is due across the group
     // (both windows hold 1–2 open batches, past a threshold of 1)...

@@ -2277,6 +2277,19 @@ class TombstoneSpec extends SparkSpec {
     assert(err.getMessage.contains("claim"), err.getMessage)
     // opting the lease out resolves once and runs the body directly
     assert(wl.withResolvedIngestLease(spark, () => l1, "x", waitMs = -1L)(identity) == l1)
+    // the retry loop is bounded by the caller's TOTAL wait budget, not
+    // per-attempt: with a zero budget the first anchor-moved retry pages
+    // on the wall-clock deadline rather than burning toward the attempt
+    // cap with a full waitMs wait each time (review-found: 64 × 600 s
+    // default = hours of stall before the page)
+    val n2 = new java.util.concurrent.atomic.AtomicInteger()
+    val err2 = intercept[IllegalStateException] {
+      wl.withResolvedIngestLease(spark,
+          () => s"$tmp/rlease_budget_${n2.getAndIncrement()}",
+          "claimant", waitMs = 0L) { _ => fail("body must never run") }
+    }
+    assert(err2.getMessage.contains("budget"), err2.getMessage)
+    assert(n2.get() < 64, "the deadline must fire before the attempt cap")
   }
 
   test("lease break is atomic: rename+verify restores a reclaimed lease instead of stealing it") {
