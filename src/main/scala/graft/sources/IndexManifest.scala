@@ -331,6 +331,25 @@ object IndexManifest {
   private val epochCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[Epoch])]()
 
+  // per-anchor invalidation stamp, bumped BEFORE the cache entry drops on
+  // commit/reset: a concurrent cachedCurrent that resolved the PRE-commit
+  // store must not re-insert that stale epoch after the invalidation ran
+  // (the resolve-then-put race would re-stale the process against its own
+  // mutation for up to ttl — review-found); the miss path snapshots the
+  // stamp before resolving and only caches if it is unchanged, atomically
+  // under the key's compute lock.
+  private val cacheStamp =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private def stampOf(anchor: String): java.util.concurrent.atomic.AtomicLong =
+    cacheStamp.computeIfAbsent(anchor, _ => new java.util.concurrent.atomic.AtomicLong())
+
+  private def invalidateCache(anchor: String): Unit = {
+    stampOf(anchor).incrementAndGet() // order matters: stamp first, then drop
+    epochCache.remove(anchor)
+    ()
+  }
+
   /** [[current]] through the TTL cache: a hit younger than `ttlMs`
     * returns without touching the store; a miss (or expiry) re-resolves
     * and refreshes. `nowMs` is injectable for tests. Pinned in
@@ -346,8 +365,14 @@ object IndexManifest {
     val t = nowMs()
     if (hit != null && t - hit._1 < ttlMs) hit._2
     else {
+      val stamp = stampOf(anchor).get()
       val e = resolveCurrent(s, anchor)
-      epochCache.put(anchor, (t, e))
+      // cache only if no commit/reset invalidated the anchor since the
+      // resolve began (read-your-writes would otherwise be violated by
+      // re-inserting the pre-commit epoch); compute() serializes against
+      // a concurrent invalidation's remove on this key
+      epochCache.compute(anchor, (_, old) =>
+        if (stampOf(anchor).get() != stamp) old else (t, e))
       e
     }
   }
@@ -418,22 +443,7 @@ object IndexManifest {
     * pointer flag.
     */
   def next(s: SparkSession, anchor: String): Epoch = {
-    // every mutation passes through here, so this is the one choke point
-    // that makes the conf-routed cache safe by construction: a MUTATING
-    // session under the flag could derive a fold's or ingest's CONTENT
-    // from a ≤-ttl-stale hit and silently fold away another process's
-    // fresh commit (the version numbers would not even collide — next()
-    // itself resolves uncached). Refuse loudly instead: serve through the
-    // flag, mutate without it (or use the explicit cachedCurrent at probe
-    // call sites when one session must do both).
-    if (cacheTtlMs(s) > 0L)
-      throw new IllegalStateException(
-        "IndexManifest.next: refusing to template a mutation while " +
-          "graft.manifest.cacheTtlMs is set — a cached current() hit could " +
-          "feed this mutation's content a stale epoch and silently drop a " +
-          "concurrent sub-ttl commit. The cache flag is for serving " +
-          "sessions; mutate with it unset (probe-side code may still opt " +
-          "in per read via cachedCurrent).")
+    refuseMutationUnderCacheFlag(s, "next")
     currentUncached(s, anchor)
       .map(e => e.copy(version = e.version + 1, retired = Vector.empty,
         layout = CURRENT_LAYOUT))
@@ -444,7 +454,28 @@ object IndexManifest {
     * lifecycle mutation. Fails loudly (never overwrites) if `e.version`
     * was already committed, surfacing a violated single-writer assumption.
     */
+  /** The choke point that makes the conf-routed cache safe BY
+    * CONSTRUCTION: a MUTATING session under the flag could derive a
+    * fold's or ingest's CONTENT from a ≤-ttl-stale hit and silently fold
+    * away another process's fresh commit (the version numbers would not
+    * even collide — templating resolves uncached). Refuse loudly
+    * instead: serve through the flag, mutate without it (probe-side code
+    * may still opt in per read via [[cachedCurrent]]). Checked at BOTH
+    * [[next]] (fail before the prepare work) and [[commit]] (so
+    * hand-built epochs — the fold's carry — cannot slip past it).
+    */
+  private def refuseMutationUnderCacheFlag(s: SparkSession, what: String): Unit =
+    if (cacheTtlMs(s) > 0L)
+      throw new IllegalStateException(
+        s"IndexManifest.$what: refusing a mutation while " +
+          "graft.manifest.cacheTtlMs is set — a cached current() hit could " +
+          "feed this mutation's content a stale epoch and silently drop a " +
+          "concurrent sub-ttl commit. The cache flag is for serving " +
+          "sessions; mutate with it unset (probe-side code may still opt " +
+          "in per read via cachedCurrent).")
+
   def commit(s: SparkSession, anchor: String, e: Epoch): Unit = {
+    refuseMutationUnderCacheFlag(s, "commit")
     if (e.layout > CURRENT_LAYOUT)
       throw new UnsupportedIndexLayoutException(
         s"IndexManifest.commit: refusing to write epoch ${e.version} of $anchor " +
@@ -474,8 +505,7 @@ object IndexManifest {
     // read-your-writes for the TTL cache: this process's own commit must
     // be visible to its own cached reads immediately (invalidate, don't
     // refresh — the next cached read re-resolves under ITS clock)
-    epochCache.remove(anchor)
-    ()
+    invalidateCache(anchor)
   }
 
   /** The shared loud collision (the single-writer discipline's surface). */
@@ -617,8 +647,7 @@ object IndexManifest {
   def reset(s: SparkSession, anchor: String): Unit = {
     val d = new Path(dir(anchor))
     fs(s, d).delete(d, true)
-    epochCache.remove(anchor) // read-your-writes, like commit
-    ()
+    invalidateCache(anchor) // read-your-writes, like commit
   }
 
   // one `key<TAB>value` line per field; paths are our own (no tabs/newlines)

@@ -142,7 +142,9 @@ object Lifecycle {
     targets.ivf.foreach(path => out("ivf") =
       maintainIvf(s, path, keepEpochs, maxMaskedPpm, maxDeltaBatches,
         holder, leaseWaitMs, leaseTtlMs))
-    out.toMap
+    // SeqMap, not toMap: the doc promises commit order, and a plain
+    // immutable Map drops insertion order past 4 entries (review-found)
+    out.to(scala.collection.immutable.SeqMap)
   }
 
   /** [[maintainGroup]] for a MEDIA-ASSET group
@@ -169,7 +171,7 @@ object Lifecycle {
     targets.ivf.foreach(path => out("ivf") =
       maintainIvf(s, path, keepEpochs, maxMaskedPpm, maxDeltaBatches,
         holder, leaseWaitMs, leaseTtlMs))
-    out.toMap
+    out.to(scala.collection.immutable.SeqMap) // commit order, like maintainGroup
   }
 
   // flat epoch-dir family shared by both groups: the debt denominator is

@@ -431,7 +431,7 @@ object Tombstones {
   def requireNoBufferedClash(
       s: SparkSession, indexPath: String, ids: Seq[Long], idCol: String,
       what: String, compactHint: String): Unit =
-    requireNoBufferedClashOf(s, IndexManifest.current(s, indexPath),
+    requireNoBufferedClashOf(s, IndexManifest.currentUncached(s, indexPath),
       indexPath, ids, idCol, what, compactHint)
 
   /** [[requireNoBufferedClash]] against a pre-resolved epoch — the
@@ -464,7 +464,7 @@ object Tombstones {
   def requireRemovalsNotBuffered(
       s: SparkSession, indexPath: String, ids: Seq[Long], rowIds: Seq[Long],
       idCol: String, what: String, compactHint: String): Unit =
-    requireRemovalsNotBufferedOf(s, IndexManifest.current(s, indexPath),
+    requireRemovalsNotBufferedOf(s, IndexManifest.currentUncached(s, indexPath),
       indexPath, ids, rowIds, idCol, what, compactHint)
 
   /** [[requireRemovalsNotBuffered]] against a pre-resolved epoch. */
@@ -497,7 +497,7 @@ object Tombstones {
   def requireNoResurrect(
       s: SparkSession, indexPath: String, ids: Seq[Long], idCol: String,
       what: String, compactHint: String): Unit =
-    requireNoResurrectOf(s, IndexManifest.current(s, indexPath),
+    requireNoResurrectOf(s, IndexManifest.currentUncached(s, indexPath),
       indexPath, ids, idCol, what, compactHint)
 
   /** [[requireNoResurrect]] against a pre-resolved epoch. */
@@ -592,7 +592,12 @@ object Tombstones {
   def vacuum(
       s: SparkSession, anchor: String,
       defaultData: Option[String] = None, keepEpochs: Int = 0): Long = {
-    IndexManifest.current(s, anchor) match {
+    // uncached on purpose: vacuum DELETES files and never passes through
+    // next()'s cache-flag refusal, so a ttl-stale `cur.version` here
+    // would silently under-enumerate the reclaim candidates (and any
+    // future keep-set read of `cur` would risk worse) — every
+    // store-mutating path resolves uncached (review-found)
+    IndexManifest.currentUncached(s, anchor) match {
       case None => 0L
       case Some(cur) =>
         val conf = s.sparkContext.hadoopConfiguration
@@ -724,10 +729,12 @@ object Tombstones {
   def migrateIndexLayout(
       s: SparkSession, anchor: String,
       anchorAfter: Option[() => String] = None)(fold: => Unit): Boolean =
-    IndexManifest.current(s, anchor) match {
+    // uncached: the migrate decision and the post-fold stamp check are
+    // writer-side state reads (the store-mutating-path discipline)
+    IndexManifest.currentUncached(s, anchor) match {
       case Some(cur) if cur.layout != IndexManifest.CURRENT_LAYOUT =>
         fold
-        val after = IndexManifest.current(
+        val after = IndexManifest.currentUncached(
           s, anchorAfter.map(_.apply()).getOrElse(anchor))
         require(after.exists(_.layout == IndexManifest.CURRENT_LAYOUT),
           s"migrateIndexLayout: $anchor's fold committed layout " +
@@ -983,7 +990,8 @@ object Tombstones {
     * manifest is gone, vacuum is a no-op).
     */
   def reset(s: SparkSession, indexPath: String): Unit = {
-    IndexManifest.current(s, indexPath).foreach { cur =>
+    // uncached: reset reclaims files (the store-mutating-path discipline)
+    IndexManifest.currentUncached(s, indexPath).foreach { cur =>
       // the epoch-data naming convention is `<default>__e<v>` — recover
       // the default from the current pointer so vacuum can enumerate the
       // superseded data epochs too
@@ -1180,7 +1188,10 @@ object Tombstones {
     // never-mutated anchor has no epochs to alias and carries nothing.
     if (anchor.isEmpty) {
       reset(s, dest)
-      val old = IndexManifest.current(s, cur)
+      // uncached: the carry epoch's CONTENT (hwm, generation) derives
+      // from this read and its commit bypasses next()'s template — a
+      // stale read would silently mis-carry the fence
+      val old = IndexManifest.currentUncached(s, cur)
       val carry = old match {
         case Some(f) =>
           Some(IndexManifest.Epoch(

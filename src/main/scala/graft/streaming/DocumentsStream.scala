@@ -213,23 +213,12 @@ object DocumentsStream {
       .parquet(inPath)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          // per-batch VERIFIED writer lease on the CURRENT location anchor
-          // (the fold moves it; resolve → acquire → re-resolve, retrying
-          // if a concurrent fold moved the location mid-claim — plain
-          // re-resolution alone leaves a window where two claimants hold
-          // different generations of the anchor and exclusion voids);
-          // holder = this lineage's checkpoint; < 0 opts out
-          graft.sources.WriterLease.withResolvedIngestLease(spark,
-              () => graft.sources.Tombstones.tableLocation(spark, table),
-              checkpoint, leaseWaitMs, leaseTtlMs) { _ =>
-            refreshFamilyTables(spark, batch.toDF(), table)
-            graft.operators.MultimodalQueries.ingestPhashBatch(
-              batch.toDF(), table, batchId, streamId = checkpoint)
-            foldIfDue(spark, table, foldEvery,
-              graft.operators.MultimodalQueries.compactPhashIndex(spark, table))
-          }
-        }
+        if (!batch.isEmpty)
+          // per-batch VERIFIED writer lease on the CURRENT location
+          // anchor inside the shared family arm; holder = this lineage's
+          // checkpoint; < 0 opts out
+          ingestPhashFamily(spark, batch.toDF(), table, batchId,
+            checkpoint, foldEvery, leaseWaitMs, leaseTtlMs)
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -318,6 +307,42 @@ object DocumentsStream {
       }
     }
   }
+
+  /** One micro-batch into the VECTOR (IVF) sibling — shared by the two
+    * group runners ([[runHybridIngest]] / [[runAssetIngest]]); `vecRows`
+    * must carry (vec_id, label, embedding). Immutable anchor, so the
+    * plain ingest lease suffices (folds redirect data inside the
+    * manifest without moving the anchor).
+    */
+  private def ingestIvfFamily(
+      spark: SparkSession, dir: String, path: String, vecRows: DataFrame,
+      batchId: Long, checkpoint: String, foldEvery: Int,
+      leaseWaitMs: Long, leaseTtlMs: Long): Unit =
+    graft.sources.WriterLease.withIngestLease(spark, path,
+        checkpoint, leaseWaitMs, leaseTtlMs) {
+      graft.operators.SimilarityQueries.ingestIvfBatch(
+        spark, dir, path, vecRows, batchId, streamId = checkpoint)
+      if (graft.sources.Tombstones.windowReached(spark, path, foldEvery))
+        graft.operators.SimilarityQueries.compactIvfIndex(spark, path)
+    }
+
+  /** One micro-batch into the phash sibling — shared by
+    * [[runPhashIngest]] and [[runAssetIngest]]; `assets` must carry
+    * (asset_id, payload, format).
+    */
+  private def ingestPhashFamily(
+      spark: SparkSession, assets: DataFrame, table: String,
+      batchId: Long, checkpoint: String, foldEvery: Int,
+      leaseWaitMs: Long, leaseTtlMs: Long): Unit =
+    graft.sources.WriterLease.withResolvedIngestLease(spark,
+        () => graft.sources.Tombstones.tableLocation(spark, table),
+        checkpoint, leaseWaitMs, leaseTtlMs) { _ =>
+      refreshFamilyTables(spark, assets, table)
+      graft.operators.MultimodalQueries.ingestPhashBatch(
+        assets, table, batchId, streamId = checkpoint)
+      foldIfDue(spark, table, foldEvery,
+        graft.operators.MultimodalQueries.compactPhashIndex(spark, table))
+    }
 
   /** MULTI-INDEX streaming ingest group — the way a real pipeline uses
     * the per-family runners: ONE document batch feeds every sibling index
@@ -442,18 +467,10 @@ object DocumentsStream {
             // FIXED ORDER — lexical prefix first, the vector sibling last
             ingestLexicalFamilies(spark, rows, targets, batchId,
               checkpoint, foldEvery, leaseWaitMs, leaseTtlMs)
-            targets.ivf.foreach { path =>
-              graft.sources.WriterLease.withIngestLease(spark, path,
-                  checkpoint, leaseWaitMs, leaseTtlMs) {
-                graft.operators.SimilarityQueries.ingestIvfBatch(
-                  spark, dir, path,
-                  rows.select(col("doc_id").as("vec_id"), col("label"),
-                    col("embedding")),
-                  batchId, streamId = checkpoint)
-                if (graft.sources.Tombstones.windowReached(spark, path, foldEvery))
-                  graft.operators.SimilarityQueries.compactIvfIndex(spark, path)
-              }
-            }
+            targets.ivf.foreach(path => ingestIvfFamily(spark, dir, path,
+              rows.select(col("doc_id").as("vec_id"), col("label"),
+                col("embedding")),
+              batchId, checkpoint, foldEvery, leaseWaitMs, leaseTtlMs))
           } finally rows.unpersist(false)
         }
         ()
@@ -513,30 +530,13 @@ object DocumentsStream {
           val rows = batch.toDF().persist()
           try {
             // FIXED ORDER — phash first, the vector sibling last
-            targets.phash.foreach { table =>
-              graft.sources.WriterLease.withResolvedIngestLease(spark,
-                  () => graft.sources.Tombstones.tableLocation(spark, table),
-                  checkpoint, leaseWaitMs, leaseTtlMs) { _ =>
-                refreshFamilyTables(spark, rows, table)
-                graft.operators.MultimodalQueries.ingestPhashBatch(
-                  rows.select("asset_id", "payload", "format"), table, batchId,
-                  streamId = checkpoint)
-                foldIfDue(spark, table, foldEvery,
-                  graft.operators.MultimodalQueries.compactPhashIndex(spark, table))
-              }
-            }
-            targets.ivf.foreach { path =>
-              graft.sources.WriterLease.withIngestLease(spark, path,
-                  checkpoint, leaseWaitMs, leaseTtlMs) {
-                graft.operators.SimilarityQueries.ingestIvfBatch(
-                  spark, dir, path,
-                  rows.select(col("asset_id").as("vec_id"), col("label"),
-                    col("embedding")),
-                  batchId, streamId = checkpoint)
-                if (graft.sources.Tombstones.windowReached(spark, path, foldEvery))
-                  graft.operators.SimilarityQueries.compactIvfIndex(spark, path)
-              }
-            }
+            targets.phash.foreach(table => ingestPhashFamily(spark,
+              rows.select("asset_id", "payload", "format"), table,
+              batchId, checkpoint, foldEvery, leaseWaitMs, leaseTtlMs))
+            targets.ivf.foreach(path => ingestIvfFamily(spark, dir, path,
+              rows.select(col("asset_id").as("vec_id"), col("label"),
+                col("embedding")),
+              batchId, checkpoint, foldEvery, leaseWaitMs, leaseTtlMs))
           } finally rows.unpersist(false)
         }
         ()
