@@ -1725,6 +1725,58 @@ class StreamingSpec extends SparkSpec {
       SimilarityQueries.ivfTopkFromIndex(spark, sfDir, s"$base/vidxe")))
   }
 
+  test("five-family hybrid group: every text-corpus family ingests under one lineage; maintainGroup reports all five in commit order") {
+    // the COMPLETE composition: postings + band + winnow + prefix + IVF
+    // fed by one runHybridIngest lineage, then settled by one
+    // maintainGroup call whose result iterates in the documented COMMIT
+    // ORDER for all five families (the >4-entry ordering is load-bearing:
+    // a plain Map drops it exactly there — review-found).
+    import graft.operators.{DedupQueries, SearchQueries, SimilarityQueries}
+    import graft.streaming.DocumentsStream
+    val base = java.nio.file.Files.createTempDirectory("graft-fivegrp").toString
+    SearchQueries.writeSearchIndex(spark, sfDir, "fg_search", s"$base/sidx")
+    val thr = DedupQueries.writeBandIndex(spark, sfDir, "fg_band", s"$base/bidx")
+    DedupQueries.writeWinnowIndex(spark, sfDir, "fg_winnow", s"$base/widx")
+    DedupQueries.writePrefixIndex(spark, sfDir, "fg_prefix", s"$base/pidx")
+    SimilarityQueries.writeIvfIndex(spark, sfDir, s"$base/vidx")
+    val rows = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+      .join(Tables.embeddings(spark, sfDir), col("doc_id") === col("vec_id"))
+      .select("doc_id", "text", "lang", "label", "embedding")
+    (0 until 2).foreach { m =>
+      rows.filter(col("doc_id") % 9 === m && col("doc_id") < thr)
+        .select(col("doc_id") + (m + 1) * 2000000L as "doc_id",
+          col("text"), col("lang"), col("label"), col("embedding"))
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+    }
+    val targets = DocumentsStream.CorpusIngestTargets(
+      search = Some(("fg_search", s"$base/sidx")),
+      band = Some("fg_band"), winnow = Some("fg_winnow"),
+      prefix = Some("fg_prefix"), ivf = Some(s"$base/vidx"))
+    DocumentsStream.runHybridIngest(
+      spark, s"$base/in", sfDir, targets, s"$base/ckpt")
+    // every family fenced at batch 1 under the one lineage
+    def loc(t: String) = graft.sources.Tombstones.tableLocation(spark, t)
+    Seq(s"$base/sidx", loc("fg_band"), loc("fg_winnow"), loc("fg_prefix"),
+        s"$base/vidx").foreach { a =>
+      assert(graft.sources.Tombstones.ingestFence(spark, a)
+        .contains((s"$base/ckpt", 1L)), s"fence missing at $a")
+    }
+    // one maintenance call settles all five; the result preserves the
+    // group's COMMIT ORDER past the 4-entry Map boundary
+    val m = graft.sources.Lifecycle.maintainGroup(
+      spark, targets, maxDeltaBatches = 1L, holder = "fg_maint",
+      leaseWaitMs = 120000L)
+    assert(m.keys.toSeq == Seq("search", "band", "winnow", "prefix", "ivf"),
+      s"maintainGroup must iterate in commit order, got ${m.keys.toSeq}")
+    assert(m.values.forall(_.folded), s"all five windows were past the threshold: $m")
+    Seq(s"$base/sidx", loc("fg_band"), loc("fg_winnow"), loc("fg_prefix"),
+        s"$base/vidx").foreach { a =>
+      assert(graft.sources.IndexManifest.current(spark, a)
+        .forall(_.deltas.isEmpty), s"window at $a must fold to empty")
+      assert(graft.sources.WriterLease.current(spark, a).isEmpty)
+    }
+  }
+
   test("asset ingest group: one media batch feeds phash + embedding siblings; modality-boundary crash converges; one-call group maintenance settles it") {
     // the non-text modality's group symmetry: runAssetIngest fences the
     // perceptual-hash index AND the asset-embedding IVF index under one
