@@ -1687,7 +1687,16 @@ object AdvancedQueries {
     GQuery(
       "q_profile_columns_approx",
       (s, dir) => {
-        val wide = Tables.lineitem(s, dir).agg(
+        // [r21 opt] NOT parallelized, deliberately: rsd 0.01 flattens each
+        // HLL++ sketch to ~1.5k aggregation-buffer attributes, and the
+        // 4-sketch buffer's projection falls back to the interpreted path —
+        // a Spread(32) here multiplied the per-task buffer setup into
+        // 180-380 executor-CPU-s with ~20 s GC (measured, vs ~11 CPU-s
+        // single-task; per-column split measured the same). The one-pass
+        // single-buffer shape is the cheapest available; only the unused
+        // columns are pruned before the scan.
+        val wide = Tables.lineitem(s, dir)
+          .select("l_returnflag", "l_quantity", "l_orderkey", "l_shipdate").agg(
           count(lit(1)).as("n"),
           count(col("l_returnflag")).as("rf_nn"),
           approx_count_distinct(col("l_returnflag"), 0.01).as("rf_nd"),
@@ -2210,8 +2219,12 @@ object AdvancedQueries {
       "q_link_prediction",
       (s, dir) => {
         val ed = Materialize(copurchaseEdges(s, dir))
-        val und = ed.select(col("a").as("src"), col("b").as("dst"))
-          .union(ed.select(col("b").as("src"), col("a").as("dst")))
+        // [r21 opt] und feeds three branches (wedge x, wedge y, deg) and
+        // deg two; materialized like q_graph_clustering's derived frames so
+        // the wedge self-join reads one tiny cache instead of re-deriving
+        // from the edge cache per branch (guide §2.4).
+        val und = Materialize(ed.select(col("a").as("src"), col("b").as("dst"))
+          .union(ed.select(col("b").as("src"), col("a").as("dst"))))
         val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
         val w = und.as("x")
           .join(und.as("y"), col("x.dst") === col("y.src") && col("x.src") < col("y.dst"))
@@ -2266,14 +2279,22 @@ object AdvancedQueries {
         val ed = Materialize(copurchaseEdges(s, dir))
         val und = ed.select(col("a").as("src"), col("b").as("dst"))
           .union(ed.select(col("b").as("src"), col("a").as("dst")))
-        val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+        // [r21 opt] deg and orient are read from MULTIPLE plan branches
+        // (deg: both e2 arms + the final cc join; orient: both wedge
+        // sides). Unmaterialized, the executed plan held 26
+        // InMemoryTableScans of the edge cache — five ~25 CPU-s broadcast
+        // builds each re-deriving deg/orient from the 36 MiB cached edge
+        // columnar blocks (measured 160 CPU-s, 12.8 s wall). Caching the
+        // two tiny derived frames (one row per node / per edge) makes each
+        // a single derivation (guide §2.4: share one exchange).
+        val deg = Materialize(und.groupBy("src").agg(count(lit(1)).as("deg")))
         // canonical (a < b) + both degrees; orient toward the (deg, id) max
         val e2 = ed
           .join(deg.select(col("src").as("a"), col("deg").as("da")), "a")
           .join(deg.select(col("src").as("b"), col("deg").as("db")), "b")
-        val orient = e2.select(
+        val orient = Materialize(e2.select(
           when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
-          when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"))
+          when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v")))
         val tri = orient.as("x")
           .join(orient.as("y"), col("x.u") === col("y.u") && col("x.v") < col("y.v"))
           .select(col("x.u").as("tu"), col("x.v").as("tv"), col("y.v").as("tw"))

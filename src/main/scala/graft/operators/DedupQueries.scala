@@ -261,16 +261,27 @@ object DedupQueries {
       .filter(col("a") =!= col("b")).distinct()
     def bidir(e: DataFrame): DataFrame =
       e.union(e.select(col("b").as("a"), col("a").as("b")))
-    // m(u) = min over the closed neighborhood, joined back onto each arc
+    // m(u) = min over the closed neighborhood, carried onto each arc.
+    // [r21 opt] computed as a window over the arc list instead of a
+    // groupBy + self-join: one exchange per star instead of two (and no
+    // broadcast build) — every AQE stage job is a sequential driver round
+    // trip, so the per-round job count IS the loop's wall cost. Same m per
+    // arc, bit-for-bit.
     def withMin(e: DataFrame): DataFrame = {
       val d = bidir(e)
-      val mins = d.groupBy("a").agg(min(col("b")).as("mb"))
-        .select(col("a").as("u"), least(col("a"), col("mb")).as("m"))
-      d.join(mins, d("a") === mins("u")).select(col("a"), col("b"), col("m"))
+      d.withColumn("m",
+        least(col("a"), min(col("b")).over(Window.partitionBy("a"))))
     }
+    // [r21 opt] largeStar emits (m, b) with m < b already — canon's
+    // swap/self-loop-filter is a no-op on it, and its `distinct` only
+    // pre-deduped what smallStar's closing canon dedups anyway (min over
+    // duplicated arcs is the same min; each input arc emits at most one
+    // row, so there is no blowup at any scale). Dropping the intermediate
+    // distinct removes one exchange+job per round; each ROUND's
+    // checkpointed edge set is unchanged (smallStar still ends in canon).
     def largeStar(e: DataFrame): DataFrame =
-      canon(withMin(e).filter(col("b") > col("a"))
-        .select(col("b").as("a"), col("m").as("b")))
+      withMin(e).filter(col("b") > col("a"))
+        .select(col("m").as("a"), col("b").as("b"))
     def smallStar(e: DataFrame): DataFrame = {
       val wm = withMin(e)
       canon(wm.filter(col("b") < col("a")).select(col("b").as("a"), col("m").as("b"))
@@ -283,7 +294,15 @@ object DedupQueries {
     val maxIter = 30 // ≥ 2·log²(any plausible component); hitting it FAILS
     while (changed > 0 && iter < maxIter) {
       val next = checkpoint(smallStar(largeStar(edges)))
-      changed = next.except(edges).count() + edges.except(next).count()
+      // [r21 opt] symmetric set difference in ONE action (full-outer on the
+      // canonical key, count rows missing a side) instead of two except()
+      // jobs — same count over the same two distinct sets, half the
+      // convergence-check jobs and joins per round.
+      changed = next.select(col("a"), col("b"), lit(1).as("nn"))
+        .join(edges.select(col("a"), col("b"), lit(1).as("oo")),
+          Seq("a", "b"), "full_outer")
+        .filter(col("nn").isNull || col("oo").isNull)
+        .count()
       prevRound.unpersist(blocking = false)
       prevRound = next
       edges = next
@@ -497,11 +516,19 @@ object DedupQueries {
     // is strictly cheaper.)
     val maxIter = 50
     while (changed > 0 && iter < maxIter) {
-      val prop = edges.join(labels, edges("b") === labels("v"))
-        .select(edges("a").as("v"), col("lbl"))
-        .union(labels)
-        .groupBy("v").agg(min("lbl").as("new_lbl"))
-      val joined = checkpoint(labels.join(prop, "v"))
+      // [r21 opt] one aggregation carries BOTH the propagated min and the
+      // round's previous label: neighbor rows are marked self=false, the
+      // identity rows self=true (exactly one per vertex), so
+      // min(when(self, lbl)) IS the old label — the labels.join(prop, "v")
+      // that re-shuffled the label table every round is gone (one exchange
+      // and one AQE job fewer per round; same (v, lbl, new_lbl) rows).
+      val joined = checkpoint(
+        edges.join(labels, edges("b") === labels("v"))
+          .select(edges("a").as("v"), col("lbl"), lit(false).as("self"))
+          .union(labels.select(col("v"), col("lbl"), lit(true).as("self")))
+          .groupBy("v").agg(
+            min("lbl").as("new_lbl"),
+            min(when(col("self"), col("lbl"))).as("lbl")))
       changed = joined.filter(col("new_lbl") < col("lbl")).count()
       prevRound.unpersist(blocking = false)
       prevRound = joined

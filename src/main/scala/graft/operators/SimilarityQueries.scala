@@ -331,18 +331,33 @@ object SimilarityQueries {
     * in-envelope and documents the 1e15 overflow as designed.
     */
   private def gramOf(e: DataFrame): Array[Array[Double]] = {
-    val cells = e
+    // [r21 opt] Two census cost fixes, both value-identical:
+    //   - Spread: the single-file embeddings scan is one task, which
+    //     serialized the whole n·d² generate+aggregate pass (measured 4.5 s
+    //     single-task at sf0.1); conditional repartition keeps the
+    //     "corpus never shuffles" contract on already-parallel sources.
+    //   - upper triangle only (j >= i): per-row terms round(xi·xj·1e9) are
+    //     exactly symmetric and long sums are order-free, so G[j][i] is
+    //     mirrored on the driver instead of aggregated twice — halves the
+    //     d² aggregation work (guide §2.3, shuffle/aggregate fewer bytes).
+    val cells = Spread(e)
       .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
       .groupBy("i", "j")
       .agg(sum(round(col("xi") * col("xj") * 1e9).cast("long")).as("sx"))
       .collect()
     // loud, not empty.max — the pcaPower null-space guard discipline
     require(cells.nonEmpty,
       "gramOf: empty embedding corpus — no Gram census to build")
-    val dim = cells.iterator.map(_.getInt(0)).max + 1
+    val dim = cells.iterator.map(_.getInt(1)).max + 1
     val gram = Array.fill(dim, dim)(0.0)
-    cells.foreach(r => gram(r.getInt(0))(r.getInt(1)) = r.getLong(2).toDouble / 1e9)
+    cells.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val x = r.getLong(2).toDouble / 1e9
+      gram(i)(j) = x
+      gram(j)(i) = x
+    }
     gram
   }
 
