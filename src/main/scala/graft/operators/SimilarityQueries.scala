@@ -2108,8 +2108,12 @@ object SimilarityQueries {
     // reliableCheckpoint keeps it fleet-safe (durable files, the
     // dedup_clusters discipline); the count() is the forcing action.
     val ckpt = DedupQueries.reliableCheckpoint(e.sparkSession)
+    // [r21 opt] no forcing count(): the lazy checkpoint truncates the plan
+    // at wrap time, and the NEXT round's beam broadcast build (or the
+    // caller's action after the last round) is the materializing action —
+    // one fewer sequential job per round, same execution order.
     def step(df: DataFrame): DataFrame = {
-      val out = ckpt(df); Materialize.track(out); out.count(); out
+      val out = ckpt(df); Materialize.track(out); out
     }
     val entries = broadcast(e.filter(entryFilter)
       .select(col("vec_id").as("cand_id"), col("v"), col("nrm")))
@@ -3449,18 +3453,16 @@ object SimilarityQueries {
     val dists = centers.zipWithIndex.map { case ((id, _, cn), i) =>
       (id, kcDistCol(s"kc$i", cn))
     }
-    // lexicographic running min over (d, center_id) — temps first so the
-    // two updates read the same pre-round state
-    var bestD = dists.head._2
-    var bestId: org.apache.spark.sql.Column = lit(dists.head._1)
-    for ((id, d) <- dists.tail) {
-      val takeNew = (d < bestD) || (d === bestD && lit(id) < bestId)
-      val nextD = when(takeNew, d).otherwise(bestD)
-      val nextId = when(takeNew, lit(id)).otherwise(bestId)
-      bestD = nextD
-      bestId = nextId
-    }
-    df.select(bestId.as("center_id"), bestD.as("d"))
+    // lexicographic min over (d, center_id) as array_min over structs —
+    // [r21 opt] the previous chained-when running min referenced each
+    // level's best TWICE, so the Column tree grew ~3^k with a 64-literal
+    // dot product at every leaf: ~3 s of pure driver planning/codegen per
+    // build (wall 3.5 s vs 0.1 s executor time, measured). Struct ordering
+    // is field-lexicographic, so min over (d, center_id) pairs is the
+    // identical assignment, with each distance appearing exactly once.
+    val best = array_min(array(dists.map { case (id, d) =>
+      struct(d.as("d"), lit(id).as("center_id")) }: _*))
+    df.select(best.getField("center_id").as("center_id"), best.getField("d").as("d"))
       .groupBy("center_id")
       .agg(count(lit(1)).as("n_members"), max(col("d")).as("max_radius_nano"))
       .orderBy("center_id")
