@@ -270,6 +270,16 @@ object IndexManifest {
   /** The session's cache-TTL flag (`graft.manifest.cacheTtlMs`, ms; 0 =
     * off). One deployment flag: set it on serving sessions so every probe's
     * `current()` resolution hits the TTL cache instead of the store.
+    *
+    * RETENTION CONTRACT [r21, ADVICE]: the staleness bound above only
+    * composes with fold/vacuum when the WRITER side retains superseded
+    * epochs across the ttl window — run vacuum with keepEpochs >= 1 and
+    * size ttl <= inter-commit interval x keepEpochs. Total reclaim
+    * (keepEpochs = 0, the vacuum default) under this flag lets a
+    * cross-process fold+vacuum delete a cached epoch's files while an
+    * in-flight reader still holds it (FileNotFound instead of the
+    * "mutation is never an observable error" guarantee). Same-process
+    * misuse warns loudly in [[graft.sources.Tombstones.vacuum]].
     */
   def cacheTtlMs(s: SparkSession): Long = {
     val v = s.conf.get("graft.manifest.cacheTtlMs", "0")
@@ -373,6 +383,16 @@ object IndexManifest {
       // a concurrent invalidation's remove on this key
       epochCache.compute(anchor, (_, old) =>
         if (stampOf(anchor).get() != stamp) old else (t, e))
+      // [r21, ADVICE] bound growth for long-lived serving sessions probing
+      // many ephemeral anchors (clone destinations, per-tenant indexes):
+      // opportunistically sweep entries expired under THIS call's ttl once
+      // the map is large. Miss-path only (a hit never pays the sweep);
+      // stamps are one AtomicLong per anchor and deliberately never
+      // removed — a recreated stamp would restart at 0 and let an
+      // in-flight pre-invalidation resolve re-insert its stale epoch.
+      if (epochCache.size > 1024)
+        epochCache.forEach((k, v) =>
+          if (t - v._1 >= ttlMs) { epochCache.remove(k, v); () })
       e
     }
   }
@@ -450,10 +470,6 @@ object IndexManifest {
       .getOrElse(Epoch(1L, None, None, Vector.empty, Vector.empty, 0L))
   }
 
-  /** Land `e` as the new current epoch — the single atom of every
-    * lifecycle mutation. Fails loudly (never overwrites) if `e.version`
-    * was already committed, surfacing a violated single-writer assumption.
-    */
   /** The choke point that makes the conf-routed cache safe BY
     * CONSTRUCTION: a MUTATING session under the flag could derive a
     * fold's or ingest's CONTENT from a ≤-ttl-stale hit and silently fold
@@ -474,6 +490,10 @@ object IndexManifest {
           "sessions; mutate with it unset (probe-side code may still opt " +
           "in per read via cachedCurrent).")
 
+  /** Land `e` as the new current epoch — the single atom of every
+    * lifecycle mutation. Fails loudly (never overwrites) if `e.version`
+    * was already committed, surfacing a violated single-writer assumption.
+    */
   def commit(s: SparkSession, anchor: String, e: Epoch): Unit = {
     refuseMutationUnderCacheFlag(s, "commit")
     if (e.layout > CURRENT_LAYOUT)

@@ -597,6 +597,19 @@ object Tombstones {
     // would silently under-enumerate the reclaim candidates (and any
     // future keep-set read of `cur` would risk worse) — every
     // store-mutating path resolves uncached (review-found)
+    // [r21, ADVICE] the manifest TTL cache lets an in-flight reader serve
+    // an epoch up to ttl after a writer superseded it; total reclaim
+    // (keepEpochs = 0) inside that window deletes the cached epoch's files
+    // under the reader. In-process we can see the misconfiguration — warn
+    // loudly (cross-process serving tiers must size retention so that
+    // ttl <= inter-commit interval x keepEpochs; see cacheTtlMs' doc).
+    if (keepEpochs == 0 && IndexManifest.cacheTtlMs(s) > 0L)
+      org.slf4j.LoggerFactory.getLogger("graft.Tombstones").warn(
+        s"Tombstones.vacuum($anchor): keepEpochs=0 (total reclaim) while " +
+          "graft.manifest.cacheTtlMs is on — a TTL-cached reader of this " +
+          "anchor can hold the just-reclaimed epoch for up to ttl and fail " +
+          "with missing files; retain >= 1 epoch (ttl <= inter-commit " +
+          "interval x keepEpochs) when serving through the cache")
     IndexManifest.currentUncached(s, anchor) match {
       case None => 0L
       case Some(cur) =>

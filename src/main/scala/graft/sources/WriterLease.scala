@@ -317,7 +317,10 @@ object WriterLease {
         case Some(t) => return t
         case None => // a fold moved the anchor mid-claim — retry at the new location
           attempts += 1
-          if (System.currentTimeMillis() > deadline)
+          // >=, not >: an exhausted budget (remaining == 0) must page after
+          // exactly one anchor-moved retry, not spin acquire/release cycles
+          // until the clock ticks past the deadline [r21, ADVICE]
+          if (System.currentTimeMillis() >= deadline)
             throw new IllegalStateException(
               s"WriterLease: anchor for '$holder' still moving when the " +
                 s"${waitMs}ms claim budget expired after $attempts attempts " +
